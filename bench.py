@@ -1,0 +1,66 @@
+"""Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-time over the headline query set (seconds).  Each query
+is materialized via a noop-format write so the *full* plan executes —
+df.count() would let Catalyst prune computed columns away and under-report.
+A warmup query runs first so JVM classloading/JIT isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_trino_sql_demo_spark import operators as _ops
+from iceberg_trino_sql_demo_spark.session import get_spark
+
+_ops.load_all()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    names = sorted(_ops.QUERIES)
+    # Warmup: exercise scan + join + agg codepaths once (JVM classload/JIT).
+    _ops.QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = _ops.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

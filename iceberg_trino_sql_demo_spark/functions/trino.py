@@ -1,0 +1,88 @@
+"""Trino-dialect scalar-function equivalents (SURVEY.md §2.5 F1-F9).
+
+The reference script is written in Trino SQL; a handful of its functions
+differ from Spark in dialect, not semantics.  These helpers centralize the
+translation so every operator uses one definition.
+
+Citations refer to /root/reference/iceberg_trino_sqldemo.sql.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Trino/MySQL date_format pattern -> Java SimpleDateFormat-ish pattern used
+# by Spark's date_format.  Reference uses '%Y/%m/%d-%T' (line 87).
+_TRINO_DATETIME_TOKENS = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%i": "mm",
+    "%s": "ss",
+    "%T": "HH:mm:ss",
+    "%f": "SSSSSS",
+    "%e": "d",
+    "%j": "DDD",
+    "%a": "EEE",
+    "%W": "EEEE",
+    "%M": "MMMM",
+    "%b": "MMM",
+    "%%": "%",
+}
+
+_TOKEN_RE = re.compile("|".join(re.escape(t) for t in _TRINO_DATETIME_TOKENS))
+
+
+def translate_datetime_pattern(trino_pattern: str) -> str:
+    """'%Y/%m/%d-%T' -> 'yyyy/MM/dd-HH:mm:ss' (reference line 87)."""
+
+    def sub(m: re.Match[str]) -> str:
+        return _TRINO_DATETIME_TOKENS[m.group(0)]
+
+    # Literal text outside tokens must be quoted for Java patterns if it
+    # contains letters; the reference only uses punctuation separators, but
+    # quote defensively.
+    out: list[str] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(trino_pattern):
+        literal = trino_pattern[pos : m.start()]
+        if literal:
+            out.append(f"'{literal}'" if any(c.isalpha() for c in literal) else literal)
+        out.append(sub(m))
+        pos = m.end()
+    tail = trino_pattern[pos:]
+    if tail:
+        out.append(f"'{tail}'" if any(c.isalpha() for c in tail) else tail)
+    return "".join(out)
+
+
+def trino_date_format(col: Column, trino_pattern: str) -> Column:
+    """Trino date_format(ts, '%Y/%m/%d-%T') equivalent (F3, line 87)."""
+    return F.date_format(col, translate_datetime_pattern(trino_pattern))
+
+
+def trino_round(col: Column, scale: int = 0) -> Column:
+    """Trino round(double) keeps DOUBLE type (F1, lines 33/288); Spark's
+    F.round does too — wrapper exists so the dialect mapping is explicit
+    and greppable."""
+    return F.round(col, scale)
+
+
+def decimal_sum(col: Column, alias: str, scale: int = 2) -> Column:
+    """Exact, order-independent monetary sum.
+
+    Summing doubles is non-associative, so a distributed sum of a money
+    column differs in ulps run-to-run and engine-to-engine.  Casting to
+    DECIMAL(18, scale) first makes the aggregation exact (Spark uses a
+    128-bit accumulator), then one final cast back to double is
+    deterministic.  The DuckDB oracle uses the same construction —
+    see oracle_sql() in __spark_entry__.py.
+    """
+    return (
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    )

@@ -1,0 +1,350 @@
+"""Phase-1 relational operators (SURVEY.md §2.3-2.5) — pure Catalyst.
+
+Each query re-expresses a statement of the reference script
+(/root/reference/iceberg_trino_sqldemo.sql, cited per function) over the
+driver's testdata star schema.  The DuckDB oracle SQL lives next to each
+implementation; aliases match column-for-column.
+
+Scale notes (100 TB framing):
+- dimension tables (region 5, nation 25, customer ~sf*150k rows) are
+  broadcast explicitly so the fact-side join never shuffles the big table;
+- monetary aggregates go through DECIMAL accumulation (exact, order-free)
+  instead of double sums — see functions.trino.decimal_sum;
+- every filter/projection is expressed on base columns so Catalyst pushes
+  it into the parquet scan (verified via .explain: PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.functions.trino import (
+    decimal_sum,
+    trino_date_format,
+    trino_round,
+)
+from iceberg_trino_sql_demo_spark.session import table_path
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# customer pipeline — reference lines 19-40 (CTAS source SELECT).
+# 3-way cross-source join (J1), projection+alias (P2), equality filter (P4),
+# ROUND (F1), LIMIT (O3).  ORDER BY custkey added to make LIMIT deterministic
+# (the reference's bare LIMIT 500 is order-free; Trino returns an arbitrary
+# subset — we pin it for oracle comparison).
+# ---------------------------------------------------------------------------
+@register(
+    "customer_pipeline",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           c.c_name    AS name,
+           c.c_mktsegment AS mktsegment,
+           round(c.c_acctbal) AS account_balance,
+           n.n_name    AS nation
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+     WHERE r.r_name = 'EUROPE'
+     ORDER BY custkey
+     LIMIT 500
+    """,
+)
+def customer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            trino_round(F.col("c_acctbal")).alias("account_balance"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy("custkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------------------
+# orderdate range scan — reference line 15.  (P3: half-open date interval;
+# the demo's 1992 window predates this testdata, so the same shape is applied
+# to an in-range window.)  Drives partition pruning once orders is stored as
+# an engine table partitioned by year(orderdate) (reference line 13).
+# ---------------------------------------------------------------------------
+@register(
+    "orderdate_range",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS orderdate
+      FROM orders
+     WHERE CAST(o_orderdate AS DATE) >= DATE '1995-11-01'
+       AND CAST(o_orderdate AS DATE) <  DATE '1996-01-01'
+    """,
+)
+def orderdate_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.where(
+        (d >= F.lit("1995-11-01").cast("date")) & (d < F.lit("1996-01-01").cast("date"))
+    ).select(d.alias("orderdate"))
+
+
+# ---------------------------------------------------------------------------
+# federation aggregation — reference lines 286-295 (flagship).
+# fact⋈dim join (J2), GROUP BY + SUM + ROUND (A1/F1), ORDER BY (O1).
+# The demo's `customer` Iceberg table carries a `nation` name column
+# (line 34); over the base schema that is customer⋈nation.
+# ---------------------------------------------------------------------------
+@register(
+    "federation_agg",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE))
+               AS total_price
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON c.c_custkey = o.o_custkey
+     WHERE c.c_mktsegment = 'AUTOMOBILE'
+     GROUP BY n.n_name
+     ORDER BY total_price
+    """,
+)
+def federation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "AUTOMOBILE")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    # orders is the big side at scale: broadcast the filtered dim product so
+    # the fact table never shuffles.
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("nation")
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy("nation")
+        .agg(trino_round(decimal_sum(F.col("o_totalprice"), "x")).alias("total_price"))
+        .orderBy("total_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN-list predicate — reference line 137 (P5; there a DELETE predicate, here
+# demonstrated as the equivalent scan).
+# ---------------------------------------------------------------------------
+@register(
+    "customer_in_list",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+      FROM customer
+     WHERE c_custkey IN (2001, 2002, 2003)
+    """,
+)
+def customer_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey").isin(2001, 2002, 2003))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join — reference lines 92-93 ($history LEFT JOIN $refs).  The
+# same join shape over base tables: every region row survives, nations only
+# where the ON clause matches (null-extended otherwise).
+# ---------------------------------------------------------------------------
+@register(
+    "left_join_shape",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation
+      FROM region r
+      LEFT JOIN nation n
+        ON r.r_regionkey = n.n_regionkey AND n.n_nationkey < 3
+    """,
+)
+def left_join_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.join(
+        n, (r.r_regionkey == n.n_regionkey) & (n.n_nationkey < 3), "left"
+    ).select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+
+
+# ---------------------------------------------------------------------------
+# scalar functions — reference lines 85-94 (curr_ver_dets view):
+# concat_ws (F2, line 86), date_format '%Y/%m/%d-%T' (F3, line 87),
+# ORDER BY committed_at (O1, line 94).  Applied to orders columns.
+# ---------------------------------------------------------------------------
+@register(
+    "concat_datefmt",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           concat_ws(' > ', o_orderstatus, o_orderpriority) AS status_priority,
+           strftime(o_orderdate, '%Y/%m/%d-%H:%M:%S') AS committed_at
+      FROM orders
+    """,
+)
+def concat_datefmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.concat_ws(" > ", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        trino_date_format(F.col("o_orderdate"), "%Y/%m/%d-%T").alias("committed_at"),
+    )
+    # No global sort: result comparison is order-insensitive and a full-table
+    # ORDER BY of a projection this wide is exactly what dies at 100 TB.
+    # The ordered variant of the reference (line 94) is demonstrated by the
+    # top-k queries (top_acctbal_desc) where a sort is actually bounded.
+
+
+# ---------------------------------------------------------------------------
+# interval arithmetic + now() shape — reference lines 267-268
+# ("$file_modified_time" > CAST(now() - INTERVAL '2' DAY AS DATE)).  now()
+# is non-deterministic, so the oracle-checked variant anchors to a fixed
+# timestamp; the engine's optimize-WHERE path reuses this predicate builder.
+# ---------------------------------------------------------------------------
+@register(
+    "interval_cutoff",
+    oracle="""
+    SELECT o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS orderdate
+      FROM orders
+     WHERE CAST(o_orderdate AS DATE)
+           > CAST(TIMESTAMP '1999-01-15 12:00:00' - INTERVAL 30 DAY AS DATE)
+    """,
+)
+def interval_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cutoff = (
+        F.lit("1999-01-15 12:00:00").cast("timestamp") - F.expr("INTERVAL 30 DAY")
+    ).cast("date")
+    return o.where(F.to_date("o_orderdate") > cutoff).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.to_date("o_orderdate").alias("orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pricing summary — TPC-H Q1 shape over lineitem.  Not a literal statement of
+# the reference (its CTAS sources draw from tpch.sf1, lines 11-13); this is
+# the canonical big-aggregation benchmark for the engine: grouped decimal
+# sums with map-side partial aggregation, zero joins.
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) ) AS DOUBLE)
+               AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+      FROM lineitem
+     WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+     GROUP BY l_returnflag, l_linestatus
+     ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.where(F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum(F.col("l_quantity"), "sum_qty"),
+            decimal_sum(F.col("l_extendedprice"), "sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# local supplier volume — TPC-H Q5 shape: the engine's multi-join benchmark
+# (fact ⋈ 4 dims with a same-nation constraint), shuffle-heavy by design.
+# ---------------------------------------------------------------------------
+@register(
+    "nation_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                     AND s.s_nationkey = c.c_nationkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+     WHERE r.r_name = 'EUROPE'
+     GROUP BY n.n_name
+     ORDER BY revenue DESC
+    """,
+)
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(
+                c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+                    F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+                )
+            ),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY DESC + LIMIT — reference lines 131/139 ($snapshots ORDER BY
+# committed_at DESC) and line 40 (LIMIT): top-k shape (O2/O3).
+# ---------------------------------------------------------------------------
+@register(
+    "top_acctbal_desc",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+      FROM customer
+     ORDER BY c_acctbal DESC, c_custkey
+     LIMIT 20
+    """,
+)
+def top_acctbal_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .limit(20)
+    )

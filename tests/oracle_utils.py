@@ -1,0 +1,78 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+The driver (CORRECTNESS_r{N}.json) compares row-count + schema +
+order-insensitive value-hash at sf0.01.  This util performs an *exact*
+multiset equality check — stronger than a hash match — so any pass here
+should pass the driver too.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any
+
+import duckdb
+import pandas as pd
+
+from iceberg_trino_sql_demo_spark.session import TESTDATA_TABLES, table_path
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con.execute(sql).df()
+
+
+def _canon(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return v
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime):
+        # DuckDB's .df() renders DATE columns as midnight Timestamps while
+        # Spark yields datetime.date — normalize for comparison only.
+        if v.hour == v.minute == v.second == v.microsecond == 0 and v.tzinfo is None:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if pd.isna(v):
+        return None
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(out, key=repr)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == equal)."""
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    a, b = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
+    if a != b:
+        diff_a = [r for r in a if r not in set(b)][:3]
+        diff_b = [r for r in b if r not in set(a)][:3]
+        problems.append(f"values differ; spark-only={diff_a} oracle-only={diff_b}")
+    return problems
