@@ -36,7 +36,7 @@ def _sf_label(sf_dir: str) -> float:
 
 def main() -> None:
     spark = get_spark("bench")
-    names = sorted(_ops.QUERIES)
+    names = sorted(n for n in _ops.QUERIES if n not in _ops.NO_BENCH)
     # Warmup: exercise scan + join + agg codepaths once (JVM classload/JIT).
     _ops.QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}

@@ -73,6 +73,37 @@ def trino_round(col: Column, scale: int = 0) -> Column:
     return F.round(col, scale)
 
 
+def parse_ns_timestamp(value: "str | int") -> int:
+    """TIMESTAMP(9) literal -> nanos since epoch (reference :185-187).
+
+    Spark's TimestampType ceiling is microseconds, so the engine stores
+    nanosecond timestamps as LongType nanos (SURVEY.md §1.3) — exact, no
+    truncation: '2025-08-21 12:34:56.123456789' keeps all nine digits.
+    """
+    if isinstance(value, int):
+        return value
+    s = value.strip()
+    frac = ""
+    if "." in s:
+        s, frac = s.split(".", 1)
+    from datetime import datetime, timezone
+
+    base = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+    nanos = int(base.timestamp()) * 1_000_000_000
+    if frac:
+        nanos += int(frac.ljust(9, "0")[:9])
+    return nanos
+
+
+def format_ns_timestamp(nanos: int) -> str:
+    """Inverse of parse_ns_timestamp, for display."""
+    from datetime import datetime, timezone
+
+    secs, rem = divmod(nanos, 1_000_000_000)
+    dt = datetime.fromtimestamp(secs, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%d %H:%M:%S") + f".{rem:09d}"
+
+
 def decimal_sum(col: Column, alias: str, scale: int = 2) -> Column:
     """Exact, order-independent monetary sum.
 

@@ -21,15 +21,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+#: names excluded from bench.py timing (correctness scenarios that spend
+#: their time building scratch tables, not executing the measured query)
+NO_BENCH: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None = None, bench: bool = True
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query (and optional DuckDB oracle SQL) to the registry."""
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        if not bench:
+            NO_BENCH.add(name)
         return fn
 
     return deco

@@ -1,1 +1,338 @@
-"""Placeholder — populated in a later phase."""
+"""Driver-contract queries exercising the versioned-table engine end-to-end
+(SURVEY.md §2.2/2.6/2.7 — the [ENGINE] rows).
+
+Each query builds a scratch engine table under a temp warehouse at call
+time, replays a slice of the reference scenario, and returns the resulting
+DataFrame.  Where the final state is computable in plain SQL, the DuckDB
+oracle expresses it relationally (UNION ALL of the surviving base rows and
+VALUES literals) — so the engine's write/mutate/read cycle is checked
+value-for-value against an independent engine, not just counted.
+
+All scenarios run in merge-on-read mode (the reference's choice, :24)
+unless noted; merge modes are cross-tested in tests/test_dml.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+from iceberg_trino_sql_demo_spark.sources.table import Table
+
+# The CTAS source (reference :19-40) as DuckDB SQL — shared prefix of most
+# oracles below.  Matches operators.relational.customer_pipeline.
+_BASE_SQL = """
+    SELECT c.c_custkey AS custkey,
+           c.c_name    AS name,
+           c.c_mktsegment AS mktsegment,
+           round(c.c_acctbal) AS account_balance,
+           n.n_name    AS nation
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+     WHERE r.r_name = 'EUROPE'
+     ORDER BY custkey
+     LIMIT 500
+"""
+
+_ROWS = [
+    {"custkey": 2001, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+     "account_balance": 1.0, "nation": "FRANCE"},
+    {"custkey": 2002, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+     "account_balance": 2.0, "nation": "FRANCE"},
+    {"custkey": 2003, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+     "account_balance": 3.0, "nation": "FRANCE"},
+]
+_ROWS_SQL = """
+    SELECT * FROM (VALUES
+        (2001, 'COMMANDER BUN BUN', 'SQLENGINE', 1.0, 'FRANCE'),
+        (2002, 'COMMANDER BUN BUN', 'SQLENGINE', 2.0, 'FRANCE'),
+        (2003, 'COMMANDER BUN BUN', 'SQLENGINE', 3.0, 'FRANCE')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+"""
+
+
+def _scratch_customer(spark: SparkSession, sf_dir: str, **props) -> Table:
+    loc = tempfile.mkdtemp(prefix="ice_customer_")
+    return Table.ctas(
+        spark,
+        loc,
+        customer_pipeline(spark, sf_dir),
+        partitioning=["mktsegment"],
+        properties={"merge_mode": "merge-on-read", **props},
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4-D6 CTAS + P1 read: engine write/read roundtrip equals the direct query
+# ---------------------------------------------------------------------------
+@register("ice_ctas_roundtrip", oracle=_BASE_SQL, bench=False)
+def ice_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scratch_customer(spark, sf_dir).df()
+
+
+# ---------------------------------------------------------------------------
+# M1 INSERT VALUES (reference :103-106): base + 3 literal rows
+# ---------------------------------------------------------------------------
+@register(
+    "ice_insert_values",
+    oracle=f"SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL}",
+    bench=False,
+)
+def ice_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    return t.df()
+
+
+# ---------------------------------------------------------------------------
+# M2 UPDATE (reference :129): balance of 2001 becomes 1000
+# ---------------------------------------------------------------------------
+@register(
+    "ice_update_row",
+    oracle=f"""
+    SELECT custkey, name, mktsegment,
+           CASE WHEN custkey = 2001 THEN 1000.0 ELSE account_balance END AS account_balance,
+           nation
+      FROM (SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL})
+    """,
+    bench=False,
+)
+def ice_update_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    t.update({"account_balance": 1000.0}, "custkey = 2001")
+    return t.df()
+
+
+# ---------------------------------------------------------------------------
+# M3 DELETE merge-on-read (reference :137): the IN-list rows disappear via a
+# deletion vector; the base rows stream through untouched files
+# ---------------------------------------------------------------------------
+@register("ice_mor_delete", oracle=_BASE_SQL, bench=False)
+def ice_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    t.delete("custkey IN (2001, 2002, 2003)")
+    return t.df()
+
+
+# ---------------------------------------------------------------------------
+# V1 time travel (reference :216): read the pre-delete snapshot
+# ---------------------------------------------------------------------------
+@register(
+    "ice_time_travel",
+    oracle=f"SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL}",
+    bench=False,
+)
+def ice_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    pre_delete = t.meta.refs["main"]
+    t.delete("custkey IN (2001, 2002, 2003)")
+    return t.df(version=pre_delete)
+
+
+# ---------------------------------------------------------------------------
+# V2 rollback (reference :218): current state returns to the old snapshot
+# ---------------------------------------------------------------------------
+@register(
+    "ice_rollback",
+    oracle=f"SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL}",
+    bench=False,
+)
+def ice_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    keep = t.meta.refs["main"]
+    t.delete("custkey IN (2001, 2002, 2003)")
+    t.rollback_to_snapshot(keep)
+    return t.df()
+
+
+# ---------------------------------------------------------------------------
+# V3-V5 + M5 branch scenario (reference :224-253): final dev state after
+# branch-targeted insert/delete/update, read via FOR VERSION AS OF 'dev'
+# ---------------------------------------------------------------------------
+@register(
+    "ice_branch_dml",
+    oracle=f"""
+    SELECT * FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT * FROM (VALUES
+        (200000, 'TRINO', 'SQLENGINE', 0.0, 'FRANCE'),
+        (200005, 'SPARK', 'SQLENGINE', 1.0, 'ITALY'),
+        (200006, 'CLICKHOUSE', 'SQLENGINE', 2.0, 'SPAIN')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_branch_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    # :229-230 seed main
+    t.insert([{"custkey": 200000, "name": "TRINO", "mktsegment": "SQLENGINE",
+               "account_balance": 10000.0, "nation": "FRANCE"}])
+    t.insert([{"custkey": 200001, "name": "STARBURST", "mktsegment": "SQLENGINE",
+               "account_balance": 10000.0, "nation": "FRANCE"}])
+    # :234-241 branch + branch-targeted DML
+    t.create_branch("dev")
+    t.insert([{"custkey": 200005, "name": "SPARK", "mktsegment": "SQLENGINE",
+               "account_balance": 1.0, "nation": "ITALY"}], ref="dev")
+    t.insert([{"custkey": 200006, "name": "CLICKHOUSE", "mktsegment": "SQLENGINE",
+               "account_balance": 2.0, "nation": "SPAIN"}], ref="dev")
+    t.delete("custkey = 200001", ref="dev")
+    t.update({"account_balance": 0.0}, "custkey = 200000", ref="dev")
+    return t.df(ref="dev")
+
+
+# ---------------------------------------------------------------------------
+# M4 MERGE (reference :146-157)
+# ---------------------------------------------------------------------------
+@register(
+    "ice_merge_upsert",
+    oracle=f"""
+    SELECT custkey, name, mktsegment,
+           CASE WHEN custkey = 2001 THEN 42.0 ELSE account_balance END AS account_balance,
+           nation
+      FROM (SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL})
+    UNION ALL
+    SELECT * FROM (VALUES (900001, 'DUCKDB', 'SQLENGINE', 7.0, 'GERMANY'))
+        AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    src = spark.createDataFrame(
+        [
+            (2001, "COMMANDER BUN BUN", "SQLENGINE", 42.0, "FRANCE"),  # matched
+            (900001, "DUCKDB", "SQLENGINE", 7.0, "GERMANY"),           # not matched
+        ],
+        "custkey bigint, name string, mktsegment string, account_balance double, nation string",
+    )
+    t.merge(
+        src,
+        on="custkey",
+        matched_set={"account_balance": "__src_account_balance"},
+    )
+    return t.df()
+
+
+# ---------------------------------------------------------------------------
+# D9 schema evolution with DEFAULT (reference :164-171): old rows surface
+# the default; an insert omitting the column reads it back
+# ---------------------------------------------------------------------------
+@register(
+    "ice_add_column_default",
+    oracle=f"""
+    SELECT custkey, name, account_balance, '+33606060606' AS phone
+      FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT * FROM (VALUES (200000, 'COMMANDER BUN BUN', 1.0, '+33606060606'))
+        AS v(custkey, name, account_balance, phone)
+    """,
+    bench=False,
+)
+def ice_add_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.add_column("phone", "string", default="+33606060606")
+    t.insert([{"custkey": 200000, "name": "COMMANDER BUN BUN",
+               "mktsegment": "SQLENGINE", "account_balance": 1.0, "nation": "FRANCE"}])
+    return t.df().select("custkey", "name", "account_balance", "phone")
+
+
+# ---------------------------------------------------------------------------
+# D13 partition evolution (reference :191-207): three specs live at once,
+# rows readable across all of them
+# ---------------------------------------------------------------------------
+@register(
+    "ice_partition_evolution",
+    oracle=f"""
+    SELECT * FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT * FROM (VALUES
+        (200001, 'TRINO', 'SQLENGINE', 1.0, 'FRANCE'),
+        (200002, 'STARBURST', 'SQLENGINE', 2.0, 'SPAIN')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.set_partitioning(["mktsegment", "custkey"])  # :193
+    t.insert([{"custkey": 200001, "name": "TRINO", "mktsegment": "SQLENGINE",
+               "account_balance": 1.0, "nation": "FRANCE"}])
+    t.set_partitioning(["nation"])  # :201
+    t.insert([{"custkey": 200002, "name": "STARBURST", "mktsegment": "SQLENGINE",
+               "account_balance": 2.0, "nation": "SPAIN"}])
+    return t.df()
+
+
+# ---------------------------------------------------------------------------
+# V6 CDC (reference :114-125): insert/insert/delete sequence as change rows
+# ---------------------------------------------------------------------------
+@register(
+    "ice_table_changes",
+    oracle="""
+    SELECT * FROM (VALUES
+        (2001, 'insert', 0), (2002, 'insert', 0), (2003, 'insert', 0),
+        (2001, 'delete', 1)
+    ) AS v(custkey, _change_type, _change_ordinal)
+    """,
+    bench=False,
+)
+def ice_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    start = t.meta.refs["main"]
+    t.insert(_ROWS)
+    t.delete("custkey = 2001")
+    end = t.meta.refs["main"]
+    return t.table_changes(start, end).select("custkey", "_change_type", "_change_ordinal")
+
+
+# ---------------------------------------------------------------------------
+# V9 optimize (reference :263): compaction must not change query results
+# ---------------------------------------------------------------------------
+@register(
+    "ice_optimize_roundtrip",
+    oracle=f"SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL}",
+    bench=False,
+)
+def ice_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    for row in _ROWS:
+        t.insert([row])  # three 1-row files -> compaction candidates
+    t.optimize(file_size_threshold=100 * 1024 * 1024)
+    return t.df()
+
+
+# ---------------------------------------------------------------------------
+# P8 metadata tables (reference :74-82): deterministic projection — the
+# operation sequence of $snapshots (timestamps/ids excluded)
+# ---------------------------------------------------------------------------
+@register(
+    "ice_snapshot_operations",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('append', 1), ('append', 2), ('append', 3), ('append', 4),
+        ('delete', 5), ('replace', 6)
+    ) AS v(operation, seq)
+    """,
+    bench=False,
+)
+def ice_snapshot_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _scratch_customer(spark, sf_dir)
+    for row in _ROWS:  # three 1-row appends -> 3 small files, one partition
+        t.insert([row])
+    t.delete("custkey = 2001")
+    t.optimize(file_size_threshold=100 * 1024 * 1024)  # compacts -> replace
+    snaps = t.meta_df("snapshots")
+    return snaps.select(
+        "operation", F.col("snapshot_id").cast("int").alias("seq")
+    )

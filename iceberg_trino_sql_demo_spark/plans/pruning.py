@@ -1,0 +1,138 @@
+"""Engine-side scan pruning (SURVEY.md §4 — the one optimizer piece that is
+ours, not Catalyst's).
+
+Catalyst prunes partitions it knows about; our partition values live in the
+manifest, keyed per-file with a per-file spec-id (partition evolution,
+reference :193/:201 — old files keep their old layout).  So pruning runs on
+the driver, over manifest entries, *before* ``spark.read`` is issued:
+
+1. **hidden-transform partition pruning** — a predicate on the *source*
+   column (the reference filters ``orderdate``, :15, never
+   ``year(orderdate)``) is mapped through the transform's interval logic to
+   a predicate on the partition value, evaluated against each file's
+   partition tuple under that file's own spec;
+2. **file skipping via footer min/max stats** — harvested at write time
+   (writer.py), keyed by column id.
+
+Both are conservative: any missing information keeps the file.  The same
+predicates are *also* applied as a normal DataFrame filter, so pruning is
+purely an optimization and can never change results.
+
+At 100 TB this is the difference between listing 10M files and listing the
+~0.1% a year-partition filter admits; the per-file work is dict lookups, and
+a real deployment would push this loop into a Spark job over a parquet
+manifest — the logic is unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Any, Iterable
+
+from iceberg_trino_sql_demo_spark.sources.metadata import DataFile, TableMetadata
+from iceberg_trino_sql_demo_spark.sources.transforms import Transform, parse_transform
+
+Op = str  # '=' '<' '<=' '>' '>=' 'in' '!='
+
+
+@dataclass(frozen=True)
+class Predicate:
+    column: str
+    op: Op
+    value: Any  # scalar, or list for 'in'
+
+
+def _norm(v: Any) -> Any:
+    """Normalize to a comparable primitive (dates -> ISO strings, which sort
+    identically; manifest stats store the same form)."""
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" " if " " in str(v) else "T")
+    if isinstance(v, date):
+        return v.isoformat()
+    return v
+
+
+def _cmp_ok(lo: Any, hi: Any, op: Op, value: Any) -> bool:
+    """Can a value x with lo <= x <= hi satisfy ``x op value``?  None bound =
+    unknown -> True (conservative)."""
+    value = _norm(value)
+    try:
+        if op == "=":
+            return (lo is None or _norm(lo) <= value) and (hi is None or _norm(hi) >= value)
+        if op == "<":
+            return lo is None or _norm(lo) < value
+        if op == "<=":
+            return lo is None or _norm(lo) <= value
+        if op == ">":
+            return hi is None or _norm(hi) > value
+        if op == ">=":
+            return hi is None or _norm(hi) >= value
+        if op == "in":
+            return any(_cmp_ok(lo, hi, "=", v) for v in value)
+        return True  # '!=' and unknown ops never prune a whole file
+    except TypeError:
+        return True  # incomparable types -> keep
+
+
+def _partition_ok(f: DataFile, meta: TableMetadata, pred: Predicate) -> bool:
+    spec = meta.spec_by_id(f.spec_id)
+    file_schema = meta.schema_by_id(f.schema_id)
+    for sf in spec.fields:
+        try:
+            src = next(c for c in file_schema.fields if c.id == sf.source_id)
+        except StopIteration:
+            continue
+        if src.name != pred.column:
+            continue
+        t = parse_transform(sf.transform)
+        t = Transform(t.name, src.name, t.param)  # rebind to resolved source name
+        pv = f.partition.get(t.field_name)
+        if pv is None and t.field_name not in f.partition:
+            continue  # value unknown -> cannot prune
+        if t.name == "identity":
+            if not _cmp_ok(pv, pv, pred.op, pred.value):
+                return False
+        elif t.is_monotone:
+            if pred.op in ("=",):
+                if pv != t.eval_py(pred.value):
+                    return False
+            elif pred.op == "in":
+                if pv not in {t.eval_py(v) for v in pred.value}:
+                    return False
+            elif pred.op in ("<", "<="):
+                tv = t.eval_py(pred.value)
+                if tv is not None and pv is not None and pv > tv:
+                    return False
+            elif pred.op in (">", ">="):
+                tv = t.eval_py(pred.value)
+                if tv is not None and pv is not None and pv < tv:
+                    return False
+        elif t.name == "bucket" and pred.op == "=":
+            # bucket equality pruning needs the JVM hash; skipped driver-side.
+            pass
+    return True
+
+
+def _stats_ok(f: DataFile, meta: TableMetadata, pred: Predicate) -> bool:
+    file_schema = meta.schema_by_id(f.schema_id)
+    try:
+        fld = file_schema.field_by_name(pred.column)
+    except KeyError:
+        return True  # column didn't exist in this file -> default value rows; keep
+    st = f.stats.get(str(fld.id))
+    if not st:
+        return True
+    return _cmp_ok(st.get("min"), st.get("max"), pred.op, pred.value)
+
+
+def prune_files(
+    files: Iterable[DataFile], meta: TableMetadata, predicates: Iterable[Predicate]
+) -> list[DataFile]:
+    """Files that may contain rows matching ALL predicates (AND semantics)."""
+    preds = list(predicates)
+    out = []
+    for f in files:
+        if all(_partition_ok(f, meta, p) and _stats_ok(f, meta, p) for p in preds):
+            out.append(f)
+    return out

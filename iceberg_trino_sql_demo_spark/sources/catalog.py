@@ -1,0 +1,168 @@
+"""Catalog: schema/table/view registry over a warehouse directory
+(SURVEY.md §2.2 D1-D3, D7, D14-D16).
+
+Maps the reference's 3-level namespace (``CREATE SCHEMA iceberg_glue.
+victorc_iceberg WITH (location=...)``, :6) onto a JSON registry +
+directories.  ``USE`` (:9) is session state on this object.
+
+Views (D14) store SQL text re-executed on read; materialized views (D15)
+store SQL text + a backing engine table, refreshed by re-running the CTAS
+(new ``replace`` snapshot).  ``register_table`` (D16, :276-279) attaches a
+pre-existing table directory by reading its newest metadata version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_trino_sql_demo_spark.sources.metadata import MetadataIO
+from iceberg_trino_sql_demo_spark.sources.table import Table
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.path = os.path.join(warehouse, "catalog.json")
+        os.makedirs(warehouse, exist_ok=True)
+        if os.path.exists(self.path):
+            with open(self.path) as fh:
+                self.data = json.load(fh)
+        else:
+            self.data = {"schemas": {}, "tables": {}, "views": {}, "mviews": {}}
+        self.current_schema: str | None = None
+
+    def _save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.data, fh, indent=1)
+        os.replace(tmp, self.path)
+
+    # -- namespaces (D1-D3) ------------------------------------------------
+    def create_schema(self, name: str, location: str | None = None, **properties) -> None:
+        if name in self.data["schemas"]:
+            return
+        loc = location or os.path.join(self.warehouse, name)
+        os.makedirs(loc, exist_ok=True)
+        self.data["schemas"][name] = {"location": loc, "properties": properties}
+        self._save()
+
+    def show_create_schema(self, name: str) -> str:
+        s = self.data["schemas"][name]
+        return f"CREATE SCHEMA {name}\nWITH (\n   location = '{s['location']}'\n)"
+
+    def use(self, name: str) -> None:
+        if name not in self.data["schemas"]:
+            raise KeyError(name)
+        self.current_schema = name
+
+    def _qualify(self, name: str) -> str:
+        if "." in name:
+            return name
+        if not self.current_schema:
+            raise ValueError(f"no current schema; qualify {name!r} or call use()")
+        return f"{self.current_schema}.{name}"
+
+    def _table_dir(self, qualified: str) -> str:
+        schema, table = qualified.split(".", 1)
+        return os.path.join(self.data["schemas"][schema]["location"], table)
+
+    # -- tables ------------------------------------------------------------
+    def ctas(
+        self,
+        name: str,
+        df: DataFrame,
+        partitioning=(),
+        properties: dict | None = None,
+        sort_order: list[str] | None = None,
+    ) -> Table:
+        """CREATE OR REPLACE TABLE ... AS SELECT (D4-D6)."""
+        q = self._qualify(name)
+        loc = self.data["tables"].get(q) or self._table_dir(q)
+        t = Table.ctas(self.spark, loc, df, partitioning, properties, sort_order)
+        self.data["tables"][q] = loc
+        self._save()
+        return t
+
+    def create_table(self, name: str, columns, partitioning=(), properties=None) -> Table:
+        q = self._qualify(name)
+        loc = self._table_dir(q)
+        t = Table.create(self.spark, loc, columns, partitioning, properties or {})
+        self.data["tables"][q] = loc
+        self._save()
+        return t
+
+    def table(self, name: str) -> Table:
+        q = self._qualify(name)
+        if q not in self.data["tables"]:
+            raise KeyError(f"table {q} not found")
+        return Table(self.spark, self.data["tables"][q])
+
+    def drop_table(self, name: str, if_exists: bool = True, purge: bool = False) -> None:
+        q = self._qualify(name)
+        loc = self.data["tables"].pop(q, None)
+        if loc is None:
+            if if_exists:
+                return
+            raise KeyError(q)
+        self._save()
+        if purge and os.path.isdir(loc):
+            shutil.rmtree(loc)
+
+    def register_table(self, schema: str, table: str, location: str) -> Table:
+        """CALL system.register_table (D16, reference :276-279): adopt an
+        existing table directory; its newest metadata version wins."""
+        io = MetadataIO(location)
+        if io.current_version() == 0:
+            raise FileNotFoundError(f"no table metadata under {location}")
+        q = f"{schema}.{table}"
+        self.data["tables"][q] = location
+        self._save()
+        return Table(self.spark, location)
+
+    def tables(self) -> list[str]:
+        return sorted(self.data["tables"])
+
+    # -- views (D14) -------------------------------------------------------
+    def create_view(self, name: str, sql: str) -> None:
+        self.data["views"][self._qualify(name)] = sql
+        self._save()
+
+    def read_view(self, name: str) -> DataFrame:
+        """Views re-execute their SQL at read time; engine tables referenced
+        by the SQL must be registered first (register_table_view)."""
+        return self.spark.sql(self.data["views"][self._qualify(name)])
+
+    def register_table_view(self, name: str, view_name: str | None = None, **df_kwargs) -> None:
+        """Expose an engine table snapshot to spark.sql as a temp view."""
+        self.table(name).df(**df_kwargs).createOrReplaceTempView(
+            view_name or name.split(".")[-1]
+        )
+
+    # -- materialized views (D15) -----------------------------------------
+    def create_materialized_view(
+        self, name: str, sql: str, refresh_schedule: str | None = None
+    ) -> Table:
+        """CREATE OR REPLACE MATERIALIZED VIEW ... WITH (refresh_schedule)
+        (:57-59).  The cron string is retained as a property only — there is
+        no scheduler in scope (SURVEY.md: deliberately out)."""
+        q = self._qualify(name)
+        props = {"mv": "true"}
+        if refresh_schedule:
+            props["refresh_schedule"] = refresh_schedule
+        t = self.ctas(name, self.spark.sql(sql), properties=props)
+        self.data["mviews"][q] = {"sql": sql}
+        self._save()
+        return t
+
+    def refresh_materialized_view(self, name: str) -> Table:
+        """REFRESH MATERIALIZED VIEW (:60): re-run the stored SQL, commit as
+        a new replace snapshot (history retained)."""
+        q = self._qualify(name)
+        sql = self.data["mviews"][q]["sql"]
+        t = self.table(name)
+        return self.ctas(name, self.spark.sql(sql), properties=t.meta.properties)

@@ -1,0 +1,499 @@
+"""Versioned-table metadata model (SURVEY.md §1.1).
+
+A table is: an evolving schema (columns with stable ids), an evolving
+partition spec (spec ids, per-file), table properties, and an append-only
+chain of snapshots, each snapshot holding the *full* set of live data files
+and delete files (state manifests, not incremental ones — diffing two
+snapshots is then trivial for CDC, and time travel is a single lookup).
+
+On-disk layout per table::
+
+    <location>/
+      metadata/
+        v1.metadata.json, v2.metadata.json, ...   (immutable)
+        snap-<id>.json                            (one manifest per snapshot)
+        version-hint.text                         (current version pointer)
+      data/<commit-uuid>/...parquet               (immutable data file groups)
+      deletes/...parquet                          (position-delete files)
+
+Scale note: manifests are JSON here for debuggability; the entries are
+O(files), and at 100 TB you would store them as parquet and read them with
+Spark itself — the *model* (full-state manifest per snapshot, stats per
+file, spec-id per file) is unchanged.  Nothing below ever reads data files.
+
+Reference behaviors this model serves (iceberg_trino_sqldemo.sql):
+snapshots/history/refs metadata tables (:74-82), time travel (:216),
+rollback (:218), branches (:234-253), CDC (:114-125), schema evolution with
+defaults (:166) and drops (:181), partition evolution (:193, :201).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+from pyspark.sql import types as T
+
+FORMAT_VERSION = 3
+MAIN = "main"
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+# ---------------------------------------------------------------------------
+# Schema
+# ---------------------------------------------------------------------------
+
+_SPARK_TYPES: dict[str, T.DataType] = {}
+
+
+def spark_type(ddl: str) -> T.DataType:
+    """'bigint' / 'string' / 'timestamp_ns' / ... -> Spark DataType.
+
+    ``timestamp_ns`` is our engine type for the reference's TIMESTAMP(9)
+    (line 185): physically a LongType of nanos-since-epoch (Spark's
+    TimestampType ceiling is microseconds, SURVEY.md §1.3).
+    ``variant`` maps to Spark 4's VariantType (line 175).
+    """
+    if ddl not in _SPARK_TYPES:
+        if ddl == "timestamp_ns":
+            _SPARK_TYPES[ddl] = T.LongType()
+        elif ddl == "variant":
+            _SPARK_TYPES[ddl] = T.VariantType()
+        else:
+            _SPARK_TYPES[ddl] = T._parse_datatype_string(ddl)
+    return _SPARK_TYPES[ddl]
+
+
+@dataclass(frozen=True)
+class NestedField:
+    """A column with a stable id.
+
+    ``physical_name`` is the name under which values are stored in parquet
+    files; it differs from ``name`` only when a dropped column's name is
+    later reused (name-collision avoidance without id-aware file formats).
+    ``initial_default`` follows the reference's DEFAULT semantics (line
+    166-171): rows written *before* the column existed surface the default,
+    not NULL.
+    """
+
+    id: int
+    name: str
+    type: str  # DDL string, or 'variant' / 'timestamp_ns'
+    nullable: bool = True
+    initial_default: Any = None
+    write_default: Any = None
+    physical_name: str | None = None
+
+    @property
+    def pname(self) -> str:
+        return self.physical_name or self.name
+
+    def to_dict(self) -> dict:
+        d: dict[str, Any] = {"id": self.id, "name": self.name, "type": self.type}
+        if not self.nullable:
+            d["nullable"] = False
+        if self.initial_default is not None:
+            d["initial_default"] = self.initial_default
+        if self.write_default is not None:
+            d["write_default"] = self.write_default
+        if self.physical_name:
+            d["physical_name"] = self.physical_name
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "NestedField":
+        return NestedField(
+            id=d["id"],
+            name=d["name"],
+            type=d["type"],
+            nullable=d.get("nullable", True),
+            initial_default=d.get("initial_default"),
+            write_default=d.get("write_default"),
+            physical_name=d.get("physical_name"),
+        )
+
+
+@dataclass(frozen=True)
+class TableSchema:
+    schema_id: int
+    fields: tuple[NestedField, ...]
+
+    def field_by_name(self, name: str) -> NestedField:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    def has(self, name: str) -> bool:
+        return any(f.name == name for f in self.fields)
+
+    @property
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def to_struct(self, physical: bool = False) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f.pname if physical else f.name, spark_type(f.type), f.nullable)
+                for f in self.fields
+            ]
+        )
+
+    def to_dict(self) -> dict:
+        return {"schema_id": self.schema_id, "fields": [f.to_dict() for f in self.fields]}
+
+    @staticmethod
+    def from_dict(d: dict) -> "TableSchema":
+        return TableSchema(
+            d["schema_id"], tuple(NestedField.from_dict(f) for f in d["fields"])
+        )
+
+
+# ---------------------------------------------------------------------------
+# Partition spec
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SpecField:
+    field_id: int
+    source_id: int  # column id
+    transform: str  # spec_string form, e.g. 'year(orderdate)' or 'mktsegment'
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    spec_id: int
+    fields: tuple[SpecField, ...]
+
+    def to_dict(self) -> dict:
+        return {
+            "spec_id": self.spec_id,
+            "fields": [
+                {"field_id": f.field_id, "source_id": f.source_id, "transform": f.transform}
+                for f in self.fields
+            ],
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "PartitionSpec":
+        return PartitionSpec(
+            d["spec_id"],
+            tuple(SpecField(f["field_id"], f["source_id"], f["transform"]) for f in d["fields"]),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Files & snapshots
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataFile:
+    path: str
+    spec_id: int
+    schema_id: int
+    partition: dict[str, Any]  # partition field name -> value
+    record_count: int
+    file_size_bytes: int
+    # column stats keyed by *column id* (as str, json keys are strings):
+    # {"4": {"min": ..., "max": ..., "nulls": n}}
+    stats: dict[str, dict]
+    first_row_id: int
+    sequence_number: int
+    file_modified_ms: int
+    has_lineage: bool = False  # file physically stores _row_id/_last_updated_seq
+
+    def to_dict(self) -> dict:
+        return self.__dict__.copy()
+
+    @staticmethod
+    def from_dict(d: dict) -> "DataFile":
+        return DataFile(**d)
+
+
+@dataclass(frozen=True)
+class DeleteFile:
+    """Position-delete parquet: columns (file_path string, pos long).
+
+    ``file_path`` values are stored as ``file:`` URIs so the read-path
+    anti-join compares directly against Spark's ``_metadata.file_path``.
+    ``referenced_files`` (plain paths) lets the reader scope the anti-join
+    to affected data files without opening the delete file.
+    """
+
+    path: str
+    record_count: int
+    file_size_bytes: int
+    sequence_number: int
+    referenced_files: tuple[str, ...] = ()
+
+    def to_dict(self) -> dict:
+        d = self.__dict__.copy()
+        d["referenced_files"] = list(self.referenced_files)
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "DeleteFile":
+        d = dict(d)
+        d["referenced_files"] = tuple(d.get("referenced_files", ()))
+        return DeleteFile(**d)
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    sequence_number: int
+    timestamp_ms: int
+    operation: str  # append | replace | overwrite | delete
+    manifest: str  # path relative to table location
+    summary: dict[str, Any] = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return self.__dict__.copy()
+
+    @staticmethod
+    def from_dict(d: dict) -> "Snapshot":
+        return Snapshot(**d)
+
+
+@dataclass
+class Manifest:
+    """Full live-file state at one snapshot."""
+
+    data_files: list[DataFile]
+    delete_files: list[DeleteFile]
+
+    def to_dict(self) -> dict:
+        return {
+            "data_files": [f.to_dict() for f in self.data_files],
+            "delete_files": [f.to_dict() for f in self.delete_files],
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "Manifest":
+        return Manifest(
+            [DataFile.from_dict(f) for f in d["data_files"]],
+            [DeleteFile.from_dict(f) for f in d["delete_files"]],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Table metadata (the vN.metadata.json document)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    location: str
+    properties: dict[str, str]
+    schemas: list[TableSchema]
+    current_schema_id: int
+    specs: list[PartitionSpec]
+    default_spec_id: int
+    snapshots: list[Snapshot]
+    refs: dict[str, int]  # ref name -> snapshot_id
+    snapshot_log: list[dict]  # [{snapshot_id, timestamp_ms}] — $history
+    metadata_log: list[dict]  # [{file, timestamp_ms, latest_snapshot_id}]
+    last_column_id: int
+    last_partition_field_id: int
+    last_sequence_number: int
+    last_snapshot_id: int
+    next_row_id: int
+    format_version: int = FORMAT_VERSION
+    sort_order: list[str] = field(default_factory=list)
+    column_stats: dict[str, dict] = field(default_factory=dict)  # ANALYZE output
+
+    # -- accessors --------------------------------------------------------
+    @property
+    def schema(self) -> TableSchema:
+        return next(s for s in self.schemas if s.schema_id == self.current_schema_id)
+
+    @property
+    def spec(self) -> PartitionSpec:
+        return next(s for s in self.specs if s.spec_id == self.default_spec_id)
+
+    def spec_by_id(self, spec_id: int) -> PartitionSpec:
+        return next(s for s in self.specs if s.spec_id == spec_id)
+
+    def schema_by_id(self, schema_id: int) -> TableSchema:
+        return next(s for s in self.schemas if s.schema_id == schema_id)
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for s in self.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"no snapshot {snapshot_id}")
+
+    def current_snapshot_id(self, ref: str = MAIN) -> int | None:
+        return self.refs.get(ref)
+
+    def is_ancestor(self, ancestor_id: int, descendant_id: int) -> bool:
+        """Walk the parent chain (reference :249 FAST FORWARD precondition)."""
+        cur: int | None = descendant_id
+        while cur is not None:
+            if cur == ancestor_id:
+                return True
+            parent = self.snapshot_by_id(cur).parent_id
+            cur = parent
+        return False
+
+    # -- serialization ----------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "format_version": self.format_version,
+                "table_uuid": self.table_uuid,
+                "location": self.location,
+                "properties": self.properties,
+                "schemas": [s.to_dict() for s in self.schemas],
+                "current_schema_id": self.current_schema_id,
+                "specs": [s.to_dict() for s in self.specs],
+                "default_spec_id": self.default_spec_id,
+                "snapshots": [s.to_dict() for s in self.snapshots],
+                "refs": self.refs,
+                "snapshot_log": self.snapshot_log,
+                "metadata_log": self.metadata_log,
+                "last_column_id": self.last_column_id,
+                "last_partition_field_id": self.last_partition_field_id,
+                "last_sequence_number": self.last_sequence_number,
+                "last_snapshot_id": self.last_snapshot_id,
+                "next_row_id": self.next_row_id,
+                "sort_order": self.sort_order,
+                "column_stats": self.column_stats,
+            },
+            indent=1,
+            default=str,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "TableMetadata":
+        d = json.loads(text)
+        return TableMetadata(
+            table_uuid=d["table_uuid"],
+            location=d["location"],
+            properties=d["properties"],
+            schemas=[TableSchema.from_dict(s) for s in d["schemas"]],
+            current_schema_id=d["current_schema_id"],
+            specs=[PartitionSpec.from_dict(s) for s in d["specs"]],
+            default_spec_id=d["default_spec_id"],
+            snapshots=[Snapshot.from_dict(s) for s in d["snapshots"]],
+            refs={k: int(v) for k, v in d["refs"].items()},
+            snapshot_log=d["snapshot_log"],
+            metadata_log=d["metadata_log"],
+            last_column_id=d["last_column_id"],
+            last_partition_field_id=d["last_partition_field_id"],
+            last_sequence_number=d["last_sequence_number"],
+            last_snapshot_id=d["last_snapshot_id"],
+            next_row_id=d["next_row_id"],
+            format_version=d.get("format_version", FORMAT_VERSION),
+            sort_order=d.get("sort_order", []),
+            column_stats=d.get("column_stats", {}),
+        )
+
+    @staticmethod
+    def new(location: str, schema: TableSchema, spec: PartitionSpec, properties: dict) -> "TableMetadata":
+        return TableMetadata(
+            table_uuid=str(uuid.uuid4()),
+            location=location,
+            properties=dict(properties),
+            schemas=[schema],
+            current_schema_id=schema.schema_id,
+            specs=[spec],
+            default_spec_id=spec.spec_id,
+            snapshots=[],
+            refs={},
+            snapshot_log=[],
+            metadata_log=[],
+            last_column_id=max((f.id for f in schema.fields), default=0),
+            last_partition_field_id=max((f.field_id for f in spec.fields), default=999),
+            last_sequence_number=0,
+            last_snapshot_id=0,
+            next_row_id=0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Metadata IO (atomic pointer)
+# ---------------------------------------------------------------------------
+
+
+class MetadataIO:
+    """Reads/writes vN.metadata.json + version-hint.text under <location>/metadata.
+
+    Commit protocol: write vN+1.metadata.json (new immutable file), then
+    atomically replace version-hint.text.  A real multi-writer deployment
+    would CAS the pointer in a catalog service; single-writer rename is the
+    sandbox-faithful equivalent (SURVEY.md §7 hard parts).
+    """
+
+    def __init__(self, location: str):
+        self.location = location
+        self.meta_dir = os.path.join(location, "metadata")
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._hint_path()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def metadata_file(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.metadata.json")
+
+    def read(self, version: int | None = None) -> tuple[TableMetadata, int]:
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            raise FileNotFoundError(f"no committed metadata under {self.meta_dir}")
+        with open(self.metadata_file(v)) as fh:
+            return TableMetadata.from_json(fh.read()), v
+
+    def commit(self, meta: TableMetadata, expected_version: int) -> int:
+        """Write the next metadata version; fails if someone committed since
+        ``expected_version`` was read (optimistic concurrency)."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        current = self.current_version()
+        if current != expected_version:
+            raise RuntimeError(
+                f"concurrent commit: expected v{expected_version}, found v{current}"
+            )
+        new_v = expected_version + 1
+        mfile = self.metadata_file(new_v)
+        meta.metadata_log = meta.metadata_log + [
+            {
+                "file": os.path.relpath(mfile, self.location),
+                "timestamp_ms": now_ms(),
+                "latest_snapshot_id": meta.refs.get(MAIN),
+            }
+        ]
+        with open(mfile, "w") as fh:
+            fh.write(meta.to_json())
+        tmp = self._hint_path() + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(new_v))
+        os.replace(tmp, self._hint_path())
+        return new_v
+
+    # -- manifests --------------------------------------------------------
+    def write_manifest(self, snapshot_id: int, manifest: Manifest) -> str:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        rel = os.path.join("metadata", f"snap-{snapshot_id}.json")
+        with open(os.path.join(self.location, rel), "w") as fh:
+            json.dump(manifest.to_dict(), fh, default=str)
+        return rel
+
+    def read_manifest(self, snapshot: Snapshot) -> Manifest:
+        with open(os.path.join(self.location, snapshot.manifest)) as fh:
+            return Manifest.from_dict(json.load(fh))

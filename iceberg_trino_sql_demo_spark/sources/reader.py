@@ -1,0 +1,274 @@
+"""Snapshot -> DataFrame resolution (SURVEY.md §3.1 steps 2-4).
+
+The planner hands this module a (possibly pruned) manifest; everything here
+builds ONE declarative Catalyst plan:
+
+- files are grouped by (schema_id, has_lineage) and each group is read with
+  an explicit physical schema, then projected to the *current* schema by
+  column id — adds fill ``initial_default`` (reference :166-171: old rows
+  surface the default, not NULL), drops are simply not selected (:181);
+- merge-on-read position deletes become a left-anti join applied ONLY to the
+  data files a delete file references — clean files keep an untouched scan
+  with full parquet pushdown (SURVEY.md §4 "MoR plan kept narrow");
+- hidden columns (reference :65-72) derive from Spark's ``_metadata`` struct
+  (_path, _file_modified_time, row positions) plus manifest-side joins for
+  _partition and row lineage (first_row_id + row_index, v3 row lineage).
+
+Scale note: per-group unions are O(#schema versions) not O(#files); the
+file-info side of every hidden-column join is manifest-sized and broadcast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_trino_sql_demo_spark.sources.metadata import (
+    DataFile,
+    Manifest,
+    TableMetadata,
+    TableSchema,
+    spark_type,
+)
+
+ROW_ID = "_row_id"
+LAST_SEQ = "_last_updated_sequence_number"
+PATH_COL = "_path"
+FILE_MTIME = "_file_modified_time"
+PARTITION_COL = "_partition"
+_FILE = "__mor_file"
+_POS = "__mor_pos"
+
+HIDDEN_COLS = (ROW_ID, LAST_SEQ, PARTITION_COL, PATH_COL, FILE_MTIME)
+
+
+def _to_uri(path: str) -> str:
+    # Spark's _metadata.file_path renders local files as 'file:/abs/path'
+    return "file:" + path if path.startswith("/") else path
+
+
+def _default_lit(fld) -> F.Column:
+    """initial_default literal, typed like the column."""
+    v = fld.initial_default
+    if v is None:
+        return F.lit(None).cast(spark_type(fld.type))
+    if fld.type == "variant":
+        return F.parse_json(F.lit(v if isinstance(v, str) else json.dumps(v)))
+    return F.lit(v).cast(spark_type(fld.type))
+
+
+def _group_projection(
+    file_schema: TableSchema, current: TableSchema, has_lineage: bool
+) -> list[F.Column]:
+    """Select-list projecting a file group's physical layout to the current
+    schema, by column id (never by name — SURVEY.md §1.4)."""
+    by_id = {f.id: f for f in file_schema.fields}
+    cols = []
+    for fld in current.fields:
+        src = by_id.get(fld.id)
+        if src is None:
+            cols.append(_default_lit(fld).alias(fld.name))
+        else:
+            c = F.col(src.pname)
+            if src.type != fld.type:
+                c = c.cast(spark_type(fld.type))
+            cols.append(c.alias(fld.name))
+    if has_lineage:
+        cols += [F.col(ROW_ID), F.col(LAST_SEQ)]
+    else:
+        cols += [
+            F.lit(None).cast("long").alias(ROW_ID),
+            F.lit(None).cast("long").alias(LAST_SEQ),
+        ]
+    return cols
+
+
+def _file_info_df(spark: SparkSession, files: list[DataFile]) -> DataFrame:
+    rows = [
+        (
+            _to_uri(f.path),
+            f.first_row_id,
+            f.sequence_number,
+            json.dumps(f.partition, default=str),
+            bool(f.has_lineage),
+        )
+        for f in files
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("__fi_path", T.StringType()),
+            T.StructField("__fi_first_row_id", T.LongType()),
+            T.StructField("__fi_seq", T.LongType()),
+            T.StructField("__fi_partition", T.StringType()),
+            T.StructField("__fi_has_lineage", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def snapshot_df(
+    spark: SparkSession,
+    meta: TableMetadata,
+    manifest: Manifest,
+    *,
+    hidden: bool = False,
+) -> DataFrame:
+    """Build the DataFrame for a snapshot's (pruned) manifest.
+
+    ``hidden=True`` appends the reference's system columns (:65-72):
+    _row_id, _last_updated_sequence_number, _partition, _path,
+    _file_modified_time.  Plain reads skip every metadata-join so the scan
+    stays a bare parquet read.
+    """
+    current = meta.schema
+    out_struct = T.StructType(
+        [T.StructField(f.name, spark_type(f.type), True) for f in current.fields]
+        + [T.StructField(ROW_ID, T.LongType(), True), T.StructField(LAST_SEQ, T.LongType(), True)]
+    )
+    data_files = manifest.data_files
+    if not data_files:
+        empty = spark.createDataFrame([], out_struct)
+        return empty if hidden else empty.select(*[f.name for f in current.fields])
+
+    # data files referenced by live delete files need the MoR anti-join
+    deleted_refs: set[str] = set()
+    for dfl in manifest.delete_files:
+        deleted_refs.update(getattr(dfl, "referenced_files", []) or _read_refs(dfl.path))
+
+    need_lineage = hidden
+    groups: dict[tuple[int, bool, bool], list[DataFile]] = {}
+    for f in data_files:
+        key = (f.schema_id, bool(f.has_lineage), f.path in deleted_refs)
+        groups.setdefault(key, []).append(f)
+
+    parts: list[DataFrame] = []
+    for (schema_id, has_lineage, is_deleted), files in sorted(groups.items()):
+        fschema = meta.schema_by_id(schema_id)
+        struct = fschema.to_struct(physical=True)
+        if has_lineage:
+            struct = T.StructType(
+                list(struct.fields)
+                + [T.StructField(ROW_ID, T.LongType()), T.StructField(LAST_SEQ, T.LongType())]
+            )
+        df = spark.read.schema(struct).parquet(*[f.path for f in files])
+        proj = _group_projection(fschema, current, has_lineage)
+        if need_lineage or is_deleted:
+            df = df.select(
+                *proj,
+                F.col("_metadata.file_path").alias(_FILE),
+                F.col("_metadata.row_index").alias(_POS),
+                F.col("_metadata.file_modification_time").alias(FILE_MTIME),
+            )
+        else:
+            df = df.select(*proj)
+            df = df.withColumn(_FILE, F.lit(None).cast("string")) \
+                   .withColumn(_POS, F.lit(None).cast("long")) \
+                   .withColumn(FILE_MTIME, F.lit(None).cast("timestamp"))
+        if is_deleted:
+            dels = read_position_deletes(spark, manifest, only_for=[f.path for f in files])
+            df = df.join(
+                F.broadcast(dels),
+                (df[_FILE] == dels["__del_file"]) & (df[_POS] == dels["__del_pos"]),
+                "left_anti",
+            )
+        parts.append(df)
+
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+
+    if not hidden:
+        return df.select(*[f.name for f in current.fields])
+
+    info = _file_info_df(spark, data_files)
+    df = df.join(F.broadcast(info), df[_FILE] == info["__fi_path"], "left")
+    df = (
+        df.withColumn(ROW_ID, F.coalesce(F.col(ROW_ID), F.col("__fi_first_row_id") + F.col(_POS)))
+        .withColumn(LAST_SEQ, F.coalesce(F.col(LAST_SEQ), F.col("__fi_seq")))
+        .withColumn(PARTITION_COL, F.col("__fi_partition"))
+        .withColumn(PATH_COL, F.col(_FILE))
+    )
+    return df.select(
+        *[f.name for f in current.fields],
+        ROW_ID,
+        LAST_SEQ,
+        PARTITION_COL,
+        PATH_COL,
+        FILE_MTIME,
+    )
+
+
+def rows_at_positions(
+    spark: SparkSession,
+    meta: TableMetadata,
+    files: list[DataFile],
+    delete_df: DataFrame,
+) -> DataFrame:
+    """Rows of ``files`` whose (path, position) appear in ``delete_df``
+    (__del_file, __del_pos) — used by CDC to materialize deleted rows."""
+    current = meta.schema
+    groups: dict[tuple[int, bool], list[DataFile]] = {}
+    for f in files:
+        groups.setdefault((f.schema_id, bool(f.has_lineage)), []).append(f)
+    parts = []
+    for (schema_id, has_lineage), fs in sorted(groups.items()):
+        fschema = meta.schema_by_id(schema_id)
+        struct = fschema.to_struct(physical=True)
+        if has_lineage:
+            struct = T.StructType(
+                list(struct.fields)
+                + [T.StructField(ROW_ID, T.LongType()), T.StructField(LAST_SEQ, T.LongType())]
+            )
+        df = spark.read.schema(struct).parquet(*[f.path for f in fs])
+        proj = _group_projection(fschema, current, has_lineage)
+        df = df.select(
+            *proj,
+            F.col("_metadata.file_path").alias(_FILE),
+            F.col("_metadata.row_index").alias(_POS),
+        )
+        df = df.join(
+            F.broadcast(delete_df),
+            (df[_FILE] == delete_df["__del_file"]) & (df[_POS] == delete_df["__del_pos"]),
+            "left_semi",
+        )
+        parts.append(df)
+    if not parts:
+        return spark.createDataFrame([], meta.schema.to_struct()).select(
+            *[f.name for f in current.fields]
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*[f.name for f in current.fields])
+
+
+def _read_refs(delete_path: str) -> set[str]:
+    """Fallback: distinct file_path values inside a position-delete parquet."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(delete_path, columns=["file_path"])
+    return set(t.column("file_path").to_pylist())
+
+
+def read_position_deletes(
+    spark: SparkSession, manifest: Manifest, only_for: list[str] | None = None
+) -> DataFrame:
+    """Union of live position-delete files as (__del_file, __del_pos)."""
+    paths = [d.path for d in manifest.delete_files]
+    schema = T.StructType(
+        [T.StructField("file_path", T.StringType()), T.StructField("pos", T.LongType())]
+    )
+    if not paths:
+        return spark.createDataFrame([], schema).select(
+            F.col("file_path").alias("__del_file"), F.col("pos").alias("__del_pos")
+        )
+    df = spark.read.schema(schema).parquet(*paths)
+    if only_for is not None:
+        uris = [_to_uri(p) for p in only_for]
+        df = df.where(F.col("file_path").isin(uris))
+    return df.select(F.col("file_path").alias("__del_file"), F.col("pos").alias("__del_pos"))

@@ -1,0 +1,950 @@
+"""The versioned Table — the engine's core abstraction (SURVEY.md §1.1).
+
+Re-expresses the reference's Iceberg-table surface
+(/root/reference/iceberg_trino_sqldemo.sql) Spark-first:
+
+====================  =====================================  ==============
+reference             statement                              method here
+====================  =====================================  ==============
+:11,:13,:19-40        CREATE OR REPLACE TABLE ... AS SELECT  Table.ctas
+:103-106 etc.         INSERT INTO ... VALUES                 insert
+:129,:241             UPDATE ... SET ... WHERE               update
+:137,:228,:240        DELETE FROM ... WHERE                  delete
+:146-157              MERGE INTO ... USING                   merge
+:166,:175,:185        ALTER TABLE ADD COLUMN [DEFAULT]       add_column
+:181                  ALTER TABLE DROP COLUMN                drop_column
+:193,:201             SET PROPERTIES partitioning            set_partitioning
+:216,:243             FOR VERSION AS OF                      df(version=/ref=)
+:218                  rollback_to_snapshot                   rollback_to_snapshot
+:234-236              CREATE/DROP/SHOW BRANCH                create_branch...
+:249                  FAST FORWARD                           fast_forward
+:114-125              system.table_changes                   table_changes
+:260,:261             expire_snapshots / remove_orphan_files expire_snapshots...
+:263,:267             optimize [WHERE]                       optimize
+:42                   SHOW CREATE TABLE                      show_create
+:48,:49               ANALYZE / SHOW STATS                   analyze / show_stats
+:74-82                "t$snapshots" etc.                     meta_df(kind)
+====================  =====================================  ==============
+
+All relational work (the scan, the DML rewrite jobs, the anti-joins) is
+Catalyst; this class only plans file sets and commits metadata.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Any, Iterable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_trino_sql_demo_spark.functions.trino import parse_ns_timestamp
+from iceberg_trino_sql_demo_spark.plans.predicates import parse_simple_predicates
+from iceberg_trino_sql_demo_spark.plans.pruning import Predicate, prune_files
+from iceberg_trino_sql_demo_spark.sources.metadata import (
+    MAIN,
+    DataFile,
+    DeleteFile,
+    Manifest,
+    MetadataIO,
+    NestedField,
+    PartitionSpec,
+    Snapshot,
+    SpecField,
+    TableMetadata,
+    TableSchema,
+    now_ms,
+    spark_type,
+)
+from iceberg_trino_sql_demo_spark.sources.reader import (
+    LAST_SEQ,
+    ROW_ID,
+    read_position_deletes,
+    rows_at_positions,
+    snapshot_df,
+)
+from iceberg_trino_sql_demo_spark.sources.transforms import parse_transform
+from iceberg_trino_sql_demo_spark.sources.writer import spec_transforms, write_data_files
+
+COPY_ON_WRITE = "copy-on-write"
+MERGE_ON_READ = "merge-on-read"
+
+
+def _struct_to_fields(struct: T.StructType, start_id: int = 1) -> tuple[NestedField, ...]:
+    out = []
+    for i, f in enumerate(struct.fields):
+        ddl = f.dataType.simpleString()
+        out.append(NestedField(id=start_id + i, name=f.name, type=ddl, nullable=True))
+    return tuple(out)
+
+
+def _spec_from_partitioning(
+    partitioning: Iterable[str], schema: TableSchema, spec_id: int, first_field_id: int
+) -> PartitionSpec:
+    fields = []
+    for i, s in enumerate(partitioning):
+        t = parse_transform(s)
+        src = schema.field_by_name(t.source)
+        fields.append(SpecField(field_id=first_field_id + i, source_id=src.id, transform=s))
+    return PartitionSpec(spec_id=spec_id, fields=tuple(fields))
+
+
+class Table:
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+        self.io = MetadataIO(location)
+        self.meta, self.version = self.io.read()
+
+    # ------------------------------------------------------------------
+    # creation
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        location: str,
+        columns: list[tuple[str, str]],
+        partitioning: Iterable[str] = (),
+        properties: dict | None = None,
+        sort_order: list[str] | None = None,
+    ) -> "Table":
+        """CREATE TABLE with explicit columns [(name, ddl_type), ...]."""
+        schema = TableSchema(
+            schema_id=1,
+            fields=tuple(
+                NestedField(id=i + 1, name=n, type=t) for i, (n, t) in enumerate(columns)
+            ),
+        )
+        spec = _spec_from_partitioning(partitioning, schema, spec_id=1, first_field_id=1000)
+        props = {"format": "parquet", "format_version": "3", "merge_mode": MERGE_ON_READ}
+        props.update({k: str(v) for k, v in (properties or {}).items()})
+        meta = TableMetadata.new(location, schema, spec, props)
+        meta.sort_order = list(sort_order or [])
+        io = MetadataIO(location)
+        io.commit(meta, 0)
+        return Table(spark, location)
+
+    @staticmethod
+    def ctas(
+        spark: SparkSession,
+        location: str,
+        df: DataFrame,
+        partitioning: Iterable[str] = (),
+        properties: dict | None = None,
+        sort_order: list[str] | None = None,
+    ) -> "Table":
+        """CREATE OR REPLACE TABLE ... AS SELECT (reference :11/:13/:19-40).
+
+        REPLACE keeps snapshot history (D4): the new state is committed as a
+        ``replace`` snapshot on top of the existing chain.
+        """
+        io = MetadataIO(location)
+        exists = io.current_version() > 0
+        if not exists:
+            t = Table.create(
+                spark,
+                location,
+                [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+                partitioning,
+                properties,
+                sort_order,
+            )
+            t._append_files(df, operation="append", ref=MAIN)
+            return t
+        # replace: new schema version + new spec, history retained
+        t = Table(spark, location)
+        m = t.meta
+        new_schema = TableSchema(
+            schema_id=max(s.schema_id for s in m.schemas) + 1,
+            fields=_struct_to_fields(df.schema, start_id=m.last_column_id + 1),
+        )
+        m.schemas.append(new_schema)
+        m.current_schema_id = new_schema.schema_id
+        m.last_column_id = max(f.id for f in new_schema.fields)
+        new_spec = _spec_from_partitioning(
+            partitioning, new_schema, max(s.spec_id for s in m.specs) + 1,
+            m.last_partition_field_id + 1,
+        )
+        m.specs.append(new_spec)
+        m.default_spec_id = new_spec.spec_id
+        m.last_partition_field_id = max(
+            (f.field_id for f in new_spec.fields), default=m.last_partition_field_id
+        )
+        if properties:
+            m.properties.update({k: str(v) for k, v in properties.items()})
+        m.sort_order = list(sort_order or [])
+        t._append_files(df, operation="replace", ref=MAIN, base_manifest=Manifest([], []))
+        return t
+
+    # ------------------------------------------------------------------
+    # snapshot resolution + reads
+    # ------------------------------------------------------------------
+    def refresh(self) -> "Table":
+        self.meta, self.version = self.io.read()
+        return self
+
+    def _resolve(self, ref: str = MAIN, version: int | None = None) -> Snapshot | None:
+        if version is not None:
+            return self.meta.snapshot_by_id(int(version))
+        sid = self.meta.refs.get(ref)
+        return None if sid is None else self.meta.snapshot_by_id(sid)
+
+    def _manifest(self, snap: Snapshot | None) -> Manifest:
+        return Manifest([], []) if snap is None else self.io.read_manifest(snap)
+
+    def df(
+        self,
+        ref: str = MAIN,
+        version: int | None = None,
+        hidden: bool = False,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (P1/P9/P10).  ``where`` (Spark SQL expression
+        text) is applied as a filter AND used for engine-side manifest
+        pruning when it parses into simple predicates."""
+        snap = self._resolve(ref, version)
+        manifest = self._manifest(snap)
+        preds = parse_simple_predicates(where) if where else []
+        if preds:
+            manifest = Manifest(
+                prune_files(manifest.data_files, self.meta, preds), manifest.delete_files
+            )
+        out = snapshot_df(self.spark, self.meta, manifest, hidden=hidden)
+        if where:
+            out = out.where(F.expr(where))
+        return out
+
+    # ------------------------------------------------------------------
+    # commit plumbing
+    # ------------------------------------------------------------------
+    def _next_ids(self) -> tuple[int, int]:
+        return self.meta.last_snapshot_id + 1, self.meta.last_sequence_number + 1
+
+    def _commit_snapshot(
+        self,
+        manifest: Manifest,
+        operation: str,
+        ref: str,
+        summary: dict | None = None,
+        parent: int | None = None,
+    ) -> Snapshot:
+        m = self.meta
+        sid, seq = self._next_ids()
+        # assign row-lineage ranges to fresh files (first_row_id == -1)
+        fixed: list[DataFile] = []
+        next_row = m.next_row_id
+        for f in manifest.data_files:
+            if f.first_row_id == -1:
+                f = DataFile(**{**f.to_dict(), "first_row_id": next_row})
+                next_row += f.record_count
+            fixed.append(f)
+        manifest = Manifest(fixed, manifest.delete_files)
+        rel = self.io.write_manifest(sid, manifest)
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_id=parent if parent is not None else m.refs.get(ref),
+            sequence_number=seq,
+            timestamp_ms=now_ms(),
+            operation=operation,
+            manifest=rel,
+            summary={
+                "total-data-files": len(manifest.data_files),
+                "total-delete-files": len(manifest.delete_files),
+                "total-records": sum(f.record_count for f in manifest.data_files),
+                "schema-id": m.current_schema_id,
+                **(summary or {}),
+            },
+        )
+        m.snapshots.append(snap)
+        m.last_snapshot_id = sid
+        m.last_sequence_number = seq
+        m.next_row_id = next_row
+        m.refs[ref] = sid
+        if ref == MAIN:
+            m.snapshot_log.append({"snapshot_id": sid, "timestamp_ms": snap.timestamp_ms})
+        self.version = self.io.commit(m, self.version)
+        return snap
+
+    def _commit_metadata_only(self) -> None:
+        self.version = self.io.commit(self.meta, self.version)
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+    @property
+    def merge_mode(self) -> str:
+        return self.meta.properties.get("merge_mode", MERGE_ON_READ)
+
+    def _append_files(
+        self,
+        df: DataFrame,
+        operation: str,
+        ref: str,
+        base_manifest: Manifest | None = None,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        m = self.meta
+        base = (
+            base_manifest
+            if base_manifest is not None
+            else self._manifest(self._resolve(ref))
+        )
+        new_files = write_data_files(
+            df, self.location, m.schema, m.spec, m.last_sequence_number + 1, m.sort_order or None
+        )
+        manifest = Manifest(base.data_files + new_files, base.delete_files)
+        return self._commit_snapshot(
+            manifest, operation, ref,
+            {"added-data-files": len(new_files),
+             "added-records": sum(f.record_count for f in new_files), **(summary or {})},
+        )
+
+    def _align_values_df(self, rows: list[dict]) -> DataFrame:
+        """VALUES rows (possibly partial columns) -> schema-aligned DataFrame
+        with write-defaults filled (reference :168: INSERT omitting a
+        DEFAULT'd column reads the default back)."""
+        schema = self.meta.schema
+        build = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.StringType() if f.type == "variant" else spark_type(f.type),
+                    True,
+                )
+                for f in schema.fields
+            ]
+        )
+        data = []
+        for r in rows:
+            vals = []
+            for f in schema.fields:
+                if f.name in r:
+                    v = r[f.name]
+                    if f.type == "timestamp_ns" and v is not None:
+                        v = parse_ns_timestamp(v)
+                    if f.type.startswith(("bigint", "long")) and v is not None:
+                        v = int(v)
+                    if f.type == "double" and v is not None:
+                        v = float(v)
+                else:
+                    v = f.write_default
+                    if f.type == "timestamp_ns" and v is not None:
+                        v = parse_ns_timestamp(v)
+                vals.append(v)
+            data.append(tuple(vals))
+        df = self.spark.createDataFrame(data, build)
+        for f in schema.fields:
+            if f.type == "variant":
+                df = df.withColumn(f.name, F.try_parse_json(F.col(f.name)))
+        return df
+
+    def insert(self, rows: "list[dict] | DataFrame", ref: str = MAIN) -> Snapshot:
+        """INSERT INTO [@branch] (reference :103-106, :238-239)."""
+        df = rows if isinstance(rows, DataFrame) else self._align_values_df(rows)
+        return self._append_files(df, "append", ref)
+
+    # ------------------------------------------------------------------
+    # row-level DML (SURVEY.md §3.3)
+    # ------------------------------------------------------------------
+    def _affected_files(
+        self, manifest: Manifest, cond: Column, where_text: str | None
+    ) -> list[DataFile]:
+        """Prune by predicate, then run one narrow Spark job to find files
+        that truly contain matches (driver <-> executor round trip)."""
+        cands = manifest.data_files
+        if where_text:
+            preds = parse_simple_predicates(where_text)
+            if preds:
+                cands = prune_files(cands, self.meta, preds)
+        if not cands:
+            return []
+        probe = snapshot_df(
+            self.spark, self.meta, Manifest(cands, manifest.delete_files), hidden=True
+        )
+        hit_paths = {
+            r[0].replace("file:", "")
+            for r in probe.where(cond).select("_path").distinct().collect()
+        }
+        return [f for f in cands if f.path in hit_paths]
+
+    def delete(self, where: str, ref: str = MAIN) -> Snapshot:
+        """DELETE FROM ... WHERE (reference :137, :228, :240).
+
+        merge-on-read: write a position-delete file (deletion vector, :141);
+        copy-on-write: rewrite affected files without matching rows.
+        """
+        cond = F.expr(where)
+        manifest = self._manifest(self._resolve(ref))
+        affected = self._affected_files(manifest, cond, where)
+        if not affected:
+            return self._commit_snapshot(manifest, "delete", ref, {"matched-files": 0})
+        if self.merge_mode == COPY_ON_WRITE:
+            keep_df = self._read_files_with_lineage(manifest, affected).where(~cond)
+            return self._rewrite_files(manifest, affected, keep_df, "delete", ref)
+        # MoR: write the matching (file, position) pairs as a deletion vector
+        matches = self._positions_for(cond, affected, manifest)
+        return self._write_position_deletes(manifest, affected, matches, "delete", ref)
+
+    def _positions_for(
+        self, cond: Column, files: list[DataFile], manifest: Manifest
+    ) -> DataFrame:
+        """(file_path URI, pos) of rows matching cond within ``files``,
+        honouring already-applied MoR deletes."""
+        from iceberg_trino_sql_demo_spark.sources.reader import _FILE, _POS  # internal
+
+        sub = Manifest(files, manifest.delete_files)
+        current = self.meta.schema
+        groups: dict[tuple[int, bool], list[DataFile]] = {}
+        for f in files:
+            groups.setdefault((f.schema_id, bool(f.has_lineage)), []).append(f)
+        parts = []
+        for (schema_id, has_lineage), fs in sorted(groups.items()):
+            fschema = self.meta.schema_by_id(schema_id)
+            struct = fschema.to_struct(physical=True)
+            if has_lineage:
+                struct = T.StructType(
+                    list(struct.fields)
+                    + [T.StructField(ROW_ID, T.LongType()), T.StructField(LAST_SEQ, T.LongType())]
+                )
+            raw = self.spark.read.schema(struct).parquet(*[f.path for f in fs])
+            from iceberg_trino_sql_demo_spark.sources.reader import _group_projection
+
+            proj = _group_projection(fschema, current, has_lineage)
+            raw = raw.select(
+                *proj,
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            parts.append(raw)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # exclude rows already deleted by live position deletes
+        dels = read_position_deletes(self.spark, sub)
+        df = df.join(
+            F.broadcast(dels),
+            (df["file_path"] == dels["__del_file"]) & (df["pos"] == dels["__del_pos"]),
+            "left_anti",
+        )
+        return df.where(cond).select("file_path", "pos")
+
+    def _write_position_deletes(
+        self,
+        manifest: Manifest,
+        affected: list[DataFile],
+        matches: DataFrame,
+        operation: str,
+        ref: str,
+        extra_data_df: DataFrame | None = None,
+    ) -> Snapshot:
+        ddir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:16])
+        matches.coalesce(1).write.mode("overwrite").parquet(ddir)
+        import pyarrow.parquet as pq
+
+        entries: list[DeleteFile] = []
+        seq = self.meta.last_sequence_number + 1
+        for root, _d, fs in os.walk(ddir):
+            for fn in sorted(fs):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                tbl = pq.read_table(p, columns=["file_path"])
+                refs = sorted({s.replace("file:", "") for s in set(tbl.column("file_path").to_pylist())})
+                entries.append(
+                    DeleteFile(
+                        path=p,
+                        record_count=pq.ParquetFile(p).metadata.num_rows,
+                        file_size_bytes=os.path.getsize(p),
+                        sequence_number=seq,
+                        referenced_files=tuple(refs),
+                    )
+                )
+        data_files = manifest.data_files
+        new_files: list[DataFile] = []
+        if extra_data_df is not None:
+            new_files = write_data_files(
+                extra_data_df, self.location, self.meta.schema, self.meta.spec, seq,
+                extra_physical_cols=[ROW_ID, LAST_SEQ],
+            )
+            new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]
+        out = Manifest(
+            data_files + new_files,
+            manifest.delete_files + entries,
+        )
+        return self._commit_snapshot(
+            out, operation, ref,
+            {"added-delete-files": len(entries),
+             "deleted-records": sum(e.record_count for e in entries)},
+        )
+
+    def _read_files_with_lineage(
+        self, manifest: Manifest, files: list[DataFile]
+    ) -> DataFrame:
+        """Rows of ``files`` (deletes applied) with _row_id/_last_seq kept —
+        the input of every CoW rewrite, so lineage survives rewrites."""
+        sub = Manifest(files, manifest.delete_files)
+        return snapshot_df(self.spark, self.meta, sub, hidden=True).drop(
+            "_partition", "_path", "_file_modified_time"
+        )
+
+    def _rewrite_files(
+        self,
+        manifest: Manifest,
+        replaced: list[DataFile],
+        new_df: DataFrame,
+        operation: str,
+        ref: str,
+    ) -> Snapshot:
+        """Swap ``replaced`` for files holding ``new_df`` (CoW / optimize).
+        ``new_df`` must carry _row_id/_last_seq columns."""
+        seq = self.meta.last_sequence_number + 1
+        new_files = write_data_files(
+            new_df, self.location, self.meta.schema, self.meta.spec, seq,
+            extra_physical_cols=[ROW_ID, LAST_SEQ],
+        )
+        new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]
+        replaced_paths = {f.path for f in replaced}
+        kept = [f for f in manifest.data_files if f.path not in replaced_paths]
+        # delete files only referencing replaced data are now applied/garbage
+        kept_dels = [
+            d
+            for d in manifest.delete_files
+            if any(p not in replaced_paths for p in d.referenced_files)
+        ]
+        out = Manifest(kept + new_files, kept_dels)
+        return self._commit_snapshot(
+            out, operation, ref,
+            {"removed-data-files": len(replaced), "added-data-files": len(new_files)},
+        )
+
+    def update(self, assignments: dict[str, Any], where: str, ref: str = MAIN) -> Snapshot:
+        """UPDATE ... SET ... WHERE (reference :129, :241).
+
+        Matched rows get a new _last_updated_sequence_number but keep their
+        _row_id (v3 row lineage, reference :133-135).
+        """
+        cond = F.expr(where)
+        new_seq = self.meta.last_sequence_number + 1
+        manifest = self._manifest(self._resolve(ref))
+        affected = self._affected_files(manifest, cond, where)
+        if not affected:
+            return self._commit_snapshot(manifest, "overwrite", ref, {"matched-files": 0})
+
+        def apply_assign(df: DataFrame, only_matched: bool) -> DataFrame:
+            # SQL UPDATE semantics: every RHS (and the condition) is
+            # evaluated against the OLD row, so stage new values in temp
+            # columns before replacing anything.
+            out = df.withColumn("__upd_cond", F.lit(True) if only_matched else cond)
+            staged = {}
+            for col_name, expr in assignments.items():
+                if isinstance(expr, Column):
+                    val = expr
+                elif isinstance(expr, str):
+                    val = F.expr(expr)
+                else:
+                    val = F.lit(expr)
+                staged[col_name] = f"__upd_{col_name}"
+                out = out.withColumn(staged[col_name], val)
+            for col_name, tmp in staged.items():
+                out = out.withColumn(
+                    col_name,
+                    F.when(F.col("__upd_cond"), F.col(tmp)).otherwise(F.col(col_name)),
+                )
+            out = out.withColumn(
+                LAST_SEQ,
+                F.when(F.col("__upd_cond"), F.lit(new_seq)).otherwise(F.col(LAST_SEQ)),
+            )
+            return out.drop("__upd_cond", *staged.values())
+
+        if self.merge_mode == COPY_ON_WRITE:
+            src = self._read_files_with_lineage(manifest, affected)
+            return self._rewrite_files(manifest, affected, apply_assign(src, False), "overwrite", ref)
+        # MoR: delete old versions by position, append updated versions
+        matches = self._positions_for(cond, affected, manifest)
+        updated = self._read_files_with_lineage(manifest, affected).where(cond)
+        updated = apply_assign(updated, True)
+        return self._write_position_deletes(
+            manifest, affected, matches, "overwrite", ref, extra_data_df=updated
+        )
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        matched_set: dict[str, str] | None = None,
+        matched_condition: str | None = None,
+        insert_not_matched: bool = True,
+    ) -> Snapshot:
+        """MERGE INTO target USING source ON (t.on = s.on)
+        WHEN MATCHED [AND cond] THEN UPDATE SET ...
+        WHEN NOT MATCHED THEN INSERT (reference :146-157).
+
+        ``matched_set`` maps target column -> source expression (over source
+        columns).  Executed as CoW over affected files + one append of
+        unmatched source rows.
+        """
+        manifest = self._manifest(self._resolve(MAIN))
+        key_rows = [r[0] for r in source.select(on).distinct().collect()]
+        cond = F.col(on).isin(key_rows) if key_rows else F.lit(False)
+        affected = self._affected_files(manifest, cond, None)
+
+        src_cols = {c: f"__src_{c}" for c in source.columns}
+        src = source.select(*[F.col(c).alias(a) for c, a in src_cols.items()])
+        new_seq = self.meta.last_sequence_number + 1
+        tgt_names = [f.name for f in self.meta.schema.fields]
+
+        # matched branch: rewrite affected files applying the update
+        parts_new: list[DataFrame] = []
+        if affected:
+            tgt = self._read_files_with_lineage(manifest, affected)
+            joined = tgt.join(F.broadcast(src), tgt[on] == src[src_cols[on]], "left")
+            mcond = F.col(src_cols[on]).isNotNull()
+            if matched_condition:
+                mcond = mcond & F.expr(matched_condition)
+            # evaluate the match condition against the OLD row once, before
+            # any assignment rewrites the columns it references
+            out = joined.withColumn("__matched", mcond)
+            for col_name, src_expr in (matched_set or {}).items():
+                out = out.withColumn(
+                    col_name,
+                    F.when(F.col("__matched"), F.expr(src_expr)).otherwise(F.col(col_name)),
+                )
+            out = out.withColumn(
+                LAST_SEQ, F.when(F.col("__matched"), F.lit(new_seq)).otherwise(F.col(LAST_SEQ))
+            ).drop("__matched")
+            matched_df = out.select(*tgt_names, ROW_ID, LAST_SEQ)
+            parts_new.append(matched_df)
+
+        if insert_not_matched:
+            tgt_keys = snapshot_df(self.spark, self.meta, manifest).select(on)
+            unmatched = src.join(
+                tgt_keys, src[src_cols[on]] == tgt_keys[on], "left_anti"
+            )
+            ins = unmatched.select(
+                *[
+                    (F.col(src_cols[n]) if n in src_cols else F.lit(None).cast(spark_type(self.meta.schema.field_by_name(n).type))).alias(n)
+                    for n in tgt_names
+                ]
+            )
+            ins = ins.withColumn(ROW_ID, F.lit(None).cast("long")).withColumn(
+                LAST_SEQ, F.lit(new_seq)
+            )
+            parts_new.append(ins)
+
+        if not parts_new:
+            return self._commit_snapshot(manifest, "overwrite", MAIN, {"matched-files": 0})
+        new_df = parts_new[0]
+        for p in parts_new[1:]:
+            new_df = new_df.unionByName(p)
+        return self._rewrite_files(manifest, affected, new_df, "overwrite", MAIN)
+
+    # ------------------------------------------------------------------
+    # schema evolution (D9-D13)
+    # ------------------------------------------------------------------
+    def _evolve_schema(self, new_fields: tuple[NestedField, ...]) -> None:
+        m = self.meta
+        new_schema = TableSchema(
+            schema_id=max(s.schema_id for s in m.schemas) + 1, fields=new_fields
+        )
+        m.schemas.append(new_schema)
+        m.current_schema_id = new_schema.schema_id
+        m.last_column_id = max(m.last_column_id, *(f.id for f in new_fields))
+        self._commit_metadata_only()
+
+    def add_column(self, name: str, type_: str, default: Any = None) -> None:
+        """ADD COLUMN [DEFAULT] (reference :166/:175/:185).  The default is
+        both initial (old rows) and write (omitting inserts) default.
+        If the name was ever used before, the physical name is mangled so
+        stale bytes in old files can never resurface (SURVEY.md §1.4)."""
+        m = self.meta
+        cid = m.last_column_id + 1
+        used_names = {f.name for s in m.schemas for f in s.fields}
+        physical = f"{name}_{cid}" if name in used_names else None
+        fld = NestedField(
+            id=cid, name=name, type=type_,
+            initial_default=default, write_default=default, physical_name=physical,
+        )
+        self._evolve_schema(self.meta.schema.fields + (fld,))
+
+    def drop_column(self, name: str) -> None:
+        """DROP COLUMN without rewriting files (reference :181)."""
+        fields = tuple(f for f in self.meta.schema.fields if f.name != name)
+        if len(fields) == len(self.meta.schema.fields):
+            raise KeyError(name)
+        self._evolve_schema(fields)
+
+    def set_partitioning(self, partitioning: Iterable[str]) -> None:
+        """SET PROPERTIES partitioning = ARRAY[...] (reference :193/:201).
+        Existing files keep their old spec-id; only new writes use this."""
+        m = self.meta
+        spec = _spec_from_partitioning(
+            partitioning, m.schema, max(s.spec_id for s in m.specs) + 1,
+            m.last_partition_field_id + 1,
+        )
+        m.specs.append(spec)
+        m.default_spec_id = spec.spec_id
+        m.last_partition_field_id = max(
+            (f.field_id for f in spec.fields), default=m.last_partition_field_id
+        )
+        self._commit_metadata_only()
+
+    def set_properties(self, **props: str) -> None:
+        self.meta.properties.update({k: str(v) for k, v in props.items()})
+        self._commit_metadata_only()
+
+    # ------------------------------------------------------------------
+    # branching & time travel (V1-V5, M5)
+    # ------------------------------------------------------------------
+    def create_branch(self, name: str, if_not_exists: bool = True) -> None:
+        if name in self.meta.refs:
+            if if_not_exists:
+                return
+            raise ValueError(f"branch {name} exists")
+        head = self.meta.refs.get(MAIN)
+        if head is None:
+            raise ValueError("cannot branch an empty table")
+        self.meta.refs[name] = head
+        self._commit_metadata_only()
+
+    def drop_branch(self, name: str, if_exists: bool = True) -> None:
+        if name == MAIN:
+            raise ValueError("cannot drop main")
+        if name not in self.meta.refs:
+            if if_exists:
+                return
+            raise KeyError(name)
+        del self.meta.refs[name]
+        self._commit_metadata_only()
+
+    def branches(self) -> dict[str, int]:
+        return dict(self.meta.refs)
+
+    def fast_forward(self, branch: str, to: str) -> None:
+        """ALTER BRANCH x FAST FORWARD TO y (reference :249): requires x's
+        head to be an ancestor of y's head."""
+        m = self.meta
+        src, dst = m.refs[branch], m.refs[to]
+        if not m.is_ancestor(src, dst):
+            raise ValueError(f"{branch} is not an ancestor of {to}; cannot fast-forward")
+        m.refs[branch] = dst
+        if branch == MAIN:
+            m.snapshot_log.append({"snapshot_id": dst, "timestamp_ms": now_ms()})
+        self._commit_metadata_only()
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> None:
+        """CALL system.rollback_to_snapshot (reference :218): moves main back;
+        nothing is deleted, the DAG keeps the abandoned heads (:221)."""
+        self.meta.snapshot_by_id(snapshot_id)  # must exist
+        self.meta.refs[MAIN] = snapshot_id
+        self.meta.snapshot_log.append(
+            {"snapshot_id": snapshot_id, "timestamp_ms": now_ms()}
+        )
+        self._commit_metadata_only()
+
+    # ------------------------------------------------------------------
+    # CDC (V6)
+    # ------------------------------------------------------------------
+    def table_changes(self, start_snapshot_id: int, end_snapshot_id: int) -> DataFrame:
+        """system.table_changes(start, end) (reference :114-125): row-level
+        diff, ``_change_type`` insert|delete, ``_change_ordinal`` = commit
+        order, ``_commit_snapshot_id``.  Reads only changed files."""
+        m = self.meta
+        chain: list[Snapshot] = []
+        cur = m.snapshot_by_id(end_snapshot_id)
+        while cur.snapshot_id != start_snapshot_id:
+            chain.append(cur)
+            if cur.parent_id is None:
+                raise ValueError("start snapshot is not an ancestor of end snapshot")
+            cur = m.snapshot_by_id(cur.parent_id)
+        chain.reverse()
+
+        out: DataFrame | None = None
+        prev_manifest = self._manifest(m.snapshot_by_id(start_snapshot_id))
+        for ordinal, snap in enumerate(chain):
+            cur_manifest = self._manifest(snap)
+            prev_paths = {f.path for f in prev_manifest.data_files}
+            cur_paths = {f.path for f in cur_manifest.data_files}
+            added = [f for f in cur_manifest.data_files if f.path not in prev_paths]
+            removed = [f for f in prev_manifest.data_files if f.path not in cur_paths]
+            prev_dels = {d.path for d in prev_manifest.delete_files}
+            new_dels = [d for d in cur_manifest.delete_files if d.path not in prev_dels]
+
+            pieces: list[DataFrame] = []
+            if added:
+                ins = snapshot_df(self.spark, m, Manifest(added, cur_manifest.delete_files))
+                pieces.append(ins.withColumn("_change_type", F.lit("insert")))
+            if removed:
+                dels = snapshot_df(self.spark, m, Manifest(removed, prev_manifest.delete_files))
+                pieces.append(dels.withColumn("_change_type", F.lit("delete")))
+            if new_dels:
+                del_df = read_position_deletes(self.spark, Manifest([], new_dels))
+                ref_paths = {p for d in new_dels for p in d.referenced_files}
+                ref_files = [f for f in prev_manifest.data_files if f.path in ref_paths]
+                gone = rows_at_positions(self.spark, m, ref_files, del_df)
+                pieces.append(gone.withColumn("_change_type", F.lit("delete")))
+            for p in pieces:
+                p = p.withColumn("_change_ordinal", F.lit(ordinal)).withColumn(
+                    "_commit_snapshot_id", F.lit(snap.snapshot_id)
+                )
+                out = p if out is None else out.unionByName(p)
+            prev_manifest = cur_manifest
+        if out is None:
+            schema = T.StructType(
+                list(m.schema.to_struct().fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_change_ordinal", T.IntegerType()),
+                    T.StructField("_commit_snapshot_id", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        return out
+
+    # ------------------------------------------------------------------
+    # maintenance (V7-V10)
+    # ------------------------------------------------------------------
+    def expire_snapshots(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> int:
+        """EXECUTE expire_snapshots(retention_threshold) (reference :260)."""
+        m = self.meta
+        cutoff = now_ms() - retention_ms
+        keep_ids = set(m.refs.values())
+        kept, dropped = [], []
+        for s in m.snapshots:
+            if s.snapshot_id in keep_ids or s.timestamp_ms >= cutoff:
+                kept.append(s)
+            else:
+                dropped.append(s)
+        if not dropped:
+            return 0
+        live_files: set[str] = set()
+        for s in kept:
+            man = self.io.read_manifest(s)
+            live_files.update(f.path for f in man.data_files)
+            live_files.update(d.path for d in man.delete_files)
+        for s in dropped:
+            man = self.io.read_manifest(s)
+            for p in [f.path for f in man.data_files] + [d.path for d in man.delete_files]:
+                if p not in live_files and os.path.exists(p):
+                    os.remove(p)
+            os.remove(os.path.join(self.location, s.manifest))
+        # re-parent survivors whose parent was expired
+        dropped_ids = {s.snapshot_id for s in dropped}
+        m.snapshots = [
+            s if s.parent_id not in dropped_ids
+            else Snapshot(**{**s.to_dict(), "parent_id": None})
+            for s in kept
+        ]
+        m.snapshot_log = [e for e in m.snapshot_log if e["snapshot_id"] not in dropped_ids]
+        self._commit_metadata_only()
+        return len(dropped)
+
+    def remove_orphan_files(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> int:
+        """EXECUTE remove_orphan_files (reference :261): on-disk files not
+        referenced by any snapshot, older than the threshold."""
+        referenced: set[str] = set()
+        for s in self.meta.snapshots:
+            man = self.io.read_manifest(s)
+            referenced.update(f.path for f in man.data_files)
+            referenced.update(d.path for d in man.delete_files)
+        cutoff = time.time() - retention_ms / 1000
+        removed = 0
+        for sub in ("data", "deletes"):
+            root = os.path.join(self.location, sub)
+            for dirpath, _dirs, files in os.walk(root):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    if p not in referenced and os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                        removed += 1
+        return removed
+
+    def optimize(
+        self,
+        file_size_threshold: int = 100 * 1024 * 1024,
+        modified_after_ms: int | None = None,
+    ) -> Snapshot | None:
+        """EXECUTE optimize(file_size_threshold) [WHERE $file_modified_time]
+        (reference :263, :267-268): bin-pack small files per partition.
+        The WHERE form filters candidates on *manifest* metadata — no data
+        is read to decide (V10)."""
+        manifest = self._manifest(self._resolve(MAIN))
+        cands = [f for f in manifest.data_files if f.file_size_bytes < file_size_threshold]
+        if modified_after_ms is not None:
+            cands = [f for f in cands if f.file_modified_ms > modified_after_ms]
+        # only partitions with >1 small file benefit
+        by_part: dict[str, list[DataFile]] = {}
+        for f in cands:
+            by_part.setdefault(f"{f.spec_id}|{sorted(f.partition.items())}", []).append(f)
+        compact = [f for fs in by_part.values() if len(fs) > 1 for f in fs]
+        if not compact:
+            return None
+        src = self._read_files_with_lineage(manifest, compact)
+        return self._rewrite_files(manifest, compact, src, "replace", MAIN)
+
+    # ------------------------------------------------------------------
+    # stats (A2/A3)
+    # ------------------------------------------------------------------
+    def analyze(self) -> None:
+        """ANALYZE (reference :48): NDV/null/min/max per column, persisted in
+        table metadata for SHOW STATS and future CBO use."""
+        df = self.df()
+        schema = self.meta.schema
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for f in schema.fields:
+            if f.type in ("variant",):
+                continue
+            aggs.append(F.approx_count_distinct(f.name).alias(f"ndv_{f.name}"))
+            aggs.append(F.sum(F.col(f.name).isNull().cast("long")).alias(f"nulls_{f.name}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats = {"row_count": row["__rows"]}
+        for f in schema.fields:
+            if f"ndv_{f.name}" in row:
+                stats[f.name] = {
+                    "ndv": row[f"ndv_{f.name}"],
+                    "nulls": row[f"nulls_{f.name}"],
+                }
+        self.meta.column_stats = stats
+        self._commit_metadata_only()
+
+    def show_stats(self) -> DataFrame:
+        """SHOW STATS FOR table (reference :49)."""
+        st = self.meta.column_stats or {}
+        rows = []
+        n = st.get("row_count")
+        for f in self.meta.schema.fields:
+            cs = st.get(f.name) or {}
+            rows.append(
+                (
+                    f.name,
+                    float(cs["ndv"]) if "ndv" in cs else None,
+                    (float(cs["nulls"]) / n) if ("nulls" in cs and n) else None,
+                )
+            )
+        rows.append((None, None, None))  # summary row carries row_count, Trino-style
+        schema = T.StructType(
+            [
+                T.StructField("column_name", T.StringType()),
+                T.StructField("distinct_values_count", T.DoubleType()),
+                T.StructField("nulls_fraction", T.DoubleType()),
+            ]
+        )
+        df = self.spark.createDataFrame(rows, schema)
+        return df.withColumn(
+            "row_count", F.lit(float(n) if n is not None else None).cast("double")
+        )
+
+    # ------------------------------------------------------------------
+    # SHOW CREATE (D8) + metadata tables (P8) live in meta_tables.py
+    # ------------------------------------------------------------------
+    def meta_df(self, kind: str) -> DataFrame:
+        from iceberg_trino_sql_demo_spark.sources.meta_tables import metadata_table
+
+        return metadata_table(self, kind)
+
+    def show_create(self, name: str = "table") -> str:
+        from iceberg_trino_sql_demo_spark.sources.meta_tables import show_create_table
+
+        return show_create_table(self, name)

@@ -1,0 +1,216 @@
+"""Data-file writer: DataFrame -> immutable parquet file group + DataFile entries.
+
+Write path (SURVEY.md §3.2): append hidden partition-transform columns,
+hash-repartition on them so each partition value lands in few tasks (no
+small-file explosion at scale), ``partitionBy`` into a fresh
+``data/<commit-uuid>/`` directory, then harvest per-file statistics from the
+parquet footers (record count, per-column min/max/null-count) — the driver
+never scans data, it reads O(files) footers.  Footer harvesting is the
+engine's substitute for Iceberg's manifest stats and is what powers
+file-level pruning (plans/pruning.py).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from datetime import date, datetime
+from typing import Any
+from urllib.parse import unquote
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_trino_sql_demo_spark.sources.metadata import (
+    DataFile,
+    PartitionSpec,
+    TableSchema,
+    now_ms,
+)
+from iceberg_trino_sql_demo_spark.sources.transforms import Transform, parse_transform
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+PT_PREFIX = "_pt_"
+
+
+def spec_transforms(spec: PartitionSpec, schema: TableSchema) -> list[tuple[str, Transform]]:
+    """[(partition field name, bound Transform)] for a spec; transform source
+    is resolved by column id so renames/drops never corrupt the mapping."""
+    out = []
+    for f in spec.fields:
+        t = parse_transform(f.transform)
+        src = next(c for c in schema.fields if c.id == f.source_id)
+        t = Transform(t.name, src.name, t.param)
+        out.append((PT_PREFIX + t.field_name, t))
+    return out
+
+
+def _parse_partition_value(raw: str, transform: Transform, source_type: str) -> Any:
+    if raw == HIVE_NULL:
+        return None
+    v = unquote(raw)
+    if transform.name in ("year", "month", "day", "hour", "bucket"):
+        return int(v)
+    if transform.name == "truncate":
+        return v
+    # identity: convert to the source column's python type
+    t = source_type.lower()
+    if t in ("bigint", "long", "int", "integer", "smallint", "tinyint"):
+        return int(v)
+    if t in ("double", "float", "real"):
+        return float(v)
+    if t == "date":
+        return v  # ISO string (JSON-friendly; pruning compares ISO order)
+    if t.startswith("decimal"):
+        return float(v)
+    if t == "boolean":
+        return v == "true"
+    return v
+
+
+def _stat_value(v: Any) -> Any:
+    """Footer stat -> JSON-serializable, order-preserving value."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8", "replace")
+        except Exception:
+            return None
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    return v
+
+
+def write_data_files(
+    df: DataFrame,
+    location: str,
+    schema: TableSchema,
+    spec: PartitionSpec,
+    sequence_number: int,
+    sort_order: list[str] | None = None,
+    extra_physical_cols: list[str] | None = None,
+) -> list[DataFile]:
+    """Write ``df`` (logical column names, already schema-aligned) as one
+    immutable file group; return manifest entries (first_row_id unassigned,
+    filled by the committing Table).
+
+    ``extra_physical_cols`` lets DML rewrites persist lineage columns
+    (_row_id, _last_updated_sequence_number) alongside data columns.
+    """
+    commit_dir = os.path.join(location, "data", uuid.uuid4().hex[:16])
+    pts = spec_transforms(spec, schema)
+    extra = extra_physical_cols or []
+
+    # logical -> physical names, preserving schema order
+    out = df.select(
+        *[F.col(f.name).alias(f.pname) for f in schema.fields],
+        *[F.col(c) for c in extra],
+    )
+    by_name = {f.name: f for f in schema.fields}
+    for pt_name, t in pts:
+        out = out.withColumn(pt_name, t.apply(F.col(by_name[t.source].pname)))
+
+    if pts:
+        # One shuffle keyed on the partition tuple: each output task then
+        # writes whole partitions instead of every task writing a sliver of
+        # every partition (file-count = O(partitions), not O(tasks x parts)).
+        out = out.repartition(*[pt_name for pt_name, _ in pts])
+    if sort_order:
+        out = out.sortWithinPartitions(*sort_order)
+
+    writer = out.write.mode("overwrite")
+    if pts:
+        writer = writer.partitionBy(*[pt_name for pt_name, _ in pts])
+    writer.parquet(commit_dir)
+
+    return harvest_files(commit_dir, schema, spec, sequence_number, pts)
+
+
+def harvest_files(
+    commit_dir: str,
+    schema: TableSchema,
+    spec: PartitionSpec,
+    sequence_number: int,
+    pts: list[tuple[str, Transform]] | None = None,
+) -> list[DataFile]:
+    """Scan a written file group's footers -> DataFile entries."""
+    pts = pts if pts is not None else spec_transforms(spec, schema)
+    by_pname = {f.pname: f for f in schema.fields}
+    src_type = {pt_name: next(c.type for c in schema.fields if c.name == t.source) for pt_name, t in pts}
+    tmap = dict(pts)
+    entries: list[DataFile] = []
+    for root, _dirs, files in os.walk(commit_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(root, fn)
+            # partition values from hive-style dirs, e.g. _pt_mktsegment=AUTO
+            partition: dict[str, Any] = {}
+            for seg in os.path.relpath(root, commit_dir).split(os.sep):
+                if "=" in seg:
+                    k, raw = seg.split("=", 1)
+                    if k in tmap:
+                        partition[k[len(PT_PREFIX):]] = _parse_partition_value(
+                            raw, tmap[k], src_type[k]
+                        )
+            try:
+                pf = pq.ParquetFile(path)
+            except OSError:
+                # e.g. Spark's VARIANT logical type predates this pyarrow —
+                # fall back to a metadata-only Spark read for the row count
+                # and skip column stats for this file (pruning stays
+                # conservative, correctness unaffected).
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                n = spark.read.parquet(path).count()
+                entries.append(
+                    DataFile(
+                        path=path,
+                        spec_id=spec.spec_id,
+                        schema_id=schema.schema_id,
+                        partition=partition,
+                        record_count=n,
+                        file_size_bytes=os.path.getsize(path),
+                        stats={},
+                        first_row_id=-1,
+                        sequence_number=sequence_number,
+                        file_modified_ms=now_ms(),
+                    )
+                )
+                continue
+            md = pf.metadata
+            stats: dict[str, dict] = {}
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    name = col.path_in_schema.split(".")[0]
+                    fld = by_pname.get(name)
+                    if fld is None or col.statistics is None:
+                        continue
+                    st = col.statistics
+                    cur = stats.setdefault(str(fld.id), {"min": None, "max": None, "nulls": 0})
+                    if st.has_min_max:
+                        mn, mx = _stat_value(st.min), _stat_value(st.max)
+                        if cur["min"] is None or (mn is not None and mn < cur["min"]):
+                            cur["min"] = mn
+                        if cur["max"] is None or (mx is not None and mx > cur["max"]):
+                            cur["max"] = mx
+                    cur["nulls"] += st.null_count or 0
+            entries.append(
+                DataFile(
+                    path=path,
+                    spec_id=spec.spec_id,
+                    schema_id=schema.schema_id,
+                    partition=partition,
+                    record_count=md.num_rows,
+                    file_size_bytes=os.path.getsize(path),
+                    stats=stats,
+                    first_row_id=-1,
+                    sequence_number=sequence_number,
+                    file_modified_ms=now_ms(),
+                )
+            )
+    return entries

@@ -1,0 +1,164 @@
+"""Phase 4-5 tests: row-level DML, row lineage, time travel, rollback,
+branching, CDC — replaying the reference script's scenario sequence
+(/root/reference/iceberg_trino_sqldemo.sql :99-157 and :211-253) against
+both merge modes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+ROWS = [
+    {"custkey": 2001, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+     "account_balance": 1.0, "nation": "FRANCE"},
+    {"custkey": 2002, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+     "account_balance": 2.0, "nation": "FRANCE"},
+    {"custkey": 2003, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+     "account_balance": 3.0, "nation": "FRANCE"},
+]
+
+
+@pytest.fixture(scope="module", params=["merge-on-read", "copy-on-write"])
+def t(request, spark, tmp_path_factory, sf_dir):
+    """The demo customer table seeded like :19-40, in both merge modes."""
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp(f"wh_{request.param}")))
+    cat.create_schema("demo")
+    cat.use("demo")
+    cat.ctas(
+        "customer",
+        customer_pipeline(spark, sf_dir),
+        partitioning=["mktsegment"],
+        properties={"merge_mode": request.param},
+    )
+    return cat.table("customer")
+
+
+def test_full_dml_scenario(t):
+    base = t.df().count()
+
+    # :103-106 INSERT 3 rows
+    t.insert(ROWS)
+    assert t.df().count() == base + 3
+
+    # :129 UPDATE ... SET account_balance = 1000 WHERE custkey = 2001
+    t.update({"account_balance": 1000.0}, "custkey = 2001")
+    got = {r.custkey: r.account_balance for r in t.df(where="mktsegment='SQLENGINE'").collect()}
+    assert got == {2001: 1000.0, 2002: 2.0, 2003: 3.0}
+    assert t.df().count() == base + 3
+
+    # :133-135 row lineage: updated row keeps _row_id, bumps last-updated seq
+    h = {r.custkey: r for r in t.df(hidden=True).where("mktsegment='SQLENGINE'").collect()}
+    assert h[2001]["_last_updated_sequence_number"] > h[2002]["_last_updated_sequence_number"]
+    n = t.df(hidden=True).count()
+    assert t.df(hidden=True).select("_row_id").distinct().count() == n
+
+    # remember pre-delete snapshot for time travel
+    pre_delete = t.meta.refs["main"]
+
+    # :137 DELETE WHERE custkey IN (2001,2002,2003)
+    t.delete("custkey IN (2001, 2002, 2003)")
+    assert t.df().count() == base
+    assert t.df(where="mktsegment='SQLENGINE'").count() == 0
+
+    # :143 deletion vectors visible in $files for merge-on-read
+    files = t.meta_df("files").collect()
+    if t.merge_mode == "merge-on-read":
+        assert any(r.content == 1 for r in files)
+
+    # :216 time travel sees pre-delete state
+    assert t.df(version=pre_delete).count() == base + 3
+
+    # :218 rollback, then current state is pre-delete again
+    t.rollback_to_snapshot(pre_delete)
+    assert t.df().count() == base + 3
+    # rollback adds a history entry but no new snapshot
+    hist = t.meta_df("history").collect()
+    assert hist[-1].snapshot_id == pre_delete
+
+
+def test_branch_scenario(t):
+    """Reference :224-253: diverge dev from main, DML on dev only, compare,
+    then fast-forward main to dev."""
+    # :228-230 reset segment content on main
+    t.delete("mktsegment='SQLENGINE'")
+    t.insert([{"custkey": 200000, "name": "TRINO", "mktsegment": "SQLENGINE",
+               "account_balance": 10000.0, "nation": "FRANCE"}])
+    t.insert([{"custkey": 200001, "name": "STARBURST", "mktsegment": "SQLENGINE",
+               "account_balance": 10000.0, "nation": "FRANCE"}])
+
+    # :234-236 branch management
+    t.drop_branch("dev", if_exists=True)
+    t.create_branch("dev")
+    assert set(t.branches()) == {"main", "dev"}
+
+    # :238-241 DML on dev only
+    t.insert([{"custkey": 200005, "name": "SPARK", "mktsegment": "SQLENGINE",
+               "account_balance": 1.0, "nation": "ITALY"}], ref="dev")
+    t.insert([{"custkey": 200006, "name": "CLICKHOUSE", "mktsegment": "SQLENGINE",
+               "account_balance": 2.0, "nation": "SPAIN"}], ref="dev")
+    t.delete("custkey = 200001", ref="dev")
+    t.update({"account_balance": 0.0}, "custkey = 200000", ref="dev")
+
+    seg = "mktsegment='SQLENGINE'"
+    dev = {r.custkey: r.account_balance for r in t.df(ref="dev", where=seg).collect()}
+    main = {r.custkey: r.account_balance for r in t.df(ref="main", where=seg).collect()}
+    # :243 dev state
+    assert dev == {200000: 0.0, 200005: 1.0, 200006: 2.0}
+    # :245 main unchanged
+    assert main == {200000: 10000.0, 200001: 10000.0}
+
+    # :249 fast-forward main to dev
+    t.fast_forward("main", "dev")
+    main2 = {r.custkey: r.account_balance for r in t.df(where=seg).collect()}
+    assert main2 == dev
+
+
+def test_merge_upsert(t):
+    """Reference :146-157 MERGE shape: matched-and-changed -> update,
+    not-matched -> insert."""
+    spark = t.spark
+    seg = t.df(where="mktsegment='SQLENGINE'")
+    base_all = t.df().count()
+
+    src = spark.createDataFrame(
+        [
+            (200000, "TRINO-NEW", "SQLENGINE", 42.0, "FRANCE"),   # matched, name differs
+            (900001, "DUCKDB", "SQLENGINE", 7.0, "GERMANY"),      # not matched -> insert
+        ],
+        "custkey bigint, name string, mktsegment string, account_balance double, nation string",
+    )
+    t.merge(
+        src,
+        on="custkey",
+        matched_set={"name": "__src_name", "account_balance": "__src_account_balance"},
+        matched_condition="name != __src_name",
+    )
+    got = {r.custkey: (r.name, r.account_balance)
+           for r in t.df(where="mktsegment='SQLENGINE'").collect()}
+    assert got[200000] == ("TRINO-NEW", 42.0)
+    assert got[900001] == ("DUCKDB", 7.0)
+    assert t.df().count() == base_all + 1
+
+
+def test_table_changes_cdc(t):
+    """Reference :110-125: row-level diff between snapshots."""
+    start = t.meta.refs["main"]
+    t.insert([{"custkey": 555001, "name": "CDC_A", "mktsegment": "SQLENGINE",
+               "account_balance": 1.0, "nation": "FRANCE"}])
+    t.insert([{"custkey": 555002, "name": "CDC_B", "mktsegment": "SQLENGINE",
+               "account_balance": 2.0, "nation": "FRANCE"}])
+    t.delete("custkey = 555001")
+    end = t.meta.refs["main"]
+
+    ch = t.table_changes(start, end).orderBy("_change_ordinal")
+    rows = [(r.custkey, r._change_type, r._change_ordinal) for r in ch.collect()
+            if r.custkey in (555001, 555002)]
+    assert (555001, "insert", 0) in rows
+    assert (555002, "insert", 1) in rows
+    assert (555001, "delete", 2) in rows
+    # ordinals are contiguous commit indexes
+    assert {r[2] for r in rows} == {0, 1, 2}

@@ -1,0 +1,137 @@
+"""Phase 6 tests: schema evolution (defaults, variant, nanos), partition
+evolution, views/MVs — reference :159-207 and :51-61."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_trino_sql_demo_spark.functions.trino import (
+    format_ns_timestamp,
+    parse_ns_timestamp,
+)
+from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+
+@pytest.fixture(scope="module")
+def cat(spark, tmp_path_factory):
+    c = Catalog(spark, str(tmp_path_factory.mktemp("wh_evo")))
+    c.create_schema("demo")
+    c.use("demo")
+    return c
+
+
+@pytest.fixture(scope="module")
+def t(cat, spark, sf_dir):
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+
+    cat.ctas("customer", customer_pipeline(spark, sf_dir), partitioning=["mktsegment"])
+    return cat.table("customer")
+
+
+def test_add_column_with_default(t):
+    """Reference :164-171: ADD COLUMN phone varchar DEFAULT '+33606060606';
+    old rows AND inserts omitting the column read the default back."""
+    base = t.df().count()
+    t.add_column("phone", "string", default="+33606060606")
+    # old rows surface the default (initial-default, not NULL)
+    vals = t.df().select("phone").distinct().collect()
+    assert [r.phone for r in vals] == ["+33606060606"]
+    # :168 insert omitting phone
+    t.insert([{"custkey": 200000, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+               "account_balance": 1.0, "nation": "FRANCE"}])
+    got = t.df(where="custkey = 200000").collect()[0]
+    assert got.phone == "+33606060606"
+    assert t.df().count() == base + 1
+
+
+def test_variant_column(t):
+    """Reference :173-181: ADD COLUMN message JSON, insert a JSON literal,
+    query it, then DROP COLUMN."""
+    t.add_column("message", "variant")
+    t.insert([{"custkey": 200010, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+               "account_balance": 1.0, "nation": "FRANCE",
+               "message": '{"company": "Starburst"}'}])
+    row = (
+        t.df(where="custkey = 200010")
+        .select(F.variant_get("message", "$.company", "string").alias("company"))
+        .collect()[0]
+    )
+    assert row.company == "Starburst"
+    # old rows: variant is null
+    assert t.df(where="custkey = 200000").select("message").collect()[0].message is None
+
+    t.drop_column("message")
+    assert "message" not in t.df().columns
+    # files are NOT rewritten by drop (reference: metadata-only op)
+    assert t.df().count() > 0
+
+
+def test_readd_after_drop_does_not_resurface_old_bytes(t):
+    """Dropping then re-adding a same-named column must not leak old values
+    out of existing files (SURVEY.md §1.4 stable column ids)."""
+    t.add_column("message", "string")
+    vals = {r.message for r in t.df(where="custkey = 200010").select("message").collect()}
+    assert vals == {None}, "old variant bytes must not resurface"
+    t.drop_column("message")
+
+
+def test_nanos_timestamp(t):
+    """Reference :183-189: TIMESTAMP(9) survives with full nanosecond
+    precision (stored as long nanos; Spark's native ceiling is micros)."""
+    t.add_column("nanos", "timestamp_ns")
+    lit = "2025-08-21 12:34:56.123456789"
+    t.insert([{"custkey": 200020, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+               "account_balance": 1.0, "nation": "FRANCE", "nanos": lit}])
+    raw = t.df(where="custkey = 200020").collect()[0].nanos
+    assert raw == parse_ns_timestamp(lit)
+    assert format_ns_timestamp(raw) == lit  # all nine digits intact
+
+
+def test_partition_evolution(t):
+    """Reference :191-209: change spec twice; old files keep their old spec;
+    $partitions shows rows grouped per spec."""
+    spec0 = t.meta.default_spec_id
+    t.set_partitioning(["mktsegment", "custkey"])
+    t.insert([{"custkey": 200001, "name": "TRINO", "mktsegment": "SQLENGINE",
+               "account_balance": 1.0, "nation": "FRANCE"}])
+    t.set_partitioning(["nation"])
+    t.insert([{"custkey": 200002, "name": "STARBURST", "mktsegment": "SQLENGINE",
+               "account_balance": 2.0, "nation": "SPAIN"}])
+
+    parts = t.meta_df("partitions").collect()
+    spec_ids = {r.spec_id for r in parts}
+    assert len(spec_ids) == 3, f"expected 3 specs live, got {spec_ids}"
+    # all rows still readable across specs
+    seg = {r.custkey for r in t.df(where="mktsegment='SQLENGINE'").collect()}
+    assert {200000, 200010, 200020, 200001, 200002} <= seg
+    # new-spec files carry nation partition values
+    files = t.meta_df("files").collect()
+    assert any('"nation"' in r.partition for r in files if r.content == 0)
+    assert spec0 != t.meta.default_spec_id
+
+
+def test_views_and_mvs(cat, spark, sf_dir):
+    """Reference :51-61: view re-executes; MV materializes + refreshes."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation_src")
+    cat.create_view("my_view", "SELECT * FROM nation_src")
+    assert cat.read_view("my_view").count() == 25
+
+    cat.create_materialized_view("my_mv", "SELECT * FROM nation_src",
+                                 refresh_schedule="30 04 * * 0")
+    mv = cat.table("my_mv")
+    assert mv.df().count() == 25
+    assert mv.meta.properties.get("refresh_schedule") == "30 04 * * 0"
+
+    # refresh re-runs the stored SQL and commits a replace snapshot
+    cat.refresh_materialized_view("my_mv")
+    mv = cat.table("my_mv")
+    ops = [s.operation for s in mv.meta.snapshots]
+    assert ops[-1] == "replace"
+    assert mv.df().count() == 25
+
+
+def test_show_create_schema_roundtrip(cat):
+    ddl = cat.show_create_schema("demo")
+    assert ddl.startswith("CREATE SCHEMA demo")
+    assert "location" in ddl

@@ -1,0 +1,93 @@
+"""Phase 6 tests: maintenance procedures — reference :256-279 — plus
+ANALYZE/SHOW STATS (:46-49)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+
+@pytest.fixture()
+def t(spark, tmp_path, sf_dir):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_schema("demo")
+    cat.use("demo")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.ctas("nation", nation)
+    return cat.table("nation")
+
+
+def _insert_n(t, n, start=9000):
+    for i in range(n):
+        t.insert([{"n_nationkey": start + i, "n_name": f"X{i}", "n_regionkey": 0}])
+
+
+def test_optimize_compacts_small_files(t):
+    """Reference :263: bin-pack small files; row count and content unchanged,
+    file count reduced, lineage preserved."""
+    _insert_n(t, 4)
+    before_files = len(t.io.read_manifest(t._resolve()).data_files)
+    before_rows = t.df().count()
+    before_ids = {r._row_id for r in t.df(hidden=True).select("_row_id").collect()}
+
+    snap = t.optimize(file_size_threshold=100 * 1024 * 1024)
+    assert snap is not None and snap.operation == "replace"
+
+    after_files = len(t.io.read_manifest(t._resolve()).data_files)
+    assert after_files < before_files
+    assert t.df().count() == before_rows
+    after_ids = {r._row_id for r in t.df(hidden=True).select("_row_id").collect()}
+    assert after_ids == before_ids, "optimize must preserve row lineage"
+
+
+def test_optimize_where_modified_time(t):
+    """Reference :267-268: scoped compaction decided on manifest metadata
+    only — a future cutoff excludes every file, so nothing is rewritten."""
+    _insert_n(t, 3)
+    import time
+
+    future = int(time.time() * 1000) + 10_000
+    assert t.optimize(modified_after_ms=future) is None
+
+
+def test_expire_snapshots(t):
+    _insert_n(t, 3)
+    n_snaps = len(t.meta.snapshots)
+    assert n_snaps >= 4
+    rows = t.df().count()
+    # retention 0: everything unreachable from refs goes
+    dropped = t.expire_snapshots(retention_ms=0)
+    assert dropped == n_snaps - 1
+    assert len(t.meta.snapshots) == 1
+    assert t.df().count() == rows, "current state must survive expiry"
+    # history no longer references expired snapshots
+    hist_ids = {r.snapshot_id for r in t.meta_df("history").collect()}
+    assert hist_ids == {t.meta.refs["main"]}
+
+
+def test_remove_orphan_files(t):
+    _insert_n(t, 2)
+    # plant an orphan in the data dir, backdated past the retention window
+    orphan = os.path.join(t.location, "data", "orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    old = 10_000
+    os.utime(orphan, (old, old))
+    removed = t.remove_orphan_files(retention_ms=1000)
+    assert removed == 1
+    assert not os.path.exists(orphan)
+    # live files untouched
+    assert t.df().count() > 0
+
+
+def test_analyze_show_stats(t):
+    """Reference :48-49."""
+    t.analyze()
+    stats = t.show_stats()
+    rows = {r.column_name: r for r in stats.collect()}
+    assert rows["n_nationkey"].distinct_values_count >= 20
+    assert rows["n_nationkey"].nulls_fraction == 0.0
+    assert rows[None].row_count == t.df().count()

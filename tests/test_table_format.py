@@ -1,0 +1,166 @@
+"""Phase-2 tests: table format core — CTAS, insert, snapshots, metadata
+tables, partition transforms, pruning (SURVEY.md §5.2 item 2: mutate ->
+inspect data -> inspect metadata, mirroring the reference script's
+golden-inspection pattern)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+from iceberg_trino_sql_demo_spark.plans.predicates import parse_simple_predicates
+from iceberg_trino_sql_demo_spark.plans.pruning import prune_files
+from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+from iceberg_trino_sql_demo_spark.sources.table import Table
+
+
+@pytest.fixture(scope="module")
+def cat(spark, tmp_path_factory):
+    c = Catalog(spark, str(tmp_path_factory.mktemp("warehouse")))
+    c.create_schema("demo")
+    c.use("demo")
+    return c
+
+
+@pytest.fixture(scope="module")
+def customer(spark, cat, sf_dir):
+    # reference :19-40 — CTAS partitioned by identity(mktsegment), MoR, v3
+    src = customer_pipeline(spark, sf_dir)
+    cat.ctas(
+        "customer",
+        src,
+        partitioning=["mktsegment"],
+        properties={"merge_mode": "merge-on-read", "format_version": 3},
+    )
+    return cat.table("customer")
+
+
+def test_ctas_roundtrip(spark, customer, sf_dir):
+    src = customer_pipeline(spark, sf_dir)
+    got = customer.df()
+    assert got.count() == src.count()
+    assert sorted(got.columns) == sorted(src.columns)
+    # identical multiset of rows
+    assert got.exceptAll(src).count() == 0 and src.exceptAll(got).count() == 0
+
+
+def test_partition_layout(customer):
+    files = customer.meta_df("files")
+    rows = files.collect()
+    assert all(r.content == 0 for r in rows)
+    # every data file belongs to exactly one mktsegment partition
+    assert all('"mktsegment"' in r.partition for r in rows)
+
+
+def test_snapshots_and_history(customer):
+    snaps = customer.meta_df("snapshots").collect()
+    assert len(snaps) >= 1
+    assert snaps[0].operation == "append"
+    hist = customer.meta_df("history").collect()
+    assert hist[-1].is_current_ancestor
+
+
+def test_insert_values(customer):
+    # reference :103-106
+    before = customer.df().count()
+    customer.insert(
+        [
+            {"custkey": 2001, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+             "account_balance": 1.0, "nation": "FRANCE"},
+            {"custkey": 2002, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+             "account_balance": 2.0, "nation": "FRANCE"},
+            {"custkey": 2003, "name": "COMMANDER BUN BUN", "mktsegment": "SQLENGINE",
+             "account_balance": 3.0, "nation": "FRANCE"},
+        ]
+    )
+    after = customer.df()
+    assert after.count() == before + 3
+    assert after.where("mktsegment='SQLENGINE'").count() == 3
+    ops = [s.operation for s in customer.meta_df("snapshots").collect()]
+    assert ops[-1] == "append"
+
+
+def test_hidden_columns(customer):
+    # reference :65-72
+    df = customer.df(hidden=True)
+    row = df.where("custkey = 2001").collect()[0]
+    assert row["_row_id"] is not None
+    assert row["_last_updated_sequence_number"] is not None
+    assert row["_path"].startswith("file:")
+    assert "SQLENGINE" in row["_partition"]
+    assert row["_file_modified_time"] is not None
+    # row ids unique across the table
+    n = df.count()
+    assert df.select("_row_id").distinct().count() == n
+
+
+def test_show_create(customer):
+    ddl = customer.show_create("customer")
+    assert "partitioning = ARRAY['mktsegment']" in ddl
+    assert "merge_mode = 'merge-on-read'" in ddl
+    assert "custkey bigint" in ddl
+
+
+def test_year_transform_and_pruning(spark, cat, sf_dir):
+    # reference :13-15 — orders partitioned by year(orderdate)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("orderdate"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    cat.ctas("orders", orders, partitioning=["year(orderdate)"])
+    t = cat.table("orders")
+
+    all_files = t.io.read_manifest(t._resolve()).data_files
+    years = {f.partition.get("orderdate_year") for f in all_files}
+    assert len(years) > 1, "expected multiple year partitions"
+
+    where = "orderdate >= DATE '1995-11-01' AND orderdate < DATE '1996-01-01'"
+    preds = parse_simple_predicates(where)
+    assert len(preds) == 2
+    pruned = prune_files(all_files, t.meta, preds)
+    kept_years = {f.partition["orderdate_year"] for f in pruned}
+    assert kept_years == {1995}, kept_years
+
+    # pruned read returns exactly the filtered rows
+    expect = orders.where(
+        (F.col("orderdate") >= "1995-11-01") & (F.col("orderdate") < "1996-01-01")
+    ).count()
+    assert t.df(where=where).count() == expect
+
+
+def test_stats_pruning_on_unpartitioned_column(spark, cat, sf_dir):
+    # range-clustered files -> footer min/max stats skip files on a point
+    # lookup even without any partition spec (SURVEY.md §4 file skipping;
+    # the reference's sorted_by knob, :27, exists for exactly this effect)
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("totalprice"))
+        .repartitionByRange(4, "orderkey")
+    )
+    cat.ctas("orders_ranged", orders)
+    t = cat.table("orders_ranged")
+    files = t.io.read_manifest(t._resolve()).data_files
+    assert len(files) == 4
+    preds = parse_simple_predicates("orderkey = 17")
+    pruned = prune_files(files, t.meta, preds)
+    assert len(pruned) == 1
+    assert t.df(where="orderkey = 17").count() == 1
+
+
+def test_metadata_tables_render(customer):
+    for kind in (
+        "properties", "snapshots", "history", "manifests",
+        "partitions", "files", "refs", "entries", "metadata_log_entries",
+    ):
+        df = customer.meta_df(kind)
+        assert df.count() >= 0, kind
+    refs = {r["name"] for r in customer.meta_df("refs").collect()}
+    assert "main" in refs
+
+
+def test_register_table(spark, cat, customer):
+    t = cat.register_table("demo", "new_customer", customer.location)
+    assert t.df().count() == customer.df().count()
