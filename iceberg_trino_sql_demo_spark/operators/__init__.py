@@ -51,4 +51,5 @@ def load_all() -> None:
         text,
         windows_ops,
         table_format_ops,
+        multimodal,
     )

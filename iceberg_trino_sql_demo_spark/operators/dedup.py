@@ -1,1 +1,354 @@
-"""Placeholder — populated in a later phase."""
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §7
+Phase 7; BASELINE.json north-star beyond the reference surface).
+
+Five strategies over the ``documents`` / ``embeddings`` testdata tables:
+
+- **exact**        content-hash groupBy (md5) — one shuffle on the hash;
+- **shingle Jaccard** exact word-3-gram set similarity — explode + self-join
+  on shingle, integer-arithmetic threshold (no float boundary effects);
+- **MinHash + LSH** the scale path: per-doc signature (k min-hashes), banded
+  into buckets so candidate generation is a bucket-join, never all-pairs;
+- **SimHash**      64-bit near-dup fingerprint, banded by 16-bit chunks for
+  hamming-distance blocking;
+- **embedding cosine** near-dup by vector similarity (exact here; the ANN
+  variants live in operators/similarity.py).
+
+Scale notes: every strategy is groupBy/join on a derived key — the classic
+all-pairs O(n^2) comparison only ever happens *within* a bucket/band.  At
+100 TB, exact dedup is one hash-shuffle; MinHash-LSH is explode(k) + one
+shuffle per band batch; both stream.  Some queries inject duplicates
+deterministically (UNION of a keyed sample, expressed identically in the
+DuckDB oracle) because the corpus itself is duplicate-light.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.session import table_path
+
+#: number of minhash permutations and LSH banding layout (16 bands x 4 rows)
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus exact copies of every 10th doc under shifted ids —
+    the injection is replicated verbatim in the oracle SQL."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionAll(dup)
+
+_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy, keep the smallest id per content group
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keep_id
+      FROM ({_CORPUS_SQL})
+     GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _corpus_with_dups(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-3-gram shingles (shared by jaccard + minhash)
+# ---------------------------------------------------------------------------
+def shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word 3-grams per document.  Documents
+    shorter than 3 words produce no shingles (guarded: Spark's sequence()
+    would count *down* for a negative span)."""
+    grams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        " transform(sequence(0, size(split(text, ' ')) - 3),"
+        "  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],"
+        "  split(text, ' ')[i+2]))"
+        " ELSE array() END"
+    )
+    return (
+        df.select("doc_id", F.explode(grams).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM ({corpus})),
+           unnest(range(1, greatest(len(words) - 1, 1))) AS u(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs at tau = 0.5 — integer arithmetic only:
+# 2*|A∩B| >= |A| + |B| - |A∩B|, so no float-boundary divergence between
+# engines.  Candidate pairs come from the shingle join (docs sharing no
+# shingle are never compared).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_shingle_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents")}),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, c AS n_common, sa.n AS n_a, sb.n AS n_b
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+     WHERE 2 * c >= sa.n + sb.n - c
+    """,
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(2 * F.col("n_common") >= F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .select("id_a", "id_b", "n_common", "n_a", "n_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH — the 100 TB path.  Signature: NUM_PERM min-hashes computed
+# as one aggregation over exploded shingles (xxhash64 with per-permutation
+# seeds, all JVM-side).  Banding: BANDS buckets per doc; docs sharing any
+# band bucket become candidates; candidates are verified with the exact
+# shingle join (scoped to candidates only, not all pairs).
+# Driver check: rows-only (xxhash64 has no DuckDB twin); recall vs the exact
+# operator is asserted in tests/test_extensions.py.
+# ---------------------------------------------------------------------------
+@register("dedup_minhash_lsh", bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(NUM_PERM)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(
+            F.lit(band),
+            *[F.col(f"h{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+        ).alias(f"b{band}")
+        for band in range(BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard (integer arithmetic, tau = 0.5)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"),
+                        F.col("shingle").alias("shingle_b")), "id_b")
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(2 * F.col("n_common") >= F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .select("id_a", "id_b", "n_common", "n_a", "n_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 64-bit weighted fingerprint; near-dups share bits.  Blocking on
+# four 16-bit chunks guarantees recall for hamming distance <= 3 (pigeonhole)
+# without any all-pairs scan.  Rows-only (hash function engine-specific).
+# ---------------------------------------------------------------------------
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    h = F.xxhash64("tok")
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{b}") >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** b).cast("long"))
+            for b in range(63)
+        ).alias("simhash"),
+    )
+    return sig
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming distance <= 3 over 63-bit simhash."""
+    sig = simhash_signatures(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk_id"),
+                         F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+                for c in range(4)
+            ])
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"),
+              (F.col("x.chunk_id") == F.col("y.chunk_id"))
+              & (F.col("x.chunk") == F.col("y.chunk"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"),
+                F.col("x.simhash").alias("sig_a"), F.col("y.simhash").alias("sig_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(ham <= 3)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup: exact pairwise over injected exact copies
+# (cos = 1.0 vs natural max ~0.37 — threshold 0.95 is boundary-safe).
+# Both engines compute dot/norms in double with sequential summation.
+# ---------------------------------------------------------------------------
+_EMB_CORPUS_SQL = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM ({_EMB_CORPUS_SQL})
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+     WHERE list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs cosine (distributed GEMM): rows are hashed into
+    blocks, block *pairs* fan out across the cluster, and each task runs one
+    vectorized numpy matmul over its two blocks via an Arrow-batched
+    applyInPandas.  A row-at-a-time cross join with per-pair fold-based dot
+    products is ~50x slower on the same data and collapses entirely at
+    scale; block size is the only knob (tasks = B*(B+1)/2, memory =
+    2 * block * dim doubles)."""
+    import numpy as np
+    import pandas as pd
+
+    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select("vec_id", "embedding")
+    corpus = e.unionAll(
+        e.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    n_blocks = 8
+    blocked = corpus.withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
+
+    # fan out every unordered block pair (bi <= bj); each row joins into its
+    # block's appearances on both sides of the pair
+    pairs = [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)]
+    pair_df = spark.createDataFrame(pairs, "bi int, bj int")
+    left = blocked.join(F.broadcast(pair_df), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    right = blocked.join(F.broadcast(pair_df), F.col("blk") == F.col("bj")).select(
+        "bi", "bj", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
+
+    def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        same = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        a = pdf[pdf["side"] == 0] if not same else pdf.drop_duplicates("vec_id")
+        b = pdf[pdf["side"] == 1] if not same else a
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ma = np.stack(a["embedding"].to_numpy()).astype("float64")
+        mb = np.stack(b["embedding"].to_numpy()).astype("float64")
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia, ib = np.nonzero(sims >= 0.95)
+        ids_a = a["vec_id"].to_numpy()[ia]
+        ids_b = b["vec_id"].to_numpy()[ib]
+        lo, hi = np.minimum(ids_a, ids_b), np.maximum(ids_a, ids_b)
+        keep = lo < hi
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(block_cosine, "id_a bigint, id_b bigint")
+        .distinct()
+    )

@@ -1,1 +1,180 @@
-"""Placeholder — populated in a later phase."""
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7).
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen'd) — no Python UDFs: token stats and quality scoring are
+split/size/aggregate expressions; language ID is an explode + broadcast-join
+against a tiny lexicon; fingerprinting is xxhash64 over shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.session import table_path
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# token counting — whitespace tokens + distinct tokens + exact mean length.
+# The mean is computed as a single double division of two exact integers, so
+# both engines produce the identical IEEE value.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+           CAST(sum(len(t)) AS DOUBLE) / count(*) AS mean_token_len
+      FROM tok
+     WHERE t != ''
+     GROUP BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("n_distinct"),
+        (F.sum(F.length("t")).cast("double") / F.count(F.lit(1))).alias("mean_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — length/stopword/diversity ratios with a deterministic
+# integer-derived score.  A real pipeline would threshold this to drop
+# boilerplate/low-content docs before training.
+# ---------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_SQL = "('" + "','".join(_STOPWORDS) + "')"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+             CAST(sum(CASE WHEN t IN {_STOP_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        FROM tok WHERE t != '' GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           a.n_tokens,
+           CAST(a.n_stop AS DOUBLE) / a.n_tokens AS stopword_ratio,
+           CAST(a.n_distinct AS DOUBLE) / a.n_tokens AS diversity,
+           CASE WHEN a.n_tokens >= 50 AND a.n_tokens <= 1000
+                     AND 10 * a.n_stop < 3 * a.n_tokens
+                     AND 10 * a.n_distinct >= a.n_tokens
+                THEN 1 ELSE 0 END AS passes_quality
+      FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("n_distinct"),
+        F.sum(F.col("t").isin(*_STOPWORDS).cast("long")).alias("n_stop"),
+    )
+    # thresholds in integer arithmetic (10*x < 3*n) — no float boundaries
+    passes = (
+        (F.col("n_tokens") >= 50)
+        & (F.col("n_tokens") <= 1000)
+        & (10 * F.col("n_stop") < 3 * F.col("n_tokens"))
+        & (10 * F.col("n_distinct") >= F.col("n_tokens"))
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("diversity"),
+        passes.cast("int").alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID — character-n-gram-frequency heuristic: score each doc against
+# tiny per-language marker lexicons (broadcast join), argmax wins.  The
+# testdata's ``lang`` column is a synthetic label (texts are English-ish bag
+# of words), so this is exercised as a deterministic rows-only operator;
+# determinism + shape are tested in tests/test_extensions.py.
+# ---------------------------------------------------------------------------
+_MARKERS = {
+    "en": ["the", "and", "of", "is", "th", "he", "an"],
+    "de": ["der", "und", "die", "ist", "ch", "ei", "en"],
+    "fr": ["le", "la", "et", "est", "ou", "es", "nt"],
+    "es": ["el", "la", "los", "es", "ón", "ar", "de"],
+    "zh": ["de5", "shi4", "le5", "zh", "sh", "ng", "wo"],
+}
+
+
+@register("text_langid")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = spark.createDataFrame(
+        [(lang, m) for lang, ms in _MARKERS.items() for m in ms],
+        "lang_cand string, marker string",
+    )
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    # token-level and 2-gram-level marker hits
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array(F.col("t"), F.substring("t", 1, 2), F.substring("t", 2, 2))
+        ).alias("piece"),
+    )
+    scores = (
+        grams.join(F.broadcast(lex), grams.piece == lex.marker)
+        .groupBy("doc_id", "lang_cand")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang_cand"))
+    best = scores.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(best.select("doc_id", F.col("lang_cand").alias("predicted_lang"), "hits"),
+              "doc_id", "left")
+        .fillna({"predicted_lang": "und", "hits": 0})
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint — rolling-hash (min over shingle hashes, i.e. a
+# 1-permutation MinHash): identical content -> identical fingerprint, robust
+# to document ordering.  Rows-only (engine-specific hash).
+# ---------------------------------------------------------------------------
+@register("text_fingerprint")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.operators.dedup import shingles
+
+    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    return sh.groupBy("doc_id").agg(
+        F.min(F.xxhash64("shingle")).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )

@@ -1,1 +1,192 @@
-"""Placeholder — populated in a later phase."""
+"""Event-time window aggregations over the ``events`` table (SURVEY.md §2.8/
+§7 — the stream-shaped batch operators; the Structured Streaming ingestion
+variant lives in streaming/ingest.py and is cross-checked against these).
+
+Windows are Spark's native F.window / F.session_window (stateful-operator
+compatible: the same expressions run under readStream unchanged).  Oracles
+re-derive the window arithmetic relationally in DuckDB (epoch bucketing for
+tumbling/sliding, gaps-and-islands for sessions).
+
+Value sums go through DECIMAL accumulation (exact, order-free) — see
+functions.trino.decimal_sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_trino_sql_demo_spark.functions.trino import decimal_sum
+from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.session import table_path
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a microsecond TimestampType.
+
+    The parquet column is TIMESTAMP(NANOS); the session reads it as long
+    nanos (spark.sql.legacy.parquet.nanosAsLong — Spark's ceiling is µs).
+    Truncating division matches DuckDB's own ns->µs floor, and the exact
+    nanos stay available as ``ts_ns``.
+    """
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    # integer `div`, NOT `/1000`: nanos exceed double's 2^53 exact range and
+    # float division flips the last microsecond digit on some rows.
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# tumbling 1-hour windows per event type
+# ---------------------------------------------------------------------------
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+     GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum(F.col("value"), "total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding windows: 1 hour long, every 30 minutes — each event lands in two
+# windows.  DuckDB derives the same membership with two shifted buckets.
+# ---------------------------------------------------------------------------
+@register(
+    "events_sliding_1h_30m",
+    oracle="""
+    WITH shifted AS (
+      -- integer µs arithmetic: epoch() is a DOUBLE and CAST..BIGINT *rounds*,
+      -- misbucketing events in the second half of any second
+      SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % (1800 * 1000000))
+             AS w0, ts, value FROM events
+    ),
+    member AS (
+      SELECT w0 AS window_start, value FROM shifted
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE AS window_start, value FROM shifted
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM member
+     GROUP BY 1
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum(F.col("value"), "total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization: per-user sessions closed by a 30-minute inactivity gap.
+# Spark: native session_window.  DuckDB: gaps-and-islands (lag + cumulative
+# boundary count) — the textbook relational derivation of the same state
+# machine.
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS boundary
+        FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+      FROM sessions
+     GROUP BY user_id, session_no
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# variant/JSON extraction over the events payload (reference :173-179 surface
+# applied to the stream table): parse props as VARIANT, extract a typed field
+# ---------------------------------------------------------------------------
+@register(
+    "events_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+     GROUP BY 1, 2
+    """,
+    bench=False,
+)
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation executed as a Structured Streaming query
+    (readStream + watermark + availableNow) — same oracle as the batch
+    variant: one plan, two execution modes, identical results."""
+    import uuid
+
+    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_tumbling_counts
+
+    return stream_tumbling_counts(
+        spark, sf_dir, query_name=f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    )
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n
+      FROM events
+     GROUP BY event_type
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.parse_json("props")
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", F.variant_get(v, "$.k", "bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,81 @@
+"""Structured Streaming surface (SURVEY.md §2.8: none in the reference — the
+demo's stream-adjacent concepts are CDC and MV refresh — so this module is
+the §7 extension: micro-batch ingestion + stateful event-time aggregation).
+
+``stream_tumbling_counts`` runs the SAME window expression as the batch
+operator (operators/windows_ops.events_tumbling_hourly) through
+``readStream`` with a watermark, using ``availableNow`` so it terminates
+after draining the input — the batch/stream parity test in
+tests/test_streaming.py is the correctness check (one codepath, two
+execution modes, identical results).
+
+Scale notes: file-source streaming with maxFilesPerTrigger is how a 100 TB
+backfill replays through the same stateful operators as the live stream;
+watermarks bound state; the memory sink here stands in for an engine-table
+sink (foreachBatch -> Table.insert would be the production path).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_trino_sql_demo_spark.functions.trino import decimal_sum
+from iceberg_trino_sql_demo_spark.session import table_path
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_counts(events: DataFrame, watermark: bool = False) -> DataFrame:
+    """The shared batch/stream plan: 1h tumbling count+sum per event type."""
+    df = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if watermark:
+        df = df.withWatermark("ts", "2 hours")
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def stream_tumbling_counts(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_tumbling"
+) -> DataFrame:
+    """Drain events.parquet as a micro-batch stream into a memory sink and
+    return the final aggregate as a DataFrame."""
+    # the file source wants a directory: stream the sf dir, globbed to the
+    # events table file(s)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = windowed_counts(src, watermark=True)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(query_name)

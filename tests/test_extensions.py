@@ -1,0 +1,101 @@
+"""Phase-7 tests: the approximate operators are checked against their exact
+counterparts (recall), the deterministic ones for stability and shape."""
+
+from __future__ import annotations
+
+from iceberg_trino_sql_demo_spark import operators as ops
+
+ops.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates + exact verification must recover every true pair at
+    tau=0.5 that banding can see; with 16 bands x 4 rows the miss
+    probability for jaccard >= 0.9 pairs is ~(1-0.9^4)^16 < 0.3% per pair."""
+    exact = _pairs(ops.QUERIES["dedup_shingle_jaccard"](spark, SF))
+    approx = _pairs(ops.QUERIES["dedup_minhash_lsh"](spark, SF))
+    assert approx <= exact, "verification step must kill false positives"
+    high = exact  # planted dups in this corpus are jaccard ~1.0
+    recall = len(approx & high) / max(len(high), 1)
+    assert recall >= 0.9, f"recall {recall} over {len(high)} true pairs"
+
+
+def test_simhash_finds_planted_dups(spark):
+    """Exact duplicate texts have identical simhash -> hamming 0 pairs."""
+    exact = _pairs(ops.QUERIES["dedup_shingle_jaccard"](spark, SF))
+    sim = ops.QUERIES["dedup_simhash"](spark, SF)
+    sim_pairs = _pairs(sim)
+    ham0 = {(r.id_a, r.id_b) for r in sim.where("hamming = 0").collect()}
+    assert ham0, "expected some hamming-0 pairs"
+    overlap = len(sim_pairs & exact) / max(len(sim_pairs), 1)
+    assert overlap >= 0.5, f"simhash pairs should mostly be true near-dups ({overlap})"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    brute = [r.vec_id for r in ops.QUERIES["ann_topk_bruteforce"](spark, SF).collect()]
+    approx = [r.vec_id for r in ops.QUERIES["ann_topk_lsh"](spark, SF).collect()]
+    # random 64-dim corpus: top-10 neighbours sit at ~68-75 deg from the
+    # query, where an 8-bit/r=3 sign-LSH filter passes ~half — recall on
+    # *random* data is inherently modest; near-duplicates (the actual dedup
+    # case) pass with p > 0.99 (see ann_topk_lsh docstring).
+    recall = len(set(brute) & set(approx)) / len(brute)
+    assert recall >= 0.3, f"multi-probe LSH top-k recall {recall}"
+    # approximate scores must be a subset of genuine cosines: every returned
+    # id that IS in the brute-force list must carry the same score there
+    bs = {r.vec_id: r.cosine for r in ops.QUERIES["ann_topk_bruteforce"](spark, SF).collect()}
+    for r in ops.QUERIES["ann_topk_lsh"](spark, SF).collect():
+        if r.vec_id in bs:
+            assert abs(r.cosine - bs[r.vec_id]) < 1e-9
+
+
+def test_langid_deterministic_and_total(spark):
+    a = ops.QUERIES["text_langid"](spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    rows = a.collect()
+    assert len(rows) == n_docs, "every document gets a prediction"
+    assert all(r.predicted_lang is not None for r in rows)
+    b = {r.doc_id: r.predicted_lang for r in ops.QUERIES["text_langid"](spark, SF).collect()}
+    assert {r.doc_id: r.predicted_lang for r in rows} == b, "deterministic"
+
+
+def test_fingerprint_identity(spark):
+    """Identical texts -> identical fingerprints (the dedup_exact corpus has
+    injected exact copies under shifted ids)."""
+    fp = {r.doc_id: r.fingerprint for r in ops.QUERIES["text_fingerprint"](spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    # find two docs with identical text via the exact-dup query on the corpus
+    same_text = {}
+    for did, txt in texts.items():
+        same_text.setdefault(txt, []).append(did)
+    clusters = [ids for ids in same_text.values() if len(ids) > 1]
+    for ids in clusters:
+        assert len({fp[i] for i in ids if i in fp}) == 1
+
+
+def test_multimodal_features(spark):
+    out = ops.QUERIES["multimodal_features"](spark, SF)
+    rows = out.collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    r0 = rows[0]
+    assert r0.n_bytes > 0 and len(r0.checksum) == 16
+    assert 0 <= r0.width < 1920 and 0 <= r0.height < 1080
+    assert 0.0 <= r0.feature_norm <= 1.0
+    # deterministic across runs
+    again = {r.doc_id: r.checksum for r in ops.QUERIES["multimodal_features"](spark, SF).collect()}
+    assert {r.doc_id: r.checksum for r in rows} == again
+    # media table schema: opaque binary + typed metadata
+    from iceberg_trino_sql_demo_spark.operators.multimodal import media_table
+
+    mt = media_table(spark, SF)
+    kinds = dict(mt.dtypes)
+    assert kinds["media"] == "binary"
+    assert kinds["media_type"] == "string"
+    assert kinds["meta"].startswith("struct")
