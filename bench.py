@@ -25,6 +25,12 @@ _ops.load_all()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# At bench scale (MBs) every shuffle coalesces to a handful of tasks anyway;
+# a high initial partition count is pure scheduler overhead (~15% of total
+# wall time measured at sf0.1).  On a real cluster this is raised to match
+# data volume — AQE handles the coalescing in both regimes.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+
 
 def _sf_label(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))

@@ -1,0 +1,451 @@
+"""Trino-dialect SQL frontend — run the reference script's statements
+verbatim (modulo data-source names) against the PySpark engine.
+
+``Engine.sql(stmt)`` dispatches every statement shape that appears in
+/root/reference/iceberg_trino_sqldemo.sql (all 48 operation kinds of
+SURVEY.md §2) to the catalog/Table API, and routes SELECTs through
+``spark.sql`` after a dialect rewrite:
+
+- engine tables (current snapshot, ``FOR VERSION AS OF`` pins, ``@branch``
+  DML targets, ``"t$metadata"`` tables, ``TABLE(system.table_changes(...))``)
+  are resolved to temp views *before* Spark parses the query;
+- Trino-isms are translated: ``date('x')`` -> ``DATE 'x'``,
+  ``date_format(ts,'%Y/%m/%d-%T')`` pattern dialect, ``now()``,
+  ``JSON '...'`` literals, ``"$hidden"`` column quoting;
+- everything relational stays Catalyst: the frontend never interprets rows.
+
+This is a statement-shape parser (anchored regexes over the reference's
+grammar slice), not a general SQL parser — by design: the engine's native
+API is the DataFrame layer; this adapter exists so a user of the reference
+demo can run their script.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_trino_sql_demo_spark.functions.trino import translate_datetime_pattern
+from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+from iceberg_trino_sql_demo_spark.sources.table import Table
+
+_FLAGS = re.IGNORECASE | re.DOTALL
+
+_TYPE_MAP = {
+    "varchar": "string",
+    "json": "variant",
+    "timestamp(9)": "timestamp_ns",
+    "timestamp(6)": "timestamp",
+    "integer": "int",
+}
+
+_DURATION = {"s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+_SIZE = {"KB": 1024, "MB": 1024**2, "GB": 1024**3}
+
+
+def _strip(name: str) -> str:
+    return name.replace('"', "").strip()
+
+
+def _last(name: str) -> str:
+    return _strip(name).split(".")[-1]
+
+
+class Engine:
+    """Session facade: catalog + SQL dispatch (reference `USE` state, :9)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, warehouse)
+        self.session: dict[str, str] = {}
+        self._view_n = 0
+
+    # ------------------------------------------------------------------
+    def sql(self, statement: str) -> DataFrame | None:
+        s = statement.strip().rstrip(";").strip()
+        for pattern, handler in self._DISPATCH:
+            m = pattern.match(s)
+            if m:
+                return handler(self, m)
+        raise ValueError(f"unsupported statement: {s[:120]!r}")
+
+    # -- helpers --------------------------------------------------------
+    def _table(self, name: str) -> Table:
+        return self.catalog.table(_last(name))
+
+    def _tmp_view(self, df: DataFrame, hint: str) -> str:
+        self._view_n += 1
+        name = f"__eng_{hint}_{self._view_n}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    def _one_row(self, text: str, col: str) -> DataFrame:
+        return self.spark.createDataFrame([(text,)], f"{col} string")
+
+    # -- SELECT rewriting ----------------------------------------------
+    def _rewrite_select(self, s: str) -> str:
+        wants_hidden = bool(re.search(r'"\$\w+"', s))
+        # TABLE(system.table_changes(...)) -> registered CDC view (:114-125)
+        def sub_changes(m: re.Match) -> str:
+            args = m.group(1)
+            kw = dict(re.findall(r"(\w+)\s*=>\s*('[^']*'|\d+)", args))
+            tbl = self._table(kw["table_name"].strip("'"))
+            df = tbl.table_changes(int(kw["start_snapshot_id"]), int(kw["end_snapshot_id"]))
+            return self._tmp_view(df, "changes")
+
+        s = re.sub(
+            r"TABLE\s*\(\s*system\.table_changes\s*\((.*?)\)\s*\)",
+            sub_changes, s, flags=_FLAGS,
+        )
+
+        # "table$meta" -> metadata-table view (:74-82)
+        def sub_meta(m: re.Match) -> str:
+            return self._tmp_view(self._table(m.group(1)).meta_df(m.group(2)), m.group(2))
+
+        s = re.sub(r'"([\w.]+)\$(\w+)"', sub_meta, s)
+
+        # FROM/JOIN table [FOR VERSION AS OF x] -> engine-table views
+        def sub_from(m: re.Match) -> str:
+            kw, raw, version = m.group(1), m.group(2), m.group(3)
+            name = _last(raw)
+            # stored views re-execute their SQL (D14, :53-55) — recursively
+            try:
+                q = self.catalog._qualify(name)
+            except ValueError:
+                q = None
+            if q and q in self.catalog.data["views"]:
+                df = self._select(self.catalog.data["views"][q])
+                return f"{kw} {self._tmp_view(df, name)}"
+            try:
+                t = self.catalog.table(name)
+            except (KeyError, ValueError):
+                return f"{kw} {name}"  # plain temp view (testdata / federation)
+            if version is None:
+                df = t.df(hidden=wants_hidden)
+            elif version.startswith("'"):
+                df = t.df(ref=version.strip("'"), hidden=wants_hidden)
+            else:
+                df = t.df(version=int(version), hidden=wants_hidden)
+            return f"{kw} {self._tmp_view(df, name)}"
+
+        s = re.sub(
+            r"\b(FROM|JOIN)\s+([\w.\"]+)"
+            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+('[\w]+'|\d+))?",
+            sub_from, s, flags=_FLAGS,
+        )
+
+        # hidden columns "$row_id" -> _row_id (:65-72)
+        s = re.sub(r'"\$(\w+)"', r"_\1", s)
+        # Trino date('x') literal (:15)
+        s = re.sub(r"\bdate\s*\(\s*'([^']+)'\s*\)", r"DATE '\1'", s, flags=_FLAGS)
+        # date_format pattern dialect (:87)
+        s = re.sub(
+            r"date_format\s*\(([^,]+),\s*'([^']*)'\s*\)",
+            lambda m: f"date_format({m.group(1)}, '{translate_datetime_pattern(m.group(2))}')",
+            s, flags=_FLAGS,
+        )
+        # now() (:268)
+        s = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", s, flags=_FLAGS)
+        # JSON '...' literal (:177)
+        s = re.sub(r"\bJSON\s+'([^']*)'", r"parse_json('\1')", s)
+        return s
+
+    def _select(self, s: str) -> DataFrame:
+        return self.spark.sql(self._rewrite_select(s))
+
+    # -- statement handlers --------------------------------------------
+    def _h_set_session(self, m: re.Match) -> None:
+        self.session[m.group(1)] = m.group(2)  # S1: accepted no-op (:1)
+
+    def _h_create_schema(self, m: re.Match) -> None:
+        props = m.group(2) or ""
+        loc = re.search(r"location\s*=\s*'([^']*)'", props, _FLAGS)
+        # s3:// locations have no meaning in-sandbox; keep name, local dir
+        self.catalog.create_schema(_last(m.group(1)),
+                                   None if (loc and "://" in loc.group(1)) else
+                                   (loc.group(1) if loc else None))
+
+    def _h_show_create_schema(self, m: re.Match) -> DataFrame:
+        return self._one_row(self.catalog.show_create_schema(_last(m.group(1))),
+                             "create_schema")
+
+    def _h_use(self, m: re.Match) -> None:
+        self.catalog.use(_last(m.group(1)))
+
+    def _h_drop_schema(self, m: re.Match) -> None:
+        pass  # schemas only hold registry entries; DROP SCHEMA is a no-op stub
+
+    def _h_ctas(self, m: re.Match) -> None:
+        name, props_s, select = _last(m.group(1)), m.group(2) or "", m.group(3)
+        props: dict[str, str] = {}
+        partitioning: list[str] = []
+        sort_order: list[str] = []
+        arr = re.search(r"partitioning\s*=\s*ARRAY\s*\[(.*?)\]", props_s, _FLAGS)
+        if arr:
+            partitioning = [p.strip().strip("'\"") for p in arr.group(1).split(",") if p.strip()]
+        arr = re.search(r"sorted_by\s*=\s*ARRAY\s*\[(.*?)\]", props_s, _FLAGS)
+        if arr:
+            sort_order = [p.strip().strip("'\"") for p in arr.group(1).split(",") if p.strip()]
+        for k, v in re.findall(r"(\w+)\s*=\s*('[^']*'|\d+)", props_s):
+            if k.lower() not in ("partitioning", "sorted_by"):
+                props[k.lower()] = v.strip("'")
+        self.catalog.ctas(name, self._select(select), partitioning, props or None,
+                          sort_order or None)
+
+    def _h_drop_table(self, m: re.Match) -> None:
+        self.catalog.drop_table(_last(m.group(1)), if_exists=True)
+
+    def _h_show_create_table(self, m: re.Match) -> DataFrame:
+        name = _last(m.group(1))
+        return self._one_row(self._table(name).show_create(name), "create_table")
+
+    def _h_analyze(self, m: re.Match) -> None:
+        self._table(m.group(1)).analyze()
+
+    def _h_show_stats(self, m: re.Match) -> DataFrame:
+        return self._table(m.group(1)).show_stats()
+
+    def _h_create_view(self, m: re.Match) -> None:
+        self.catalog.create_view(_last(m.group(1)), m.group(2))
+
+    def _h_create_mv(self, m: re.Match) -> None:
+        name, props_s, select = _last(m.group(1)), m.group(2) or "", m.group(3)
+        sched = re.search(r"refresh_schedule\s*=\s*'([^']*)'", props_s, _FLAGS)
+        props = {"mv": "true"}
+        if sched:
+            props["refresh_schedule"] = sched.group(1)
+        self.catalog.ctas(name, self._select(select), properties=props)
+        self.catalog.data["mviews"][self.catalog._qualify(name)] = {"sql": select}
+        self.catalog._save()
+
+    def _h_refresh_mv(self, m: re.Match) -> None:
+        q = self.catalog._qualify(_last(m.group(1)))
+        select = self.catalog.data["mviews"][q]["sql"]
+        t = self.catalog.table(_last(m.group(1)))
+        self.catalog.ctas(_last(m.group(1)), self._select(select),
+                          properties=t.meta.properties)
+
+    def _h_insert(self, m: re.Match) -> None:
+        name, branch, cols_s, values_s = m.group(1), m.group(2), m.group(3), m.group(4)
+        cols = [c.strip().strip('"') for c in cols_s.split(",")]
+        rows = []
+        for row_m in re.finditer(r"\(((?:[^()']|'[^']*'|\([^)]*\))*)\)", values_s):
+            vals = _split_values(row_m.group(1))
+            rows.append({c: v for c, v in zip(cols, vals)})
+        self._table(name).insert(rows, ref=branch or "main")
+
+    def _h_update(self, m: re.Match) -> None:
+        name, branch, sets_s, where = m.group(1), m.group(2), m.group(3), m.group(4)
+        assignments: dict[str, Any] = {}
+        for part in _split_top(sets_s):
+            col, expr = part.split("=", 1)
+            assignments[col.strip()] = expr.strip()
+        self._table(name).update(assignments, where, ref=branch or "main")
+
+    def _h_delete(self, m: re.Match) -> None:
+        self._table(m.group(1)).delete(m.group(3), ref=m.group(2) or "main")
+
+    def _h_merge(self, m: re.Match) -> None:
+        tgt, _ta, src, sa, on, rest = m.groups()
+        src_df = self._select(f"SELECT * FROM {src}")
+        mm = re.search(
+            r"WHEN\s+MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+UPDATE\s+SET\s+(.*?)"
+            r"(?:WHEN\s+NOT\s+MATCHED|$)", rest, _FLAGS)
+        matched_set, matched_cond = {}, None
+        if mm:
+            if mm.group(1):
+                matched_cond = re.sub(rf"\b{sa}\.(\w+)", r"__src_\1", mm.group(1))
+                matched_cond = re.sub(r"\b\w+\.(\w+)", r"\1", matched_cond)
+            for part in _split_top(mm.group(2)):
+                col, expr = part.split("=", 1)
+                expr = re.sub(rf"\b{sa}\.(\w+)", r"__src_\1", expr.strip())
+                matched_set[col.strip().split(".")[-1]] = expr
+        key = re.search(r"\(?\s*\w+\.(\w+)\s*=", on).group(1)
+        insert_not_matched = bool(re.search(r"WHEN\s+NOT\s+MATCHED", rest, _FLAGS))
+        self._table(tgt).merge(src_df, on=key, matched_set=matched_set,
+                               matched_condition=matched_cond,
+                               insert_not_matched=insert_not_matched)
+
+    def _h_add_column(self, m: re.Match) -> None:
+        name, col, type_s, default = m.groups()
+        t = _TYPE_MAP.get(type_s.lower(), type_s.lower())
+        self._table(name).add_column(col, t,
+                                     default=_parse_literal(default) if default else None)
+
+    def _h_drop_column(self, m: re.Match) -> None:
+        self._table(m.group(1)).drop_column(m.group(2))
+
+    def _h_set_partitioning(self, m: re.Match) -> None:
+        parts = [p.strip().strip("'\"") for p in m.group(2).split(",") if p.strip()]
+        self._table(m.group(1)).set_partitioning(parts)
+
+    def _h_execute(self, m: re.Match) -> None:
+        name, proc, args, where = m.groups()
+        t = self._table(name)
+        if proc.lower() == "expire_snapshots":
+            t.expire_snapshots(_parse_duration(args))
+        elif proc.lower() == "remove_orphan_files":
+            t.remove_orphan_files(_parse_duration(args))
+        elif proc.lower() == "optimize":
+            threshold = _parse_size(args) if args else 100 * 1024**2
+            cutoff_ms = None
+            if where:
+                # "$file_modified_time" > <expr> — evaluate expr via Spark
+                expr = re.search(r">\s*(.*)$", where, _FLAGS).group(1)
+                expr = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", expr, flags=_FLAGS)
+                row = self.spark.sql(f"SELECT CAST({expr} AS TIMESTAMP)").head()
+                cutoff_ms = int(row[0].timestamp() * 1000)
+            t.optimize(file_size_threshold=threshold, modified_after_ms=cutoff_ms)
+        else:
+            raise ValueError(f"unknown procedure {proc}")
+
+    def _h_call_rollback(self, m: re.Match) -> None:
+        args = m.group(1)
+        parts = [a.strip().strip("'") for a in _split_top(args)]
+        kw = dict(re.findall(r"(\w+)\s*=>\s*('[^']*'|\d+)", args))
+        if kw:
+            tbl, sid = kw.get("table_name", "").strip("'"), kw.get("snapshot_id")
+        else:
+            tbl, sid = parts[1], parts[2]
+        self._table(tbl).rollback_to_snapshot(int(sid))
+
+    def _h_call_register(self, m: re.Match) -> None:
+        kw = dict(re.findall(r"(\w+)\s*=>\s*'([^']*)'", m.group(1)))
+        self.catalog.register_table(
+            _last(kw["schema_name"]), kw["table_name"], kw["table_location"]
+        )
+
+    def _h_create_branch(self, m: re.Match) -> None:
+        self._table(m.group(2)).create_branch(m.group(1), if_not_exists=True)
+
+    def _h_drop_branch(self, m: re.Match) -> None:
+        self._table(m.group(2)).drop_branch(m.group(1), if_exists=True)
+
+    def _h_show_branches(self, m: re.Match) -> DataFrame:
+        return self._table(m.group(1)).meta_df("refs")
+
+    def _h_fast_forward(self, m: re.Match) -> None:
+        branch, name, to = m.groups()
+        self._table(name).fast_forward(branch, to)
+
+    def _h_select(self, m: re.Match) -> DataFrame:
+        return self._select(m.group(0))
+
+    # dispatch table: (anchored pattern, handler) — first match wins
+    _DISPATCH = [
+        (re.compile(r"^SET\s+SESSION\s+([\w.]+)\s*=\s*(.+)$", _FLAGS), _h_set_session),
+        (re.compile(r"^CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)"
+                    r"(?:\s+WITH\s*\((.*)\))?$", _FLAGS), _h_create_schema),
+        (re.compile(r"^SHOW\s+CREATE\s+SCHEMA\s+([\w.\"]+)$", _FLAGS), _h_show_create_schema),
+        (re.compile(r"^USE\s+([\w.\"]+)$", _FLAGS), _h_use),
+        (re.compile(r"^DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)$", _FLAGS), _h_drop_schema),
+        (re.compile(r"^CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+([\w.\"]+)\s*"
+                    r"(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT.*)$", _FLAGS), _h_ctas),
+        (re.compile(r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)$", _FLAGS), _h_drop_table),
+        (re.compile(r"^SHOW\s+CREATE\s+TABLE\s+([\w.\"]+)$", _FLAGS), _h_show_create_table),
+        (re.compile(r"^ANALYZE\s+([\w.\"]+)$", _FLAGS), _h_analyze),
+        (re.compile(r"^SHOW\s+STATS\s+FOR\s+([\w.\"]+)$", _FLAGS), _h_show_stats),
+        (re.compile(r"^CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+([\w.\"]+)\s*"
+                    r"(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT.*)$", _FLAGS), _h_create_mv),
+        (re.compile(r"^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.\"]+)$", _FLAGS), _h_refresh_mv),
+        (re.compile(r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+(SELECT.*)$",
+                    _FLAGS), _h_create_view),
+        (re.compile(r"^INSERT\s+INTO\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?\(([^)]*)\)\s*"
+                    r"VALUES\s*(.*)$", _FLAGS), _h_insert),
+        (re.compile(r"^UPDATE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SET\s+(.*?)\s+WHERE\s+(.*)$",
+                    _FLAGS), _h_update),
+        (re.compile(r"^DELETE\s+FROM\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?\s*WHERE\s+(.*)$",
+                    _FLAGS), _h_delete),
+        (re.compile(r"^MERGE\s+INTO\s+([\w.\"]+)\s+AS\s+(\w+)\s+USING\s+([\w.\"]+)\s+AS\s+(\w+)"
+                    r"\s+ON\s+(\(.*?\)|[^\s]+(?:\s*=\s*[^\s]+))\s+(WHEN\s+.*)$", _FLAGS), _h_merge),
+        (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()0-9]+)"
+                    r"(?:\s+DEFAULT\s+(.+))?$", _FLAGS), _h_add_column),
+        (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+DROP\s+COLUMN\s+(\w+)$", _FLAGS),
+         _h_drop_column),
+        (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+SET\s+PROPERTIES\s+partitioning\s*=\s*"
+                    r"ARRAY\s*\[(.*?)\]$", _FLAGS), _h_set_partitioning),
+        (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+EXECUTE\s+(\w+)\s*"
+                    r"(?:\(([^)]*)\))?\s*(?:WHERE\s+(.*))?$", _FLAGS), _h_execute),
+        (re.compile(r"^CALL\s+system\.rollback_to_snapshot\s*\((.*)\)$", _FLAGS),
+         _h_call_rollback),
+        (re.compile(r"^CALL\s+system\.register_table\s*\((.*)\)$", _FLAGS), _h_call_register),
+        (re.compile(r"^CREATE\s+BRANCH\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+IN\s+TABLE\s+([\w.\"]+)$",
+                    _FLAGS), _h_create_branch),
+        (re.compile(r"^DROP\s+BRANCH\s+(?:IF\s+EXISTS\s+)?(\w+)\s+IN\s+TABLE\s+([\w.\"]+)$",
+                    _FLAGS), _h_drop_branch),
+        (re.compile(r"^SHOW\s+BRANCHES\s+FROM\s+TABLE\s+([\w.\"]+)$", _FLAGS), _h_show_branches),
+        (re.compile(r"^ALTER\s+BRANCH\s+(\w+)\s+IN\s+TABLE\s+([\w.\"]+)\s+FAST\s+FORWARD\s+TO\s+(\w+)$",
+                    _FLAGS), _h_fast_forward),
+        (re.compile(r"^(SELECT|WITH)\b.*$", _FLAGS), _h_select),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# literal / list parsing helpers
+# ---------------------------------------------------------------------------
+def _split_top(s: str) -> list[str]:
+    """Split on commas not inside quotes/parens."""
+    out, depth, cur, q = [], 0, [], False
+    for ch in s:
+        if ch == "'":
+            q = not q
+        elif not q:
+            if ch in "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p for p in (x.strip() for x in out) if p]
+
+
+def _parse_literal(tok: str) -> Any:
+    tok = tok.strip()
+    up = tok.upper()
+    if up == "NULL":
+        return None
+    if up in ("TRUE", "FALSE"):
+        return up == "TRUE"
+    m = re.match(r"^JSON\s+'(.*)'$", tok, _FLAGS)
+    if m:
+        return m.group(1)
+    m = re.match(r"^(?:TIMESTAMP|DATE)\s+'(.*)'$", tok, _FLAGS)
+    if m:
+        return m.group(1)
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        try:
+            return float(tok)
+        except ValueError:
+            return tok
+
+
+def _split_values(row: str) -> list[Any]:
+    return [_parse_literal(t) for t in _split_top(row)]
+
+
+def _parse_duration(args: str | None) -> int:
+    """retention_threshold => '7d' -> ms."""
+    if not args:
+        return 7 * 86_400_000
+    m = re.search(r"'(\d+)\s*([smhd])'", args, _FLAGS)
+    if not m:
+        return 7 * 86_400_000
+    return int(m.group(1)) * _DURATION[m.group(2).lower()]
+
+
+def _parse_size(args: str) -> int:
+    m = re.search(r"'(\d+)\s*(KB|MB|GB)'", args, _FLAGS)
+    if not m:
+        return 100 * 1024**2
+    return int(m.group(1)) * _SIZE[m.group(2).upper()]

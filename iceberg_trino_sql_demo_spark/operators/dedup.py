@@ -85,15 +85,17 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word 3-grams per document.  Documents
     shorter than 3 words produce no shingles (guarded: Spark's sequence()
     would count *down* for a negative span)."""
+    # materialize the split once — inlining split() into the lambda makes
+    # Catalyst re-evaluate it per gram element
     grams = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        " transform(sequence(0, size(split(text, ' ')) - 3),"
-        "  i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],"
-        "  split(text, ' ')[i+2]))"
+        "CASE WHEN size(w) >= 3 THEN "
+        " transform(sequence(0, size(w) - 3),"
+        "  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
         " ELSE array() END"
     )
     return (
-        df.select("doc_id", F.explode(grams).alias("shingle"))
+        df.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(grams).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )

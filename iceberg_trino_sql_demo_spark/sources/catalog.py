@@ -44,6 +44,7 @@ class Catalog:
 
     # -- namespaces (D1-D3) ------------------------------------------------
     def create_schema(self, name: str, location: str | None = None, **properties) -> None:
+        name = name.lower()
         if name in self.data["schemas"]:
             return
         loc = location or os.path.join(self.warehouse, name)
@@ -56,11 +57,15 @@ class Catalog:
         return f"CREATE SCHEMA {name}\nWITH (\n   location = '{s['location']}'\n)"
 
     def use(self, name: str) -> None:
+        name = name.lower()
         if name not in self.data["schemas"]:
             raise KeyError(name)
         self.current_schema = name
 
     def _qualify(self, name: str) -> str:
+        # SQL identifiers are case-insensitive: normalize, or an uppercase
+        # reference would silently fall through to a same-named temp view
+        name = name.lower()
         if "." in name:
             return name
         if not self.current_schema:
@@ -119,7 +124,7 @@ class Catalog:
         io = MetadataIO(location)
         if io.current_version() == 0:
             raise FileNotFoundError(f"no table metadata under {location}")
-        q = f"{schema}.{table}"
+        q = f"{schema}.{table}".lower()
         self.data["tables"][q] = location
         self._save()
         return Table(self.spark, location)

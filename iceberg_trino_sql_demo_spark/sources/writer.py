@@ -192,8 +192,17 @@ def harvest_files(
                         continue
                     st = col.statistics
                     cur = stats.setdefault(str(fld.id), {"min": None, "max": None, "nulls": 0})
-                    if st.has_min_max:
-                        mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    try:
+                        has_min_max = st.has_min_max
+                        mn, mx = (
+                            (_stat_value(st.min), _stat_value(st.max))
+                            if has_min_max else (None, None)
+                        )
+                    except NotImplementedError:
+                        # pyarrow can't cast stats for some logical types
+                        # (e.g. ns timestamps) — skip, pruning stays safe
+                        has_min_max = False
+                    if has_min_max:
                         if cur["min"] is None or (mn is not None and mn < cur["min"]):
                             cur["min"] = mn
                         if cur["max"] is None or (mx is not None and mx > cur["max"]):
