@@ -348,3 +348,90 @@ def top_acctbal_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference's literal statements (SURVEY.md §2.5 notes these exist
+# natively in Spark): window functions, hierarchical rollup, set operations —
+# included so the engine's relational surface is complete for users who go
+# past the demo script.
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_per_nation",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey AS nationkey,
+             c_custkey AS custkey,
+             c_acctbal AS acctbal,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                 AS nation_total
+        FROM customer)
+     WHERE rk <= 3
+    """,
+)
+def window_rank_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation by balance + a windowed nation total.
+    One shuffle on the partition key serves both window functions."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wt = Window.partitionBy("c_nationkey")
+    return (
+        c.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).alias("rk"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(wt)
+            .cast("double").alias("nation_total"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "rollup_order_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (status -> priority -> grand total) in one
+    pass — Catalyst expands the rollup into a single Expand + hash-agg."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT chain: AUTOMOBILE customers with recent orders and
+    non-negative balances.  Catalyst plans both as hash semi/anti joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    recent = o.where(F.to_date("o_orderdate") >= F.lit("2000-01-01").cast("date")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    negative = c.where(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
+    return auto.intersect(recent).exceptAll(negative).distinct()
