@@ -214,6 +214,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # without any all-pairs scan.  Rows-only (hash function engine-specific).
 # ---------------------------------------------------------------------------
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit simhash per doc.
+
+    Per bit b: majority vote of token-hash bits — ``2*sum(bit_b) >= n``.
+    The signature is assembled as a binary string -> ``conv(_, 2, 10)``;
+    a fold of 63 shifted adds builds an expression tree deep enough to
+    dominate wall time with *analysis*, not execution.
+    """
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -221,21 +228,19 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.xxhash64("tok")
     bit_sums = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(64)
-        ]
-    )
-    sig = bit_sums.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"s{b}") >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** b).cast("long"))
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"s{b}")
             for b in range(63)
-        ).alias("simhash"),
+        ],
     )
-    return sig
+    bits = [
+        F.when(2 * F.col(f"s{b}") >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+        for b in range(62, -1, -1)
+    ]
+    return bit_sums.select(
+        "doc_id", F.conv(F.concat(*bits), 2, 10).cast("long").alias("simhash")
+    )
 
 
 @register("dedup_simhash")

@@ -488,8 +488,17 @@ class MetadataIO:
 
     # -- manifests --------------------------------------------------------
     def write_manifest(self, snapshot_id: int, manifest: Manifest) -> str:
+        """Write a snapshot manifest under a UNIQUE path.
+
+        The uuid suffix is load-bearing for optimistic concurrency: two
+        writers racing on the same table both pick the same next snapshot
+        id, and manifests are written *before* the version-pointer CAS — an
+        id-keyed filename would let the losing writer clobber the winner's
+        committed manifest (silent data loss on its retry)."""
         os.makedirs(self.meta_dir, exist_ok=True)
-        rel = os.path.join("metadata", f"snap-{snapshot_id}.json")
+        rel = os.path.join(
+            "metadata", f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.json"
+        )
         with open(os.path.join(self.location, rel), "w") as fh:
             json.dump(manifest.to_dict(), fh, default=str)
         return rel

@@ -295,12 +295,23 @@ class Table:
         new_files = write_data_files(
             df, self.location, m.schema, m.spec, m.last_sequence_number + 1, m.sort_order or None
         )
-        manifest = Manifest(base.data_files + new_files, base.delete_files)
-        return self._commit_snapshot(
-            manifest, operation, ref,
-            {"added-data-files": len(new_files),
-             "added-records": sum(f.record_count for f in new_files), **(summary or {})},
-        )
+        summary = {"added-data-files": len(new_files),
+                   "added-records": sum(f.record_count for f in new_files), **(summary or {})}
+        # optimistic concurrency (SURVEY.md §7 hard parts): appends commute,
+        # so on a version conflict re-read the metadata, rebase the already-
+        # written file group onto the new head, and retry the commit.
+        # Non-append ops (overwrite/delete) must NOT auto-retry — their
+        # affected-file planning is stale after a concurrent commit.
+        for attempt in range(5):
+            try:
+                manifest = Manifest(base.data_files + new_files, base.delete_files)
+                return self._commit_snapshot(manifest, operation, ref, summary)
+            except RuntimeError:
+                if operation != "append" or base_manifest is not None or attempt == 4:
+                    raise
+                self.refresh()
+                base = self._manifest(self._resolve(ref))
+        raise AssertionError("unreachable")
 
     def _align_values_df(self, rows: list[dict]) -> DataFrame:
         """VALUES rows (possibly partial columns) -> schema-aligned DataFrame

@@ -164,3 +164,27 @@ def test_metadata_tables_render(customer):
 def test_register_table(spark, cat, customer):
     t = cat.register_table("demo", "new_customer", customer.location)
     assert t.df().count() == customer.df().count()
+
+
+def test_concurrent_append_retries(spark, cat, sf_dir):
+    """Two Table handles appending interleaved: the stale handle must rebase
+    onto the new head instead of failing (appends commute); a stale UPDATE
+    must refuse (its affected-file planning no longer holds)."""
+    import pytest as _pytest
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.ctas("nation_cc", nation)
+    a = cat.table("nation_cc")
+    b = cat.table("nation_cc")  # separate handle, same table on disk
+
+    a.insert([{"n_nationkey": 901, "n_name": "A1", "n_regionkey": 0}])
+    # b's view is now stale; its append must rebase and succeed
+    b.insert([{"n_nationkey": 902, "n_name": "B1", "n_regionkey": 0}])
+    merged = cat.table("nation_cc").df()
+    keys = {r.n_nationkey for r in merged.where("n_nationkey >= 900").collect()}
+    assert keys == {901, 902}, "both appends must survive the race"
+
+    # stale non-append DML refuses instead of silently clobbering
+    a.insert([{"n_nationkey": 903, "n_name": "A2", "n_regionkey": 0}])
+    with _pytest.raises(RuntimeError, match="concurrent commit"):
+        b.update({"n_name": "'X'"}, "n_nationkey = 901")
