@@ -173,6 +173,33 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+           max(event_id) AS last_event_id
+      FROM events
+     GROUP BY user_id
+    """,
+    bench=False,
+)
+def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals accumulated across micro-batches; after draining, the
+    state equals the batch aggregate — which is exactly the oracle."""
+    import uuid
+
+    from iceberg_trino_sql_demo_spark.streaming.stateful import (
+        stream_running_user_totals,
+    )
+
+    return stream_running_user_totals(
+        spark, sf_dir, query_name=f"stateful_{uuid.uuid4().hex[:8]}"
+    )
+
+
+@register(
     "events_variant_extract",
     oracle="""
     SELECT event_type,

@@ -75,7 +75,29 @@ def _cmp_ok(lo: Any, hi: Any, op: Op, value: Any) -> bool:
         return True  # incomparable types -> keep
 
 
-def _partition_ok(f: DataFile, meta: TableMetadata, pred: Predicate) -> bool:
+_BUCKET_CACHE: dict[tuple, int] = {}
+
+
+def bucket_of(spark, value: Any, n: int, src_type: str) -> int:
+    """Bucket id of a literal under the write path's hash (xxhash64 % n).
+
+    xxhash64 only exists JVM-side, so the planner asks Spark itself via a
+    one-row local query (cached per literal) — the cost of one driver-local
+    projection buys skipping every non-matching bucket's files.
+    """
+    key = (repr(value), n, src_type)
+    if key not in _BUCKET_CACHE:
+        lit = f"'{value}'" if isinstance(value, str) else repr(value)
+        row = spark.sql(
+            f"SELECT pmod(xxhash64(CAST({lit} AS {src_type})), {n})"
+        ).head()
+        _BUCKET_CACHE[key] = int(row[0])
+    return _BUCKET_CACHE[key]
+
+
+def _partition_ok(
+    f: DataFile, meta: TableMetadata, pred: Predicate, spark=None
+) -> bool:
     spec = meta.spec_by_id(f.spec_id)
     file_schema = meta.schema_by_id(f.schema_id)
     for sf in spec.fields:
@@ -108,9 +130,11 @@ def _partition_ok(f: DataFile, meta: TableMetadata, pred: Predicate) -> bool:
                 tv = t.eval_py(pred.value)
                 if tv is not None and pv is not None and pv < tv:
                     return False
-        elif t.name == "bucket" and pred.op == "=":
-            # bucket equality pruning needs the JVM hash; skipped driver-side.
-            pass
+        elif t.name == "bucket" and spark is not None and pred.op in ("=", "in"):
+            vals = pred.value if pred.op == "in" else [pred.value]
+            buckets = {bucket_of(spark, v, int(t.param), src.type) for v in vals}
+            if pv not in buckets:
+                return False
     return True
 
 
@@ -127,12 +151,18 @@ def _stats_ok(f: DataFile, meta: TableMetadata, pred: Predicate) -> bool:
 
 
 def prune_files(
-    files: Iterable[DataFile], meta: TableMetadata, predicates: Iterable[Predicate]
+    files: Iterable[DataFile],
+    meta: TableMetadata,
+    predicates: Iterable[Predicate],
+    spark=None,
 ) -> list[DataFile]:
-    """Files that may contain rows matching ALL predicates (AND semantics)."""
+    """Files that may contain rows matching ALL predicates (AND semantics).
+    ``spark`` enables bucket-transform equality pruning (JVM hash probe)."""
     preds = list(predicates)
     out = []
     for f in files:
-        if all(_partition_ok(f, meta, p) and _stats_ok(f, meta, p) for p in preds):
+        if all(
+            _partition_ok(f, meta, p, spark) and _stats_ok(f, meta, p) for p in preds
+        ):
             out.append(f)
     return out

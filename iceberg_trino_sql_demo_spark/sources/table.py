@@ -210,7 +210,8 @@ class Table:
         preds = parse_simple_predicates(where) if where else []
         if preds:
             manifest = Manifest(
-                prune_files(manifest.data_files, self.meta, preds), manifest.delete_files
+                prune_files(manifest.data_files, self.meta, preds, self.spark),
+                manifest.delete_files,
             )
         out = snapshot_df(self.spark, self.meta, manifest, hidden=hidden)
         if where:

@@ -55,6 +55,32 @@ def windowed_counts(events: DataFrame, watermark: bool = False) -> DataFrame:
     )
 
 
+def stream_into_table(spark: SparkSession, sf_dir: str, table) -> None:
+    """Production ingestion path: micro-batches append to a versioned engine
+    table via foreachBatch — every batch is one atomic snapshot commit, so
+    the stream's progress is time-travelable and CDC-able like any other
+    write (reference surface: CDC :114-125 over streaming appends)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cols = [f.name for f in table.meta.schema.fields]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.insert(batch_df.select(*cols))
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ingest_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    table.refresh()
+
+
 def stream_tumbling_counts(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_tumbling"
 ) -> DataFrame:

@@ -188,3 +188,22 @@ def test_concurrent_append_retries(spark, cat, sf_dir):
     a.insert([{"n_nationkey": 903, "n_name": "A2", "n_regionkey": 0}])
     with _pytest.raises(RuntimeError, match="concurrent commit"):
         b.update({"n_name": "'X'"}, "n_nationkey = 901")
+
+
+def test_bucket_transform_pruning(spark, cat, sf_dir):
+    """bucket(8, custkey): a point lookup prunes to the files of one bucket
+    (the literal's bucket id is resolved by a one-row JVM hash probe)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+    cat.ctas("cust_bucketed", c, partitioning=["bucket(8, custkey)"])
+    t = cat.table("cust_bucketed")
+    files = t.io.read_manifest(t._resolve()).data_files
+    buckets = {f.partition["custkey_bucket_8"] for f in files}
+    assert len(buckets) == 8
+
+    preds = parse_simple_predicates("custkey = 42")
+    pruned = prune_files(files, t.meta, preds, spark)
+    assert len({f.partition["custkey_bucket_8"] for f in pruned}) == 1
+    assert len(pruned) < len(files)
+    assert t.df(where="custkey = 42").count() == 1
