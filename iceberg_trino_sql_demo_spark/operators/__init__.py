@@ -50,6 +50,7 @@ def load_all() -> None:
         similarity,
         text,
         windows_ops,
+        joins_ops,
         table_format_ops,
         multimodal,
     )

@@ -154,32 +154,149 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH — the 100 TB path.  Signature: NUM_PERM min-hashes computed
-# as one aggregation over exploded shingles (xxhash64 with per-permutation
-# seeds, all JVM-side).  Banding: BANDS buckets per doc; docs sharing any
-# band bucket become candidates; candidates are verified with the exact
-# shingle join (scoped to candidates only, not all pairs).
-# Driver check: rows-only (xxhash64 has no DuckDB twin); recall vs the exact
-# operator is asserted in tests/test_extensions.py.
+# as one aggregation over shingles (all JVM-side).  Banding: BANDS buckets
+# per doc; docs sharing any band bucket become candidates; candidates are
+# verified with the exact shingle join (scoped to candidates only, not all
+# pairs).
+#
+# Hash family: ONE md5 per shingle, split into two 60-bit integers (a, b);
+# permutation i is the classic universal-hash (a + i*b) mod P.  md5 and the
+# integer arithmetic are byte-identical in DuckDB, so the *entire* pipeline
+# (signatures, banding, candidate set, verification) is oracle-checked
+# end-to-end.  Recall vs the exact operator is additionally asserted in
+# tests/test_extensions.py.
 # ---------------------------------------------------------------------------
-@register("dedup_minhash_lsh", bench=True)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(NUM_PERM)
-        ]
+#: modulus of the (a + i*b) mod P permutation family — 2^31-1 (Mersenne
+#: prime).  31-bit hashes keep i*b within 2^37, far from BIGINT overflow
+#: (ANSI mode would error), while collision probability stays negligible
+#: for minhash purposes.
+_MINHASH_P = 2_147_483_647
+
+
+def _phash(i: int):
+    """Permutation i min-hash term: (a + i*b) mod P, where a and b are the
+    two 60-bit halves of ONE md5(shingle) reduced mod P (columns ``ha``/
+    ``hb``).  One md5 per shingle serves all NUM_PERM permutations — the
+    per-permutation work is two integer ops, not a fresh hash."""
+    return (F.col("ha") + F.lit(i) * F.col("hb")) % F.lit(_MINHASH_P)
+
+
+_HASHED_SHINGLES_SQL = f"""
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MINHASH_P} AS ha,
+           ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {_MINHASH_P} AS hb
+      FROM sh
+"""
+
+_SIG_SQL = ",\n             ".join(
+    f"min((ha + {i} * hb) % {_MINHASH_P}) AS h{i}" for i in range(NUM_PERM)
+)
+_BAND_SQL = ", ".join(
+    "md5('{b}|' || {cols})".format(
+        b=band,
+        cols=" || '|' || ".join(
+            f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        ),
     )
+    for band in range(BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH sh AS ({{shingles}}),
+    shh AS ({_HASHED_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n,
+             {_SIG_SQL}
+        FROM shh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, unnest([{_BAND_SQL}]) AS bucket FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand
+        JOIN sh a ON a.doc_id = id_a
+        JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
+       GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+     WHERE 2 * n_common >= sa.n + sb.n - n_common
+"""
+
+
+#: persisted frames from the previous invocation, released on the next call
+#: so repeated runs don't grow the session's cache
+_MINHASH_PERSISTED: list[DataFrame] = []
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE.format(
+        shingles=_SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents")
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Performance shape (each alternative measured at sf0.1):
+    # - The permutation min-hash is a LONG — min(long) keeps the 64-column
+    #   aggregate HashAggregate-able with a fixed-size buffer.  min(string)
+    #   (e.g. min of md5 hex) forces SortAggregate; a long-format
+    #   (doc_id, perm, h) explode would sort/shuffle NUM_PERM x shingles =
+    #   17M rows (measured 62 s vs ~8 s for a wide agg).
+    # - ONE md5 per shingle (projected to ha/hb before the agg), not one
+    #   per (shingle, permutation): 0.26M hashes instead of 17M; each
+    #   permutation term is two integer ops inside the codegen'd agg.
+    # - sh and sig are persisted AND materialized eagerly (sig.count()):
+    #   the final plan contains three broadcast subtrees rooted at them;
+    #   launched lazily they race to fill the same cache partitions and
+    #   triplicate the hashing work (measured 80 s cold vs ~20 s).
+    # - Verification is semi-join-scoped to candidate docs, so its cost
+    #   tracks |candidates|, not the corpus.
+    # At 100 TB the same structure holds with MEMORY_AND_DISK persistence;
+    # signatures are ~num_docs x NUM_PERM longs, orders of magnitude
+    # smaller than the data.
+    while _MINHASH_PERSISTED:
+        _MINHASH_PERSISTED.pop().unpersist()
+    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text")).persist()
+    shh = sh.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % _MINHASH_P
+        ).alias("ha"),
+        (
+            F.conv(F.substring(F.md5("shingle"), 17, 15), 16, 10).cast("long")
+            % _MINHASH_P
+        ).alias("hb"),
+    )
+    sig = shh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
+    ).persist()
+    sig.count()  # materialize sh + sig once, before broadcast fan-out
     band_cols = [
-        F.xxhash64(
-            F.lit(band),
-            *[F.col(f"h{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(band)),
+                *[
+                    F.col(f"h{band * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
         ).alias(f"b{band}")
         for band in range(BANDS)
     ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
-    )
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"),
@@ -187,17 +304,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
+    ).persist()
+    _MINHASH_PERSISTED.extend([sh, sig, cand])
+    # verify candidates with exact jaccard (integer arithmetic, tau = 0.5),
+    # over the candidate docs only: semi-join keeps the verification input
+    # proportional to |candidates|, not the corpus
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    # verify candidates with exact jaccard (integer arithmetic, tau = 0.5)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "semi")
     common = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"),
-                        F.col("shingle").alias("shingle_b")), "id_b")
+        cand.join(sh_cand.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh_cand.select(F.col("doc_id").alias("id_b"),
+                             F.col("shingle").alias("shingle_b")), "id_b")
         .where(F.col("shingle") == F.col("shingle_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    sizes = sig.select("doc_id", "n")
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
     return (

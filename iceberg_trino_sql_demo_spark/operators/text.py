@@ -3,7 +3,8 @@
 All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
 whole-stage-codegen'd) — no Python UDFs: token stats and quality scoring are
 split/size/aggregate expressions; language ID is an explode + broadcast-join
-against a tiny lexicon; fingerprinting is xxhash64 over shingles.
+against a tiny lexicon; fingerprinting is a min-over-shingle-hashes rolling
+hash (md5 so the DuckDB oracle reproduces it byte-identically).
 """
 
 from __future__ import annotations
@@ -127,8 +128,40 @@ _MARKERS = {
     "zh": ["de5", "shi4", "le5", "zh", "sh", "ng", "wo"],
 }
 
+_LEX_SQL = ", ".join(
+    f"('{lang}', '{m}')" for lang, ms in _MARKERS.items() for m in ms
+)
 
-@register("text_langid")
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH lex(lang_cand, marker) AS (VALUES {_LEX_SQL}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest([t, substr(t, 1, 2), substr(t, 2, 2)]) AS piece
+        FROM toks WHERE t != ''
+    ),
+    scores AS (
+      SELECT doc_id, lang_cand, CAST(count(*) AS BIGINT) AS hits
+        FROM grams JOIN lex ON piece = marker
+       GROUP BY doc_id, lang_cand
+    ),
+    best AS (
+      SELECT doc_id, lang_cand, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang_cand ASC) AS rk
+        FROM scores
+    )
+    SELECT d.doc_id,
+           coalesce(b.lang_cand, 'und') AS predicted_lang,
+           CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id
+    """,
+)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = spark.createDataFrame(
         [(lang, m) for lang, ms in _MARKERS.items() for m in ms],
@@ -167,14 +200,26 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # document fingerprint — rolling-hash (min over shingle hashes, i.e. a
 # 1-permutation MinHash): identical content -> identical fingerprint, robust
-# to document ordering.  Rows-only (engine-specific hash).
+# to document ordering.  The hash is md5 (hex, lexicographic min) so DuckDB
+# computes the byte-identical fingerprint — full oracle verification; for a
+# 100 TB run, swap F.md5 for F.xxhash64 (same plan shape, cheaper hash).
 # ---------------------------------------------------------------------------
-@register("text_fingerprint")
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iceberg_trino_sql_demo_spark.operators.dedup import shingles
+from iceberg_trino_sql_demo_spark.operators.dedup import _SHINGLES_SQL, shingles
 
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents")})
+    SELECT doc_id,
+           min(md5(shingle)) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
     return sh.groupBy("doc_id").agg(
-        F.min(F.xxhash64("shingle")).alias("fingerprint"),
+        F.min(F.md5("shingle")).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),
     )

@@ -99,3 +99,29 @@ def test_multimodal_features(spark):
     assert kinds["media"] == "binary"
     assert kinds["media_type"] == "string"
     assert kinds["meta"].startswith("struct")
+
+
+def test_asof_join_edge_semantics(spark):
+    """equal-timestamp right rows match (<= semantics); keys with no
+    earlier right row yield nulls; latest-of-several wins."""
+    from datetime import datetime as dt
+
+    from iceberg_trino_sql_demo_spark.operators.joins_ops import asof_join
+
+    left = spark.createDataFrame(
+        [(10, 1, dt(2024, 1, 1, 12, 0, 0)),   # two earlier clicks -> latest
+         (11, 1, dt(2024, 1, 1, 9, 0, 0)),    # exactly at click ts -> match
+         (12, 2, dt(2024, 1, 1, 8, 0, 0))],   # user 2 has no clicks -> null
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 1, dt(2024, 1, 1, 9, 0, 0)),
+         (101, 1, dt(2024, 1, 1, 11, 30, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r.event_id: r.r_event_id
+        for r in asof_join(left, right, on="user_id",
+                           right_cols=("event_id",)).collect()
+    }
+    assert out == {10: 101, 11: 100, 12: None}
