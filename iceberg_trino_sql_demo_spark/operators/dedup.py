@@ -337,7 +337,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash — 64-bit weighted fingerprint; near-dups share bits.  Blocking on
 # four 16-bit chunks guarantees recall for hamming distance <= 3 (pigeonhole)
-# without any all-pairs scan.  Rows-only (hash function engine-specific).
+# without any all-pairs scan.
+#
+# Bit b of a token's hash is the parity of (ha + b*hb) mod P — the same
+# one-md5-per-token family as MinHash, so DuckDB reproduces signatures,
+# blocking, and hamming distances byte-for-byte (full oracle check).
 # ---------------------------------------------------------------------------
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit simhash per doc.
@@ -352,11 +356,23 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .where(F.col("tok") != "")
     )
-    h = F.xxhash64("tok")
-    bit_sums = toks.groupBy("doc_id").agg(
+    th = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+            % _MINHASH_P
+        ).alias("ha"),
+        (
+            F.conv(F.substring(F.md5("tok"), 17, 15), 16, 10).cast("long")
+            % _MINHASH_P
+        ).alias("hb"),
+    )
+    bit_sums = th.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+            F.sum(
+                ((F.col("ha") + F.lit(b) * F.col("hb")) % _MINHASH_P) % 2
+            ).alias(f"s{b}")
             for b in range(63)
         ],
     )
@@ -369,7 +385,51 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")
+_SIMHASH_SUMS_SQL = ",\n             ".join(
+    f"sum((ha + {b} * hb) % {_MINHASH_P} % 2) AS s{b}" for b in range(63)
+)
+_SIMHASH_BITS_SQL = " || ".join(
+    f"CASE WHEN 2 * s{b} >= n THEN '1' ELSE '0' END" for b in range(62, -1, -1)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, t
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       WHERE t != ''
+    ),
+    th AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % {_MINHASH_P} AS ha,
+             ('0x' || substr(md5(t), 17, 15))::BIGINT % {_MINHASH_P} AS hb
+        FROM toks
+    ),
+    bs AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+             {_SIMHASH_SUMS_SQL}
+        FROM th GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, ('0b' || ({_SIMHASH_BITS_SQL}))::BIGINT AS simhash FROM bs
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c, (simhash >> (c * 16)) & 65535 AS chunk
+        FROM sig, unnest(range(0, 4)) AS u(c)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             x.simhash AS sig_a, y.simhash AS sig_b
+        FROM chunks x JOIN chunks y
+          ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      FROM cand
+     WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming distance <= 3 over 63-bit simhash."""
     sig = simhash_signatures(spark, sf_dir)
@@ -393,7 +453,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.simhash").alias("sig_a"), F.col("y.simhash").alias("sig_b"))
         .distinct()
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(ham <= 3)
 
 

@@ -98,7 +98,54 @@ def lsh_bucket_col(planes: list[list[float]]):
     return bucket
 
 
-@register("ann_topk_lsh")
+#: embeddings dimension in the testdata (uniform across sf0.001/0.01/0.1);
+#: the hyperplanes are seeded so the oracle can inline them as literals
+_DIM = 64
+
+
+def _bucket_sql(planes: list[list[float]]) -> str:
+    """The sign-LSH bucket as a SQL expression over DOUBLE[] column ``e`` —
+    same plane literals (repr() round-trips doubles exactly) and same
+    bit weights as lsh_bucket_col."""
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(e, {lit}) >= 0 THEN {2 ** i} ELSE 0 END)"
+        )
+    return "(" + "\n       + ".join(terms) + ")"
+
+
+_LSH_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (
+      SELECT e AS qe, {_bucket_sql(_hyperplanes(_DIM))}::BIGINT AS qb
+        FROM base WHERE vec_id = 0
+    ),
+    cand AS (
+      SELECT vec_id, e
+        FROM base, q
+       WHERE vec_id != 0
+         AND bit_count(xor({_bucket_sql(_hyperplanes(_DIM))}::BIGINT, qb)) <= {PROBE_RADIUS}
+    ),
+    scored AS (
+      SELECT vec_id,
+             list_dot_product(e, (SELECT qe FROM q))
+             / (sqrt(list_dot_product(e, e))
+                * sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))))
+             AS cosine
+        FROM cand
+    )
+    SELECT vec_id, round(cosine, 6) AS cosine
+      FROM scored
+     ORDER BY cosine DESC, vec_id
+     LIMIT {K}
+"""
+
+
+@register("ann_topk_lsh", oracle=_LSH_ORACLE)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates are rows whose sign-LSH signature is
     within hamming distance PROBE_RADIUS of the query's (popcount of XOR —
@@ -109,8 +156,9 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cos >= 0.9 => theta <= 26 deg => p ~ 0.14) pass an r=3-of-8 filter with
     probability > 0.99, while the bulk of a random corpus is rejected before
     any vector math.  At 100 TB the signature is a cluster/partition key and
-    this filter becomes partition pruning.  Rows-only driver check; recall
-    vs brute force is asserted in tests/test_extensions.py.
+    this filter becomes partition pruning.  Oracle-checked end-to-end (the
+    seeded hyperplanes are inlined as double literals in the SQL); recall
+    vs brute force is additionally asserted in tests/test_extensions.py.
     """
     qv = _query_vector(spark, sf_dir)
     planes = _hyperplanes(len(qv))

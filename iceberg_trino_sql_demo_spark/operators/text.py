@@ -223,3 +223,45 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("shingle")).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style regex tokenization — the pre-tokenizer split every BPE-family
+# tokenizer applies before merges: runs of letters, runs of digits, runs of
+# other non-space characters.  Per-doc class counts approximate the token
+# budget a trained tokenizer would charge; the whole pipeline is one
+# regexp_extract_all + explode + classify + count (all codegen'd, one
+# shuffle on doc_id).  The character classes are written without \s / \w so
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+# ---------------------------------------------------------------------------
+_BPE_SPLIT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_token_bpe",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_SPLIT}')) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN regexp_full_match(t, '[A-Za-z]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+           CAST(sum(CASE WHEN regexp_full_match(t, '[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+           CAST(sum(CASE WHEN NOT regexp_full_match(t, '[A-Za-z]+|[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+      FROM tok GROUP BY doc_id
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(_BPE_SPLIT), F.lit(0))).alias("t"),
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("t").rlike("^[A-Za-z]+$").cast("long")).alias("n_alpha"),
+        F.sum(F.col("t").rlike("^[0-9]+$").cast("long")).alias("n_num"),
+        F.sum(
+            (~F.col("t").rlike("^([A-Za-z]+|[0-9]+)$")).cast("long")
+        ).alias("n_other"),
+    )
