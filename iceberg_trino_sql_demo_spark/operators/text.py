@@ -200,9 +200,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # document fingerprint — rolling-hash (min over shingle hashes, i.e. a
 # 1-permutation MinHash): identical content -> identical fingerprint, robust
-# to document ordering.  The hash is md5 (hex, lexicographic min) so DuckDB
-# computes the byte-identical fingerprint — full oracle verification; for a
-# 100 TB run, swap F.md5 for F.xxhash64 (same plan shape, cheaper hash).
+# to document ordering.  The hash is the top 60 bits of md5 as a LONG —
+# DuckDB computes the identical value (full oracle verification), and
+# min(long) keeps the aggregate HashAggregate-able (min over the md5 hex
+# *string* would force SortAggregate's sort-based path).
 # ---------------------------------------------------------------------------
 from iceberg_trino_sql_demo_spark.operators.dedup import _SHINGLES_SQL, shingles
 
@@ -212,7 +213,7 @@ from iceberg_trino_sql_demo_spark.operators.dedup import _SHINGLES_SQL, shingles
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents")})
     SELECT doc_id,
-           min(md5(shingle)) AS fingerprint,
+           min(('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS fingerprint,
            CAST(count(*) AS BIGINT) AS n_shingles
       FROM sh GROUP BY doc_id
     """,
@@ -220,7 +221,9 @@ from iceberg_trino_sql_demo_spark.operators.dedup import _SHINGLES_SQL, shingles
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
     return sh.groupBy("doc_id").agg(
-        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.min(
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        ).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
 

@@ -217,3 +217,22 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, value FROM events
+    """,
+    bench=False,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates over the state store): after
+    draining the replay the emitted rows equal batch DISTINCT — the oracle."""
+    import uuid
+
+    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_dedup_events
+
+    return stream_dedup_events(
+        spark, sf_dir, query_name=f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    )

@@ -105,3 +105,37 @@ def stream_tumbling_counts(
     )
     q.awaitTermination(timeout=300)
     return spark.table(query_name)
+
+
+def stream_dedup_events(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Streaming exact deduplication: emit each distinct
+    (user_id, event_type, value) tuple once, across micro-batches.
+
+    ``dropDuplicates`` keys the state store on the dedup columns — the same
+    hash shuffle a batch DISTINCT uses — so after draining (availableNow)
+    the emitted set equals batch DISTINCT exactly, which is the oracle.
+    Unbounded state is deliberate here (exact global dedup over a replay);
+    a live 100 TB pipeline bounds it with dropDuplicatesWithinWatermark,
+    trading exactness beyond the watermark horizon for O(window) state.
+    """
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dedup = src.select("user_id", "event_type", "value").dropDuplicates(
+        ["user_id", "event_type", "value"]
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(query_name)
