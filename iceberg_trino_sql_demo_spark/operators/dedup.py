@@ -469,14 +469,6 @@ _EMB_CORPUS_SQL = """
 """
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 @register(
     "dedup_embedding_cosine",
     oracle=f"""

@@ -1,13 +1,16 @@
 """Similarity search over an embedding column (SURVEY.md §7 Phase 7).
 
 - **brute-force cosine top-k** — the correctness baseline: one pass over
-  the table, dot/norm computed JVM-side via zip_with/aggregate (no Python
-  in the loop), top-k via orderBy+limit (Spark runs this as a per-partition
-  TakeOrdered, so nothing but k rows per partition ever moves);
-- **LSH-bucketed top-k** — the scale path: sign-random-hyperplane buckets
-  computed once per row; the query only scans buckets within hamming
-  distance <= 1 of the query's bucket.  At 100 TB the bucket column is a
-  partition/cluster key and a probe touches a fixed fraction of the data.
+  the table, dot/norm as unrolled codegen'd expressions (no Python, no
+  interpreted lambdas in the loop), top-k via orderBy+limit (Spark runs
+  this as a per-partition TakeOrdered, so nothing but k rows per
+  partition ever moves);
+- **LSH-bucketed top-k** — scale path #1: sign-random-hyperplane buckets
+  computed once per row; the query only scans buckets within a hamming
+  radius of the query's bucket.  At 100 TB the bucket column is a
+  partition/cluster key and a probe touches a fixed fraction of the data;
+- **IVF top-k** — scale path #2: inverted lists under a sampled coarse
+  quantizer; a probe reads only the N_PROBE nearest lists.
 
 The query vector is the embedding of ``vec_id = 0`` (deterministic; the
 oracle picks the same row).
@@ -30,12 +33,53 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, "embeddings"))
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+#: embeddings dimension in the testdata (uniform across sf0.001/0.01/0.1)
+_DIM = 64
+
+
+# Dot products are built as unrolled left-to-right sums handed to Spark as
+# ONE sql string (F.expr).  Three alternatives measured at sf0.1:
+# - zip_with/aggregate lambdas: generic, but higher-order functions are
+#   CodegenFallback — interpreted per element, the slow path at scale;
+# - unrolled python Column arithmetic: codegen'd, but building 512 Column
+#   objects costs thousands of py4j round-trips (~4 s of *driver* time per
+#   query construction);
+# - unrolled SQL string (this): one py4j call, whole-stage-codegen'd, and
+#   the left-associative `+` chain adds in the same sequential order as
+#   DuckDB's list_dot_product, so values stay bit-identical.
+
+
+def _dot(a: str, b: str):
+    """Column-column dot product over two array<float> columns (by name)."""
+    return F.expr(
+        " + ".join(
+            f"CAST({a}[{k}] AS DOUBLE) * CAST({b}[{k}] AS DOUBLE)"
+            for k in range(_DIM)
+        )
     )
+
+
+def _dot_lit(a: str, values):
+    """Column-literal dot product: the literal side folds to double
+    literals (repr() round-trips exactly; D-suffix keeps Spark from
+    parsing them as DECIMAL)."""
+    return F.expr(
+        " + ".join(
+            f"CAST({a}[{k}] AS DOUBLE) * {float(v)!r}D"
+            for k, v in enumerate(values)
+        )
+    )
+
+
+def _norm_lit(values) -> float:
+    """sqrt(v·v) computed driver-side with the same sequential order both
+    engines use, so it can be inlined as one constant."""
+    import math
+
+    acc = 0.0
+    for v in values:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -66,9 +110,9 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vector(spark, sf_dir)
-    q = F.array(*[F.lit(v) for v in qv])
-    e = F.col("embedding")
-    cosine = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    cosine = _dot_lit("embedding", qv) / (
+        F.sqrt(_dot("embedding", "embedding")) * F.lit(_norm_lit(qv))
+    )
     return (
         _emb(spark, sf_dir)
         .where(F.col("vec_id") != 0)
@@ -92,15 +136,11 @@ def lsh_bucket_col(planes: list[list[float]]):
     """Sign-bit bucket id for the embedding column."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        pc = F.array(*[F.lit(v) for v in p])
-        bit = F.when(_dot(F.col("embedding"), pc) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(
+            _dot_lit("embedding", p) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
         bucket = bucket + bit.cast("long") * F.lit(2 ** i).cast("long")
     return bucket
-
-
-#: embeddings dimension in the testdata (uniform across sf0.001/0.01/0.1);
-#: the hyperplanes are seeded so the oracle can inline them as literals
-_DIM = 64
 
 
 def _bucket_sql(planes: list[list[float]]) -> str:
@@ -171,11 +211,124 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_bucket += (1 if dot >= 0 else 0) * (2 ** i)
 
     hamming = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket)))
-    q = F.array(*[F.lit(v) for v in qv])
-    emb = F.col("embedding")
-    cosine = _dot(emb, q) / (F.sqrt(_dot(emb, emb)) * F.sqrt(_dot(q, q)))
+    cosine = _dot_lit("embedding", qv) / (
+        F.sqrt(_dot("embedding", "embedding")) * F.lit(_norm_lit(qv))
+    )
     return (
         bucketed.where(hamming <= PROBE_RADIUS)
+        .select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(K)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) top-k — the other classic ANN scale path, alongside
+# sign-LSH above.  Coarse quantizer: a deterministic sample of the corpus
+# (vec_id % 100 = 1) serves as centroids; every vector is assigned to its
+# nearest centroid (argmin cosine distance, centroid id as tie-break); a
+# query probes only the N_PROBE nearest inverted lists and scores those
+# candidates exactly.  At 100 TB the assignment is a write-time clustering
+# key, a probe reads N_PROBE/K of the data, and the centroid set is a
+# broadcast table — assignment and probe are both one broadcast join.
+# Every step (sampling, assignment, probing, scoring) is the same
+# arithmetic in DuckDB, so the operator is oracle-checked end-to-end.
+# ---------------------------------------------------------------------------
+N_PROBE = 2
+_CENT_MOD, _CENT_RESIDUE = 100, 1
+
+
+def _assign(e_df: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cluster): nearest centroid by cosine distance."""
+    from pyspark.sql import Window
+
+    d = e_df.crossJoin(F.broadcast(cent))
+    cos = _dot("embedding", "cent") / (
+        F.sqrt(_dot("embedding", "embedding"))
+        * F.sqrt(_dot("cent", "cent"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc(1 - cos), F.asc("cent_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cluster"))
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cent_id, e AS c FROM base
+       WHERE vec_id % {_CENT_MOD} = {_CENT_RESIDUE}
+    ),
+    q AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, e, cent_id AS cluster
+        FROM (
+          SELECT b.vec_id, b.e, cent.cent_id,
+                 row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY 1 - list_dot_product(b.e, cent.c)
+                            / (sqrt(list_dot_product(b.e, b.e))
+                               * sqrt(list_dot_product(cent.c, cent.c))) ASC,
+                            cent.cent_id ASC) AS rk
+            FROM base b CROSS JOIN cent
+        ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT cent_id
+        FROM cent CROSS JOIN q
+       ORDER BY 1 - list_dot_product(qe, c)
+                / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c, c))) ASC,
+                cent_id ASC
+       LIMIT {N_PROBE}
+    ),
+    scored AS (
+      SELECT a.vec_id,
+             list_dot_product(a.e, (SELECT qe FROM q))
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))))
+             AS cosine
+        FROM assign a
+       WHERE a.cluster IN (SELECT cent_id FROM probes) AND a.vec_id != 0
+    )
+    SELECT vec_id, round(cosine, 6) AS cosine
+      FROM scored
+     ORDER BY cosine DESC, vec_id
+     LIMIT {K}
+"""
+
+
+@register("ann_topk_ivf", oracle=_IVF_ORACLE)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: score only the members of the N_PROBE inverted lists
+    nearest the query.  Recall vs brute force is asserted in
+    tests/test_extensions.py; values are oracle-checked."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cent = e.where(F.col("vec_id") % _CENT_MOD == _CENT_RESIDUE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    assigned = _assign(e, cent)
+
+    qv = _query_vector(spark, sf_dir)
+    qcos = _dot_lit("cent", qv) / (
+        F.sqrt(_dot("cent", "cent")) * F.lit(_norm_lit(qv))
+    )
+    probes = [
+        r.cent_id
+        for r in cent.orderBy(F.asc(1 - qcos), F.asc("cent_id"))
+        .limit(N_PROBE)
+        .collect()
+    ]
+
+    cosine = _dot_lit("embedding", qv) / (
+        F.sqrt(_dot("embedding", "embedding")) * F.lit(_norm_lit(qv))
+    )
+    return (
+        assigned.where(F.col("cluster").isin(probes) & (F.col("vec_id") != 0))
         .select("vec_id", cosine.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(K)

@@ -125,3 +125,17 @@ def test_asof_join_edge_semantics(spark):
                            right_cols=("event_id",)).collect()
     }
     assert out == {10: 101, 11: 100, 12: None}
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    brute = [r.vec_id for r in ops.QUERIES["ann_topk_bruteforce"](spark, SF).collect()]
+    approx = [r.vec_id for r in ops.QUERIES["ann_topk_ivf"](spark, SF).collect()]
+    # probing 2 of ~5 inverted lists scans ~40% of a *random* corpus; true
+    # neighbours of a query concentrate in its own list, so recall beats
+    # the scan fraction
+    recall = len(set(brute) & set(approx)) / len(brute)
+    assert recall >= 0.3, f"IVF top-k recall {recall}"
+    bs = {r.vec_id: r.cosine for r in ops.QUERIES["ann_topk_bruteforce"](spark, SF).collect()}
+    for r in ops.QUERIES["ann_topk_ivf"](spark, SF).collect():
+        if r.vec_id in bs:
+            assert abs(r.cosine - bs[r.vec_id]) < 1e-9
