@@ -83,19 +83,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word 3-grams per document.  Documents
-    shorter than 3 words produce no shingles (guarded: Spark's sequence()
-    would count *down* for a negative span)."""
-    # materialize the split once — inlining split() into the lambda makes
-    # Catalyst re-evaluate it per gram element
-    grams = F.expr(
-        "CASE WHEN size(w) >= 3 THEN "
-        " transform(sequence(0, size(w) - 3),"
-        "  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-        " ELSE array() END"
-    )
+    shorter than 3 words are filtered before the explode (Spark's
+    sequence() would count *down* for a negative span).
+
+    The gram index is exploded and the gram text built as a plain indexed
+    projection — a transform(sequence, i -> ...) lambda builds the same
+    grams but higher-order functions are CodegenFallback (interpreted
+    per element), which taxes every operator built on shingles."""
     return (
         df.select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", F.explode(grams).alias("shingle"))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id", "w",
+            F.explode(F.expr("sequence(0, size(w) - 3)")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.expr("w[i]"), F.expr("w[i+1]"), F.expr("w[i+2]")
+            ).alias("shingle"),
+        )
         .where(F.col("shingle") != "")
         .distinct()
     )
