@@ -236,3 +236,28 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_events(
         spark, sf_dir, query_name=f"stream_dedup_{uuid.uuid4().hex[:8]}"
     )
+
+
+@register(
+    "events_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM events p
+      JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+       AND c.ts <  p.ts
+    """,
+    bench=False,
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (watermarked, state-bounded): after the
+    availableNow drain the emitted pairs equal the batch inner join."""
+    import uuid
+
+    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_interval_join
+
+    return stream_interval_join(
+        spark, sf_dir, query_name=f"stream_ij_{uuid.uuid4().hex[:8]}"
+    )

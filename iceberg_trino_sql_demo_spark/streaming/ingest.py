@@ -139,3 +139,51 @@ def stream_dedup_events(
     )
     q.awaitTermination(timeout=300)
     return spark.table(query_name)
+
+
+def stream_interval_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_ij"
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to same-user clicks
+    from the preceding hour, both sides arriving as streams.
+
+    The time-range condition plus a watermark on each side lets Spark
+    bound the join state (clicks older than the watermark minus the hour
+    can never match a future purchase and are evicted) — this is THE
+    pattern for attribution joins over unbounded streams.  Draining with
+    availableNow makes the emitted pairs equal the batch inner join,
+    which is the oracle.
+    """
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = p_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
+        ),
+    ).select(F.col("p_id").alias("purchase_id"), F.col("c_id").alias("click_id"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(query_name)
