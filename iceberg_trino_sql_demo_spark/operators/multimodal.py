@@ -81,12 +81,147 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-@register("multimodal_features")
+#: the synthesized media payloads are ASCII document bytes, so DuckDB's
+#: VARCHAR sha256/substr operate on the identical byte stream the Python
+#: workers see — the deterministic decode stub is therefore fully
+#: reproducible in SQL and every multimodal operator is oracle-checked.
+_MEDIA_SQL = """
+    SELECT doc_id, text AS media,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type
+      FROM documents
+"""
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL}),
+    h AS (
+      SELECT doc_id, media_type,
+             CAST(octet_length(encode(media)) AS BIGINT) AS n_bytes,
+             sha256(media) AS hx
+        FROM media
+    )
+    SELECT doc_id, media_type, n_bytes,
+           substr(hx, 1, 16) AS checksum,
+           CAST(('0x' || substr(hx, 1, 4))::INT % 1920 AS INT) AS width,
+           CAST(('0x' || substr(hx, 5, 4))::INT % 1080 AS INT) AS height,
+           ('0x' || substr(hx, 9, 8))::BIGINT / 4294967295.0 AS feature_norm
+      FROM h
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media -> typed features via Arrow-batched mapInPandas.
-    Rows-only driver check (the decode stub is engine-specific);
-    determinism and schema are asserted in tests/test_extensions.py."""
+    The byte-deterministic decode stub is replicated in the DuckDB oracle
+    (full value check); schema/batch shape are additionally asserted in
+    tests/test_extensions.py."""
     media = media_table(spark, sf_dir)
     return media.select("doc_id", "media_type", "media").mapInPandas(
         extract_features, FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# resize — binary-in/binary-out transform plumbing: the stub "resize"
+# keeps the leading quarter of the payload (a deterministic down-sample
+# stand-in; a real deployment decodes, PIL-resizes, re-encodes).  The
+# Spark side is the production shape: mapInPandas, bytes in, bytes +
+# fresh metadata out, no JVM row objects.
+# ---------------------------------------------------------------------------
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, "
+    "resized_bytes bigint, resized_checksum string"
+)
+
+
+def resize_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, mt, b in zip(pdf["doc_id"], pdf["media_type"], pdf["media"]):
+            payload = bytes(b)
+            resized = payload[: (len(payload) + 3) // 4]
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "media_type": mt,
+                    "n_bytes": len(payload),
+                    "resized_bytes": len(resized),
+                    "resized_checksum": hashlib.sha256(resized).hexdigest()[:16],
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT doc_id, media_type,
+           CAST(octet_length(encode(media)) AS BIGINT) AS n_bytes,
+           CAST((octet_length(encode(media)) + 3) // 4 AS BIGINT) AS resized_bytes,
+           substr(sha256(substr(media, 1, (octet_length(encode(media)) + 3) // 4)), 1, 16)
+               AS resized_checksum
+      FROM media
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "media_type", "media").mapInPandas(
+        resize_media, RESIZE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame sampling — 1-row-to-N fan-out plumbing for video: each payload is
+# cut into N_FRAMES contiguous slices (stand-ins for decoded frames; a
+# real deployment seeks keyframes).  mapInPandas naturally yields more
+# rows than it consumes — the Arrow batch shape of real frame extraction.
+# ---------------------------------------------------------------------------
+N_FRAMES = 4
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_bytes bigint, frame_checksum string"
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["media"]):
+            payload = bytes(b)
+            n = len(payload)
+            for i in range(N_FRAMES):
+                frame = payload[i * n // N_FRAMES : (i + 1) * n // N_FRAMES]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_idx": i,
+                        "frame_bytes": len(frame),
+                        "frame_checksum": hashlib.sha256(frame).hexdigest()[:16],
+                    }
+                )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL}),
+    v AS (
+      SELECT doc_id, media, octet_length(encode(media)) AS n
+        FROM media WHERE media_type = 'video/mp4'
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST((i + 1) * n // {N_FRAMES} - i * n // {N_FRAMES} AS BIGINT)
+               AS frame_bytes,
+           substr(sha256(substr(media, i * n // {N_FRAMES} + 1,
+                                (i + 1) * n // {N_FRAMES} - i * n // {N_FRAMES})),
+                  1, 16) AS frame_checksum
+      FROM v, unnest(range(0, {N_FRAMES})) AS u(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir).where(F.col("media_type") == "video/mp4")
+    return media.select("doc_id", "media").mapInPandas(sample_frames, FRAME_SCHEMA)
