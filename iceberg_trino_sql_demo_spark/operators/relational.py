@@ -440,3 +440,119 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     negative = c.where(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
     return auto.intersect(recent).exceptAll(negative).distinct()
+
+
+# ---------------------------------------------------------------------------
+# correlated EXISTS subquery (TPC-H Q4 shape adapted to this schema):
+# orders in a quarter having at least one deeply-discounted late-shipping
+# lineitem.  Catalyst decorrelates the EXISTS into a left-semi hash join
+# on l_orderkey — the scalable plan; the SQL surface is exercised through
+# spark.sql so the subquery machinery itself runs (not a hand-built join).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_exists_late_lineitem",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o
+     WHERE o.o_orderdate >= DATE '1995-01-01'
+       AND o.o_orderdate <  DATE '1995-04-01'
+       AND EXISTS (
+             SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_discount > 0.05
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           )
+     GROUP BY o.o_orderpriority
+    """,
+)
+def orders_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS n_orders
+          FROM v_orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+           AND EXISTS (
+                 SELECT 1 FROM v_lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_discount > 0.05
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+               )
+         GROUP BY o.o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# correlated scalar subquery: parts priced at their brand's maximum.
+# max() returns an exact element of the data (no float arithmetic), so the
+# equality is boundary-safe across engines.  Catalyst rewrites the scalar
+# subquery into an aggregate + join (decorrelation).
+# ---------------------------------------------------------------------------
+@register(
+    "part_brand_max_price",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice
+      FROM part p
+     WHERE p.p_retailprice = (
+             SELECT max(p2.p_retailprice) FROM part p2
+              WHERE p2.p_brand = p.p_brand
+           )
+    """,
+)
+def part_brand_max_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, p.p_retailprice
+          FROM v_part p
+         WHERE p.p_retailprice = (
+                 SELECT max(p2.p_retailprice) FROM v_part p2
+                  WHERE p2.p_brand = p.p_brand
+               )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# CTE + cumulative window: monthly order revenue per priority with a
+# running total.  Revenue accumulates in DECIMAL inside both the monthly
+# aggregate AND the window frame, so the running sum is exact and
+# order-free; one final cast to double is deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_cumulative_revenue",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority,
+             date_trunc('month', o_orderdate) AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders
+       GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, month,
+           CAST(rev AS DOUBLE) AS monthly_revenue,
+           CAST(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY month)
+                AS DOUBLE) AS cumulative_revenue
+      FROM monthly
+    """,
+)
+def orders_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        F.col("rev").cast("double").alias("monthly_revenue"),
+        F.sum("rev").over(w).cast("double").alias("cumulative_revenue"),
+    )
