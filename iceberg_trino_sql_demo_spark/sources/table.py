@@ -867,6 +867,13 @@ class Table:
             root = os.path.join(self.location, sub)
             for dirpath, _dirs, files in os.walk(root):
                 for fn in files:
+                    # Hadoop-convention hidden/marker files (_SUCCESS,
+                    # .*.crc, _committed_*) are never data and never
+                    # manifest-referenced — skip them like Iceberg's
+                    # remove_orphan_files does, instead of "removing"
+                    # them and inflating the reported count
+                    if fn.startswith(("_", ".")):
+                        continue
                     p = os.path.join(dirpath, fn)
                     if p not in referenced and os.path.getmtime(p) < cutoff:
                         os.remove(p)
