@@ -556,3 +556,39 @@ def orders_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("monthly_revenue"),
         F.sum("rev").over(w).cast("double").alias("cumulative_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles (data-profiling shape used to pick training-data
+# quality thresholds): Spark's percentile() and DuckDB's quantile_cont()
+# share the linear-interpolation definition and produce bit-identical
+# doubles (verified), so this is a full-value oracle despite the float
+# arithmetic.  At scale the exact percentile is a sort-based aggregate;
+# swap to approx_percentile (t-digest, no sort) when ulp-exactness is
+# not required.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(l_extendedprice, 0.25) AS q25,
+           quantile_cont(l_extendedprice, 0.50) AS q50,
+           quantile_cont(l_extendedprice, 0.75) AS q75,
+           quantile_cont(l_extendedprice, 0.95) AS q95
+      FROM lineitem
+     GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(l_extendedprice, 0.25)").alias("q25"),
+            F.expr("percentile(l_extendedprice, 0.50)").alias("q50"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("q75"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("q95"),
+        )
+    )

@@ -268,3 +268,47 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("t").rlike("^([A-Za-z]+|[0-9]+)$")).cast("long")
         ).alias("n_other"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary heavy-hitters — global top-k terms by document frequency,
+# the first step of building a tokenizer vocab.  Plan shape: explode ->
+# two-phase hash aggregate (map-side combine collapses each partition's
+# token stream before the single shuffle) -> TakeOrdered (only k rows
+# per partition ever reach the driver).  Deterministic tie-break on the
+# token string keeps the cutoff stable across engines.
+# ---------------------------------------------------------------------------
+VOCAB_K = 50
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT t AS term,
+           CAST(count(*) AS BIGINT) AS term_freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM tok
+     WHERE t != ''
+     GROUP BY t
+     ORDER BY term_freq DESC, term ASC
+     LIMIT {VOCAB_K}
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    return (
+        toks.groupBy(F.col("t").alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("term"))
+        .limit(VOCAB_K)
+    )
