@@ -184,3 +184,66 @@ def events_range_join_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# salted join — the manual skew weapon for when AQE's runtime skew-split
+# can't help (e.g. the skew is in a broadcast-ineligible dim, or the
+# engine runs with AQE off).  The dim side is replicated SALT ways, the
+# fact side picks a uniform salt from a high-cardinality column, and the
+# join key becomes (key, salt): a key holding 40% of the fact table now
+# lands on SALT reducers instead of one.
+# ---------------------------------------------------------------------------
+SALT = 8
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Inner-join ``fact`` to ``dim`` on ``on`` with SALT-way key salting.
+    ``dim`` is exploded SALT times (it must be the small side); ``fact``
+    salts uniformly via a hash of all its columns."""
+    dim_salted = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    )
+    fact_salted = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*fact.columns), F.lit(SALT)).cast("int")
+    )
+    return fact_salted.join(dim_salted, [on, "_salt"]).drop("_salt")
+
+
+@register(
+    "events_salted_skew_join",
+    oracle="""
+    WITH fact AS (
+      SELECT event_id, user_id % 5 AS segment, value FROM events
+    ),
+    dim(segment, segment_name) AS (
+      VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'), (3, 'delta'), (4, 'omega')
+    )
+    SELECT d.segment_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM fact f JOIN dim d ON f.segment = d.segment
+     GROUP BY d.segment_name
+    """,
+)
+def events_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pathological skew on purpose: 60k events collapse onto 5 join keys,
+    so an unsalted shuffle join puts ~20% of the table on each of 5 tasks
+    regardless of cluster size.  The salted join spreads each key over
+    SALT reducers; results are identical (oracle = the plain join).
+    The demo dim is forced out of broadcast (the realistic case where
+    salting is needed at all)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", (F.col("user_id") % 5).alias("segment"), "value"
+    )
+    dim = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"), (4, "omega")],
+        "segment bigint, segment_name string",
+    ).hint("shuffle_hash")
+    joined = salted_join(ev, dim, on="segment")
+    from iceberg_trino_sql_demo_spark.functions.trino import decimal_sum
+
+    return joined.groupBy("segment_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum(F.col("value"), "total_value"),
+    )
