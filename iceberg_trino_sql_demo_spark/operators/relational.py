@@ -581,14 +581,21 @@ def orders_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one percentile buffer per group (array of targets), not four — the
+    # aggregate collects the group's values once either way, but four
+    # separate calls keep four copies of that state
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr("percentile(l_extendedprice, 0.25)").alias("q25"),
-            F.expr("percentile(l_extendedprice, 0.50)").alias("q50"),
-            F.expr("percentile(l_extendedprice, 0.75)").alias("q75"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("q95"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95))"
+            ).alias("q"),
+        )
+        .select(
+            "l_returnflag", "n",
+            F.col("q")[0].alias("q25"), F.col("q")[1].alias("q50"),
+            F.col("q")[2].alias("q75"), F.col("q")[3].alias("q95"),
         )
     )
