@@ -24,12 +24,21 @@ from iceberg_trino_sql_demo_spark.session import table_path
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a microsecond TimestampType.
 
-    The parquet column is TIMESTAMP(NANOS); the session reads it as long
-    nanos (spark.sql.legacy.parquet.nanosAsLong — Spark's ceiling is µs).
-    Truncating division matches DuckDB's own ns->µs floor, and the exact
-    nanos stay available as ``ts_ns``.
+    The parquet column is TIMESTAMP(NANOS); Spark has no ns timestamp, so we
+    read it with an EXPLICIT schema (``ts`` LongType = raw nanos) rather than
+    schema inference — inference raises PARQUET_TYPE_ILLEGAL unless the
+    session happens to set spark.sql.legacy.parquet.nanosAsLong, which a
+    vanilla caller session does not.  Truncating division matches DuckDB's
+    own ns->µs floor, and the exact nanos stay available as ``ts_ns``.
+
+    Event-time bucketing must not depend on the caller session's timezone
+    either, so the (runtime-settable) session tz is pinned to UTC here — the
+    same value session.get_spark uses.
     """
-    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    from iceberg_trino_sql_demo_spark.streaming.ingest import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.schema(EVENTS_SCHEMA).parquet(table_path(sf_dir, "events"))
     # integer `div`, NOT `/1000`: nanos exceed double's 2^53 exact range and
     # float division flips the last microsecond digit on some rows.
     return raw.withColumn("ts_ns", F.col("ts")).withColumn(
