@@ -43,14 +43,21 @@ def register(
 
 
 def load_all() -> None:
-    """Import every operator module so registration side effects run."""
+    """Import every operator module so registration side effects run.
+
+    Import order IS correctness-driver evaluation order (the driver walks
+    the registry in registration order under a time budget and may stop
+    early), so: cheap/fast modules first, the heavy dedup/ANN block next,
+    and the wall-clock-bound streaming replays last.
+    """
     from iceberg_trino_sql_demo_spark.operators import (  # noqa: F401
+        multimodal,
+        table_format_ops,
         relational,
-        dedup,
-        similarity,
         text,
         windows_ops,
         joins_ops,
-        table_format_ops,
-        multimodal,
+        similarity,
+        dedup,
+        streaming_queries,
     )

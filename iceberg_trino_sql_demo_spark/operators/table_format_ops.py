@@ -55,12 +55,22 @@ _ROWS_SQL = """
 """
 
 
+#: the CTAS source is identical across all 13 scenarios — compute the
+#: 3-way-join pipeline once per sf_dir and replay the (tiny: 500-row)
+#: result locally, so each scenario pays only for its own writes/mutations.
+_SRC_CACHE: dict[str, tuple] = {}
+
+
 def _scratch_customer(spark: SparkSession, sf_dir: str, **props) -> Table:
+    if sf_dir not in _SRC_CACHE:
+        src = customer_pipeline(spark, sf_dir)
+        _SRC_CACHE[sf_dir] = (src.schema, src.collect())
+    schema, rows = _SRC_CACHE[sf_dir]
     loc = tempfile.mkdtemp(prefix="ice_customer_")
     return Table.ctas(
         spark,
         loc,
-        customer_pipeline(spark, sf_dir),
+        spark.createDataFrame(rows, schema),
         partitioning=["mktsegment"],
         properties={"merge_mode": "merge-on-read", **props},
     )

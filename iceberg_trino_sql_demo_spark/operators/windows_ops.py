@@ -157,58 +157,6 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # applied to the stream table): parse props as VARIANT, extract a typed field
 # ---------------------------------------------------------------------------
 @register(
-    "events_stream_tumbling",
-    oracle="""
-    SELECT date_trunc('hour', ts) AS window_start,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      FROM events
-     GROUP BY 1, 2
-    """,
-    bench=False,
-)
-def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tumbling aggregation executed as a Structured Streaming query
-    (readStream + watermark + availableNow) — same oracle as the batch
-    variant: one plan, two execution modes, identical results."""
-    import uuid
-
-    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_tumbling_counts
-
-    return stream_tumbling_counts(
-        spark, sf_dir, query_name=f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    )
-
-
-@register(
-    "events_stateful_user_totals",
-    oracle="""
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
-           max(event_id) AS last_event_id
-      FROM events
-     GROUP BY user_id
-    """,
-    bench=False,
-)
-def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState): per-user
-    running totals accumulated across micro-batches; after draining, the
-    state equals the batch aggregate — which is exactly the oracle."""
-    import uuid
-
-    from iceberg_trino_sql_demo_spark.streaming.stateful import (
-        stream_running_user_totals,
-    )
-
-    return stream_running_user_totals(
-        spark, sf_dir, query_name=f"stateful_{uuid.uuid4().hex[:8]}"
-    )
-
-
-@register(
     "events_variant_extract",
     oracle="""
     SELECT event_type,
@@ -225,48 +173,4 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.variant_get(v, "$.k", "bigint").alias("k"))
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "events_stream_dedup",
-    oracle="""
-    SELECT DISTINCT user_id, event_type, value FROM events
-    """,
-    bench=False,
-)
-def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup (dropDuplicates over the state store): after
-    draining the replay the emitted rows equal batch DISTINCT — the oracle."""
-    import uuid
-
-    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_dedup_events
-
-    return stream_dedup_events(
-        spark, sf_dir, query_name=f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    )
-
-
-@register(
-    "events_stream_interval_join",
-    oracle="""
-    SELECT p.event_id AS purchase_id, c.event_id AS click_id
-      FROM events p
-      JOIN events c
-        ON p.event_type = 'purchase' AND c.event_type = 'click'
-       AND c.user_id = p.user_id
-       AND c.ts >= p.ts - INTERVAL 1 HOUR
-       AND c.ts <  p.ts
-    """,
-    bench=False,
-)
-def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join (watermarked, state-bounded): after the
-    availableNow drain the emitted pairs equal the batch inner join."""
-    import uuid
-
-    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_interval_join
-
-    return stream_interval_join(
-        spark, sf_dir, query_name=f"stream_ij_{uuid.uuid4().hex[:8]}"
     )

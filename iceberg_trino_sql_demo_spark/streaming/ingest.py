@@ -17,6 +17,7 @@ sink (foreachBatch -> Table.insert would be the production path).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +56,20 @@ def windowed_counts(events: DataFrame, watermark: bool = False) -> DataFrame:
     )
 
 
+def _drain(q, checkpoint_dir: str, timeout: int = 300) -> None:
+    """Block until the availableNow query finishes; fail loudly on timeout
+    (a silently partial drain would surface as a wrong-but-plausible result)
+    and always remove the throwaway checkpoint dir."""
+    try:
+        if not q.awaitTermination(timeout=timeout):
+            q.stop()
+            raise TimeoutError(
+                f"stream {q.name!r} did not drain within {timeout}s"
+            )
+    finally:
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+
+
 def stream_into_table(spark: SparkSession, sf_dir: str, table) -> None:
     """Production ingestion path: micro-batches append to a versioned engine
     table via foreachBatch — every batch is one atomic snapshot commit, so
@@ -71,13 +86,14 @@ def stream_into_table(spark: SparkSession, sf_dir: str, table) -> None:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         table.insert(batch_df.select(*cols))
 
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ingest_")
     q = (
         src.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ingest_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    _drain(q, ckpt)
     table.refresh()
 
 
@@ -95,15 +111,16 @@ def stream_tumbling_counts(
         .parquet(sf_dir)
     )
     agg = windowed_counts(src, watermark=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    _drain(q, ckpt)
     return spark.table(query_name)
 
 
@@ -129,15 +146,16 @@ def stream_dedup_events(
     dedup = src.select("user_id", "event_type", "value").dropDuplicates(
         ["user_id", "event_type", "value"]
     )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         dedup.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    _drain(q, ckpt)
     return spark.table(query_name)
 
 
@@ -177,13 +195,14 @@ def stream_interval_join(
             "c_user = p_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
         ),
     ).select(F.col("p_id").alias("purchase_id"), F.col("c_id").alias("click_id"))
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         joined.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    _drain(q, ckpt)
     return spark.table(query_name)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from iceberg_trino_sql_demo_spark.streaming.ingest import EVENTS_SCHEMA
+from iceberg_trino_sql_demo_spark.streaming.ingest import EVENTS_SCHEMA, _drain
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_event_id bigint"
 STATE_SCHEMA = "n bigint, total double, last_id bigint"
@@ -75,15 +75,16 @@ def stream_running_user_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
     q = (
         updated.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_state_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    _drain(q, ckpt)
     # update-mode memory sink appends one row per key per batch: the running
     # totals are monotone, so the final state per user is the max row
     sink = spark.table(query_name)
