@@ -453,7 +453,14 @@ class Table:
         extra_data_df: DataFrame | None = None,
     ) -> Snapshot:
         ddir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:16])
-        matches.coalesce(1).write.mode("overwrite").parquet(ddir)
+        # Hash-partition by referenced data file, NOT coalesce(1): a DELETE
+        # matching millions of rows writes N delete files in parallel, and
+        # each output file references a disjoint set of data files (tight
+        # referenced_files -> precise delete-application at read time).
+        # Explicit partition count (AQE honours user-specified numbers —
+        # repartition(col) alone would be coalesced back to one tiny task).
+        n_parts = max(1, min(len(affected), int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
+        matches.repartition(n_parts, F.col("file_path")).write.mode("overwrite").parquet(ddir)
         import pyarrow.parquet as pq
 
         entries: list[DeleteFile] = []
@@ -599,20 +606,33 @@ class Table:
         unmatched source rows.
         """
         manifest = self._manifest(self._resolve(MAIN))
-        key_rows = [r[0] for r in source.select(on).distinct().collect()]
-        cond = F.col(on).isin(key_rows) if key_rows else F.lit(False)
-        affected = self._affected_files(manifest, cond, None)
-
         src_cols = {c: f"__src_{c}" for c in source.columns}
         src = source.select(*[F.col(c).alias(a) for c, a in src_cols.items()])
+
+        # Plan affected files DISTRIBUTEDLY: semi-join the target's hidden
+        # _path column against the source keys.  Only file paths (manifest
+        # cardinality) reach the driver — the source key set never does, so
+        # a 100 TB CDC-upsert source flows executor-to-executor throughout.
+        probe = snapshot_df(self.spark, self.meta, manifest, hidden=True)
+        hit_paths = {
+            r[0].replace("file:", "")
+            for r in probe.join(src, probe[on] == src[src_cols[on]], "left_semi")
+            .select("_path")
+            .distinct()
+            .collect()
+        }
+        affected = [f for f in manifest.data_files if f.path in hit_paths]
         new_seq = self.meta.last_sequence_number + 1
         tgt_names = [f.name for f in self.meta.schema.fields]
 
         # matched branch: rewrite affected files applying the update
         parts_new: list[DataFrame] = []
         if affected:
+            # No forced broadcast: AQE picks broadcast-hash for a small
+            # source and falls back to shuffle-hash/sort-merge (with skew
+            # splitting) when the source is itself table-sized.
             tgt = self._read_files_with_lineage(manifest, affected)
-            joined = tgt.join(F.broadcast(src), tgt[on] == src[src_cols[on]], "left")
+            joined = tgt.join(src, tgt[on] == src[src_cols[on]], "left")
             mcond = F.col(src_cols[on]).isNotNull()
             if matched_condition:
                 mcond = mcond & F.expr(matched_condition)

@@ -162,3 +162,86 @@ def test_table_changes_cdc(t):
     assert (555001, "delete", 2) in rows
     # ordinals are contiguous commit indexes
     assert {r[2] for r in rows} == {0, 1, 2}
+
+
+def test_merge_large_source_never_collects_keys(spark, tmp_path, sf_dir):
+    """MERGE planning must stay distributed: with a 100k-row source, nothing
+    data-sized may be collect()ed to the driver (only file paths, which are
+    manifest-cardinality).  Guards against the isin(key-list) regression."""
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract base in Spark 4 whose collect the classic session overrides)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark
+        from pyspark.sql import DataFrame
+
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    t = Table.ctas(
+        spark,
+        str(tmp_path / "merge_big"),
+        customer_pipeline(spark, sf_dir),
+        partitioning=["mktsegment"],
+        properties={"merge_mode": "copy-on-write"},
+    )
+    n_files = len(t._manifest(t._resolve("main")).data_files)
+
+    src = spark.range(100_000).select(
+        (F.col("id") + 1_000_000).alias("custkey"),
+        F.concat(F.lit("BULK_"), F.col("id")).alias("name"),
+        F.lit("SQLENGINE").alias("mktsegment"),
+        F.lit(1.0).alias("account_balance"),
+        F.lit("FRANCE").alias("nation"),
+    )
+
+    collected_sizes: list[int] = []
+    orig_collect = DataFrame.collect
+
+    def spy_collect(self):
+        out = orig_collect(self)
+        collected_sizes.append(len(out))
+        return out
+
+    DataFrame.collect = spy_collect
+    try:
+        t.merge(src, on="custkey", matched_set={"account_balance": "__src_account_balance"})
+    finally:
+        DataFrame.collect = orig_collect
+
+    # every driver round-trip during MERGE is manifest-sized, never source-sized
+    assert collected_sizes, "expected at least the affected-file probe"
+    assert max(collected_sizes) <= max(n_files, 16), collected_sizes
+    assert t.df().count() == 100_000 + t.df(where="custkey < 1000000").count()
+
+
+def test_mor_bulk_delete_writes_parallel_delete_files(spark, tmp_path, sf_dir):
+    """A MoR DELETE spanning many data files must not funnel its position
+    deletes through one task/file: expect >1 delete file, with disjoint
+    referenced data files."""
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    t = Table.ctas(
+        spark,
+        str(tmp_path / "bulk_del"),
+        customer_pipeline(spark, sf_dir),
+        partitioning=["mktsegment"],
+        properties={"merge_mode": "merge-on-read"},
+    )
+    before = t.df().count()
+    even_before = t.df().where("custkey % 2 = 0").count()
+    n_data_files = len(t._manifest(t._resolve("main")).data_files)
+    assert n_data_files > 1, "need a multi-file table for this test"
+
+    t.delete("custkey % 2 = 0")  # hits every partition/file
+
+    m = t._manifest(t._resolve("main"))
+    assert len(m.delete_files) > 1, "bulk delete serialized into one file"
+    refsets = [set(d.referenced_files) for d in m.delete_files]
+    for i, a in enumerate(refsets):
+        for b in refsets[i + 1:]:
+            assert not (a & b), "delete files reference overlapping data files"
+    # correctness: surviving rows are exactly the odd custkeys
+    assert t.df().where("custkey % 2 = 0").count() == 0
+    assert t.df().count() == before - even_before
