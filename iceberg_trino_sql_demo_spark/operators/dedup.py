@@ -497,6 +497,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     products is ~50x slower on the same data and collapses entirely at
     scale; block size is the only knob (tasks = B*(B+1)/2, memory =
     2 * block * dim doubles)."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -506,7 +508,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
         )
     )
-    n_blocks = 8
+    # Block count scales WITH the corpus so per-task memory stays constant:
+    # the n×n sims matrix is the hog (block² × 8 B — 4096² ≈ 134 MB/task);
+    # the one-column count job pricing this is trivial next to the GEMM.
+    # All-pairs is still O(n²) tasks by construction — at real corpus sizes
+    # route candidates through the MinHash-LSH / SimHash prefilters above
+    # and reserve this exact kernel for within-bucket verification.
+    target_block_rows = 4096
+    n_corpus = corpus.count()
+    n_blocks = max(1, math.ceil(n_corpus / target_block_rows))
     blocked = corpus.withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
 
     # fan out every unordered block pair (bi <= bj); each row joins into its

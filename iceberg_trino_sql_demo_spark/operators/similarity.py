@@ -240,19 +240,31 @@ _CENT_MOD, _CENT_RESIDUE = 100, 1
 
 
 def _assign(e_df: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cluster): nearest centroid by cosine distance."""
-    from pyspark.sql import Window
+    """(vec_id, embedding, cluster): nearest centroid by cosine distance.
 
+    The argmin is ONE hash aggregate (``min_by`` keyed on a
+    (distance, cent_id) struct — lexicographic struct ordering gives the
+    same deterministic tie-break as ORDER BY dist, cent_id), not a
+    row_number() window: the window plan shuffled AND sorted the full
+    n×C expanded frame, while min_by partial-aggregates map-side so only
+    one row per vec_id ever crosses the wire."""
     d = e_df.crossJoin(F.broadcast(cent))
     cos = _dot("embedding", "cent") / (
         F.sqrt(_dot("embedding", "embedding"))
         * F.sqrt(_dot("cent", "cent"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc(1 - cos), F.asc("cent_id"))
+    best = F.min_by(
+        F.struct(F.col("cent_id"), F.col("embedding")),
+        F.struct((1 - cos).alias("dist"), F.col("cent_id").alias("cent_id")),
+    ).alias("best")
     return (
-        d.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cluster"))
+        d.groupBy("vec_id")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("best.embedding").alias("embedding"),
+            F.col("best.cent_id").alias("cluster"),
+        )
     )
 
 
