@@ -563,9 +563,10 @@ def orders_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality thresholds): Spark's percentile() and DuckDB's quantile_cont()
 # share the linear-interpolation definition and produce bit-identical
 # doubles (verified), so this is a full-value oracle despite the float
-# arithmetic.  At scale the exact percentile is a sort-based aggregate;
-# swap to approx_percentile (t-digest, no sort) when ulp-exactness is
-# not required.
+# arithmetic.  PROFILING-ONLY at scale: percentile() buffers every group
+# value in the aggregation state, so a hot group OOMs at 100x — the
+# production default is lineitem_price_quantiles_approx below
+# (approx_percentile: bounded t-digest state, no buffering).
 # ---------------------------------------------------------------------------
 @register(
     "lineitem_price_quantiles",
@@ -591,6 +592,40 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.expr(
                 "percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95))"
+            ).alias("q"),
+        )
+        .select(
+            "l_returnflag", "n",
+            F.col("q")[0].alias("q25"), F.col("q")[1].alias("q50"),
+            F.col("q")[2].alias("q75"), F.col("q")[3].alias("q95"),
+        )
+    )
+
+
+#: rank-error knob for the approx variant: guarantees rank error <= n/ACC
+_APPROX_PERCENTILE_ACC = 10_000
+
+
+@register("lineitem_price_quantiles_approx")
+def lineitem_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production quantile profile: approx_percentile keeps a BOUNDED
+    sketch per group (Greenwald-Khanna / t-digest style, state independent
+    of group size) instead of buffering the group's values, so a skewed
+    key cannot OOM an executor at any scale.
+
+    No SQL oracle: the sketch state is engine-specific, so cross-engine
+    values differ within the rank-error bound — the driver records a
+    rows-only check, and tests/test_functions.py asserts each value sits
+    inside the exact-percentile error band the accuracy parameter
+    guarantees (rank error <= n / accuracy)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95), "
+                f"{_APPROX_PERCENTILE_ACC})"
             ).alias("q"),
         )
         .select(

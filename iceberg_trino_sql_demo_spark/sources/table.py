@@ -927,8 +927,10 @@ class Table:
     # stats (A2/A3)
     # ------------------------------------------------------------------
     def analyze(self) -> None:
-        """ANALYZE (reference :48): NDV/null/min/max per column, persisted in
-        table metadata for SHOW STATS and future CBO use."""
+        """ANALYZE (reference :48): NDV/null per column from ONE scan, plus
+        low/high/data_size folded from the parquet-footer manifest stats the
+        writer already records — zero additional data reads, which is the
+        property that matters when the manifest covers 100 TB of files."""
         df = self.df()
         schema = self.meta.schema
         aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -938,36 +940,70 @@ class Table:
             aggs.append(F.approx_count_distinct(f.name).alias(f"ndv_{f.name}"))
             aggs.append(F.sum(F.col(f.name).isNull().cast("long")).alias(f"nulls_{f.name}"))
         row = df.agg(*aggs).collect()[0].asDict()
+
+        # manifest fold: min/max/compressed-size per field id across files
+        manifest = self._manifest(self._resolve(MAIN))
+        folded: dict[str, dict] = {}
+        for dfile in manifest.data_files:
+            for fid, cs in (dfile.stats or {}).items():
+                cur = folded.setdefault(fid, {"min": None, "max": None, "size": 0})
+                mn, mx = cs.get("min"), cs.get("max")
+                try:
+                    if mn is not None and (cur["min"] is None or mn < cur["min"]):
+                        cur["min"] = mn
+                    if mx is not None and (cur["max"] is None or mx > cur["max"]):
+                        cur["max"] = mx
+                except TypeError:  # mixed types across schema evolution
+                    pass
+                cur["size"] += cs.get("size") or 0
+
         stats = {"row_count": row["__rows"]}
         for f in schema.fields:
             if f"ndv_{f.name}" in row:
+                fold = folded.get(str(f.id), {})
                 stats[f.name] = {
                     "ndv": row[f"ndv_{f.name}"],
                     "nulls": row[f"nulls_{f.name}"],
+                    "low": fold.get("min"),
+                    "high": fold.get("max"),
+                    "data_size": fold.get("size"),
                 }
         self.meta.column_stats = stats
         self._commit_metadata_only()
 
     def show_stats(self) -> DataFrame:
-        """SHOW STATS FOR table (reference :49)."""
+        """SHOW STATS FOR table (reference :49) — Trino's column set:
+        column_name, data_size, distinct_values_count, nulls_fraction,
+        low_value, high_value, plus the row_count summary."""
         st = self.meta.column_stats or {}
         rows = []
         n = st.get("row_count")
+
+        def _s(v) -> str | None:
+            return None if v is None else str(v)
+
         for f in self.meta.schema.fields:
             cs = st.get(f.name) or {}
             rows.append(
                 (
                     f.name,
+                    float(cs["data_size"]) if cs.get("data_size") is not None else None,
                     float(cs["ndv"]) if "ndv" in cs else None,
                     (float(cs["nulls"]) / n) if ("nulls" in cs and n) else None,
+                    _s(cs.get("low")),
+                    _s(cs.get("high")),
                 )
             )
-        rows.append((None, None, None))  # summary row carries row_count, Trino-style
+        # summary row carries row_count, Trino-style
+        rows.append((None, None, None, None, None, None))
         schema = T.StructType(
             [
                 T.StructField("column_name", T.StringType()),
+                T.StructField("data_size", T.DoubleType()),
                 T.StructField("distinct_values_count", T.DoubleType()),
                 T.StructField("nulls_fraction", T.DoubleType()),
+                T.StructField("low_value", T.StringType()),
+                T.StructField("high_value", T.StringType()),
             ]
         )
         df = self.spark.createDataFrame(rows, schema)

@@ -191,7 +191,10 @@ def harvest_files(
                     if fld is None or col.statistics is None:
                         continue
                     st = col.statistics
-                    cur = stats.setdefault(str(fld.id), {"min": None, "max": None, "nulls": 0})
+                    cur = stats.setdefault(
+                        str(fld.id), {"min": None, "max": None, "nulls": 0, "size": 0}
+                    )
+                    cur["size"] += col.total_compressed_size or 0
                     try:
                         has_min_max = st.has_min_max
                         mn, mx = (

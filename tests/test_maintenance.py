@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
 
@@ -91,3 +92,10 @@ def test_analyze_show_stats(t):
     assert rows["n_nationkey"].distinct_values_count >= 20
     assert rows["n_nationkey"].nulls_fraction == 0.0
     assert rows[None].row_count == t.df().count()
+    # low/high surfaced from the parquet-footer manifest stats (:49 shows
+    # min/max per column), data_size from column-chunk compressed sizes
+    mn = t.df().agg(F.min("n_nationkey"), F.max("n_nationkey")).head()
+    assert rows["n_nationkey"].low_value == str(mn[0])
+    assert rows["n_nationkey"].high_value == str(mn[1])
+    assert rows["n_name"].low_value is not None
+    assert rows["n_nationkey"].data_size > 0
