@@ -33,14 +33,14 @@ from typing import Any, Iterable
 from iceberg_trino_sql_demo_spark.sources.metadata import DataFile, TableMetadata
 from iceberg_trino_sql_demo_spark.sources.transforms import Transform, parse_transform
 
-Op = str  # '=' '<' '<=' '>' '>=' 'in' '!='
+Op = str  # '=' '<' '<=' '>' '>=' 'in' '!=' 'or'
 
 
 @dataclass(frozen=True)
 class Predicate:
-    column: str
+    column: str  # '' for op='or'
     op: Op
-    value: Any  # scalar, or list for 'in'
+    value: Any  # scalar; list for 'in'; list[list[Predicate]] for 'or'
 
 
 def _norm(v: Any) -> Any:
@@ -150,6 +150,17 @@ def _stats_ok(f: DataFile, meta: TableMetadata, pred: Predicate) -> bool:
     return _cmp_ok(st.get("min"), st.get("max"), pred.op, pred.value)
 
 
+def _pred_ok(f: DataFile, meta: TableMetadata, p: Predicate, spark=None) -> bool:
+    """May ``f`` contain a row satisfying ``p``?  A disjunction keeps the
+    file if ANY branch (itself a conjunction) could match — i.e. the pruned
+    set is the union of the branches' file sets."""
+    if p.op == "or":
+        return any(
+            all(_pred_ok(f, meta, q, spark) for q in branch) for branch in p.value
+        )
+    return _partition_ok(f, meta, p, spark) and _stats_ok(f, meta, p)
+
+
 def prune_files(
     files: Iterable[DataFile],
     meta: TableMetadata,
@@ -159,10 +170,6 @@ def prune_files(
     """Files that may contain rows matching ALL predicates (AND semantics).
     ``spark`` enables bucket-transform equality pruning (JVM hash probe)."""
     preds = list(predicates)
-    out = []
-    for f in files:
-        if all(
-            _partition_ok(f, meta, p, spark) and _stats_ok(f, meta, p) for p in preds
-        ):
-            out.append(f)
-    return out
+    return [
+        f for f in files if all(_pred_ok(f, meta, p, spark) for p in preds)
+    ]

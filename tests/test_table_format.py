@@ -207,3 +207,63 @@ def test_bucket_transform_pruning(spark, cat, sf_dir):
     assert len({f.partition["custkey_bucket_8"] for f in pruned}) == 1
     assert len(pruned) < len(files)
     assert t.df(where="custkey = 42").count() == 1
+
+
+def test_predicate_parser_or_between():
+    """OR / BETWEEN / nested shapes parse into prunable predicates, and
+    un-analyzable text safely yields none."""
+    from iceberg_trino_sql_demo_spark.plans.pruning import Predicate
+
+    # BETWEEN desugars to the two bounds (was previously unparsed: the AND
+    # splitter cut it in half)
+    p = parse_simple_predicates("orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'")
+    assert p == [
+        Predicate("orderdate", ">=", "1995-01-01"),
+        Predicate("orderdate", "<=", "1995-12-31"),
+    ]
+
+    # top-level OR: one disjunction predicate with two branches
+    [d] = parse_simple_predicates("mktsegment = 'BUILDING' OR mktsegment = 'MACHINERY'")
+    assert d.op == "or" and len(d.value) == 2
+
+    # OR nested under AND prunes on both conjuncts
+    preds = parse_simple_predicates("custkey = 7 AND (mktsegment = 'A' OR mktsegment = 'B')")
+    assert preds[0] == Predicate("custkey", "=", 7)
+    assert preds[1].op == "or"
+
+    # quote/paren safety: AND inside a string literal or IN-list survives
+    [p] = parse_simple_predicates("name = 'BRAND AND CO'")
+    assert p.value == "BRAND AND CO"
+    [p] = parse_simple_predicates("custkey IN (1, 2, 3)")
+    assert p.op == "in" and p.value == [1, 2, 3]
+
+    # an OR with an un-parsable branch abandons the disjunction (no
+    # partial extraction — that would under-keep files)
+    assert parse_simple_predicates("custkey = 1 OR length(name) > 3") == []
+    # NOT bails entirely
+    assert parse_simple_predicates("NOT custkey = 1") == []
+
+
+def test_or_pruning_unions_branch_file_sets(spark, cat, sf_dir):
+    """`seg='A' OR seg='B'` must keep exactly the union of both branches'
+    partitions — and the pruned read still returns correct rows."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    cat.ctas("cust_orpr", cust, partitioning=["mktsegment"])
+    t = cat.table("cust_orpr")
+    files = t.io.read_manifest(t._resolve()).data_files
+    assert len({f.partition["mktsegment"] for f in files}) >= 3
+
+    where = "mktsegment = 'BUILDING' OR mktsegment = 'MACHINERY'"
+    preds = parse_simple_predicates(where)
+    pruned = prune_files(files, t.meta, preds)
+    assert {f.partition["mktsegment"] for f in pruned} == {"BUILDING", "MACHINERY"}
+
+    expect = cust.where("mktsegment IN ('BUILDING','MACHINERY')").count()
+    assert t.df(where=where).count() == expect
+
+    # BETWEEN end-to-end on a stats-pruned column
+    w2 = "custkey BETWEEN 100 AND 200"
+    assert t.df(where=w2).count() == cust.where(w2).count()
