@@ -82,8 +82,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word-3-gram shingles (shared by jaccard + minhash)
 # ---------------------------------------------------------------------------
 def shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams per document.  Documents
-    shorter than 3 words are filtered before the explode (Spark's
+    """(doc_id, shingle) — distinct word n-grams (default 3) per document.
+    Documents shorter than n words are filtered before the explode (Spark's
     sequence() would count *down* for a negative span).
 
     The gram index is exploded and the gram text built as a plain indexed
@@ -92,15 +92,15 @@ def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     per element), which taxes every operator built on shingles."""
     return (
         df.select("doc_id", F.split("text", " ").alias("w"))
-        .where(F.size("w") >= 3)
+        .where(F.size("w") >= n)
         .select(
             "doc_id", "w",
-            F.explode(F.expr("sequence(0, size(w) - 3)")).alias("i"),
+            F.explode(F.expr(f"sequence(0, size(w) - {int(n)})")).alias("i"),
         )
         .select(
             "doc_id",
             F.concat_ws(
-                " ", F.expr("w[i]"), F.expr("w[i+1]"), F.expr("w[i+2]")
+                " ", *[F.expr(f"w[i+{k}]") for k in range(int(n))]
             ).alias("shingle"),
         )
         .where(F.col("shingle") != "")
