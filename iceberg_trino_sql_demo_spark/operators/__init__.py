@@ -55,6 +55,7 @@ def load_all() -> None:
         table_format_ops,
         relational,
         text,
+        pipeline,
         windows_ops,
         joins_ops,
         similarity,

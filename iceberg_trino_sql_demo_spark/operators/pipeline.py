@@ -1,0 +1,220 @@
+"""Training-data pipeline operators over ``documents`` (SURVEY.md §7
+extension surface: the ops a large-scale LLM data pipeline runs between
+raw ingest and tokenization, beyond the dedup/ANN/text families).
+
+Every operator is built from JVM-side built-ins (no Python in the hot
+path) and carries a full-value DuckDB oracle.  Cross-engine hashing uses
+the md5-prefix-as-integer trick established in text.py:216 — Spark's
+``conv(substring(md5(x),1,k),16,10)`` equals DuckDB's
+``('0x' || substr(md5(x),1,k))::BIGINT`` byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.session import table_path
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash-bucket split — reproducible train/holdout assignment.
+# A pure stateless projection: no shuffle, no rand() (nondeterministic and
+# engine-specific), so the same document lands in the same split on every
+# engine, every run, at every scale — the property that matters when a
+# holdout must stay stable across pipeline re-runs over 100 TB.
+# ---------------------------------------------------------------------------
+_HOLDOUT_PCT = 10  # buckets 0-9 of 100
+
+
+@register(
+    "sample_hash_bucket",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT)
+               AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                     < {_HOLDOUT_PCT}
+                THEN 'holdout' ELSE 'train' END AS split
+      FROM documents
+    """,
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < _HOLDOUT_PCT, "holdout").otherwise("train").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing — assign documents to fixed-token-budget packs.
+# One window per source: cumulative token sum ordered by doc_id; a document
+# joins the pack its START offset falls in (contiguous greedy fill).  At
+# 100 TB the partition key becomes (source, ingest-day) so window state is
+# bounded per partition; the window itself is the one unavoidable sort.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+
+@register(
+    "doc_pack_greedy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    offs AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+        FROM toks
+    )
+    SELECT source,
+           CAST(start_off // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      FROM offs
+     GROUP BY 1, 2
+    """,
+)
+def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    offs = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        offs.groupBy(
+            "source",
+            (F.col("start_off") / _PACK_BUDGET).cast("long").alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+        .select("source", "pack_id", "n_docs", "pack_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalization-aware exact dedup — exact dedup after canonicalization
+# (lowercase, strip non-alphanumerics, collapse whitespace): catches the
+# near-exact duplicates raw md5 misses.  Same single hash-shuffle shape as
+# dedup_exact; the normalization is codegen'd string work in the scan.
+# The corpus injects UPPERCASED+punctuated copies of every 10th doc (the
+# injection is replicated in the oracle), so the query provably collapses
+# pairs that byte-exact dedup cannot: every group must span id ranges.
+# ---------------------------------------------------------------------------
+_NORM_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, upper(text) || '!!' AS text
+      FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS ntext
+        FROM ({_NORM_CORPUS_SQL})
+    )
+    SELECT md5(ntext) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keep_id
+      FROM norm
+     GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    perturbed = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!")).alias("text"),
+    )
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        d.unionAll(perturbed)
+        .select("doc_id", ntext.alias("ntext"))
+        .groupBy(F.md5("ntext").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination scan — per training document, how many of its
+# word 3-grams appear in the eval set (docs with doc_id % 97 = 0 stand in
+# for a benchmark corpus).  The eval shingle set is DISTINCT and tiny
+# relative to the corpus, so Spark broadcasts it and the scan is one
+# map-side semi-join pass over training shingles — the corpus itself never
+# shuffles, which is the only shape that survives 100 TB of training text.
+# ---------------------------------------------------------------------------
+_EVAL_MOD = 97
+
+
+@register(
+    "contamination_ngram",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             unnest(range(1, greatest(len(words) - 1, 1))) AS u(i)
+    ),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    train AS (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} != 0),
+    hits AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+       GROUP BY 1
+    )
+    SELECT h.doc_id, h.n_overlap, s.n_shingles
+      FROM hits h
+      JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM train GROUP BY 1) s
+        ON s.doc_id = h.doc_id
+    """,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.operators.dedup import shingles
+
+    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_sh = sh.where(is_eval).select("shingle").distinct()
+    train = sh.where(~is_eval)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(sizes, "doc_id").select("doc_id", "n_overlap", "n_shingles")

@@ -102,6 +102,9 @@ def stream_tumbling_counts(
 ) -> DataFrame:
     """Drain events.parquet as a micro-batch stream into a memory sink and
     return the final aggregate as a DataFrame."""
+    # window keys are epoch-aligned either way, but the collected timestamps
+    # render in session tz — pin it so results don't depend on the caller
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file source wants a directory: stream the sf dir, globbed to the
     # events table file(s)
     src = (
