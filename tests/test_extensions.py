@@ -139,3 +139,32 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     for r in ops.QUERIES["ann_topk_ivf"](spark, SF).collect():
         if r.vec_id in bs:
             assert abs(r.cosine - bs[r.vec_id]) < 1e-9
+
+
+def test_no_unintended_cartesian_or_bnlj_plans(spark):
+    """Plan audit over every registered batch query: no CartesianProduct
+    and no BroadcastNestedLoopJoin may appear, except the one deliberate
+    broadcast cross join (IVF corpus x broadcast centroid set).  Guards
+    against a refactor silently degrading a join to the O(n*m) path."""
+    from iceberg_trino_sql_demo_spark import operators as ops
+
+    ops.load_all()
+    sf = "/root/testdata/sf0.001"
+    # engine scenarios mutate scratch tables (cost, not plans, is their
+    # point) and streaming replays have no batch plan to inspect
+    skip_prefixes = ("ice_", "events_stream", "events_stateful")
+    allow_bnlj = {"ann_topk_ivf"}  # broadcast(centroids) cross join — intended
+
+    offenders = {}
+    for name, fn in sorted(ops.QUERIES.items()):
+        if name.startswith(skip_prefixes):
+            continue
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        flags = [
+            k
+            for k in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if k in plan
+        ]
+        if flags and not (name in allow_bnlj and flags == ["BroadcastNestedLoopJoin"]):
+            offenders[name] = flags
+    assert not offenders, offenders
