@@ -3,6 +3,8 @@ counterparts (recall), the deterministic ones for stability and shape."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from iceberg_trino_sql_demo_spark import operators as ops
 
 ops.load_all()
@@ -168,3 +170,13 @@ def test_no_unintended_cartesian_or_bnlj_plans(spark):
         if flags and not (name in allow_bnlj and flags == ["BroadcastNestedLoopJoin"]):
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_documents_text_is_ascii(spark, sf_oracle_dir):
+    """The multimodal oracles slice media payloads with character-based
+    substr; that equals byte slicing only while documents.text is pure
+    ASCII.  If the testdata ever grows multibyte text this fails loudly
+    instead of letting the oracles silently diverge."""
+    d = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
+    non_ascii = d.where(F.octet_length("text") != F.length("text")).count()
+    assert non_ascii == 0
