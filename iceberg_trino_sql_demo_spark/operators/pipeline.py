@@ -207,10 +207,13 @@ _EVAL_MOD = 97
 def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_trino_sql_demo_spark.operators.dedup import shingles
 
-    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    # shingle each side from a PRE-filtered doc set: the eval subtree only
+    # ever explodes eval docs (it is re-scanned to build the broadcast), and
+    # the predicate needn't survive pushdown through the distinct
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    eval_sh = sh.where(is_eval).select("shingle").distinct()
-    train = sh.where(~is_eval)
+    eval_sh = shingles(docs.where(is_eval)).select("shingle").distinct()
+    train = shingles(docs.where(~is_eval))
     sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
         train.join(F.broadcast(eval_sh), "shingle")

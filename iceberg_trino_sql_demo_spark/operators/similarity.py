@@ -346,3 +346,65 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(K)
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# one k-means (Lloyd) iteration over the embedding corpus — the iterative-
+# algorithm shape on top of the same broadcast-assign kernel IVF uses:
+# assignment is the min_by hash aggregate, and the update step's state is
+# per-cluster running sums (count + exact integer-scaled norm sum here;
+# a full implementation carries 64 per-dimension sums in the identical
+# aggregate — same plan shape, wider buffer).  Each further iteration is
+# this same job with the new centroids broadcast back — no driver-side
+# data movement beyond the C centroid vectors.
+# ---------------------------------------------------------------------------
+@register(
+    "kmeans_iteration_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cent_id, e AS c FROM base
+       WHERE vec_id % {_CENT_MOD} = {_CENT_RESIDUE}
+    ),
+    assign AS (
+      SELECT vec_id, e, cent_id AS cluster
+        FROM (
+          SELECT b.vec_id, b.e, cent.cent_id,
+                 row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY 1 - list_dot_product(b.e, cent.c)
+                            / (sqrt(list_dot_product(b.e, b.e))
+                               * sqrt(list_dot_product(cent.c, cent.c))) ASC,
+                            cent.cent_id ASC) AS rk
+            FROM base b CROSS JOIN cent
+        ) WHERE rk = 1
+    )
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(round(sqrt(list_dot_product(e, e)) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_norm_micros
+      FROM assign
+     GROUP BY cluster
+    """,
+)
+def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment + update-state aggregation of one Lloyd iteration.
+    Norms are summed as round(x*1e6) BIGINTs — exact and order-free, so
+    the distributed aggregate matches DuckDB bit-for-bit (float SUM would
+    diverge with partitioning)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cent = e.where(F.col("vec_id") % _CENT_MOD == _CENT_RESIDUE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    assigned = _assign(e, cent)
+    norm = F.sqrt(_dot("embedding", "embedding"))
+    return (
+        assigned.select("cluster", F.round(norm * 1e6).cast("long").alias("nm"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("nm").alias("sum_norm_micros"),
+        )
+    )

@@ -155,7 +155,8 @@ def test_no_unintended_cartesian_or_bnlj_plans(spark):
     # engine scenarios mutate scratch tables (cost, not plans, is their
     # point) and streaming replays have no batch plan to inspect
     skip_prefixes = ("ice_", "events_stream", "events_stateful")
-    allow_bnlj = {"ann_topk_ivf"}  # broadcast(centroids) cross join — intended
+    # broadcast(centroids) cross joins — the intended assignment kernel
+    allow_bnlj = {"ann_topk_ivf", "kmeans_iteration_stats"}
 
     offenders = {}
     for name, fn in sorted(ops.QUERIES.items()):
