@@ -221,3 +221,110 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     return hits.join(sizes, "doc_id").select("doc_id", "n_overlap", "n_shingles")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub statistics — the compliance pass every training pipeline runs
+# before tokenization: count email/phone matches per source (the scrub
+# itself is the same regexp_replace; counting keeps the output small and
+# fully checkable).  Pure codegen'd regex scan: no shuffle beyond the
+# per-source aggregate.  The corpus injects synthetic PII into every 20th
+# doc (replicated in the oracle) since the testdata itself is clean.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[.][a-z]+"
+_PHONE_RE = "[+][0-9] [0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_SUFFIX = " contact bob@example.com or +1 555-123-4567"
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             text || CASE WHEN doc_id % 20 = 0 THEN '{_PII_SUFFIX}' ELSE '' END AS text
+        FROM documents
+    ),
+    counted AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+             len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone
+        FROM corpus
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_scanned,
+           CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones
+      FROM counted
+     GROUP BY source
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 20 == 0, _PII_SUFFIX).otherwise(""),
+        ).alias("text"),
+    )
+    n_email = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0)))
+    return (
+        corpus.select("source", n_email.alias("n_email"), n_phone.alias("n_phone"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_scanned"),
+            F.sum(((F.col("n_email") + F.col("n_phone")) > 0).cast("long")).alias(
+                "docs_with_pii"
+            ),
+            F.sum("n_email").cast("long").alias("n_emails"),
+            F.sum("n_phone").cast("long").alias("n_phones"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source mixture sampling — build a training mixture by keeping a
+# deterministic 10% of each source: rank docs per source by their md5
+# hash (a stable pseudo-random order) and keep the first ceil(n/10).
+# No rand(), so the mixture is reproducible across engines/runs/retries
+# — at scale the window becomes a per-(source, shard) rank with the same
+# semantics, or the hash-threshold form sample_hash_bucket uses when an
+# exact per-source count is not required.
+# ---------------------------------------------------------------------------
+@register(
+    "source_mixture_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source
+      FROM ranked
+     WHERE rk <= (n + 9) // 10
+    """,
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    whole = Window.partitionBy("source")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            F.row_number().over(order).alias("rk"),
+            F.count(F.lit(1)).over(whole).alias("n"),
+        )
+        .where(F.col("rk") <= ((F.col("n") + 9) / 10).cast("long"))
+        .select("doc_id", "source")
+    )
