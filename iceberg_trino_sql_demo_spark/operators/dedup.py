@@ -273,6 +273,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # smaller than the data.
     while _MINHASH_PERSISTED:
         _MINHASH_PERSISTED.pop().unpersist()
+    # the 64-min aggregate is >100 output fields: keep it inside
+    # whole-stage codegen under ANY caller session (default ceiling 100
+    # silently drops wide plans to interpreted eval)
+    spark.conf.set("spark.sql.codegen.maxFields", "256")
     sh = shingles(_docs(spark, sf_dir).select("doc_id", "text")).persist()
     shh = sh.select(
         "doc_id",
@@ -358,6 +362,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fold of 63 shifted adds builds an expression tree deep enough to
     dominate wall time with *analysis*, not execution.
     """
+    # 63 parallel sums exceed the default 100-field codegen ceiling
+    spark.conf.set("spark.sql.codegen.maxFields", "256")
     toks = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
