@@ -486,6 +486,7 @@ class Table:
         if extra_data_df is not None:
             new_files = write_data_files(
                 extra_data_df, self.location, self.meta.schema, self.meta.spec, seq,
+                sort_order=self.meta.sort_order or None,
                 extra_physical_cols=[ROW_ID, LAST_SEQ],
             )
             new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]
@@ -518,10 +519,14 @@ class Table:
         ref: str,
     ) -> Snapshot:
         """Swap ``replaced`` for files holding ``new_df`` (CoW / optimize).
-        ``new_df`` must carry _row_id/_last_seq columns."""
+        ``new_df`` must carry _row_id/_last_seq columns.  The table's
+        declared sort order is re-applied so compaction/CoW PRESERVES
+        clustering — otherwise every optimize() erodes the min/max
+        file-skipping a sorted_by table exists for."""
         seq = self.meta.last_sequence_number + 1
         new_files = write_data_files(
             new_df, self.location, self.meta.schema, self.meta.spec, seq,
+            sort_order=self.meta.sort_order or None,
             extra_physical_cols=[ROW_ID, LAST_SEQ],
         )
         new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]

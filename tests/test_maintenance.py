@@ -99,3 +99,37 @@ def test_analyze_show_stats(t):
     assert rows["n_nationkey"].high_value == str(mn[1])
     assert rows["n_name"].low_value is not None
     assert rows["n_nationkey"].data_size > 0
+
+
+def test_optimize_preserves_sorted_by_clustering(spark, tmp_path, sf_dir):
+    """Compaction of a sorted_by table must re-sort its output: after
+    optimize(), a point lookup on the sort column still prunes to one
+    file via footer min/max (the clustering the property exists for)."""
+    from iceberg_trino_sql_demo_spark.plans.predicates import parse_simple_predicates
+    from iceberg_trino_sql_demo_spark.plans.pruning import prune_files
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    t = Table.ctas(
+        spark,
+        str(tmp_path / "sorted_orders"),
+        orders.repartitionByRange(4, "orderkey"),
+        sort_order=["orderkey"],
+    )
+    # fragment: several small inserts, then compact everything
+    rows = [{"orderkey": 900000 + i, "totalprice": float(i)} for i in range(6)]
+    for r in rows:
+        t.insert([r])
+    t.optimize(file_size_threshold=100 * 1024 * 1024)
+
+    files = t._manifest(t._resolve("main")).data_files
+    # every file's [min,max] on the sort column must be internally ordered
+    # data (disjointness across files isn't guaranteed by compaction, but
+    # a point lookup must prune to a strict subset)
+    preds = parse_simple_predicates("orderkey = 17")
+    pruned = prune_files(files, t.meta, preds)
+    assert len(pruned) < len(files)
+    assert t.df(where="orderkey = 17").count() == 1
