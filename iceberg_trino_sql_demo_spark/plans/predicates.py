@@ -34,6 +34,7 @@ _SIMPLE = re.compile(
     rf"^\s*(\w+)\s*(>=|<=|!=|<>|=|<|>)\s*{_LITERAL}\s*$", re.IGNORECASE
 )
 _IN = re.compile(r"^\s*(\w+)\s+IN\s*\(([^)]*)\)\s*$", re.IGNORECASE)
+_IS_NULL = re.compile(r"^\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE)
 _BETWEEN = re.compile(
     rf"(\w+)\s+BETWEEN\s+{_LITERAL}\s+AND\s+{_LITERAL}", re.IGNORECASE
 )
@@ -152,12 +153,17 @@ def _parse_atom(part: str) -> Predicate | None:
                 except ValueError:
                     return None
         return Predicate(m.group(1), "in", vals)
+    m = _IS_NULL.match(part)
+    if m:
+        return Predicate(m.group(1), "notnull" if m.group(2) else "isnull", None)
     return None
 
 
 def parse_simple_predicates(where: str) -> list[Predicate]:
-    if re.search(r"\bNOT\b", where, re.IGNORECASE):
-        return []  # negation can invert any extraction — bail entirely
+    # negation can invert any extraction — bail entirely, except the one
+    # self-contained form we understand: IS NOT NULL
+    if re.search(r"\bNOT\b(?!\s+NULL)", where, re.IGNORECASE):
+        return []
     return _parse_bool(_rewrite_between(where))
 
 

@@ -33,7 +33,7 @@ from typing import Any, Iterable
 from iceberg_trino_sql_demo_spark.sources.metadata import DataFile, TableMetadata
 from iceberg_trino_sql_demo_spark.sources.transforms import Transform, parse_transform
 
-Op = str  # '=' '<' '<=' '>' '>=' 'in' '!=' 'or'
+Op = str  # '=' '<' '<=' '>' '>=' 'in' '!=' 'isnull' 'notnull' 'or'
 
 
 @dataclass(frozen=True)
@@ -70,7 +70,13 @@ def _cmp_ok(lo: Any, hi: Any, op: Op, value: Any) -> bool:
             return hi is None or _norm(hi) >= value
         if op == "in":
             return any(_cmp_ok(lo, hi, "=", v) for v in value)
-        return True  # '!=' and unknown ops never prune a whole file
+        if op == "!=":
+            # only a constant-valued range (lo == hi == value) proves
+            # every row equals the literal -> no row can differ
+            return not (
+                lo is not None and hi is not None and _norm(lo) == _norm(hi) == value
+            )
+        return True  # unknown ops never prune a whole file
     except TypeError:
         return True  # incomparable types -> keep
 
@@ -147,6 +153,12 @@ def _stats_ok(f: DataFile, meta: TableMetadata, pred: Predicate) -> bool:
     st = f.stats.get(str(fld.id))
     if not st:
         return True
+    if pred.op == "isnull":
+        # footer null_count == 0 proves the file holds no NULLs
+        return st.get("nulls") is None or st.get("nulls") > 0
+    if pred.op == "notnull":
+        # all-NULL file: null_count equals the row count
+        return st.get("nulls") is None or st.get("nulls") < f.record_count
     return _cmp_ok(st.get("min"), st.get("max"), pred.op, pred.value)
 
 

@@ -50,7 +50,7 @@ class _Meta:
 
 def _file(idx: int, rows: list[tuple[int, int, str]]) -> DataFile:
     ks = [r[0] for r in rows]
-    vs = [r[1] for r in rows]
+    vs = [r[1] for r in rows if r[1] is not None]  # v is nullable
     ss = [r[2] for r in rows]
     return DataFile(
         path=f"/synthetic/f{idx}.parquet",
@@ -61,7 +61,11 @@ def _file(idx: int, rows: list[tuple[int, int, str]]) -> DataFile:
         file_size_bytes=1024,
         stats={
             "1": {"min": min(ks), "max": max(ks), "nulls": 0},
-            "2": {"min": min(vs), "max": max(vs), "nulls": 0},
+            "2": {
+                "min": min(vs) if vs else None,
+                "max": max(vs) if vs else None,
+                "nulls": len(rows) - len(vs),
+            },
             "3": {"min": min(ss), "max": max(ss), "nulls": 0},
         },
         first_row_id=0,
@@ -81,7 +85,11 @@ def _manifest(draw):
     for i in range(n_files):
         k = draw(st.integers(0, 4))
         rows = [
-            (k, draw(st.integers(0, 20)), draw(st.sampled_from(_WORDS)))
+            (
+                k,
+                draw(st.one_of(st.none(), st.integers(0, 20))),
+                draw(st.sampled_from(_WORDS)),
+            )
             for _ in range(draw(st.integers(1, 4)))
         ]
         files.append(_file(i, rows))
@@ -96,7 +104,9 @@ def _atom(draw) -> str:
         word = draw(st.sampled_from(_WORDS))
         op = draw(st.sampled_from(["=", "!=", "<", ">="]))
         return f"s {op} '{word}'"
-    shape = draw(st.sampled_from(["cmp", "in", "between"]))
+    shape = draw(st.sampled_from(["cmp", "in", "between", "null"]))
+    if shape == "null":
+        return f"{col} IS {draw(st.sampled_from(['NULL', 'NOT NULL']))}"
     if shape == "cmp":
         op = draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
         return f"{col} {op} {draw(st.integers(0, 20))}"
@@ -117,13 +127,41 @@ def _where(draw, depth: int = 2) -> str:
     return f"({a}) {kw} ({b})"
 
 
+class _SqlNull:
+    """SQL NULL for the reference evaluator: every comparison is falsy."""
+
+    def __eq__(self, o):  # noqa: D105
+        return False
+
+    def __ne__(self, o):
+        return False
+
+    def __lt__(self, o):
+        return False
+
+    def __le__(self, o):
+        return False
+
+    def __gt__(self, o):
+        return False
+
+    def __ge__(self, o):
+        return False
+
+    def __hash__(self):
+        return 0
+
+
 def _eval_where(where: str, row: tuple[int, int, str]) -> bool:
     """Reference evaluation of the WHERE text in Python (same grammar the
     generator emits, so a dumb recursive eval suffices via eval())."""
     k, v, s = row
     py = where
-    # desugar BETWEEN/IN into python, then AND/OR/= into and/or/==
+    # desugar IS [NOT] NULL / BETWEEN / IN, then AND/OR/= into and/or/==
     import re
+
+    py = re.sub(r"(\w+) IS NOT NULL", r"\1__notnull", py)
+    py = re.sub(r"(\w+) IS NULL", r"\1__isnull", py)
 
     def _bt(m):
         return f"({m.group(1)} >= {m.group(2)} and {m.group(1)} <= {m.group(3)})"
@@ -132,7 +170,18 @@ def _eval_where(where: str, row: tuple[int, int, str]) -> bool:
     py = re.sub(r"(\w+) IN \(([^)]*)\)", lambda m: f"({m.group(1)} in [{m.group(2)}])", py)
     py = py.replace(" AND ", " and ").replace(" OR ", " or ")
     py = re.sub(r"(?<![<>!=])=(?!=)", "==", py)
-    return bool(eval(py, {}, {"k": k, "v": v, "s": s}))  # noqa: S307 - test-local grammar
+    env = {
+        "k": k,
+        "v": _SqlNull() if v is None else v,
+        "s": s,
+        "k__isnull": False,
+        "k__notnull": True,
+        "v__isnull": v is None,
+        "v__notnull": v is not None,
+        "s__isnull": False,
+        "s__notnull": True,
+    }
+    return bool(eval(py, {}, env))  # noqa: S307 - test-local grammar
 
 
 @given(_manifest(), _where())
