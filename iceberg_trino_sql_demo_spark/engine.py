@@ -106,9 +106,9 @@ class Engine:
 
         s = re.sub(r'"([\w.]+)\$(\w+)"', sub_meta, s)
 
-        # FROM/JOIN table [FOR VERSION AS OF x] -> engine-table views
+        # FROM/JOIN table [FOR VERSION|TIMESTAMP AS OF x] -> engine-table views
         def sub_from(m: re.Match) -> str:
-            kw, raw, version = m.group(1), m.group(2), m.group(3)
+            kw, raw, kind, pin = m.group(1), m.group(2), m.group(3), m.group(4)
             name = _last(raw)
             # stored views re-execute their SQL (D14, :53-55) — recursively
             try:
@@ -122,17 +122,26 @@ class Engine:
                 t = self.catalog.table(name)
             except (KeyError, ValueError):
                 return f"{kw} {name}"  # plain temp view (testdata / federation)
-            if version is None:
+            if pin is None:
                 df = t.df(hidden=wants_hidden)
-            elif version.startswith("'"):
-                df = t.df(ref=version.strip("'"), hidden=wants_hidden)
+            elif kind and kind.upper() == "TIMESTAMP":
+                from datetime import datetime, timezone
+
+                iso = re.sub(r"^TIMESTAMP\s+", "", pin, flags=_FLAGS).strip("'")
+                dt = datetime.fromisoformat(iso)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                df = t.df(as_of_ms=int(dt.timestamp() * 1000), hidden=wants_hidden)
+            elif pin.startswith("'"):
+                df = t.df(ref=pin.strip("'"), hidden=wants_hidden)
             else:
-                df = t.df(version=int(version), hidden=wants_hidden)
+                df = t.df(version=int(pin), hidden=wants_hidden)
             return f"{kw} {self._tmp_view(df, name)}"
 
         s = re.sub(
             r"\b(FROM|JOIN)\s+([\w.\"]+)"
-            r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+('[\w]+'|\d+))?",
+            r"(?:\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+            r"(TIMESTAMP\s+'[^']+'|'[\w]+'|\d+))?",
             sub_from, s, flags=_FLAGS,
         )
 

@@ -186,11 +186,30 @@ class Table:
         self.meta, self.version = self.io.read()
         return self
 
-    def _resolve(self, ref: str = MAIN, version: int | None = None) -> Snapshot | None:
+    def _resolve(
+        self,
+        ref: str = MAIN,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+    ) -> Snapshot | None:
         if version is not None:
             return self.meta.snapshot_by_id(int(version))
         sid = self.meta.refs.get(ref)
-        return None if sid is None else self.meta.snapshot_by_id(sid)
+        snap = None if sid is None else self.meta.snapshot_by_id(sid)
+        if as_of_ms is not None:
+            # FOR TIMESTAMP AS OF: newest ancestor committed at or before
+            # the instant — a parent-chain walk over manifest metadata only
+            while snap is not None and snap.timestamp_ms > as_of_ms:
+                snap = (
+                    None
+                    if snap.parent_id is None
+                    else self.meta.snapshot_by_id(snap.parent_id)
+                )
+            if snap is None:
+                raise ValueError(
+                    f"no snapshot on ref {ref!r} at or before {as_of_ms} ms"
+                )
+        return snap
 
     def _manifest(self, snap: Snapshot | None) -> Manifest:
         return Manifest([], []) if snap is None else self.io.read_manifest(snap)
@@ -201,11 +220,13 @@ class Table:
         version: int | None = None,
         hidden: bool = False,
         where: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Read a snapshot (P1/P9/P10).  ``where`` (Spark SQL expression
         text) is applied as a filter AND used for engine-side manifest
-        pruning when it parses into simple predicates."""
-        snap = self._resolve(ref, version)
+        pruning when it parses into simple predicates.  ``as_of_ms``
+        implements FOR TIMESTAMP AS OF (newest snapshot at or before)."""
+        snap = self._resolve(ref, version, as_of_ms)
         manifest = self._manifest(snap)
         preds = parse_simple_predicates(where) if where else []
         if preds:

@@ -245,3 +245,45 @@ def test_mor_bulk_delete_writes_parallel_delete_files(spark, tmp_path, sf_dir):
     # correctness: surviving rows are exactly the odd custkeys
     assert t.df().where("custkey % 2 = 0").count() == 0
     assert t.df().count() == before - even_before
+
+
+def test_timestamp_time_travel(spark, tmp_path, sf_dir):
+    """FOR TIMESTAMP AS OF: newest snapshot at or before the instant —
+    both the Table API (as_of_ms) and the Trino SQL form."""
+    import time as _time
+
+    from iceberg_trino_sql_demo_spark.engine import Engine
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+
+    eng = Engine(spark, str(tmp_path / "wh_ts"))
+    eng.sql("CREATE SCHEMA demo")
+    eng.sql("USE demo")
+    eng.catalog.ctas("customer", customer_pipeline(spark, sf_dir))
+    t = eng.catalog.table("customer")
+    base = t.df().count()
+
+    _time.sleep(0.02)
+    mid_ms = int(_time.time() * 1000)
+    _time.sleep(0.02)
+    t.insert(ROWS)
+
+    # API: at mid_ms only the CTAS snapshot existed
+    assert t.df(as_of_ms=mid_ms).count() == base
+    assert t.df().count() == base + 3
+
+    # SQL form (UTC ISO instant)
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(mid_ms / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    got = eng.sql(
+        f"SELECT count(*) AS n FROM customer FOR TIMESTAMP AS OF TIMESTAMP '{iso}+00:00'"
+    ).head()
+    assert got.n == base
+
+    # before the table existed -> error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.df(as_of_ms=1)
