@@ -171,8 +171,9 @@ def snapshot_df(
                    .withColumn(FILE_MTIME, F.lit(None).cast("timestamp"))
         if is_deleted:
             dels = read_position_deletes(spark, manifest, only_for=[f.path for f in files])
+            n_del = sum(d.record_count for d in manifest.delete_files)
             df = df.join(
-                F.broadcast(dels),
+                _hint_deletes(dels, n_del),
                 (df[_FILE] == dels["__del_file"]) & (df[_POS] == dels["__del_pos"]),
                 "left_anti",
             )
@@ -208,9 +209,11 @@ def rows_at_positions(
     meta: TableMetadata,
     files: list[DataFile],
     delete_df: DataFrame,
+    n_delete_rows: int | None = None,
 ) -> DataFrame:
     """Rows of ``files`` whose (path, position) appear in ``delete_df``
-    (__del_file, __del_pos) — used by CDC to materialize deleted rows."""
+    (__del_file, __del_pos) — used by CDC to materialize deleted rows.
+    ``n_delete_rows`` (manifest record counts) gates the broadcast hint."""
     current = meta.schema
     groups: dict[tuple[int, bool], list[DataFile]] = {}
     for f in files:
@@ -231,8 +234,13 @@ def rows_at_positions(
             F.col("_metadata.file_path").alias(_FILE),
             F.col("_metadata.row_index").alias(_POS),
         )
+        hinted = (
+            delete_df
+            if n_delete_rows is not None and n_delete_rows > _DELETE_BROADCAST_ROWS
+            else F.broadcast(delete_df)
+        )
         df = df.join(
-            F.broadcast(delete_df),
+            hinted,
             (df[_FILE] == delete_df["__del_file"]) & (df[_POS] == delete_df["__del_pos"]),
             "left_semi",
         )
@@ -253,6 +261,18 @@ def _read_refs(delete_path: str) -> set[str]:
 
     t = pq.read_table(delete_path, columns=["file_path"])
     return set(t.column("file_path").to_pylist())
+
+
+#: broadcast ceiling for the position-delete set — (file,pos) pairs are
+#: ~100 B serialized, so 2M rows ≈ 200 MB, comfortably under executor
+#: memory; past that the anti-join must shuffle instead of OOMing.
+_DELETE_BROADCAST_ROWS = 2_000_000
+
+
+def _hint_deletes(dels, n_delete_rows: int):
+    """Broadcast the delete set only while the MANIFEST (no data read)
+    proves it small; a huge pre-compaction delete set shuffle-joins."""
+    return F.broadcast(dels) if n_delete_rows <= _DELETE_BROADCAST_ROWS else dels
 
 
 def read_position_deletes(

@@ -455,10 +455,14 @@ class Table:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        # exclude rows already deleted by live position deletes
+        # exclude rows already deleted by live position deletes (broadcast
+        # only while the manifest proves the delete set small)
+        from iceberg_trino_sql_demo_spark.sources.reader import _hint_deletes
+
         dels = read_position_deletes(self.spark, sub)
+        n_del = sum(d.record_count for d in sub.delete_files)
         df = df.join(
-            F.broadcast(dels),
+            _hint_deletes(dels, n_del),
             (df["file_path"] == dels["__del_file"]) & (df["pos"] == dels["__del_pos"]),
             "left_anti",
         )
@@ -841,7 +845,10 @@ class Table:
                 del_df = read_position_deletes(self.spark, Manifest([], new_dels))
                 ref_paths = {p for d in new_dels for p in d.referenced_files}
                 ref_files = [f for f in prev_manifest.data_files if f.path in ref_paths]
-                gone = rows_at_positions(self.spark, m, ref_files, del_df)
+                gone = rows_at_positions(
+                    self.spark, m, ref_files, del_df,
+                    n_delete_rows=sum(d.record_count for d in new_dels),
+                )
                 pieces.append(gone.withColumn("_change_type", F.lit("delete")))
             for p in pieces:
                 p = p.withColumn("_change_ordinal", F.lit(ordinal)).withColumn(
