@@ -14,6 +14,7 @@ unless noted; merge modes are cross-tested in tests/test_dml.py.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -346,3 +347,322 @@ def ice_snapshot_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaps.select(
         "operation", F.col("snapshot_id").cast("int").alias("seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 ANALYZE + SHOW STATS (reference :48-49): the deterministic slice of
+# the stats surface — nulls fraction, row count, low/high from parquet
+# footers (ndv is an engine-specific HLL estimate, so it stays pytest-side)
+# ---------------------------------------------------------------------------
+@register(
+    "ice_show_stats_minmax",
+    oracle=f"""
+    SELECT 'custkey' AS column_name, 0.0 AS nulls_fraction,
+           CAST(count(*) AS DOUBLE) AS row_count,
+           CAST(min(custkey) AS VARCHAR) AS low_value,
+           CAST(max(custkey) AS VARCHAR) AS high_value
+      FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT 'account_balance', 0.0, CAST(count(*) AS DOUBLE),
+           CAST(min(account_balance) AS VARCHAR),
+           CAST(max(account_balance) AS VARCHAR)
+      FROM ({_BASE_SQL})
+    """,
+    bench=False,
+)
+def ice_show_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _scratch_customer(spark, sf_dir)
+    t.analyze()
+    return (
+        t.show_stats()
+        .where(F.col("column_name").isin("custkey", "account_balance"))
+        .select("column_name", "nulls_fraction", "row_count", "low_value", "high_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 $properties + D8/D2 SHOW CREATE TABLE/SCHEMA (reference :42/:7/:74):
+# table properties straight from the metadata table, plus boolean probes
+# that the rendered DDL round-trips the partitioning and schema location
+# ---------------------------------------------------------------------------
+@register(
+    "ice_properties_show_create",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('format', 'parquet'),
+        ('format_version', '3'),
+        ('merge_mode', 'merge-on-read'),
+        ('show_create_has_partitioning', 'true'),
+        ('show_create_schema_has_location', 'true')
+    ) AS v(key, value)
+    """,
+    bench=False,
+)
+def ice_properties_show_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="ice_wh_"))
+    cat.create_schema("demo")
+    cat.use("demo")
+    if sf_dir not in _SRC_CACHE:
+        src = customer_pipeline(spark, sf_dir)
+        _SRC_CACHE[sf_dir] = (src.schema, src.collect())
+    schema, rows = _SRC_CACHE[sf_dir]
+    t = cat.ctas(
+        "customer",
+        spark.createDataFrame(rows, schema),
+        partitioning=["mktsegment"],
+        properties={"merge_mode": "merge-on-read"},
+    )
+    ddl = t.show_create("customer")
+    schema_ddl = cat.show_create_schema("demo")
+    props = t.meta_df("properties").where(
+        F.col("key").isin("format", "format_version", "merge_mode")
+    ).distinct()  # format_version appears as a property AND a schema field
+    derived = spark.createDataFrame(
+        [
+            (
+                "show_create_has_partitioning",
+                str("partitioning = ARRAY['mktsegment']" in ddl).lower(),
+            ),
+            (
+                "show_create_schema_has_location",
+                str("location" in schema_ddl.lower()).lower(),
+            ),
+        ],
+        "key string, value string",
+    )
+    return props.unionByName(derived)
+
+
+# ---------------------------------------------------------------------------
+# V4/V5 SHOW BRANCHES + FAST FORWARD (reference :234-253): after dev-only
+# DML and a fast-forward, both refs list and agree on the row count
+# ---------------------------------------------------------------------------
+@register(
+    "ice_branches_ff",
+    oracle=f"""
+    SELECT 'dev' AS branch, count(*) + 1 AS n_rows FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT 'main', count(*) + 1 FROM ({_BASE_SQL})
+    """,
+    bench=False,
+)
+def ice_branches_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.create_branch("dev")
+    t.insert(
+        [{"custkey": 90000011, "name": "FF", "mktsegment": "SQLENGINE",
+          "account_balance": 1.0, "nation": "FRANCE"}],
+        ref="dev",
+    )
+    t.fast_forward("main", "dev")
+    rows = [(b, t.df(ref=b).count()) for b in t.branches()]
+    return spark.createDataFrame(rows, "branch string, n_rows bigint")
+
+
+# ---------------------------------------------------------------------------
+# D14/D15 views + materialized views (reference :53-61): a view and an MV
+# over the same definition; after an insert + REFRESH both see the new row
+# ---------------------------------------------------------------------------
+@register(
+    "ice_views_mv",
+    oracle=f"""
+    WITH state AS (
+      SELECT custkey, account_balance FROM ({_BASE_SQL})
+      UNION ALL SELECT 90000012, 7777.0
+    )
+    SELECT 'view' AS via, custkey, account_balance FROM state WHERE account_balance > 0
+    UNION ALL
+    SELECT 'mv', custkey, account_balance FROM state WHERE account_balance > 0
+    """,
+    bench=False,
+)
+def ice_views_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="ice_wh_"))
+    cat.create_schema("demo")
+    cat.use("demo")
+    if sf_dir not in _SRC_CACHE:
+        src = customer_pipeline(spark, sf_dir)
+        _SRC_CACHE[sf_dir] = (src.schema, src.collect())
+    schema, rows = _SRC_CACHE[sf_dir]
+    t = cat.ctas("customer", spark.createDataFrame(rows, schema))
+    cat.register_table_view("customer")
+    view_sql = "SELECT custkey, account_balance FROM customer WHERE account_balance > 0"
+    cat.create_view("v_top", view_sql)
+    cat.create_materialized_view("mv_top", view_sql)
+    t.insert([{"custkey": 90000012, "name": "MV", "mktsegment": "SQLENGINE",
+               "account_balance": 7777.0, "nation": "FRANCE"}])
+    cat.register_table_view("customer")  # rebind the temp view to new state
+    mv = cat.refresh_materialized_view("mv_top")
+    via = lambda tag, df: df.select(
+        F.lit(tag).alias("via"), "custkey", "account_balance"
+    )
+    return via("view", cat.read_view("v_top")).unionByName(via("mv", mv.df()))
+
+
+# ---------------------------------------------------------------------------
+# V7/V8 expire_snapshots + remove_orphan_files (reference :260-261): expiry
+# drops the two non-head snapshots (removing their unique files), and
+# orphan removal deletes exactly the planted stray write-attempt file
+# ---------------------------------------------------------------------------
+@register(
+    "ice_expire_orphans",
+    oracle=f"""
+    SELECT CAST(2 AS BIGINT) AS n_expired,
+           CAST(1 AS BIGINT) AS n_orphans,
+           CAST(1 AS BIGINT) AS n_snapshots_after,
+           count(*) + 1 AS n_rows
+      FROM ({_BASE_SQL})
+    """,
+    bench=False,
+)
+def ice_expire_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir, merge_mode="copy-on-write")
+    # key far outside any base custkey range at every sf -> exactly one file
+    t.insert([{"custkey": 90000013, "name": "ORPH", "mktsegment": "SQLENGINE",
+               "account_balance": 1.0, "nation": "FRANCE"}])
+    t.update({"account_balance": 2.0}, "custkey = 90000013")
+    n_expired = t.expire_snapshots(retention_ms=0)
+    # expire already deleted the files unique to dropped snapshots; plant
+    # a stray file (the debris a failed write task leaves) as the orphan
+    with open(os.path.join(t.location, "data", "stray-task-attempt.parquet"), "wb") as fh:
+        fh.write(b"not a real parquet footer")
+    n_orphans = t.remove_orphan_files(retention_ms=0)
+    rows = [(
+        n_expired,
+        n_orphans,
+        t.meta_df("snapshots").count(),
+        t.df().count(),
+    )]
+    return spark.createDataFrame(
+        rows, "n_expired bigint, n_orphans bigint, n_snapshots_after bigint, n_rows bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D10/D12/F9 typed evolution (reference :173-189): JSON/variant column with
+# typed extraction + TIMESTAMP(9) stored as exact nanos; old rows surface
+# NULL for the new variant column
+# ---------------------------------------------------------------------------
+_NS_LITERAL = "2025-08-21 12:34:56.123456789"
+_NS_EPOCH = 1755779696123456789  # parse_ns_timestamp(_NS_LITERAL), exact to the nanosecond
+
+
+@register(
+    "ice_schema_types",
+    oracle=f"""
+    SELECT CAST(90000014 AS BIGINT) AS custkey,
+           'Starburst' AS company,
+           CAST({_NS_EPOCH} AS BIGINT) AS ns,
+           count(*) AS n_null_json
+      FROM ({_BASE_SQL})
+    """,
+    bench=False,
+)
+def ice_schema_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _scratch_customer(spark, sf_dir)
+    t.add_column("message", "variant")
+    t.add_column("nanos", "timestamp_ns")
+    t.insert([{"custkey": 90000014, "name": "TYPES", "mktsegment": "SQLENGINE",
+               "account_balance": 1.0, "nation": "FRANCE",
+               "message": '{"company": "Starburst"}', "nanos": _NS_LITERAL}])
+    row = t.df(where="custkey = 90000014").select(
+        "custkey",
+        F.variant_get("message", "$.company", "string").alias("company"),
+        F.col("nanos").alias("ns"),
+    )
+    nulls = t.df().agg(
+        F.sum(F.col("message").isNull().cast("long")).alias("n_null_json")
+    )
+    return row.crossJoin(nulls)
+
+
+# ---------------------------------------------------------------------------
+# P7 hidden/system columns + v3 row lineage (reference :65-72): _row_id is
+# dense, unique, zero-based over the CTAS commit
+# ---------------------------------------------------------------------------
+@register(
+    "ice_row_lineage",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           count(*) AS n_distinct_row_ids,
+           CAST(0 AS BIGINT) AS min_row_id,
+           count(*) - 1 AS max_row_id
+      FROM ({_BASE_SQL})
+    """,
+    bench=False,
+)
+def ice_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _scratch_customer(spark, sf_dir)
+    return t.df(hidden=True).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_distinct_row_ids"),
+        F.min("_row_id").alias("min_row_id"),
+        F.max("_row_id").alias("max_row_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 joins over metadata tables (reference :85-94 curr_ver_dets): the
+# current-version detail row from $snapshots x $refs
+# ---------------------------------------------------------------------------
+@register(
+    "ice_meta_join",
+    oracle="""
+    SELECT * FROM (VALUES ('append', 'main', TRUE))
+        AS v(operation, ref, is_head)
+    """,
+    bench=False,
+)
+def ice_meta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _scratch_customer(spark, sf_dir)
+    snaps = t.meta_df("snapshots").select("snapshot_id", "operation")
+    refs = t.meta_df("refs").select(
+        F.col("name").alias("ref"), F.col("snapshot_id").alias("ref_snapshot")
+    )
+    return snaps.join(refs, snaps["snapshot_id"] == refs["ref_snapshot"]).select(
+        "operation", "ref", F.lit(True).alias("is_head")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1/D1/D3/D7/D16 SQL-frontend roundtrip (reference :1,:6-9,:17,:276-279):
+# SET SESSION, CREATE SCHEMA, USE, CTAS, DROP TABLE (files kept), then
+# register_table resurrects the dropped table from its directory
+# ---------------------------------------------------------------------------
+@register(
+    "ice_sql_roundtrip",
+    oracle=f"SELECT count(*) AS n FROM ({_BASE_SQL})",
+    bench=False,
+)
+def ice_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ice_wh_"))
+    eng.sql("SET SESSION skip_results_cache=true")  # S1: accepted no-op
+    eng.sql("CREATE SCHEMA demo")
+    eng.sql("USE demo")
+    if sf_dir not in _SRC_CACHE:
+        src = customer_pipeline(spark, sf_dir)
+        _SRC_CACHE[sf_dir] = (src.schema, src.collect())
+    schema, rows = _SRC_CACHE[sf_dir]
+    t = eng.catalog.ctas("customer", spark.createDataFrame(rows, schema))
+    location = t.location
+    eng.sql("DROP TABLE customer")  # D7 (no purge: files kept)
+    eng.catalog.register_table("demo", "customer2", location)  # D16
+    return eng.sql("SELECT count(*) AS n FROM customer2")
