@@ -549,9 +549,10 @@ def ice_expire_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D10/D12/F9 typed evolution (reference :173-189): JSON/variant column with
+# D10-D12/F9 typed evolution (reference :173-189): JSON/variant column with
 # typed extraction + TIMESTAMP(9) stored as exact nanos; old rows surface
-# NULL for the new variant column
+# NULL for the new variant column; DROP COLUMN afterwards is metadata-only
+# (no rewrite) and the table stays fully readable
 # ---------------------------------------------------------------------------
 _NS_LITERAL = "2025-08-21 12:34:56.123456789"
 _NS_EPOCH = 1755779696123456789  # parse_ns_timestamp(_NS_LITERAL), exact to the nanosecond
@@ -563,7 +564,8 @@ _NS_EPOCH = 1755779696123456789  # parse_ns_timestamp(_NS_LITERAL), exact to the
     SELECT CAST(90000014 AS BIGINT) AS custkey,
            'Starburst' AS company,
            CAST({_NS_EPOCH} AS BIGINT) AS ns,
-           count(*) AS n_null_json
+           count(*) AS n_null_json,
+           count(*) + 1 AS n_rows_after_drop
       FROM ({_BASE_SQL})
     """,
     bench=False,
@@ -585,7 +587,12 @@ def ice_schema_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls = t.df().agg(
         F.sum(F.col("message").isNull().cast("long")).alias("n_null_json")
     )
-    return row.crossJoin(nulls)
+    out = row.crossJoin(nulls)
+    out = out.localCheckpoint(eager=True)  # pin pre-drop state
+    t.drop_column("message")  # D11: metadata-only, no file rewrite
+    assert "message" not in t.df().columns
+    after = t.df().agg(F.count(F.lit(1)).alias("n_rows_after_drop"))
+    return out.crossJoin(after)
 
 
 # ---------------------------------------------------------------------------
@@ -666,3 +673,35 @@ def ice_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.sql("DROP TABLE customer")  # D7 (no purge: files kept)
     eng.catalog.register_table("demo", "customer2", location)  # D16
     return eng.sql("SELECT count(*) AS n FROM customer2")
+
+
+# ---------------------------------------------------------------------------
+# V9/V10 optimize WHERE file_modified_time (reference :263-268): candidate
+# selection is pure manifest metadata — a past threshold compacts the three
+# 1-row files (3 -> 1: two fewer), a future threshold is a guaranteed no-op
+# ---------------------------------------------------------------------------
+@register(
+    "ice_optimize_where_mtime",
+    oracle=f"""
+    SELECT count(*) + 3 AS n_rows,
+           CAST(2 AS BIGINT) AS files_removed_by_compaction,
+           CAST(0 AS BIGINT) AS noop_delta
+      FROM ({_BASE_SQL})
+    """,
+    bench=False,
+)
+def ice_optimize_where_mtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.sources.metadata import now_ms
+
+    t = _scratch_customer(spark, sf_dir)
+    for row in _ROWS:
+        t.insert([row])  # three 1-row files in one partition
+    n0 = len(t._manifest(t._resolve("main")).data_files)
+    t.optimize(modified_after_ms=now_ms() + 3_600_000)  # future -> no-op
+    n1 = len(t._manifest(t._resolve("main")).data_files)
+    t.optimize(modified_after_ms=now_ms() - 3_600_000)  # past -> compacts
+    n2 = len(t._manifest(t._resolve("main")).data_files)
+    rows = [(t.df().count(), n1 - n2, n0 - n1)]
+    return spark.createDataFrame(
+        rows, "n_rows bigint, files_removed_by_compaction bigint, noop_delta bigint"
+    )
