@@ -494,14 +494,18 @@ def ice_views_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = customer_pipeline(spark, sf_dir)
         _SRC_CACHE[sf_dir] = (src.schema, src.collect())
     schema, rows = _SRC_CACHE[sf_dir]
+    # scoped temp-view name: never clobber a caller-session view that
+    # happens to be called "customer"
     t = cat.ctas("customer", spark.createDataFrame(rows, schema))
-    cat.register_table_view("customer")
-    view_sql = "SELECT custkey, account_balance FROM customer WHERE account_balance > 0"
+    cat.register_table_view("customer", view_name="ice_mv_customer")
+    view_sql = (
+        "SELECT custkey, account_balance FROM ice_mv_customer WHERE account_balance > 0"
+    )
     cat.create_view("v_top", view_sql)
     cat.create_materialized_view("mv_top", view_sql)
     t.insert([{"custkey": 90000012, "name": "MV", "mktsegment": "SQLENGINE",
                "account_balance": 7777.0, "nation": "FRANCE"}])
-    cat.register_table_view("customer")  # rebind the temp view to new state
+    cat.register_table_view("customer", view_name="ice_mv_customer")  # rebind
     mv = cat.refresh_materialized_view("mv_top")
     via = lambda tag, df: df.select(
         F.lit(tag).alias("via"), "custkey", "account_balance"
