@@ -106,3 +106,24 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_interval_join(
         spark, sf_dir, query_name=f"stream_ij_{uuid.uuid4().hex[:8]}"
     )
+
+
+@register(
+    "events_stream_dedup_watermarked",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, value FROM events
+    """,
+    bench=False,
+)
+def events_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark): the
+    production-scale variant whose state is O(watermark window); with a
+    horizon wider than the replay's event-time span the drained output
+    equals batch DISTINCT, which is the oracle."""
+    from iceberg_trino_sql_demo_spark.streaming.ingest import (
+        stream_dedup_within_watermark,
+    )
+
+    return stream_dedup_within_watermark(
+        spark, sf_dir, query_name=f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    )

@@ -162,6 +162,47 @@ def stream_dedup_events(
     return spark.table(query_name)
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_dedup_wm"
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts dedup state once the event-time watermark passes a key, so state
+    is O(watermark window), not O(distinct keys) — the ONLY dedup that
+    survives an unbounded 100 TB stream.  With a horizon wider than the
+    replayed dataset's event-time span nothing is evicted early, so the
+    drained result still equals batch DISTINCT exactly — which is the
+    oracle; production narrows the horizon to its dedup SLA.
+    """
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dedup = (
+        src.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        )
+        .withWatermark("event_time", "365 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "value"])
+        .drop("event_time")
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, ckpt)
+    return spark.table(query_name)
+
+
 def stream_interval_join(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_ij"
 ) -> DataFrame:
