@@ -634,3 +634,61 @@ def lineitem_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("q")[2].alias("q75"), F.col("q")[3].alias("q95"),
         )
     )
+
+
+@register(
+    "cube_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+     GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping-set combinations in one pass — like rollup, CUBE is
+    a single Expand + hash aggregate, not k separate scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+    )
+
+
+@register(
+    "pivot_segment_by_region",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(SUM(CASE WHEN r.r_name = 'EUROPE' THEN 1 ELSE 0 END) AS BIGINT) AS europe,
+           CAST(SUM(CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END) AS BIGINT) AS asia,
+           CAST(SUM(CASE WHEN r.r_name = 'AMERICA' THEN 1 ELSE 0 END) AS BIGINT) AS america
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+     GROUP BY 1
+    """,
+)
+def pivot_segment_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list: Spark folds it into conditional
+    aggregates inside ONE hash aggregate (the values must be enumerated —
+    an open-ended pivot would need a driver-side distinct pass first)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("c_mktsegment", "r_name")
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .pivot("r_name", ["EUROPE", "ASIA", "AMERICA"])
+        .count()
+        .select(
+            "mktsegment",
+            F.coalesce("EUROPE", F.lit(0)).alias("europe"),
+            F.coalesce("ASIA", F.lit(0)).alias("asia"),
+            F.coalesce("AMERICA", F.lit(0)).alias("america"),
+        )
+    )
