@@ -181,3 +181,27 @@ def test_documents_text_is_ascii(spark, sf_oracle_dir):
     d = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
     non_ascii = d.where(F.octet_length("text") != F.length("text")).count()
     assert non_ascii == 0
+
+
+def test_filters_and_projection_reach_parquet_scan(spark):
+    """Pushdown audit: predicates must appear in the scan's PushedFilters
+    and projection must narrow ReadSchema — if either stops happening, a
+    full-table read is hiding behind a correct answer."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    sf = "/root/testdata/sf0.001"
+
+    def formatted(df) -> str:
+        jvm = spark._jvm
+        return jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    plan = formatted(ops.QUERIES["orderdate_range"](spark, sf))
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan
+    # projection pruned to the single column the query touches
+    assert "ReadSchema: struct<o_orderdate" in plan
+
+    plan = formatted(ops.QUERIES["customer_pipeline"](spark, sf))
+    assert "EqualTo(r_name,EUROPE)" in plan
