@@ -193,3 +193,148 @@ def test_pruning_is_conservative(manifest, where):
     for f, rows in zip(files, rowsets):
         if any(_eval_where(where, r) for r in rows):
             assert f.path in kept, (where, rows, preds)
+
+
+# ---------------------------------------------------------------------------
+# Transform pruning (year/month/day/truncate/identity): a predicate on the
+# SOURCE column is mapped through the transform's interval logic; it must
+# never drop a file containing a matching row.
+# ---------------------------------------------------------------------------
+from iceberg_trino_sql_demo_spark.sources.transforms import parse_transform  # noqa: E402
+
+_T_SCHEMA = TableSchema(
+    schema_id=0,
+    fields=(
+        NestedField(id=1, name="d", type="date"),
+        NestedField(id=2, name="s", type="string"),
+    ),
+)
+
+
+class _TMeta:
+    def __init__(self, spec_str: str, field_name: str):
+        self._spec = PartitionSpec(
+            spec_id=0,
+            fields=(SpecField(field_id=1000, source_id=1 if "d" in spec_str else 2,
+                              transform=spec_str),),
+        )
+        self._fname = field_name
+
+    def schema_by_id(self, _id):
+        return _T_SCHEMA
+
+    def spec_by_id(self, _id):
+        return self._spec
+
+
+_ALPHA = ["aa", "ab", "ba", "bb"]
+
+
+@st.composite
+def _t_manifest(draw):
+    """(spec_str, files, rowsets): all rows of a file share the transform
+    value (that is what hidden-partitioned writes guarantee)."""
+    spec_str = draw(st.sampled_from(["year(d)", "month(d)", "day(d)", "d",
+                                     "truncate(2, s)", "s"]))
+    t = parse_transform(spec_str)
+    n_files = draw(st.integers(2, 4))
+    files, rowsets = [], []
+    for i in range(n_files):
+        if t.source == "d":
+            y = draw(st.integers(1994, 1997))
+            m = draw(st.integers(1, 12))
+            day = draw(st.integers(1, 28))
+            if t.name == "year":
+                dates = [f"{y:04d}-{draw(st.integers(1,12)):02d}-{draw(st.integers(1,28)):02d}"
+                         for _ in range(draw(st.integers(1, 3)))]
+            elif t.name == "month":
+                dates = [f"{y:04d}-{m:02d}-{draw(st.integers(1,28)):02d}"
+                         for _ in range(draw(st.integers(1, 3)))]
+            else:  # day or identity: all rows the same date
+                dates = [f"{y:04d}-{m:02d}-{day:02d}"] * draw(st.integers(1, 3))
+            rows = [(d_, draw(st.sampled_from(_ALPHA))) for d_ in dates]
+            pv = t.eval_py(dates[0])
+        else:
+            prefix = draw(st.sampled_from(_ALPHA))
+            strs = [prefix + draw(st.sampled_from(["", "x", "zz"]))
+                    for _ in range(draw(st.integers(1, 3)))]
+            if t.name == "identity":
+                strs = [strs[0]] * len(strs)
+            rows = [(f"1995-0{draw(st.integers(1,9))}-10", s_) for s_ in strs]
+            pv = t.eval_py(strs[0])
+        ds = [r[0] for r in rows]
+        ss = [r[1] for r in rows]
+        files.append(
+            DataFile(
+                path=f"/synthetic/t{i}.parquet",
+                spec_id=0,
+                schema_id=0,
+                partition={t.field_name: pv},
+                record_count=len(rows),
+                file_size_bytes=1024,
+                stats={
+                    "1": {"min": min(ds), "max": max(ds), "nulls": 0},
+                    "2": {"min": min(ss), "max": max(ss), "nulls": 0},
+                },
+                first_row_id=0,
+                sequence_number=1,
+                file_modified_ms=0,
+            )
+        )
+        rowsets.append(rows)
+    return spec_str, t.field_name, files, rowsets
+
+
+@st.composite
+def _t_atom(draw, col: str) -> str:
+    if col == "d":
+        y, m, day = draw(st.integers(1994, 1997)), draw(st.integers(1, 12)), draw(st.integers(1, 28))
+        lit = f"DATE '{y:04d}-{m:02d}-{day:02d}'"
+        shape = draw(st.sampled_from(["cmp", "between"]))
+        if shape == "cmp":
+            return f"d {draw(st.sampled_from(['=', '<', '<=', '>', '>=']))} {lit}"
+        y2 = y + draw(st.integers(0, 1))
+        return f"d BETWEEN {lit} AND DATE '{y2:04d}-12-28'"
+    word = draw(st.sampled_from(_ALPHA + ["aax", "bbzz"]))
+    shape = draw(st.sampled_from(["cmp", "in"]))
+    if shape == "cmp":
+        return f"s {draw(st.sampled_from(['=', '<', '>=']))} '{word}'"
+    return f"s IN ('{word}', '{draw(st.sampled_from(_ALPHA))}')"
+
+
+@st.composite
+def _t_where(draw, col: str, depth: int = 1) -> str:
+    if depth == 0 or draw(st.booleans()):
+        return draw(_t_atom(col))
+    kw = draw(st.sampled_from(["AND", "OR"]))
+    return f"({draw(_t_where(col, depth - 1))}) {kw} ({draw(_t_where(col, depth - 1))})"
+
+
+def _t_eval(where: str, row: tuple[str, str]) -> bool:
+    d, s = row
+    import re
+
+    py = where
+    py = re.sub(r"DATE '([^']+)'", r"'\1'", py)
+
+    def _bt(m):
+        return f"({m.group(1)} >= {m.group(2)} and {m.group(1)} <= {m.group(3)})"
+
+    py = re.sub(r"(\w+) BETWEEN ('[^']+') AND ('[^']+')", _bt, py)
+    py = re.sub(r"(\w+) IN \(([^)]*)\)", lambda m: f"({m.group(1)} in [{m.group(2)}])", py)
+    py = py.replace(" AND ", " and ").replace(" OR ", " or ")
+    py = re.sub(r"(?<![<>!=])=(?!=)", "==", py)
+    return bool(eval(py, {}, {"d": d, "s": s}))  # noqa: S307
+
+
+@given(_t_manifest(), st.data())
+@settings(max_examples=300, deadline=None)
+def test_transform_pruning_is_conservative(manifest, data):
+    spec_str, field_name, files, rowsets = manifest
+    col = "d" if "d" in spec_str else "s"
+    where = data.draw(_t_where(col))
+    preds = parse_simple_predicates(where)
+    kept = {f.path for f in prune_files(files, _TMeta(spec_str, field_name), preds)}
+    for f, rows in zip(files, rowsets):
+        if any(_t_eval(where, r) for r in rows):
+            assert f.path in kept, (spec_str, where, rows, preds)
