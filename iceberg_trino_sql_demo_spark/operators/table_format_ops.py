@@ -289,7 +289,8 @@ def ice_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ice_table_changes",
     oracle="""
-    SELECT * FROM (VALUES
+    SELECT CAST(custkey AS BIGINT) AS custkey, _change_type, _change_ordinal
+      FROM (VALUES
         (2001, 'insert', 0), (2002, 'insert', 0), (2003, 'insert', 0),
         (2001, 'delete', 1)
     ) AS v(custkey, _change_type, _change_ordinal)
@@ -357,13 +358,13 @@ def ice_snapshot_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ice_show_stats_minmax",
     oracle=f"""
-    SELECT 'custkey' AS column_name, 0.0 AS nulls_fraction,
+    SELECT 'custkey' AS column_name, CAST(0.0 AS DOUBLE) AS nulls_fraction,
            CAST(count(*) AS DOUBLE) AS row_count,
            CAST(min(custkey) AS VARCHAR) AS low_value,
            CAST(max(custkey) AS VARCHAR) AS high_value
       FROM ({_BASE_SQL})
     UNION ALL
-    SELECT 'account_balance', 0.0, CAST(count(*) AS DOUBLE),
+    SELECT 'account_balance', CAST(0.0 AS DOUBLE), CAST(count(*) AS DOUBLE),
            CAST(min(account_balance) AS VARCHAR),
            CAST(max(account_balance) AS VARCHAR)
       FROM ({_BASE_SQL})
