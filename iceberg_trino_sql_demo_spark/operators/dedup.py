@@ -560,3 +560,100 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(block_cosine, "id_a bigint, id_b bigint")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster assignment — connected components over the near-dup
+# pair graph (min-label propagation): every document gets the smallest
+# doc_id reachable through duplicate pairs as its canonical cluster id.
+# This is the step that turns pairwise dedup output into "keep one per
+# cluster" decisions.  The loop is a handful of hash joins per iteration
+# (label <- min(own, neighbours')), converging in O(component diameter)
+# rounds — dup components are shallow (stars/chains), so 3-6 iterations
+# cover real corpora; only a one-row convergence count reaches the driver
+# per round.  Oracle: DuckDB WITH RECURSIVE transitive closure.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ({_CORPUS_SQL}) a
+        JOIN ({_CORPUS_SQL}) b
+          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, src AS seen FROM edges
+      UNION
+      SELECT r.node, e.dst
+        FROM reach r JOIN edges e ON e.src = r.seen
+    )
+    SELECT node AS doc_id, min(seen) AS cluster_id,
+           CAST(count(DISTINCT seen) AS BIGINT) AS cluster_size
+      FROM reach
+     GROUP BY node
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation over exact-dup pairs until fixpoint; returns
+    (doc_id, cluster_id, cluster_size) for every document in a cluster."""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    pairs = (
+        corpus.alias("a")
+        .join(
+            corpus.alias("b"),
+            (F.md5(F.col("a.text")) == F.md5(F.col("b.text")))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(20):  # >> diameter of any dup component
+        neigh = (
+            edges.join(labels, edges["id_b"] == labels["node"])
+            .groupBy(F.col("id_a").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        # the changed-count action below also materializes new_labels into
+        # the cache — no separate count() job needed
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+    edges.unpersist()
+    return out
