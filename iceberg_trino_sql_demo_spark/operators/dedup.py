@@ -598,9 +598,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
      GROUP BY node
     """,
 )
+#: persisted frames from the previous invocation (released on next call)
+_CC_PERSISTED: list[DataFrame] = []
+
+
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation over exact-dup pairs until fixpoint; returns
     (doc_id, cluster_id, cluster_size) for every document in a cluster."""
+    while _CC_PERSISTED:
+        _CC_PERSISTED.pop().unpersist()
     corpus = _corpus_with_dups(spark, sf_dir)
     pairs = (
         corpus.alias("a")
@@ -656,4 +662,5 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
     )
     edges.unpersist()
+    _CC_PERSISTED.append(labels)  # consumed lazily by `out`; freed next call
     return out
