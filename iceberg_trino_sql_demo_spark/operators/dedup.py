@@ -573,6 +573,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cover real corpora; only a one-row convergence count reaches the driver
 # per round.  Oracle: DuckDB WITH RECURSIVE transitive closure.
 # ---------------------------------------------------------------------------
+#: persisted frames from the previous invocation (released on next call)
+_CC_PERSISTED: list[DataFrame] = []
+
+
 @register(
     "dedup_cluster_components",
     oracle=f"""
@@ -598,10 +602,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
      GROUP BY node
     """,
 )
-#: persisted frames from the previous invocation (released on next call)
-_CC_PERSISTED: list[DataFrame] = []
-
-
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation over exact-dup pairs until fixpoint; returns
     (doc_id, cluster_id, cluster_size) for every document in a cluster."""
