@@ -174,3 +174,61 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# hypertable rollup — the continuous-aggregate pattern: history older than a
+# cutoff is served from a PRE-AGGREGATED hourly rollup (here materialized on
+# the fly; in production it is a stored table the stream keeps appending to)
+# and only the recent tail is aggregated from raw events, then both merge.
+# At 100 TB the rollup table is ~1/10^4 the raw size, so dashboard-style
+# window queries stop touching raw history entirely; correctness of the
+# merge is exactly what the oracle checks (it must equal aggregating all
+# raw events directly — DECIMAL accumulation keeps both paths bit-equal).
+# ---------------------------------------------------------------------------
+_ROLLUP_CUTOFF = "2024-01-21 00:00:00"  # inside the data span: both paths contribute
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+     GROUP BY 1, 2
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit(_ROLLUP_CUTOFF).cast("timestamp")
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "dec_value",
+            )
+        )
+
+    # the "continuous aggregate": history rolled up once, tail from raw.
+    # Hour windows never straddle the hour-aligned cutoff, so the split is
+    # loss-free; merging re-aggregates in DECIMAL (order-insensitive).
+    rollup = hourly(ev.where(F.col("ts") < cutoff))
+    tail = hourly(ev.where(F.col("ts") >= cutoff))
+    return (
+        rollup.unionByName(tail)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("dec_value").cast("double").alias("total_value"),
+        )
+    )
