@@ -1,7 +1,7 @@
 """Deduplication operators for LLM training-data pipelines (SURVEY.md §7
 Phase 7; BASELINE.json north-star beyond the reference surface).
 
-Five strategies over the ``documents`` / ``embeddings`` testdata tables:
+Six strategies over the ``documents`` / ``embeddings`` testdata tables:
 
 - **exact**        content-hash groupBy (md5) — one shuffle on the hash;
 - **shingle Jaccard** exact word-3-gram set similarity — explode + self-join
@@ -11,7 +11,9 @@ Five strategies over the ``documents`` / ``embeddings`` testdata tables:
 - **SimHash**      64-bit near-dup fingerprint, banded by 16-bit chunks for
   hamming-distance blocking;
 - **embedding cosine** near-dup by vector similarity (exact here; the ANN
-  variants live in operators/similarity.py).
+  variants live in operators/similarity.py);
+- **cluster components** iterative min-label propagation over the dup-pair
+  graph — pairwise output to keep-one-per-cluster decisions.
 
 Scale notes: every strategy is groupBy/join on a derived key — the classic
 all-pairs O(n^2) comparison only ever happens *within* a bucket/band.  At

@@ -56,8 +56,8 @@ _ROWS_SQL = """
 """
 
 
-#: the CTAS source is identical across all 13 scenarios — compute the
-#: 3-way-join pipeline once per sf_dir and replay the (tiny: 500-row)
+#: the CTAS source is identical across all scenarios — compute the
+#: 3-way-join pipeline once per sf_dir and replay the (tiny: <=500-row)
 #: result locally, so each scenario pays only for its own writes/mutations.
 _SRC_CACHE: dict[str, tuple] = {}
 
