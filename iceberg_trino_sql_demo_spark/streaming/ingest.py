@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from iceberg_trino_sql_demo_spark.functions.trino import decimal_sum
-from iceberg_trino_sql_demo_spark.session import table_path
+from iceberg_trino_sql_demo_spark.session import pinned_conf, table_path
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -102,28 +102,33 @@ def stream_tumbling_counts(
 ) -> DataFrame:
     """Drain events.parquet as a micro-batch stream into a memory sink and
     return the final aggregate as a DataFrame."""
-    # window keys are epoch-aligned either way, but the collected timestamps
-    # render in session tz — pin it so results don't depend on the caller
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # the file source wants a directory: stream the sf dir, globbed to the
-    # events table file(s)
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    agg = windowed_counts(src, watermark=True)
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q, ckpt)
+    # Window keys are epoch-aligned, so the tz conf cannot move buckets —
+    # but the whole stream EXECUTES inside this function, so a scoped pin
+    # over the drain is effective for any execution-time tz sensitivity
+    # and free; it is restored before returning (no caller-session
+    # mutation).  Rendering of the returned memory-sink timestamps happens
+    # at the CALLER's collection and follows its session (see
+    # operators/windows_ops._events for the measured rendering rules).
+    with pinned_conf(spark, {"spark.sql.session.timeZone": "UTC"}):
+        # the file source wants a directory: stream the sf dir, globbed to
+        # the events table file(s)
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        agg = windowed_counts(src, watermark=True)
+        ckpt = tempfile.mkdtemp(prefix="ckpt_")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, ckpt)
     return spark.table(query_name)
 
 

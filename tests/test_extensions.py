@@ -205,3 +205,73 @@ def test_filters_and_projection_reach_parquet_scan(spark):
 
     plan = formatted(ops.QUERIES["customer_pipeline"](spark, sf))
     assert "EqualTo(r_name,EUROPE)" in plan
+
+
+def test_shingle_df_cap_bounds_hot_keys(spark):
+    """A boilerplate trigram shared by every doc must be dropped by the DF
+    cap BEFORE the candidate self-join (VERDICT r2 #1: without the cap one
+    stop-shingle makes that join key quadratic in its doc count)."""
+    from iceberg_trino_sql_demo_spark.operators.dedup import MAX_DF_FLOOR, shingles
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("COPYRIGHT NOTICE BOILERPLATE header unique"),
+            F.lit(" tok"), F.col("id").cast("string"),
+            F.lit(" body"), (F.col("id") * 7).cast("string"),
+            F.lit(" tail"), (F.col("id") * 13).cast("string"),
+        ).alias("text"),
+    )
+    raw_df = (
+        shingles(docs, cap_df=False)
+        .groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert raw_df == 60, f"expected the planted shingle in every doc, got {raw_df}"
+    capped = shingles(docs)  # default cap_df=True
+    capped_max = capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    # 60 docs -> threshold max(MAX_DF_FLOOR, ceil(0.6)) = MAX_DF_FLOOR: every
+    # key reaching the self-join now contributes <= floor^2 candidate rows
+    assert capped_max is not None and capped_max <= MAX_DF_FLOOR
+    kept = {r.shingle for r in capped.select("shingle").distinct().collect()}
+    assert "COPYRIGHT NOTICE BOILERPLATE" not in kept
+
+
+def test_operators_leave_session_confs_untouched(spark):
+    """Operators must not permanently mutate the caller session's runtime
+    confs (VERDICT r2 #3): the codegen ceiling is pinned only around the
+    eager materialization and restored; the tz pin was removed outright."""
+    watch = ["spark.sql.codegen.maxFields", "spark.sql.session.timeZone"]
+    before = {k: spark.conf.get(k) for k in watch}
+    for name in ["dedup_minhash_lsh", "dedup_simhash", "events_tumbling_hourly"]:
+        ops.QUERIES[name](spark, SF).collect()
+        after = {k: spark.conf.get(k) for k in watch}
+        assert after == before, f"{name} leaked session confs: {after} != {before}"
+
+
+def test_cosine_guard_rejects_oversized_corpus(spark, monkeypatch):
+    """dedup_embedding_cosine enforces its verify-kernel-only contract: a
+    corpus above the standalone ceiling raises instead of scheduling an
+    O(n^2) block-pair fan-out (VERDICT r2 #2)."""
+    import pytest
+
+    from iceberg_trino_sql_demo_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "MAX_COSINE_STANDALONE_ROWS", 10)
+    with pytest.raises(ValueError, match="verify kernel"):
+        dedup.dedup_embedding_cosine(spark, SF)
+
+
+def test_star_components_chain_logn_rounds(spark):
+    """Alternating large-star/small-star converges in O(log n) rounds on a
+    1000-node chain — the adversarial case where min-label propagation
+    needs O(n) rounds (VERDICT r2 next-round #7)."""
+    from iceberg_trino_sql_demo_spark.operators.dedup import cluster_components_star
+
+    edges = spark.range(999).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = cluster_components_star(edges).collect()
+    assert len(out) == 1000
+    assert all(r.label == 0 for r in out), "chain is one component rooted at 0"
+    rounds = out[0].rounds
+    assert rounds <= 15, f"expected O(log n) rounds on a 1000-chain, took {rounds}"
