@@ -128,7 +128,17 @@ class Engine:
                 from datetime import datetime, timezone
 
                 iso = re.sub(r"^TIMESTAMP\s+", "", pin, flags=_FLAGS).strip("'")
-                dt = datetime.fromisoformat(iso)
+                # Trino renders zoned literals as '... UTC'; fromisoformat
+                # wants a numeric offset
+                norm = re.sub(r"\s+UTC$", "+00:00", iso)
+                try:
+                    dt = datetime.fromisoformat(norm)
+                except ValueError as exc:
+                    raise ValueError(
+                        f"unsupported FOR TIMESTAMP AS OF literal {pin!r}: "
+                        "expected an ISO-8601 instant, optionally suffixed "
+                        "' UTC' or with a numeric offset"
+                    ) from exc
                 if dt.tzinfo is None:
                     dt = dt.replace(tzinfo=timezone.utc)
                 df = t.df(as_of_ms=int(dt.timestamp() * 1000), hidden=wants_hidden)
@@ -138,10 +148,15 @@ class Engine:
                 df = t.df(version=int(pin), hidden=wants_hidden)
             return f"{kw} {self._tmp_view(df, name)}"
 
+        # the quoted alternative accepts ANY quoted literal (ADVICE r2: a
+        # plain '2024-01-01 00:00:00' instant previously fell through the
+        # optional group and leaked the FOR clause to Spark as an opaque
+        # parse error); TIMESTAMP-kind pins are validated in sub_from with
+        # a clear unsupported-literal error
         s = re.sub(
             r"\b(FROM|JOIN)\s+([\w.\"]+)"
             r"(?:\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
-            r"(TIMESTAMP\s+'[^']+'|'[\w]+'|\d+))?",
+            r"(TIMESTAMP\s+'[^']+'|'[^']+'|\d+))?",
             sub_from, s, flags=_FLAGS,
         )
 

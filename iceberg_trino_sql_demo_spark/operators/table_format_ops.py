@@ -234,6 +234,52 @@ def ice_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M4 + M5: MERGE targeted at a branch (ref="dev") — the reference only
+# merges on main (:146-157); accepting a ref closes the one DML that
+# lacked branch symmetry (:234-241 is the branch-DML pattern).  The result
+# pins BOTH sides of the contract: dev carries the upsert, main is
+# untouched.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_merge_branch",
+    oracle=f"""
+    SELECT 'dev' AS branch, custkey, name, mktsegment,
+           CASE WHEN custkey = 2001 THEN 42.0 ELSE account_balance END AS account_balance,
+           nation
+      FROM (SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL})
+    UNION ALL
+    SELECT 'dev', * FROM (VALUES (900001, 'DUCKDB', 'SQLENGINE', 7.0, 'GERMANY'))
+        AS v(custkey, name, mktsegment, account_balance, nation)
+    UNION ALL
+    SELECT 'main', * FROM (SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL}) b
+    """,
+    bench=False,
+)
+def ice_merge_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    t.create_branch("dev")
+    src = spark.createDataFrame(
+        [
+            (2001, "COMMANDER BUN BUN", "SQLENGINE", 42.0, "FRANCE"),  # matched
+            (900001, "DUCKDB", "SQLENGINE", 7.0, "GERMANY"),           # not matched
+        ],
+        "custkey bigint, name string, mktsegment string, account_balance double, nation string",
+    )
+    t.merge(
+        src,
+        on="custkey",
+        matched_set={"account_balance": "__src_account_balance"},
+        ref="dev",
+    )
+    dev = t.df(ref="dev").withColumn("branch", F.lit("dev"))
+    main = t.df().withColumn("branch", F.lit("main"))
+    return dev.unionByName(main)
+
+
+# ---------------------------------------------------------------------------
 # D9 schema evolution with DEFAULT (reference :164-171): old rows surface
 # the default; an insert omitting the column reads it back
 # ---------------------------------------------------------------------------

@@ -51,15 +51,34 @@ def _lit(groups: tuple) -> object:
     return float(num_v) if "." in num_v else int(num_v)
 
 
+_QUOTED = re.compile(r"'[^']*'")
+_MASKED = re.compile(r"'\x00(\d+)\x00'")
+
+
 def _rewrite_between(where: str) -> str:
     """``col BETWEEN a AND b`` -> ``col >= a AND col <= b`` so the normal
-    conjunction machinery (and the AND splitter) handle it."""
+    conjunction machinery (and the AND splitter) handle it.
+
+    Quote-aware (ADVICE r2, medium): string literals are masked with
+    placeholders before the regex substitution, so BETWEEN-looking text
+    INSIDE a literal (``name = 'X BETWEEN 1 AND 2'``) is never rewritten —
+    an in-place mutation of the literal would make min/max pruning compare
+    against a value no row contains and silently drop matching files.
+    Legitimate string-typed BETWEEN bounds still work: the placeholder is
+    itself a quoted literal, carried through the rewrite and unmasked."""
+    lits: list[str] = []
+
+    def mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"'\x00{len(lits) - 1}\x00'"
 
     def sub(m: re.Match) -> str:
         lo_txt, hi_txt = _between_literals(m)
         return f"{m.group(1)} >= {lo_txt} AND {m.group(1)} <= {hi_txt}"
 
-    return _BETWEEN.sub(sub, where)
+    masked = _QUOTED.sub(mask, where)
+    rewritten = _BETWEEN.sub(sub, masked)
+    return _MASKED.sub(lambda m: lits[int(m.group(1))], rewritten)
 
 
 def _between_literals(m: re.Match) -> tuple[str, str]:

@@ -181,19 +181,32 @@ def harvest_files(
                 )
                 continue
             md = pf.metadata
-            stats: dict[str, dict] = {}
+            # Per-field accumulators with VALIDITY flags: a bound or null
+            # count is only trustworthy if EVERY chunk of the column
+            # contributed one.  A chunk without footer stats (or without
+            # null_count) must poison the whole field's entry to None —
+            # partial sums/bounds understate reality and pruning would
+            # wrongly drop files (ADVICE r2: isnull pruning trusted
+            # ``null_count or 0``).  _stats_ok treats None as unknown and
+            # keeps the file.
+            acc: dict[str, dict] = {}
             for rg_i in range(md.num_row_groups):
                 rg = md.row_group(rg_i)
                 for c_i in range(rg.num_columns):
                     col = rg.column(c_i)
                     name = col.path_in_schema.split(".")[0]
                     fld = by_pname.get(name)
-                    if fld is None or col.statistics is None:
+                    if fld is None:
                         continue
-                    st = col.statistics
-                    cur = stats.setdefault(
-                        str(fld.id), {"min": None, "max": None, "nulls": 0, "size": 0}
+                    cur = acc.setdefault(
+                        str(fld.id),
+                        {"mins": [], "maxs": [], "nulls": 0, "size": 0,
+                         "mm_ok": True, "n_ok": True},
                     )
+                    st = col.statistics
+                    if st is None:
+                        cur["mm_ok"] = cur["n_ok"] = False
+                        continue
                     cur["size"] += col.total_compressed_size or 0
                     try:
                         has_min_max = st.has_min_max
@@ -204,13 +217,25 @@ def harvest_files(
                     except NotImplementedError:
                         # pyarrow can't cast stats for some logical types
                         # (e.g. ns timestamps) — skip, pruning stays safe
-                        has_min_max = False
-                    if has_min_max:
-                        if cur["min"] is None or (mn is not None and mn < cur["min"]):
-                            cur["min"] = mn
-                        if cur["max"] is None or (mx is not None and mx > cur["max"]):
-                            cur["max"] = mx
-                    cur["nulls"] += st.null_count or 0
+                        has_min_max, mn, mx = False, None, None
+                    if has_min_max and mn is not None and mx is not None:
+                        cur["mins"].append(mn)
+                        cur["maxs"].append(mx)
+                    else:
+                        cur["mm_ok"] = False
+                    if st.null_count is None:
+                        cur["n_ok"] = False
+                    else:
+                        cur["nulls"] += st.null_count
+            stats: dict[str, dict] = {
+                fid: {
+                    "min": min(c["mins"]) if c["mm_ok"] and c["mins"] else None,
+                    "max": max(c["maxs"]) if c["mm_ok"] and c["maxs"] else None,
+                    "nulls": c["nulls"] if c["n_ok"] else None,
+                    "size": c["size"],
+                }
+                for fid, c in acc.items()
+            }
             entries.append(
                 DataFile(
                     path=path,

@@ -278,3 +278,27 @@ def test_full_reference_script_replay(eng):
                  GROUP BY c.nation
                  ORDER BY total_price""").collect()
     assert len(agg) > 0 and agg[0].total_price <= agg[-1].total_price
+
+
+def test_for_timestamp_as_of_literal_forms(eng):
+    """ADVICE r2: a plain quoted instant ('2024-01-01 00:00:00') previously
+    fell through the FOR-clause regex and died as an opaque Spark parse
+    error, and Trino-style '... UTC' literals broke fromisoformat.  Both
+    now resolve; garbage raises a clear unsupported-literal error."""
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS tt_probe")
+    sql("CREATE OR REPLACE TABLE tt_probe AS SELECT * FROM tpch.sf1.nation")
+    sql("""INSERT INTO tt_probe (n_nationkey, n_name, n_regionkey, n_comment)
+           VALUES (777, 'ATLANTIS', 0, 'x')""")
+    snaps = sql('SELECT * FROM "tt_probe$snapshots" ORDER BY committed_at').collect()
+    iso = snaps[0].committed_at.strftime("%Y-%m-%d %H:%M:%S.%f")
+    # plain quoted instant
+    assert sql(f"SELECT * FROM tt_probe FOR TIMESTAMP AS OF '{iso}'").count() == 25
+    # Trino-rendered zoned literal
+    assert sql(f"SELECT * FROM tt_probe FOR TIMESTAMP AS OF TIMESTAMP '{iso} UTC'").count() == 25
+    # current read still sees the insert
+    assert sql("SELECT * FROM tt_probe").count() == 26
+    with pytest.raises(ValueError, match="unsupported FOR TIMESTAMP AS OF"):
+        sql("SELECT * FROM tt_probe FOR TIMESTAMP AS OF 'not-a-time'")

@@ -243,6 +243,27 @@ def test_predicate_parser_or_between():
     # NOT bails entirely
     assert parse_simple_predicates("NOT custkey = 1") == []
 
+    # BETWEEN-looking text INSIDE a string literal is NOT rewritten
+    # (ADVICE r2 medium: the in-place mutation made pruning compare
+    # against a literal no row contains)
+    [p] = parse_simple_predicates("name = 'X BETWEEN 1 AND 2'")
+    assert p == Predicate("name", "=", "X BETWEEN 1 AND 2")
+    # ...while string-typed BETWEEN bounds still desugar normally
+    p = parse_simple_predicates("name BETWEEN 'AAA' AND 'MMM'")
+    assert p == [
+        Predicate("name", ">=", "AAA"),
+        Predicate("name", "<=", "MMM"),
+    ]
+    # both at once: the literal survives verbatim, the real BETWEEN prunes
+    preds = parse_simple_predicates(
+        "note = 'A BETWEEN 3 AND 4' AND custkey BETWEEN 10 AND 20"
+    )
+    assert preds == [
+        Predicate("note", "=", "A BETWEEN 3 AND 4"),
+        Predicate("custkey", ">=", 10),
+        Predicate("custkey", "<=", 20),
+    ]
+
 
 def test_or_pruning_unions_branch_file_sets(spark, cat, sf_dir):
     """`seg='A' OR seg='B'` must keep exactly the union of both branches'
