@@ -98,6 +98,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # word-3-gram shingles (shared by jaccard + minhash)
 # ---------------------------------------------------------------------------
+def _shingle_occurrences(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) word n-gram OCCURRENCES — no dedup (callers that
+    need set semantics apply their own distinct, possibly after hashing the
+    shingle to integers so the distinct shuffles longs, not strings).
+    Documents shorter than n words are filtered before the explode (Spark's
+    sequence() would count *down* for a negative span).
+
+    The gram index is exploded and the gram text built as a plain indexed
+    projection — a transform(sequence, i -> ...) lambda builds the same
+    grams but higher-order functions are CodegenFallback (interpreted
+    per element), which taxes every operator built on shingles."""
+    return (
+        df.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= n)
+        .select(
+            "doc_id", "w",
+            F.explode(F.expr(f"sequence(0, size(w) - {int(n)})")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.expr(f"w[i+{k}]") for k in range(int(n))]
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+    )
+
+
+#: raw shingle frame persisted by the previous capped shingles() call —
+#: released on the next call (same hygiene as _MINHASH_PERSISTED)
+_SHINGLE_RAW_PERSISTED: list[DataFrame] = []
+
+
 def shingles(df: DataFrame, n: int = 3, cap_df: bool = True) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams (default 3) per document,
     with high-document-frequency shingles dropped (see MAX_DF_FLOOR above).
@@ -112,24 +145,20 @@ def shingles(df: DataFrame, n: int = 3, cap_df: bool = True) -> DataFrame:
     The DF cap is one extra map-side-partial groupBy over the shingle
     stream plus a broadcast anti-join — no new all-to-all shuffle — and it
     is what keeps the downstream candidate self-joins skew-safe at 100x."""
-    sh = (
-        df.select("doc_id", F.split("text", " ").alias("w"))
-        .where(F.size("w") >= n)
-        .select(
-            "doc_id", "w",
-            F.explode(F.expr(f"sequence(0, size(w) - {int(n)})")).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ", *[F.expr(f"w[i+{k}]") for k in range(int(n))]
-            ).alias("shingle"),
-        )
-        .where(F.col("shingle") != "")
-        .distinct()
-    )
+    sh = _shingle_occurrences(df, n).distinct()
     if not cap_df:
         return sh
+    # The raw explode+distinct pipeline feeds BOTH the hot-list aggregate
+    # and the anti-join's probe side — unpersisted it executes twice (the
+    # second pass measured 1.4 s of the minhash total at sf0.1).  Persist
+    # it once; the hot-list broadcast build is the action that fills the
+    # cache, the anti-join then reads it.  Same economics at 100 TB: the
+    # distinct shingle stream is the expensive intermediate, materialize
+    # it rather than re-derive it.
+    while _SHINGLE_RAW_PERSISTED:
+        _SHINGLE_RAW_PERSISTED.pop().unpersist()
+    sh = sh.persist()
+    _SHINGLE_RAW_PERSISTED.append(sh)
     # scalar threshold via one driver-side count (manifest-cardinality
     # collect, like the cosine block sizing) — a 1-row broadcast cross-join
     # would plan as BroadcastNestedLoopJoin, which the plan-shape test
@@ -244,13 +273,6 @@ def _phash(i: int):
     return (F.col("ha") + F.lit(i) * F.col("hb")) % F.lit(_MINHASH_P)
 
 
-_HASHED_SHINGLES_SQL = f"""
-    SELECT doc_id,
-           ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MINHASH_P} AS ha,
-           ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {_MINHASH_P} AS hb
-      FROM sh
-"""
-
 _SIG_SQL = ",\n             ".join(
     f"min((ha + {i} * hb) % {_MINHASH_P}) AS h{i}" for i in range(NUM_PERM)
 )
@@ -264,14 +286,35 @@ _BAND_SQL = ", ".join(
     for band in range(BANDS)
 )
 
+#: non-distinct shingle occurrences (the DISTINCT moves AFTER hashing —
+#: see the hash-early note on dedup_minhash_lsh)
+_SHINGLE_OCC_SQL = """
+    SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM ({corpus})),
+           unnest(range(1, greatest(len(words) - 1, 1))) AS u(i)
+"""
+
 _MINHASH_ORACLE = f"""
-    WITH {{sh_chain}},
-    shh AS ({_HASHED_SHINGLES_SQL}),
+    WITH occ AS ({_SHINGLE_OCC_SQL.format(corpus="SELECT doc_id, text FROM documents")}),
+    shp0 AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MINHASH_P} AS ha,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {_MINHASH_P} AS hb
+        FROM occ
+    ),
+    hot AS (
+      SELECT ha, hb FROM shp0 GROUP BY ha, hb
+      HAVING count(*) > greatest({MAX_DF_FLOOR}, CAST(ceil({MAX_DF_FRACTION} * (SELECT count(*) FROM documents)) AS BIGINT))
+    ),
+    sh AS (
+      SELECT s.* FROM shp0 s
+      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.ha = s.ha AND h.hb = s.hb)
+    ),
     sig AS (
       SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n,
              {_SIG_SQL}
-        FROM shh GROUP BY doc_id
+        FROM sh GROUP BY doc_id
     ),
     banded AS (
       SELECT doc_id, unnest([{_BAND_SQL}]) AS bucket FROM sig
@@ -281,18 +324,17 @@ _MINHASH_ORACLE = f"""
         FROM banded x JOIN banded y
           ON x.bucket = y.bucket AND x.doc_id < y.doc_id
     ),
-    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
     common AS (
       SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common
         FROM cand
         JOIN sh a ON a.doc_id = id_a
-        JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
+        JOIN sh b ON b.doc_id = id_b AND b.ha = a.ha AND b.hb = a.hb
        GROUP BY id_a, id_b
     )
     SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
       FROM common
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
      WHERE 2 * n_common >= sa.n + sb.n - n_common
 """
 
@@ -302,21 +344,23 @@ _MINHASH_ORACLE = f"""
 _MINHASH_PERSISTED: list[DataFrame] = []
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=_MINHASH_ORACLE.format(
-        sh_chain=_sh_capped("SELECT doc_id, text FROM documents")
-    ),
-)
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Performance shape (each alternative measured at sf0.1):
+    # - HASH EARLY: the md5 runs on shingle OCCURRENCES and every later
+    #   stage — per-doc distinct, DF-cap aggregate, anti-join, verify
+    #   join — keys on the two 60-bit longs (ha, hb), never the shingle
+    #   string.  The distinct was the single heaviest stage (1.25 s of
+    #   2.7 s at sf0.1) when it shuffled (doc_id, string) rows; long rows
+    #   are smaller to shuffle and hash-compare.  Collision risk of the
+    #   120-bit pair identity is ~n²/2^120 — nil; the DuckDB oracle uses
+    #   the identical identity so the check stays value-exact.
     # - The permutation min-hash is a LONG — min(long) keeps the 64-column
     #   aggregate HashAggregate-able with a fixed-size buffer.  min(string)
     #   (e.g. min of md5 hex) forces SortAggregate; a long-format
     #   (doc_id, perm, h) explode would sort/shuffle NUM_PERM x shingles =
     #   17M rows (measured 62 s vs ~8 s for a wide agg).
-    # - ONE md5 per shingle (projected to ha/hb before the agg), not one
-    #   per (shingle, permutation): 0.26M hashes instead of 17M; each
+    # - ONE md5 per shingle serves all NUM_PERM permutations; each
     #   permutation term is two integer ops inside the codegen'd agg.
     # - sh and sig are persisted AND materialized eagerly (sig.count()):
     #   the final plan contains three broadcast subtrees rooted at them;
@@ -337,8 +381,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session is left exactly as handed in; post-block operators read the
     # CACHED sig and never re-run the wide aggregate.
     with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
-        sh = shingles(_docs(spark, sf_dir).select("doc_id", "text")).persist()
-        shh = sh.select(
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        occ = _shingle_occurrences(docs)
+        shp = occ.select(
             "doc_id",
             (
                 F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
@@ -348,12 +393,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.conv(F.substring(F.md5("shingle"), 17, 15), 16, 10).cast("long")
                 % _MINHASH_P
             ).alias("hb"),
+        ).distinct()
+        # shp feeds the hot-list aggregate AND the anti-join probe AND the
+        # verify semi-join — persist the distinct ONCE; the capped sh is a
+        # cheap broadcast-filter view over the cache wherever it's needed
+        shp = shp.persist()
+        n_docs = docs.count()
+        max_df = max(MAX_DF_FLOOR, math.ceil(MAX_DF_FRACTION * n_docs))
+        hot = (
+            shp.groupBy("ha", "hb")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .where(F.col("df_count") > max_df)
+            .select("ha", "hb")
         )
-        sig = shh.groupBy("doc_id").agg(
+        sh = shp.join(F.broadcast(hot), ["ha", "hb"], "left_anti")
+        sig = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
         ).persist()
-        sig.count()  # materialize sh + sig once, before broadcast fan-out
+        sig.count()  # materialize shp + sig once, before broadcast fan-out
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -376,10 +434,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     ).persist()
-    _MINHASH_PERSISTED.extend([sh, sig, cand])
-    # verify candidates with exact jaccard (integer arithmetic, tau = 0.5),
-    # over the candidate docs only: semi-join keeps the verification input
-    # proportional to |candidates|, not the corpus
+    _MINHASH_PERSISTED.extend([shp, sig, cand])
+    # verify candidates with exact jaccard over the hashed-shingle sets
+    # (integer arithmetic, tau = 0.5), over the candidate docs only:
+    # semi-join keeps the verification input proportional to |candidates|,
+    # not the corpus
     cand_ids = (
         cand.select(F.col("id_a").alias("doc_id"))
         .unionAll(cand.select(F.col("id_b").alias("doc_id")))
@@ -387,10 +446,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "semi")
     common = (
-        cand.join(sh_cand.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(sh_cand.select(F.col("doc_id").alias("id_b"),
-                             F.col("shingle").alias("shingle_b")), "id_b")
-        .where(F.col("shingle") == F.col("shingle_b"))
+        cand.join(sh_cand.select(F.col("doc_id").alias("id_a"), "ha", "hb"), "id_a")
+        .join(
+            sh_cand.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("ha").alias("ha_b"),
+                F.col("hb").alias("hb_b"),
+            ),
+            "id_b",
+        )
+        .where((F.col("ha") == F.col("ha_b")) & (F.col("hb") == F.col("hb_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -648,6 +713,104 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bi", "bj")
         .applyInPandas(block_cosine, "id_a bigint, id_b bigint")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-prefiltered embedding dedup — the 100 TB ROUTING the exact kernel's
+# guard demands, packaged as one operator: candidates come from a sign-LSH
+# bucket equi-self-join (identical vectors always share a bucket, so exact
+# copies have recall 1.0 by construction), and only same-bucket pairs pay
+# the 64-term cosine.  Task/shuffle volume tracks sum_b C(n_b, 2), not
+# C(n, 2) — with B buckets on a near-uniform corpus that's ~n²/2B pair
+# rows, and at scale the bucket is a write-time partition key so the
+# self-join is partition-local.  Recall for NEAR (not identical) dups is
+# the standard LSH trade-off: raise it by multi-probing neighbour buckets
+# (hamming<=r, as ann_topk_lsh does) or by OR-ing several plane sets;
+# exact copies — the overwhelmingly dominant duplicate class in web-scale
+# corpora — never need the probe.
+# ---------------------------------------------------------------------------
+def _prefiltered_oracle() -> str:
+    from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _DIM,
+        _bucket_sql,
+        _hyperplanes,
+    )
+
+    bucket = _bucket_sql(_hyperplanes(_DIM))
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM ({_EMB_CORPUS_SQL})
+    ),
+    bucketed AS (
+      SELECT vec_id, e, {bucket}::BIGINT AS bucket FROM corpus
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+     WHERE list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           >= 0.95
+    """
+
+
+#: persisted bucketed frame from the previous invocation (released next call)
+_PREF_PERSISTED: list[DataFrame] = []
+
+
+@register("dedup_embedding_prefiltered", oracle=_prefiltered_oracle())
+def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup embedding pairs (cosine >= 0.95) with sign-LSH candidate
+    generation — the documented production route around the exact kernel's
+    O(n²) ceiling (see MAX_COSINE_STANDALONE_ROWS above).
+
+    The bucketed frame (vec_id, embedding, bucket, norm) is persisted and
+    materialized ONCE: the 8x64-term sign computation and the vector norm
+    run once per row, not once per join side / once per pair (unpersisted,
+    Catalyst collapses the 512-term bucket projection into BOTH join-side
+    stages — past the 64 KB codegen method limit, dropping the stage to
+    interpreted eval)."""
+    from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _DIM,
+        _dot,
+        _hyperplanes,
+        lsh_bucket_col,
+    )
+
+    while _PREF_PERSISTED:
+        _PREF_PERSISTED.pop().unpersist()
+    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select("vec_id", "embedding")
+    corpus = e.unionAll(
+        e.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    planes = _hyperplanes(_DIM)
+    bucketed = corpus.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_col(planes).alias("bucket"),
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+    ).persist()
+    bucketed.count()
+    _PREF_PERSISTED.append(bucketed)
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        "bucket", F.col("nrm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        "bucket", F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+    cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("id_a", "id_b", cosine.alias("c"))
+        .where(F.col("c") >= 0.95)
+        .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
     )
 
 

@@ -289,7 +289,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0
                AS revenue
       FROM customer c
       JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -324,7 +324,7 @@ def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"))
+        .agg(scaled_long_sum(revenue, "revenue", scale=4))
         .orderBy(F.desc("revenue"))
     )
 
@@ -697,8 +697,17 @@ def lineitem_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
             Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
         ),
     )
+    # keep only the ~8 band-edge rows per group before aggregating — the
+    # conditional min() agg then runs over dozens of rows, not the whole
+    # ranked table
+    edge = None
+    for _i, _p, tag in _QUANTILE_TAGS:
+        for side in ("lo", "hi"):
+            cond = F.col("rn") == F.col(f"{side}_k_{tag}")
+            edge = cond if edge is None else (edge | cond)
     banded = (
         ranked.join(F.broadcast(ks), "l_returnflag")
+        .where(edge)
         .groupBy("l_returnflag")
         .agg(
             F.first("n").alias("n"),
@@ -740,18 +749,21 @@ def lineitem_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS qty
       FROM lineitem
      GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
 def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 2^k grouping-set combinations in one pass — like rollup, CUBE is
-    a single Expand + hash aggregate, not k separate scans."""
+    a single Expand + hash aggregate, not k separate scans.  The sum uses
+    the scaled-long construction (64-bit adds in the Expand-multiplied hot
+    loop instead of 128-bit decimal — the expansion factor makes the
+    accumulator width matter more here than in a plain groupBy)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"),
+        scaled_long_sum(F.col("l_quantity"), "qty"),
     )
 
 
@@ -790,4 +802,161 @@ def pivot_segment_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ASIA", F.lit(0)).alias("asia"),
             F.coalesce("AMERICA", F.lit(0)).alias("america"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic decision-support shapes (TPC-H Q3/Q10/Q18 adapted to the testdata
+# schema — it carries o_orderpriority instead of o_shippriority and no
+# shipmode/receiptdate columns).  These exercise the three remaining big
+# analytic plan shapes: join + agg + top-k on the fact's grain (Q3),
+# filtered-fact join back to the dim with wide output (Q10), and a
+# HAVING-filtered agg used as a semi-join (Q18).
+# ---------------------------------------------------------------------------
+@register(
+    "q3_unshipped_revenue",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0
+               AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+     WHERE c.c_mktsegment = 'BUILDING'
+       AND o.o_orderdate < DATE '1996-03-15'
+       AND l.l_shipdate  > DATE '1996-03-15'
+     GROUP BY 1, 3, 4
+     ORDER BY revenue DESC, orderdate, orderkey
+     LIMIT 10
+    """,
+)
+def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: segment-filtered customers (broadcast) x date-filtered
+    orders x lineitem, revenue per order, top-10.  Both date predicates
+    push to the parquet scans; the order-grain aggregate happens on the
+    join's natural key so no extra shuffle beyond the join's."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") < F.lit("1996-03-15").cast("date")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") > F.lit("1996-03-15").cast("date")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(scaled_long_sum(revenue, "revenue", scale=4))
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0
+               AS revenue,
+           c.c_acctbal AS acctbal, n.n_name AS nation
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+     WHERE o.o_orderdate >= DATE '1996-10-01'
+       AND o.o_orderdate <  DATE '1997-01-01'
+       AND l.l_returnflag = 'R'
+     GROUP BY 1, 2, 4, 5
+     ORDER BY revenue DESC, custkey
+     LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: who returned the most revenue in a quarter.  The quarter
+    + returnflag predicates cut the fact early (both push down); customer
+    and nation broadcast; one agg on the customer grain."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(scaled_long_sum(revenue, "revenue", scale=4))
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+        .select("custkey", "name", "revenue", "acctbal", "nation")
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+        FROM lineitem
+       GROUP BY 1
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name AS name, c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+     WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+     GROUP BY 1, 2, 3, 4, 5
+     ORDER BY totalprice DESC, orderkey
+     LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds a threshold, with
+    their customers.  The HAVING aggregate runs once on the fact and comes
+    back as a SEMI join (broadcast — its cardinality is tiny by
+    construction), so the fact is scanned twice but shuffled once."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .agg(scaled_long_sum(F.col("l_quantity"), "sum_qty"))
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(100)
+        .select("name", "custkey", "orderkey", "orderdate", "totalprice", "sum_qty")
     )

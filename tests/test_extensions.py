@@ -293,3 +293,20 @@ def test_driver_priority_order_and_window():
     # every registered query still present exactly once, oracle keys subset
     assert len(set(ops.QUERIES)) == len(ops.QUERIES)
     assert set(ops.ORACLE) <= set(ops.QUERIES)
+
+
+def test_prefiltered_cosine_finds_all_injected_dups(spark):
+    """dedup_embedding_prefiltered: identical vectors always share a sign-
+    LSH bucket, so every injected exact copy (vec_id + 1M) must surface as
+    a pair with cosine ~ 1.0 — recall 1.0 on the exact-duplicate class."""
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in ops.QUERIES["dedup_embedding_prefiltered"](spark, SF).collect()
+    }
+    import pyspark.sql.functions as F  # noqa: F811
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    injected = [r.vec_id for r in e.where(F.col("vec_id") % 10 == 0).select("vec_id").collect()]
+    for vid in injected:
+        assert (vid, vid + 1000000) in out, vid
+        assert out[(vid, vid + 1000000)] >= 0.999999, vid
