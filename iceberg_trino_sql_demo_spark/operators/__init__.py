@@ -50,11 +50,14 @@ def register(
 #:
 #: Composition (round 3): first the 17 queries that have never received a
 #: driver-confirmed row (7 events/joins fixed after round 1's nanos-read
-#: ERR + 10 round-2 additions), then the 2 entries whose contract changed
-#: this round (the approx-quantile error-band oracle replacing its
-#: rows-only row, and the new branch-targeted MERGE scenario), then cheap
-#: already-green re-confirms to fill the sample window.  The 21 ``ice_*``
-#: scenarios green in round 2 rotate out of the window.
+#: ERR + 10 round-2 additions), then every entry whose contract or
+#: implementation changed this round — the approx-quantile error-band
+#: oracle replacing its rows-only row, the branch-targeted MERGE scenario,
+#: the three decision-support shapes, the LSH-prefiltered cosine route,
+#: and the dedup family whose oracles moved to the hashed-shingle/DF-cap
+#: identity — then cheap already-green re-confirms to fill the sample
+#: window.  The 21 ``ice_*`` scenarios green in round 2 rotate out, as do
+#: nine untouched round-1 relational shapes.
 _DRIVER_PRIORITY: list[str] = [
     # -- never driver-confirmed: events/joins family (fixed after r1 ERR)
     "events_tumbling_hourly",
@@ -75,29 +78,29 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_cluster_components",
     "kmeans_iteration_stats",
     "events_stream_dedup_watermarked",
-    # -- contract changed this round
+    # -- contract or implementation changed this round
     "lineitem_price_quantiles_approx",
     "ice_merge_branch",
+    "q3_unshipped_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "dedup_embedding_prefiltered",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "ann_topk_ivf",
     # -- cheap already-green re-confirms to fill the sample window
     "customer_pipeline",
-    "orderdate_range",
     "federation_agg",
-    "customer_in_list",
-    "left_join_shape",
-    "concat_datefmt",
-    "interval_cutoff",
     "pricing_summary",
     "nation_volume",
-    "top_acctbal_desc",
     "window_rank_per_nation",
     "rollup_order_priority",
     "set_ops_customers",
-    "orders_exists_late_lineitem",
-    "part_brand_max_price",
     "orders_cumulative_revenue",
     "lineitem_price_quantiles",
     "cube_returnflag_status",
-    "pivot_segment_by_region",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -24,12 +24,17 @@ from iceberg_trino_sql_demo_spark.session import table_path
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a microsecond TimestampType.
 
-    The parquet column is TIMESTAMP(NANOS); Spark has no ns timestamp, so we
-    read it with an EXPLICIT schema (``ts`` LongType = raw nanos) rather than
-    schema inference — inference raises PARQUET_TYPE_ILLEGAL unless the
-    session happens to set spark.sql.legacy.parquet.nanosAsLong, which a
-    vanilla caller session does not.  Truncating division matches DuckDB's
-    own ns->µs floor, and the exact nanos stay available as ``ts_ns``.
+    The parquet column is a physical int64 TIMESTAMP whose unit is the
+    WRITER's choice — the driver has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) testdata across rounds, so the unit is read from the
+    file footer (session.parquet_ts_unit), not assumed.  Spark has no ns
+    timestamp, so we read with an EXPLICIT schema (``ts`` LongType = raw
+    int64) rather than schema inference — ns inference raises
+    PARQUET_TYPE_ILLEGAL unless the session happens to set
+    spark.sql.legacy.parquet.nanosAsLong, which a vanilla caller session
+    does not — then scale by the footer unit.  Truncating ns division
+    matches DuckDB's own ns->µs floor, and the exact source ticks stay
+    available as ``ts_raw``.
 
     No session conf is touched (VERDICT r2 "What's wrong" #3 — operators
     must not mutate the caller's session).  All COMPUTATION here is
@@ -46,13 +51,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     vanilla-session default on this host, and the same assumption every
     other timestamp-producing query in the registry already makes.
     """
-    from iceberg_trino_sql_demo_spark.streaming.ingest import EVENTS_SCHEMA
+    from iceberg_trino_sql_demo_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        events_ts_unit,
+        ts_micros,
+    )
 
     raw = spark.read.schema(EVENTS_SCHEMA).parquet(table_path(sf_dir, "events"))
-    # integer `div`, NOT `/1000`: nanos exceed double's 2^53 exact range and
-    # float division flips the last microsecond digit on some rows.
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    unit = events_ts_unit(sf_dir)
+    return raw.withColumn("ts_raw", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(ts_micros(unit))
     )
 
 

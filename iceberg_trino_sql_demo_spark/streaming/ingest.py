@@ -25,12 +25,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from iceberg_trino_sql_demo_spark.functions.trino import decimal_sum
-from iceberg_trino_sql_demo_spark.session import pinned_conf, table_path
+from iceberg_trino_sql_demo_spark.session import parquet_ts_unit, pinned_conf, table_path
 
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
+        # raw int64 of the parquet TIMESTAMP column, whatever its unit —
+        # scaled to µs via ts_micros()/parquet_ts_unit (a ns column has no
+        # lossless Spark type, so every events reader takes the long route)
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -39,9 +42,29 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def windowed_counts(events: DataFrame, watermark: bool = False) -> DataFrame:
+def ts_micros(unit: str, col: str = "ts"):
+    """Epoch-µs long from a raw int64 timestamp read in ``unit``.
+
+    ns uses integer ``div`` (not ``/1000``: nanos exceed double's 2^53 exact
+    range and float division flips the last µs digit on some rows)."""
+    if unit == "ns":
+        return F.expr(f"{col} div 1000")
+    if unit == "us":
+        return F.col(col)
+    if unit == "ms":
+        return F.col(col) * F.lit(1000)
+    raise ValueError(f"unsupported parquet timestamp unit {unit!r}")
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    return parquet_ts_unit(table_path(sf_dir, "events"))
+
+
+def windowed_counts(
+    events: DataFrame, watermark: bool = False, unit: str = "us"
+) -> DataFrame:
     """The shared batch/stream plan: 1h tumbling count+sum per event type."""
-    df = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = events.withColumn("ts", F.timestamp_micros(ts_micros(unit)))
     if watermark:
         df = df.withWatermark("ts", "2 hours")
     return (
@@ -118,7 +141,7 @@ def stream_tumbling_counts(
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        agg = windowed_counts(src, watermark=True)
+        agg = windowed_counts(src, watermark=True, unit=events_ts_unit(sf_dir))
         ckpt = tempfile.mkdtemp(prefix="ckpt_")
         q = (
             agg.writeStream.format("memory")
@@ -189,7 +212,7 @@ def stream_dedup_within_watermark(
             "user_id",
             "event_type",
             "value",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+            F.timestamp_micros(ts_micros(events_ts_unit(sf_dir))).alias("event_time"),
         )
         .withWatermark("event_time", "365 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "value"])
@@ -231,7 +254,9 @@ def stream_interval_join(
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
                 F.col("user_id").alias(f"{prefix}_user"),
-                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+                F.timestamp_micros(ts_micros(events_ts_unit(sf_dir))).alias(
+                    f"{prefix}_ts"
+                ),
             )
             .withWatermark(f"{prefix}_ts", "1 hour")
         )

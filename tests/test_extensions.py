@@ -281,13 +281,14 @@ def test_driver_priority_order_and_window():
     """The correctness driver samples a fixed-size registry prefix (50 in
     rounds 1-2) in registration order.  Guard the round-3 reorder: every
     _DRIVER_PRIORITY name must exist (typo guard), and every query that
-    has never received a driver-confirmed row — plus the two entries whose
-    oracle contract changed this round — must sit inside the first 50."""
+    has never received a driver-confirmed row — plus every entry whose
+    oracle contract or implementation changed this round — must sit
+    inside the first 50."""
     ops.load_all()
     missing = [n for n in ops._DRIVER_PRIORITY if n not in ops.QUERIES]
     assert not missing, f"_DRIVER_PRIORITY names not registered: {missing}"
     window = list(ops.QUERIES)[:50]
-    must_sample = ops._DRIVER_PRIORITY[:19]
+    must_sample = ops._DRIVER_PRIORITY[:28]
     out_of_window = [n for n in must_sample if n not in window]
     assert not out_of_window, out_of_window
     # every registered query still present exactly once, oracle keys subset
