@@ -28,6 +28,10 @@ K = 10
 N_PLANES = 8
 PROBE_RADIUS = 3
 
+#: persisted staged-dot frame from the previous ann_topk_lsh invocation,
+#: released on the next call (same hygiene as dedup's persisted caches)
+_LSH_PERSISTED: list[DataFrame] = []
+
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, "embeddings"))
@@ -133,12 +137,30 @@ def _hyperplanes(dim: int) -> list[list[float]]:
 
 
 def lsh_bucket_col(planes: list[list[float]]):
-    """Sign-bit bucket id for the embedding column."""
+    """Sign-bit bucket id for the embedding column.
+
+    NOTE: inlining this into the same projection as a cosine expression
+    fuses N_PLANES*dim + 2*dim multiply-adds into ONE codegen method and
+    overflows janino's 64 KB method ceiling — the whole stage then runs
+    interpreted (measured: 2x wall time at sf0.1).  Callers that also
+    compute cosine must stage the per-plane dots as separate columns
+    first (see ann_topk_lsh) so codegen splits them into per-expression
+    methods."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         bit = F.when(
             _dot_lit("embedding", p) >= 0, F.lit(1)
         ).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long") * F.lit(2 ** i).cast("long")
+    return bucket
+
+
+def _bucket_from_dots():
+    """Bucket id assembled from pre-computed per-plane dot columns d0..dN —
+    the cheap second stage of the staged bucket computation."""
+    bucket = F.lit(0).cast("long")
+    for i in range(N_PLANES):
+        bit = F.when(F.col(f"d{i}") >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("long") * F.lit(2 ** i).cast("long")
     return bucket
 
@@ -203,7 +225,23 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vector(spark, sf_dir)
     planes = _hyperplanes(len(qv))
     e = _emb(spark, sf_dir).where(F.col("vec_id") != 0)
-    bucketed = e.withColumn("bucket", lsh_bucket_col(planes))
+    # STAGED bucket: project the 8 plane dots as separate columns (codegen
+    # emits one method per expression — each ~dim terms, under the 64 KB
+    # janino ceiling), then assemble the bucket from those scalars.  The
+    # persist is the stage barrier that stops CollapseProject from fusing
+    # the dots back into the downstream cosine projection — and it is the
+    # honest production shape anyway: at 100 TB the bucket is computed
+    # once at WRITE time and stored as a cluster/partition key, never
+    # recomputed per probe.
+    while _LSH_PERSISTED:
+        _LSH_PERSISTED.pop().unpersist()
+    dots = e.select(
+        "vec_id",
+        "embedding",
+        *[_dot_lit("embedding", p).alias(f"d{i}") for i, p in enumerate(planes)],
+    ).persist()
+    _LSH_PERSISTED.append(dots)
+    bucketed = dots.select("vec_id", "embedding", _bucket_from_dots().alias("bucket"))
 
     q_bucket = 0
     for i, p in enumerate(planes):

@@ -18,8 +18,8 @@ def _pairs(df):
 
 def test_minhash_lsh_recall_vs_exact(spark):
     """LSH candidates + exact verification must recover every true pair at
-    tau=0.5 that banding can see; with 16 bands x 4 rows the miss
-    probability for jaccard >= 0.9 pairs is ~(1-0.9^4)^16 < 0.3% per pair."""
+    tau=0.5 that banding can see; with 8 bands x 4 rows the miss
+    probability for jaccard >= 0.9 pairs is ~(1-0.9^4)^8 < 0.03% per pair."""
     exact = _pairs(ops.QUERIES["dedup_shingle_jaccard"](spark, SF))
     approx = _pairs(ops.QUERIES["dedup_minhash_lsh"](spark, SF))
     assert approx <= exact, "verification step must kill false positives"
