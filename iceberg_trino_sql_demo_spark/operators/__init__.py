@@ -90,14 +90,14 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "dedup_simhash",
     "ann_topk_ivf",
+    "q12_priority_shipping",
+    "q14_promo_revenue_share",
+    "q19_brand_discounts",
     # -- cheap already-green re-confirms to fill the sample window
     "customer_pipeline",
     "federation_agg",
     "pricing_summary",
     "nation_volume",
-    "window_rank_per_nation",
-    "rollup_order_priority",
-    "set_ops_customers",
     "orders_cumulative_revenue",
     "lineitem_price_quantiles",
     "cube_returnflag_status",

@@ -960,3 +960,135 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("name", "custkey", "orderkey", "orderdate", "totalprice", "sum_qty")
     )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+     WHERE l.l_shipdate >= DATE '1996-01-01'
+       AND l.l_shipdate <  DATE '1997-01-01'
+     GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (adapted to the testdata schema — no l_shipmode column, so
+    l_linestatus is the grouping axis): conditional CASE-sums classify each
+    joined row into priority buckets inside ONE aggregate pass — the
+    pivot-style pattern that avoids N filtered scans.  The ship-year
+    predicate pushes to the lineitem scan; the join shuffles each side
+    once; both counts ride the same partial+final hash aggregate.
+    Reference surface: joins + GROUP BY aggregation
+    (iceberg_trino_sqldemo.sql:286-295) with Trino CASE semantics."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE)
+           / SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT))
+           AS promo_revenue_pct
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+     WHERE l.l_shipdate >= DATE '1996-09-01'
+       AND l.l_shipdate <  DATE '1996-10-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: a conditional-fraction aggregate (promo revenue share of
+    one month).  part broadcasts (dim); the month predicate pushes to the
+    fact scan; numerator and denominator come out of a single aggregate.
+    Integer-scaled sums keep the division's operands exact so the one
+    final double division matches DuckDB bit-for-bit."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-09-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-10-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    scaled = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000), 0
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", scaled).otherwise(F.lit(0))).cast("double")
+                / F.sum(scaled)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q19_brand_discounts",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+            AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+        OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+            AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+        OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+            AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_brand_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: an OR of conjunctive predicate groups spanning BOTH join
+    sides.  The single-side residues (p_brand IN (...), p_size <= 35,
+    l_quantity <= 40) are derivable by Catalyst's constraint propagation
+    into the scans, while the cross-side conjunctions stay as a post-join
+    filter — the classic pushdown-through-disjunction test.  part
+    broadcasts; one shuffle-free aggregate finishes it."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    g1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(g1 | g2 | g3)
+        .agg(
+            scaled_long_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", scale=4
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

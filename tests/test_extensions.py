@@ -288,7 +288,7 @@ def test_driver_priority_order_and_window():
     missing = [n for n in ops._DRIVER_PRIORITY if n not in ops.QUERIES]
     assert not missing, f"_DRIVER_PRIORITY names not registered: {missing}"
     window = list(ops.QUERIES)[:50]
-    must_sample = ops._DRIVER_PRIORITY[:28]
+    must_sample = ops._DRIVER_PRIORITY[:31]
     out_of_window = [n for n in must_sample if n not in window]
     assert not out_of_window, out_of_window
     # every registered query still present exactly once, oracle keys subset
