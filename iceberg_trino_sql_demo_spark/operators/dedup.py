@@ -133,52 +133,106 @@ def _shingle_occurrences(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-#: raw shingle frame persisted by the previous capped shingles() call —
-#: released on the next call (same hygiene as _MINHASH_PERSISTED)
-_SHINGLE_RAW_PERSISTED: list[DataFrame] = []
-
-
-def shingles(df: DataFrame, n: int = 3, cap_df: bool = True) -> DataFrame:
+def shingles(df: DataFrame, n: int = 3, cap_df: bool = False) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams (default 3) per document,
-    with high-document-frequency shingles dropped (see MAX_DF_FLOOR above).
-    Documents shorter than n words are filtered before the explode (Spark's
-    sequence() would count *down* for a negative span).
+    as TEXT.  Only for consumers that need the gram text itself
+    (contamination_ngram's broadcast eval-set membership join,
+    text_fingerprint's rolling hash); anything that self-joins or
+    aggregates over shingle identity uses hashed_shingles() below, which
+    also applies the high-document-frequency skew cap.  ``cap_df`` is
+    accepted for call-site clarity but only False is supported — the
+    capped path lives on the hashed identity."""
+    if cap_df:
+        raise ValueError("DF-capped shingles moved to hashed_shingles()")
+    return _shingle_occurrences(df, n).distinct()
 
-    The gram index is exploded and the gram text built as a plain indexed
-    projection — a transform(sequence, i -> ...) lambda builds the same
-    grams but higher-order functions are CodegenFallback (interpreted
-    per element), which taxes every operator built on shingles.
 
-    The DF cap is one extra map-side-partial groupBy over the shingle
-    stream plus a broadcast anti-join — no new all-to-all shuffle — and it
-    is what keeps the downstream candidate self-joins skew-safe at 100x."""
-    sh = _shingle_occurrences(df, n).distinct()
-    if not cap_df:
-        return sh
-    # The raw explode+distinct pipeline feeds BOTH the hot-list aggregate
-    # and the anti-join's probe side — unpersisted it executes twice (the
-    # second pass measured 1.4 s of the minhash total at sf0.1).  Persist
-    # it once; the hot-list broadcast build is the action that fills the
-    # cache, the anti-join then reads it.  Same economics at 100 TB: the
-    # distinct shingle stream is the expensive intermediate, materialize
-    # it rather than re-derive it.
-    while _SHINGLE_RAW_PERSISTED:
-        _SHINGLE_RAW_PERSISTED.pop().unpersist()
-    sh = sh.persist()
-    _SHINGLE_RAW_PERSISTED.append(sh)
-    # scalar threshold via one driver-side count (manifest-cardinality
-    # collect, like the cosine block sizing) — a 1-row broadcast cross-join
-    # would plan as BroadcastNestedLoopJoin, which the plan-shape test
-    # forbids for good reason elsewhere
+#: modulus of the minhash (a + i*b) mod P permutation family — 2^31-1
+#: (Mersenne prime).  31-bit hashes keep i*b within 2^37, far from BIGINT
+#: overflow (ANSI mode would error), while collision probability stays
+#: negligible.  Shared by every hashed-shingle consumer.
+_MINHASH_P = 2_147_483_647
+
+#: non-distinct shingle occurrences (the DISTINCT moves AFTER hashing —
+#: see the hash-early note on hashed_shingles)
+_SHINGLE_OCC_SQL = """
+    SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM ({corpus})),
+           unnest(range(1, greatest(len(words) - 1, 1))) AS u(i)
+"""
+
+
+def _hsh_capped(corpus_sql: str) -> str:
+    """CTE chain defining the capped HASHED shingles ``sh`` (mirrors
+    hashed_shingles() exactly: occurrences -> md5-halves -> distinct ->
+    hot list by DF threshold on the hashed identity -> anti-join).
+    Spliced into oracles as ``WITH {chain},``."""
+    return f"""occ AS ({_SHINGLE_OCC_SQL.format(corpus=corpus_sql)}),
+    shp0 AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MINHASH_P} AS ha,
+             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {_MINHASH_P} AS hb
+        FROM occ
+    ),
+    hot AS (
+      SELECT ha, hb FROM shp0 GROUP BY ha, hb
+      HAVING count(*) > greatest({MAX_DF_FLOOR}, CAST(ceil({MAX_DF_FRACTION} * (SELECT count(*) FROM ({corpus_sql}) cc)) AS BIGINT))
+    ),
+    sh AS (
+      SELECT s.* FROM shp0 s
+      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.ha = s.ha AND h.hb = s.hb)
+    )"""
+
+
+#: raw hashed-shingle frame persisted by the previous hashed_shingles()
+#: call — released on the next call (same hygiene as _MINHASH_PERSISTED)
+_HASHED_SH_PERSISTED: list[DataFrame] = []
+
+
+def hashed_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, ha, hb) — distinct word n-grams per document with each
+    shingle replaced by the two 60-bit-mod-P halves of ONE md5, and the
+    high-document-frequency cap applied on the hashed identity.
+
+    HASH EARLY (the lesson the minhash rework measured): the md5 runs on
+    shingle OCCURRENCES, so the distinct, the DF-cap aggregate, the
+    anti-join and every downstream join/groupBy shuffle two fixed-width
+    longs instead of ~25-byte strings — the string distinct was the
+    single heaviest stage of both shingle consumers at sf0.1.  Collision
+    risk of the 120-bit pair identity is ~n²/2^120 — nil — and the DuckDB
+    oracles use the identical identity (_hsh_capped), so every consumer
+    stays value-checked end-to-end.
+
+    Consumers that need the shingle TEXT (contamination_ngram's broadcast
+    eval-set join, text_fingerprint) keep using shingles() above."""
+    occ = _shingle_occurrences(df, n)
+    shp = occ.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % _MINHASH_P
+        ).alias("ha"),
+        (
+            F.conv(F.substring(F.md5("shingle"), 17, 15), 16, 10).cast("long")
+            % _MINHASH_P
+        ).alias("hb"),
+    ).distinct()
+    # shp feeds the hot-list aggregate AND the anti-join probe AND whatever
+    # the caller builds on top — persist the distinct ONCE; the capped
+    # result is a cheap broadcast-filter view over the cache
+    while _HASHED_SH_PERSISTED:
+        _HASHED_SH_PERSISTED.pop().unpersist()
+    shp = shp.persist()
+    _HASHED_SH_PERSISTED.append(shp)
     n_docs = df.count()
     max_df = max(MAX_DF_FLOOR, math.ceil(MAX_DF_FRACTION * n_docs))
     hot = (
-        sh.groupBy("shingle")
+        shp.groupBy("ha", "hb")
         .agg(F.count(F.lit(1)).alias("df_count"))
         .where(F.col("df_count") > max_df)
-        .select("shingle")
+        .select("ha", "hb")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return shp.join(F.broadcast(hot), ["ha", "hb"], "left_anti")
 
 
 _SHINGLES_SQL = """
@@ -186,26 +240,6 @@ _SHINGLES_SQL = """
       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM ({corpus})),
            unnest(range(1, greatest(len(words) - 1, 1))) AS u(i)
 """
-
-#: CTE chain defining capped shingles `sh` (mirrors shingles() exactly:
-#: raw shingles -> hot list by DF threshold -> anti-join).  Spliced into
-#: oracles as `WITH {chain},` so the driver value-checks the cap too.
-_SH_CAPPED_SQL = """sh0 AS ({raw}),
-    hot AS (
-      SELECT shingle FROM sh0 GROUP BY shingle
-      HAVING count(*) > greatest({floor}, CAST(ceil({frac} * (SELECT count(*) FROM ({corpus}) c)) AS BIGINT))
-    ),
-    sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot))"""
-
-
-def _sh_capped(corpus_sql: str) -> str:
-    return _SH_CAPPED_SQL.format(
-        raw=_SHINGLES_SQL.format(corpus=corpus_sql),
-        floor=MAX_DF_FLOOR,
-        frac=MAX_DF_FRACTION,
-        corpus=corpus_sql,
-    )
-
 
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard pairs at tau = 0.5 — integer arithmetic only:
@@ -216,11 +250,12 @@ def _sh_capped(corpus_sql: str) -> str:
 @register(
     "dedup_shingle_jaccard",
     oracle=f"""
-    WITH {_sh_capped("SELECT doc_id, text FROM documents")},
+    WITH {_hsh_capped("SELECT doc_id, text FROM documents")},
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) c
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b
+          ON a.ha = b.ha AND a.hb = b.hb AND a.doc_id < b.doc_id
        GROUP BY 1, 2
     )
     SELECT id_a, id_b, c AS n_common, sa.n AS n_a, sb.n AS n_b
@@ -231,12 +266,15 @@ def _sh_capped(corpus_sql: str) -> str:
     """,
 )
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    # set semantics over the HASHED shingle identity (hash-early: the
+    # self-join and both aggregates shuffle longs, never shingle strings)
+    sh = hashed_shingles(_docs(spark, sf_dir).select("doc_id", "text"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.ha") == F.col("b.ha"))
+               & (F.col("a.hb") == F.col("b.hb"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -265,13 +303,6 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # end-to-end.  Recall vs the exact operator is additionally asserted in
 # tests/test_extensions.py.
 # ---------------------------------------------------------------------------
-#: modulus of the (a + i*b) mod P permutation family — 2^31-1 (Mersenne
-#: prime).  31-bit hashes keep i*b within 2^37, far from BIGINT overflow
-#: (ANSI mode would error), while collision probability stays negligible
-#: for minhash purposes.
-_MINHASH_P = 2_147_483_647
-
-
 def _phash(i: int):
     """Permutation i min-hash term: (a + i*b) mod P, where a and b are the
     two 60-bit halves of ONE md5(shingle) reduced mod P (columns ``ha``/
@@ -293,30 +324,8 @@ _BAND_SQL = ", ".join(
     for band in range(BANDS)
 )
 
-#: non-distinct shingle occurrences (the DISTINCT moves AFTER hashing —
-#: see the hash-early note on dedup_minhash_lsh)
-_SHINGLE_OCC_SQL = """
-    SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM ({corpus})),
-           unnest(range(1, greatest(len(words) - 1, 1))) AS u(i)
-"""
-
 _MINHASH_ORACLE = f"""
-    WITH occ AS ({_SHINGLE_OCC_SQL.format(corpus="SELECT doc_id, text FROM documents")}),
-    shp0 AS (
-      SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MINHASH_P} AS ha,
-             ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {_MINHASH_P} AS hb
-        FROM occ
-    ),
-    hot AS (
-      SELECT ha, hb FROM shp0 GROUP BY ha, hb
-      HAVING count(*) > greatest({MAX_DF_FLOOR}, CAST(ceil({MAX_DF_FRACTION} * (SELECT count(*) FROM documents)) AS BIGINT))
-    ),
-    sh AS (
-      SELECT s.* FROM shp0 s
-      WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.ha = s.ha AND h.hb = s.hb)
-    ),
+    WITH {_hsh_capped("SELECT doc_id, text FROM documents")},
     sig AS (
       SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n,
@@ -389,31 +398,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CACHED sig and never re-run the wide aggregate.
     with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
         docs = _docs(spark, sf_dir).select("doc_id", "text")
-        occ = _shingle_occurrences(docs)
-        shp = occ.select(
-            "doc_id",
-            (
-                F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-                % _MINHASH_P
-            ).alias("ha"),
-            (
-                F.conv(F.substring(F.md5("shingle"), 17, 15), 16, 10).cast("long")
-                % _MINHASH_P
-            ).alias("hb"),
-        ).distinct()
-        # shp feeds the hot-list aggregate AND the anti-join probe AND the
-        # verify semi-join — persist the distinct ONCE; the capped sh is a
-        # cheap broadcast-filter view over the cache wherever it's needed
-        shp = shp.persist()
-        n_docs = docs.count()
-        max_df = max(MAX_DF_FLOOR, math.ceil(MAX_DF_FRACTION * n_docs))
-        hot = (
-            shp.groupBy("ha", "hb")
-            .agg(F.count(F.lit(1)).alias("df_count"))
-            .where(F.col("df_count") > max_df)
-            .select("ha", "hb")
-        )
-        sh = shp.join(F.broadcast(hot), ["ha", "hb"], "left_anti")
+        # shared hashed-shingle pipeline (hash-early, DF-capped, persisted
+        # raw frame) — the same `sh` identity the jaccard operator and the
+        # oracle CTE use
+        sh = hashed_shingles(docs)
         sig = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
@@ -441,7 +429,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     ).persist()
-    _MINHASH_PERSISTED.extend([shp, sig, cand])
+    _MINHASH_PERSISTED.extend([sig, cand])
     # verify candidates with exact jaccard over the hashed-shingle sets
     # (integer arithmetic, tau = 0.5), over the candidate docs only:
     # semi-join keeps the verification input proportional to |candidates|,

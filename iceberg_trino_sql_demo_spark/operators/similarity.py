@@ -88,7 +88,17 @@ def _norm_lit(values) -> float:
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     row = _emb(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding").head()
-    return [float(x) for x in row[0]]
+    vec = [float(x) for x in row[0]]
+    # the unrolled dot products AND the oracle SQL bake _DIM in as literals;
+    # a regenerated-testdata dim change must fail loudly here, not surface
+    # as NULL-poisoned cosines downstream (the driver regenerates testdata
+    # per round and has changed physical types before)
+    if len(vec) != _DIM:
+        raise ValueError(
+            f"embeddings dim changed: data has {len(vec)}, engine built for "
+            f"{_DIM} — update similarity._DIM (oracle SQL embeds it too)"
+        )
+    return vec
 
 
 @register(

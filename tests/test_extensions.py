@@ -227,13 +227,25 @@ def test_shingle_df_cap_bounds_hot_keys(spark):
         .groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
     )
     assert raw_df == 60, f"expected the planted shingle in every doc, got {raw_df}"
-    capped = shingles(docs)  # default cap_df=True
-    capped_max = capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    # the cap lives on the HASHED shingle identity (hashed_shingles) —
+    # the frame every self-joining consumer reads
+    from iceberg_trino_sql_demo_spark.operators.dedup import (
+        _MINHASH_P,
+        hashed_shingles,
+    )
+
+    capped = hashed_shingles(docs)
+    capped_max = (
+        capped.groupBy("ha", "hb").count().agg(F.max("count")).collect()[0][0]
+    )
     # 60 docs -> threshold max(MAX_DF_FLOOR, ceil(0.6)) = MAX_DF_FLOOR: every
     # key reaching the self-join now contributes <= floor^2 candidate rows
     assert capped_max is not None and capped_max <= MAX_DF_FLOOR
-    kept = {r.shingle for r in capped.select("shingle").distinct().collect()}
-    assert "COPYRIGHT NOTICE BOILERPLATE" not in kept
+    import hashlib
+
+    h = hashlib.md5(b"COPYRIGHT NOTICE BOILERPLATE").hexdigest()
+    ha, hb = int(h[0:15], 16) % _MINHASH_P, int(h[16:31], 16) % _MINHASH_P
+    assert capped.where((F.col("ha") == ha) & (F.col("hb") == hb)).count() == 0
 
 
 def test_operators_leave_session_confs_untouched(spark):
