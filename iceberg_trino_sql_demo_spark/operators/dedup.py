@@ -883,39 +883,41 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionAll(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
-    labels = (
+    backing = (
         edges.select(F.col("id_a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
-    labels.count()
+    backing.count()
+    labels = backing
     for _ in range(20):  # >> diameter of any dup component
         neigh = (
             edges.join(labels, edges["id_b"] == labels["node"])
             .groupBy(F.col("id_a").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry the old label through the update projection so the
+        # convergence check is a filter over the SAME cached frame — one
+        # join per round, not two (the old/new re-join doubled each
+        # round's fixed job cost on small dup graphs).  ``backing`` tracks
+        # the PERSISTED frame (labels is a projection of it after round 1;
+        # unpersisting the projection would leave the cache pinned).
+        upd = (
             labels.join(neigh, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
                     "label"
                 ),
             )
             .persist()
         )
-        # the changed-count action below also materializes new_labels into
-        # the cache — no separate count() job needed
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = upd.where(F.col("label") != F.col("old_label")).count()
+        backing.unpersist()
+        backing = upd
+        labels = upd.select("node", "label")
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -925,7 +927,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
     )
     edges.unpersist()
-    _CC_PERSISTED.append(labels)  # consumed lazily by `out`; freed next call
+    _CC_PERSISTED.append(backing)  # consumed lazily by `out`; freed next call
     return out
 
 
