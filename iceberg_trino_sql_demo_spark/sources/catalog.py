@@ -171,3 +171,26 @@ class Catalog:
         sql = self.data["mviews"][q]["sql"]
         t = self.table(name)
         return self.ctas(name, self.spark.sql(sql), properties=t.meta.properties)
+
+    def due_materialized_views(self, now=None) -> list[str]:
+        """MVs whose ``refresh_schedule`` cron has fired since their last
+        refresh commit (the newest snapshot's timestamp).  The engine still
+        runs no daemon — an external ticker polls this and calls
+        refresh_materialized_view for each returned name; evaluation is
+        pure metadata (cron parse + one snapshot-log lookup per MV)."""
+        from datetime import datetime, timezone
+
+        from iceberg_trino_sql_demo_spark.plans.cron import is_due
+
+        now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        due = []
+        for q in self.data["mviews"]:
+            t = self.table(q)
+            sched = t.meta.properties.get("refresh_schedule")
+            if not sched or not t.meta.snapshots:
+                continue
+            last_ms = max(s.timestamp_ms for s in t.meta.snapshots)
+            last = datetime.utcfromtimestamp(last_ms / 1000.0)
+            if is_due(sched, last, now):
+                due.append(q)
+        return due

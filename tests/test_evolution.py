@@ -131,6 +131,31 @@ def test_views_and_mvs(cat, spark, sf_dir):
     assert mv.df().count() == 25
 
 
+def test_mv_refresh_schedule_evaluation(cat):
+    """The stored cron is evaluated, not just retained: due_materialized_views
+    reports the MV exactly when a '30 04 * * 0' (Sun 04:30) fire lies
+    between its last refresh commit and now (reference :57-59)."""
+    from datetime import datetime
+
+    from iceberg_trino_sql_demo_spark.plans.cron import is_due, next_fire
+
+    # 2024-01-01 is a Monday; next Sunday 04:30 is Jan 7
+    assert next_fire("30 04 * * 0", datetime(2024, 1, 1)) == datetime(2024, 1, 7, 4, 30)
+    # ranges/steps/lists + the vixie dom-OR-dow rule
+    assert next_fire("*/15 8-9 * * *", datetime(2024, 3, 1, 8, 50)) == datetime(
+        2024, 3, 1, 9, 0
+    )
+    assert next_fire("0 0 1 * 3", datetime(2024, 1, 1)) == datetime(2024, 1, 3)
+    assert is_due("30 04 * * 0", datetime(2024, 1, 1), datetime(2024, 1, 8))
+    assert not is_due("30 04 * * 0", datetime(2024, 1, 7, 5, 0), datetime(2024, 1, 8))
+
+    # the catalog wires the last snapshot timestamp into the same check;
+    # my_mv was refreshed moments ago, so with a real clock nothing is due
+    assert cat.due_materialized_views() == []
+    # ...but a far-future probe instant shows it due (next Sunday passes)
+    assert cat.due_materialized_views(now=datetime(2100, 1, 8)) == ["demo.my_mv"]
+
+
 def test_show_create_schema_roundtrip(cat):
     ddl = cat.show_create_schema("demo")
     assert ddl.startswith("CREATE SCHEMA demo")
