@@ -786,9 +786,10 @@ def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted eval)."""
     from iceberg_trino_sql_demo_spark.operators.similarity import (
         _DIM,
+        _bucket_from_dots,
         _dot,
+        _dot_lit,
         _hyperplanes,
-        lsh_bucket_col,
     )
 
     while _PREF_PERSISTED:
@@ -800,14 +801,21 @@ def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     planes = _hyperplanes(_DIM)
-    bucketed = corpus.select(
+    # per-plane dots staged as separate columns (one codegen method each —
+    # a single fused bucket+norm projection sits just under janino's 64 KB
+    # method ceiling and any dim/plane bump would tip it into interpreted
+    # eval; see ann_topk_lsh), bucket assembled from the cached scalars
+    dots = corpus.select(
         "vec_id",
         "embedding",
-        lsh_bucket_col(planes).alias("bucket"),
         F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+        *[_dot_lit("embedding", p).alias(f"d{i}") for i, p in enumerate(planes)],
     ).persist()
-    bucketed.count()
-    _PREF_PERSISTED.append(bucketed)
+    dots.count()
+    _PREF_PERSISTED.append(dots)
+    bucketed = dots.select(
+        "vec_id", "embedding", "nrm", _bucket_from_dots().alias("bucket")
+    )
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
         "bucket", F.col("nrm").alias("na"),
