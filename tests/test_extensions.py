@@ -323,3 +323,15 @@ def test_prefiltered_cosine_finds_all_injected_dups(spark):
     for vid in injected:
         assert (vid, vid + 1000000) in out, vid
         assert out[(vid, vid + 1000000)] >= 0.999999, vid
+
+
+def test_release_caches_unpins_everything(spark):
+    """After release_caches() no persisted RDD may remain registered —
+    the lazy next-invocation release plus this explicit drain together
+    bound cache lifetime in long-lived sessions."""
+    ops.load_all()
+    ops.QUERIES["dedup_minhash_lsh"](spark, SF).count()
+    ops.QUERIES["ann_topk_lsh"](spark, SF).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    ops.release_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
