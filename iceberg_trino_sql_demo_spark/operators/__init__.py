@@ -164,7 +164,6 @@ def release_caches() -> None:
     )
 
     for lst in (
-        dedup._HASHED_SH_PERSISTED,
         dedup._MINHASH_PERSISTED,
         dedup._SIMHASH_PERSISTED,
         dedup._PREF_PERSISTED,
@@ -173,4 +172,10 @@ def release_caches() -> None:
     ):
         while lst:
             lst.pop().unpersist()
+    for k in list(dedup._HASHED_SH_CACHE):
+        dedup._HASHED_SH_CACHE.pop(k)[0].unpersist()
+    while dedup._STAR_CHECKPOINT_RDDS:
+        # freeing a local checkpoint makes its DataFrame unrecoverable —
+        # release means the caller is done with the star run's output
+        dedup._STAR_CHECKPOINT_RDDS.pop().unpersist(False)
     table_format_ops._SRC_CACHE.clear()

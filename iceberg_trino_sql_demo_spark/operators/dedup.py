@@ -184,12 +184,17 @@ def _hsh_capped(corpus_sql: str) -> str:
     )"""
 
 
-#: raw hashed-shingle frame persisted by the previous hashed_shingles()
-#: call — released on the next call (same hygiene as _MINHASH_PERSISTED)
-_HASHED_SH_PERSISTED: list[DataFrame] = []
+#: single-entry cache of the hashed-shingle pipeline, keyed by
+#: (session id, sf_dir, n): (persisted raw frame, capped view).  The
+#: testdata parquet is immutable, so consumers over the same corpus
+#: (jaccard, minhash) legitimately SHARE the materialized intermediate
+#: instead of each re-deriving it — a real engine shares materialized
+#: common subplans the same way.  A different key releases the previous
+#: entry; release_caches() drains it outright.
+_HASHED_SH_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
-def hashed_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+def hashed_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """(doc_id, ha, hb) — distinct word n-grams per document with each
     shingle replaced by the two 60-bit-mod-P halves of ONE md5, and the
     high-document-frequency cap applied on the hashed identity.
@@ -205,7 +210,26 @@ def hashed_shingles(df: DataFrame, n: int = 3) -> DataFrame:
 
     Consumers that need the shingle TEXT (contamination_ngram's broadcast
     eval-set join, text_fingerprint) keep using shingles() above."""
-    occ = _shingle_occurrences(df, n)
+    key = (id(spark), sf_dir, n)
+    hit = _HASHED_SH_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    for k in list(_HASHED_SH_CACHE):
+        _HASHED_SH_CACHE.pop(k)[0].unpersist()
+    shp, capped = build_hashed_shingles(
+        _docs(spark, sf_dir).select("doc_id", "text"), n
+    )
+    _HASHED_SH_CACHE[key] = (shp, capped)
+    return capped
+
+
+def build_hashed_shingles(
+    docs: DataFrame, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Uncached core of hashed_shingles over an arbitrary (doc_id, text)
+    frame: returns (persisted raw hashed-shingle frame, capped view).
+    Callers own the returned persist."""
+    occ = _shingle_occurrences(docs, n)
     shp = occ.select(
         "doc_id",
         (
@@ -220,11 +244,8 @@ def hashed_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     # shp feeds the hot-list aggregate AND the anti-join probe AND whatever
     # the caller builds on top — persist the distinct ONCE; the capped
     # result is a cheap broadcast-filter view over the cache
-    while _HASHED_SH_PERSISTED:
-        _HASHED_SH_PERSISTED.pop().unpersist()
     shp = shp.persist()
-    _HASHED_SH_PERSISTED.append(shp)
-    n_docs = df.count()
+    n_docs = docs.count()
     max_df = max(MAX_DF_FLOOR, math.ceil(MAX_DF_FRACTION * n_docs))
     hot = (
         shp.groupBy("ha", "hb")
@@ -232,7 +253,8 @@ def hashed_shingles(df: DataFrame, n: int = 3) -> DataFrame:
         .where(F.col("df_count") > max_df)
         .select("ha", "hb")
     )
-    return shp.join(F.broadcast(hot), ["ha", "hb"], "left_anti")
+    capped = shp.join(F.broadcast(hot), ["ha", "hb"], "left_anti")
+    return shp, capped
 
 
 _SHINGLES_SQL = """
@@ -268,7 +290,7 @@ _SHINGLES_SQL = """
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set semantics over the HASHED shingle identity (hash-early: the
     # self-join and both aggregates shuffle longs, never shingle strings)
-    sh = hashed_shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    sh = hashed_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -397,11 +419,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session is left exactly as handed in; post-block operators read the
     # CACHED sig and never re-run the wide aggregate.
     with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
-        docs = _docs(spark, sf_dir).select("doc_id", "text")
         # shared hashed-shingle pipeline (hash-early, DF-capped, persisted
-        # raw frame) — the same `sh` identity the jaccard operator and the
-        # oracle CTE use
-        sh = hashed_shingles(docs)
+        # raw frame, cached per sf_dir) — the same `sh` identity the
+        # jaccard operator and the oracle CTE use
+        sh = hashed_shingles(spark, sf_dir)
         sig = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
@@ -953,6 +974,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle shape as one min-label round — and only a (count, checksum) pair
 # reaches the driver per round.
 # ---------------------------------------------------------------------------
+#: java RDD handles of the latest star run's final local checkpoint —
+#: freed on the next invocation or by operators.release_caches()
+_STAR_CHECKPOINT_RDDS: list = []
+
+
 def cluster_components_star(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     """(node, label) for every node in ``edges`` (src/dst BIGINT pairs);
     label = smallest node id in the node's connected component.
@@ -993,11 +1019,26 @@ def cluster_components_star(edges: DataFrame, max_rounds: int = 40) -> DataFrame
     # ~8 rounds.  localCheckpoint materializes to executor-local storage
     # (the standard iterative-graph pattern; on a real cluster trade
     # fault-tolerance back with reliable checkpoint() if desired).
-    cur = sym(edges).localCheckpoint(eager=True)
+    # localCheckpoint has no DataFrame-level unpersist, so each round's
+    # internal RDD is TRACKED (persistent-RDD-registry diff) and the
+    # previous round's is freed once superseded — without this, an
+    # n-round run leaves n checkpoint RDDs pinned for the session's life.
+    sc = edges.sparkSession.sparkContext
+
+    def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, list]:
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint(eager=True)
+        reg = sc._jsc.getPersistentRDDs()
+        new = [reg.get(rid) for rid in reg.keySet().toArray() if rid not in before]
+        return out, new
+
+    while _STAR_CHECKPOINT_RDDS:
+        _STAR_CHECKPOINT_RDDS.pop().unpersist(False)
+    cur, cur_rdds = checkpoint_tracked(sym(edges))
     prev_fp = None
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        nxt = sym(small_star(large_star(cur))).localCheckpoint(eager=True)
+        nxt, nxt_rdds = checkpoint_tracked(sym(small_star(large_star(cur))))
         # one-row fingerprint to the driver: edge count + order-free
         # checksum (hash mod-reduced then DECIMAL-summed: a raw sum of
         # full-range xxhash64 longs overflows under ANSI mode)
@@ -1006,10 +1047,16 @@ def cluster_components_star(edges: DataFrame, max_rounds: int = 40) -> DataFrame
             F.sum((F.xxhash64("src", "dst") % 1_000_000_007).cast("decimal(38,0)")),
         ).collect()[0]
         fp = (fp[0], fp[1])
-        cur = nxt
+        for r in cur_rdds:  # superseded round — free its checkpoint now
+            r.unpersist(False)
+        cur, cur_rdds = nxt, nxt_rdds
         if fp == prev_fp:
             break
         prev_fp = fp
+    # the returned frame reads the FINAL checkpoint — keep it pinned until
+    # the next invocation (or release_caches; freeing a local checkpoint
+    # makes its DataFrame unrecoverable, so release means done-with-it)
+    _STAR_CHECKPOINT_RDDS.extend(cur_rdds)
     # at fixpoint the (symmetric) edges form stars: every non-root node has
     # its component-min root as a smaller neighbor; roots have none
     pointed = (

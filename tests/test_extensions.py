@@ -231,10 +231,10 @@ def test_shingle_df_cap_bounds_hot_keys(spark):
     # the frame every self-joining consumer reads
     from iceberg_trino_sql_demo_spark.operators.dedup import (
         _MINHASH_P,
-        hashed_shingles,
+        build_hashed_shingles,
     )
 
-    capped = hashed_shingles(docs)
+    raw, capped = build_hashed_shingles(docs)
     capped_max = (
         capped.groupBy("ha", "hb").count().agg(F.max("count")).collect()[0][0]
     )
@@ -246,6 +246,7 @@ def test_shingle_df_cap_bounds_hot_keys(spark):
     h = hashlib.md5(b"COPYRIGHT NOTICE BOILERPLATE").hexdigest()
     ha, hb = int(h[0:15], 16) % _MINHASH_P, int(h[16:31], 16) % _MINHASH_P
     assert capped.where((F.col("ha") == ha) & (F.col("hb") == hb)).count() == 0
+    raw.unpersist()  # the builder hands ownership of the persist to us
 
 
 def test_operators_leave_session_confs_untouched(spark):
