@@ -133,17 +133,13 @@ def _shingle_occurrences(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, n: int = 3, cap_df: bool = False) -> DataFrame:
+def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams (default 3) per document,
-    as TEXT.  Only for consumers that need the gram text itself
-    (contamination_ngram's broadcast eval-set membership join,
+    as TEXT, never DF-capped.  Only for consumers that need the gram text
+    itself (contamination_ngram's broadcast eval-set membership join,
     text_fingerprint's rolling hash); anything that self-joins or
     aggregates over shingle identity uses hashed_shingles() below, which
-    also applies the high-document-frequency skew cap.  ``cap_df`` is
-    accepted for call-site clarity but only False is supported — the
-    capped path lives on the hashed identity."""
-    if cap_df:
-        raise ValueError("DF-capped shingles moved to hashed_shingles()")
+    also applies the high-document-frequency skew cap."""
     return _shingle_occurrences(df, n).distinct()
 
 
@@ -194,6 +190,16 @@ def _hsh_capped(corpus_sql: str) -> str:
 _HASHED_SH_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
+def _session_token(spark: SparkSession) -> tuple[str, int]:
+    """Stable, collision-free identity for a live session.  ``id(spark)``
+    is NOT that: CPython reuses object ids after GC, so a new session could
+    inherit a cache entry holding frames bound to a dead SparkContext
+    (ADVICE r3).  applicationId + startTime survive any Python-side object
+    churn and differ across sequential sessions."""
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
+
+
 def hashed_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """(doc_id, ha, hb) — distinct word n-grams per document with each
     shingle replaced by the two 60-bit-mod-P halves of ONE md5, and the
@@ -210,7 +216,7 @@ def hashed_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 
     Consumers that need the shingle TEXT (contamination_ngram's broadcast
     eval-set join, text_fingerprint) keep using shingles() above."""
-    key = (id(spark), sf_dir, n)
+    key = (_session_token(spark), sf_dir, n)
     hit = _HASHED_SH_CACHE.get(key)
     if hit is not None:
         return hit[1]
@@ -491,8 +497,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # four 15-bit chunks guarantees recall for hamming distance <= 3 (pigeonhole)
 # without any all-pairs scan.
 #
-# Bit b of a token's hash is bit b of the RAW 30-bit md5 halves (b 0-29
-# from ha, 30-59 from hb) — raw md5 bits are i.i.d., so extracting them
+# Bit b of a token's hash comes from the RAW 60-bit md5 halves ha/hb
+# (bits 0-29 of ha serve signature bits 0-29, bits 0-29 of hb serve
+# 30-59) — raw md5 bits are i.i.d., so extracting them
 # directly gives a uniform-independent family at a fraction of the
 # previous (ha + b*hb) mod P parity's cost: one shift+and per bit instead
 # of multiply+add+mod+mod.  The halves must NOT be reduced mod P first:
@@ -524,14 +531,14 @@ _SIMHASH_PERSISTED: list[DataFrame] = []
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """62-bit simhash per doc (persisted + eagerly materialized).
+    """60-bit simhash per doc (persisted + eagerly materialized).
 
     Per bit b: majority vote of token-hash bits — ``2*sum(bit_b) >= n``.
     The signature is assembled as a binary string -> ``conv(_, 2, 10)``;
-    a fold of 62 shifted adds builds an expression tree deep enough to
+    a fold of 60 shifted adds builds an expression tree deep enough to
     dominate wall time with *analysis*, not execution.
 
-    The 62 parallel sums exceed the default 100-field codegen ceiling, so
+    The 60 parallel sums exceed the default 100-field codegen ceiling, so
     the ceiling is raised ONLY around the eager count() that executes the
     wide aggregate (then restored — callers keep their session conf).  The
     cached narrow result (doc_id, simhash) is what both sides of the
@@ -614,7 +621,7 @@ _SIMHASH_ORACLE = f"""
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with hamming distance <= 3 over 62-bit simhash."""
+    """Near-dup pairs with hamming distance <= 3 over the 60-bit simhash."""
     sig = simhash_signatures(spark, sf_dir)
     chunks = sig.select(
         "doc_id", "simhash",

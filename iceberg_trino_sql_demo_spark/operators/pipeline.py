@@ -210,15 +210,15 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle each side from a PRE-filtered doc set: the eval subtree only
     # ever explodes eval docs (it is re-scanned to build the broadcast), and
     # the predicate needn't survive pushdown through the distinct.
-    # cap_df=False: the DF cap exists to keep shingle SELF-joins skew-safe;
+    # uncapped shingles(): the DF cap exists to keep shingle SELF-joins skew-safe;
     # this scan joins the corpus against a BROADCAST eval-shingle set, so a
     # high-DF shingle costs linear counting, not a quadratic shuffle key —
     # and decontamination must count boilerplate overlap too (the oracle is
     # uncapped to match)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    eval_sh = shingles(docs.where(is_eval), cap_df=False).select("shingle").distinct()
-    train = shingles(docs.where(~is_eval), cap_df=False)
+    eval_sh = shingles(docs.where(is_eval)).select("shingle").distinct()
+    train = shingles(docs.where(~is_eval))
     sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
         train.join(F.broadcast(eval_sh), "shingle")

@@ -219,12 +219,12 @@ from iceberg_trino_sql_demo_spark.operators.dedup import _SHINGLES_SQL, shingles
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cap_df=False: the fingerprint is a per-doc aggregate over ALL the
+    # uncapped shingles(): the fingerprint is a per-doc aggregate over ALL the
     # document's shingles (no join anywhere, so the self-join skew the DF
     # cap guards against cannot occur) and must stay content-complete —
     # dropping a boilerplate shingle would change min() for every doc
     # containing it.  The oracle is uncapped to match.
-    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"), cap_df=False)
+    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
     return sh.groupBy("doc_id").agg(
         F.min(
             F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")

@@ -67,13 +67,12 @@ def _day_matches(ts: datetime, dom: frozenset[int], month: frozenset[int],
     # python weekday(): Monday=0..Sunday=6; cron: Sunday=0..Saturday=6
     cron_dow = (ts.weekday() + 1) % 7
     dom_ok, dow_ok = ts.day in dom, cron_dow in dow
-    if dom_star and dow_star:
-        return True
-    if dom_star:
-        return dow_ok
-    if dow_star:
-        return dom_ok
-    return dom_ok or dow_ok  # both restricted: vixie-cron OR
+    # vixie's exact test: when EITHER field carries the star flag (field
+    # begins with '*' — a stepped '*/2' still sets it), both bitmaps must
+    # match (AND); only when both are restricted does the classic OR apply.
+    if dom_star or dow_star:
+        return dom_ok and dow_ok
+    return dom_ok or dow_ok
 
 
 def next_fire(expr: str, after: datetime) -> datetime:
@@ -83,7 +82,10 @@ def next_fire(expr: str, after: datetime) -> datetime:
     valid expression."""
     minutes, hours, dom, month, dow = parse_cron(expr)
     fields = expr.split()
-    dom_star, dow_star = fields[2] == "*", fields[4] == "*"
+    # vixie cron sets the star flag for any field BEGINNING with '*', so a
+    # stepped field like '*/2' still counts as a star for the dom/dow OR rule
+    dom_star = fields[2].startswith("*")
+    dow_star = fields[4].startswith("*")
     cur = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
     day = cur.date()
     for _ in range(366 * 4 + 2):

@@ -135,7 +135,7 @@ def test_mv_refresh_schedule_evaluation(cat):
     """The stored cron is evaluated, not just retained: due_materialized_views
     reports the MV exactly when a '30 04 * * 0' (Sun 04:30) fire lies
     between its last refresh commit and now (reference :57-59)."""
-    from datetime import datetime
+    from datetime import datetime, timedelta
 
     from iceberg_trino_sql_demo_spark.plans.cron import is_due, next_fire
 
@@ -146,12 +146,21 @@ def test_mv_refresh_schedule_evaluation(cat):
         2024, 3, 1, 9, 0
     )
     assert next_fire("0 0 1 * 3", datetime(2024, 1, 1)) == datetime(2024, 1, 3)
+    # a stepped dom ('*/2') still sets the vixie star flag, so dom AND dow
+    # apply together: next odd-numbered Monday after Jan 1 2024 is Jan 15
+    # (Jan 8 is a Monday but an even day)
+    assert next_fire("0 0 */2 * 1", datetime(2024, 1, 1)) == datetime(2024, 1, 15)
     assert is_due("30 04 * * 0", datetime(2024, 1, 1), datetime(2024, 1, 8))
     assert not is_due("30 04 * * 0", datetime(2024, 1, 7, 5, 0), datetime(2024, 1, 8))
 
     # the catalog wires the last snapshot timestamp into the same check;
-    # my_mv was refreshed moments ago, so with a real clock nothing is due
-    assert cat.due_materialized_views() == []
+    # probe one minute after the MV's refresh commit (a pinned instant —
+    # the wall clock could legitimately cross a Sunday-04:30 fire mid-suite)
+    last_ms = max(
+        s.timestamp_ms for s in cat.table("my_mv").meta.snapshots
+    )
+    just_after = datetime.utcfromtimestamp(last_ms / 1000.0) + timedelta(minutes=1)
+    assert cat.due_materialized_views(now=just_after) == []
     # ...but a far-future probe instant shows it due (next Sunday passes)
     assert cat.due_materialized_views(now=datetime(2100, 1, 8)) == ["demo.my_mv"]
 

@@ -223,7 +223,7 @@ def test_shingle_df_cap_bounds_hot_keys(spark):
         ).alias("text"),
     )
     raw_df = (
-        shingles(docs, cap_df=False)
+        shingles(docs)
         .groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
     )
     assert raw_df == 60, f"expected the planted shingle in every doc, got {raw_df}"
@@ -324,6 +324,21 @@ def test_prefiltered_cosine_finds_all_injected_dups(spark):
     for vid in injected:
         assert (vid, vid + 1000000) in out, vid
         assert out[(vid, vid + 1000000)] >= 0.999999, vid
+
+
+def test_hashed_shingle_cache_keyed_by_session_token(spark):
+    """The shared shingle cache must key on (applicationId, startTime) —
+    never id(spark), whose CPython reuse after GC could hand a NEW session
+    a frame bound to a dead SparkContext (ADVICE r3).  A foreign token
+    (another session's hypothetical applicationId) must miss."""
+    from iceberg_trino_sql_demo_spark.operators import dedup
+
+    dedup.hashed_shingles(spark, SF)
+    sc = spark.sparkContext
+    token = (sc.applicationId, sc.startTime)
+    keys = list(dedup._HASHED_SH_CACHE)
+    assert keys and all(k[0] == token for k in keys), keys
+    assert (("local-0000000000000", 0), SF, 3) not in dedup._HASHED_SH_CACHE
 
 
 def test_release_caches_unpins_everything(spark):
