@@ -427,13 +427,29 @@ class TableMetadata:
 # ---------------------------------------------------------------------------
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed the metadata version this writer targeted.
+
+    Retryable: re-read the latest metadata, re-validate the change against
+    it (no overlapping file removals), re-apply, and commit again —
+    ``Table._commit_snapshot`` does exactly that.
+    """
+
+
 class MetadataIO:
     """Reads/writes vN.metadata.json + version-hint.text under <location>/metadata.
 
-    Commit protocol: write vN+1.metadata.json (new immutable file), then
-    atomically replace version-hint.text.  A real multi-writer deployment
-    would CAS the pointer in a catalog service; single-writer rename is the
-    sandbox-faithful equivalent (SURVEY.md §7 hard parts).
+    Commit protocol (optimistic CAS, safe under concurrent local writers):
+    the next version's metadata file itself is the lock.  Content is
+    written to a private temp file, then published with ``os.link`` onto
+    ``vN+1.metadata.json`` — link fails with EEXIST if any other writer won
+    that version, and the winner's file is never clobbered because link
+    refuses to replace.  version-hint.text is a read-optimization only,
+    refreshed after the CAS; ``current_version`` treats it as a floor and
+    recovers from a crash between CAS and hint update by probing for newer
+    versions on disk.  A real multi-writer deployment would CAS the pointer
+    in a catalog service; the exclusive-create here is the same protocol
+    with the filesystem as the catalog.
     """
 
     def __init__(self, location: str):
@@ -446,9 +462,15 @@ class MetadataIO:
     def current_version(self) -> int:
         try:
             with open(self._hint_path()) as fh:
-                return int(fh.read().strip())
+                v = int(fh.read().strip())
         except FileNotFoundError:
-            return 0
+            v = 0
+        # hint is advisory: a writer that crashed between the metadata CAS
+        # and the hint rename leaves the hint one (or more) behind — probe
+        # forward so no committed version is ever invisible
+        while os.path.exists(self.metadata_file(v + 1)):
+            v += 1
+        return v
 
     def metadata_file(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"v{version}.metadata.json")
@@ -461,14 +483,10 @@ class MetadataIO:
             return TableMetadata.from_json(fh.read()), v
 
     def commit(self, meta: TableMetadata, expected_version: int) -> int:
-        """Write the next metadata version; fails if someone committed since
+        """Atomically publish the next metadata version; raises
+        ``CommitConflict`` if any other writer committed since
         ``expected_version`` was read (optimistic concurrency)."""
         os.makedirs(self.meta_dir, exist_ok=True)
-        current = self.current_version()
-        if current != expected_version:
-            raise RuntimeError(
-                f"concurrent commit: expected v{expected_version}, found v{current}"
-            )
         new_v = expected_version + 1
         mfile = self.metadata_file(new_v)
         meta.metadata_log = meta.metadata_log + [
@@ -478,12 +496,24 @@ class MetadataIO:
                 "latest_snapshot_id": meta.refs.get(MAIN),
             }
         ]
-        with open(mfile, "w") as fh:
-            fh.write(meta.to_json())
-        tmp = self._hint_path() + f".tmp{uuid.uuid4().hex[:8]}"
+        tmp = mfile + f".tmp{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
+            fh.write(meta.to_json())
+        try:
+            # the CAS: exclusive create of the version file — exactly one
+            # racing writer can succeed, and full content appears atomically
+            os.link(tmp, mfile)
+        except FileExistsError:
+            meta.metadata_log = meta.metadata_log[:-1]
+            raise CommitConflict(
+                f"concurrent commit: v{new_v} already exists under {self.meta_dir}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        hint_tmp = self._hint_path() + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(hint_tmp, "w") as fh:
             fh.write(str(new_v))
-        os.replace(tmp, self._hint_path())
+        os.replace(hint_tmp, self._hint_path())
         return new_v
 
     # -- manifests --------------------------------------------------------

@@ -46,6 +46,7 @@ from iceberg_trino_sql_demo_spark.plans.predicates import parse_simple_predicate
 from iceberg_trino_sql_demo_spark.plans.pruning import Predicate, prune_files
 from iceberg_trino_sql_demo_spark.sources.metadata import (
     MAIN,
+    CommitConflict,
     DataFile,
     DeleteFile,
     Manifest,
@@ -245,7 +246,69 @@ class Table:
     def _next_ids(self) -> tuple[int, int]:
         return self.meta.last_snapshot_id + 1, self.meta.last_sequence_number + 1
 
+    #: optimistic-concurrency retry budget for snapshot commits — each retry
+    #: is metadata-only work (the data files are already written), so a
+    #: generous budget costs nothing when uncontended
+    COMMIT_RETRIES = 8
+
     def _commit_snapshot(
+        self,
+        manifest: Manifest,
+        operation: str,
+        ref: str,
+        summary: dict | None = None,
+        parent: int | None = None,
+        rebase: bool = True,
+    ) -> Snapshot:
+        """Commit ``manifest`` as a new snapshot on ``ref`` with optimistic
+        concurrency (SURVEY.md §7 hard parts; Iceberg's atomic-swap protocol
+        that underlies every DML in the reference script, :103-157).
+
+        On a version conflict the commit is REBASED: re-read the latest
+        metadata, re-validate that no concurrent commit removed a file this
+        operation also removes (overlapping rewrites are not safely
+        mergeable — raise), then re-apply this commit's file delta (added /
+        removed data and delete files, computed against the ref head the
+        caller planned from) on top of the new head and retry, up to
+        COMMIT_RETRIES times.  Disjoint concurrent writers (two appends,
+        an append + a delete of other files) all land; semantics are
+        snapshot isolation — a row-level op does not see rows appended
+        after its planning read, exactly like Iceberg's snapshot-isolation
+        mode.  ``rebase=False`` (CTAS REPLACE, which also swaps schema and
+        spec) fails fast on conflict instead."""
+        base = self._manifest(self._resolve(ref))
+        new_data = {f.path for f in manifest.data_files}
+        new_dels = {d.path for d in manifest.delete_files}
+        added_data = [f for f in manifest.data_files if f.path not in {f2.path for f2 in base.data_files}]
+        added_dels = [d for d in manifest.delete_files if d.path not in {d2.path for d2 in base.delete_files}]
+        removed_data = {f.path for f in base.data_files} - new_data
+        removed_dels = {d.path for d in base.delete_files} - new_dels
+        last_err: CommitConflict | None = None
+        for attempt in range(self.COMMIT_RETRIES):
+            try:
+                return self._try_commit_snapshot(manifest, operation, ref, summary, parent)
+            except CommitConflict as e:
+                last_err = e
+                # the failed attempt mutated self.meta — refresh discards it
+                # and loads the winning writer's state in one step
+                self.refresh()
+                if not rebase:
+                    raise
+                latest = self._manifest(self._resolve(ref))
+                live_data = {f.path for f in latest.data_files}
+                live_dels = {d.path for d in latest.delete_files}
+                if not (removed_data <= live_data and removed_dels <= live_dels):
+                    raise CommitConflict(
+                        f"cannot rebase {operation} on {ref!r}: a concurrent "
+                        "commit removed file(s) this operation also rewrites"
+                    ) from e
+                manifest = Manifest(
+                    [f for f in latest.data_files if f.path not in removed_data] + added_data,
+                    [d for d in latest.delete_files if d.path not in removed_dels] + added_dels,
+                )
+        raise last_err  # type: ignore[misc]
+
+    def _try_commit_snapshot(
         self,
         manifest: Manifest,
         operation: str,
@@ -319,21 +382,13 @@ class Table:
         )
         summary = {"added-data-files": len(new_files),
                    "added-records": sum(f.record_count for f in new_files), **(summary or {})}
-        # optimistic concurrency (SURVEY.md §7 hard parts): appends commute,
-        # so on a version conflict re-read the metadata, rebase the already-
-        # written file group onto the new head, and retry the commit.
-        # Non-append ops (overwrite/delete) must NOT auto-retry — their
-        # affected-file planning is stale after a concurrent commit.
-        for attempt in range(5):
-            try:
-                manifest = Manifest(base.data_files + new_files, base.delete_files)
-                return self._commit_snapshot(manifest, operation, ref, summary)
-            except RuntimeError:
-                if operation != "append" or base_manifest is not None or attempt == 4:
-                    raise
-                self.refresh()
-                base = self._manifest(self._resolve(ref))
-        raise AssertionError("unreachable")
+        manifest = Manifest(base.data_files + new_files, base.delete_files)
+        # conflict handling lives in _commit_snapshot (rebase + retry);
+        # a CTAS REPLACE (explicit empty base_manifest, schema swap) is the
+        # one shape that cannot be rebased and fails fast instead
+        return self._commit_snapshot(
+            manifest, operation, ref, summary, rebase=base_manifest is None
+        )
 
     def _align_values_df(self, rows: list[dict]) -> DataFrame:
         """VALUES rows (possibly partial columns) -> schema-aligned DataFrame

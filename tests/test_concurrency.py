@@ -1,0 +1,115 @@
+"""Optimistic-concurrency commit protocol (VERDICT r3 next-round #3).
+
+The reference's entire DML surface presumes Iceberg's atomic metadata swap
+(iceberg_trino_sqldemo.sql:103-157): concurrent writers race on the next
+vN.metadata.json, the loser re-reads, re-validates, re-applies, retries.
+These tests drive that protocol with real interleaved writers:
+
+- N threads, each with its OWN Table handle, appending concurrently —
+  every snapshot must land (zero lost commits, zero lost rows);
+- two copy-on-write writers rewriting the SAME files — the stale one must
+  get a non-retryable CommitConflict, never silently drop the winner's
+  rewrite;
+- a crash between the metadata CAS and the hint rename must not hide the
+  committed version (hint is a floor, not the truth).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from iceberg_trino_sql_demo_spark.sources.metadata import CommitConflict, MetadataIO
+from iceberg_trino_sql_demo_spark.sources.table import Table
+
+SCHEMA = [("id", "bigint"), ("v", "string")]
+
+
+def test_concurrent_appends_lose_nothing(spark, tmp_path):
+    """4 writers x 3 commits each, all racing: 12 append snapshots + the
+    seed must ALL be present afterwards, with every row readable."""
+    loc = str(tmp_path / "ct_appends")
+    t = Table.create(spark, loc, SCHEMA, ())
+    t.insert([{"id": 0, "v": "seed"}])
+
+    n_writers, n_commits = 4, 3
+    start = threading.Barrier(n_writers)
+    errs: list[Exception] = []
+
+    def worker(w: int) -> None:
+        try:
+            h = Table(spark, loc)  # each writer owns its handle
+            start.wait()
+            for i in range(n_commits):
+                h.refresh()
+                h.insert([{"id": w * 100 + i, "v": f"w{w}c{i}"}])
+        except Exception as e:  # pragma: no cover - assertion surfaces it
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+
+    t.refresh()
+    expected = {"seed"} | {
+        f"w{w}c{i}" for w in range(n_writers) for i in range(n_commits)
+    }
+    assert len(t.meta.snapshots) == 1 + n_writers * n_commits
+    assert {r.v for r in t.df().collect()} == expected
+    # the version chain is dense: one metadata file per commit, no gaps
+    io = MetadataIO(loc)
+    assert io.current_version() == 1 + 1 + n_writers * n_commits  # create + seed + appends
+
+
+def test_conflicting_rewrite_raises_not_merges(spark, tmp_path):
+    """Two stale copy-on-write handles rewriting the same file: the second
+    commit must fail with CommitConflict (overlapping removal is not safely
+    mergeable), and the winner's state must survive untouched."""
+    loc = str(tmp_path / "ct_conflict")
+    t = Table.create(spark, loc, SCHEMA, (), properties={"merge_mode": "copy-on-write"})
+    t.insert([{"id": i, "v": f"r{i}"} for i in range(10)])
+
+    a, b = Table(spark, loc), Table(spark, loc)  # both planned from the same head
+    a.delete("id < 3")
+    with pytest.raises(CommitConflict, match="also rewrites"):
+        b.delete("id < 5")
+    # winner intact: a's delete applied, nothing else
+    t.refresh()
+    assert sorted(r.id for r in t.df().collect()) == list(range(3, 10))
+
+
+def test_disjoint_append_and_delete_rebase(spark, tmp_path):
+    """A stale append rebases cleanly over a concurrent MoR delete of other
+    rows — disjoint file deltas merge, matching Iceberg snapshot isolation."""
+    loc = str(tmp_path / "ct_disjoint")
+    t = Table.create(spark, loc, SCHEMA, ())
+    t.insert([{"id": i, "v": f"r{i}"} for i in range(5)])
+
+    a, b = Table(spark, loc), Table(spark, loc)
+    a.delete("id = 0")
+    b.insert([{"id": 99, "v": "late"}])  # stale handle: planned pre-delete
+    t.refresh()
+    vals = {r.id for r in t.df().collect()}
+    assert vals == {1, 2, 3, 4, 99}  # delete applied AND append landed
+
+
+def test_hint_lag_recovery(spark, tmp_path):
+    """current_version probes past a stale hint: a writer crashing between
+    the metadata CAS and the hint rename must not hide its commit."""
+    loc = str(tmp_path / "ct_hint")
+    t = Table.create(spark, loc, SCHEMA, ())
+    t.insert([{"id": 1, "v": "x"}])
+    io = MetadataIO(loc)
+    v = io.current_version()
+    assert v >= 2
+    # simulate the crash: roll the hint back one version
+    with open(os.path.join(loc, "metadata", "version-hint.text"), "w") as fh:
+        fh.write(str(v - 1))
+    assert io.current_version() == v
+    # and a fresh handle still sees the newest state
+    assert Table(spark, loc).df().count() == 1

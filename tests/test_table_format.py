@@ -168,10 +168,10 @@ def test_register_table(spark, cat, customer):
 
 def test_concurrent_append_retries(spark, cat, sf_dir):
     """Two Table handles appending interleaved: the stale handle must rebase
-    onto the new head instead of failing (appends commute); a stale UPDATE
-    must refuse (its affected-file planning no longer holds)."""
-    import pytest as _pytest
-
+    onto the new head instead of failing (appends commute); a stale
+    DISJOINT update also rebases — its file delta (new delete file + new
+    data file under merge-on-read) doesn't overlap the concurrent append.
+    Overlapping-removal refusal is covered in test_concurrency.py."""
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     cat.ctas("nation_cc", nation)
     a = cat.table("nation_cc")
@@ -184,10 +184,12 @@ def test_concurrent_append_retries(spark, cat, sf_dir):
     keys = {r.n_nationkey for r in merged.where("n_nationkey >= 900").collect()}
     assert keys == {901, 902}, "both appends must survive the race"
 
-    # stale non-append DML refuses instead of silently clobbering
+    # stale disjoint row-level DML rebases over the newer append
     a.insert([{"n_nationkey": 903, "n_name": "A2", "n_regionkey": 0}])
-    with _pytest.raises(RuntimeError, match="concurrent commit"):
-        b.update({"n_name": "'X'"}, "n_nationkey = 901")
+    b.update({"n_name": "'X'"}, "n_nationkey = 901")
+    final = cat.table("nation_cc").df().where("n_nationkey >= 900")
+    rows = {(r.n_nationkey, r.n_name) for r in final.collect()}
+    assert rows == {(901, "X"), (902, "B1"), (903, "A2")}
 
 
 def test_bucket_transform_pruning(spark, cat, sf_dir):
