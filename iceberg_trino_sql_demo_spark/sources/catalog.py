@@ -194,3 +194,44 @@ class Catalog:
             if is_due(sched, last, now):
                 due.append(q)
         return due
+
+    def run_due_refreshes(self, now=None) -> list[str]:
+        """One ticker beat: refresh every MV whose cron has fired since its
+        last refresh commit, returning the refreshed names.  This is the
+        in-process convenience over due_materialized_views — call it from
+        any external clock (cron, Airflow, the streaming ticker below) to
+        get the reference's refresh_schedule semantics (:57-60) without
+        re-implementing the due-ness logic."""
+        done = []
+        for q in self.due_materialized_views(now=now):
+            self.refresh_materialized_view(q)
+            done.append(q)
+        return done
+
+    def start_refresh_ticker(self, interval_s: float = 60.0):
+        """Opt-in in-process MV refresh daemon: a daemon thread polling
+        run_due_refreshes every ``interval_s``.  Returns an object with
+        ``.stop()``.  Deliberately a plain thread, not a Structured
+        Streaming query: the work is driver-side metadata + a CTAS, and a
+        do-nothing micro-batch stream would occupy an executor slot for a
+        pure clock.  At scale the same beat runs in the orchestrator."""
+        import threading
+
+        stop_ev = threading.Event()
+
+        def beat() -> None:
+            while not stop_ev.wait(interval_s):
+                try:
+                    self.run_due_refreshes()
+                except Exception:  # noqa: BLE001 — ticker must outlive a bad MV
+                    pass
+
+        th = threading.Thread(target=beat, daemon=True, name="mv-refresh-ticker")
+        th.start()
+
+        class _Ticker:
+            def stop(self, timeout: float = 5.0) -> None:
+                stop_ev.set()
+                th.join(timeout)
+
+        return _Ticker()

@@ -164,6 +164,31 @@ def test_mv_refresh_schedule_evaluation(cat):
     # ...but a far-future probe instant shows it due (next Sunday passes)
     assert cat.due_materialized_views(now=datetime(2100, 1, 8)) == ["demo.my_mv"]
 
+    # one ticker beat at that fake instant refreshes it: a new replace
+    # snapshot lands and the MV is no longer due at that instant
+    snaps_before = len(cat.table("my_mv").meta.snapshots)
+    assert cat.run_due_refreshes(now=datetime(2100, 1, 8)) == ["demo.my_mv"]
+    mv = cat.table("my_mv")
+    assert len(mv.meta.snapshots) == snaps_before + 1
+    assert mv.meta.snapshots[-1].operation == "replace"
+    # the refresh commit carries the REAL wall-clock time, so probe due-ness
+    # just after that commit (not the fake 2100 instant, after which more
+    # Sundays legitimately fire)
+    refreshed_ms = max(s.timestamp_ms for s in mv.meta.snapshots)
+    probe = datetime.utcfromtimestamp(refreshed_ms / 1000.0) + timedelta(minutes=1)
+    assert cat.due_materialized_views(now=probe) == []
+    assert mv.df().count() == 25
+
+    # the opt-in in-process ticker drives the same beat from a thread
+    tick = cat.start_refresh_ticker(interval_s=0.05)
+    try:
+        import time as _time
+
+        _time.sleep(0.2)  # a few beats with nothing due — must be a no-op
+    finally:
+        tick.stop()
+    assert len(cat.table("my_mv").meta.snapshots) == snaps_before + 1
+
 
 def test_show_create_schema_roundtrip(cat):
     ddl = cat.show_create_schema("demo")
