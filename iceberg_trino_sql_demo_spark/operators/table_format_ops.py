@@ -19,7 +19,13 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.operators import register as _register
+
+import functools
+
+# every query here is a side-effecting scenario replay (scratch engine
+# tables rebuilt per call) - opt out of the prepared-plan cache
+register = functools.partial(_register, memo=False)
 from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
 from iceberg_trino_sql_demo_spark.sources.table import Table
 
