@@ -48,6 +48,34 @@ def _sf_label(sf_dir: str) -> float:
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
+def _calibration(spark) -> dict:
+    """Fixed-work host-speed probes (VERDICT r3 next-round #7): the same
+    constant jobs every round, so cross-round per-query deltas can be
+    host-normalized instead of rescued by narrative.  One DuckDB scalar
+    aggregate over a generated range (in-process, no IO) and one
+    no-shuffle Spark range aggregate (JVM, codegen, no scan); both
+    min-of-3, seconds."""
+    import duckdb
+
+    con = duckdb.connect()
+    duck = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute("SELECT sum(i * i) FROM range(20000000) t(i)").fetchall()
+        duck.append(time.perf_counter() - t0)
+    sp = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # modulo keeps the running sum far from BIGINT overflow (ANSI mode
+        # errors on it); the work is still per-row arithmetic + hash-agg
+        spark.range(50_000_000).selectExpr("sum(id % 1048576)").collect()
+        sp.append(time.perf_counter() - t0)
+    return {
+        "duckdb_range_agg_s": round(min(duck), 4),
+        "spark_range_agg_s": round(min(sp), 4),
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     names = sorted(n for n in _ops.QUERIES if n not in _ops.NO_BENCH)
@@ -86,6 +114,7 @@ def main() -> None:
                 "queries_cold": cold,
                 "cold_total": round(sum(cold.values()), 4),
                 "runs_per_query": max(1, RUNS),
+                "calibration": _calibration(spark),
                 "sf": _sf_label(SF_DIR),
             }
         )

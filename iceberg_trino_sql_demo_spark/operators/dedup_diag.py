@@ -1,0 +1,153 @@
+"""Candidate-set diagnostics for the dedup family.
+
+Rebuilds each operator's CANDIDATE frame — the set of pairs it actually
+compares — from the same internals the operators use (shared hashed
+shingles, the _phash permutation family, the simhash signature pipeline,
+the sign-LSH bucket projection).  The scaling harness
+(scripts/scaling_bench.py, tests/test_scaling.py) counts these to verify
+the central 100 TB design claim empirically: candidate pairs grow
+~linearly with corpus size because generation is always banded / blocked /
+bucketed, never all-pairs.
+
+These functions intentionally return un-persisted plans: callers count
+them once and discard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_trino_sql_demo_spark.operators.dedup import (
+    BANDS,
+    NUM_PERM,
+    ROWS_PER_BAND,
+    _phash,
+    _SIMHASH_BITS,
+    _SIMHASH_CHUNK_BITS,
+    hashed_shingles,
+    simhash_signatures,
+)
+
+
+def jaccard_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct doc pairs sharing >= 1 capped hashed shingle — the pairs the
+    exact-jaccard groupBy aggregates over (dedup.py dedup_shingle_jaccard).
+    Bounded by the DF cap: a shingle shared by c docs contributes C(c,2)
+    pairs with c <= max_df, so the total is O(n_shingles * max_df)."""
+    sh = hashed_shingles(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.ha") == F.col("b.ha"))
+               & (F.col("a.hb") == F.col("b.hb"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct doc pairs sharing >= 1 LSH band bucket — the verify input of
+    dedup_minhash_lsh (same signature + banding construction)."""
+    sh = hashed_shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(band)),
+                *[
+                    F.col(f"h{band * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"b{band}")
+        for band in range(BANDS)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct doc pairs sharing >= 1 of the 4 signature chunks — the
+    hamming-verify input of dedup_simhash (pigeonhole blocking)."""
+    sig = simhash_signatures(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk_id"),
+                         F.shiftright("simhash", c * _SIMHASH_CHUNK_BITS)
+                         .bitwiseAND(F.lit(2 ** _SIMHASH_CHUNK_BITS - 1))
+                         .alias("chunk"))
+                for c in range(_SIMHASH_BITS // _SIMHASH_CHUNK_BITS)
+            ])
+        ).alias("ch"),
+    ).select("doc_id", "ch.chunk_id", "ch.chunk")
+    return (
+        chunks.alias("x")
+        .join(chunks.alias("y"),
+              (F.col("x.chunk_id") == F.col("y.chunk_id"))
+              & (F.col("x.chunk") == F.col("y.chunk"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def prefiltered_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vec pairs sharing a sign-LSH bucket — the exact-cosine input of
+    dedup_embedding_prefiltered (same corpus + bucket construction)."""
+    from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _DIM,
+        _bucket_from_dots,
+        _dot_lit,
+        _hyperplanes,
+    )
+    from iceberg_trino_sql_demo_spark.session import table_path
+
+    from iceberg_trino_sql_demo_spark.operators.dedup import _adaptive_planes
+
+    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    corpus = e.unionAll(
+        e.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    n_planes = _adaptive_planes(e.count())
+    planes = _hyperplanes(_DIM, n_planes)
+    if n_planes == 8:
+        dots = corpus.select(
+            "vec_id",
+            *[_dot_lit("embedding", p).alias(f"d{i}") for i, p in enumerate(planes)],
+        )
+        bucketed = dots.select("vec_id", _bucket_from_dots(n_planes).alias("bucket"))
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        pm = np.array(planes, dtype=np.float64)
+        weights = (1 << np.arange(pm.shape[0])).astype(np.int64)
+
+        @pandas_udf("long")
+        def bucket_udf(s: pd.Series) -> pd.Series:
+            mat = np.stack(s.to_numpy()).astype(np.float64)
+            signs = (mat @ pm.T) >= 0
+            return pd.Series(signs @ weights)
+
+        bucketed = corpus.select("vec_id", bucket_udf("embedding").alias("bucket"))
+    a = bucketed.select(F.col("vec_id").alias("id_a"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("id_b"), "bucket")
+    return a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))

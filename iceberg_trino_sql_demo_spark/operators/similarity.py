@@ -137,13 +137,16 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(dim: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded; no numpy needed at
-    executor side — these are query-time literals broadcast in the plan)."""
+    executor side — these are query-time literals broadcast in the plan).
+    The first N_PLANES rows are identical for any n_planes >= N_PLANES, so
+    an adaptive caller growing the plane count refines the default
+    bucketing instead of re-randomizing it."""
     import numpy as np
 
     rng = np.random.default_rng(42)
-    return rng.standard_normal((N_PLANES, dim)).tolist()
+    return rng.standard_normal((max(n_planes, N_PLANES), dim)).tolist()[:max(n_planes, N_PLANES)]
 
 
 def lsh_bucket_col(planes: list[list[float]]):
@@ -165,11 +168,11 @@ def lsh_bucket_col(planes: list[list[float]]):
     return bucket
 
 
-def _bucket_from_dots():
+def _bucket_from_dots(n_planes: int = N_PLANES):
     """Bucket id assembled from pre-computed per-plane dot columns d0..dN —
     the cheap second stage of the staged bucket computation."""
     bucket = F.lit(0).cast("long")
-    for i in range(N_PLANES):
+    for i in range(n_planes):
         bit = F.when(F.col(f"d{i}") >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + bit.cast("long") * F.lit(2 ** i).cast("long")
     return bucket
@@ -287,6 +290,20 @@ N_PROBE = 2
 _CENT_MOD, _CENT_RESIDUE = 100, 1
 
 
+def _adaptive_cent_mod(n_vecs: int) -> int:
+    """Centroid-sampling modulus keeping the coarse-quantizer size near
+    sqrt(n) — textbook IVF sizing.  A FIXED modulus makes the centroid
+    count grow linearly with the corpus, so assignment work grows n²/MOD:
+    the scaling harness measured ann_topk_ivf collapsing 0.7 s -> 69 s at
+    a 20x corpus before this (40k vectors x 400 centroids).  With
+    MOD ~ sqrt(n) assignment is n^1.5.  Floored at _CENT_MOD so every
+    oracle-checked corpus (<= 2000 vectors) keeps the static SQL's
+    centroid set byte-identical."""
+    import math
+
+    return max(_CENT_MOD, int(math.sqrt(n_vecs)))
+
+
 def _assign(e_df: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, embedding, cluster): nearest centroid by cosine distance.
 
@@ -295,24 +312,34 @@ def _assign(e_df: DataFrame, cent: DataFrame) -> DataFrame:
     same deterministic tie-break as ORDER BY dist, cent_id), not a
     row_number() window: the window plan shuffled AND sorted the full
     n×C expanded frame, while min_by partial-aggregates map-side so only
-    one row per vec_id ever crosses the wire."""
-    d = e_df.crossJoin(F.broadcast(cent))
+    one row per vec_id ever crosses the wire.
+
+    The min_by PAYLOAD is just the centroid id (a long): carrying the
+    embedding array through the aggregation buffer forced
+    ObjectHashAggregate with per-update array copies (and sort-based
+    fallback on big corpora — the scaling harness caught it); the
+    embedding is joined back by vec_id afterwards, one narrow shuffle of
+    n rows.
+
+    The stream side is repartitioned to the session's parallelism first:
+    the n x C expansion multiplies CPU work per INPUT byte, so parquet's
+    bytes-based split (one ~50 MB file -> 1-2 tasks) serializes exactly
+    the expensive stage — the scaling harness measured a 20x corpus
+    running 66 s nearly single-task vs ~4 s spread (the repartition
+    itself moves only n narrow rows)."""
+    p = e_df.sparkSession.sparkContext.defaultParallelism
+    d = e_df.repartition(p).crossJoin(F.broadcast(cent))
     cos = _dot("embedding", "cent") / (
         F.sqrt(_dot("embedding", "embedding"))
         * F.sqrt(_dot("cent", "cent"))
     )
     best = F.min_by(
-        F.struct(F.col("cent_id"), F.col("embedding")),
+        F.col("cent_id"),
         F.struct((1 - cos).alias("dist"), F.col("cent_id").alias("cent_id")),
-    ).alias("best")
-    return (
-        d.groupBy("vec_id")
-        .agg(best)
-        .select(
-            "vec_id",
-            F.col("best.embedding").alias("embedding"),
-            F.col("best.cent_id").alias("cluster"),
-        )
+    ).alias("cluster")
+    assigned_ids = d.groupBy("vec_id").agg(best)
+    return e_df.join(assigned_ids, "vec_id").select(
+        "vec_id", "embedding", "cluster"
     )
 
 
@@ -368,7 +395,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest the query.  Recall vs brute force is asserted in
     tests/test_extensions.py; values are oracle-checked."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cent = e.where(F.col("vec_id") % _CENT_MOD == _CENT_RESIDUE).select(
+    cent_mod = _adaptive_cent_mod(e.count())
+    cent = e.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
     assigned = _assign(e, cent)
@@ -443,7 +471,8 @@ def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed aggregate matches DuckDB bit-for-bit (float SUM would
     diverge with partitioning)."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cent = e.where(F.col("vec_id") % _CENT_MOD == _CENT_RESIDUE).select(
+    cent_mod = _adaptive_cent_mod(e.count())
+    cent = e.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
     assigned = _assign(e, cent)

@@ -1,0 +1,96 @@
+"""Deterministic scaled-corpus generator for scaling validation.
+
+Builds an m-times-larger ``documents.parquet`` + ``embeddings.parquet``
+from a base sf dir by replication with a PER-REPLICA perturbation chosen
+so duplicate structure scales LINEARLY — the property the dedup family's
+candidate-generation (LSH bands, simhash chunks, sign-LSH buckets, DF-cap)
+is designed around, and the property this harness then measures instead of
+arguing (VERDICT r3 next-round #1):
+
+- documents, replica k>0: ``doc_id + k*10_000_000``; every odd-indexed
+  word gets an ``r{k}`` suffix.  Within one replica every pairwise shingle
+  relationship of the base corpus is preserved verbatim (all docs of the
+  replica are rewritten identically), while ACROSS replicas every 3-gram
+  contains at least one rewritten word, so shared shingles drop to zero.
+  Near-dup pairs therefore grow ~exactly m-fold — no quadratic blow-up by
+  construction, which would make "candidate pairs grew linearly" a
+  vacuous claim.
+- embeddings, replica k>0: ``vec_id + k*10_000_000``; the vector is
+  multiplied by a deterministic per-replica ±1 sign pattern.  This
+  preserves every norm and every WITHIN-replica cosine exactly
+  (cos(s⊙u, s⊙v) = cos(u, v)), while across replicas the dot becomes a
+  random-sign-weighted sum with expectation 0 — so cross-replica cosine
+  stays far below the 0.95 near-dup threshold.  (A circular roll was
+  tried first and FAILED: cluster centroids are nearly roll-invariant,
+  so replicas of a cluster kept colliding with the base cluster's
+  LSH buckets and bucket pairs grew ~m² — the sign flip is the
+  perturbation that actually decorrelates clustered data.)
+
+Everything is a pure function of (base bytes, multiplier) — no RNG — so
+scale points are reproducible and comparable across hosts and rounds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+#: id stride between replicas; must exceed any in-query id shift (the
+#: dedup corpora inject copies at +1_000_000) and any base id
+REPLICA_STRIDE = 10_000_000
+
+
+def _perturb_text(text: str, k: int) -> str:
+    words = text.split(" ")
+    return " ".join(
+        w + f"r{k}" if (j % 2 == 1 and w) else w for j, w in enumerate(words)
+    )
+
+
+def build_scaled_corpus(base_dir: str, out_dir: str, multiplier: int) -> None:
+    """Write documents.parquet + embeddings.parquet at ``multiplier`` times
+    the base row counts under ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pd.read_parquet(os.path.join(base_dir, "documents.parquet"))
+    parts = [docs]
+    for k in range(1, multiplier):
+        rep = docs.copy()
+        rep["doc_id"] = rep["doc_id"] + k * REPLICA_STRIDE
+        rep["text"] = [_perturb_text(t, k) for t in rep["text"]]
+        rep["n_chars"] = rep["text"].str.len()
+        parts.append(rep)
+    pd.concat(parts, ignore_index=True).to_parquet(
+        os.path.join(out_dir, "documents.parquet"), index=False
+    )
+
+    emb = pd.read_parquet(os.path.join(base_dir, "embeddings.parquet"))
+    mat = np.stack(emb["embedding"].to_numpy())
+    eparts = [emb]
+    for k in range(1, multiplier):
+        rep = emb.copy()
+        rep["vec_id"] = rep["vec_id"] + k * REPLICA_STRIDE
+        signs = (
+            np.random.default_rng(1000 + k)
+            .integers(0, 2, mat.shape[1])
+            .astype(mat.dtype)
+            * 2.0
+            - 1.0
+        )
+        rep["embedding"] = list(mat * signs)
+        eparts.append(rep)
+    out = pd.concat(eparts, ignore_index=True)
+    out.to_parquet(os.path.join(out_dir, "embeddings.parquet"), index=False)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--multiplier", type=int, required=True)
+    args = ap.parse_args()
+    build_scaled_corpus(args.base, args.out, args.multiplier)
+    print(f"wrote {args.out} at {args.multiplier}x {args.base}")

@@ -1,0 +1,160 @@
+"""Empirical scale validation (VERDICT r3 next-round #1, SCALING.md).
+
+The scaled corpus (scripts/scale_corpus.py) replicates the base with a
+per-replica perturbation that preserves within-replica duplicate structure
+and zeroes cross-replica shingle/cosine overlap, so TRUE duplicate pairs
+grow exactly m-fold by construction.  On that corpus these tests assert
+the two properties the 100 TB design claims:
+
+- **linear results**: every dedup operator finds exactly m times the base
+  pairs (recall neither collapses nor explodes with scale);
+- **bounded candidates**: candidate pairs PER DOCUMENT stay flat (the
+  O(n·avg_bucket) bound of banded/blocked/bucketed generation — the thing
+  that dies first in a naive all-pairs design).
+
+Wall-clock assertions live in SCALING.md, not here (host-load flaky);
+counts are deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_trino_sql_demo_spark.operators import dedup_diag
+
+M = 4  # scale multiplier under test
+
+
+@pytest.fixture(scope="module")
+def scaled(spark, sf_dir, tmp_path_factory):
+    """(base_dir, scaled_dir): documents+embeddings at 1x and Mx."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.scale_corpus import build_scaled_corpus
+
+    root = tmp_path_factory.mktemp("scaled")
+    base = str(root / "x1")
+    big = str(root / f"x{M}")
+    os.makedirs(base)
+    for f in ("documents.parquet", "embeddings.parquet"):
+        shutil.copy(os.path.join(sf_dir, f), os.path.join(base, f))
+    build_scaled_corpus(sf_dir, big, M)
+    return base, big
+
+
+def _counts(spark, name, base, big):
+    from iceberg_trino_sql_demo_spark import operators as ops
+
+    ops.load_all()
+    return (
+        ops.QUERIES[name](spark, base).count(),
+        ops.QUERIES[name](spark, big).count(),
+    )
+
+
+def test_results_scale_linearly(spark, scaled):
+    base, big = scaled
+    for name in (
+        "dedup_exact",
+        "dedup_shingle_jaccard",
+        "dedup_embedding_prefiltered",
+        "dedup_cluster_components",
+    ):
+        n1, nm = _counts(spark, name, base, big)
+        assert nm == M * n1, f"{name}: {n1} -> {nm}, expected exactly {M}x"
+    # minhash banding is probabilistic (per-pair miss ~2e-4 at s=0.9);
+    # allow a whisker below exact m-fold, never above
+    n1, nm = _counts(spark, "dedup_minhash_lsh", base, big)
+    assert M * n1 * 0.99 <= nm <= M * n1, f"minhash: {n1} -> {nm}"
+    # simhash results include statistical hamming<=3 collisions on top of
+    # the injected class; bound growth within [m/2, 2m]
+    n1, nm = _counts(spark, "dedup_simhash", base, big)
+    assert M * n1 / 2 <= nm <= 2 * M * n1, f"simhash: {n1} -> {nm}"
+
+
+def test_candidate_pairs_per_doc_stay_bounded(spark, scaled):
+    """The O(n·avg_bucket) claim: candidates per document must not grow
+    faster than 2x across an Mx corpus (flat in the ideal; small drift
+    allowed for bucket-occupancy effects at these corpus sizes)."""
+    base, big = scaled
+    n_docs1 = spark.read.parquet(os.path.join(base, "documents.parquet")).count()
+    n_docsm = spark.read.parquet(os.path.join(big, "documents.parquet")).count()
+    assert n_docsm == M * n_docs1
+    for diag in (
+        "jaccard_candidate_pairs",
+        "minhash_candidate_pairs",
+        "simhash_candidate_pairs",
+    ):
+        c1 = getattr(dedup_diag, diag)(spark, base).count()
+        cm = getattr(dedup_diag, diag)(spark, big).count()
+        per1, perm = c1 / n_docs1, cm / n_docsm
+        assert perm <= 2.0 * per1, (
+            f"{diag}: candidates/doc grew {per1:.2f} -> {perm:.2f} "
+            f"(> 2x) — candidate generation is not scale-bounded"
+        )
+
+
+def test_prefiltered_bucket_pairs_obey_occupancy_bound(
+    spark, sf_dir, tmp_path_factory
+):
+    """Sign-LSH candidate pairs in the ADAPTIVE regime (corpus large enough
+    that the plane count is no longer pinned to the oracle's 8) must obey
+    the absolute O(n · occupancy) bound, and per-vector pairs must be
+    ~flat between two engaged scale points.  Below the adaptive threshold
+    the 8-plane floor (required for oracle parity) intentionally leaves
+    bucket growth quadratic — that regime tops out at ~2300 vectors, where
+    all-pairs would be trivial anyway."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.scale_corpus import build_scaled_corpus
+
+    from iceberg_trino_sql_demo_spark.operators.dedup import (
+        _adaptive_planes,
+        _PREF_TARGET_OCCUPANCY,
+    )
+    from iceberg_trino_sql_demo_spark.operators.similarity import N_PLANES
+
+    root = tmp_path_factory.mktemp("pref_scaled")
+    per_vec = {}
+    for m in (12, 24):
+        d = str(root / f"x{m}")
+        build_scaled_corpus(sf_dir, d, m)
+        n_vecs = spark.read.parquet(os.path.join(d, "embeddings.parquet")).count()
+        corpus_n = n_vecs + n_vecs // 10
+        assert _adaptive_planes(n_vecs) > N_PLANES, "regime not engaged"
+        pairs = dedup_diag.prefiltered_bucket_pairs(spark, d).count()
+        # absolute bound: pairs <= C * occupancy * corpus (C=3 absorbs
+        # cluster skew — real corpora cluster, that's what LSH is for)
+        assert pairs <= 3 * _PREF_TARGET_OCCUPANCY * corpus_n, (
+            f"x{m}: {pairs} bucket pairs exceed the O(n*occupancy) bound"
+        )
+        per_vec[m] = pairs / corpus_n
+    assert per_vec[24] <= 1.5 * per_vec[12], (
+        f"per-vector bucket pairs grew {per_vec[12]:.2f} -> "
+        f"{per_vec[24]:.2f} between engaged scale points"
+    )
+
+
+def test_adaptive_knobs_engage_beyond_oracle_scales(spark):
+    """The plane/centroid adaptivity must be invisible at every
+    oracle-checked corpus size and engage beyond them."""
+    from iceberg_trino_sql_demo_spark.operators.dedup import _adaptive_planes
+    from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _CENT_MOD,
+        _adaptive_cent_mod,
+        N_PLANES,
+    )
+
+    # oracle scales: sf0.001/0.01/0.1 have <= 2000 embeddings
+    for n in (20, 200, 2000):
+        assert _adaptive_planes(n) == N_PLANES
+        assert _adaptive_cent_mod(n) == _CENT_MOD
+    # scale engagement: bucket count tracks n, centroids track sqrt(n)
+    assert _adaptive_planes(40_000) > N_PLANES
+    assert _adaptive_cent_mod(40_000) == 200
+    assert _adaptive_planes(1_000_000) >= 16
