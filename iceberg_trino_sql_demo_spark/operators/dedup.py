@@ -755,7 +755,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "Prefilter candidates with dedup_minhash_lsh / dedup_simhash / "
             "ann_topk_lsh and apply this kernel within buckets."
         )
-    n_blocks = max(1, math.ceil(n_corpus / target_block_rows))
+    # floor the block count so small corpora still fan out: one 2200-row
+    # corpus as a single block is ONE task doing the whole GEMM serially
+    # (measured ~3x the parallel wall time at sf0.1); eight blocks give
+    # B(B+1)/2 = 36 tasks with identical total FLOPs, and the cap keeps
+    # blocks from degenerating below ~64 rows on tiny corpora
+    small_corpus_blocks = min(8, max(1, math.ceil(n_corpus / 64)))
+    n_blocks = max(small_corpus_blocks, math.ceil(n_corpus / target_block_rows))
     blocked = corpus.withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
 
     # fan out every unordered block pair (bi <= bj); each row joins into its
