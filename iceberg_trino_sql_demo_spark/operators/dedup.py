@@ -659,22 +659,64 @@ _SIMHASH_ORACLE = f"""
 """
 
 
+#: corpus size at which simhash blocking switches from 4 single 15-bit
+#: chunks (2^15 slots/table) to the multi-index over PAIRS of 10-bit
+#: chunks (15 tables of 2^20 slots).  The scaling harness measured the
+#: single-chunk slot space saturating around 10^5 docs (candidates/doc
+#: 52 -> 98 across a 20x corpus); the pair index trades a 15/4 explode
+#: factor for a 32x larger key space.  Results are IDENTICAL either way
+#: (both schemes are recall-1.0 blockings for hamming <= 3 feeding the
+#: same verify filter), so the static oracle holds at any size.
+_SIMHASH_MULTIINDEX_MIN_DOCS = 50_000
+
+
+def _simhash_block_keys(sig: DataFrame, n_docs: int) -> DataFrame:
+    """(doc_id, simhash, chunk_id, chunk) block keys for the scheme chosen
+    by corpus size.
+
+    Pigeonhole both ways: <= 3 differing bits touch at most 3 chunks, so
+    with 4 chunks some single chunk is untouched, and with 6 chunks at
+    least 3 are untouched — hence some PAIR of untouched chunks exists
+    (the multi-index key).  Every hamming<=3 pair therefore shares at
+    least one block key under either scheme."""
+    if n_docs < _SIMHASH_MULTIINDEX_MIN_DOCS:
+        return sig.select(
+            "doc_id", "simhash",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(c).alias("chunk_id"),
+                             F.shiftright("simhash", c * _SIMHASH_CHUNK_BITS)
+                             .bitwiseAND(F.lit(2 ** _SIMHASH_CHUNK_BITS - 1))
+                             .alias("chunk"))
+                    for c in range(4)
+                ])
+            ).alias("ch"),
+        ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk")
+    six_bits = _SIMHASH_BITS // 6  # 10-bit pieces
+    piece = [
+        F.shiftright("simhash", c * six_bits)
+        .bitwiseAND(F.lit(2 ** six_bits - 1))
+        for c in range(6)
+    ]
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    keys = [
+        F.struct(
+            F.lit(pid).alias("chunk_id"),
+            (F.shiftleft(piece[i], six_bits) + piece[j]).alias("chunk"),
+        )
+        for pid, (i, j) in enumerate(pairs)
+    ]
+    return sig.select(
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("ch")
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk")
+
+
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming distance <= 3 over the 60-bit simhash."""
     sig = simhash_signatures(spark, sf_dir)
-    chunks = sig.select(
-        "doc_id", "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(c).alias("chunk_id"),
-                         F.shiftright("simhash", c * _SIMHASH_CHUNK_BITS)
-                         .bitwiseAND(F.lit(2 ** _SIMHASH_CHUNK_BITS - 1))
-                         .alias("chunk"))
-                for c in range(4)
-            ])
-        ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk")
+    n_docs = _docs(spark, sf_dir).count()
+    chunks = _simhash_block_keys(sig, n_docs)
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"),

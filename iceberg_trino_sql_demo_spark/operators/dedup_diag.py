@@ -80,21 +80,19 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct doc pairs sharing >= 1 of the 4 signature chunks — the
-    hamming-verify input of dedup_simhash (pigeonhole blocking)."""
+    """Distinct doc pairs sharing >= 1 simhash block key — the
+    hamming-verify input of dedup_simhash (same size-adaptive blocking:
+    4 single chunks below the multi-index threshold, 15 chunk pairs
+    above it)."""
+    from iceberg_trino_sql_demo_spark.operators.dedup import (
+        _docs,
+        _simhash_block_keys,
+    )
+
     sig = simhash_signatures(spark, sf_dir)
-    chunks = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(c).alias("chunk_id"),
-                         F.shiftright("simhash", c * _SIMHASH_CHUNK_BITS)
-                         .bitwiseAND(F.lit(2 ** _SIMHASH_CHUNK_BITS - 1))
-                         .alias("chunk"))
-                for c in range(_SIMHASH_BITS // _SIMHASH_CHUNK_BITS)
-            ])
-        ).alias("ch"),
-    ).select("doc_id", "ch.chunk_id", "ch.chunk")
+    chunks = _simhash_block_keys(sig, _docs(spark, sf_dir).count()).select(
+        "doc_id", "chunk_id", "chunk"
+    )
     return (
         chunks.alias("x")
         .join(chunks.alias("y"),

@@ -140,6 +140,49 @@ def test_prefiltered_bucket_pairs_obey_occupancy_bound(
     )
 
 
+def test_simhash_blocking_schemes_equal_results(spark):
+    """The 4-single-chunk and 15-chunk-pair blockings must produce the
+    SAME hamming<=3 pair set (both are recall-1.0 pigeonhole blockings;
+    the multi-index only shrinks the candidate superset), so the scheme
+    switch at _SIMHASH_MULTIINDEX_MIN_DOCS can never change results."""
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.operators.dedup import _simhash_block_keys
+
+    # synthetic signatures: a base value, hamming-1/2/3 neighbours, a
+    # far value, plus bit patterns straddling chunk boundaries
+    base = 0x0ABCDEF012345
+    sigs = [
+        (1, base),
+        (2, base ^ 0b1),                     # hamming 1
+        (3, base ^ 0b11),                    # hamming 2 (same low chunk)
+        (4, base ^ (1 | 1 << 20 | 1 << 45)), # hamming 3 across 3 chunks
+        (5, base ^ 0xF000F),                 # hamming 8 — must NOT pair with 1
+        (6, (1 << 60) - 1),
+        (7, 0),
+    ]
+    sig = spark.createDataFrame(sigs, "doc_id long, simhash long")
+
+    def pairs(n_docs_hint):
+        ch = _simhash_block_keys(sig, n_docs_hint)
+        cand = (
+            ch.alias("x")
+            .join(ch.alias("y"),
+                  (F.col("x.chunk_id") == F.col("y.chunk_id"))
+                  & (F.col("x.chunk") == F.col("y.chunk"))
+                  & (F.col("x.doc_id") < F.col("y.doc_id")))
+            .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+                    F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb"))
+            .distinct()
+        )
+        ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        return {(r.a, r.b) for r in cand.where(ham <= 3).collect()}
+
+    single = pairs(n_docs_hint=10)            # below threshold: 4 chunks
+    multi = pairs(n_docs_hint=10_000_000)     # above: 15 chunk pairs
+    assert single == multi == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+
 def test_adaptive_knobs_engage_beyond_oracle_scales(spark):
     """The plane/centroid adaptivity must be invisible at every
     oracle-checked corpus size and engage beyond them."""
