@@ -326,6 +326,27 @@ def test_prefiltered_cosine_finds_all_injected_dups(spark):
         assert out[(vid, vid + 1000000)] >= 0.999999, vid
 
 
+def test_jaccard_join_strategy_follows_size_guard(spark, monkeypatch):
+    """The self-join broadcasts only while the shared cache proves the
+    build side under budget; with the budget forced to zero the plan must
+    fall back to the scalable shuffle join (no broadcast hint)."""
+    from iceberg_trino_sql_demo_spark.operators import dedup
+
+    ops.release_caches()
+    small = dedup.dedup_shingle_jaccard(spark, SF)
+    assert "broadcast" in small._jdf.queryExecution().analyzed().toString().lower()
+
+    ops.release_caches()
+    monkeypatch.setattr(dedup, "_BHJ_SHINGLE_BYTES", 0)
+    big = dedup.dedup_shingle_jaccard(spark, SF)
+    plan = big._jdf.queryExecution().analyzed().toString().lower()
+    # sizes-side broadcasts remain; the self-join build side must not be
+    # hinted — count hints instead of absence
+    assert plan.count("broadcast") < small._jdf.queryExecution().analyzed().toString().lower().count("broadcast")
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))
+    ops.release_caches()
+
+
 def test_hashed_shingle_cache_keyed_by_session_token(spark):
     """The shared shingle cache must key on (applicationId, startTime) —
     never id(spark), whose CPython reuse after GC could hand a NEW session
