@@ -98,6 +98,85 @@ def test_disjoint_append_and_delete_rebase(spark, tmp_path):
     assert vals == {1, 2, 3, 4, 99}  # delete applied AND append landed
 
 
+def test_randomized_mixed_dml_interleaving(spark, tmp_path):
+    """Stress the rebase protocol with a seeded random mix of appends and
+    merge-on-read deletes from 4 racing writers (MoR deletes only ADD
+    delete files, so every interleaving must rebase cleanly — no
+    conflict is acceptable here).  Afterwards the table must satisfy the
+    full set of invariants: dense version chain, one snapshot per
+    successful commit, a parent chain covering every snapshot, every
+    inserted key present exactly once minus exactly the deleted ranges."""
+    import random
+
+    loc = str(tmp_path / "ct_stress")
+    t = Table.create(spark, loc, SCHEMA, ())
+    # seed rows 0..39; threads will delete disjoint 10-row bands of them
+    t.insert([{"id": i, "v": f"seed{i}"} for i in range(40)])
+
+    rng = random.Random(42)
+    n_writers = 4
+    plans = []
+    for w in range(n_writers):
+        ops = []
+        for i in range(3):
+            if rng.random() < 0.5:
+                ops.append(("insert", [{"id": 1000 + w * 100 + i, "v": f"w{w}i{i}"}]))
+            else:
+                ops.append(("noop_insert", [{"id": 2000 + w * 100 + i, "v": f"w{w}n{i}"}]))
+        # one disjoint delete band per writer, somewhere in the sequence
+        ops.insert(rng.randrange(len(ops) + 1),
+                   ("delete", f"id >= {w * 10} and id < {w * 10 + 10}"))
+        plans.append(ops)
+
+    start = threading.Barrier(n_writers)
+    errs: list[Exception] = []
+
+    def worker(w: int) -> None:
+        try:
+            h = Table(spark, loc)
+            start.wait()
+            for kind, arg in plans[w]:
+                h.refresh()
+                if kind == "delete":
+                    h.delete(arg)
+                else:
+                    h.insert(arg)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+
+    t.refresh()
+    n_commits = 1 + sum(len(p) for p in plans)  # seed + all ops
+    assert len(t.meta.snapshots) == n_commits
+    # dense version chain: create + commits
+    assert MetadataIO(loc).current_version() == 1 + n_commits
+    # parent chain from head covers every snapshot exactly once
+    seen = []
+    cur = t.meta.refs.get("main")
+    while cur is not None:
+        seen.append(cur)
+        cur = t.meta.snapshot_by_id(cur).parent_id
+    assert len(seen) == n_commits and len(set(seen)) == n_commits
+    # final contents: all inserted keys, no deleted seed bands
+    rows = {r.id: r.v for r in t.df().collect()}
+    expected = {}
+    for w, p in enumerate(plans):
+        for kind, arg in p:
+            if kind != "delete":
+                for r in arg:
+                    expected[r["id"]] = r["v"]
+    assert rows == expected, (
+        f"missing={sorted(set(expected) - set(rows))[:10]} "
+        f"extra={sorted(set(rows) - set(expected))[:10]}"
+    )
+
+
 def test_hint_lag_recovery(spark, tmp_path):
     """current_version probes past a stale hint: a writer crashing between
     the metadata CAS and the hint rename must not hide its commit."""
