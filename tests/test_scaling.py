@@ -183,6 +183,59 @@ def test_simhash_blocking_schemes_equal_results(spark):
     assert single == multi == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
 
 
+def test_assign_gemm_branch_matches_sql_branch(spark, sf_dir, monkeypatch):
+    """The numpy-GEMM assignment (scale branch) must assign every vector
+    to the same centroid as the SQL-expression branch on the same data —
+    forced here by dropping the SQL branch's centroid ceiling to zero."""
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.operators import similarity as sim
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    cent = e.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    sql_assign = {
+        r.vec_id: r.cluster for r in sim._assign(e, cent).collect()
+    }
+    monkeypatch.setattr(sim, "_ASSIGN_SQL_MAX_CENTROIDS", -1)
+    gemm_assign = {
+        r.vec_id: r.cluster for r in sim._assign(e, cent).collect()
+    }
+    assert sql_assign == gemm_assign
+
+
+def test_prefiltered_adaptive_plane_path_keeps_exact_copies(
+    spark, sf_dir, monkeypatch
+):
+    """Forcing the adaptive-plane (pandas-UDF bucket) branch on the small
+    corpus: every injected exact-copy pair must still be found (identical
+    vectors share every bucket regardless of plane count)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.operators import dedup
+
+    # tiny occupancy target -> more than 8 planes even at this corpus size
+    monkeypatch.setattr(dedup, "_PREF_TARGET_OCCUPANCY", 1)
+    n_vecs = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).count()
+    assert dedup._adaptive_planes(n_vecs) > 8
+    out = {
+        (r.id_a, r.id_b)
+        for r in dedup.dedup_embedding_prefiltered(spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    injected = [
+        r.vec_id
+        for r in e.where(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    ]
+    for vid in injected:
+        assert (vid, vid + 1000000) in out, vid
+
+
 def test_adaptive_knobs_engage_beyond_oracle_scales(spark):
     """The plane/centroid adaptivity must be invisible at every
     oracle-checked corpus size and engage beyond them."""
