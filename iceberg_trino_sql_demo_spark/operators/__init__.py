@@ -62,9 +62,15 @@ def _memoized_plan(name: str, fn: QueryFn) -> QueryFn:
         key = (token, os.path.abspath(sf_dir), _data_fingerprint(sf_dir), name)
         df = _PLAN_CACHE.get(key)
         if df is None:
-            # a new session or regenerated corpus invalidates everything —
-            # drop entries eagerly so dead-session plans can't linger
-            for k in [k for k in _PLAN_CACHE if k[0] != token or k[2] != key[2]]:
+            # evict every entry for a DIFFERENT (session, corpus): dead
+            # sessions, regenerated data, other sf_dirs.  Cross-corpus
+            # plans must die here because the persisted intermediates
+            # they reference (hashed shingles, signatures, LSH dots)
+            # live in single-slot per-corpus caches that the next corpus
+            # unpersists — keeping such a plan would silently re-run the
+            # whole pipeline per action behind the memo layer.  Entries
+            # for the SAME corpus stay: they share those persists.
+            for k in [k for k in _PLAN_CACHE if k[:3] != key[:3]]:
                 _PLAN_CACHE.pop(k)
             df = fn(spark, sf_dir)
             _PLAN_CACHE[key] = df

@@ -891,17 +891,22 @@ _PREF_PERSISTED: list[DataFrame] = []
 #: pairs per bucket grow with occupancy SQUARED, so a fixed plane count
 #: turns the prefilter quadratic as the corpus grows — the scaling harness
 #: MEASURED exactly that (x4 corpus -> x16 bucket pairs at 8 planes)
-#: before this adaptivity landed.  9 is the largest value that keeps every
+#: before this adaptivity landed.  9 is the SMALLEST value that keeps every
 #: oracle-checked corpus (sf0.001/0.01/0.1, corpus <= 2200 vectors) at
-#: exactly similarity.N_PLANES planes, so the static 8-plane oracle SQL
-#: stays byte-identical wherever it is ever evaluated; adaptivity engages
-#: only on scaled corpora beyond the correctness gate's reach.
+#: exactly similarity.N_PLANES planes (smaller occupancy targets mean MORE
+#: planes: 8 would give 9 planes at 2200), so the static 8-plane oracle
+#: SQL stays byte-identical wherever it is ever evaluated; adaptivity
+#: engages only on scaled corpora beyond the correctness gate's reach.
 _PREF_TARGET_OCCUPANCY = 9
 
 
 def _adaptive_planes(n_vecs: int) -> int:
     """Plane count that keeps mean bucket occupancy ~_PREF_TARGET_OCCUPANCY:
     ceil(log2(n / occupancy)), floored at similarity.N_PLANES.
+
+    ``n_vecs`` is the raw embeddings count; the injected exact copies
+    (every 10th vector — the rule lives in the corpus builders) are
+    accounted for here so all callers size from the same corpus.
 
     At the driver's correctness scales (<= a few thousand vectors) this
     returns exactly N_PLANES, so the static oracle SQL (which bakes the
@@ -923,29 +928,29 @@ def _adaptive_planes(n_vecs: int) -> int:
     return max(N_PLANES, math.ceil(math.log2(n_corpus / _PREF_TARGET_OCCUPANCY)))
 
 
-@register("dedup_embedding_prefiltered", oracle=_prefiltered_oracle())
-def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup embedding pairs (cosine >= 0.95) with sign-LSH candidate
-    generation — the documented production route around the exact kernel's
-    O(n²) ceiling (see MAX_COSINE_STANDALONE_ROWS above).
+def prefiltered_bucketed_corpus(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> tuple[DataFrame, int]:
+    """The injected embedding corpus with its sign-LSH bucket:
+    ``((vec_id, embedding, nrm, bucket) frame, n_planes)``.
 
-    The bucketed frame (vec_id, embedding, bucket, norm) is persisted and
-    materialized ONCE: the 8x64-term sign computation and the vector norm
-    run once per row, not once per join side / once per pair (unpersisted,
-    Catalyst collapses the 512-term bucket projection into BOTH join-side
-    stages — past the 64 KB codegen method limit, dropping the stage to
-    interpreted eval)."""
+    ONE construction shared by the operator (dedup_embedding_prefiltered)
+    and the scaling diagnostics (dedup_diag.prefiltered_bucket_pairs) so
+    the measured candidate set can never drift from the compared one.
+    ``persist=False`` skips the persist/materialize for count-and-discard
+    diagnostic use."""
     from iceberg_trino_sql_demo_spark.operators.similarity import (
         _DIM,
+        N_PLANES,
         _bucket_from_dots,
         _dot,
         _dot_lit,
         _hyperplanes,
     )
 
-    while _PREF_PERSISTED:
-        _PREF_PERSISTED.pop().unpersist()
-    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select("vec_id", "embedding")
+    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
     corpus = e.unionAll(
         e.where(F.col("vec_id") % 10 == 0).select(
             (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
@@ -953,7 +958,7 @@ def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_planes = _adaptive_planes(e.count())
     planes = _hyperplanes(_DIM, n_planes)
-    if n_planes == 8:
+    if n_planes == N_PLANES:
         # oracle-checked path: per-plane dots staged as separate columns
         # (one codegen method each — a single fused bucket+norm projection
         # sits just under janino's 64 KB method ceiling; see ann_topk_lsh),
@@ -965,37 +970,62 @@ def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
             *[_dot_lit("embedding", p).alias(f"d{i}") for i, p in enumerate(planes)],
-        ).persist()
-        dots.count()
-        _PREF_PERSISTED.append(dots)
+        )
+        if persist:
+            dots = dots.persist()
+            dots.count()
+            _PREF_PERSISTED.append(dots)
         bucketed = dots.select(
             "vec_id", "embedding", "nrm", _bucket_from_dots(n_planes).alias("bucket")
         )
-    else:
-        # scale path (adaptive plane count, beyond any oracle-checked
-        # corpus): the plane matrix outgrows janino's 64 KB method ceiling
-        # as unrolled expressions (measured: codegen falls back to
-        # interpreted eval), so the bucket is one Arrow-batched numpy GEMM
-        # — batch (B x dim) @ planes.T, sign bits packed to a long.
-        from pyspark.sql.functions import pandas_udf
+        return bucketed, n_planes
+    # scale path (adaptive plane count, beyond any oracle-checked
+    # corpus): the plane matrix outgrows janino's 64 KB method ceiling
+    # as unrolled expressions (measured: codegen falls back to
+    # interpreted eval), so the bucket is one Arrow-batched numpy GEMM
+    # — batch (B x dim) @ planes.T, sign bits packed to a long.
+    from pyspark.sql.functions import pandas_udf
 
-        pm = np.array(planes, dtype=np.float64)
-        weights = (1 << np.arange(pm.shape[0])).astype(np.int64)
+    pm = np.array(planes, dtype=np.float64)
+    weights = (1 << np.arange(pm.shape[0])).astype(np.int64)
 
-        @pandas_udf("long")
-        def bucket_udf(s: pd.Series) -> pd.Series:
-            mat = np.stack(s.to_numpy()).astype(np.float64)
-            signs = (mat @ pm.T) >= 0
-            return pd.Series(signs @ weights)
+    @pandas_udf("long")
+    def bucket_udf(s: pd.Series) -> pd.Series:
+        mat = np.stack(s.to_numpy()).astype(np.float64)
+        signs = (mat @ pm.T) >= 0
+        return pd.Series(signs @ weights)
 
-        bucketed = corpus.select(
-            "vec_id",
-            "embedding",
-            F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
-            bucket_udf("embedding").alias("bucket"),
-        ).persist()
+    bucketed = corpus.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+        bucket_udf("embedding").alias("bucket"),
+    )
+    if persist:
+        bucketed = bucketed.persist()
         bucketed.count()
         _PREF_PERSISTED.append(bucketed)
+    return bucketed, n_planes
+
+
+@register("dedup_embedding_prefiltered", oracle=_prefiltered_oracle())
+def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup embedding pairs (cosine >= 0.95) with sign-LSH candidate
+    generation — the documented production route around the exact kernel's
+    O(n²) ceiling (see MAX_COSINE_STANDALONE_ROWS above).
+
+    The bucketed frame (vec_id, embedding, bucket, norm) is persisted and
+    materialized ONCE: the 8x64-term sign computation and the vector norm
+    run once per row, not once per join side / once per pair (unpersisted,
+    Catalyst collapses the 512-term bucket projection into BOTH join-side
+    stages — past the 64 KB codegen method limit, dropping the stage to
+    interpreted eval).  Corpus + bucketing construction is shared with
+    the scaling diagnostics via prefiltered_bucketed_corpus."""
+    from iceberg_trino_sql_demo_spark.operators.similarity import _dot
+
+    while _PREF_PERSISTED:
+        _PREF_PERSISTED.pop().unpersist()
+    bucketed, _n_planes = prefiltered_bucketed_corpus(spark, sf_dir)
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
         "bucket", F.col("nrm").alias("na"),

@@ -106,46 +106,14 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def prefiltered_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vec pairs sharing a sign-LSH bucket — the exact-cosine input of
-    dedup_embedding_prefiltered (same corpus + bucket construction)."""
-    from iceberg_trino_sql_demo_spark.operators.similarity import (
-        _DIM,
-        _bucket_from_dots,
-        _dot_lit,
-        _hyperplanes,
+    dedup_embedding_prefiltered.  Uses the operator's OWN corpus+bucket
+    construction (prefiltered_bucketed_corpus), so the measured candidate
+    set can never drift from the compared one."""
+    from iceberg_trino_sql_demo_spark.operators.dedup import (
+        prefiltered_bucketed_corpus,
     )
-    from iceberg_trino_sql_demo_spark.session import table_path
 
-    from iceberg_trino_sql_demo_spark.operators.dedup import _adaptive_planes
-
-    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
-    corpus = e.unionAll(
-        e.where(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-        )
-    )
-    n_planes = _adaptive_planes(e.count())
-    planes = _hyperplanes(_DIM, n_planes)
-    if n_planes == 8:
-        dots = corpus.select(
-            "vec_id",
-            *[_dot_lit("embedding", p).alias(f"d{i}") for i, p in enumerate(planes)],
-        )
-        bucketed = dots.select("vec_id", _bucket_from_dots(n_planes).alias("bucket"))
-    else:
-        from pyspark.sql.functions import pandas_udf
-
-        pm = np.array(planes, dtype=np.float64)
-        weights = (1 << np.arange(pm.shape[0])).astype(np.int64)
-
-        @pandas_udf("long")
-        def bucket_udf(s: pd.Series) -> pd.Series:
-            mat = np.stack(s.to_numpy()).astype(np.float64)
-            signs = (mat @ pm.T) >= 0
-            return pd.Series(signs @ weights)
-
-        bucketed = corpus.select("vec_id", bucket_udf("embedding").alias("bucket"))
+    bucketed, _ = prefiltered_bucketed_corpus(spark, sf_dir, persist=False)
     a = bucketed.select(F.col("vec_id").alias("id_a"), "bucket")
     b = bucketed.select(F.col("vec_id").alias("id_b"), "bucket")
     return a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))

@@ -146,7 +146,7 @@ def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
     import numpy as np
 
     rng = np.random.default_rng(42)
-    return rng.standard_normal((max(n_planes, N_PLANES), dim)).tolist()[:max(n_planes, N_PLANES)]
+    return rng.standard_normal((max(n_planes, N_PLANES), dim)).tolist()
 
 
 def lsh_bucket_col(planes: list[list[float]]):

@@ -203,7 +203,11 @@ class Catalog:
         get the reference's refresh_schedule semantics (:57-60) without
         re-implementing the due-ness logic."""
         done = []
-        for q in self.due_materialized_views(now=now):
+        # snapshot the due list up front: a refresh commits snapshots and
+        # re-saves catalog state, and the ticker thread may run this while
+        # the owning thread registers new MVs — iterate a copy, never the
+        # live dict
+        for q in list(self.due_materialized_views(now=now)):
             self.refresh_materialized_view(q)
             done.append(q)
         return done
@@ -220,11 +224,20 @@ class Catalog:
         stop_ev = threading.Event()
 
         def beat() -> None:
+            import sys
+            import traceback
+
             while not stop_ev.wait(interval_s):
                 try:
                     self.run_due_refreshes()
                 except Exception:  # noqa: BLE001 — ticker must outlive a bad MV
-                    pass
+                    # never die silently: an MV that stops refreshing must
+                    # be distinguishable from one that is up to date
+                    print(
+                        "mv-refresh-ticker beat failed:\n"
+                        + traceback.format_exc(),
+                        file=sys.stderr,
+                    )
 
         th = threading.Thread(target=beat, daemon=True, name="mv-refresh-ticker")
         th.start()

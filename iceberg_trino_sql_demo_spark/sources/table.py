@@ -302,6 +302,42 @@ class Table:
                         f"cannot rebase {operation} on {ref!r}: a concurrent "
                         "commit removed file(s) this operation also rewrites"
                     ) from e
+                # delete-file / data-file cross-dependencies (a file-set
+                # delta alone is NOT enough to merge safely):
+                # (a) a concurrent MoR delete referencing a data file this
+                #     op REWRITES — our replacement files were built from a
+                #     read that never saw that delete, so rebasing would
+                #     resurrect the deleted rows;
+                # (b) a delete file this op ADDS referencing a data file
+                #     the concurrent commit removed — the delete would land
+                #     dangling (reports deleted-records, deletes nothing).
+                foreign_dels = [
+                    d for d in latest.delete_files
+                    if d.path not in {d2.path for d2 in base.delete_files}
+                ]
+                if any(
+                    p in removed_data
+                    for d in foreign_dels
+                    for p in d.referenced_files
+                ):
+                    raise CommitConflict(
+                        f"cannot rebase {operation} on {ref!r}: a concurrent "
+                        "delete references data file(s) this operation "
+                        "rewrites (rewriting would drop the deleted rows)"
+                    ) from e
+                live_after = (live_data - removed_data) | {
+                    f.path for f in added_data
+                }
+                if any(
+                    p not in live_after
+                    for d in added_dels
+                    for p in d.referenced_files
+                ):
+                    raise CommitConflict(
+                        f"cannot rebase {operation} on {ref!r}: this delete "
+                        "references data file(s) a concurrent commit "
+                        "removed (the delete would apply to nothing)"
+                    ) from e
                 manifest = Manifest(
                     [f for f in latest.data_files if f.path not in removed_data] + added_data,
                     [d for d in latest.delete_files if d.path not in removed_dels] + added_dels,

@@ -98,6 +98,47 @@ def test_disjoint_append_and_delete_rebase(spark, tmp_path):
     assert vals == {1, 2, 3, 4, 99}  # delete applied AND append landed
 
 
+def test_rebase_refuses_rewrite_over_concurrent_mor_delete(spark, tmp_path):
+    """A committed merge-on-read DELETE must never be silently undone by
+    a rebased compaction: writer A's delete file references data file X;
+    stale writer B's optimize rewrites X from a read that never saw the
+    delete — rebasing would resurrect the deleted rows, so it must raise."""
+    loc = str(tmp_path / "ct_del_vs_opt")
+    t = Table.create(spark, loc, SCHEMA, ())  # merge-on-read default
+    t.insert([{"id": i, "v": f"a{i}"} for i in range(5)])
+    t.insert([{"id": i, "v": f"b{i}"} for i in range(5, 10)])
+
+    a, b = Table(spark, loc), Table(spark, loc)
+    a.delete("id = 1")  # adds a position-delete file referencing file 1
+    with pytest.raises(CommitConflict, match="concurrent delete references"):
+        b.optimize()  # stale plan: compacts both files without the delete
+    # the committed delete survives
+    t.refresh()
+    assert sorted(r.id for r in t.df().collect()) == [0, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_rebase_refuses_delete_over_concurrent_rewrite(spark, tmp_path):
+    """The mirror image: stale writer B's MoR delete references data file
+    X that writer A's optimize already compacted away — landing it would
+    report deleted-records and delete nothing, so it must raise."""
+    loc = str(tmp_path / "ct_opt_vs_del")
+    t = Table.create(spark, loc, SCHEMA, ())
+    t.insert([{"id": i, "v": f"a{i}"} for i in range(5)])
+    t.insert([{"id": i, "v": f"b{i}"} for i in range(5, 10)])
+
+    a, b = Table(spark, loc), Table(spark, loc)
+    assert a.optimize() is not None  # compacts both small files
+    with pytest.raises(CommitConflict, match="a concurrent commit\\s+removed"):
+        b.delete("id = 1")  # planned against the pre-compaction files
+    t.refresh()
+    assert t.df().count() == 10
+    # retried fresh, the delete works
+    b.refresh()
+    b.delete("id = 1")
+    t.refresh()
+    assert sorted(r.id for r in t.df().collect()) == [0, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
 def test_randomized_mixed_dml_interleaving(spark, tmp_path):
     """Stress the rebase protocol with a seeded random mix of appends and
     merge-on-read deletes from 4 racing writers (MoR deletes only ADD
