@@ -322,13 +322,18 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join and both aggregates shuffle longs, never shingle strings)
     sh, n_sh = hashed_shingles_with_stats(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     # engine-side cost-based physical choice: the build side is ~24 B/row
     # (three longs), so below the broadcast budget a broadcast-hash join
     # skips shuffling both sides (measured 2x on the sf0.1 self-join);
     # above it, the plan falls back to the shuffle equi-join that scales
-    b = F.broadcast(b) if n_sh * 24 <= _BHJ_SHINGLE_BYTES else b
+    small = n_sh * 24 <= _BHJ_SHINGLE_BYTES
+    # broadcast branch: the probe side otherwise inherits the persisted
+    # frame's shuffle.partitions-sized layout, leaving the join+partial-agg
+    # stage (the candidate-pair expansion, ~5x the input rows) on a
+    # fraction of the cores; the repartition ships only narrow longs
+    p = spark.sparkContext.defaultParallelism
+    a = (sh.repartition(p) if small else sh).alias("a")
+    b = F.broadcast(sh.alias("b")) if small else sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.ha") == F.col("b.ha"))
                & (F.col("a.hb") == F.col("b.hb"))
@@ -835,6 +840,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = lo < hi
         return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
 
+    # NOTE on AQE coalescing: at sf-scale the GEMM groups are a few KB of
+    # arrow bytes, so AQE packs the B(B+1)/2 groups into 2-3 tasks.  That
+    # is the RIGHT call here — pinning the fan-out with
+    # repartition(len(pairs), "bi", "bj") was measured 0.6 s SLOWER at
+    # sf0.1 (36 python-worker round-trips dwarf the tiny GEMMs), and at
+    # real scale the groups are ~4 MB each so AQE's 64 MB target stops
+    # coalescing on its own.
     return (
         left.unionByName(right)
         .groupBy("bi", "bj")

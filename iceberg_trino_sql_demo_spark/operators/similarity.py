@@ -348,11 +348,19 @@ def _assign(e_df: DataFrame, cent: DataFrame) -> DataFrame:
     cent_rows = cent.collect()  # C rows (driver-side, manifest-cardinality)
     if len(cent_rows) <= _ASSIGN_SQL_MAX_CENTROIDS:
         p = spark.sparkContext.defaultParallelism
-        d = e_df.repartition(p).crossJoin(F.broadcast(cent))
-        cos = _dot("embedding", "cent") / (
-            F.sqrt(_dot("embedding", "embedding"))
-            * F.sqrt(_dot("cent", "cent"))
+        # norms are hand-CSE'd BELOW the join: inlining sqrt(dot(x,x)) in
+        # the post-join cosine recomputes each side's 64-term norm n*C
+        # times (and triples the expansion stage's codegen, the JIT-warmup
+        # hot spot bench run 1-2 pays).  Projected here they run n+C
+        # times; the division chain e_norm * c_norm keeps the exact
+        # multiply order of the inlined form, so values stay bit-identical
+        # to the DuckDB oracle.
+        e_n = e_df.repartition(p).withColumn(
+            "e_norm", F.sqrt(_dot("embedding", "embedding"))
         )
+        c_n = cent.withColumn("c_norm", F.sqrt(_dot("cent", "cent")))
+        d = e_n.crossJoin(F.broadcast(c_n))
+        cos = _dot("embedding", "cent") / (F.col("e_norm") * F.col("c_norm"))
         best = F.min_by(
             F.col("cent_id"),
             F.struct((1 - cos).alias("dist"), F.col("cent_id").alias("cent_id")),
