@@ -138,11 +138,50 @@ def _shingle_occurrences(df: DataFrame, n: int = 3) -> DataFrame:
 def shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams (default 3) per document,
     as TEXT, never DF-capped.  Only for consumers that need the gram text
-    itself (contamination_ngram's broadcast eval-set membership join,
-    text_fingerprint's rolling hash); anything that self-joins or
-    aggregates over shingle identity uses hashed_shingles() below, which
-    also applies the high-document-frequency skew cap."""
+    itself; anything operating on shingle *identity* uses
+    hashed_shingles() (mod-P halves, DF-capped, for the self-join family)
+    or shingle_hash_pairs() below (full 60-bit halves, uncapped, for
+    per-doc aggregates and broadcast membership joins)."""
     return _shingle_occurrences(df, n).distinct()
+
+
+def shingle_hash_pairs(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h1, h2) — distinct word n-grams per document under the
+    raw 120-bit md5-halves identity (NO mod-P reduction, NO DF cap).
+
+    Hash-early for the non-self-join consumers (text_fingerprint's
+    rolling hash, contamination_ngram's broadcast membership join): the
+    distinct and every downstream join/aggregate shuffle two longs
+    instead of ~25-byte gram strings, and the explode runs behind a
+    repartition to session parallelism (shingling multiplies CPU ~50x
+    per input byte, so parquet's bytes-based split serializes the stage
+    otherwise — same lesson build_hashed_shingles measured).  h1 is the
+    value min()-ed by text_fingerprint, so it stays UNreduced: the
+    fingerprint must equal ('0x' || substr(md5,1,15))::BIGINT exactly.
+    Distinctness differs from string-distinct only on a 120-bit
+    collision (~n²/2^120 — nil), and the paired oracle template
+    _SH_PAIRS_SQL applies the identical identity so both engines would
+    even collide together."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    occ = _shingle_occurrences(df.repartition(p), n)
+    return occ.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5("shingle"), 17, 15), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    ).distinct()
+
+
+#: DuckDB mirror of shingle_hash_pairs (same raw 120-bit identity)
+_SH_PAIRS_SQL = """
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+           ('0x' || substr(md5(shingle), 17, 15))::BIGINT AS h2
+      FROM ({occ})
+"""
 
 
 #: modulus of the minhash (a + i*b) mod P permutation family — 2^31-1

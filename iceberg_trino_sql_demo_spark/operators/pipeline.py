@@ -180,21 +180,24 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_MOD = 97
 
 
-@register(
-    "contamination_ngram",
-    oracle=f"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-             unnest(range(1, greatest(len(words) - 1, 1))) AS u(i)
-    ),
+def _contamination_oracle() -> str:
+    from iceberg_trino_sql_demo_spark.operators.dedup import (
+        _SH_PAIRS_SQL,
+        _SHINGLE_OCC_SQL,
+    )
+
+    pairs = _SH_PAIRS_SQL.format(
+        occ=_SHINGLE_OCC_SQL.format(corpus="SELECT doc_id, text FROM documents")
+    )
+    return f"""
+    WITH sh AS ({pairs}),
     eval_sh AS (
-      SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+      SELECT DISTINCT h1, h2 FROM sh WHERE doc_id % {_EVAL_MOD} = 0
     ),
     train AS (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} != 0),
     hits AS (
       SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-        FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+        FROM train t JOIN eval_sh e ON t.h1 = e.h1 AND t.h2 = e.h2
        GROUP BY 1
     )
     SELECT h.doc_id, h.n_overlap, s.n_shingles
@@ -202,26 +205,31 @@ _EVAL_MOD = 97
       JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
               FROM train GROUP BY 1) s
         ON s.doc_id = h.doc_id
-    """,
-)
+    """
+
+
+@register("contamination_ngram", oracle=_contamination_oracle())
 def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from iceberg_trino_sql_demo_spark.operators.dedup import shingles
+    from iceberg_trino_sql_demo_spark.operators.dedup import shingle_hash_pairs
 
     # shingle each side from a PRE-filtered doc set: the eval subtree only
     # ever explodes eval docs (it is re-scanned to build the broadcast), and
     # the predicate needn't survive pushdown through the distinct.
-    # uncapped shingles(): the DF cap exists to keep shingle SELF-joins skew-safe;
-    # this scan joins the corpus against a BROADCAST eval-shingle set, so a
-    # high-DF shingle costs linear counting, not a quadratic shuffle key —
-    # and decontamination must count boilerplate overlap too (the oracle is
-    # uncapped to match)
+    # UNCAPPED hashed identity (shingle_hash_pairs, not hashed_shingles):
+    # the DF cap exists to keep shingle SELF-joins skew-safe; this scan
+    # joins the corpus against a BROADCAST eval-shingle set, so a high-DF
+    # shingle costs linear counting, not a quadratic shuffle key — and
+    # decontamination must count boilerplate overlap too (the oracle is
+    # uncapped to match).  Hash-early: the membership join probes two
+    # longs instead of gram strings, and the broadcast build side packs
+    # 16 B/row.
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    eval_sh = shingles(docs.where(is_eval)).select("shingle").distinct()
-    train = shingles(docs.where(~is_eval))
+    eval_sh = shingle_hash_pairs(docs.where(is_eval)).select("h1", "h2").distinct()
+    train = shingle_hash_pairs(docs.where(~is_eval))
     sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
-        train.join(F.broadcast(eval_sh), "shingle")
+        train.join(F.broadcast(eval_sh), ["h1", "h2"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

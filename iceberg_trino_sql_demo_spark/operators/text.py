@@ -205,30 +205,34 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min(long) keeps the aggregate HashAggregate-able (min over the md5 hex
 # *string* would force SortAggregate's sort-based path).
 # ---------------------------------------------------------------------------
-from iceberg_trino_sql_demo_spark.operators.dedup import _SHINGLES_SQL, shingles
+from iceberg_trino_sql_demo_spark.operators.dedup import (
+    _SH_PAIRS_SQL,
+    _SHINGLE_OCC_SQL,
+    shingle_hash_pairs,
+)
 
 
 @register(
     "text_fingerprint",
     oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL.format(corpus="SELECT doc_id, text FROM documents")})
+    WITH sh AS ({_SH_PAIRS_SQL.format(occ=_SHINGLE_OCC_SQL.format(corpus="SELECT doc_id, text FROM documents"))})
     SELECT doc_id,
-           min(('0x' || substr(md5(shingle), 1, 15))::BIGINT) AS fingerprint,
+           min(h1) AS fingerprint,
            CAST(count(*) AS BIGINT) AS n_shingles
       FROM sh GROUP BY doc_id
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # uncapped shingles(): the fingerprint is a per-doc aggregate over ALL the
-    # document's shingles (no join anywhere, so the self-join skew the DF
-    # cap guards against cannot occur) and must stay content-complete —
-    # dropping a boilerplate shingle would change min() for every doc
-    # containing it.  The oracle is uncapped to match.
-    sh = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    # uncapped hashed pairs: the fingerprint is a per-doc aggregate over
+    # ALL the document's shingles (no join anywhere, so the self-join skew
+    # the DF cap guards against cannot occur) and must stay
+    # content-complete — dropping a boilerplate shingle would change min()
+    # for every doc containing it.  min(h1) over the hashed-distinct rows
+    # IS min over distinct gram strings of the same md5 value; the oracle
+    # dedups on the identical (h1, h2) identity.
+    sh = shingle_hash_pairs(_docs(spark, sf_dir).select("doc_id", "text"))
     return sh.groupBy("doc_id").agg(
-        F.min(
-            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-        ).alias("fingerprint"),
+        F.min("h1").alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
 
