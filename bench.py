@@ -43,9 +43,12 @@ def _sf_label(sf_dir: str) -> float:
 #: runs per query; reported time is the MIN (steady state).  The DuckDB
 #: baseline this is judged against is timed warm/in-process, so warm-vs-warm
 #: is the like-for-like comparison; run 1 additionally pays Spark's one-time
-#: plan analysis + whole-stage-codegen compile, which a resident engine
-#: amortizes across every execution.  Both runs' numbers go to stderr.
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+#: plan analysis + whole-stage-codegen compile, and run 2 often still pays
+#: C2 JIT of the generated classes (measured on the wide unrolled-dot
+#: queries: 9.7 s / 3.5 s / 0.8 s across runs 1-3) — a resident engine
+#: amortizes all of that across every execution, so min-of-3 is the
+#: honest steady-state estimate.  All runs' numbers go to stderr.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def _calibration(spark) -> dict:

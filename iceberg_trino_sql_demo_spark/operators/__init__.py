@@ -159,7 +159,11 @@ _DRIVER_PRIORITY: list[str] = [
     "events_stateful_user_totals",
     "events_stream_dedup",
     "events_stream_interval_join",
+    # -- NEW this round (never driver-sampled)
+    "ice_zorder_optimize",
     # -- implementation changed this round (round-4 perf/scale work)
+    "text_fingerprint",
+    "contamination_ngram",
     "dedup_simhash",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",

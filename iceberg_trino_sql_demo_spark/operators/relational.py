@@ -1092,3 +1092,47 @@ def q19_brand_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NDV sketch profile — the production distinct-count shape for data
+# profiling at 100 TB: approx_count_distinct keeps a BOUNDED HyperLogLog++
+# register set per group (state independent of group cardinality, merged
+# map-side) where count(DISTINCT) shuffles every distinct key.  Oracle
+# strategy mirrors lineitem_price_quantiles_approx: raw sketch estimates
+# are engine-specific, so both engines emit the EXACT per-group NDV (the
+# band arithmetic is bit-identical) and Spark additionally checks its own
+# sketch landed within the error band (ok_ndv) while the oracle emits the
+# guaranteed TRUE.  Spark's HLL++ is deterministic for fixed input (fixed
+# hash, no seed), so the band check is stable at the oracle scale — a 5x
+# rsd band on a 2% target rsd never trips for a sketch that is working.
+# ---------------------------------------------------------------------------
+_NDV_RSD = 0.02
+
+
+@register(
+    "orders_ndv_profile",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_exact,
+           TRUE AS ok_ndv
+      FROM orders
+     GROUP BY o_orderpriority
+    """,
+)
+def orders_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority distinct-customer profile: exact NDV (value-checked
+    cross-engine) + the HLL++ sketch validated against its error band.
+    At production scale you select only the sketch column; the exact NDV
+    is the validation harness."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count_distinct(F.col("o_custkey")).alias("ndv_exact"),
+        F.expr(f"approx_count_distinct(o_custkey, {_NDV_RSD})").alias("ndv_sketch"),
+    )
+    band = F.lit(5.0 * _NDV_RSD) * F.col("ndv_exact").cast("double")
+    ok = (
+        F.abs(F.col("ndv_sketch").cast("double") - F.col("ndv_exact").cast("double"))
+        <= band
+    )
+    return g.select("o_orderpriority", "ndv_exact", ok.alias("ok_ndv"))

@@ -394,6 +394,40 @@ def ice_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V9 scale-path extension: z-order clustering rewrite (sources/zorder.py —
+# Iceberg's rewrite_data_files sort strategy with a zorder() order; the
+# reference surface at :263 exposes bin-packing only).  The oracle checks
+# the defining invariant: row content is untouched by re-clustering, so
+# the table reads back exactly the CTAS source plus the inserted rows.
+# The two-dimensional file-pruning property itself is asserted in
+# tests/test_maintenance.py::test_optimize_zorder_prunes_on_every_dimension.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_zorder_optimize",
+    oracle=f"SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL}",
+    bench=False,
+)
+def ice_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNpartitioned scratch table (the clustering rewrite's scope; the
+    # shared _scratch_customer is hidden-partitioned by mktsegment)
+    schema, rows = _cached_src(spark, sf_dir)
+    t = Table.ctas(
+        spark,
+        tempfile.mkdtemp(prefix="ice_zorder_"),
+        spark.createDataFrame(rows, schema),
+    )
+    for row in _ROWS:
+        t.insert([row])
+    files = t._manifest(t._resolve("main")).data_files
+    total = sum(f.file_size_bytes for f in files)
+    # threshold = total/4 -> the rewrite range-partitions the Morton key
+    # over (custkey, account_balance) into ~4 files
+    t.optimize(zorder_by=["custkey", "account_balance"],
+               file_size_threshold=max(1, total // 4))
+    return t.df()
+
+
+# ---------------------------------------------------------------------------
 # P8 metadata tables (reference :74-82): deterministic projection — the
 # operation sequence of $snapshots (timestamps/ids excluded)
 # ---------------------------------------------------------------------------

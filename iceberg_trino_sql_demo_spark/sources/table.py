@@ -633,16 +633,20 @@ class Table:
         new_df: DataFrame,
         operation: str,
         ref: str,
+        preserve_order: bool = False,
     ) -> Snapshot:
         """Swap ``replaced`` for files holding ``new_df`` (CoW / optimize).
         ``new_df`` must carry _row_id/_last_seq columns.  The table's
         declared sort order is re-applied so compaction/CoW PRESERVES
         clustering — otherwise every optimize() erodes the min/max
-        file-skipping a sorted_by table exists for."""
+        file-skipping a sorted_by table exists for.  ``preserve_order=True``
+        skips that re-sort: the caller already arranged ``new_df``'s
+        partitioning/ordering (the z-order rewrite keys on a derived
+        column the writer never sees)."""
         seq = self.meta.last_sequence_number + 1
         new_files = write_data_files(
             new_df, self.location, self.meta.schema, self.meta.spec, seq,
-            sort_order=self.meta.sort_order or None,
+            sort_order=None if preserve_order else (self.meta.sort_order or None),
             extra_physical_cols=[ROW_ID, LAST_SEQ],
         )
         new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]
@@ -1032,11 +1036,21 @@ class Table:
         self,
         file_size_threshold: int = 100 * 1024 * 1024,
         modified_after_ms: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot | None:
         """EXECUTE optimize(file_size_threshold) [WHERE $file_modified_time]
         (reference :263, :267-268): bin-pack small files per partition.
         The WHERE form filters candidates on *manifest* metadata — no data
-        is read to decide (V10)."""
+        is read to decide (V10).
+
+        ``zorder_by=[col, ...]`` switches to a CLUSTERING rewrite (the
+        scale-path extension of V9, mirroring Iceberg's
+        rewrite_data_files sort strategy with a zorder() order): every
+        data file is rewritten into files covering ranges of the Morton
+        key over the named columns, so manifest min/max pruning serves
+        predicates on ANY participating column.  See sources/zorder.py."""
+        if zorder_by:
+            return self._optimize_zorder(zorder_by, file_size_threshold)
         manifest = self._manifest(self._resolve(MAIN))
         cands = [f for f in manifest.data_files if f.file_size_bytes < file_size_threshold]
         if modified_after_ms is not None:
@@ -1050,6 +1064,60 @@ class Table:
             return None
         src = self._read_files_with_lineage(manifest, compact)
         return self._rewrite_files(manifest, compact, src, "replace", MAIN)
+
+    def _optimize_zorder(
+        self, cols: list[str], file_size_threshold: int
+    ) -> Snapshot | None:
+        """Full clustering rewrite on the Morton key over ``cols``.
+
+        Scope: unpartitioned tables (a partitioned table would z-order
+        within each partition — the hidden-partition shuffle and the
+        range shuffle compose, but the writer currently keys file split
+        on one of them at a time).  Row content is untouched, so every
+        query result is invariant under this rewrite — the scenario
+        oracle checks exactly that."""
+        from iceberg_trino_sql_demo_spark.sources.zorder import (
+            zorder_cluster,
+            zorderable,
+        )
+
+        if self.meta.spec.fields:
+            raise ValueError(
+                "optimize(zorder_by=...) supports unpartitioned tables; "
+                "partitioned tables keep per-partition bin-packing"
+            )
+        by_name = {f.name: f for f in self.meta.schema.fields}
+        typed: list[tuple[str, str]] = []
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"zorder_by column {c!r} not in schema")
+            if not zorderable(by_name[c].type):
+                raise ValueError(
+                    f"zorder_by column {c!r} has type {by_name[c].type} — "
+                    "z-order needs a numeric/date/timestamp linear scale"
+                )
+            typed.append((c, by_name[c].type))
+        manifest = self._manifest(self._resolve(MAIN))
+        files = list(manifest.data_files)
+        if not files:
+            return None
+        total = sum(f.file_size_bytes for f in files)
+        n_rows = sum(f.record_count for f in files)
+        # target-file-count = total/threshold (the bin-pack contract read
+        # the other way); clamped so a tiny test threshold can't schedule
+        # more range partitions than there are rows
+        n_files = min(max(1, -(-total // max(1, file_size_threshold))), max(1, n_rows))
+        src = self._read_files_with_lineage(manifest, files)
+        clustered = zorder_cluster(src, typed, int(n_files))
+        snap = self._rewrite_files(
+            manifest, files, clustered, "replace", MAIN, preserve_order=True
+        )
+        # record the clustering in table properties (SHOW CREATE surfaces
+        # it; informational — DML appends don't re-cluster until the next
+        # optimize, exactly like Iceberg's sort-order metadata)
+        self.meta.properties["zorder-by"] = ",".join(cols)
+        self._commit_metadata_only()
+        return snap
 
     # ------------------------------------------------------------------
     # stats (A2/A3)

@@ -133,3 +133,85 @@ def test_optimize_preserves_sorted_by_clustering(spark, tmp_path, sf_dir):
     pruned = prune_files(files, t.meta, preds)
     assert len(pruned) < len(files)
     assert t.df(where="orderkey = 17").count() == 1
+
+
+def test_optimize_zorder_prunes_on_every_dimension(spark, tmp_path, sf_dir):
+    """Z-order clustering rewrite: after optimize(zorder_by=[a, b]) the
+    manifest pruner skips files for a narrow predicate on EITHER column —
+    the property a single-column sort order cannot provide — while row
+    content and lineage are invariant under the rewrite."""
+    from iceberg_trino_sql_demo_spark.plans.predicates import parse_simple_predicates
+    from iceberg_trino_sql_demo_spark.plans.pruning import prune_files
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    t = Table.ctas(spark, str(tmp_path / "zli"), li)
+    before = sorted(
+        tuple(r) for r in t.df().collect()
+    )
+    before_ids = {r._row_id for r in t.df(hidden=True).select("_row_id").collect()}
+
+    files0 = t._manifest(t._resolve("main")).data_files
+    total = sum(f.file_size_bytes for f in files0)
+    snap = t.optimize(
+        zorder_by=["partkey", "suppkey"], file_size_threshold=max(1, total // 8)
+    )
+    assert snap is not None and snap.operation == "replace"
+    assert t.meta.properties.get("zorder-by") == "partkey,suppkey"
+
+    files = t._manifest(t._resolve("main")).data_files
+    assert len(files) >= 4, "threshold=total/8 must split into several files"
+
+    # content + lineage invariant
+    after = sorted(tuple(r) for r in t.df().collect())
+    assert after == before
+    after_ids = {r._row_id for r in t.df(hidden=True).select("_row_id").collect()}
+    assert after_ids == before_ids
+
+    # narrow range predicates on EACH dimension prune independently
+    pk_lo = min(r[0] for r in spark.read.parquet(
+        f"{sf_dir}/lineitem.parquet").select("l_partkey").collect())
+    sk_lo = min(r[0] for r in spark.read.parquet(
+        f"{sf_dir}/lineitem.parquet").select("l_suppkey").collect())
+    kept_pk = prune_files(
+        files, t.meta, parse_simple_predicates(f"partkey <= {pk_lo}"))
+    kept_sk = prune_files(
+        files, t.meta, parse_simple_predicates(f"suppkey <= {sk_lo}"))
+    assert len(kept_pk) < len(files), "partkey predicate must skip files"
+    assert len(kept_sk) < len(files), "suppkey predicate must skip files"
+    # and the box predicate composes both prunes
+    kept_box = prune_files(
+        files,
+        t.meta,
+        parse_simple_predicates(f"partkey <= {pk_lo} AND suppkey <= {sk_lo}"),
+    )
+    assert len(kept_box) <= min(len(kept_pk), len(kept_sk))
+    # results on the pruned read stay correct
+    assert (
+        t.df(where=f"partkey <= {pk_lo}").count()
+        == spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_partkey") <= pk_lo)
+        .count()
+    )
+
+
+def test_optimize_zorder_guards(spark, tmp_path, sf_dir):
+    """Partitioned tables and non-linear column types are rejected loudly."""
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    t = Table.ctas(spark, str(tmp_path / "zn"), n)
+    with pytest.raises(ValueError, match="not in schema"):
+        t.optimize(zorder_by=["nope"])
+    with pytest.raises(ValueError, match="linear scale"):
+        t.optimize(zorder_by=["n_name"])
+    tp = Table.ctas(
+        spark, str(tmp_path / "zp"), n, partitioning=["n_regionkey"]
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        tp.optimize(zorder_by=["n_nationkey"])
