@@ -314,6 +314,19 @@ class Engine:
             t.remove_orphan_files(_parse_duration(args))
         elif proc.lower() == "optimize":
             threshold = _parse_size(args) if args else 100 * 1024**2
+            # zorder_by => ARRAY['a', 'b'] — the clustering-rewrite form
+            # (Iceberg's rewrite_data_files sort strategy surfaced through
+            # the same OPTIMIZE procedure; see sources/zorder.py)
+            zcols = None
+            zm = re.search(
+                r"zorder_by\s*=>\s*ARRAY\s*\[([^\]]*)\]", args or "", _FLAGS
+            )
+            if zm:
+                zcols = [
+                    c.strip().strip("'\"")
+                    for c in zm.group(1).split(",")
+                    if c.strip()
+                ]
             cutoff_ms = None
             if where:
                 # "$file_modified_time" > <expr> — evaluate expr via Spark
@@ -321,7 +334,11 @@ class Engine:
                 expr = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", expr, flags=_FLAGS)
                 row = self.spark.sql(f"SELECT CAST({expr} AS TIMESTAMP)").head()
                 cutoff_ms = int(row[0].timestamp() * 1000)
-            t.optimize(file_size_threshold=threshold, modified_after_ms=cutoff_ms)
+            t.optimize(
+                file_size_threshold=threshold,
+                modified_after_ms=cutoff_ms,
+                zorder_by=zcols,
+            )
         else:
             raise ValueError(f"unknown procedure {proc}")
 

@@ -1309,3 +1309,61 @@ def cluster_components_star(edges: DataFrame, max_rounds: int = 40) -> DataFrame
         "node", F.col("node").alias("label")
     )
     return pointed.unionByName(roots).withColumn("rounds", F.lit(rounds))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end near-dup pruning decision — the operator a training pipeline
+# actually runs: MinHash-LSH verified pairs -> connected components
+# (bounded-round star algorithm) -> per-cluster keeper (lowest doc_id) and
+# a keep/drop flag for every clustered document.  Composes the shared
+# memoized minhash frame (its persisted shingle/signature intermediates
+# are reused, not rebuilt) with cluster_components_star, so the whole
+# decision inherits both pieces' 100 TB shapes: banded candidates, O(log n)
+# component rounds, driver sees only per-round fingerprints.  Singleton
+# documents (no verified near-dup) are implicitly kept and excluded here —
+# emitting n rows of "keep" for a web-scale corpus would be the anti-scale
+# output grain.
+# ---------------------------------------------------------------------------
+_KEEP_LIST_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_MINHASH_ORACLE})
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, src AS seen FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.seen
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(seen) AS cluster_id,
+             CAST(count(DISTINCT seen) AS BIGINT) AS cluster_size
+        FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS keep
+      FROM comp
+"""
+
+
+@register("dedup_keep_list", oracle=_KEEP_LIST_ORACLE)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, keep) for every document in a
+    verified near-dup cluster; keep marks the cluster's lowest doc_id
+    (deterministic canonical representative)."""
+    from iceberg_trino_sql_demo_spark import operators as _ops
+
+    # the REGISTRY's minhash frame: same plan object -> same persisted
+    # shingle/signature intermediates; calling the raw function here would
+    # unpersist those out from under the memoized minhash plan
+    pairs = _ops.QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = cluster_components_star(edges).select("node", "label")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("label")).alias("keep"),
+    )

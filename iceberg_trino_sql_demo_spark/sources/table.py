@@ -465,10 +465,21 @@ class Table:
                 df = df.withColumn(f.name, F.try_parse_json(F.col(f.name)))
         return df
 
-    def insert(self, rows: "list[dict] | DataFrame", ref: str = MAIN) -> Snapshot:
-        """INSERT INTO [@branch] (reference :103-106, :238-239)."""
+    def insert(
+        self,
+        rows: "list[dict] | DataFrame",
+        ref: str = MAIN,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """INSERT INTO [@branch] (reference :103-106, :238-239).
+
+        ``summary`` entries ride the snapshot's summary map inside the
+        SAME atomic metadata commit as the appended files — the hook the
+        streaming sink uses to make micro-batch appends exactly-once
+        (streaming/ingest.py: the batch id is either committed with its
+        data or absent, never half)."""
         df = rows if isinstance(rows, DataFrame) else self._align_values_df(rows)
-        return self._append_files(df, "append", ref)
+        return self._append_files(df, "append", ref, summary=summary)
 
     # ------------------------------------------------------------------
     # row-level DML (SURVEY.md §3.3)
@@ -1050,6 +1061,11 @@ class Table:
         key over the named columns, so manifest min/max pruning serves
         predicates on ANY participating column.  See sources/zorder.py."""
         if zorder_by:
+            if modified_after_ms is not None:
+                raise ValueError(
+                    "optimize(zorder_by=...) is a full clustering rewrite; "
+                    "it cannot be scoped by $file_modified_time"
+                )
             return self._optimize_zorder(zorder_by, file_size_threshold)
         manifest = self._manifest(self._resolve(MAIN))
         cands = [f for f in manifest.data_files if f.file_size_bytes < file_size_threshold]

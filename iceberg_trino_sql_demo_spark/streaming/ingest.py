@@ -17,6 +17,7 @@ sink (foreachBatch -> Table.insert would be the production path).
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -79,10 +80,11 @@ def windowed_counts(
     )
 
 
-def _drain(q, checkpoint_dir: str, timeout: int = 300) -> None:
+def _drain(q, checkpoint_dir: str | None, timeout: int = 300) -> None:
     """Block until the availableNow query finishes; fail loudly on timeout
     (a silently partial drain would surface as a wrong-but-plausible result)
-    and always remove the throwaway checkpoint dir."""
+    and remove the checkpoint dir when it was a throwaway (None = caller
+    owns it and wants restartability)."""
     try:
         if not q.awaitTermination(timeout=timeout):
             q.stop()
@@ -90,14 +92,69 @@ def _drain(q, checkpoint_dir: str, timeout: int = 300) -> None:
                 f"stream {q.name!r} did not drain within {timeout}s"
             )
     finally:
-        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        if checkpoint_dir is not None:
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)
 
 
-def stream_into_table(spark: SparkSession, sf_dir: str, table) -> None:
+#: snapshot-summary keys the exactly-once sink writes; the pair (stream,
+#: batch) is committed atomically WITH the appended files
+STREAM_ID_KEY = "streaming-query-id"
+STREAM_BATCH_KEY = "streaming-batch-id"
+
+
+def table_sink(table, stream_id: str, cols: list[str] | None = None):
+    """foreachBatch callback appending micro-batches to a versioned table
+    EXACTLY-ONCE.
+
+    foreachBatch is at-least-once: after a driver crash the restarted
+    query re-delivers the last in-flight batch id.  The sink therefore
+    commits the (stream_id, batch_id) watermark in the snapshot summary —
+    the SAME atomic metadata CAS as the data files (Table.insert
+    summary=...) — and drops any batch at or below the stream's committed
+    high-water mark.  A batch is either fully committed together with its
+    id or absent entirely; there is no half state to make idempotence
+    heuristic.  This is the standard Spark exactly-once foreachBatch
+    recipe (batchId-keyed idempotent writes) fused with the table
+    format's optimistic commit.
+
+    ``stream_id`` must be stable across restarts of the same checkpoint
+    (derive it from the checkpoint location) and distinct across
+    different logical streams into the same table — batch ids restart at
+    0 per checkpoint, so the watermark is tracked per stream."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        t = table.refresh()
+        seen = max(
+            (
+                int(s.summary[STREAM_BATCH_KEY])
+                for s in t.meta.snapshots
+                if s.summary.get(STREAM_ID_KEY) == stream_id
+                and STREAM_BATCH_KEY in s.summary
+            ),
+            default=-1,
+        )
+        if batch_id <= seen:
+            return  # re-delivered (or replayed) batch: already committed
+        out = batch_df.select(*cols) if cols else batch_df
+        t.insert(
+            out,
+            summary={STREAM_ID_KEY: stream_id, STREAM_BATCH_KEY: str(batch_id)},
+        )
+
+    return sink
+
+
+def stream_into_table(
+    spark: SparkSession, sf_dir: str, table, checkpoint_dir: str | None = None
+) -> None:
     """Production ingestion path: micro-batches append to a versioned engine
     table via foreachBatch — every batch is one atomic snapshot commit, so
     the stream's progress is time-travelable and CDC-able like any other
-    write (reference surface: CDC :114-125 over streaming appends)."""
+    write (reference surface: CDC :114-125 over streaming appends), and
+    the batch-id watermark in each snapshot's summary makes re-delivered
+    batches no-ops (see table_sink).  Pass a caller-owned
+    ``checkpoint_dir`` to make the stream restartable; throwaway
+    checkpoints are cleaned up after the drain."""
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -105,18 +162,17 @@ def stream_into_table(spark: SparkSession, sf_dir: str, table) -> None:
         .parquet(sf_dir)
     )
     cols = [f.name for f in table.meta.schema.fields]
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        table.insert(batch_df.select(*cols))
-
-    ckpt = tempfile.mkdtemp(prefix="ckpt_ingest_")
+    owned = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ingest_")
+    # stable across restarts of the same checkpoint, distinct across streams
+    stream_id = os.path.basename(ckpt.rstrip("/"))
     q = (
-        src.writeStream.foreachBatch(sink)
+        src.writeStream.foreachBatch(table_sink(table, stream_id, cols))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    _drain(q, ckpt)
+    _drain(q, ckpt if owned else None)
     table.refresh()
 
 

@@ -302,3 +302,21 @@ def test_for_timestamp_as_of_literal_forms(eng):
     assert sql("SELECT * FROM tt_probe").count() == 26
     with pytest.raises(ValueError, match="unsupported FOR TIMESTAMP AS OF"):
         sql("SELECT * FROM tt_probe FOR TIMESTAMP AS OF 'not-a-time'")
+
+
+def test_execute_optimize_zorder(eng):
+    """The clustering form of OPTIMIZE: zorder_by => ARRAY[...] routes to
+    the Morton rewrite (unpartitioned table), content is invariant, and
+    the clustering is recorded in table properties."""
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS z_probe")
+    sql("CREATE OR REPLACE TABLE z_probe AS SELECT * FROM tpch.sf1.nation")
+    before = {tuple(r) for r in sql("SELECT * FROM z_probe").collect()}
+    sql("""ALTER TABLE z_probe EXECUTE optimize(
+             file_size_threshold => '100MB',
+             zorder_by => ARRAY['n_nationkey', 'n_regionkey'])""")
+    t = eng.catalog.table("z_probe")
+    assert t.meta.properties.get("zorder-by") == "n_nationkey,n_regionkey"
+    assert {tuple(r) for r in sql("SELECT * FROM z_probe").collect()} == before

@@ -3,6 +3,8 @@ produce exactly the batch result (one plan, two execution modes)."""
 
 from __future__ import annotations
 
+import os
+
 from iceberg_trino_sql_demo_spark import operators as ops
 from iceberg_trino_sql_demo_spark.streaming.ingest import stream_tumbling_counts
 
@@ -61,3 +63,49 @@ def test_stream_ingestion_into_engine_table(spark, tmp_path):
     changes = t.table_changes(t.meta.snapshots[0].snapshot_id,
                               t.meta.refs["main"]) if len(t.meta.snapshots) > 1 else None
     assert changes is None or changes.count() >= 0
+
+
+def test_stream_ingestion_exactly_once(spark, tmp_path):
+    """The sink's (stream_id, batch_id) watermark rides the snapshot
+    summary, so re-delivered batches and checkpoint restarts never
+    double-append, while a genuinely new batch id still commits."""
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+    from iceberg_trino_sql_demo_spark.streaming.ingest import (
+        STREAM_BATCH_KEY,
+        STREAM_ID_KEY,
+        stream_into_table,
+        table_sink,
+    )
+
+    t = Table.create(
+        spark, str(tmp_path / "events_eo"),
+        [("event_id", "bigint"), ("ts", "bigint"), ("user_id", "bigint"),
+         ("event_type", "string"), ("value", "double"), ("props", "string")],
+    )
+    ckpt = str(tmp_path / "ckpt_eo")
+    stream_into_table(spark, SF, t, checkpoint_dir=ckpt)
+    src_n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert t.df().count() == src_n
+    tagged = [s for s in t.meta.snapshots if STREAM_ID_KEY in s.summary]
+    assert tagged, "streaming snapshots must carry the watermark summary"
+    max_batch = max(int(s.summary[STREAM_BATCH_KEY]) for s in tagged)
+
+    # restart from the same checkpoint with no new source files: no-op
+    n_snaps = len(t.meta.snapshots)
+    stream_into_table(spark, SF, t, checkpoint_dir=ckpt)
+    assert t.df().count() == src_n
+    assert len(t.meta.snapshots) == n_snaps
+
+    # simulate foreachBatch re-delivery of an already-committed batch id
+    stream_id = os.path.basename(ckpt)
+    sink = table_sink(t, stream_id)
+    replay = t.df().limit(5)
+    sink(replay, max_batch)          # duplicate delivery -> dropped
+    assert t.df().count() == src_n
+    sink(replay.select(*[f.name for f in t.meta.schema.fields]), max_batch + 1)
+    assert t.df().count() == src_n + 5   # new batch id -> committed
+    # a second stream (different checkpoint) tracks its own watermark:
+    # its batch 0 is NOT swallowed by this stream's high-water mark
+    other = table_sink(t, "other-stream")
+    other(replay.select(*[f.name for f in t.meta.schema.fields]), 0)
+    assert t.df().count() == src_n + 10
