@@ -161,6 +161,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_stream_interval_join",
     # -- NEW this round (never driver-sampled)
     "ice_zorder_optimize",
+    "ice_tags_pinned_read",
     "orders_ndv_profile",
     "dedup_keep_list",
     # -- implementation changed this round (round-4 perf/scale work)

@@ -569,6 +569,46 @@ def ice_branches_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# beyond V3-V5: snapshot TAGS — immutable named refs (Iceberg tag
+# semantics: a pinned release/audit pointer; reads resolve like branches
+# via FOR VERSION AS OF 'name', every write path refuses them, and
+# expire_snapshots never reaps a tagged snapshot).  The scenario pins a
+# tag mid-history, keeps mutating main, and reads the tag back: it must
+# see exactly the pre-tag state, and the immutability gate must hold.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_tags_pinned_read",
+    oracle=f"""
+    SELECT 'tagged' AS at, count(*) + 1 AS n_rows FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT 'main', count(*) + 3 FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT 'tag_writes_blocked', 1
+    """,
+    bench=False,
+)
+def ice_tags_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert([_ROWS[0]])
+    t.create_tag("v1")
+    for row in _ROWS[1:]:
+        t.insert([row])
+    t.delete("custkey = 2002")  # main keeps moving; the tag must not
+    t.insert([_ROWS[1]])
+    blocked = 0
+    try:
+        t.insert([_ROWS[2]], ref="v1")
+    except ValueError:
+        blocked = 1
+    rows = [
+        ("tagged", t.df(ref="v1").count()),
+        ("main", t.df().count()),
+        ("tag_writes_blocked", blocked),
+    ]
+    return spark.createDataFrame(rows, "at string, n_rows bigint")
+
+
+# ---------------------------------------------------------------------------
 # D14/D15 views + materialized views (reference :53-61): a view and an MV
 # over the same definition; after an insert + REFRESH both see the new row
 # ---------------------------------------------------------------------------

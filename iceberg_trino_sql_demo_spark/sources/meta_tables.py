@@ -85,7 +85,10 @@ def metadata_table(table, kind: str) -> DataFrame:
         return spark.createDataFrame(rows, schema)
 
     if kind == "refs":
-        rows = [(name, "BRANCH", sid) for name, sid in sorted(m.refs.items())]
+        rows = [
+            (name, m.ref_type(name).upper(), sid)
+            for name, sid in sorted(m.refs.items())
+        ]
         return spark.createDataFrame(
             rows, "name string, type string, snapshot_id long"
         )

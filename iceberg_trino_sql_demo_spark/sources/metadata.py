@@ -312,6 +312,12 @@ class TableMetadata:
     format_version: int = FORMAT_VERSION
     sort_order: list[str] = field(default_factory=list)
     column_stats: dict[str, dict] = field(default_factory=dict)  # ANALYZE output
+    #: ref name -> "branch" | "tag"; absent = branch (older metadata files
+    #: predate tags, and every pre-tag ref was writable)
+    ref_types: dict[str, str] = field(default_factory=dict)
+
+    def ref_type(self, name: str) -> str:
+        return self.ref_types.get(name, "branch")
 
     # -- accessors --------------------------------------------------------
     @property
@@ -370,6 +376,7 @@ class TableMetadata:
                 "next_row_id": self.next_row_id,
                 "sort_order": self.sort_order,
                 "column_stats": self.column_stats,
+                "ref_types": self.ref_types,
             },
             indent=1,
             default=str,
@@ -398,6 +405,7 @@ class TableMetadata:
             format_version=d.get("format_version", FORMAT_VERSION),
             sort_order=d.get("sort_order", []),
             column_stats=d.get("column_stats", {}),
+            ref_types=d.get("ref_types", {}),
         )
 
     @staticmethod

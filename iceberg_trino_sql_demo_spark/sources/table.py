@@ -276,6 +276,10 @@ class Table:
         after its planning read, exactly like Iceberg's snapshot-isolation
         mode.  ``rebase=False`` (CTAS REPLACE, which also swaps schema and
         spec) fails fast on conflict instead."""
+        if self.meta.ref_type(ref) == "tag":
+            raise ValueError(
+                f"ref {ref!r} is a tag; tags are immutable — target a branch"
+            )
         base = self._manifest(self._resolve(ref))
         new_data = {f.path for f in manifest.data_files}
         new_dels = {d.path for d in manifest.delete_files}
@@ -888,16 +892,64 @@ class Table:
             if if_exists:
                 return
             raise KeyError(name)
+        if self.meta.ref_type(name) == "tag":
+            raise ValueError(f"{name} is a tag; use drop_tag")
         del self.meta.refs[name]
         self._commit_metadata_only()
 
     def branches(self) -> dict[str, int]:
-        return dict(self.meta.refs)
+        return {
+            k: v
+            for k, v in self.meta.refs.items()
+            if self.meta.ref_type(k) == "branch"
+        }
+
+    # -- tags: immutable named refs (Iceberg tag semantics — a pinned
+    # audit/release pointer; reads resolve like branches, every write
+    # path refuses them, expire_snapshots never reaps a tagged snapshot
+    # because keep_ids covers all refs) --------------------------------
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        if_not_exists: bool = True,
+    ) -> None:
+        if name in self.meta.refs:
+            if if_not_exists and self.meta.ref_type(name) == "tag":
+                return
+            raise ValueError(f"ref {name} exists")
+        sid = snapshot_id if snapshot_id is not None else self.meta.refs.get(MAIN)
+        if sid is None:
+            raise ValueError("cannot tag an empty table")
+        self.meta.snapshot_by_id(int(sid))  # must exist
+        self.meta.refs[name] = int(sid)
+        self.meta.ref_types[name] = "tag"
+        self._commit_metadata_only()
+
+    def drop_tag(self, name: str, if_exists: bool = True) -> None:
+        if name not in self.meta.refs:
+            if if_exists:
+                return
+            raise KeyError(name)
+        if self.meta.ref_type(name) != "tag":
+            raise ValueError(f"{name} is a branch; use drop_branch")
+        del self.meta.refs[name]
+        self.meta.ref_types.pop(name, None)
+        self._commit_metadata_only()
+
+    def tags(self) -> dict[str, int]:
+        return {
+            k: v
+            for k, v in self.meta.refs.items()
+            if self.meta.ref_type(k) == "tag"
+        }
 
     def fast_forward(self, branch: str, to: str) -> None:
         """ALTER BRANCH x FAST FORWARD TO y (reference :249): requires x's
         head to be an ancestor of y's head."""
         m = self.meta
+        if m.ref_type(branch) == "tag":
+            raise ValueError(f"{branch} is a tag; tags are immutable")
         src, dst = m.refs[branch], m.refs[to]
         if not m.is_ancestor(src, dst):
             raise ValueError(f"{branch} is not an ancestor of {to}; cannot fast-forward")

@@ -315,3 +315,39 @@ def test_timestamp_time_travel(spark, tmp_path, sf_dir):
 
     with _pytest.raises(ValueError):
         t.df(as_of_ms=1)
+
+
+def test_tags_immutable_refs(t):
+    """Tags: pinned reads survive further DML; every write path refuses a
+    tag; expire_snapshots keeps tagged snapshots; ref type round-trips
+    through metadata serde; $refs reports the type."""
+    import pytest as _pytest
+
+    base_n = t.df().count()
+    t.create_tag("rel-1")
+    assert t.tags() == {"rel-1": t.meta.refs["main"]}
+    t.insert([{"custkey": 880001, "name": "TAGPROBE", "mktsegment": "SQLENGINE",
+               "account_balance": 9.0, "nation": "FRANCE"}])
+    assert t.df().count() == base_n + 1
+    assert t.df(ref="rel-1").count() == base_n          # pinned
+    for attempt in (
+        lambda: t.insert([{"custkey": 880002, "name": "X", "mktsegment": "S",
+                           "account_balance": 1.0, "nation": "FRANCE"}], ref="rel-1"),
+        lambda: t.delete("custkey = 880001", ref="rel-1"),
+        lambda: t.fast_forward("rel-1", "main"),
+        lambda: t.drop_branch("rel-1"),
+    ):
+        with _pytest.raises(ValueError):
+            attempt()
+    # serde round-trip: a fresh Table object sees the tag as a tag
+    t2 = t.refresh()
+    assert t2.meta.ref_type("rel-1") == "tag"
+    refs = {r.name: r.type for r in t.meta_df("refs").collect()}
+    assert refs["rel-1"] == "TAG" and refs["main"] == "BRANCH"
+    # expire keeps the tagged snapshot even at zero retention
+    t.expire_snapshots(retention_ms=0)
+    assert t.df(ref="rel-1").count() == base_n
+    # cleanup is type-checked too
+    t.drop_tag("rel-1")
+    assert "rel-1" not in t.meta.refs
+    t.delete("custkey = 880001")
