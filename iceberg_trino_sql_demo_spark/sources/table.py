@@ -663,6 +663,7 @@ class Table:
             new_df, self.location, self.meta.schema, self.meta.spec, seq,
             sort_order=None if preserve_order else (self.meta.sort_order or None),
             extra_physical_cols=[ROW_ID, LAST_SEQ],
+            preserve_order=preserve_order,
         )
         new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]
         replaced_paths = {f.path for f in replaced}
@@ -1138,22 +1139,20 @@ class Table:
     ) -> Snapshot | None:
         """Full clustering rewrite on the Morton key over ``cols``.
 
-        Scope: unpartitioned tables (a partitioned table would z-order
-        within each partition — the hidden-partition shuffle and the
-        range shuffle compose, but the writer currently keys file split
-        on one of them at a time).  Row content is untouched, so every
-        query result is invariant under this rewrite — the scenario
+        Partitioned tables z-order WITHIN each hidden partition (Iceberg's
+        semantics): the rewrite range-partitions on (partition tuple, z),
+        so every output task holds whole (partition, z-range) runs and the
+        writer's partitionBy split yields per-partition files that are
+        z-contiguous — one shuffle total, the writer's own partition
+        shuffle is skipped (preserve_order).  Row content is untouched, so
+        every query result is invariant under this rewrite — the scenario
         oracle checks exactly that."""
+        from iceberg_trino_sql_demo_spark.sources.writer import spec_transforms
         from iceberg_trino_sql_demo_spark.sources.zorder import (
             zorder_cluster,
             zorderable,
         )
 
-        if self.meta.spec.fields:
-            raise ValueError(
-                "optimize(zorder_by=...) supports unpartitioned tables; "
-                "partitioned tables keep per-partition bin-packing"
-            )
         by_name = {f.name: f for f in self.meta.schema.fields}
         typed: list[tuple[str, str]] = []
         for c in cols:
@@ -1176,7 +1175,16 @@ class Table:
         # more range partitions than there are rows
         n_files = min(max(1, -(-total // max(1, file_size_threshold))), max(1, n_rows))
         src = self._read_files_with_lineage(manifest, files)
-        clustered = zorder_cluster(src, typed, int(n_files))
+        # partitioned: lead the range key with the partition transform
+        # values (computed here on logical columns; the writer recomputes
+        # the identical deterministic values for the dir split)
+        pref: list[str] = []
+        for pt_name, t in spec_transforms(self.meta.spec, self.meta.schema):
+            src = src.withColumn(pt_name, t.apply(F.col(t.source)))
+            pref.append(pt_name)
+        clustered = zorder_cluster(
+            src, typed, int(n_files), prefix_cols=pref
+        ).drop(*pref)
         snap = self._rewrite_files(
             manifest, files, clustered, "replace", MAIN, preserve_order=True
         )

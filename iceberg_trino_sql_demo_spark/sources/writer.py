@@ -90,6 +90,7 @@ def write_data_files(
     sequence_number: int,
     sort_order: list[str] | None = None,
     extra_physical_cols: list[str] | None = None,
+    preserve_order: bool = False,
 ) -> list[DataFile]:
     """Write ``df`` (logical column names, already schema-aligned) as one
     immutable file group; return manifest entries (first_row_id unassigned,
@@ -97,6 +98,13 @@ def write_data_files(
 
     ``extra_physical_cols`` lets DML rewrites persist lineage columns
     (_row_id, _last_updated_sequence_number) alongside data columns.
+
+    ``preserve_order=True``: the caller already arranged partitioning and
+    row order (the z-order rewrite range-partitions on (partition, z)),
+    so skip the writer's own partition-tuple repartition — which would
+    destroy that arrangement — and any declared sort.  The partitionBy
+    split still routes rows to their hidden-partition dirs; a task whose
+    range spans several partitions writes one file per (task, dir).
     """
     commit_dir = os.path.join(location, "data", uuid.uuid4().hex[:16])
     pts = spec_transforms(spec, schema)
@@ -111,12 +119,12 @@ def write_data_files(
     for pt_name, t in pts:
         out = out.withColumn(pt_name, t.apply(F.col(by_name[t.source].pname)))
 
-    if pts:
+    if pts and not preserve_order:
         # One shuffle keyed on the partition tuple: each output task then
         # writes whole partitions instead of every task writing a sliver of
         # every partition (file-count = O(partitions), not O(tasks x parts)).
         out = out.repartition(*[pt_name for pt_name, _ in pts])
-    if sort_order:
+    if sort_order and not preserve_order:
         out = out.sortWithinPartitions(*sort_order)
 
     writer = out.write.mode("overwrite")

@@ -92,6 +92,7 @@ def zorder_cluster(
     src: DataFrame,
     cols: list[tuple[str, str]],
     n_files: int,
+    prefix_cols: list[str] | None = None,
 ) -> DataFrame:
     """Cluster ``src`` into ``n_files`` z-key ranges, z-sorted within each.
 
@@ -99,7 +100,13 @@ def zorder_cluster(
     PROJECTED before the interleave so each 2-op scaling runs once per row
     (not once per bit), the range shuffle keys on the single z long, and
     the final projection drops the helper columns — a projection after a
-    sort preserves row order, so file-internal clustering survives."""
+    sort preserves row order, so file-internal clustering survives.
+
+    ``prefix_cols`` (already-present column names) lead the range key and
+    the within-partition sort: a partitioned table z-orders WITHIN each
+    hidden partition — ranges of (partition, z) keep each task's rows in
+    whole (partition, z-range) runs, so the writer's partitionBy splits
+    them into per-partition files that are z-contiguous."""
     bounds_row = src.select(
         *[
             f
@@ -123,8 +130,9 @@ def zorder_cluster(
         )
         dim_names.append(dn)
     keyed = dims.withColumn("__z", interleave_bits([F.col(d) for d in dim_names]))
+    pref = list(prefix_cols or [])
     return (
-        keyed.repartitionByRange(max(1, n_files), "__z")
-        .sortWithinPartitions("__z")
+        keyed.repartitionByRange(max(1, n_files), *pref, "__z")
+        .sortWithinPartitions(*pref, "__z")
         .drop("__z", *dim_names)
     )

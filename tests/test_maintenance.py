@@ -201,7 +201,7 @@ def test_optimize_zorder_prunes_on_every_dimension(spark, tmp_path, sf_dir):
 
 
 def test_optimize_zorder_guards(spark, tmp_path, sf_dir):
-    """Partitioned tables and non-linear column types are rejected loudly."""
+    """Unknown and non-linear column types are rejected loudly."""
     from iceberg_trino_sql_demo_spark.sources.table import Table
 
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -210,8 +210,51 @@ def test_optimize_zorder_guards(spark, tmp_path, sf_dir):
         t.optimize(zorder_by=["nope"])
     with pytest.raises(ValueError, match="linear scale"):
         t.optimize(zorder_by=["n_name"])
-    tp = Table.ctas(
-        spark, str(tmp_path / "zp"), n, partitioning=["n_regionkey"]
+
+
+def test_optimize_zorder_partitioned_table(spark, tmp_path, sf_dir):
+    """Partitioned tables z-order WITHIN each hidden partition: partition
+    dirs survive, content and lineage are invariant, and a z-dimension
+    predicate prunes files inside the partitions."""
+    from iceberg_trino_sql_demo_spark.plans.predicates import parse_simple_predicates
+    from iceberg_trino_sql_demo_spark.plans.pruning import prune_files
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_extendedprice").alias("price"),
     )
-    with pytest.raises(ValueError, match="unpartitioned"):
-        tp.optimize(zorder_by=["n_nationkey"])
+    t = Table.ctas(
+        spark, str(tmp_path / "zpart"), li, partitioning=["returnflag"]
+    )
+    before = sorted(tuple(r) for r in t.df().collect())
+    files0 = t._manifest(t._resolve("main")).data_files
+    total = sum(f.file_size_bytes for f in files0)
+    snap = t.optimize(
+        zorder_by=["partkey", "suppkey"], file_size_threshold=max(1, total // 12)
+    )
+    assert snap is not None
+    files = t._manifest(t._resolve("main")).data_files
+    assert len(files) >= 6
+    # every file belongs to exactly one partition value
+    parts = {f"{f.partition}" for f in files}
+    flags = {r[0] for r in li.select("returnflag").distinct().collect()}
+    assert len(parts) == len(flags)
+    # content invariant
+    assert sorted(tuple(r) for r in t.df().collect()) == before
+    # a z-dimension predicate prunes within partitions...
+    pk_lo = li.agg(F.min("partkey")).first()[0]
+    kept = prune_files(files, t.meta, parse_simple_predicates(f"partkey <= {pk_lo}"))
+    assert len(kept) < len(files)
+    # ...and composes with partition pruning
+    kept_both = prune_files(
+        files, t.meta,
+        parse_simple_predicates(f"returnflag = 'R' AND partkey <= {pk_lo}"),
+    )
+    assert len(kept_both) <= len(kept)
+    assert (
+        t.df(where=f"partkey <= {pk_lo}").count()
+        == li.where(F.col("partkey") <= pk_lo).count()
+    )
