@@ -1,0 +1,89 @@
+"""Randomized cross-engine differential test: for generated predicate
+trees over lineitem's integer columns, Spark and DuckDB must agree on the
+matching row multiset (checked as count + a value checksum).
+
+The 93 registry oracles pin FIXED query texts; this property test walks
+the predicate space itself, so a dialect divergence in comparison
+semantics, AND/OR precedence handling, or scan pushdown (the same WHERE
+text is pushed through Spark's parquet reader and DuckDB's) shows up on
+inputs nobody hand-picked.  Restricted to BIGINT columns and integer
+literals: float and date literals have engine-specific parsing corners
+that the fixed oracles already cover deliberately.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.001"
+COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+# literal ranges roughly matching sf0.001 value domains so predicates are
+# neither always-true nor always-false
+RANGES = {
+    "l_orderkey": (1, 6_000),
+    "l_partkey": (1, 200),
+    "l_suppkey": (1, 10),
+    "l_linenumber": (1, 7),
+}
+
+
+def _leaf(draw) -> str:
+    col = draw(st.sampled_from(COLS))
+    lo, hi = RANGES[col]
+    op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+    lit = draw(st.integers(min_value=lo, max_value=hi))
+    return f"{col} {op} {lit}"
+
+
+@st.composite
+def predicate(draw, depth: int = 0) -> str:
+    if depth >= 2 or draw(st.booleans()):
+        return _leaf(draw)
+    a = draw(predicate(depth + 1))
+    b = draw(predicate(depth + 1))
+    junction = draw(st.sampled_from(["AND", "OR"]))
+    return f"({a}) {junction} ({b})"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=predicate())
+def test_predicate_agreement(spark, li, duck, where):
+    # count + order-free checksum over one key column: equal multisets of
+    # matching rows give equal (n, sum); a divergence in either engine's
+    # predicate evaluation breaks one of them
+    sql = (
+        f"SELECT CAST(count(*) AS BIGINT) n, "
+        f"CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) s "
+        f"FROM lineitem WHERE {where}"
+    )
+    dn, ds = duck.execute(sql).fetchone()
+    row = (
+        li.where(where)
+        .selectExpr(
+            "CAST(count(*) AS BIGINT) n",
+            "CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) s",
+        )
+        .first()
+    )
+    assert (row.n, row.s) == (dn, ds), f"engines disagree on WHERE {where}"
