@@ -117,3 +117,26 @@ def prefiltered_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = bucketed.select(F.col("vec_id").alias("id_a"), "bucket")
     b = bucketed.select(F.col("vec_id").alias("id_b"), "bucket")
     return a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+
+
+def multiprobe_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vec pairs within hamming<=1 of each other's sign-LSH bucket — the
+    exact-cosine input of dedup_embedding_prefiltered_multiprobe.  Same
+    shared corpus+bucket construction; candidate volume should track
+    (n_planes + 1) x the single-probe count's order, still O(n*occupancy)."""
+    from iceberg_trino_sql_demo_spark.operators.dedup import (
+        prefiltered_bucketed_corpus,
+    )
+
+    bucketed, n_planes = prefiltered_bucketed_corpus(spark, sf_dir, persist=False)
+    probe_keys = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    probes = bucketed.select(
+        F.col("vec_id").alias("id_a"), F.explode(probe_keys).alias("probe")
+    )
+    b = bucketed.select(F.col("vec_id").alias("id_b"), "bucket")
+    return probes.join(b, probes["probe"] == b["bucket"]).where(
+        F.col("id_a") < F.col("id_b")
+    )

@@ -36,6 +36,7 @@ FAMILY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_prefiltered",
+    "dedup_embedding_prefiltered_multiprobe",
     "dedup_cluster_components",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
@@ -47,6 +48,7 @@ DIAG = {
     "dedup_minhash_lsh": "minhash_candidate_pairs",
     "dedup_simhash": "simhash_candidate_pairs",
     "dedup_embedding_prefiltered": "prefiltered_bucket_pairs",
+    "dedup_embedding_prefiltered_multiprobe": "multiprobe_bucket_pairs",
 }
 
 
