@@ -1174,13 +1174,22 @@ def dedup_embedding_prefiltered_multiprobe(
     from iceberg_trino_sql_demo_spark.operators.similarity import _dot
 
     bucketed, n_planes = prefiltered_bucketed_corpus(spark, sf_dir)
-    # narrow probe fan-out: (id_a, probe) longs only
+    # ONE join, payload on the probe side: the alternative (narrow
+    # (id, probe) fan-out + two embedding join-backs over the candidate
+    # pairs) shuffles the 64-float arrays through every candidate row
+    # TWICE — measured 26 s warm at the 20x scale point vs ~6 s for this
+    # shape.  Here the fan-out replicates each vector (P+1)x once
+    # (P ~ log n by the occupancy-adaptive plane count), candidates are
+    # scored inside the join projection exactly like the single-probe
+    # operator, and no pair row ever carries an array through a second
+    # shuffle.
     probe_keys = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
     )
     probes = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.explode(probe_keys).alias("probe")
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), F.explode(probe_keys).alias("probe"),
     )
     b = bucketed.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
@@ -1189,14 +1198,9 @@ def dedup_embedding_prefiltered_multiprobe(
     cand = probes.join(b, probes["probe"] == b["bucket"]).where(
         F.col("id_a") < F.col("id_b")
     )
-    a = bucketed.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
     cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
-        cand.join(a, "id_a")
-        .select("id_a", "id_b", cosine.alias("c"))
+        cand.select("id_a", "id_b", cosine.alias("c"))
         .where(F.col("c") >= 0.95)
         .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
     )
