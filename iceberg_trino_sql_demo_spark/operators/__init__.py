@@ -165,6 +165,10 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_ndv_profile",
     "dedup_keep_list",
     "dedup_embedding_prefiltered_multiprobe",
+    "dedup_semantic_clusters",
+    "text_tfidf_top_terms",
+    "quality_filter_gopher",
+    "events_retention_cohorts",
     # -- implementation changed this round (round-4 perf/scale work)
     "text_fingerprint",
     "contamination_ngram",

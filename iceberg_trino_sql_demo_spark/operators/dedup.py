@@ -1479,3 +1479,110 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("node") == F.col("label")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup, Abbas et al. 2023 — public): cluster the
+# embedding space with a coarse quantizer, then search for near-dup pairs
+# ONLY within clusters.  This is the clustering-based alternative to the
+# sign-LSH prefilter above: candidate generation cost is sum of
+# per-cluster pair counts instead of per-bucket, and the cluster
+# assignment is reusable state (the same coarse quantizer IVF search
+# uses), so a pipeline that runs both ANN and semantic dedup pays for the
+# assignment once.
+#
+# Scale shape: with the sqrt(n)-adaptive centroid count shared with
+# ann_topk_ivf, assignment is the broadcast-centroid kernel (n·C dots,
+# GEMM-vectorized beyond oracle scales) and expected within-cluster pair
+# work is n·sqrt(n)/2 — the balanced exponent between assignment and
+# verify.  A production corpus caps cluster size like the shingle DF cap
+# (shard oversized clusters before the self-join); at the oracle and
+# bench scales every cluster is far below any such cap.  The self-join
+# shuffles ONLY (cluster, id, vec, norm) rows hashed on the cluster key;
+# norms are computed n+n times pre-join, never per pair.
+# ---------------------------------------------------------------------------
+def _semantic_oracle() -> str:
+    from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _CENT_MOD,
+        _CENT_RESIDUE,
+    )
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM ({_EMB_CORPUS_SQL})
+    ),
+    cent AS (
+      SELECT vec_id AS cent_id, e AS c FROM base
+       WHERE vec_id % {_CENT_MOD} = {_CENT_RESIDUE}
+    ),
+    assign AS (
+      SELECT vec_id, e, cent_id AS cluster
+        FROM (
+          SELECT b.vec_id, b.e, cent.cent_id,
+                 row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY 1 - list_dot_product(b.e, cent.c)
+                            / (sqrt(list_dot_product(b.e, b.e))
+                               * sqrt(list_dot_product(cent.c, cent.c))) ASC,
+                            cent.cent_id ASC) AS rk
+            FROM base b CROSS JOIN cent
+        ) WHERE rk = 1
+    )
+    SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+     WHERE list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           >= 0.95
+    """
+
+
+@register("dedup_semantic_clusters", oracle=_semantic_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup embedding pairs (cosine >= 0.95) found within coarse
+    k-means-style clusters — the SemDeDup candidate-generation strategy,
+    on the identical broadcast-assign kernel ann_topk_ivf uses
+    (similarity._assign: min_by hash-agg at oracle scales, numpy GEMM
+    mapInPandas beyond them; deterministic (dist, cent_id) tie-break both
+    ways)."""
+    from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _CENT_RESIDUE,
+        _adaptive_cent_mod,
+        _assign,
+        _dot,
+    )
+
+    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    corpus = e.unionAll(
+        e.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    cent_mod = _adaptive_cent_mod(corpus.count())
+    cent = corpus.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    assigned = _assign(corpus, cent)
+    # norms once per row (n+n), never per pair; division order mirrors the
+    # oracle's dot / (sqrt * sqrt)
+    sided = assigned.withColumn("nrm", F.sqrt(_dot("embedding", "embedding")))
+    a = sided.select(
+        "cluster", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = sided.select(
+        "cluster", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+    cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("cluster", "id_a", "id_b", cosine.alias("c"))
+        .where(F.col("c") >= 0.95)
+        .select("cluster", "id_a", "id_b", F.round("c", 6).alias("cosine"))
+    )

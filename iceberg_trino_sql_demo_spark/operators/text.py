@@ -321,3 +321,149 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("term_freq"), F.asc("term"))
         .limit(VOCAB_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the per-doc keyword extraction every
+# retrieval/labeling pipeline runs before indexing.  tf and df are exact
+# integers; tfidf = tf * ln(N/df) is ONE double expression evaluated in the
+# identical operation order on both engines (divide, ln, multiply), and the
+# rank key is the 6-decimal-ROUNDED value so a last-ulp libm divergence
+# cannot flip an ordering (same robustness rule the cosine family uses).
+# Plan shape: explode -> (doc,term) hash-agg -> term-keyed df agg joined
+# back (broadcast at corpus scale where the vocab agg output stays small;
+# a 100 TB corpus's term-df frame is still ~vocab-sized after the combine)
+# -> per-doc window top-k.  The only shuffles are on (doc_id, term) and
+# term — both fixed-width keys with map-side partial aggregation.
+# ---------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE t != '' GROUP BY doc_id, t
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(CAST(tf.tf AS DOUBLE)
+                   * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                        / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rk
+      FROM ranked WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_docs = float(docs.count())  # one scalar to the driver (count job)
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    tf = toks.groupBy("doc_id", F.col("t").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # divide -> ln -> multiply, the oracle's exact operation order
+    tfidf = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.lit(n_docs) / F.col("df").cast("double")),
+        6,
+    )
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id", "term", "tf", "df", tfidf.alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule filter (Rae et al. 2021 §A1.1, public) — the
+# heuristic document gate run before training: word-count bounds, mean
+# word length bounds, alphabetic-word ratio, and a minimum count of
+# DISTINCT stopwords.  Every rule is integer arithmetic (k*sum vs m*n
+# cross-multiplication instead of float ratios), so the output is
+# hash-identical across engines with no rounding story at all.  One
+# explode + one per-doc hash aggregate; at 100 TB this is a single
+# map-side-combined shuffle on doc_id.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_filter_gopher",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(t)) AS BIGINT) AS sum_len,
+             CAST(sum(CASE WHEN regexp_matches(t, '[A-Za-z]') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_alpha_words,
+             CAST(count(DISTINCT CASE WHEN t IN {_STOP_SQL} THEN t END)
+                  AS BIGINT) AS n_stop_distinct
+        FROM tok WHERE t != '' GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, sum_len, n_alpha_words, n_stop_distinct,
+           CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+           CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS r_mean_len,
+           CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS r_alpha_ratio,
+           CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+           CASE WHEN n_words >= 50 AND n_words <= 100000
+                 AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+                 AND 5 * n_alpha_words >= 4 * n_words
+                 AND n_stop_distinct >= 2
+                THEN 1 ELSE 0 END AS passes_gopher
+      FROM agg
+    """,
+)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("t")).alias("sum_len"),
+        F.sum(F.col("t").rlike("[A-Za-z]").cast("long")).alias("n_alpha_words"),
+        F.countDistinct(
+            F.when(F.col("t").isin(*_STOPWORDS), F.col("t"))
+        ).alias("n_stop_distinct"),
+    )
+    r_word_count = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    r_mean_len = (3 * F.col("n_words") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    r_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop_distinct") >= 2
+    return agg.select(
+        "doc_id", "n_words", "sum_len", "n_alpha_words", "n_stop_distinct",
+        r_word_count.cast("int").alias("r_word_count"),
+        r_mean_len.cast("int").alias("r_mean_len"),
+        r_alpha.cast("int").alias("r_alpha_ratio"),
+        r_stop.cast("int").alias("r_stopwords"),
+        (r_word_count & r_mean_len & r_alpha & r_stop)
+        .cast("int")
+        .alias("passes_gopher"),
+    )

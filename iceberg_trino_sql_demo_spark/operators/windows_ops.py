@@ -250,3 +250,50 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dec_value").cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts — the classic product-analytics shape: bucket every
+# user by their first-active day, then count distinct users active at each
+# day offset from that cohort day.  All arithmetic is integer/date (no
+# floats anywhere), so the result is hash-identical across engines.
+#
+# Plan shape (scale-audited): (user_id, day) distinct and the per-user
+# min() both shuffle on user_id — the second reuses the first's hash
+# partitioning, so the cohort join is co-partitioned and shuffle-free on
+# the probe side; only the final (cohort_day, offset) rollup reshuffles,
+# and its cardinality is days x offsets, not rows.  No driver collect.
+# ---------------------------------------------------------------------------
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+      FROM days d JOIN firsts f ON d.user_id = f.user_id
+     GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        _events(spark, sf_dir)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    # count(*) over the distinct (user, day) grain IS distinct users/cell
+    return (
+        days.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

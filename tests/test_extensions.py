@@ -156,7 +156,7 @@ def test_no_unintended_cartesian_or_bnlj_plans(spark):
     # point) and streaming replays have no batch plan to inspect
     skip_prefixes = ("ice_", "events_stream", "events_stateful")
     # broadcast(centroids) cross joins — the intended assignment kernel
-    allow_bnlj = {"ann_topk_ivf", "kmeans_iteration_stats"}
+    allow_bnlj = {"ann_topk_ivf", "kmeans_iteration_stats", "dedup_semantic_clusters"}
 
     offenders = {}
     for name, fn in sorted(ops.QUERIES.items()):
