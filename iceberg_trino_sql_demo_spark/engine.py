@@ -301,6 +301,9 @@ class Engine:
     def _h_drop_column(self, m: re.Match) -> None:
         self._table(m.group(1)).drop_column(m.group(2))
 
+    def _h_rename_column(self, m: re.Match) -> None:
+        self._table(m.group(1)).rename_column(m.group(2), m.group(3))
+
     def _h_set_partitioning(self, m: re.Match) -> None:
         parts = [p.strip().strip("'\"") for p in m.group(2).split(",") if p.strip()]
         self._table(m.group(1)).set_partitioning(parts)
@@ -405,6 +408,8 @@ class Engine:
                     r"(?:\s+DEFAULT\s+(.+))?$", _FLAGS), _h_add_column),
         (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+DROP\s+COLUMN\s+(\w+)$", _FLAGS),
          _h_drop_column),
+        (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$",
+                    _FLAGS), _h_rename_column),
         (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+SET\s+PROPERTIES\s+partitioning\s*=\s*"
                     r"ARRAY\s*\[(.*?)\]$", _FLAGS), _h_set_partitioning),
         (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+EXECUTE\s+(\w+)\s*"

@@ -169,6 +169,10 @@ _DRIVER_PRIORITY: list[str] = [
     "text_tfidf_top_terms",
     "quality_filter_gopher",
     "events_retention_cohorts",
+    "events_funnel_steps",
+    "text_repetition_ratio",
+    "ice_rename_column",
+    "ice_bloom_point_lookup",
     # -- implementation changed this round (round-4 perf/scale work)
     "text_fingerprint",
     "contamination_ngram",

@@ -792,6 +792,21 @@ _EMB_CORPUS_SQL = """
 """
 
 
+def emb_corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus exact copies of every 10th vector under shifted ids —
+    the embedding-side twin of _corpus_with_dups, replicated verbatim in
+    _EMB_CORPUS_SQL.  ONE definition shared by every embedding-dedup
+    operator and the scaling diagnostics."""
+    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    return e.unionAll(
+        e.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -816,12 +831,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select("vec_id", "embedding")
-    corpus = e.unionAll(
-        e.where(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-        )
-    )
+    corpus = emb_corpus_with_dups(spark, sf_dir)
     # Block count scales WITH the corpus so per-task memory stays constant:
     # the n×n sims matrix is the hog (block² × 8 B — 4096² ≈ 134 MB/task);
     # the one-column count job pricing this is trivial next to the GEMM.
@@ -1026,15 +1036,11 @@ def _build_prefiltered_bucketed(
         _hyperplanes,
     )
 
-    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
-    corpus = e.unionAll(
-        e.where(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-        )
-    )
-    n_planes = _adaptive_planes(e.count())
+    corpus = emb_corpus_with_dups(spark, sf_dir)
+    # _adaptive_planes sizes from the RAW count (it adds the injected
+    # copies itself); parquet row-count comes from footers, no scan
+    n_raw = spark.read.parquet(table_path(sf_dir, "embeddings")).count()
+    n_planes = _adaptive_planes(n_raw)
     planes = _hyperplanes(_DIM, n_planes)
     if n_planes == N_PLANES:
         # oracle-checked path: per-plane dots staged as separate columns
@@ -1549,40 +1555,98 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas beyond them; deterministic (dist, cent_id) tie-break both
     ways)."""
     from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _CENT_MOD,
         _CENT_RESIDUE,
         _adaptive_cent_mod,
         _assign,
-        _dot,
     )
 
-    e = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
-    corpus = e.unionAll(
-        e.where(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
-        )
-    )
+    corpus = emb_corpus_with_dups(spark, sf_dir)
     cent_mod = _adaptive_cent_mod(corpus.count())
     cent = corpus.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
     assigned = _assign(corpus, cent)
-    # norms once per row (n+n), never per pair; division order mirrors the
-    # oracle's dot / (sqrt * sqrt)
-    sided = assigned.withColumn("nrm", F.sqrt(_dot("embedding", "embedding")))
-    a = sided.select(
-        "cluster", F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
-    )
-    b = sided.select(
-        "cluster", F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
-    cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    return _semantic_pairs(assigned, use_gemm=cent_mod != _CENT_MOD)
+
+
+def _semantic_pairs(assigned: DataFrame, use_gemm: bool) -> DataFrame:
+    """Within-cluster cosine>=0.95 pairs over an (vec_id, embedding,
+    cluster) frame.  Two result-equivalent branches (parity asserted in
+    tests/test_scaling.py): SQL expression dots (bit-identical to the
+    DuckDB oracle, used at oracle-checked scales) vs per-cluster blocked
+    numpy GEMM (vectorized, used beyond them)."""
+    from iceberg_trino_sql_demo_spark.operators.similarity import _dot
+
+    spark = assigned.sparkSession
+    if not use_gemm:
+        # oracle-checked scales: sequential-sum SQL dots, bit-identical to
+        # DuckDB's list_dot_product.  Norms once per row (n+n), never per
+        # pair; division order mirrors the oracle's dot / (sqrt * sqrt).
+        sided = assigned.withColumn("nrm", F.sqrt(_dot("embedding", "embedding")))
+        a = sided.select(
+            "cluster", F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+        )
+        b = sided.select(
+            "cluster", F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+        )
+        pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
+        cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+        return (
+            pairs.select("cluster", "id_a", "id_b", cosine.alias("c"))
+            .where(F.col("c") >= 0.95)
+            .select("cluster", "id_a", "id_b", F.round("c", 6).alias("cosine"))
+        )
+    # scale path (adaptive centroid count, beyond any oracle-checked
+    # corpus): the expression-dot join scores ~n*cent_mod/2 pairs one
+    # unrolled 64-term dot at a time (measured 58 s warm at the 50x scale
+    # point, 18.3M pairs); one numpy GEMM per cluster does the identical
+    # FLOPs vectorized (measured seconds).  Each cluster is ONE
+    # applyInPandas group — a few hundred members at the sqrt(n) sizing —
+    # and the GEMM runs in row blocks so worst-case skewed clusters bound
+    # memory at block * |cluster| doubles, not |cluster|^2.
+    import numpy as np
+    import pandas as pd
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cluster = int(pdf["cluster"].iloc[0])
+        out_a, out_b, out_c = [], [], []
+        block = 2048
+        for i0 in range(0, len(ids), block):
+            i1 = min(i0 + block, len(ids))
+            sims = xn[i0:i1] @ xn.T  # (block, n)
+            for r in range(i0, i1):
+                row = sims[r - i0, r + 1:]
+                hit = np.nonzero(row >= 0.95)[0]
+                if hit.size:
+                    out_a.append(np.full(hit.size, ids[r]))
+                    out_b.append(ids[r + 1:][hit])
+                    out_c.append(np.round(row[hit], 6))
+        if not out_a:
+            return pd.DataFrame(
+                {"cluster": pd.Series([], dtype="int64"),
+                 "id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"cluster": cluster, "id_a": np.concatenate(out_a),
+             "id_b": np.concatenate(out_b), "cosine": np.concatenate(out_c)}
+        )
+
+    p = spark.sparkContext.defaultParallelism
     return (
-        pairs.select("cluster", "id_a", "id_b", cosine.alias("c"))
-        .where(F.col("c") >= 0.95)
-        .select("cluster", "id_a", "id_b", F.round("c", 6).alias("cosine"))
+        assigned.repartition(p, "cluster")
+        .groupBy("cluster")
+        .applyInPandas(
+            cluster_pairs,
+            "cluster long, id_a long, id_b long, cosine double",
+        )
     )

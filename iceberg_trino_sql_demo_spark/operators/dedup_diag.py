@@ -140,3 +140,30 @@ def multiprobe_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probes.join(b, probes["probe"] == b["bucket"]).where(
         F.col("id_a") < F.col("id_b")
     )
+
+
+def semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vec pairs sharing a coarse-quantizer cluster — the exact-cosine
+    input of dedup_semantic_clusters.  Rebuilt from the operator's OWN
+    corpus + assignment kernel (emb_corpus_with_dups + similarity._assign
+    with the adaptive sqrt(n) centroid count), so the measured candidate
+    set can never drift from the compared one.  Expected volume is
+    sum over clusters of C(size, 2) ~ n * sqrt(n) / 2 with balanced
+    clusters — the deliberately balanced exponent between assignment cost
+    and verify cost (see the operator's header comment)."""
+    from iceberg_trino_sql_demo_spark.operators.dedup import emb_corpus_with_dups
+    from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _CENT_RESIDUE,
+        _adaptive_cent_mod,
+        _assign,
+    )
+
+    corpus = emb_corpus_with_dups(spark, sf_dir)
+    cent_mod = _adaptive_cent_mod(corpus.count())
+    cent = corpus.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    assigned = _assign(corpus, cent).select("vec_id", "cluster")
+    a = assigned.select(F.col("vec_id").alias("id_a"), "cluster")
+    b = assigned.select(F.col("vec_id").alias("id_b"), "cluster")
+    return a.join(b, ["cluster"]).where(F.col("id_a") < F.col("id_b"))

@@ -328,6 +328,75 @@ def ice_add_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D9+ (beyond the reference's add/drop evolution): RENAME COLUMN is
+# metadata-only — the field keeps its column id, old files resolve through
+# the by-id projection under their own schema version, nothing is
+# rewritten.  The scenario renames THE PARTITION SOURCE column's sibling
+# and inserts under the new name, proving old rows surface under it and
+# new writes land under the same column id.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_rename_column",
+    oracle=f"""
+    SELECT custkey, name, account_balance AS balance
+      FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT * FROM (VALUES (200100, 'RENAMED ROW', 9.0))
+        AS v(custkey, name, balance)
+    """,
+    bench=False,
+)
+def ice_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    files_before = {f.path for f in t._manifest(t._resolve()).data_files}
+    t.rename_column("account_balance", "balance")
+    files_after = {f.path for f in t._manifest(t._resolve()).data_files}
+    assert files_after == files_before, "rename must not rewrite data files"
+    t.insert([{"custkey": 200100, "name": "RENAMED ROW",
+               "mktsegment": "SQLENGINE", "balance": 9.0, "nation": "FRANCE"}])
+    return t.df().select("custkey", "name", "balance")
+
+
+# ---------------------------------------------------------------------------
+# V9+ (beyond): bloom-filter file skipping (sources/bloom.py — Iceberg's
+# write.parquet.bloom-filter-enabled analog).  The scenario writes the
+# scratch table with a custkey bloom, point-looks-up one present and one
+# absent key, and ASSERTS the absent probe pruned the scan to (near) zero
+# files while min/max alone could not (custkey is unclustered, every
+# file's range spans the probe).
+# ---------------------------------------------------------------------------
+@register(
+    "ice_bloom_point_lookup",
+    oracle=f"""
+    SELECT custkey, name FROM ({_BASE_SQL}) WHERE custkey IN (
+      SELECT min(custkey) FROM ({_BASE_SQL})
+    )
+    """,
+    bench=False,
+)
+def ice_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.plans.predicates import (
+        parse_simple_predicates,
+    )
+    from iceberg_trino_sql_demo_spark.plans.pruning import prune_files
+
+    from pyspark.sql import functions as F
+
+    t = _scratch_customer(spark, sf_dir, bloom_filter_columns="custkey")
+    files = t._manifest(t._resolve()).data_files
+    assert all("bloom" in f.stats.get("1", {}) for f in files)
+    # absent key: bloom prunes what min/max cannot (unclustered column)
+    kept = prune_files(
+        files, t.meta, parse_simple_predicates("custkey = 987654321"), spark
+    )
+    assert len(kept) <= max(1, len(files) // 10), (
+        f"bloom failed to prune: {len(kept)}/{len(files)} files kept"
+    )
+    probe = t.df().agg(F.min("custkey")).collect()[0][0]
+    return t.df(where=f"custkey = {probe}").select("custkey", "name")
+
+
+# ---------------------------------------------------------------------------
 # D13 partition evolution (reference :191-207): three specs live at once,
 # rows readable across all of them
 # ---------------------------------------------------------------------------

@@ -467,3 +467,47 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("passes_gopher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signal — the Gopher/C4 "most frequent token dominates the
+# document" heuristic: a doc whose top token accounts for a large share
+# of all tokens is boilerplate (nav bars, log spam) and gets dropped
+# before training.  max_tf/n_tokens is ONE double division of two exact
+# integers (identical IEEE value both engines); the drop flag itself is
+# integer cross-multiplication (5*max_tf > n means top-token share >
+# 20%).  Plan: (doc, term) hash-agg then per-doc max — two map-side-
+# combined shuffles, both on fixed-width keys.
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE t != '' GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           max(tf) AS max_tf,
+           CAST(max(tf) AS DOUBLE) / sum(tf) AS top_token_share,
+           CASE WHEN 5 * max(tf) > sum(tf) THEN 1 ELSE 0 END AS flagged_repetitive
+      FROM tf GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.max("tf").alias("max_tf"),
+        (F.max("tf").cast("double") / F.sum("tf")).alias("top_token_share"),
+        (5 * F.max("tf") > F.sum("tf")).cast("int").alias("flagged_repetitive"),
+    )

@@ -297,3 +297,82 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel — users reaching each step of
+# view -> click -> purchase with STRICT time ordering (each step's event
+# must occur after the user's earliest previous-step completion).  The
+# standard product-analytics funnel, expressed as a chain of conditional
+# min-aggregates: step k's frame is (user_id, m_k = min ts of step-k
+# events after m_{k-1}).  Every aggregation and join keys on user_id, so
+# the whole chain is ONE shuffle partitioning reused across three stages;
+# the final output is three counter rows.  Timestamps are only compared,
+# never rendered, so the result is tz-independent and hash-exact.
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel_steps",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS m1 FROM events
+       WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS m2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.m1
+       GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS m3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.m2
+       GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, '{_FUNNEL_STEPS[1]}', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, '{_FUNNEL_STEPS[2]}', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    s1 = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("m1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("m1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("m2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("m2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("m3"))
+    )
+    rows = []
+    for i, (name, frame) in enumerate(
+        zip(_FUNNEL_STEPS, (s1, s2, s3)), start=1
+    ):
+        rows.append(
+            frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -159,6 +159,21 @@ def _stats_ok(f: DataFile, meta: TableMetadata, pred: Predicate) -> bool:
     if pred.op == "notnull":
         # all-NULL file: null_count equals the row count
         return st.get("nulls") is None or st.get("nulls") < f.record_count
+    # per-file bloom (sources/bloom.py, built when the table declares
+    # bloom_filter_columns): "definitely absent" beats min/max for point
+    # lookups on high-cardinality unclustered columns.  Probe only for
+    # values whose canonical form is engine-stable; missing bloom or
+    # unbloomable value falls through to min/max (conservative).
+    bl = st.get("bloom")
+    if bl:
+        from iceberg_trino_sql_demo_spark.sources.bloom import bloomable, contains
+
+        if pred.op == "=" and bloomable(pred.value):
+            if not contains(bl, pred.value):
+                return False
+        elif pred.op == "in" and all(bloomable(v) for v in pred.value):
+            if not any(contains(bl, v) for v in pred.value):
+                return False
     return _cmp_ok(st.get("min"), st.get("max"), pred.op, pred.value)
 
 

@@ -403,6 +403,40 @@ class Table:
     def merge_mode(self) -> str:
         return self.meta.properties.get("merge_mode", MERGE_ON_READ)
 
+    def _enrich_blooms(self, new_files: list["DataFile"]) -> None:
+        """Attach per-file bloom filters (stats[cid]['bloom']) for the
+        columns named in the ``bloom_filter_columns`` table property —
+        point-lookup file skipping for high-cardinality unclustered
+        columns (Iceberg's write.parquet.bloom-filter-enabled analog;
+        sources/bloom.py).  One narrow Spark job per commit; no-op when
+        the property is unset.  Loud on non-int/string columns: a bloom
+        whose canonical form diverges between build (JVM) and probe
+        (Python) would wrongly prune files."""
+        from iceberg_trino_sql_demo_spark.sources.bloom import (
+            _BLOOMABLE_TYPES,
+            build_file_blooms,
+        )
+
+        prop = self.meta.properties.get("bloom_filter_columns")
+        if not prop or not new_files:
+            return
+        cols: list[tuple[str, str]] = []
+        for name in [c.strip() for c in prop.split(",") if c.strip()]:
+            fld = self.meta.schema.field_by_name(name)
+            if fld.type not in _BLOOMABLE_TYPES:
+                raise ValueError(
+                    f"bloom_filter_columns: {name!r} has type {fld.type!r}; "
+                    "only integer/string columns have an engine-stable "
+                    "canonical form"
+                )
+            cols.append((str(fld.id), fld.pname))
+        blooms = build_file_blooms(
+            self.spark, [f.path for f in new_files], cols
+        )
+        for f in new_files:
+            for cid, hexbits in blooms.get(f.path, {}).items():
+                f.stats.setdefault(cid, {})["bloom"] = hexbits
+
     def _append_files(
         self,
         df: DataFrame,
@@ -420,6 +454,7 @@ class Table:
         new_files = write_data_files(
             df, self.location, m.schema, m.spec, m.last_sequence_number + 1, m.sort_order or None
         )
+        self._enrich_blooms(new_files)
         summary = {"added-data-files": len(new_files),
                    "added-records": sum(f.record_count for f in new_files), **(summary or {})}
         manifest = Manifest(base.data_files + new_files, base.delete_files)
@@ -621,6 +656,7 @@ class Table:
                 extra_physical_cols=[ROW_ID, LAST_SEQ],
             )
             new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]
+            self._enrich_blooms(new_files)
         out = Manifest(
             data_files + new_files,
             manifest.delete_files + entries,
@@ -666,6 +702,7 @@ class Table:
             preserve_order=preserve_order,
         )
         new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]
+        self._enrich_blooms(new_files)
         replaced_paths = {f.path for f in replaced}
         kept = [f for f in manifest.data_files if f.path not in replaced_paths]
         # delete files only referencing replaced data are now applied/garbage
@@ -851,6 +888,29 @@ class Table:
         fields = tuple(f for f in self.meta.schema.fields if f.name != name)
         if len(fields) == len(self.meta.schema.fields):
             raise KeyError(name)
+        self._evolve_schema(fields)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """RENAME COLUMN — metadata-only (Iceberg's ALTER TABLE ... RENAME
+        COLUMN; beyond the reference script, which evolves by add/drop
+        only — :164-187).  The field keeps its column id, so files written
+        under the old name keep resolving through the by-id projection
+        (reader._group_projection reads each file with ITS OWN schema
+        version's physical names) and no data file is rewritten; files
+        written after the rename store the new name under the same id.
+        Partition specs reference columns by source_id, so transforms on
+        the renamed column keep working unchanged."""
+        import dataclasses
+
+        m = self.meta
+        if any(f.name == new for f in m.schema.fields):
+            raise ValueError(f"column {new!r} already exists")
+        fields = tuple(
+            dataclasses.replace(f, name=new) if f.name == old else f
+            for f in m.schema.fields
+        )
+        if fields == m.schema.fields:
+            raise KeyError(old)
         self._evolve_schema(fields)
 
     def set_partitioning(self, partitioning: Iterable[str]) -> None:

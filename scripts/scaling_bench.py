@@ -37,6 +37,7 @@ FAMILY = [
     "dedup_simhash",
     "dedup_embedding_prefiltered",
     "dedup_embedding_prefiltered_multiprobe",
+    "dedup_semantic_clusters",
     "dedup_cluster_components",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
@@ -49,6 +50,7 @@ DIAG = {
     "dedup_simhash": "simhash_candidate_pairs",
     "dedup_embedding_prefiltered": "prefiltered_bucket_pairs",
     "dedup_embedding_prefiltered_multiprobe": "multiprobe_bucket_pairs",
+    "dedup_semantic_clusters": "semantic_cluster_pairs",
 }
 
 
@@ -142,6 +144,19 @@ def write_scaling_md(results: list[dict]) -> None:
         "the 100 TB plan shape viable.  Wall-times should grow near-linearly",
         "(sub-linearly for the probe-style ANN queries).",
         "`tests/test_scaling.py` asserts the pairs/doc bound mechanically.",
+        "",
+        "Two operators are deliberately NOT flat, and their growth is the",
+        "documented contract, not a regression:",
+        "`dedup_embedding_prefiltered_multiprobe` probes P+1 buckets per",
+        "vector with P = the occupancy-adaptive plane count ~ log2(n), so",
+        "pairs/doc grows logarithmically — O(n log n) total, the price of",
+        "the hamming<=1 recall guarantee (the flat-line alternative is the",
+        "single-probe operator above it).  `dedup_semantic_clusters`",
+        "compares all pairs within coarse-quantizer clusters of ~cent_mod",
+        "members, so pairs/doc ~ cent_mod/2 (constant 50 under the",
+        "oracle-stability floor, sqrt(n)/2 asymptotically) — the SemDeDup",
+        "trade of assignment cost against verify cost;",
+        "`tests/test_scaling.py` asserts the n*cent_mod ceiling.",
         "",
         "## What this harness caught (fixed before these numbers)",
         "",

@@ -88,6 +88,41 @@ def test_nanos_timestamp(t):
     assert format_ns_timestamp(raw) == lit  # all nine digits intact
 
 
+def test_rename_column_metadata_only(cat, spark, sf_dir):
+    """RENAME COLUMN (beyond the reference's add/drop surface): old files
+    resolve under the new name through the by-id projection, no data file
+    is rewritten, partition transforms on the renamed column keep
+    pruning, and a rename onto an existing name is refused."""
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+
+    cat.ctas(
+        "cust_rn", customer_pipeline(spark, sf_dir), partitioning=["mktsegment"]
+    )
+    t2 = cat.table("cust_rn")
+    files0 = {f.path for f in t2._manifest(t2._resolve()).data_files}
+    before = {(r.custkey, r.account_balance) for r in t2.df().collect()}
+
+    # rename the PARTITION SOURCE column itself — spec references by id
+    t2.rename_column("mktsegment", "segment")
+    t2.rename_column("account_balance", "balance")
+    files1 = {f.path for f in t2._manifest(t2._resolve()).data_files}
+    assert files1 == files0, "rename must not rewrite data files"
+
+    after = {(r.custkey, r.balance) for r in t2.df().collect()}
+    assert after == before
+    assert "account_balance" not in t2.df().columns
+    # writes under the new names land in the same columns/partitions
+    t2.insert([{"custkey": 900100, "name": "RN", "segment": "SQLENGINE",
+                "balance": 3.5, "nation": "FRANCE"}])
+    got = t2.df(where="segment = 'SQLENGINE' AND custkey = 900100").collect()
+    assert [r.balance for r in got] == [3.5]
+
+    with pytest.raises(ValueError):
+        t2.rename_column("balance", "segment")
+    with pytest.raises(KeyError):
+        t2.rename_column("no_such_col", "x")
+
+
 def test_partition_evolution(t):
     """Reference :191-209: change spec twice; old files keep their old spec;
     $partitions shows rows grouped per spec."""

@@ -49,9 +49,17 @@ class _Meta:
 
 
 def _file(idx: int, rows: list[tuple[int, int, str]]) -> DataFile:
+    from iceberg_trino_sql_demo_spark.sources.bloom import bloom_hex, positions
+
     ks = [r[0] for r in rows]
     vs = [r[1] for r in rows if r[1] is not None]  # v is nullable
     ss = [r[2] for r in rows]
+    # per-file blooms built from the true row values (exactly what
+    # Table._enrich_blooms stores) — bloom pruning now participates in
+    # the conservativeness property alongside min/max and partitions
+    def _bloom(vals):
+        return bloom_hex(p for v in vals for p in positions(v))
+
     return DataFile(
         path=f"/synthetic/f{idx}.parquet",
         spec_id=0,
@@ -60,13 +68,16 @@ def _file(idx: int, rows: list[tuple[int, int, str]]) -> DataFile:
         record_count=len(rows),
         file_size_bytes=1024,
         stats={
-            "1": {"min": min(ks), "max": max(ks), "nulls": 0},
+            "1": {"min": min(ks), "max": max(ks), "nulls": 0,
+                  "bloom": _bloom(ks)},
             "2": {
                 "min": min(vs) if vs else None,
                 "max": max(vs) if vs else None,
                 "nulls": len(rows) - len(vs),
+                "bloom": _bloom(vs),
             },
-            "3": {"min": min(ss), "max": max(ss), "nulls": 0},
+            "3": {"min": min(ss), "max": max(ss), "nulls": 0,
+                  "bloom": _bloom(ss)},
         },
         first_row_id=0,
         sequence_number=1,

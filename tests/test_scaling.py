@@ -63,6 +63,10 @@ def test_results_scale_linearly(spark, scaled):
         "dedup_shingle_jaccard",
         "dedup_embedding_prefiltered",
         "dedup_cluster_components",
+        # injected exact copies share their original's assignment by
+        # construction (identical vector -> identical argmin), so cluster
+        # re-partitioning at the bigger corpus cannot split a TRUE pair
+        "dedup_semantic_clusters",
     ):
         n1, nm = _counts(spark, name, base, big)
         assert nm == M * n1, f"{name}: {n1} -> {nm}, expected exactly {M}x"
@@ -95,6 +99,32 @@ def test_candidate_pairs_per_doc_stay_bounded(spark, scaled):
         assert perm <= 2.0 * per1, (
             f"{diag}: candidates/doc grew {per1:.2f} -> {perm:.2f} "
             f"(> 2x) — candidate generation is not scale-bounded"
+        )
+
+
+def test_semantic_cluster_pairs_obey_sqrt_bound(spark, scaled):
+    """SemDeDup candidate generation is deliberately n * avg_cluster_size:
+    n/cent_mod balanced clusters of ~cent_mod members give n*cent_mod/2
+    within-cluster pairs — NOT flat per-doc like the LSH family, but
+    sub-quadratic (cent_mod ~ sqrt(n) once past the oracle-stability
+    floor of 100, so n^1.5 asymptotically).  Assert the total stays under
+    n*cent_mod (2x slack over the balanced expectation absorbs
+    cluster-size variance)."""
+    from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _adaptive_cent_mod,
+    )
+
+    base, big = scaled
+    for d in (base, big):
+        n = (
+            spark.read.parquet(os.path.join(d, "embeddings.parquet")).count()
+        )
+        n_corpus = n + n // 10  # + injected copies
+        bound = n_corpus * _adaptive_cent_mod(n_corpus)
+        cand = dedup_diag.semantic_cluster_pairs(spark, d).count()
+        assert cand <= bound, (
+            f"semantic candidates {cand} exceed n*cent_mod ({bound}) "
+            "— clusters degenerate"
         )
 
 
@@ -254,3 +284,44 @@ def test_adaptive_knobs_engage_beyond_oracle_scales(spark):
     assert _adaptive_planes(40_000) > N_PLANES
     assert _adaptive_cent_mod(40_000) == 200
     assert _adaptive_planes(1_000_000) >= 16
+
+
+def test_semantic_pair_branches_agree(spark, scaled):
+    """The GEMM scale branch of dedup_semantic_clusters must reproduce the
+    oracle-checked SQL-expression branch exactly on the same assignment
+    (same pair set; cosines within the 6-decimal rounding the operator
+    emits).  Mirrors the simhash two-blockings-identical-results proof."""
+    from iceberg_trino_sql_demo_spark.operators.dedup import (
+        _semantic_pairs,
+        emb_corpus_with_dups,
+    )
+    from iceberg_trino_sql_demo_spark.operators.similarity import (
+        _CENT_RESIDUE,
+        _adaptive_cent_mod,
+        _assign,
+    )
+
+    _base, big = scaled
+    corpus = emb_corpus_with_dups(spark, big)
+    cent_mod = _adaptive_cent_mod(corpus.count())
+    from pyspark.sql import functions as F
+
+    cent = corpus.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    assigned = _assign(corpus, cent).persist()
+    try:
+        sql_pairs = {
+            (r.cluster, r.id_a, r.id_b): r.cosine
+            for r in _semantic_pairs(assigned, use_gemm=False).collect()
+        }
+        gemm_pairs = {
+            (r.cluster, r.id_a, r.id_b): r.cosine
+            for r in _semantic_pairs(assigned, use_gemm=True).collect()
+        }
+    finally:
+        assigned.unpersist()
+    assert sql_pairs.keys() == gemm_pairs.keys()
+    assert sql_pairs, "scaled corpus must contain injected duplicate pairs"
+    for k, c in sql_pairs.items():
+        assert abs(c - gemm_pairs[k]) <= 1e-6, (k, c, gemm_pairs[k])

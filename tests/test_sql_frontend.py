@@ -320,3 +320,19 @@ def test_execute_optimize_zorder(eng):
     t = eng.catalog.table("z_probe")
     assert t.meta.properties.get("zorder-by") == "n_nationkey,n_regionkey"
     assert {tuple(r) for r in sql("SELECT * FROM z_probe").collect()} == before
+
+
+def test_alter_table_rename_column(eng):
+    """ALTER TABLE ... RENAME COLUMN routes to the metadata-only rename:
+    values survive under the new name, the old name is gone, and inserts
+    address the new name."""
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS rn_probe")
+    sql("CREATE OR REPLACE TABLE rn_probe AS SELECT * FROM tpch.sf1.nation")
+    before = {(r.n_nationkey, r.n_name) for r in sql("SELECT * FROM rn_probe").collect()}
+    sql("ALTER TABLE rn_probe RENAME COLUMN n_name TO nation_name")
+    rows = sql("SELECT * FROM rn_probe").collect()
+    assert {(r.n_nationkey, r.nation_name) for r in rows} == before
+    assert "n_name" not in rows[0].asDict()
