@@ -242,6 +242,7 @@ def release_caches() -> None:
         dedup._SIMHASH_PERSISTED,
         dedup._PREF_PERSISTED,
         dedup._CC_PERSISTED,
+        dedup._SEM_PERSISTED,
         similarity._LSH_PERSISTED,
     ):
         while lst:
