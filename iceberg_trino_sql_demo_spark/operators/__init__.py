@@ -173,6 +173,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_repetition_ratio",
     "ice_rename_column",
     "ice_bloom_point_lookup",
+    "ice_mv_incremental",
     # -- implementation changed this round (round-4 perf/scale work)
     "text_fingerprint",
     "contamination_ngram",

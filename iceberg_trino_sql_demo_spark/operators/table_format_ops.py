@@ -723,6 +723,52 @@ def ice_views_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# D15+ (beyond): INCREMENTAL MV refresh — the base-tracked MV re-evaluates
+# its defining SQL over ONLY the CDC delta (table_changes) when the base
+# history since its last refresh is append-only, and the scenario ASSERTS
+# the incremental path was taken (last_refresh_mode) while the oracle
+# verifies the values equal the full recomputation.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_mv_incremental",
+    oracle=f"""
+    WITH state AS (
+      SELECT custkey, name, mktsegment FROM ({_BASE_SQL})
+      UNION ALL SELECT 90000021, 'INC A', 'SQLENGINE'
+      UNION ALL SELECT 90000022, 'INC B', 'AUTOMOBILE'
+    )
+    SELECT custkey, name FROM state WHERE mktsegment = 'SQLENGINE'
+    """,
+    bench=False,
+)
+def ice_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="ice_wh_"))
+    cat.create_schema("demo")
+    cat.use("demo")
+    schema, rows = _cached_src(spark, sf_dir)
+    t = cat.ctas("customer", spark.createDataFrame(rows, schema))
+    cat.register_table_view("customer", view_name="ice_inc_customer")
+    cat.create_materialized_view(
+        "mv_inc",
+        "SELECT custkey, name FROM ice_inc_customer WHERE mktsegment = 'SQLENGINE'",
+        base_table="customer",
+        base_view="ice_inc_customer",
+    )
+    t.insert([
+        {"custkey": 90000021, "name": "INC A", "mktsegment": "SQLENGINE",
+         "account_balance": 1.0, "nation": "FRANCE"},
+        {"custkey": 90000022, "name": "INC B", "mktsegment": "AUTOMOBILE",
+         "account_balance": 2.0, "nation": "FRANCE"},
+    ])
+    mv = cat.refresh_materialized_view("mv_inc")
+    mode = cat.data["mviews"][cat._qualify("mv_inc")]["last_refresh_mode"]
+    assert mode == "incremental-append", mode
+    return mv.df()
+
+
+# ---------------------------------------------------------------------------
 # V7/V8 expire_snapshots + remove_orphan_files (reference :260-261): expiry
 # drops the two non-head snapshots (removing their unique files), and
 # orphan removal deletes exactly the planted stray write-attempt file

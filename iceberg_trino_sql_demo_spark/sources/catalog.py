@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -150,27 +151,170 @@ class Catalog:
 
     # -- materialized views (D15) -----------------------------------------
     def create_materialized_view(
-        self, name: str, sql: str, refresh_schedule: str | None = None
+        self,
+        name: str,
+        sql: str,
+        refresh_schedule: str | None = None,
+        base_table: str | None = None,
+        aggregate_merge: dict | None = None,
+        base_view: str | None = None,
     ) -> Table:
         """CREATE OR REPLACE MATERIALIZED VIEW ... WITH (refresh_schedule)
-        (:57-59).  The cron string is retained as a property only — there is
-        no scheduler in scope (SURVEY.md: deliberately out)."""
+        (:57-59).  The cron string is stored AND evaluated
+        (due_materialized_views); an external beat or the opt-in ticker
+        drives the refresh calls.
+
+        ``base_table`` opts into INCREMENTAL refresh: the MV records the
+        base's snapshot id at each refresh, and a later refresh whose
+        intervening base history is append-only processes ONLY the added
+        rows (table_changes CDC) instead of rescanning the base —
+        - per-row defining SQL (no aggregate/join/distinct/order/limit,
+          detected conservatively): the delta's transformed rows are
+          APPENDED to the MV;
+        - with ``aggregate_merge={"keys": [...], "sums": [...],
+          "counts": [...]}`` covering every MV output column: the delta
+          is aggregated alone and MERGED into the MV by key arithmetic
+          (sum+sum, count+count) — the TimescaleDB continuous-aggregate /
+          Materialize shape for distributive aggregates.
+        Any non-append base history (delete/update/rewrite) or
+        non-mergeable SQL falls back to the full re-run, so incremental
+        mode can never change results.  ``last_refresh_mode`` in the MV
+        catalog entry records which path the last refresh took."""
         q = self._qualify(name)
         props = {"mv": "true"}
         if refresh_schedule:
             props["refresh_schedule"] = refresh_schedule
         t = self.ctas(name, self.spark.sql(sql), properties=props)
-        self.data["mviews"][q] = {"sql": sql}
+        entry: dict = {"sql": sql}
+        if base_table:
+            bq = self._qualify(base_table)
+            bt = self.table(bq)
+            if aggregate_merge is not None:
+                covered = set(aggregate_merge.get("keys", [])) | set(
+                    aggregate_merge.get("sums", [])
+                ) | set(aggregate_merge.get("counts", []))
+                mv_cols = set(f.name for f in t.meta.schema.fields)
+                if covered != mv_cols:
+                    raise ValueError(
+                        f"aggregate_merge must cover every MV column: "
+                        f"spec {sorted(covered)} vs MV {sorted(mv_cols)}"
+                    )
+            entry.update(
+                base_table=bq,
+                base_snapshot_id=bt.meta.refs.get("main"),
+                aggregate_merge=aggregate_merge,
+                # the temp-view name the defining SQL reads the base under
+                # (register_table_view's view_name); default = short name
+                base_view=base_view or bq.split(".")[-1],
+            )
+        self.data["mviews"][q] = entry
         self._save()
         return t
 
+    #: defining-SQL features that make blind append-incremental WRONG —
+    #: matched conservatively (a false positive only costs a full re-run)
+    _NON_PER_ROW = re.compile(
+        r"\b(GROUP\s+BY|JOIN|DISTINCT|HAVING|UNION|INTERSECT|EXCEPT|"
+        r"ORDER\s+BY|LIMIT|OVER)\b|\b(count|sum|avg|min|max)\s*\(",
+        re.IGNORECASE,
+    )
+
     def refresh_materialized_view(self, name: str) -> Table:
-        """REFRESH MATERIALIZED VIEW (:60): re-run the stored SQL, commit as
-        a new replace snapshot (history retained)."""
+        """REFRESH MATERIALIZED VIEW (:60).  Incremental when the MV was
+        created with ``base_table`` and the base history since the last
+        refresh is append-only (see create_materialized_view); otherwise
+        the stored SQL re-runs in full as a replace snapshot (history
+        retained either way)."""
         q = self._qualify(name)
-        sql = self.data["mviews"][q]["sql"]
+        entry = self.data["mviews"][q]
+        sql = entry["sql"]
         t = self.table(name)
-        return self.ctas(name, self.spark.sql(sql), properties=t.meta.properties)
+        if entry.get("base_table"):
+            mode, t, done_sid = self._refresh_incremental(q, entry, t)
+            # advance the watermark only AFTER the refresh committed — a
+            # failed incremental refresh must re-process its delta on retry
+            entry["base_snapshot_id"] = done_sid
+        else:
+            mode = "full"
+            t = self.ctas(name, self.spark.sql(sql), properties=t.meta.properties)
+        entry["last_refresh_mode"] = mode
+        from iceberg_trino_sql_demo_spark.sources.metadata import now_ms
+
+        entry["last_refresh_ms"] = now_ms()
+        self._save()
+        return t
+
+    def _refresh_incremental(self, q: str, entry: dict, t: Table):
+        """(mode, refreshed table, processed base snapshot id) for a
+        base-tracked MV — see create_materialized_view for the decision
+        table."""
+        from pyspark.sql import functions as F
+
+        sql = entry["sql"]
+        bt = self.table(entry["base_table"])
+        cur_sid = bt.meta.refs.get("main")
+        prev_sid = entry.get("base_snapshot_id")
+        short = entry.get("base_view") or entry["base_table"].split(".")[-1]
+
+        def full() -> Table:
+            self.register_table_view(entry["base_table"], short)
+            return self.ctas(q, self.spark.sql(sql), properties=t.meta.properties)
+
+        if cur_sid == prev_sid:
+            return "noop", t, cur_sid
+        # append-only history check: walk the parent chain (cur, prev]
+        ops = []
+        s = bt.meta.snapshot_by_id(cur_sid)
+        while s is not None and s.snapshot_id != prev_sid:
+            ops.append(s.operation)
+            s = (
+                None
+                if s.parent_id is None
+                else bt.meta.snapshot_by_id(s.parent_id)
+            )
+        history_linear = s is not None  # prev reached => linear append chain
+        if not history_linear or any(op != "append" for op in ops):
+            return "full", full(), cur_sid
+
+        delta = (
+            bt.table_changes(prev_sid, cur_sid)
+            .where(F.col("_change_type") == "insert")
+            .drop("_change_type", "_change_ordinal", "_commit_snapshot_id")
+        )
+        # evaluate the defining SQL over the DELTA ONLY: swap the base's
+        # temp view for the delta frame, analyze, then restore the full
+        # view (analysis captures the delta plan; later re-registration
+        # does not disturb it)
+        delta.createOrReplaceTempView(short)
+        try:
+            delta_out = self.spark.sql(sql)
+            delta_out.schema  # force analysis while the delta view is bound
+        finally:
+            self.register_table_view(entry["base_table"], short)
+
+        spec = entry.get("aggregate_merge")
+        if spec:
+            keys = spec.get("keys", [])
+            addable = spec.get("sums", []) + spec.get("counts", [])
+            old = t.df()
+            types = {f.name: f.dataType for f in old.schema.fields}
+            merged = old.alias("o").join(delta_out.alias("d"), keys, "full_outer").select(
+                *[F.coalesce(F.col(f"o.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
+                *[
+                    (
+                        F.coalesce(F.col(f"o.{c}"), F.lit(0).cast(types[c]))
+                        + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast(types[c]))
+                    ).cast(types[c]).alias(c)
+                    for c in addable
+                ],
+            )
+            return "incremental-merge", self.ctas(
+                q, merged, properties=t.meta.properties
+            ), cur_sid
+        if not self._NON_PER_ROW.search(sql):
+            t.append(delta_out)
+            return "incremental-append", t.refresh(), cur_sid
+        return "full", full(), cur_sid
 
     def due_materialized_views(self, now=None) -> list[str]:
         """MVs whose ``refresh_schedule`` cron has fired since their last
@@ -190,6 +334,10 @@ class Catalog:
             if not sched or not t.meta.snapshots:
                 continue
             last_ms = max(s.timestamp_ms for s in t.meta.snapshots)
+            # an incremental refresh that found no new base data commits
+            # nothing — its recorded beat still counts, or the MV would
+            # re-fire every tick until data arrives
+            last_ms = max(last_ms, self.data["mviews"][q].get("last_refresh_ms", 0))
             last = datetime.utcfromtimestamp(last_ms / 1000.0)
             if is_due(sched, last, now):
                 due.append(q)

@@ -465,6 +465,18 @@ class Table:
             manifest, operation, ref, summary, rebase=base_manifest is None
         )
 
+    def append(self, df: DataFrame, ref: str = MAIN) -> Snapshot:
+        """Append a DataFrame as new data files (engine-internal
+        INSERT ... SELECT; used by the incremental MV refresh path).
+        Columns are aligned to the current schema by name with casts."""
+        aligned = df.select(
+            *[
+                F.col(f.name).cast(spark_type(f.type)).alias(f.name)
+                for f in self.meta.schema.fields
+            ]
+        )
+        return self._append_files(aligned, "append", ref)
+
     def _align_values_df(self, rows: list[dict]) -> DataFrame:
         """VALUES rows (possibly partial columns) -> schema-aligned DataFrame
         with write-defaults filled (reference :168: INSERT omitting a

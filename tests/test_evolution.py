@@ -229,3 +229,100 @@ def test_show_create_schema_roundtrip(cat):
     ddl = cat.show_create_schema("demo")
     assert ddl.startswith("CREATE SCHEMA demo")
     assert "location" in ddl
+
+
+def test_incremental_mv_refresh_per_row(cat, spark, sf_dir):
+    """A base-tracked per-row MV refreshes by APPENDING only the delta
+    rows when the base history is append-only, matches the full re-run
+    row-for-row, and falls back to full refresh after a base DELETE."""
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+
+    cat.ctas("mv_base", customer_pipeline(spark, sf_dir))
+    cat.register_table_view("mv_base")
+    cat.create_materialized_view(
+        "mv_rows",
+        "SELECT custkey, name FROM mv_base WHERE mktsegment = 'SQLENGINE'",
+        base_table="mv_base",
+    )
+    bt = cat.table("mv_base")
+    bt.insert([
+        {"custkey": 910001, "name": "INC ONE", "mktsegment": "SQLENGINE",
+         "account_balance": 1.0, "nation": "FRANCE"},
+        {"custkey": 910002, "name": "OTHER SEG", "mktsegment": "AUTOMOBILE",
+         "account_balance": 2.0, "nation": "FRANCE"},
+    ])
+    mv = cat.refresh_materialized_view("mv_rows")
+    e = cat.data["mviews"][cat._qualify("mv_rows")]
+    assert e["last_refresh_mode"] == "incremental-append"
+    got = {(r.custkey, r.name) for r in mv.df().collect()}
+    cat.register_table_view("mv_base")
+    want = {
+        (r.custkey, r.name)
+        for r in spark.sql(
+            "SELECT custkey, name FROM mv_base WHERE mktsegment = 'SQLENGINE'"
+        ).collect()
+    }
+    assert got == want and (910001, "INC ONE") in got
+    # no new base data -> noop, nothing committed
+    v_before = mv.version
+    mv = cat.refresh_materialized_view("mv_rows")
+    assert cat.data["mviews"][cat._qualify("mv_rows")]["last_refresh_mode"] == "noop"
+    assert cat.table("mv_rows").version == v_before
+    # base DELETE breaks append-only history -> full fallback, still correct
+    bt.delete("custkey = 910001")
+    mv = cat.refresh_materialized_view("mv_rows")
+    assert cat.data["mviews"][cat._qualify("mv_rows")]["last_refresh_mode"] == "full"
+    got = {(r.custkey, r.name) for r in mv.df().collect()}
+    assert (910001, "INC ONE") not in got
+
+
+def test_incremental_mv_refresh_aggregate_merge(cat, spark, sf_dir):
+    """A base-tracked aggregate MV with an aggregate_merge spec refreshes
+    by aggregating ONLY the delta and merging by key arithmetic; result
+    equals the full re-computation."""
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+
+    cat.ctas("agg_base", customer_pipeline(spark, sf_dir))
+    cat.register_table_view("agg_base")
+    mv_sql = """SELECT nation,
+                       CAST(count(*) AS BIGINT) AS n_customers,
+                       CAST(sum(CAST(account_balance AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+                  FROM agg_base GROUP BY nation"""
+    cat.create_materialized_view(
+        "mv_agg", mv_sql, base_table="agg_base",
+        aggregate_merge={"keys": ["nation"],
+                         "counts": ["n_customers"],
+                         "sums": ["total_balance"]},
+    )
+    bt = cat.table("agg_base")
+    bt.insert([
+        {"custkey": 920001, "name": "AGG NEW NATION", "mktsegment": "SQLENGINE",
+         "account_balance": 10.0, "nation": "ATLANTIS"},
+        {"custkey": 920002, "name": "AGG EXISTING", "mktsegment": "SQLENGINE",
+         "account_balance": 5.5, "nation": "FRANCE"},
+    ])
+    mv = cat.refresh_materialized_view("mv_agg")
+    e = cat.data["mviews"][cat._qualify("mv_agg")]
+    assert e["last_refresh_mode"] == "incremental-merge"
+    got = {(r.nation, r.n_customers, round(r.total_balance, 2))
+           for r in mv.df().collect()}
+    cat.register_table_view("agg_base")
+    want = {(r.nation, r.n_customers, round(r.total_balance, 2))
+            for r in spark.sql(mv_sql).collect()}
+    assert got == want
+    assert any(n == "ATLANTIS" and c == 1 for n, c, _b in got)
+
+
+def test_incremental_mv_spec_must_cover_columns(cat, spark, sf_dir):
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+    import pytest as _pytest
+
+    cat.ctas("cov_base", customer_pipeline(spark, sf_dir))
+    cat.register_table_view("cov_base")
+    with _pytest.raises(ValueError, match="aggregate_merge"):
+        cat.create_materialized_view(
+            "mv_cov",
+            "SELECT nation, CAST(count(*) AS BIGINT) AS n FROM cov_base GROUP BY nation",
+            base_table="cov_base",
+            aggregate_merge={"keys": ["nation"], "counts": []},
+        )
