@@ -1177,38 +1177,105 @@ def dedup_embedding_prefiltered_multiprobe(
     dedup_embedding_prefiltered at (P+1)x the candidate-generation cost
     constant.  Shares the persisted bucketed corpus with the single-probe
     operator."""
-    from iceberg_trino_sql_demo_spark.operators.similarity import _dot
+    from iceberg_trino_sql_demo_spark.operators.similarity import N_PLANES
 
     bucketed, n_planes = prefiltered_bucketed_corpus(spark, sf_dir)
-    # ONE join, payload on the probe side: the alternative (narrow
-    # (id, probe) fan-out + two embedding join-backs over the candidate
-    # pairs) shuffles the 64-float arrays through every candidate row
-    # TWICE — measured 26 s warm at the 20x scale point vs ~6 s for this
-    # shape.  Here the fan-out replicates each vector (P+1)x once
-    # (P ~ log n by the occupancy-adaptive plane count), candidates are
-    # scored inside the join projection exactly like the single-probe
-    # operator, and no pair row ever carries an array through a second
-    # shuffle.
+    return _multiprobe_pairs(bucketed, n_planes, use_gemm=n_planes != N_PLANES)
+
+
+def _multiprobe_pairs(
+    bucketed: DataFrame, n_planes: int, use_gemm: bool
+) -> DataFrame:
+    """Hamming<=1 multi-probe pairs over a (vec_id, embedding, nrm,
+    bucket) frame.  Two result-equivalent branches (parity asserted in
+    tests/test_scaling.py): SQL expression dots (bit-identical to the
+    DuckDB oracle, used at oracle-checked scales where n_planes ==
+    N_PLANES) vs per-bucket cogrouped numpy GEMM (used beyond them)."""
+    from iceberg_trino_sql_demo_spark.operators.similarity import _dot
+
     probe_keys = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
     )
+    if not use_gemm:
+        # ONE join, payload on the probe side: the alternative (narrow
+        # (id, probe) fan-out + two embedding join-backs over the candidate
+        # pairs) shuffles the 64-float arrays through every candidate row
+        # TWICE — measured 26 s warm at the 20x scale point vs ~6 s for
+        # this shape.  Here the fan-out replicates each vector (P+1)x once
+        # (P ~ log n by the occupancy-adaptive plane count), candidates
+        # are scored inside the join projection exactly like the
+        # single-probe operator, and no pair row ever carries an array
+        # through a second shuffle.  Each unordered pair is generated at
+        # most once (the probe side is always the smaller id, and exactly
+        # one of {identity, flip_i} can match a given partner bucket), so
+        # no distinct is needed.
+        probes = bucketed.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"), F.explode(probe_keys).alias("probe"),
+        )
+        b = bucketed.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"), "bucket",
+        )
+        cand = probes.join(b, probes["probe"] == b["bucket"]).where(
+            F.col("id_a") < F.col("id_b")
+        )
+        cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+        return (
+            cand.select("id_a", "id_b", cosine.alias("c"))
+            .where(F.col("c") >= 0.95)
+            .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
+        )
+    # scale path (adaptive plane count, beyond any oracle-checked corpus):
+    # the expression-dot join scores every candidate one unrolled 64-term
+    # dot at a time (measured 24 s warm at the 50x point, 8.3M pairs);
+    # cogrouping probers with members by bucket key scores each bucket's
+    # probe-set x member-set cross product as ONE numpy GEMM.  Buckets are
+    # occupancy-bounded (~_PREF_TARGET_OCCUPANCY members, (P+1) x that in
+    # probers), so per-group matrices stay tiny and the shuffled payload
+    # is the same (P+1)-fold probe fan-out the SQL branch pays — only the
+    # scoring is vectorized.  The probe/member role split preserves the
+    # exactly-once pair generation (emit only id_a < id_b; a given pair's
+    # smaller id probes the larger id's bucket through exactly one key).
+    import numpy as np
+    import pandas as pd
+
     probes = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"), F.explode(probe_keys).alias("probe"),
+        F.explode(probe_keys).alias("probe"),
     )
-    b = bucketed.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"), "bucket",
+    members = bucketed.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket"
     )
-    cand = probes.join(b, probes["probe"] == b["bucket"]).where(
-        F.col("id_a") < F.col("id_b")
-    )
-    cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+
+    def bucket_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+        if left.empty or right.empty:
+            return empty
+        ida = left["id_a"].to_numpy()
+        idb = right["id_b"].to_numpy()
+        a = np.stack(left["ea"].to_numpy()).astype(np.float64)
+        bm = np.stack(right["eb"].to_numpy()).astype(np.float64)
+        an = a / np.linalg.norm(a, axis=1, keepdims=True)
+        bn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        sims = an @ bn.T
+        ii, jj = np.nonzero((sims >= 0.95) & (ida[:, None] < idb[None, :]))
+        if not ii.size:
+            return empty
+        return pd.DataFrame(
+            {"id_a": ida[ii], "id_b": idb[jj],
+             "cosine": np.round(sims[ii, jj], 6)}
+        )
+
     return (
-        cand.select("id_a", "id_b", cosine.alias("c"))
-        .where(F.col("c") >= 0.95)
-        .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
+        probes.groupBy("probe")
+        .cogroup(members.groupBy("bucket"))
+        .applyInPandas(bucket_pairs, "id_a long, id_b long, cosine double")
     )
 
 

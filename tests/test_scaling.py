@@ -325,3 +325,41 @@ def test_semantic_pair_branches_agree(spark, scaled):
     assert sql_pairs, "scaled corpus must contain injected duplicate pairs"
     for k, c in sql_pairs.items():
         assert abs(c - gemm_pairs[k]) <= 1e-6, (k, c, gemm_pairs[k])
+
+
+def test_multiprobe_pair_branches_agree(spark, sf_dir, tmp_path_factory):
+    """The cogrouped-GEMM scale branch of the multiprobe operator must
+    reproduce the oracle-checked SQL-expression branch exactly on the
+    same bucketed corpus, in the adaptive-plane regime where the scale
+    branch actually engages."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.scale_corpus import build_scaled_corpus
+
+    from iceberg_trino_sql_demo_spark.operators.dedup import (
+        _multiprobe_pairs,
+        prefiltered_bucketed_corpus,
+    )
+    from iceberg_trino_sql_demo_spark.operators.similarity import N_PLANES
+
+    d = str(tmp_path_factory.mktemp("mp_scaled") / "x12")
+    build_scaled_corpus(sf_dir, d, 12)
+    bucketed, n_planes = prefiltered_bucketed_corpus(spark, d, persist=False)
+    assert n_planes > N_PLANES, "adaptive regime not engaged"
+    bucketed = bucketed.persist()
+    try:
+        sql_pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in _multiprobe_pairs(bucketed, n_planes, use_gemm=False).collect()
+        }
+        gemm_pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in _multiprobe_pairs(bucketed, n_planes, use_gemm=True).collect()
+        }
+    finally:
+        bucketed.unpersist()
+    assert sql_pairs.keys() == gemm_pairs.keys()
+    assert sql_pairs, "scaled corpus must contain injected duplicate pairs"
+    for k, c in sql_pairs.items():
+        assert abs(c - gemm_pairs[k]) <= 1e-6, (k, c, gemm_pairs[k])
