@@ -326,3 +326,32 @@ def test_incremental_mv_spec_must_cover_columns(cat, spark, sf_dir):
             base_table="cov_base",
             aggregate_merge={"keys": ["nation"], "counts": []},
         )
+
+
+def test_incremental_mv_multiple_beats(cat, spark, sf_dir):
+    """Three consecutive append+refresh beats each take the incremental
+    path and stay equal to the full recomputation — the watermark chain
+    (base_snapshot_id advancing per refresh) works across rounds, not
+    just once."""
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+
+    cat.ctas("beat_base", customer_pipeline(spark, sf_dir))
+    cat.register_table_view("beat_base")
+    mv_sql = ("SELECT custkey, account_balance FROM beat_base "
+              "WHERE account_balance > 0")
+    cat.create_materialized_view("mv_beats", mv_sql, base_table="beat_base")
+    bt = cat.table("beat_base")
+    q = cat._qualify("mv_beats")
+    for beat in range(3):
+        bt.insert([
+            {"custkey": 930000 + beat, "name": f"BEAT {beat}",
+             "mktsegment": "SQLENGINE", "account_balance": 1.0 + beat,
+             "nation": "FRANCE"},
+        ])
+        mv = cat.refresh_materialized_view("mv_beats")
+        assert cat.data["mviews"][q]["last_refresh_mode"] == "incremental-append"
+        got = {(r.custkey, r.account_balance) for r in mv.df().collect()}
+        cat.register_table_view("beat_base")
+        want = {(r.custkey, r.account_balance)
+                for r in spark.sql(mv_sql).collect()}
+        assert got == want, f"beat {beat} diverged"
