@@ -133,6 +133,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_retention_cohorts",
     "events_funnel_steps",
     "text_repetition_ratio",
+    "training_corpus_select",
     # -- newest driver row is r02: relational shapes (the five most
     # trivial unchanged-since-r01 shapes — orderdate_range,
     # customer_in_list, concat_datefmt, interval_cutoff,

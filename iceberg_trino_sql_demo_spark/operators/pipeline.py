@@ -341,3 +341,131 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= ((F.col("n") + 9) / 10).cast("long"))
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus selection — the composed "what this engine is for"
+# query: one Catalyst DAG chaining the Gopher quality gate, exact-dup
+# keeper election, benchmark-decontamination scan, and the deterministic
+# md5 train/valid/test split, emitting the final training-corpus roster.
+# Every stage reuses the EXACT identity its standalone operator (and that
+# operator's oracle) uses — quality_filter_gopher's integer rules,
+# dedup_exact's min-id-per-md5 keeper, contamination_ngram's uncapped
+# hashed-shingle overlap vs the broadcast eval set, sample_hash_bucket's
+# md5 bucketing — so the composition is verified end-to-end by one DuckDB
+# oracle rather than stage-by-stage trust.  Shuffles: tokenize agg on
+# doc_id, keeper agg on the 128-bit content hash, shingle agg on doc_id,
+# three doc_id-keyed joins (co-partitioned); the eval shingle set stays a
+# broadcast.  No stage is new state — at 100 TB this runs at the same
+# cost as its most expensive member, not the sum of separate scans.
+# ---------------------------------------------------------------------------
+def _corpus_select_oracle() -> str:
+    from iceberg_trino_sql_demo_spark.operators.dedup import (
+        _SH_PAIRS_SQL,
+        _SHINGLE_OCC_SQL,
+    )
+    from iceberg_trino_sql_demo_spark.operators.text import _STOP_SQL
+
+    pairs = _SH_PAIRS_SQL.format(
+        occ=_SHINGLE_OCC_SQL.format(corpus="SELECT doc_id, text FROM documents")
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       WHERE doc_id % {_EVAL_MOD} != 0
+    ),
+    quality AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(t)) AS BIGINT) AS sum_len,
+             CAST(sum(CASE WHEN regexp_matches(t, '[A-Za-z]') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_alpha,
+             CAST(count(DISTINCT CASE WHEN t IN {_STOP_SQL} THEN t END)
+                  AS BIGINT) AS n_stop
+        FROM tok WHERE t != '' GROUP BY doc_id
+    ),
+    passing AS (
+      SELECT doc_id, n_words FROM quality
+       WHERE n_words >= 50 AND n_words <= 100000
+         AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+         AND 5 * n_alpha >= 4 * n_words
+         AND n_stop >= 2
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    sh AS ({pairs}),
+    eval_sh AS (
+      SELECT DISTINCT h1, h2 FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+        FROM (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} != 0) t
+        JOIN eval_sh e ON t.h1 = e.h1 AND t.h2 = e.h2
+    )
+    SELECT p.doc_id, p.n_words,
+           CASE WHEN ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+                THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                THEN 'valid' ELSE 'test' END AS split
+      FROM passing p
+      JOIN keepers k ON k.doc_id = p.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = p.doc_id
+     WHERE c.doc_id IS NULL
+    """
+
+
+@register("training_corpus_select", oracle=_corpus_select_oracle())
+def training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final training-corpus roster: non-eval docs that pass the Gopher
+    rules, win their exact-dup keeper election, carry zero eval-shingle
+    overlap, and get a deterministic md5 80/10/10 split."""
+    from iceberg_trino_sql_demo_spark.operators.dedup import shingle_hash_pairs
+    from iceberg_trino_sql_demo_spark.operators.text import _STOPWORDS
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    nonval = docs.where(~is_eval)
+
+    toks = (
+        nonval.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    quality = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("t")).alias("sum_len"),
+        F.sum(F.col("t").rlike("[A-Za-z]").cast("long")).alias("n_alpha"),
+        F.countDistinct(
+            F.when(F.col("t").isin(*_STOPWORDS), F.col("t"))
+        ).alias("n_stop"),
+    )
+    passing = quality.where(
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (3 * F.col("n_words") <= F.col("sum_len"))
+        & (F.col("sum_len") <= 10 * F.col("n_words"))
+        & (5 * F.col("n_alpha") >= 4 * F.col("n_words"))
+        & (F.col("n_stop") >= 2)
+    ).select("doc_id", "n_words")
+
+    keepers = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+
+    eval_sh = shingle_hash_pairs(docs.where(is_eval)).select("h1", "h2").distinct()
+    contaminated = (
+        shingle_hash_pairs(nonval)
+        .join(F.broadcast(eval_sh), ["h1", "h2"])
+        .select("doc_id")
+        .distinct()
+    )
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        passing.join(keepers.select("doc_id"), "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "n_words", split.alias("split"))
+    )
