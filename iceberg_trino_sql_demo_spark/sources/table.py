@@ -923,6 +923,18 @@ class Table:
         )
         if fields == m.schema.fields:
             raise KeyError(old)
+        # name-based references must follow the rename or later writes
+        # break on the stale name: declared sort order, and the
+        # comma-separated column-list properties (bloom filters, recorded
+        # z-order clustering)
+        m.sort_order = [new if c == old else c for c in m.sort_order]
+        for prop in ("bloom_filter_columns", "zorder-by"):
+            val = m.properties.get(prop)
+            if val:
+                m.properties[prop] = ",".join(
+                    new if c.strip() == old else c.strip()
+                    for c in val.split(",")
+                )
         self._evolve_schema(fields)
 
     def set_partitioning(self, partitioning: Iterable[str]) -> None:
@@ -1204,6 +1216,25 @@ class Table:
         if not compact:
             return None
         src = self._read_files_with_lineage(manifest, compact)
+        # the actual BIN-PACK: without this the rewrite inherits one output
+        # task per input file and re-emits the same small files (the empty-
+        # part-file harvest drop exposed exactly that — the old test only
+        # passed because phantom empty entries inflated the before-count)
+        import math as _math
+
+        target = max(
+            1,
+            _math.ceil(sum(f.file_size_bytes for f in compact) / file_size_threshold),
+        )
+        if self.meta.sort_order:
+            # sorted tables compact via RANGE partitioning on the sort key:
+            # coalesce would merge arbitrary inputs (overlapping [min,max]
+            # per output file, eroding the skipping sorted_by exists for);
+            # range + the rewrite's sortWithinPartitions yields globally
+            # clustered, disjoint-range files
+            src = src.repartitionByRange(target, *self.meta.sort_order)
+        else:
+            src = src.coalesce(target)
         return self._rewrite_files(manifest, compact, src, "replace", MAIN)
 
     def _optimize_zorder(

@@ -173,6 +173,8 @@ def harvest_files(
 
                 spark = SparkSession.getActiveSession()
                 n = spark.read.parquet(path).count()
+                if n == 0:
+                    continue  # same empty-part-file drop as the footer path
                 entries.append(
                     DataFile(
                         path=path,
@@ -189,6 +191,13 @@ def harvest_files(
                 )
                 continue
             md = pf.metadata
+            if md.num_rows == 0:
+                # Spark occasionally emits an empty part file (e.g. a
+                # 1-row insert through a 32-partition sort); an empty
+                # data file carries no information, defeats the
+                # "every file has stats/blooms" invariant, and costs a
+                # scan task per read — drop it at harvest
+                continue
             # Per-field accumulators with VALIDITY flags: a bound or null
             # count is only trustworthy if EVERY chunk of the column
             # contributed one.  A chunk without footer stats (or without

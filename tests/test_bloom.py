@@ -136,3 +136,36 @@ def test_bloom_on_float_column_refused(spark, sf_dir, tmp_path_factory):
             customer_pipeline(spark, sf_dir),
             properties={"bloom_filter_columns": "account_balance"},
         )
+
+
+def test_rename_bloom_column_keeps_working(spark, sf_dir, tmp_path_factory):
+    """Renaming a bloom-filtered (and sorted-by) column must carry the
+    name-based references along — later writes keep building blooms and
+    point lookups keep pruning under the new name."""
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_bloom_rn")))
+    cat.create_schema("demo")
+    cat.use("demo")
+    cat.ctas(
+        "cust_rn_bloom",
+        customer_pipeline(spark, sf_dir),
+        properties={"bloom_filter_columns": "custkey"},
+        sort_order=["custkey"],
+    )
+    t = cat.table("cust_rn_bloom")
+    t.rename_column("custkey", "customer_id")
+    assert t.meta.properties["bloom_filter_columns"] == "customer_id"
+    assert t.meta.sort_order == ["customer_id"]
+    t.insert([{"customer_id": 990100, "name": "RN BLOOM",
+               "mktsegment": "SQLENGINE", "account_balance": 1.0,
+               "nation": "FRANCE"}])
+    manifest = t._manifest(t._resolve())
+    cid = str(t.meta.schema.field_by_name("customer_id").id)
+    assert all("bloom" in f.stats.get(cid, {}) for f in manifest.data_files)
+    kept = prune_files(
+        manifest.data_files, t.meta,
+        parse_simple_predicates("customer_id = 987654321"), spark,
+    )
+    assert len(kept) <= max(1, len(manifest.data_files) // 10)
+    assert t.df(where="customer_id = 990100").count() == 1

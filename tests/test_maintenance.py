@@ -119,16 +119,20 @@ def test_optimize_preserves_sorted_by_clustering(spark, tmp_path, sf_dir):
         orders.repartitionByRange(4, "orderkey"),
         sort_order=["orderkey"],
     )
-    # fragment: several small inserts, then compact everything
+    # fragment: several small inserts, then compact everything.  The
+    # threshold is sized to a third of the table so the bin-pack emits
+    # MULTIPLE output files — compaction of a sorted table range-partitions
+    # on the sort key, so those files carry disjoint [min,max] ranges.
     rows = [{"orderkey": 900000 + i, "totalprice": float(i)} for i in range(6)]
     for r in rows:
         t.insert([r])
-    t.optimize(file_size_threshold=100 * 1024 * 1024)
+    total = sum(
+        f.file_size_bytes for f in t._manifest(t._resolve("main")).data_files
+    )
+    t.optimize(file_size_threshold=max(1024, total // 3))
 
     files = t._manifest(t._resolve("main")).data_files
-    # every file's [min,max] on the sort column must be internally ordered
-    # data (disjointness across files isn't guaranteed by compaction, but
-    # a point lookup must prune to a strict subset)
+    assert len(files) > 1, "bin-pack should emit multiple files at this threshold"
     preds = parse_simple_predicates("orderkey = 17")
     pruned = prune_files(files, t.meta, preds)
     assert len(pruned) < len(files)
