@@ -260,6 +260,25 @@ class Engine:
             rows.append({c: v for c, v in zip(cols, vals)})
         self._table(name).insert(rows, ref=branch or "main")
 
+    def _h_insert_select(self, m: re.Match) -> None:
+        """INSERT INTO t [@branch] SELECT ... — positional column match
+        (Trino semantics): the SELECT must produce exactly the table's
+        column count; names are realigned by position."""
+        from pyspark.sql import functions as F
+
+        t = self._table(m.group(1))
+        df = self._select("SELECT" + m.group(3))
+        fields = t.meta.schema.fields
+        if len(df.columns) != len(fields):
+            raise ValueError(
+                f"INSERT INTO ... SELECT arity mismatch: query produces "
+                f"{len(df.columns)} columns, table has {len(fields)}"
+            )
+        aligned = df.select(
+            *[F.col(c).alias(f.name) for c, f in zip(df.columns, fields)]
+        )
+        t.append(aligned, ref=m.group(2) or "main")
+
     def _h_update(self, m: re.Match) -> None:
         name, branch, sets_s, where = m.group(1), m.group(2), m.group(3), m.group(4)
         assignments: dict[str, Any] = {}
@@ -398,6 +417,8 @@ class Engine:
                     _FLAGS), _h_create_view),
         (re.compile(r"^INSERT\s+INTO\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?\(([^)]*)\)\s*"
                     r"VALUES\s*(.*)$", _FLAGS), _h_insert),
+        (re.compile(r"^INSERT\s+INTO\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SELECT\b(.*)$",
+                    _FLAGS), _h_insert_select),
         (re.compile(r"^UPDATE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SET\s+(.*?)\s+WHERE\s+(.*)$",
                     _FLAGS), _h_update),
         (re.compile(r"^DELETE\s+FROM\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?\s*WHERE\s+(.*)$",

@@ -336,3 +336,29 @@ def test_alter_table_rename_column(eng):
     rows = sql("SELECT * FROM rn_probe").collect()
     assert {(r.n_nationkey, r.nation_name) for r in rows} == before
     assert "n_name" not in rows[0].asDict()
+
+
+def test_insert_into_select(eng):
+    """INSERT INTO ... SELECT appends the query result by position, works
+    branch-targeted, and refuses an arity mismatch."""
+    import pytest as _pytest
+
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS ins_sel")
+    sql("CREATE OR REPLACE TABLE ins_sel AS SELECT * FROM tpch.sf1.nation")
+    n0 = sql("SELECT * FROM ins_sel").count()
+    sql("""INSERT INTO ins_sel
+           SELECT n_nationkey + 1000, n_name, n_regionkey
+             FROM tpch.sf1.nation""")
+    assert sql("SELECT * FROM ins_sel").count() == 2 * n0
+    # branch-targeted: dev gets the extra rows, main does not
+    sql("CREATE BRANCH IF NOT EXISTS dev IN TABLE ins_sel")
+    sql("""INSERT INTO ins_sel @ dev
+           SELECT n_nationkey + 2000, n_name, n_regionkey
+             FROM tpch.sf1.nation""")
+    assert sql("SELECT * FROM ins_sel FOR VERSION AS OF 'dev'").count() == 3 * n0
+    assert sql("SELECT * FROM ins_sel").count() == 2 * n0
+    with _pytest.raises(ValueError, match="arity"):
+        sql("INSERT INTO ins_sel SELECT n_nationkey FROM tpch.sf1.nation")
