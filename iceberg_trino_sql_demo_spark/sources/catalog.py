@@ -172,10 +172,12 @@ class Catalog:
           detected conservatively): the delta's transformed rows are
           APPENDED to the MV;
         - with ``aggregate_merge={"keys": [...], "sums": [...],
-          "counts": [...]}`` covering every MV output column: the delta
-          is aggregated alone and MERGED into the MV by key arithmetic
-          (sum+sum, count+count) — the TimescaleDB continuous-aggregate /
-          Materialize shape for distributive aggregates.
+          "counts": [...], "mins": [...], "maxs": [...]}`` covering
+          every MV output column: the delta is aggregated alone and
+          MERGED into the MV by key arithmetic (sum+sum, count+count,
+          least/greatest of extremes) — the TimescaleDB
+          continuous-aggregate / Materialize shape for distributive
+          aggregates.
         Any non-append base history (delete/update/rewrite) or
         non-mergeable SQL falls back to the full re-run, so incremental
         mode can never change results.  ``last_refresh_mode`` in the MV
@@ -190,9 +192,13 @@ class Catalog:
             bq = self._qualify(base_table)
             bt = self.table(bq)
             if aggregate_merge is not None:
-                covered = set(aggregate_merge.get("keys", [])) | set(
-                    aggregate_merge.get("sums", [])
-                ) | set(aggregate_merge.get("counts", []))
+                covered = (
+                    set(aggregate_merge.get("keys", []))
+                    | set(aggregate_merge.get("sums", []))
+                    | set(aggregate_merge.get("counts", []))
+                    | set(aggregate_merge.get("mins", []))
+                    | set(aggregate_merge.get("maxs", []))
+                )
                 mv_cols = set(f.name for f in t.meta.schema.fields)
                 if covered != mv_cols:
                     raise ValueError(
@@ -296,6 +302,11 @@ class Catalog:
         if spec:
             keys = spec.get("keys", [])
             addable = spec.get("sums", []) + spec.get("counts", [])
+            # min/max are also append-only-mergeable: the combined extreme
+            # is the extreme of the two sides (coalesce covers a key seen
+            # on only one side)
+            mins = spec.get("mins", [])
+            maxs = spec.get("maxs", [])
             old = t.df()
             types = {f.name: f.dataType for f in old.schema.fields}
             merged = old.alias("o").join(delta_out.alias("d"), keys, "full_outer").select(
@@ -306,6 +317,20 @@ class Catalog:
                         + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast(types[c]))
                     ).cast(types[c]).alias(c)
                     for c in addable
+                ],
+                *[
+                    F.least(
+                        F.coalesce(F.col(f"o.{c}"), F.col(f"d.{c}")),
+                        F.coalesce(F.col(f"d.{c}"), F.col(f"o.{c}")),
+                    ).alias(c)
+                    for c in mins
+                ],
+                *[
+                    F.greatest(
+                        F.coalesce(F.col(f"o.{c}"), F.col(f"d.{c}")),
+                        F.coalesce(F.col(f"d.{c}"), F.col(f"o.{c}")),
+                    ).alias(c)
+                    for c in maxs
                 ],
             )
             return "incremental-merge", self.ctas(

@@ -355,3 +355,42 @@ def test_incremental_mv_multiple_beats(cat, spark, sf_dir):
         want = {(r.custkey, r.account_balance)
                 for r in spark.sql(mv_sql).collect()}
         assert got == want, f"beat {beat} diverged"
+
+
+def test_incremental_mv_merge_min_max(cat, spark, sf_dir):
+    """aggregate_merge also merges MIN/MAX extremes (least/greatest of
+    the two sides), including keys present on only one side."""
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+
+    cat.ctas("mm_base", customer_pipeline(spark, sf_dir))
+    cat.register_table_view("mm_base")
+    mv_sql = """SELECT nation,
+                       CAST(count(*) AS BIGINT) AS n_customers,
+                       min(account_balance) AS min_bal,
+                       max(account_balance) AS max_bal
+                  FROM mm_base GROUP BY nation"""
+    cat.create_materialized_view(
+        "mv_minmax", mv_sql, base_table="mm_base",
+        aggregate_merge={"keys": ["nation"], "counts": ["n_customers"],
+                         "mins": ["min_bal"], "maxs": ["max_bal"]},
+    )
+    bt = cat.table("mm_base")
+    bt.insert([
+        # new extreme low for an existing nation + a brand-new nation
+        {"custkey": 940001, "name": "MIN NEW", "mktsegment": "SQLENGINE",
+         "account_balance": -99999.0, "nation": "FRANCE"},
+        {"custkey": 940002, "name": "NEW NATION", "mktsegment": "SQLENGINE",
+         "account_balance": 7.0, "nation": "LEMURIA"},
+    ])
+    mv = cat.refresh_materialized_view("mv_minmax")
+    assert (
+        cat.data["mviews"][cat._qualify("mv_minmax")]["last_refresh_mode"]
+        == "incremental-merge"
+    )
+    got = {(r.nation, r.n_customers, r.min_bal, r.max_bal)
+           for r in mv.df().collect()}
+    cat.register_table_view("mm_base")
+    want = {(r.nation, r.n_customers, r.min_bal, r.max_bal)
+            for r in spark.sql(mv_sql).collect()}
+    assert got == want
+    assert any(n == "LEMURIA" for n, *_rest in got)
