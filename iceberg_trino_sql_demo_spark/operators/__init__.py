@@ -252,6 +252,9 @@ def release_caches() -> None:
         dedup._PREF_PERSISTED,
         dedup._CC_PERSISTED,
         dedup._SEM_PERSISTED,
+        dedup._SEM_PAIR_PERSISTED,
+        dedup._PREF_PAIR_PERSISTED,
+        dedup._MP_PAIR_PERSISTED,
         similarity._LSH_PERSISTED,
     ):
         while lst:

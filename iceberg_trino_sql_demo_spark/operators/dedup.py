@@ -1105,8 +1105,6 @@ def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages — past the 64 KB codegen method limit, dropping the stage to
     interpreted eval).  Corpus + bucketing construction is shared with
     the scaling diagnostics via prefiltered_bucketed_corpus."""
-    from iceberg_trino_sql_demo_spark.operators.similarity import _dot
-
     bucketed, _n_planes = prefiltered_bucketed_corpus(spark, sf_dir)
     a = bucketed.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
@@ -1117,11 +1115,46 @@ def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+    return _score_candidate_pairs(pairs, _PREF_PAIR_PERSISTED)
+
+
+#: per-operator persisted candidate frames (released on that operator's
+#: next invocation / release_caches) — one slot per consumer so one
+#: operator's run can never unpersist a frame a sibling's memoized plan
+#: still references
+_PREF_PAIR_PERSISTED: list[DataFrame] = []
+_MP_PAIR_PERSISTED: list[DataFrame] = []
+_SEM_PAIR_PERSISTED: list[DataFrame] = []
+
+
+def _score_candidate_pairs(
+    cand: DataFrame, slot: list[DataFrame], extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """cosine >= 0.95 scoring of an (id_a, ea, na, id_b, eb, nb, ...)
+    candidate frame in its OWN whole-stage-codegen stage.
+
+    Scored inline, Catalyst pushes the >= 0.95 filter (which references
+    both join sides) INTO the join condition, and a BroadcastHashJoin
+    whose condition carries the 64-term dot blows the generated method
+    budget — the whole join stage (explode, join, final round()) silently
+    drops to interpreted expression eval (measured: the multiprobe scan
+    ran ~3 s warm at sf0.1 for only 91k candidates; the identical
+    arithmetic in a compiled stage is milliseconds).  Persisting the
+    candidate frame puts an InMemoryRelation boundary under the filter:
+    the join stage stays a small compiled equi-join, and the scoring
+    projection compiles alone (the same 64-term shape stage-1 norm
+    projections already compile).  spill-safe MEMORY_AND_DISK, released
+    on the next invocation and by release_caches()."""
+    from iceberg_trino_sql_demo_spark.operators.similarity import _dot
+
+    while slot:
+        slot.pop().unpersist()
     cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    scored = cand.select(*extra_cols, "id_a", "id_b", cosine.alias("c")).persist()
+    slot.append(scored)
     return (
-        pairs.select("id_a", "id_b", cosine.alias("c"))
-        .where(F.col("c") >= 0.95)
-        .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
+        scored.where(F.col("c") >= 0.95)
+        .select(*extra_cols, "id_a", "id_b", F.round("c", 6).alias("cosine"))
     )
 
 
@@ -1221,12 +1254,7 @@ def _multiprobe_pairs(
         cand = probes.join(b, probes["probe"] == b["bucket"]).where(
             F.col("id_a") < F.col("id_b")
         )
-        cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
-        return (
-            cand.select("id_a", "id_b", cosine.alias("c"))
-            .where(F.col("c") >= 0.95)
-            .select("id_a", "id_b", F.round("c", 6).alias("cosine"))
-        )
+        return _score_candidate_pairs(cand.drop("probe", "bucket"), _MP_PAIR_PERSISTED)
     # scale path (adaptive plane count, beyond any oracle-checked corpus):
     # the expression-dot join scores every candidate one unrolled 64-term
     # dot at a time (measured 24 s warm at the 50x point, 8.3M pairs);
@@ -1672,11 +1700,8 @@ def _semantic_pairs(assigned: DataFrame, use_gemm: bool) -> DataFrame:
             F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
         )
         pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
-        cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
-        return (
-            pairs.select("cluster", "id_a", "id_b", cosine.alias("c"))
-            .where(F.col("c") >= 0.95)
-            .select("cluster", "id_a", "id_b", F.round("c", 6).alias("cosine"))
+        return _score_candidate_pairs(
+            pairs, _SEM_PAIR_PERSISTED, extra_cols=("cluster",)
         )
     # scale path (adaptive centroid count, beyond any oracle-checked
     # corpus): the expression-dot join scores ~n*cent_mod/2 pairs one
