@@ -538,3 +538,117 @@ def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nm").alias("sum_norm_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch k-NN JOIN: many query vectors x one corpus in a single pass.
+# The single-query top-k operators above answer "neighbors of THIS vector";
+# a training pipeline usually needs neighbors for a whole probe SET
+# (eval-set contamination, cluster seeding, retrieval eval).  Scoring all
+# queries in one scan beats Q separate top-k jobs: the corpus is read once
+# and every query's dot products ride the same codegen stage.
+# Reference analog: the demo's federated join surface
+# (iceberg_trino_sqldemo.sql:286-295) — here the "dimension side" is the
+# broadcast query set.
+# ---------------------------------------------------------------------------
+_KNN_Q = 5  # query set: vec_id < 5 (deterministic; oracle picks the same)
+_KNN_K = 3  # neighbors returned per query
+
+#: persisted scored frame from the previous ann_knn_join call (stage
+#: barrier for the staged per-query dots; same hygiene as _LSH_PERSISTED)
+_KNN_PERSISTED: list[DataFrame] = []
+
+
+@register(
+    "ann_knn_join",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < {_KNN_Q}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qe, q.qe))) AS cosine
+        FROM embeddings e CROSS JOIN q
+       WHERE e.vec_id != q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, vec_id, round(cosine, 6) AS cosine, CAST(rnk AS INT) AS rnk
+      FROM ranked WHERE rnk <= {_KNN_K}
+    """,
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: top-{_KNN_K} cosine neighbors for each of the {_KNN_Q}
+    probe vectors, one corpus scan.
+
+    Plan shape: the probe set is collected driver-side (fixed Q rows — the
+    same scalar-cardinality class as ``_query_vector``) and inlined as
+    literal dot products, one staged column per query (separate codegen
+    methods, the janino-safe pattern from ann_topk_lsh); scores then
+    explode to (q_id, cosine) pairs and one window ranks per q_id.  No
+    join operator at all — the "broadcast" is literal folding.
+
+    At 100 TB: the rank's parallelism is Q-way here, which is fine for a
+    fixed probe set; for large probe sets compose with the sign-LSH bucket
+    prefilter (each query ranks only its hamming-radius probe buckets, so
+    the window keys become (q_id, bucket)) or the IVF lists — both
+    operators above share this scoring kernel's shape.
+    """
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    qrows = (
+        e.where(F.col("vec_id") < _KNN_Q).select("vec_id", "embedding").collect()
+    )
+    qs = sorted((int(r[0]), [float(x) for x in r[1]]) for r in qrows)
+    for _, vec in qs:
+        if len(vec) != _DIM:
+            raise ValueError(
+                f"embeddings dim changed: data has {len(vec)}, engine built "
+                f"for {_DIM} — update similarity._DIM"
+            )
+    while _KNN_PERSISTED:
+        _KNN_PERSISTED.pop().unpersist()
+    # stage 1: per-query dots + self-norm as separate top-level expressions
+    scored = e.select(
+        "vec_id",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+        *[_dot_lit("embedding", vec).alias(f"d{i}") for i, (_, vec) in enumerate(qs)],
+    ).persist()
+    _KNN_PERSISTED.append(scored)
+    # stage 2: assemble cosines from the cached scalars, explode, rank
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("q_id"),
+                    (F.col(f"d{i}") / (F.col("nrm") * F.lit(_norm_lit(vec)))).alias(
+                        "cosine"
+                    ),
+                )
+                for i, (qid, vec) in enumerate(qs)
+            ]
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.select("vec_id", pairs.alias("p"))
+        .select("vec_id", F.col("p.q_id").alias("q_id"), F.col("p.cosine").alias("cosine"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _KNN_K)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rnk",
+        )
+    )

@@ -376,3 +376,48 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# top-k per time window: the "trending now" shape — per tumbling hour, the
+# 3 heaviest users by summed value, with their rank.  Two stages: the
+# hash-aggregate to (window, user) grain collapses the event stream first
+# (map-side partial agg does the heavy lifting), then the rank window only
+# shuffles the already-tiny per-user rows.  At 100 TB the number of window
+# keys grows with the data's time span, so the rank stage's parallelism
+# scales with the data — no fixed-key skew.
+# ---------------------------------------------------------------------------
+@register(
+    "events_topk_users_per_window",
+    oracle="""
+    WITH per_user AS (
+      SELECT date_trunc('hour', ts) AS window_start, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+       GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, user_id, total_value,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY total_value DESC, user_id) AS rnk
+        FROM per_user
+    )
+    SELECT window_start, user_id, total_value, CAST(rnk AS INT) AS rnk
+      FROM ranked WHERE rnk <= 3
+    """,
+)
+def events_topk_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(decimal_sum(F.col("value"), "total_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "total_value")
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return per_user.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 3
+    )
