@@ -242,6 +242,7 @@ def release_caches() -> None:
     source-row cache, returning the session to an unpinned state."""
     from iceberg_trino_sql_demo_spark.operators import (
         dedup,
+        relational,
         similarity,
         table_format_ops,
     )
@@ -256,6 +257,8 @@ def release_caches() -> None:
         dedup._PREF_PAIR_PERSISTED,
         dedup._MP_PAIR_PERSISTED,
         similarity._LSH_PERSISTED,
+        similarity._KNN_PERSISTED,
+        relational._QUANT_PERSISTED,
     ):
         while lst:
             lst.pop().unpersist()

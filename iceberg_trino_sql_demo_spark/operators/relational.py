@@ -558,15 +558,125 @@ def orders_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rank-error knob for the approx variant: guarantees rank error <= n/ACC
+_APPROX_PERCENTILE_ACC = 10_000
+
+#: half-width (in percentile space) of the sketch probes that bracket each
+#: band edge's value window; 0.004 = 40/ACC keeps the bracket safe for any
+#: group of >= ~800 rows while filtering the ranked volume to ~3% of rows
+_BAND_PROBE_MARGIN = 0.004
+
+#: the four profiled percentiles, shared by query + oracle construction
+_QUANTILE_TAGS = [(0, 0.25, "q25"), (1, 0.50, "q50"), (2, 0.75, "q75"), (3, 0.95, "q95")]
+
+#: persisted per-group ks frame from the previous quantile-harness call,
+#: released on the next call (family cache-slot convention)
+_QUANT_PERSISTED: list[DataFrame] = []
+
+
+def _per_band(colfmt: str):
+    """CASE chain selecting a per-tag column by the exploded band index."""
+    c = None
+    for idx, (_i, _p, tag) in enumerate(_QUANTILE_TAGS):
+        e = F.col(colfmt.format(tag=tag))
+        c = F.when(F.col("b") == idx, e) if c is None else c.when(
+            F.col("b") == idx, e
+        )
+    return c
+
+
+def _sketch_banded_ranked(base: DataFrame, ks: DataFrame) -> DataFrame:
+    """Sort-free order statistics: given per-group value windows
+    ``va_{tag}``/``vb_{tag}`` (from a bracket sketch) in ``ks``, return the
+    rows inside each window with their exact global rank ``rn`` within
+    (group, value-order) — WITHOUT ever sorting a whole group.
+
+    rank = (#rows strictly below va — one conditional aggregate pass) +
+    row_number within the window slice (a window over only the ~2*margin
+    fraction of rows that survive the value filter).  Ranks of equal
+    values are interchangeable, so value-at-rank is invariant to the tie
+    order this induces.  A violated bracket (sketch outside its rank-error
+    guarantee) surfaces as a missing edge row -> NULL -> loud value-hash
+    mismatch, never a silent wrong answer.  This is the 100 TB-shaped
+    harness: no full per-group sort at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    # ks (the |groups|-row sketch frame) feeds TWO broadcast subtrees (the
+    # offset pass and ksx) — without an eager persist each broadcast build
+    # re-runs the 0.4 s sketch aggregate (measured: the persist halves the
+    # warm query)
+    while _QUANT_PERSISTED:
+        _QUANT_PERSISTED.pop().unpersist()
+    ks = ks.persist()
+    ks.count()
+    _QUANT_PERSISTED.append(ks)
+    off = (
+        base.join(
+            F.broadcast(
+                ks.select(
+                    "l_returnflag", *[f"va_{t}" for _i, _p, t in _QUANTILE_TAGS]
+                )
+            ),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.sum(
+                    (F.col("l_extendedprice") < F.col(f"va_{t}")).cast("long")
+                ).alias(f"off_{t}")
+                for _i, _p, t in _QUANTILE_TAGS
+            ]
+        )
+    )
+    ksx = ks.join(off, "l_returnflag")
+    joined = base.join(F.broadcast(ksx), "l_returnflag")
+    # a flat distribution can make windows overlap, so a row may belong to
+    # several bands — explode each row into its memberships
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(idx).alias("b"),
+                (
+                    (F.col("l_extendedprice") >= F.col(f"va_{tag}"))
+                    & (F.col("l_extendedprice") <= F.col(f"vb_{tag}"))
+                ).alias("member"),
+            )
+            for idx, (_i, _p, tag) in enumerate(_QUANTILE_TAGS)
+        ]
+    )
+    survivors = (
+        joined.select("*", F.explode(band_struct).alias("bm"))
+        .where(F.col("bm.member"))
+        .withColumn("b", F.col("bm.b"))
+    )
+    w = Window.partitionBy("l_returnflag", "b").orderBy("l_extendedprice")
+    return survivors.withColumn(
+        "rn", F.row_number().over(w) + _per_band("off_{tag}")
+    )
+
+
+def _bracket_probes() -> str:
+    """The 8 band-bracket sketch probes as SQL double literals."""
+    return ", ".join(
+        f"{max(0.0, p - _BAND_PROBE_MARGIN)!r}D, {min(1.0, p + _BAND_PROBE_MARGIN)!r}D"
+        for _i, p, _tag in _QUANTILE_TAGS
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact percentiles (data-profiling shape used to pick training-data
-# quality thresholds): Spark's percentile() and DuckDB's quantile_cont()
-# share the linear-interpolation definition and produce bit-identical
-# doubles (verified), so this is a full-value oracle despite the float
-# arithmetic.  PROFILING-ONLY at scale: percentile() buffers every group
-# value in the aggregation state, so a hot group OOMs at 100x — the
-# production default is lineitem_price_quantiles_approx below
-# (approx_percentile: bounded t-digest state, no buffering).
+# quality thresholds).  Sort-free AND buffer-free: Spark's percentile()
+# buffers every group value in the aggregation state (hot group OOMs at
+# 100x) and ranking via a per-group window is a full sort — instead, a
+# bracket sketch pins each interpolation rank's value window, only those
+# slices are ranked (_sketch_banded_ranked), and the quantile is
+# interpolated by hand with DuckDB's exact formula
+# v_lo*(1-f) + v_hi*f  (f = h - floor(h), h = p*(n-1))
+# — verified bit-identical against quantile_cont at sf0.01 AND sf0.1
+# (the alternative v_lo + f*(v_hi - v_lo) differs in the last ulp on this
+# data), so this stays a full-value oracle despite the float arithmetic.
 # ---------------------------------------------------------------------------
 @register(
     "lineitem_price_quantiles",
@@ -582,31 +692,64 @@ def orders_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one percentile buffer per group (array of targets), not four — the
-    # aggregate collects the group's values once either way, but four
-    # separate calls keep four copies of that state
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95))"
-            ).alias("q"),
-        )
-        .select(
-            "l_returnflag", "n",
-            F.col("q")[0].alias("q25"), F.col("q")[1].alias("q50"),
-            F.col("q")[2].alias("q75"), F.col("q")[3].alias("q95"),
-        )
+    base = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    agg = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({_bracket_probes()}), "
+            f"{_APPROX_PERCENTILE_ACC})"
+        ).alias("qa"),
     )
-
-
-#: rank-error knob for the approx variant: guarantees rank error <= n/ACC
-_APPROX_PERCENTILE_ACC = 10_000
-
-#: the four profiled percentiles, shared by query + oracle construction
-_QUANTILE_TAGS = [(0, 0.25, "q25"), (1, 0.50, "q50"), (2, 0.75, "q75"), (3, 0.95, "q95")]
+    ks = agg
+    for idx, (_i, p, tag) in enumerate(_QUANTILE_TAGS):
+        ks = (
+            ks.withColumn(f"h_{tag}", F.expr(f"CAST({p} AS DOUBLE) * (n - 1)"))
+            .withColumn(f"klo_{tag}", F.expr(f"CAST(floor(h_{tag}) AS BIGINT) + 1"))
+            .withColumn(f"khi_{tag}", F.expr(f"least(n, klo_{tag} + 1)"))
+            .withColumn(f"f_{tag}", F.expr(f"h_{tag} - floor(h_{tag})"))
+            .withColumn(f"va_{tag}", F.col("qa")[2 * idx])
+            .withColumn(f"vb_{tag}", F.col("qa")[2 * idx + 1])
+        )
+    ranked = _sketch_banded_ranked(base, ks)
+    edge_rows = ranked.where(
+        (F.col("rn") == _per_band("klo_{tag}"))
+        | (F.col("rn") == _per_band("khi_{tag}"))
+    )
+    g = edge_rows.groupBy("l_returnflag").agg(
+        F.first("n").alias("n"),
+        *[
+            c
+            for idx, (_i, _p, tag) in enumerate(_QUANTILE_TAGS)
+            for c in (
+                F.first(f"f_{tag}").alias(f"f_{tag}"),
+                F.min(
+                    F.when(
+                        (F.col("b") == idx)
+                        & (F.col("rn") == F.col(f"klo_{tag}")),
+                        F.col("l_extendedprice"),
+                    )
+                ).alias(f"vlo_{tag}"),
+                F.min(
+                    F.when(
+                        (F.col("b") == idx)
+                        & (F.col("rn") == F.col(f"khi_{tag}")),
+                        F.col("l_extendedprice"),
+                    )
+                ).alias(f"vhi_{tag}"),
+            )
+        ],
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        *[
+            (
+                F.col(f"vlo_{tag}") * (F.lit(1.0) - F.col(f"f_{tag}"))
+                + F.col(f"vhi_{tag}") * F.col(f"f_{tag}")
+            ).alias(tag)
+            for _i, _p, tag in _QUANTILE_TAGS
+        ],
+    )
 
 
 def _quantile_band_oracle() -> str:
@@ -669,62 +812,75 @@ def lineitem_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     production scale you select only the sketch columns; the ranked band
     computation is the validation harness (it sorts per group, which the
     sketch exists to avoid)."""
-    from pyspark.sql.window import Window
-
     base = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # SKETCH-GUIDED BAND PREFILTER (sort-free validation).  The naive
+    # harness ranked every row (row_number over each group = a full
+    # per-group sort with |groups|-way parallelism — the query's entire
+    # cost, and the exact thing the sketch exists to avoid).  Instead, the
+    # sketch's own rank-error guarantee brackets each band edge's VALUE:
+    # sketch(p - m) has true rank <= p*n - n*(m - 1/ACC), which sits below
+    # lo_k = floor(p*n) - delta whenever n*(m - 1/ACC) >= 3 + n/ACC — with
+    # m = _BAND_PROBE_MARGIN that holds for any group of >= ~800 rows
+    # (every tested sf).  Only the [va, vb] slices are ranked
+    # (_sketch_banded_ranked) — no full sort at any scale.
+    probes = "0.25, 0.50, 0.75, 0.95, " + _bracket_probes()
     agg = base.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        # ONE sketch evaluated at 12 probes: the 4 profile percentiles plus
+        # the 8 band-bracket probes (same state, so q's values are
+        # unchanged vs the 4-probe call)
         F.expr(
-            "approx_percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95), "
+            f"approx_percentile(l_extendedprice, array({probes}), "
             f"{_APPROX_PERCENTILE_ACC})"
-        ).alias("q"),
+        ).alias("qa"),
     )
     ks = agg.withColumn(
         "delta",
         F.expr(f"CAST(ceil(n / {float(_APPROX_PERCENTILE_ACC)}) AS BIGINT) + 1"),
-    )
-    for _i, p, tag in _QUANTILE_TAGS:
-        ks = ks.withColumn(
-            f"lo_k_{tag}",
-            F.expr(f"greatest(CAST(1 AS BIGINT), CAST(floor({p} * n) AS BIGINT) - delta)"),
-        ).withColumn(
-            f"hi_k_{tag}",
-            F.expr(f"least(n, CAST(ceil({p} * n) AS BIGINT) + delta)"),
+    ).withColumn("q", F.slice("qa", 1, len(_QUANTILE_TAGS)))
+    for idx, (_i, p, tag) in enumerate(_QUANTILE_TAGS):
+        ks = (
+            ks.withColumn(
+                f"lo_k_{tag}",
+                F.expr(
+                    f"greatest(CAST(1 AS BIGINT), CAST(floor({p} * n) AS BIGINT) - delta)"
+                ),
+            )
+            .withColumn(
+                f"hi_k_{tag}",
+                F.expr(f"least(n, CAST(ceil({p} * n) AS BIGINT) + delta)"),
+            )
+            .withColumn(f"va_{tag}", F.col("qa")[len(_QUANTILE_TAGS) + 2 * idx])
+            .withColumn(f"vb_{tag}", F.col("qa")[len(_QUANTILE_TAGS) + 2 * idx + 1])
         )
-    ranked = base.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        ),
+    ranked = _sketch_banded_ranked(base, ks)
+    edge_rows = ranked.where(
+        (F.col("rn") == _per_band("lo_k_{tag}"))
+        | (F.col("rn") == _per_band("hi_k_{tag}"))
     )
-    # keep only the ~8 band-edge rows per group before aggregating — the
-    # conditional min() agg then runs over dozens of rows, not the whole
-    # ranked table
-    edge = None
-    for _i, _p, tag in _QUANTILE_TAGS:
-        for side in ("lo", "hi"):
-            cond = F.col("rn") == F.col(f"{side}_k_{tag}")
-            edge = cond if edge is None else (edge | cond)
-    banded = (
-        ranked.join(F.broadcast(ks), "l_returnflag")
-        .where(edge)
-        .groupBy("l_returnflag")
-        .agg(
-            F.first("n").alias("n"),
-            F.first("q").alias("q"),
-            *[
-                c
-                for _i, _p, tag in _QUANTILE_TAGS
-                for c in (
-                    F.min(
-                        F.when(F.col("rn") == F.col(f"lo_k_{tag}"), F.col("l_extendedprice"))
-                    ).alias(f"lo_{tag}"),
-                    F.min(
-                        F.when(F.col("rn") == F.col(f"hi_k_{tag}"), F.col("l_extendedprice"))
-                    ).alias(f"hi_{tag}"),
-                )
-            ],
-        )
+    banded = edge_rows.groupBy("l_returnflag").agg(
+        F.first("n").alias("n"),
+        F.first("q").alias("q"),
+        *[
+            c
+            for idx, (_i, _p, tag) in enumerate(_QUANTILE_TAGS)
+            for c in (
+                F.min(
+                    F.when(
+                        (F.col("b") == idx)
+                        & (F.col("rn") == F.col(f"lo_k_{tag}")),
+                        F.col("l_extendedprice"),
+                    )
+                ).alias(f"lo_{tag}"),
+                F.min(
+                    F.when(
+                        (F.col("b") == idx)
+                        & (F.col("rn") == F.col(f"hi_k_{tag}")),
+                        F.col("l_extendedprice"),
+                    )
+                ).alias(f"hi_{tag}"),
+            )
+        ],
     )
     return banded.select(
         "l_returnflag",
@@ -1126,9 +1282,24 @@ def orders_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     At production scale you select only the sketch column; the exact NDV
     is the validation harness."""
     o = _t(spark, sf_dir, "orders")
-    g = o.groupBy("o_orderpriority").agg(
-        F.count_distinct(F.col("o_custkey")).alias("ndv_exact"),
-        F.expr(f"approx_count_distinct(o_custkey, {_NDV_RSD})").alias("ndv_sketch"),
+    # Dedup FIRST, then aggregate the distinct rows.  Writing
+    # count_distinct + approx_count_distinct in one agg triggers Spark's
+    # distinct-rewrite, which evaluates the approx PARTIAL per
+    # (priority, custkey) group — one multi-KB HLL buffer per distinct
+    # key, shuffled (measured 1.4 s warm at sf0.1 vs 0.3 s this way).
+    # HLL is duplicate-insensitive, so the sketch over the deduped frame
+    # is value-identical to the sketch over the raw rows, and only
+    # |groups| sketch buffers ever exist.
+    g = (
+        o.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("ndv_exact"),
+            F.expr(f"approx_count_distinct(o_custkey, {_NDV_RSD})").alias(
+                "ndv_sketch"
+            ),
+        )
     )
     band = F.lit(5.0 * _NDV_RSD) * F.col("ndv_exact").cast("double")
     ok = (
