@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_trino_sql_demo_spark.operators import register
-from iceberg_trino_sql_demo_spark.session import pinned_conf, table_path
+from iceberg_trino_sql_demo_spark.session import parquet_row_count, pinned_conf, table_path
 
 #: number of minhash permutations and LSH banding layout (8 bands x 4 rows).
 #: ROWS_PER_BAND (= r) fixes the per-band collision curve (s^4), so halving
@@ -314,6 +314,9 @@ def build_hashed_shingles(
     # the caller builds on top — persist the distinct ONCE; the capped
     # result is a cheap broadcast-filter view over the cache
     shp = shp.persist()
+    # the DF cap must size from the frame actually passed (the scaling
+    # bench hands in scaled corpora), so this count cannot come from the
+    # base file's footer
     n_docs = docs.count()
     max_df = max(MAX_DF_FLOOR, math.ceil(MAX_DF_FRACTION * n_docs))
     hot = (
@@ -759,7 +762,7 @@ def _simhash_block_keys(sig: DataFrame, n_docs: int) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming distance <= 3 over the 60-bit simhash."""
     sig = simhash_signatures(spark, sf_dir)
-    n_docs = _docs(spark, sf_dir).count()
+    n_docs = parquet_row_count(table_path(sf_dir, "documents"))
     chunks = _simhash_block_keys(sig, n_docs)
     cand = (
         chunks.alias("x")
@@ -1039,7 +1042,7 @@ def _build_prefiltered_bucketed(
     corpus = emb_corpus_with_dups(spark, sf_dir)
     # _adaptive_planes sizes from the RAW count (it adds the injected
     # copies itself); parquet row-count comes from footers, no scan
-    n_raw = spark.read.parquet(table_path(sf_dir, "embeddings")).count()
+    n_raw = parquet_row_count(table_path(sf_dir, "embeddings"))
     n_planes = _adaptive_planes(n_raw)
     planes = _hyperplanes(_DIM, n_planes)
     if n_planes == N_PLANES:

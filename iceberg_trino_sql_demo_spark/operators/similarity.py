@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_trino_sql_demo_spark.operators import register
-from iceberg_trino_sql_demo_spark.session import table_path
+from iceberg_trino_sql_demo_spark.session import parquet_row_count, table_path
 
 K = 10
 N_PLANES = 8
@@ -448,7 +448,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest the query.  Recall vs brute force is asserted in
     tests/test_extensions.py; values are oracle-checked."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cent_mod = _adaptive_cent_mod(e.count())
+    cent_mod = _adaptive_cent_mod(parquet_row_count(table_path(sf_dir, "embeddings")))
     cent = e.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
@@ -524,7 +524,7 @@ def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed aggregate matches DuckDB bit-for-bit (float SUM would
     diverge with partitioning)."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cent_mod = _adaptive_cent_mod(e.count())
+    cent_mod = _adaptive_cent_mod(parquet_row_count(table_path(sf_dir, "embeddings")))
     cent = e.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
