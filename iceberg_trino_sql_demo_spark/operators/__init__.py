@@ -119,6 +119,10 @@ def register(
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled: these outrank every
     # re-confirm (a missing row is worse than an age-3 row)
+    "ann_knn_join",
+    "events_topk_users_per_window",
+    "lineitem_price_quantiles",
+    "lineitem_price_quantiles_approx",
     "ice_zorder_optimize",
     "ice_tags_pinned_read",
     "ice_rename_column",
