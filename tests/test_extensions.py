@@ -399,3 +399,64 @@ def test_multiprobe_prefiltered_superset_and_candidate_bound(spark, sf_oracle_di
     again, _ = dedup.prefiltered_bucketed_corpus(spark, sf_oracle_dir)
     assert again is bucketed
     assert n_planes >= 1 and n > 0
+
+
+def test_banded_quantiles_adversarial(spark, tmp_path):
+    """The sort-free quantile harness (_sketch_banded_ranked) must survive
+    distributions the lineitem oracle never exercises: a CONSTANT column
+    (every band's value window collapses to one value and all four windows
+    overlap — every row explodes into every band) and a TWO-VALUED column
+    (band edges sit exactly on the jump, where an off-by-one in the
+    offset/rank arithmetic flips the answer).  Expected values are
+    hand-computed order statistics with the quantile_cont interpolation
+    v_lo*(1-f) + v_hi*f."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_trino_sql_demo_spark import operators as ops
+
+    ops.load_all()
+    n = 5000
+    flags = np.where(np.arange(n) % 3 == 0, "A", "N")
+    dists = {
+        "const": np.full(n, 42.0),
+        "twoval": np.where(np.arange(n) % 2 == 0, 1.0, 2.0),
+        "ramp_ties": np.floor(np.arange(n) / 100.0),  # 50 heavy tie plateaus
+    }
+    for name, vals in dists.items():
+        d = tmp_path / name
+        d.mkdir()
+        pd.DataFrame(
+            {"l_returnflag": flags, "l_extendedprice": vals.astype(float)}
+        ).to_parquet(str(d / "lineitem.parquet"))
+        got = (
+            ops.QUERIES["lineitem_price_quantiles"](spark, str(d))
+            .toPandas()
+            .set_index("l_returnflag")
+            .sort_index()
+        )
+        for flag in ("A", "N"):
+            grp = np.sort(vals[flags == flag])
+            gn = len(grp)
+            assert got.loc[flag, "n"] == gn
+            for p, tag in ((0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.95, "q95")):
+                h = p * (gn - 1)
+                lo = int(np.floor(h))
+                f = h - np.floor(h)
+                hi = min(gn - 1, lo + 1)
+                expected = grp[lo] * (1.0 - f) + grp[hi] * f
+                assert got.loc[flag, tag] == expected, (name, flag, tag)
+        # the approx variant's band edges are exact order statistics at the
+        # guarantee band; on these shapes its ok_* booleans must all hold
+        apx = ops.QUERIES["lineitem_price_quantiles_approx"](spark, str(d)).toPandas()
+        for tag in ("q25", "q50", "q75", "q95"):
+            assert apx[f"ok_{tag}"].all(), (name, tag)
+            assert apx[f"lo_{tag}"].notna().all() and apx[f"hi_{tag}"].notna().all()
+
+
+def test_parquet_row_count_matches_scan(spark, sf_dir):
+    from iceberg_trino_sql_demo_spark.session import parquet_row_count, table_path
+
+    for t in ("documents", "embeddings", "orders"):
+        path = table_path(sf_dir, t)
+        assert parquet_row_count(path) == spark.read.parquet(path).count(), t
