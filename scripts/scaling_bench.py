@@ -42,6 +42,7 @@ FAMILY = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_knn_join",
 ]
 
 DIAG = {
