@@ -460,3 +460,22 @@ def test_parquet_row_count_matches_scan(spark, sf_dir):
     for t in ("documents", "embeddings", "orders"):
         path = table_path(sf_dir, t)
         assert parquet_row_count(path) == spark.read.parquet(path).count(), t
+
+
+def test_knn_join_consistent_with_bruteforce_topk(spark, sf_oracle_dir):
+    """ann_knn_join's neighbors for probe vec_id=0 must equal the first
+    _KNN_K rows of ann_topk_bruteforce (same query vector, same ordering
+    contract) — the batch join is the single-query operator run Q times."""
+    from iceberg_trino_sql_demo_spark import operators as ops
+    from iceberg_trino_sql_demo_spark.operators.similarity import _KNN_K
+
+    ops.load_all()
+    knn = (
+        ops.QUERIES["ann_knn_join"](spark, sf_oracle_dir)
+        .where("q_id = 0")
+        .orderBy("rnk")
+        .toPandas()
+    )
+    brute = ops.QUERIES["ann_topk_bruteforce"](spark, sf_oracle_dir).toPandas()
+    assert list(knn["vec_id"]) == list(brute["vec_id"][:_KNN_K])
+    assert list(knn["cosine"]) == list(brute["cosine"][:_KNN_K])
