@@ -121,6 +121,7 @@ _DRIVER_PRIORITY: list[str] = [
     # re-confirm (a missing row is worse than an age-3 row)
     "ann_knn_join",
     "events_topk_users_per_window",
+    "grouping_sets_flag_status",
     "lineitem_price_quantiles",
     "lineitem_price_quantiles_approx",
     "ice_zorder_optimize",

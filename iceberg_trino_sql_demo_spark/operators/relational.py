@@ -1307,3 +1307,40 @@ def orders_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= band
     )
     return g.select("o_orderpriority", "ndv_exact", ok.alias("ok_ndv"))
+
+
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS — the grouping-analytics shape CUBE/ROLLUP above
+# cannot express (an arbitrary subset of grouping combinations: both
+# one-column marginals but NOT the grand total).  Like CUBE, Catalyst
+# plans this as ONE Expand + hash aggregate — each input row is replicated
+# once per grouping set, never one scan per set.  grouping() flags
+# disambiguate "NULL because aggregated away" from data NULLs.
+# Reference analog: the demo's summary aggregations (:286-295) extended
+# to multi-grain reporting.
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS qty
+      FROM lineitem
+     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                             (l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        scaled_long_sum(F.col("l_quantity"), "qty"),
+    )
