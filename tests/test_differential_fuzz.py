@@ -87,3 +87,59 @@ def test_predicate_agreement(spark, li, duck, where):
         .first()
     )
     assert (row.n, row.s) == (dn, ds), f"engines disagree on WHERE {where}"
+
+
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_suppkey", "l_linenumber"]
+AGG_SPECS = [
+    "CAST(count(*) AS BIGINT)",
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT)",
+    "CAST(coalesce(sum(l_orderkey), 0) AS BIGINT)",
+    "CAST(coalesce(min(l_partkey), 0) AS BIGINT)",
+    "CAST(coalesce(max(l_partkey), 0) AS BIGINT)",
+]
+
+
+@st.composite
+def grouped_query(draw) -> str:
+    """One SQL text both engines parse: random grouping column(s), 1-3
+    integer-exact aggregates, optional random predicate underneath."""
+    n_groups = draw(st.integers(min_value=1, max_value=2))
+    gcols = draw(
+        st.lists(
+            st.sampled_from(GROUP_COLS),
+            min_size=n_groups,
+            max_size=n_groups,
+            unique=True,
+        )
+    )
+    aggs = draw(
+        st.lists(st.sampled_from(AGG_SPECS), min_size=1, max_size=3, unique=True)
+    )
+    where = f" WHERE {draw(predicate())}" if draw(st.booleans()) else ""
+    sel = ", ".join(gcols + [f"{a} AS a{i}" for i, a in enumerate(aggs)])
+    return (
+        f"SELECT {sel} FROM lineitem{where} GROUP BY {', '.join(gcols)}"
+    )
+
+
+@pytest.fixture(scope="module")
+def li_view(spark, li):
+    li.createOrReplaceTempView("lineitem")
+    return li
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=grouped_query())
+def test_grouped_aggregate_agreement(spark, li_view, duck, sql):
+    """The registry oracles pin fixed aggregate texts; this walks the
+    GROUP BY/aggregate space itself (integer-exact aggregates only, so
+    any divergence is semantics, never float summation order).  The SAME
+    SQL text runs on both engines; grouped results compare as sorted row
+    multisets."""
+    dres = sorted(map(tuple, duck.execute(sql).fetchall()))
+    sres = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert sres == dres, f"engines disagree on: {sql}"
