@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled: these outrank every
     # re-confirm (a missing row is worse than an age-3 row)
     "ann_knn_join",
+    "ann_knn_join_lsh",
     "events_topk_users_per_window",
     "grouping_sets_flag_status",
     "lineitem_price_quantiles",
@@ -263,6 +264,7 @@ def release_caches() -> None:
         dedup._MP_PAIR_PERSISTED,
         similarity._LSH_PERSISTED,
         similarity._KNN_PERSISTED,
+        similarity._KNNL_PERSISTED,
         relational._QUANT_PERSISTED,
     ):
         while lst:

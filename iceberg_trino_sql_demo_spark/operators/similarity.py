@@ -652,3 +652,116 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+#: persisted staged-dot frame for the prefiltered knn join (own slot so a
+#: still-referenced ann_knn_join result is never unpersisted mid-use)
+_KNNL_PERSISTED: list[DataFrame] = []
+
+_KNN_LSH_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, e AS qe,
+             {_bucket_sql(_hyperplanes(_DIM))}::BIGINT AS qb
+        FROM base WHERE vec_id < {_KNN_Q}
+    ),
+    cand AS (
+      SELECT q.q_id, b.vec_id, b.e, q.qe
+        FROM base b, q
+       WHERE b.vec_id != q.q_id
+         AND bit_count(xor({_bucket_sql(_hyperplanes(_DIM))}::BIGINT, q.qb))
+             <= {PROBE_RADIUS}
+    ),
+    scored AS (
+      SELECT q_id, vec_id,
+             list_dot_product(e, qe)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))
+             AS cosine
+        FROM cand
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT q_id, vec_id, round(cosine, 6) AS cosine, CAST(rnk AS INT) AS rnk
+      FROM ranked WHERE rnk <= {_KNN_K}
+"""
+
+
+@register("ann_knn_join_lsh", oracle=_KNN_LSH_ORACLE)
+def ann_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path batch k-NN join: ann_knn_join's one-scan scoring
+    composed with ann_topk_lsh's sign-LSH prefilter — each query ranks
+    only the rows within hamming PROBE_RADIUS of its own bucket, so the
+    64-float cosine runs on a fixed fraction of the corpus per query and
+    the per-query rank windows shrink to probe-set size.  At 100 TB the
+    bucket is a write-time cluster/partition key and this filter becomes
+    partition pruning per probe — the batch-retrieval shape
+    (eval-contamination sweeps, retrieval eval) at any corpus size.
+
+    Same staged-dot discipline as the single-query operator (plane dots
+    and per-query dots are separate codegen methods under the persist
+    barrier); the probe buckets are 5 integers computed driver-side."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    planes = _hyperplanes(_DIM)
+    qrows = (
+        e.where(F.col("vec_id") < _KNN_Q).select("vec_id", "embedding").collect()
+    )
+    qs = sorted((int(r[0]), [float(x) for x in r[1]]) for r in qrows)
+    for _, vec in qs:
+        if len(vec) != _DIM:
+            raise ValueError(
+                f"embeddings dim changed: data has {len(vec)}, engine built "
+                f"for {_DIM} — update similarity._DIM"
+            )
+    q_buckets = []
+    for qid, vec in qs:
+        b = 0
+        for i, p in enumerate(planes):
+            dot = sum(a * c for a, c in zip(vec, p))
+            b += (1 if dot >= 0 else 0) * (2 ** i)
+        q_buckets.append(b)
+    while _KNNL_PERSISTED:
+        _KNNL_PERSISTED.pop().unpersist()
+    staged = e.select(
+        "vec_id",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+        *[_dot_lit("embedding", p).alias(f"d{i}") for i, p in enumerate(planes)],
+        *[_dot_lit("embedding", vec).alias(f"s{i}") for i, (_, vec) in enumerate(qs)],
+    ).persist()
+    _KNNL_PERSISTED.append(staged)
+    bucketed = staged.withColumn("bucket", _bucket_from_dots())
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("q_id"),
+                    (
+                        F.bit_count(
+                            F.col("bucket").bitwiseXOR(F.lit(q_buckets[i]))
+                        )
+                        <= PROBE_RADIUS
+                    ).alias("member"),
+                    (F.col(f"s{i}") / (F.col("nrm") * F.lit(_norm_lit(vec)))).alias(
+                        "cosine"
+                    ),
+                )
+                for i, (qid, vec) in enumerate(qs)
+            ]
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        bucketed.select("vec_id", pairs.alias("p"))
+        .where(F.col("p.member") & (F.col("vec_id") != F.col("p.q_id")))
+        .select("vec_id", F.col("p.q_id").alias("q_id"), F.col("p.cosine").alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _KNN_K)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rnk")
+    )

@@ -43,6 +43,7 @@ FAMILY = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_knn_join",
+    "ann_knn_join_lsh",
 ]
 
 DIAG = {

@@ -479,3 +479,22 @@ def test_knn_join_consistent_with_bruteforce_topk(spark, sf_oracle_dir):
     brute = ops.QUERIES["ann_topk_bruteforce"](spark, sf_oracle_dir).toPandas()
     assert list(knn["vec_id"]) == list(brute["vec_id"][:_KNN_K])
     assert list(knn["cosine"]) == list(brute["cosine"][:_KNN_K])
+
+
+def test_knn_join_lsh_recall(spark, sf_oracle_dir):
+    """The prefiltered batch k-NN join must recover most of the exact
+    batch join's neighbor set (sign-LSH hamming<=3-of-8 keeps true
+    near-neighbors with high probability — same guarantee the single-query
+    recall test pins for ann_topk_lsh)."""
+    from iceberg_trino_sql_demo_spark import operators as ops
+
+    ops.load_all()
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in ops.QUERIES["ann_knn_join"](spark, sf_oracle_dir).collect()
+    }
+    pref = {
+        (r.q_id, r.vec_id)
+        for r in ops.QUERIES["ann_knn_join_lsh"](spark, sf_oracle_dir).collect()
+    }
+    assert len(pref & exact) / len(exact) >= 0.6
