@@ -119,6 +119,10 @@ def register(
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled: these outrank every
     # re-confirm (a missing row is worse than an age-3 row)
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_sole_late_supplier",
+    "q22_idle_balance_customers",
     "ann_knn_join",
     "ann_knn_join_lsh",
     "events_topk_users_per_window",

@@ -1344,3 +1344,251 @@ def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         scaled_long_sum(F.col("l_quantity"), "qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top-revenue supplier — an aggregate consumed by a scalar
+# MAX subquery over itself.  The revenue CTE is computed ONCE and reused
+# for both the max and the final join (Spark: same DataFrame object, so
+# Catalyst sees a shared subplan; the 1-row max side is a broadcast).
+# At 100 TB the fact aggregates down to |suppliers| rows before anything
+# non-linear happens, so the only full-data pass is the one filtered scan.
+# Reference analog: view + aggregate consumption (:53-55 + :286-295).
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                      AS BIGINT)) AS rev_scaled
+        FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+         AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+       GROUP BY 1
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+           CAST(r.rev_scaled AS DOUBLE) / 10000.0 AS total_revenue
+      FROM supplier s
+      JOIN rev r ON r.suppkey = s.s_suppkey
+     WHERE r.rev_scaled = (SELECT MAX(rev_scaled) FROM rev)
+     ORDER BY suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ties resolved exactly: revenue is accumulated as scaled BIGINTs, so
+    the MAX-equality never hinges on a double ulp."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.round(revenue * 10000, 0).cast("long")).alias("rev_scaled")
+    )
+    top = rev.agg(F.max("rev_scaled").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), F.col("rev_scaled") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "suppkey",
+            F.col("s_name").alias("name"),
+            (F.col("rev_scaled").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: small-quantity revenue — a correlated scalar subquery
+# (per-part average quantity) decorrelated into a per-key aggregate joined
+# back to the fact.  The threshold predicate is pure integer arithmetic
+# (quantities are integral in this corpus; 5*qty*cnt < qsum <=>
+# qty < 0.2*avg) so the boundary never floats.  Both fact passes shuffle
+# on l_partkey only; the brand filter prunes the second pass via the
+# broadcast part dim before the agg join.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS qsum,
+             COUNT(*) AS cnt
+        FROM lineitem
+       GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN pq     ON pq.l_partkey = l.l_partkey
+     WHERE p.p_brand = 'Brand#23'
+       AND 5 * CAST(l.l_quantity AS BIGINT) * pq.cnt < pq.qsum
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    pq = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qsum"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).join(
+        pq.withColumnRenamed("l_partkey", "pq_partkey"),
+        F.col("l_partkey") == F.col("pq_partkey"),
+    )
+    small = lp.where(
+        5 * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("qsum")
+    )
+    return small.agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("double")
+            / 100.0
+            / 7.0
+        ).alias("avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: the sole late supplier on a multi-supplier order.  The
+# classic phrasing is EXISTS(other supplier) AND NOT EXISTS(other LATE
+# supplier) — two correlated anti/semi joins, i.e. two extra shuffles of
+# the fact.  Here both existentials collapse into ONE aggregate over the
+# order grain (count distinct suppliers, count distinct late suppliers),
+# then a semi-style join back; at 100 TB that is one fact x orders join
+# plus two orderkey-partitioned exchanges, no correlated re-scans.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH lat AS (
+      SELECT l.l_orderkey AS orderkey, l.l_suppkey AS suppkey,
+             CAST(l.l_shipdate AS DATE) >
+               CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY AS is_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per_order AS (
+      SELECT orderkey,
+             COUNT(DISTINCT suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN is_late THEN suppkey END) AS n_late
+        FROM lat
+       GROUP BY 1
+    ),
+    sole AS (
+      SELECT DISTINCT lat.orderkey, lat.suppkey
+        FROM lat
+        JOIN per_order po ON po.orderkey = lat.orderkey
+       WHERE lat.is_late AND po.n_supp > 1 AND po.n_late = 1
+    )
+    SELECT s.s_name AS name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM sole
+      JOIN supplier s ON s.s_suppkey = sole.suppkey
+     GROUP BY 1
+     ORDER BY numwait DESC, name
+     LIMIT 20
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            (
+                F.to_date("l_shipdate")
+                > F.date_add(F.to_date("o_orderdate"), 60)
+            ).alias("is_late"),
+        )
+    )
+    per_order = lat.groupBy("orderkey").agg(
+        F.countDistinct("suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("suppkey"))
+        ).alias("n_late"),
+    )
+    sole = (
+        lat.where(F.col("is_late"))
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "orderkey",
+        )
+        .select("orderkey", "suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: lapsed above-average balances — a scalar aggregate subquery
+# (average positive balance) plus NOT EXISTS(recent orders), i.e. the
+# classic anti-join.  (TPC-H's "no orders at all" predicate is vacuous in
+# this corpus — every sf0.01 customer has orders — so the NOT EXISTS is
+# scoped to a recency window, which keeps the identical plan shape and a
+# non-trivial result.)  The average is compared in exact integer cents
+# (cents * n > sum_cents <=> acctbal > avg) so the cut never floats.
+# Spark plans the NOT EXISTS as a broadcast/shuffled LEFT ANTI join and
+# the 1-row aggregate as a broadcast nested loop of cardinality 1 — both
+# scale-safe; orders is filtered and projected to its join key before
+# shuffling.
+# ---------------------------------------------------------------------------
+@register(
+    "q22_idle_balance_customers",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal
+        FROM customer
+    ),
+    avg_pos AS (
+      SELECT SUM(bal) AS s, COUNT(*) AS n FROM cents WHERE bal > 0
+    )
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(c.bal) AS DOUBLE) / 100.0 AS totacctbal
+      FROM cents c, avg_pos a
+     WHERE c.bal * a.n > a.s
+       AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01')
+     GROUP BY 1
+     ORDER BY 1
+    """,
+)
+def q22_idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal"),
+    )
+    avg_pos = cents.where(F.col("bal") > 0).agg(
+        F.sum("bal").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.to_date("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        cents.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("bal") * F.col("n") > F.col("s"))
+        .join(o, cents.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal").cast("double") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )

@@ -155,8 +155,14 @@ def test_no_unintended_cartesian_or_bnlj_plans(spark):
     # engine scenarios mutate scratch tables (cost, not plans, is their
     # point) and streaming replays have no batch plan to inspect
     skip_prefixes = ("ice_", "events_stream", "events_stateful")
-    # broadcast(centroids) cross joins — the intended assignment kernel
-    allow_bnlj = {"ann_topk_ivf", "kmeans_iteration_stats", "dedup_semantic_clusters"}
+    # broadcast(centroids) cross joins — the intended assignment kernel —
+    # plus the 1-row broadcast scalar-aggregate subquery in Q22
+    allow_bnlj = {
+        "ann_topk_ivf",
+        "kmeans_iteration_stats",
+        "dedup_semantic_clusters",
+        "q22_idle_balance_customers",
+    }
 
     offenders = {}
     for name, fn in sorted(ops.QUERIES.items()):
