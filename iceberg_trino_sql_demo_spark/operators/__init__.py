@@ -119,6 +119,7 @@ def register(
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled: these outrank every
     # re-confirm (a missing row is worse than an age-3 row)
+    "dedup_span_exact",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

@@ -469,3 +469,103 @@ def training_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "n_words", split.alias("split"))
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level exact dedup (the Dolma/CCNet paragraph-dedup shape).  Whole-doc
+# dedup misses boilerplate: a page whose body is unique but whose header/
+# footer is everywhere.  Real pipelines dedup at the paragraph grain; this
+# corpus has no newlines, so the grain is non-overlapping 10-word spans —
+# the same plan shape (explode to spans, count cross-doc frequency, roll
+# back up to the document).
+#
+# Scale path: three keyed exchanges, all on fixed-width-ish keys —
+# (doc_id, md5) for the within-doc collapse, md5 for the corpus frequency,
+# doc_id for the rollup — each a plain hash agg with map-side partials; no
+# self-join of the span table, so cost is O(total spans), never pairs.
+# The doc frame repartitions to session parallelism before the explode
+# (the CPU-expansion lesson from SCALING.md: one ~50 MB parquet file
+# otherwise serializes the dominant stage onto 1-2 tasks).  Span identity
+# is the full 128-bit md5 hex (32 bytes shuffled instead of ~60-byte span
+# text; no truncated-hash collision risk).
+# ---------------------------------------------------------------------------
+_SPAN_WORDS = 10
+
+
+@register(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 parts[chunk*{_SPAN_WORDS}+1 : chunk*{_SPAN_WORDS}+{_SPAN_WORDS}],
+                 ' ')) AS key
+        FROM (SELECT doc_id, parts,
+                     unnest(range(CAST(ceil(len(parts)/{_SPAN_WORDS}.0) AS BIGINT)))
+                         AS chunk
+                FROM d)
+    ),
+    per_doc AS (
+      SELECT doc_id, key, COUNT(*) AS n_occ FROM spans GROUP BY 1, 2
+    ),
+    freq AS (
+      SELECT key, COUNT(*) AS ndoc FROM per_doc GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.n_occ) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN f.ndoc > 1 THEN p.n_occ ELSE 0 END) AS BIGINT)
+               AS dup_spans,
+           CAST(SUM(CASE WHEN f.ndoc > 1 THEN p.n_occ ELSE 0 END) AS DOUBLE)
+               / SUM(p.n_occ) AS dup_frac
+      FROM per_doc p
+      JOIN freq f ON f.key = p.key
+     GROUP BY 1
+     ORDER BY 1
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-span profile: how much of each document's
+    text exists verbatim (at 10-word granularity) in OTHER documents.
+    ``dup_frac`` is the removal signal a paragraph-dedup pass thresholds
+    on.  Counts are integers and the one division is of identical longs,
+    so values are bit-identical across engines."""
+    p = spark.sparkContext.defaultParallelism
+    span = F.concat_ws(
+        " ", F.slice("parts", F.col("chunk") * _SPAN_WORDS + 1, _SPAN_WORDS)
+    )
+    # split("") -> [""] so size >= 1 and sequence(0, nspan-1) never sees a
+    # negative bound (sequence would happily count DOWN otherwise)
+    spans = (
+        _docs(spark, sf_dir)
+        .repartition(p)
+        .select("doc_id", F.split("text", " ").alias("parts"))
+        .select(
+            "doc_id",
+            "parts",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.ceil(F.size("parts") / F.lit(float(_SPAN_WORDS))) - 1).cast(
+                        "int"
+                    ),
+                )
+            ).alias("chunk"),
+        )
+        .select("doc_id", F.md5(span).alias("key"))
+    )
+    per_doc = spans.groupBy("doc_id", "key").agg(F.count(F.lit(1)).alias("n_occ"))
+    freq = per_doc.groupBy("key").agg(F.count(F.lit(1)).alias("ndoc"))
+    dup_occ = F.sum(F.when(F.col("ndoc") > 1, F.col("n_occ")).otherwise(F.lit(0)))
+    return (
+        per_doc.join(freq, "key")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_spans"),
+            dup_occ.alias("dup_spans"),
+            (dup_occ.cast("double") / F.sum("n_occ")).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -32,6 +32,7 @@ POINTS = [
 
 FAMILY = [
     "dedup_exact",
+    "dedup_span_exact",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
