@@ -120,6 +120,8 @@ _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled: these outrank every
     # re-confirm (a missing row is worse than an age-3 row)
     "dedup_span_exact",
+    "events_ohlc_hourly",
+    "events_gap_fill_locf",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

@@ -421,3 +421,137 @@ def events_topk_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= 3
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling — the financial/telemetry candle shape: per (hour,
+# event_type), the value at the earliest tick (open), extremes (high/low),
+# and the value at the latest tick (close).  One hash aggregate: open and
+# close ride Spark's min_by/max_by (DuckDB arg_min/arg_max), so there is
+# no window function, no sort, and no second pass over the fact — the
+# shape that turns a 100 TB tick table into a per-bucket candle series
+# with a single keyed exchange.  Determinism: ts is unique within
+# (hour, event_type) in this corpus (asserted by the oracle match itself —
+# a tie would be engine-arbitrary), so the argmin/argmax values are
+# well-defined.
+# ---------------------------------------------------------------------------
+@register(
+    "events_ohlc_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+      FROM events
+     GROUP BY 1, 2
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap-fill — the timeseries interpolation shape Spark has no native
+# operator for: densify each series to a regular hourly grid over ITS OWN
+# active range, then carry the last observed value across the empty
+# buckets (last-observation-carried-forward).  Composition:
+#   1. hourly aggregate (one keyed exchange over the fact),
+#   2. per-key grid = explode(sequence(min_h, max_h, 1 hour)) on the
+#      |keys|-row bounds aggregate — no cross join, the grid is generated
+#      inside each key's row,
+#   3. left join grid x hourly (co-keyed),
+#   4. F.last(ignorenulls) over (key ORDER BY hour) — the only ordered
+#      pass, and it orders each series independently.
+# At 100 TB the series key is high-cardinality (user, instrument, host),
+# so step 4 parallelizes per key; the grid is bounded by wall-clock range,
+# not data volume.  This corpus keys by event_type (5 series, 215 gap
+# hours at sf0.01).
+# ---------------------------------------------------------------------------
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    filled AS (
+      SELECT g.event_type, g.h, hr.total_value,
+             hr.total_value IS NULL AS is_gap
+        FROM grid g
+        LEFT JOIN hourly hr ON hr.event_type = g.event_type AND hr.h = g.h
+    )
+    SELECT event_type, h AS hour_start,
+           last_value(total_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS total_value_locf,
+           is_gap
+      FROM filled
+     ORDER BY 1, 2
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(decimal_sum(F.col("value"), "total_value"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            F.last("total_value", ignorenulls=True).over(w).alias(
+                "total_value_locf"
+            ),
+            F.col("total_value").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
