@@ -128,6 +128,84 @@ def li_view(spark, li):
     return li
 
 
+# --- join-space fuzzing: random join type x side predicates x aggregates ---
+
+#: (table, join condition, {right int column: literal range at sf0.001})
+JOIN_SPECS = [
+    ("orders", "lineitem.l_orderkey = orders.o_orderkey",
+     {"o_custkey": (0, 149)}),
+    ("part", "lineitem.l_partkey = part.p_partkey",
+     {"p_size": (1, 50)}),
+    ("supplier", "lineitem.l_suppkey = supplier.s_suppkey",
+     {"s_nationkey": (3, 24)}),
+]
+
+
+@st.composite
+def join_query(draw) -> str:
+    """One SQL text both engines parse: lineitem joined to a random dim on
+    its real FK, INNER or LEFT, with optional predicates on EITHER side
+    and integer-exact aggregates.  A LEFT join whose right-side predicate
+    sits in WHERE degenerates to INNER — both engines must agree on that
+    null-filtering semantics too, which is exactly the corner worth
+    fuzzing."""
+    table, cond, rcols = draw(st.sampled_from(JOIN_SPECS))
+    jtype = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    conjs = []
+    if draw(st.booleans()):
+        conjs.append(draw(predicate()))
+    if draw(st.booleans()):
+        rcol = draw(st.sampled_from(sorted(rcols)))
+        lo, hi = rcols[rcol]
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+        # right-side predicate may keep NULLs alive under LEFT JOIN
+        base = f"{rcol} {op} {draw(st.integers(min_value=lo, max_value=hi))}"
+        if jtype == "LEFT JOIN" and draw(st.booleans()):
+            base = f"({base} OR {rcol} IS NULL)"
+        conjs.append(base)
+    where = f" WHERE ({') AND ('.join(conjs)})" if conjs else ""
+    rkey = cond.split("= ")[1].split(".")[1]
+    aggs = [
+        "CAST(count(*) AS BIGINT) AS a0",
+        f"CAST(count({rkey}) AS BIGINT) AS a1",
+        f"CAST(count(DISTINCT {rkey}) AS BIGINT) AS a2",
+        "CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) AS a3",
+    ]
+    gcol = draw(st.sampled_from(["l_returnflag", "l_linestatus", None]))
+    if gcol is None:
+        return f"SELECT {', '.join(aggs)} FROM lineitem {jtype} {table} ON {cond}{where}"
+    return (
+        f"SELECT {gcol}, {', '.join(aggs)} FROM lineitem {jtype} {table} "
+        f"ON {cond}{where} GROUP BY {gcol}"
+    )
+
+
+@pytest.fixture(scope="module")
+def join_views(spark, duck, li_view):
+    for t in ("orders", "part", "supplier"):
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+        spark.read.parquet(f"{SF}/{t}.parquet").createOrReplaceTempView(t)
+    return True
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=join_query())
+def test_join_agreement(spark, duck, join_views, sql):
+    """Walks the join space: FK equi-joins under INNER/LEFT with random
+    side predicates (including NULL-preserving OR IS NULL under LEFT).
+    Divergence candidates: null-extension semantics, predicate placement
+    relative to the join, distinct-over-nullable counting."""
+    dres = sorted(map(tuple, duck.execute(sql).fetchall()))
+    sres = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert sres == dres, f"engines disagree on: {sql}"
+
+
 @settings(
     max_examples=20,
     deadline=None,
