@@ -122,6 +122,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_span_exact",
     "events_ohlc_hourly",
     "events_gap_fill_locf",
+    "events_trailing_24h",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

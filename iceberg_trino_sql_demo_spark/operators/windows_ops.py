@@ -555,3 +555,44 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# trailing 24-hour interval frame — the RANGE-frame shape (frame bounded
+# by ORDER-KEY VALUE, not row position): every event sees the count/sum
+# of its user's events in the preceding 24 wall-clock hours.  Both
+# engines define the frame on exact epoch-microsecond longs
+# (unix_micros / epoch_us), so membership at the boundary never depends
+# on timestamp rendering or sub-second truncation; RANGE includes
+# order-key peers identically.  Partitioned by user_id (high-cardinality
+# at scale), so the ordered pass parallelizes per user and no partition
+# outgrows one task's memory.  Sums accumulate in DECIMAL (order-free).
+# ---------------------------------------------------------------------------
+@register(
+    "events_trailing_24h",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_24h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_24h
+      FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_24h"),
+    )
