@@ -1495,6 +1495,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    from pyspark.sql.window import Window
+
     lat = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(
@@ -1506,20 +1508,28 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late"),
         )
     )
-    per_order = lat.groupBy("orderkey").agg(
-        F.countDistinct("suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("suppkey"))
-        ).alias("n_late"),
+    # collapse to the (order, supplier) grain FIRST — after this the
+    # existential counts are plain count/count_if over already-distinct
+    # rows, computed by one window over orderkey: no countDistinct
+    # Expand (which doubles the fact) and no join back to `lat`.
+    # One explicit repartition on orderkey serves BOTH downstream ops:
+    # HashPartitioning(orderkey) satisfies the (orderkey, suppkey)
+    # grouping's clustering requirement AND the window's partitionBy,
+    # so the whole post-join pipeline runs on a single exchange.
+    per = lat.repartition("orderkey").groupBy("orderkey", "suppkey").agg(
+        F.max("is_late").alias("late")
     )
+    w = Window.partitionBy("orderkey")
     sole = (
-        lat.where(F.col("is_late"))
-        .join(
-            per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+        per.select(
             "orderkey",
+            "suppkey",
+            "late",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum(F.col("late").cast("int")).over(w).alias("n_late"),
         )
+        .where(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .select("orderkey", "suppkey")
-        .distinct()
     )
     s = _t(spark, sf_dir, "supplier")
     return (
