@@ -60,6 +60,9 @@ def test_results_scale_linearly(spark, scaled):
     base, big = scaled
     for name in (
         "dedup_exact",
+        # one output row per doc; M-fold exactly, and the run itself
+        # proves the span pipeline handles the scaled corpus
+        "dedup_span_exact",
         "dedup_shingle_jaccard",
         "dedup_embedding_prefiltered",
         "dedup_cluster_components",
