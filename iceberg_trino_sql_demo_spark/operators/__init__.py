@@ -123,6 +123,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_ohlc_hourly",
     "events_gap_fill_locf",
     "events_trailing_24h",
+    "basket_part_pairs",
+    "events_anomaly_zscore",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

@@ -1602,3 +1602,127 @@ def q22_idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence — the bounded self-join shape: which part
+# pairs are ordered together most often.  The fan-out is quadratic ONLY in
+# items-per-order (TPC-H: <=7 lineitems -> <=21 pairs), never in the
+# table: the pair join is an equi-join on orderkey over the deduped
+# (order, part) grain, filtered to a<b so each unordered pair emits once.
+# At 100 TB this is one orderkey-keyed exchange whose per-key work is
+# capped by basket size — the classic affinity-mining plan.  A top-20 cut
+# keeps the result driver-small; ties broken on the pair key.
+# ---------------------------------------------------------------------------
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS orderkey, l_partkey AS partkey
+        FROM lineitem
+    )
+    SELECT a.partkey AS part_a, b.partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM items a
+      JOIN items b ON b.orderkey = a.orderkey AND a.partkey < b.partkey
+     GROUP BY 1, 2
+     ORDER BY n_orders DESC, part_a, part_b
+     LIMIT 20
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    # one explicit repartition on orderkey serves the dedup AND both
+    # sides of the self-join (co-partitioned — no second exchange)
+    items = (
+        l.select(F.col("l_orderkey").alias("orderkey"),
+                 F.col("l_partkey").alias("partkey"))
+        .repartition("orderkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.orderkey") == F.col("b.orderkey"))
+            & (F.col("a.partkey") < F.col("b.partkey")),
+        )
+        .groupBy(
+            F.col("a.partkey").alias("part_a"),
+            F.col("b.partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# z-score anomaly flags — per-user mean/stddev outliers WITHOUT floating
+# boundaries: |x - mean| > 3*stddev is evaluated as the algebraically
+# identical integer inequality  (n*x - S)^2 > 9*(n*SS - S^2)  over
+# value-cents (x, S = sum, SS = sum of squares — all exact integers;
+# z^2 = (x-mu)^2/sigma^2 with mu = S/n, sigma^2 = (n*SS - S^2)/n^2, and
+# the n^2 denominators cancel), so the flag never flips on a ulp and
+# both engines agree bit-for-bit.  Arithmetic runs in DECIMAL(38,0)
+# (Spark) / HUGEINT (DuckDB): with cents ~1e4, the dominant term n*SS
+# stays inside 38 digits up to ~1e9 events per user.  Plan: one user-grain aggregate, broadcast back
+# over the fact (AQE picks broadcast while the user dim is small;
+# shuffled hash join beyond) — two scans, one keyed exchange, no window
+# sort.  Only users with n >= 30 are scored (small-sample z is noise).
+# ---------------------------------------------------------------------------
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH cents AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS x
+        FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s,
+             CAST(SUM(x * x) AS HUGEINT) AS ss
+        FROM cents GROUP BY 1
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(c.x AS DOUBLE) / 100.0 AS value
+      FROM cents c
+      JOIN stats t ON t.user_id = c.user_id
+     WHERE t.n >= 30
+       AND (t.n * c.x - t.s) * (t.n * c.x - t.s)
+           > 9 * (t.n * t.ss - t.s * t.s)
+     ORDER BY 1
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.operators.windows_ops import _events
+
+    d38 = "decimal(38,0)"
+    cents = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+    )
+    stats = cents.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("ss"),
+    )
+    dev = F.col("n") * F.col("x").cast(d38) - F.col("s")
+    return (
+        cents.join(stats, "user_id")
+        .where(
+            (F.col("n") >= 30)
+            & (dev * dev
+               > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("x").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy("event_id")
+    )
