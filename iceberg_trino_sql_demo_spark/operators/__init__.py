@@ -125,6 +125,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_trailing_24h",
     "basket_part_pairs",
     "events_anomaly_zscore",
+    "events_stream_ohlc",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

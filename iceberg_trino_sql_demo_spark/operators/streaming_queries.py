@@ -133,3 +133,31 @@ def events_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     return stream_dedup_within_watermark(
         spark, sf_dir, query_name=f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
     )
+
+
+@register(
+    "events_stream_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+      FROM events
+     GROUP BY 1, 2
+    """,
+    bench=False,
+)
+def events_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles computed by a Structured Streaming query: min_by/max_by
+    are declarative aggregates, so open/close resolve incrementally across
+    micro-batches without buffering a window's rows — after the availableNow
+    drain the candles equal the batch aggregate (same oracle as
+    events_ohlc_hourly)."""
+    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_ohlc
+
+    return stream_ohlc(
+        spark, sf_dir, query_name=f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    )

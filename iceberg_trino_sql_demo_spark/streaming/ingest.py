@@ -80,6 +80,64 @@ def windowed_counts(
     )
 
 
+def windowed_ohlc(
+    events: DataFrame, watermark: bool = False, unit: str = "us"
+) -> DataFrame:
+    """Shared batch/stream OHLC plan: per (1h window, event_type) candles.
+    min_by/max_by are declarative aggregates, so the identical expressions
+    run under a watermark in a streaming query — open/close resolve
+    incrementally without buffering the window's rows."""
+    df = events.withColumn("ts", F.timestamp_micros(ts_micros(unit)))
+    if watermark:
+        df = df.withWatermark("ts", "2 hours")
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+def stream_ohlc(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_ohlc"
+) -> DataFrame:
+    """The OHLC candle aggregation executed as a Structured Streaming query
+    (readStream + watermark + availableNow into a memory sink); after the
+    drain, candles equal the batch aggregate (same oracle)."""
+    with pinned_conf(spark, {"spark.sql.session.timeZone": "UTC"}):
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        agg = windowed_ohlc(src, watermark=True, unit=events_ts_unit(sf_dir))
+        ckpt = tempfile.mkdtemp(prefix="ckpt_")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, ckpt)
+    return spark.table(query_name)
+
+
 def _drain(q, checkpoint_dir: str | None, timeout: int = 300) -> None:
     """Block until the availableNow query finishes; fail loudly on timeout
     (a silently partial drain would surface as a wrong-but-plausible result)
