@@ -1,0 +1,149 @@
+"""Plan audit: pin the PHYSICAL plan each flagship query is supposed to
+get, dump the formatted plans to PLANS.md, and fail if any invariant
+drifts (tests/test_extensions.py::test_plan_audit_invariants runs the
+same checks in CI).
+
+The generic audit (no CartesianProduct / no unintended BNLJ) already runs
+across every registered query; this file is the positive complement for a
+curated set: not just "nothing pathological", but "the features that make
+this plan scale-right are actually present" — broadcasts where a dim must
+broadcast, pushed filters where the scan must prune, a single exchange
+where the pipeline was designed to reuse one partitioning.
+
+Counts are matched on the sf0.001 EXECUTED plan (AQE final).  `Exchange`
+counts include AQE shuffle-read wrappers and partial/final aggregate
+pairs, so they are pinned as <= ceilings, not equalities — a regression
+adds exchanges, noise does not remove them.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
+
+#: name -> (must_contain, must_not_contain, max_exchanges, commentary)
+EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
+    "customer_pipeline": (
+        ["BroadcastHashJoin", "EqualTo(r_name,EUROPE)"],
+        ["SortMergeJoin", "CartesianProduct"],
+        3,
+        "3-way dim join: nation and the EUROPE-filtered region broadcast, "
+        "the region predicate is pushed into its parquet scan, and the "
+        "customer scan is the only data-sized input — no shuffle joins.",
+    ),
+    "federation_agg": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+        5,
+        "fact x dim aggregate: dims broadcast, the sum runs as "
+        "partial (map-side) + final hash aggregate, so the only "
+        "fact-sized exchange carries pre-aggregated groups.",
+    ),
+    "q21_sole_late_supplier": (
+        ["Window", "BroadcastHashJoin"],
+        ["Expand", "SortMergeJoin", "CartesianProduct"],
+        5,
+        "both existential counts ride ONE window over the orderkey "
+        "repartition that also served the (order, supplier) collapse; "
+        "no countDistinct Expand doubling the joined fact.",
+    ),
+    "events_trailing_24h": (
+        ["Window", "Exchange hashpartitioning(user_id"],
+        ["SortMergeJoin", "CartesianProduct"],
+        2,
+        "a single exchange on user_id feeds one RANGE-frame window pass — "
+        "the minimal plan for a per-series trailing frame; the frame is "
+        "evaluated incrementally in order-key order, never buffering a "
+        "series.",
+    ),
+    "basket_part_pairs": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        6,
+        "self-join keyed on orderkey (equi component) with the a<b pair "
+        "filter inside the join — fan-out bounded by basket size; top-20 "
+        "via TakeOrdered, no global sort.",
+    ),
+    "ann_topk_bruteforce": (
+        ["TakeOrderedAndProject"],
+        ["Exchange", "CartesianProduct"],
+        0,
+        "scan -> unrolled codegen dot -> TakeOrdered: top-k without a "
+        "single shuffle; each task keeps k rows, the driver merges.",
+    ),
+    "dedup_span_exact": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+        9,
+        "three keyed hash aggregates, all with map-side partials.  The "
+        "within-doc collapse shuffles on (doc_id, key) DELIBERATELY "
+        "rather than key alone: a boilerplate span shared by 1e8 docs is "
+        "exactly what this operator hunts, and partial aggregation plus "
+        "the composite key keep that hot span from serializing one task.",
+    ),
+}
+
+
+def audit(spark, write_md: bool = False) -> dict[str, list[str]]:
+    from iceberg_trino_sql_demo_spark import operators as ops
+
+    ops.load_all()
+    problems: dict[str, list[str]] = {}
+    sections: list[str] = []
+    for name, (need, forbid, max_ex, why) in EXPECT.items():
+        df = ops.QUERIES[name](spark, SF)
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        errs = []
+        for s in need:
+            if s not in plan:
+                errs.append(f"missing expected plan feature: {s}")
+        for s in forbid:
+            if s in plan:
+                errs.append(f"forbidden plan feature present: {s}")
+        n_ex = plan.count("Exchange")
+        if n_ex > max_ex:
+            errs.append(f"{n_ex} Exchange nodes (ceiling {max_ex})")
+        if errs:
+            problems[name] = errs
+        if write_md:
+            sections.append(
+                f"## {name}\n\n{why}\n\n"
+                f"Invariants: requires {need}; forbids {forbid}; "
+                f"Exchange count {n_ex} <= {max_ex}.\n\n"
+                "```\n" + plan.strip()[:4000] + "\n```\n"
+            )
+    if write_md:
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+            f.write(
+                "# PLANS — pinned physical plans for the flagship queries\n\n"
+                "Generated by `scripts/plan_audit.py` (executed plans at "
+                f"`{SF}`, AQE final).  The same invariants run in CI via "
+                "`tests/test_extensions.py::test_plan_audit_invariants`; "
+                "this file is the human-readable record of WHY each plan "
+                "is the one we want.\n\n" + "\n".join(sections)
+            )
+    return problems
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    from iceberg_trino_sql_demo_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    problems = audit(spark, write_md=True)
+    spark.stop()
+    if problems:
+        for name, errs in problems.items():
+            print(f"{name}: {'; '.join(errs)}", file=sys.stderr)
+        sys.exit(1)
+    print("plan audit clean; PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()

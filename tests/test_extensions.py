@@ -504,3 +504,18 @@ def test_knn_join_lsh_recall(spark, sf_oracle_dir):
         for r in ops.QUERIES["ann_knn_join_lsh"](spark, sf_oracle_dir).collect()
     }
     assert len(pref & exact) / len(exact) >= 0.6
+
+
+def test_plan_audit_invariants(spark):
+    """Positive plan pinning for the flagship queries (scripts/plan_audit.py
+    EXPECT table): required features present (broadcasts, pushed filters,
+    single-exchange windows), pathological ones absent, Exchange ceilings
+    hold.  PLANS.md is the human-readable dump of the same audit."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from scripts.plan_audit import audit
+
+    problems = audit(spark, write_md=False)
+    assert not problems, problems
