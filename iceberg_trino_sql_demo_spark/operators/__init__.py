@@ -126,6 +126,7 @@ _DRIVER_PRIORITY: list[str] = [
     "basket_part_pairs",
     "events_anomaly_zscore",
     "events_stream_ohlc",
+    "ice_dynamic_overwrite",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

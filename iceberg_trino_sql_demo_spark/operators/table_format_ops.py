@@ -961,3 +961,43 @@ def ice_optimize_where_mtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "n_rows bigint, files_removed_by_compaction bigint, noop_delta bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# M1+ dynamic partition overwrite (Spark partitionOverwriteMode=dynamic /
+# Iceberg dynamic overwrite): INSERT OVERWRITE replaces exactly the
+# partitions present in the source, leaving every other partition's files
+# untouched — the idempotent-backfill primitive (re-run a day's pipeline,
+# only that day's partition is rewritten).  Here: the AUTOMOBILE segment
+# is replaced wholesale by two literal rows; all other segments survive
+# byte-identically (tests/test_dml.py asserts the untouched partitions
+# keep their exact file paths).
+# ---------------------------------------------------------------------------
+_OVR_ROWS_SQL = """
+    SELECT * FROM (VALUES
+        (9001, 'OVERWRITE ROW A', 'AUTOMOBILE', 11.0, 'FRANCE'),
+        (9002, 'OVERWRITE ROW B', 'AUTOMOBILE', 12.0, 'GERMANY')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+"""
+
+
+@register(
+    "ice_dynamic_overwrite",
+    oracle=f"""
+    SELECT * FROM ({_BASE_SQL}) WHERE mktsegment <> 'AUTOMOBILE'
+    UNION ALL {_OVR_ROWS_SQL}
+    """,
+    bench=False,
+)
+def ice_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    schema, _ = _cached_src(spark, sf_dir)
+    src = spark.createDataFrame(
+        [
+            (9001, "OVERWRITE ROW A", "AUTOMOBILE", 11.0, "FRANCE"),
+            (9002, "OVERWRITE ROW B", "AUTOMOBILE", 12.0, "GERMANY"),
+        ],
+        schema,
+    )
+    t.dynamic_overwrite(src)
+    return t.df()

@@ -532,6 +532,77 @@ class Table:
         df = rows if isinstance(rows, DataFrame) else self._align_values_df(rows)
         return self._append_files(df, "append", ref, summary=summary)
 
+    def dynamic_overwrite(self, df: DataFrame, ref: str = MAIN) -> Snapshot:
+        """INSERT OVERWRITE with dynamic partition resolution (Spark's
+        ``partitionOverwriteMode=dynamic`` / Iceberg's dynamic overwrite):
+        replace exactly the partitions the source DataFrame touches;
+        untouched partitions keep their files byte-for-byte.  An
+        unpartitioned table degenerates to a full REPLACE.
+
+        Partition identity is the CURRENT spec's transform tuple,
+        computed from the newly written files' manifest entries — no
+        extra Spark job.  Files written under an OLDER spec cannot be
+        compared tuple-for-tuple, so their presence raises (compact with
+        ``optimize()`` to rewrite them under the current spec first)
+        rather than risking a silently partial overwrite.  Atomicity:
+        removed + added files commit in one snapshot via the usual CAS.
+        """
+        m = self.meta
+        base = self._manifest(self._resolve(ref))
+        aligned = df.select(
+            *[
+                F.col(f.name).cast(spark_type(f.type)).alias(f.name)
+                for f in m.schema.fields
+            ]
+        )
+        new_files = write_data_files(
+            aligned, self.location, m.schema, m.spec,
+            m.last_sequence_number + 1, m.sort_order or None,
+        )
+        self._enrich_blooms(new_files)
+        if not m.spec.fields:
+            removed = list(base.data_files)
+        else:
+            stale = [f for f in base.data_files if f.spec_id != m.spec.spec_id]
+            if stale:
+                raise ValueError(
+                    f"dynamic_overwrite: {len(stale)} file(s) were written "
+                    "under an older partition spec and cannot be matched "
+                    "against the current spec's partition tuples — run "
+                    "optimize() to rewrite them under the current spec first"
+                )
+            touched = {tuple(sorted(f.partition.items())) for f in new_files}
+            removed = [
+                f for f in base.data_files
+                if tuple(sorted(f.partition.items())) in touched
+            ]
+        removed_paths = {f.path for f in removed}
+        kept_data = [f for f in base.data_files if f.path not in removed_paths]
+        # drop delete files that only referenced replaced data files; ones
+        # also referencing surviving files stay (their entries for removed
+        # files are inert — those files are no longer scanned)
+        kept_deletes = [
+            d for d in base.delete_files
+            if not (
+                d.referenced_files
+                and set(d.referenced_files) <= removed_paths
+            )
+        ]
+        summary = {
+            "added-data-files": len(new_files),
+            "added-records": sum(f.record_count for f in new_files),
+            "removed-data-files": len(removed),
+            "removed-records": sum(f.record_count for f in removed),
+            "replaced-partitions": (
+                len({tuple(sorted(f.partition.items())) for f in new_files})
+                if m.spec.fields else "all"
+            ),
+        }
+        return self._commit_snapshot(
+            Manifest(kept_data + new_files, kept_deletes),
+            "overwrite", ref, summary, rebase=False,
+        )
+
     # ------------------------------------------------------------------
     # row-level DML (SURVEY.md §3.3)
     # ------------------------------------------------------------------

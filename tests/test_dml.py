@@ -351,3 +351,75 @@ def test_tags_immutable_refs(t):
     t.drop_tag("rel-1")
     assert "rel-1" not in t.meta.refs
     t.delete("custkey = 880001")
+
+
+def test_dynamic_overwrite_replaces_only_touched_partitions(
+    spark, tmp_path, sf_dir
+):
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    t = Table.ctas(
+        spark,
+        str(tmp_path / "dynovr"),
+        customer_pipeline(spark, sf_dir),
+        partitioning=["mktsegment"],
+        properties={"merge_mode": "merge-on-read"},
+    )
+    before = {
+        f.path: tuple(sorted(f.partition.items()))
+        for f in t._manifest(t._resolve("main")).data_files
+    }
+    segs_before = {r.mktsegment for r in t.df().select("mktsegment").distinct().collect()}
+    assert "AUTOMOBILE" in segs_before and len(segs_before) > 1
+
+    src = spark.createDataFrame(
+        [(9001, "X", "AUTOMOBILE", 1.0, "FRANCE")],
+        t.df().schema,
+    )
+    t.dynamic_overwrite(src)
+    after = t._manifest(t._resolve("main")).data_files
+    auto = [f for f in after if dict(f.partition).get("mktsegment") == "AUTOMOBILE"]
+    other = [f for f in after if dict(f.partition).get("mktsegment") != "AUTOMOBILE"]
+    # replaced partition carries only the new file(s)
+    assert all(f.path not in before for f in auto)
+    # untouched partitions keep their exact files
+    assert all(f.path in before for f in other)
+    assert {r.custkey for r in t.df().where("mktsegment = 'AUTOMOBILE'").collect()} == {9001}
+    # one atomic snapshot, operation=overwrite, summary records the scope
+    snap = t.meta.snapshots[-1]
+    assert snap.operation == "overwrite"
+    assert snap.summary["replaced-partitions"] == 1
+
+
+def test_dynamic_overwrite_unpartitioned_is_full_replace(spark, tmp_path, sf_dir):
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    t = Table.ctas(
+        spark,
+        str(tmp_path / "dynovr_unpart"),
+        customer_pipeline(spark, sf_dir),
+        partitioning=[],
+        properties={"merge_mode": "merge-on-read"},
+    )
+    src = spark.createDataFrame([(1, "Y", "S", 1.0, "N")], t.df().schema)
+    t.dynamic_overwrite(src)
+    assert [r.custkey for r in t.df().collect()] == [1]
+
+
+def test_dynamic_overwrite_refuses_old_spec_files(spark, tmp_path, sf_dir):
+    from iceberg_trino_sql_demo_spark.operators.relational import customer_pipeline
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    t = Table.ctas(
+        spark,
+        str(tmp_path / "dynovr_spec"),
+        customer_pipeline(spark, sf_dir),
+        partitioning=["mktsegment"],
+        properties={"merge_mode": "merge-on-read"},
+    )
+    t.set_partitioning(["nation"])
+    src = spark.createDataFrame([(1, "Y", "S", 1.0, "FRANCE")], t.df().schema)
+    with pytest.raises(ValueError, match="older partition spec"):
+        t.dynamic_overwrite(src)
