@@ -279,6 +279,25 @@ class Engine:
         )
         t.append(aligned, ref=m.group(2) or "main")
 
+    def _h_insert_overwrite(self, m: re.Match) -> None:
+        """INSERT OVERWRITE t SELECT ... — dynamic partition overwrite
+        (replaces exactly the partitions the SELECT produces; positional
+        column match as in INSERT INTO ... SELECT)."""
+        from pyspark.sql import functions as F
+
+        t = self._table(m.group(1))
+        df = self._select("SELECT" + m.group(3))
+        fields = t.meta.schema.fields
+        if len(df.columns) != len(fields):
+            raise ValueError(
+                f"INSERT OVERWRITE ... SELECT arity mismatch: query produces "
+                f"{len(df.columns)} columns, table has {len(fields)}"
+            )
+        aligned = df.select(
+            *[F.col(c).alias(f.name) for c, f in zip(df.columns, fields)]
+        )
+        t.dynamic_overwrite(aligned, ref=m.group(2) or "main")
+
     def _h_update(self, m: re.Match) -> None:
         name, branch, sets_s, where = m.group(1), m.group(2), m.group(3), m.group(4)
         assignments: dict[str, Any] = {}
@@ -419,6 +438,8 @@ class Engine:
                     r"VALUES\s*(.*)$", _FLAGS), _h_insert),
         (re.compile(r"^INSERT\s+INTO\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SELECT\b(.*)$",
                     _FLAGS), _h_insert_select),
+        (re.compile(r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SELECT\b(.*)$",
+                    _FLAGS), _h_insert_overwrite),
         (re.compile(r"^UPDATE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SET\s+(.*?)\s+WHERE\s+(.*)$",
                     _FLAGS), _h_update),
         (re.compile(r"^DELETE\s+FROM\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?\s*WHERE\s+(.*)$",

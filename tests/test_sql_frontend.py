@@ -362,3 +362,22 @@ def test_insert_into_select(eng):
     assert sql("SELECT * FROM ins_sel").count() == 2 * n0
     with _pytest.raises(ValueError, match="arity"):
         sql("INSERT INTO ins_sel SELECT n_nationkey FROM tpch.sf1.nation")
+
+
+def test_insert_overwrite_dynamic(eng):
+    """INSERT OVERWRITE replaces exactly the partitions the SELECT
+    produces (dynamic mode); unpartitioned tables fully replace."""
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS ovr")
+    sql("CREATE OR REPLACE TABLE ovr WITH (partitioning = ARRAY['regionkey']) AS "
+        "SELECT n_name AS name, n_regionkey AS regionkey FROM tpch.sf1.nation")
+    n0 = sql("SELECT * FROM ovr").count()
+    r0 = sql("SELECT * FROM ovr WHERE regionkey = 0").count()
+    assert 0 < r0 < n0
+    sql("INSERT OVERWRITE ovr SELECT 'REPLACED', 0")
+    assert sql("SELECT * FROM ovr WHERE regionkey = 0").count() == 1
+    # every other partition untouched
+    assert sql("SELECT * FROM ovr").count() == n0 - r0 + 1
+    assert sql("SELECT * FROM ovr WHERE name = 'REPLACED'").count() == 1
