@@ -440,6 +440,8 @@ class Engine:
                     _FLAGS), _h_insert_select),
         (re.compile(r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SELECT\b(.*)$",
                     _FLAGS), _h_insert_overwrite),
+        (re.compile(r"^TRUNCATE\s+TABLE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?$", _FLAGS),
+         lambda self, m: self._table(m.group(1)).truncate(ref=m.group(2) or "main")),
         (re.compile(r"^UPDATE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SET\s+(.*?)\s+WHERE\s+(.*)$",
                     _FLAGS), _h_update),
         (re.compile(r"^DELETE\s+FROM\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?\s*WHERE\s+(.*)$",

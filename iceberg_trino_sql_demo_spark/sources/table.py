@@ -627,6 +627,24 @@ class Table:
         }
         return [f for f in cands if f.path in hit_paths]
 
+    def truncate(self, ref: str = MAIN) -> Snapshot:
+        """TRUNCATE TABLE: one metadata-only commit dropping every data and
+        delete file from the ref's manifest.  No file IO, no Spark job —
+        the files stay on disk for time travel/rollback and age out via
+        expire_snapshots, exactly like any other replaced snapshot."""
+        base = self._manifest(self._resolve(ref))
+        return self._commit_snapshot(
+            Manifest([], []),
+            "delete",
+            ref,
+            {
+                "removed-data-files": len(base.data_files),
+                "removed-records": sum(f.record_count for f in base.data_files),
+                "truncate": "true",
+            },
+            rebase=False,
+        )
+
     def delete(self, where: str, ref: str = MAIN) -> Snapshot:
         """DELETE FROM ... WHERE (reference :137, :228, :240).
 

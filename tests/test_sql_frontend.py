@@ -381,3 +381,23 @@ def test_insert_overwrite_dynamic(eng):
     # every other partition untouched
     assert sql("SELECT * FROM ovr").count() == n0 - r0 + 1
     assert sql("SELECT * FROM ovr WHERE name = 'REPLACED'").count() == 1
+
+
+def test_truncate_table(eng):
+    """TRUNCATE drops every row in one metadata-only commit; history and
+    time travel survive; expire_snapshots can reclaim the files later."""
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS trunc_t")
+    sql("CREATE OR REPLACE TABLE trunc_t AS SELECT * FROM tpch.sf1.nation")
+    n0 = sql("SELECT * FROM trunc_t").count()
+    assert n0 > 0
+    t = eng.catalog.table("trunc_t")
+    pre = t.meta.snapshots[-1].snapshot_id
+    sql("TRUNCATE TABLE trunc_t")
+    assert sql("SELECT * FROM trunc_t").count() == 0
+    # time travel still sees the pre-truncate rows
+    assert sql(f"SELECT * FROM trunc_t FOR VERSION AS OF {pre}").count() == n0
+    snap = t.refresh().meta.snapshots[-1]
+    assert snap.operation == "delete" and snap.summary["truncate"] == "true"
