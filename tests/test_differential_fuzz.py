@@ -221,3 +221,61 @@ def test_grouped_aggregate_agreement(spark, li_view, duck, sql):
     dres = sorted(map(tuple, duck.execute(sql).fetchall()))
     sres = sorted(tuple(r) for r in spark.sql(sql).collect())
     assert sres == dres, f"engines disagree on: {sql}"
+
+
+# --- window-function fuzzing: ranking + framed aggregates over a total order
+
+
+@st.composite
+def window_query(draw) -> str:
+    """Deterministic window queries.  (l_orderkey, l_linenumber) is NOT
+    unique in this synthetic corpus (first fuzz run proved it — running
+    sums over a tie-broken ROWS frame legitimately disagreed), so
+    determinism comes from a different invariant: the ORDER BY covers
+    every column the window functions and the output read, which makes
+    the result MULTISET invariant under any peer permutation — rows tied
+    on the full order key are indistinguishable to both the frame and
+    the projection.  Integer-exact aggregates only."""
+    part = draw(st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey"]))
+    pred = f" WHERE {draw(predicate())}" if draw(st.booleans()) else ""
+    order = "ORDER BY l_orderkey, l_linenumber, l_partkey"
+    if draw(st.booleans()):
+        fn = draw(st.sampled_from(["row_number()", "rank()", "dense_rank()"]))
+        expr = f"CAST({fn} OVER (PARTITION BY {part} {order}) AS BIGINT)"
+    else:
+        agg = draw(
+            st.sampled_from(
+                ["sum(l_partkey)", "count(*)", "min(l_partkey)", "max(l_orderkey)"]
+            )
+        )
+        frame = draw(
+            st.sampled_from(
+                [
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+                    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+                    "ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING",
+                ]
+            )
+        )
+        expr = (
+            f"CAST({agg} OVER (PARTITION BY {part} {order} {frame}) AS BIGINT)"
+        )
+    return (
+        f"SELECT l_orderkey, l_linenumber, {expr} AS w0 FROM lineitem{pred}"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sql=window_query())
+def test_window_agreement(spark, li_view, duck, sql):
+    """Walks the window space: partitioning x optional predicate x
+    (ranking | framed integer aggregate).  Divergence candidates: frame
+    boundary semantics (PRECEDING/FOLLOWING off-by-one), peer handling,
+    predicate placement below the window."""
+    dres = sorted(map(tuple, duck.execute(sql).fetchall()))
+    sres = sorted(tuple(r) for r in spark.sql(sql).collect())
+    assert sres == dres, f"engines disagree on: {sql}"
