@@ -1757,3 +1757,152 @@ def _semantic_pairs(assigned: DataFrame, use_gemm: bool) -> DataFrame:
             "cluster long, id_a long, id_b long, cosine double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup — the production crawl shape.  A pipeline that
+# re-runs daily must check TODAY's batch against the full historical index
+# without ever re-comparing index x index (which dwarfs batch x everything
+# at 100 TB: the index is the whole corpus, the batch is one day).  Here
+# the "batch" is the md5(doc_id)%10 == 0 slice (the same engine-portable
+# bucket split sample_hash_bucket uses) and the rest is the index.
+#
+# Candidate generation is PROBE-SIDED: only batch docs' band buckets probe
+# the banded corpus, so the join cost is O(|batch| x bucket occupancy) —
+# independent of index-index collisions.  Batch-batch pairs emit once via
+# the y.doc_id < x.doc_id orientation; batch-index pairs emit as
+# (new, old) regardless of id order.  Verification is the same exact
+# hashed-shingle jaccard as dedup_minhash_lsh, scoped to candidates.
+# At scale the banded index is a materialized table keyed by bucket
+# (write-time partitioning); a day's batch appends its own bands after
+# the scan — this operator is the query side of that contract.
+# ---------------------------------------------------------------------------
+_IS_BATCH_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0)"
+)
+
+_INCR_MINHASH_ORACLE = f"""
+    WITH {_hsh_capped("SELECT doc_id, text FROM documents")},
+    sig AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n,
+             {_SIG_SQL}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, {_IS_BATCH_SQL} AS is_batch,
+             unnest([{_BAND_SQL}]) AS bucket
+        FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_new, y.doc_id AS id_old
+        FROM banded x
+        JOIN banded y
+          ON x.bucket = y.bucket AND x.doc_id <> y.doc_id
+         AND (NOT y.is_batch OR y.doc_id < x.doc_id)
+       WHERE x.is_batch
+    ),
+    common AS (
+      SELECT id_new, id_old, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand
+        JOIN sh a ON a.doc_id = id_new
+        JOIN sh b ON b.doc_id = id_old AND b.ha = a.ha AND b.hb = a.hb
+       GROUP BY id_new, id_old
+    )
+    SELECT id_new, id_old, n_common, sa.n AS n_new, sb.n AS n_old
+      FROM common
+      JOIN sig sa ON sa.doc_id = id_new
+      JOIN sig sb ON sb.doc_id = id_old
+     WHERE 2 * n_common >= sa.n + sb.n - n_common
+"""
+
+#: persisted frames from the previous invocation (same hygiene as
+#: _MINHASH_PERSISTED)
+_INCR_PERSISTED: list[DataFrame] = []
+
+
+@register("dedup_incremental_minhash", oracle=_INCR_MINHASH_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_new, id_old, n_common, n_new, n_old): near-duplicate matches of
+    the incoming batch against the full corpus, index self-pairs never
+    generated.  Shares the session-cached hashed-shingle pipeline with
+    the other shingle operators."""
+    while _INCR_PERSISTED:
+        _INCR_PERSISTED.pop().unpersist()
+    with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
+        sh = hashed_shingles(spark, sf_dir)
+        sig = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
+        ).persist()
+        sig.count()
+    _INCR_PERSISTED.append(sig)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(band)),
+                *[
+                    F.col(f"h{band * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"b{band}")
+        for band in range(BANDS)
+    ]
+    is_batch = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10 == 0
+    )
+    banded = sig.select(
+        "doc_id",
+        is_batch.alias("is_batch"),
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    )
+    probe = banded.where(F.col("is_batch"))
+    cand = (
+        probe.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") != F.col("y.doc_id"))
+            & (~F.col("y.is_batch") | (F.col("y.doc_id") < F.col("x.doc_id"))),
+        )
+        .select(F.col("x.doc_id").alias("id_new"), F.col("y.doc_id").alias("id_old"))
+        .distinct()
+    ).persist()
+    _INCR_PERSISTED.append(cand)
+    cand_ids = (
+        cand.select(F.col("id_new").alias("doc_id"))
+        .unionAll(cand.select(F.col("id_old").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "doc_id", "semi")
+    common = (
+        cand.join(
+            sh_cand.select(F.col("doc_id").alias("id_new"), "ha", "hb"), "id_new"
+        )
+        .join(
+            sh_cand.select(
+                F.col("doc_id").alias("id_old"),
+                F.col("ha").alias("ha_b"),
+                F.col("hb").alias("hb_b"),
+            ),
+            "id_old",
+        )
+        .where((F.col("ha") == F.col("ha_b")) & (F.col("hb") == F.col("hb_b")))
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sig.select("doc_id", "n")
+    sa = sizes.select(F.col("doc_id").alias("id_new"), F.col("n").alias("n_new"))
+    sb = sizes.select(F.col("doc_id").alias("id_old"), F.col("n").alias("n_old"))
+    return (
+        common.join(F.broadcast(sa), "id_new")
+        .join(F.broadcast(sb), "id_old")
+        .where(
+            2 * F.col("n_common")
+            >= F.col("n_new") + F.col("n_old") - F.col("n_common")
+        )
+        .select("id_new", "id_old", "n_common", "n_new", "n_old")
+    )

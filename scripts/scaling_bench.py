@@ -45,6 +45,11 @@ FAMILY = [
     "ann_topk_ivf",
     "ann_knn_join",
     "ann_knn_join_lsh",
+    # linear text/pipeline representatives: one tokenize-explode shape,
+    # one broadcast-eval-set scan, and the composed corpus-selection DAG
+    "text_token_stats",
+    "contamination_ngram",
+    "training_corpus_select",
 ]
 
 DIAG = {

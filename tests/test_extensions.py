@@ -519,3 +519,31 @@ def test_plan_audit_invariants(spark):
 
     problems = audit(spark, write_md=False)
     assert not problems, problems
+
+
+def test_incremental_minhash_consistency(spark):
+    """The incremental (batch-vs-index) operator must find exactly the
+    full operator's pairs that touch the batch slice — no index-index
+    pairs, nothing missed.  Runs at sf0.01: the sf0.001 batch slice
+    (md5 bucket 0, ~10% of 500 docs) happens to contain no near-dup
+    pair at all, which would make the equality vacuous."""
+    sf = "/root/testdata/sf0.01"
+    full = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in ops.QUERIES["dedup_minhash_lsh"](spark, sf).collect()
+    }
+    incr = [
+        (r.id_new, r.id_old)
+        for r in ops.QUERIES["dedup_incremental_minhash"](spark, sf).collect()
+    ]
+    import hashlib
+
+    def is_batch(doc_id: int) -> bool:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10 == 0
+
+    assert incr, "batch slice should hit some near-dups in this corpus"
+    for new, old in incr:
+        assert is_batch(new), "probe side must be a batch doc"
+    got = {tuple(sorted(p)) for p in incr}
+    want = {p for p in full if is_batch(p[0]) or is_batch(p[1])}
+    assert got == want, (got - want, want - got)
