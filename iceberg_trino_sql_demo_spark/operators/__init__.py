@@ -128,6 +128,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_stream_ohlc",
     "ice_dynamic_overwrite",
     "dedup_incremental_minhash",
+    "dedup_span_scrub",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

@@ -569,3 +569,96 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level scrub — the TRANSFORM complement of dedup_span_exact: rewrite
+# every document with its cross-doc duplicated spans removed, keeping one
+# canonical copy corpus-wide (the minimum doc_id — deterministic keeper
+# election, same rule as dedup_keep_list).  This is the Dolma-style
+# paragraph-dedup output: not a report, the cleaned training text itself.
+#
+# Scale shape: identical exchanges to the profile operator plus one
+# per-doc reassembly aggregate.  Reassembly is collect_list of
+# (chunk, span) structs + sort_array — the list is bounded by DOCUMENT
+# length (spans per doc), never by corpus size, so the aggregate buffer
+# is as bounded as the document itself.  Docs that are 100% duplicate
+# scrub to NULL (the removal signal downstream filters on).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_span_scrub",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS parts FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, chunk,
+             array_to_string(
+                 parts[chunk*{_SPAN_WORDS}+1 : chunk*{_SPAN_WORDS}+{_SPAN_WORDS}],
+                 ' ') AS span
+        FROM (SELECT doc_id, parts,
+                     unnest(range(CAST(ceil(len(parts)/{_SPAN_WORDS}.0) AS BIGINT)))
+                         AS chunk
+                FROM d)
+    ),
+    freq AS (
+      SELECT md5(span) AS key, COUNT(DISTINCT doc_id) AS ndoc,
+             MIN(doc_id) AS keeper
+        FROM spans GROUP BY 1
+    )
+    SELECT s.doc_id,
+           string_agg(s.span, ' ' ORDER BY s.chunk)
+               FILTER (WHERE f.ndoc = 1 OR s.doc_id = f.keeper) AS scrubbed,
+           CAST(COUNT(*) FILTER (WHERE f.ndoc > 1 AND s.doc_id <> f.keeper)
+                AS BIGINT) AS removed_spans
+      FROM spans s JOIN freq f ON f.key = md5(s.span)
+     GROUP BY 1
+     ORDER BY 1
+    """,
+)
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.sparkContext.defaultParallelism
+    span = F.concat_ws(
+        " ", F.slice("parts", F.col("chunk") * _SPAN_WORDS + 1, _SPAN_WORDS)
+    )
+    spans = (
+        _docs(spark, sf_dir)
+        .repartition(p)
+        .select("doc_id", F.split("text", " ").alias("parts"))
+        .select(
+            "doc_id",
+            "parts",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.ceil(F.size("parts") / F.lit(float(_SPAN_WORDS))) - 1).cast(
+                        "int"
+                    ),
+                )
+            ).alias("chunk"),
+        )
+        .select("doc_id", "chunk", span.alias("span"))
+        .withColumn("key", F.md5("span"))
+    )
+    freq = spans.groupBy("key").agg(
+        F.countDistinct("doc_id").alias("ndoc"),
+        F.min("doc_id").alias("keeper"),
+    )
+    joined = spans.join(freq, "key")
+    keep = (F.col("ndoc") == 1) | (F.col("doc_id") == F.col("keeper"))
+    kept_sorted = F.sort_array(
+        F.collect_list(F.when(keep, F.struct("chunk", "span")))
+    )
+    scrubbed = F.array_join(
+        F.transform(kept_sorted, lambda x: x["span"]), " "
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.when(F.size(kept_sorted) > 0, scrubbed).alias("scrubbed"),
+            F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias(
+                "removed_spans"
+            ),
+        )
+        .orderBy("doc_id")
+    )
