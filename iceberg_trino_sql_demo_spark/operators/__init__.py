@@ -129,6 +129,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_dynamic_overwrite",
     "dedup_incremental_minhash",
     "dedup_span_scrub",
+    "ann_topk_sq8",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

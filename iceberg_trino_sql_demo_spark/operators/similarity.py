@@ -765,3 +765,126 @@ def ann_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _KNN_K)
         .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized top-k — the memory-bandwidth scale path.  Per
+# dimension, the corpus min/max define a 256-level grid; each float
+# quantizes to one byte.  At 100 TB the quantized codes are the 4x-smaller
+# column the scan actually reads (array<tinyint> beside the float array;
+# here the codes are computed in-expression because the point is the
+# QUERY pipeline shape): prescore everything on dequantized codes, keep
+# the top PRESCORE_C by approximate score via TakeOrdered (no global
+# window, no shuffle beyond k rows per partition), then rescore only
+# those C rows with exact float cosine.
+#
+# Determinism across engines: Spark bakes the collected per-dim min/max
+# as double literals (repr round-trips exactly; a 128-scalar collect —
+# the same scalar-cardinality exception as IVF's centroid ids) while the
+# oracle recomputes them in SQL — identical values, and the quantize/
+# dequantize formula is written with the same operation sequence, so
+# every IEEE intermediate matches bit-for-bit.  The approximate score
+# drops the constant |q| factor (rank-invariant).
+# ---------------------------------------------------------------------------
+PRESCORE_C = 50
+
+
+def _sq8_stats_sql() -> str:
+    cols = ", ".join(
+        f"min(CAST(embedding[{k + 1}] AS DOUBLE)) AS lo{k}, "
+        f"max(CAST(embedding[{k + 1}] AS DOUBLE)) AS hi{k}"
+        for k in range(_DIM)
+    )
+    return f"SELECT {cols} FROM embeddings"
+
+
+def _sq8_vhat_sql(k: int) -> str:
+    e = f"CAST(embedding[{k + 1}] AS DOUBLE)"
+    return (
+        f"CASE WHEN hi{k} = lo{k} THEN lo{k} ELSE "
+        f"lo{k} + floor(({e} - lo{k}) * (255.0 / (hi{k} - lo{k})))"
+        f" * ((hi{k} - lo{k}) / 255.0) END"
+    )
+
+
+_SQ8_ORACLE = f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    stats AS ({_sq8_stats_sql()}),
+    vhat AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_sq8_vhat_sql(k)} AS v{k}" for k in range(_DIM))}
+        FROM embeddings, stats
+       WHERE vec_id != 0
+    ),
+    pre AS (
+      SELECT vec_id, embedding,
+             ({" + ".join(f"(SELECT qe[{k + 1}] FROM q) * v{k}" for k in range(_DIM))})
+             / sqrt({" + ".join(f"v{k} * v{k}" for k in range(_DIM))})
+             AS ascore
+        FROM vhat
+       ORDER BY ascore DESC, vec_id
+       LIMIT {PRESCORE_C}
+    )
+    SELECT vec_id,
+           round(
+             list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q)))),
+             6) AS cosine
+      FROM pre
+     ORDER BY cosine DESC, vec_id
+     LIMIT {K}
+    """
+
+
+@register("ann_topk_sq8", oracle=_SQ8_ORACLE)
+def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir)
+    stats_exprs = []
+    for k in range(_DIM):
+        e = f"CAST(embedding[{k}] AS DOUBLE)"
+        stats_exprs += [f"min({e}) AS lo{k}", f"max({e}) AS hi{k}"]
+    srow = _emb(spark, sf_dir).selectExpr(*stats_exprs).head()
+    lo = [srow[f"lo{k}"] for k in range(_DIM)]
+    hi = [srow[f"hi{k}"] for k in range(_DIM)]
+
+    def vhat(k: int) -> str:
+        if hi[k] == lo[k]:
+            return f"{float(lo[k])!r}D"
+        e = f"CAST(embedding[{k}] AS DOUBLE)"
+        l, h = f"{float(lo[k])!r}D", f"{float(hi[k])!r}D"
+        return (
+            f"{l} + floor(({e} - {l}) * (255.0D / ({h} - {l})))"
+            f" * (({h} - {l}) / 255.0D)"
+        )
+
+    # stage the 64 dequantized values as named columns so neither the dot
+    # nor the norm expression exceeds janino's method ceiling
+    staged = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .selectExpr(
+            "vec_id", "embedding",
+            *[f"{vhat(k)} AS v{k}" for k in range(_DIM)],
+        )
+    )
+    adot = F.expr(" + ".join(f"{float(qv[k])!r}D * v{k}" for k in range(_DIM)))
+    anorm = F.sqrt(F.expr(" + ".join(f"v{k} * v{k}" for k in range(_DIM))))
+    pre = (
+        staged.select(
+            "vec_id", "embedding", (adot / anorm).alias("ascore")
+        )
+        .orderBy(F.desc("ascore"), "vec_id")
+        .limit(PRESCORE_C)
+    )
+    cosine = _dot_lit("embedding", qv) / (
+        F.sqrt(_dot("embedding", "embedding")) * F.lit(_norm_lit(qv))
+    )
+    return (
+        pre.select("vec_id", F.round(cosine, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(K)
+    )

@@ -547,3 +547,17 @@ def test_incremental_minhash_consistency(spark):
     got = {tuple(sorted(p)) for p in incr}
     want = {p for p in full if is_batch(p[0]) or is_batch(p[1])}
     assert got == want, (got - want, want - got)
+
+
+def test_ann_sq8_recall_vs_bruteforce(spark):
+    """255-level scalar quantization distorts cosines by <1%, so the
+    prescore-C=50 + exact-rescore pipeline should recover nearly the
+    whole exact top-10; returned cosines are exact by construction."""
+    brute = [r.vec_id for r in ops.QUERIES["ann_topk_bruteforce"](spark, SF).collect()]
+    sq = [r.vec_id for r in ops.QUERIES["ann_topk_sq8"](spark, SF).collect()]
+    recall = len(set(brute) & set(sq)) / len(brute)
+    assert recall >= 0.8, f"SQ8 top-k recall {recall}"
+    bs = {r.vec_id: r.cosine for r in ops.QUERIES["ann_topk_bruteforce"](spark, SF).collect()}
+    for r in ops.QUERIES["ann_topk_sq8"](spark, SF).collect():
+        if r.vec_id in bs:
+            assert abs(r.cosine - bs[r.vec_id]) < 1e-9
