@@ -40,9 +40,11 @@ FAMILY = [
     "dedup_embedding_prefiltered_multiprobe",
     "dedup_semantic_clusters",
     "dedup_cluster_components",
+    "dedup_incremental_minhash",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "ann_topk_sq8",
     "ann_knn_join",
     "ann_knn_join_lsh",
     # linear text/pipeline representatives: one tokenize-explode shape,
