@@ -1726,3 +1726,51 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: groups exceeding a share of the GLOBAL total — a HAVING
+# clause against a scalar aggregate over the same fact.  Both the per-type
+# revenue and the grand total accumulate as scaled BIGINTs from the same
+# rows, so the share predicate (50 * group > total) is exact integer
+# arithmetic — no floating threshold at the cut.  Plan: ONE fact
+# aggregation reused for both sides (the 1-row total is a broadcast), so
+# the fact is scanned and shuffled once.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_share",
+    oracle="""
+    WITH per_type AS (
+      SELECT p.p_type AS type,
+             SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS rev_c
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+       GROUP BY 1
+    )
+    SELECT type, CAST(rev_c AS DOUBLE) / 100.0 AS revenue
+      FROM per_type, (SELECT SUM(rev_c) AS total_c FROM per_type) t
+     WHERE 50 * rev_c > total_c
+     ORDER BY revenue DESC, type
+    """,
+)
+def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    per_type = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("type"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    total = per_type.agg(F.sum("rev_c").alias("total_c"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .where(50 * F.col("rev_c") > F.col("total_c"))
+        .select(
+            "type", (F.col("rev_c").cast("double") / 100.0).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "type")
+    )

@@ -162,6 +162,7 @@ def test_no_unintended_cartesian_or_bnlj_plans(spark):
         "kmeans_iteration_stats",
         "dedup_semantic_clusters",
         "q22_idle_balance_customers",
+        "q11_important_share",
     }
 
     offenders = {}
