@@ -131,6 +131,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_span_scrub",
     "ann_topk_sq8",
     "q11_important_share",
+    "ice_runtime_filter_join",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

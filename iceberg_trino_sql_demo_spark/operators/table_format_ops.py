@@ -1001,3 +1001,77 @@ def ice_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.dynamic_overwrite(src)
     return t.df()
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter join — the engine-side analog of Spark's dynamic
+# partition pruning: `fact JOIN dim WHERE dim.pred` discovers the join
+# keys by scanning the DIM first, then plans the FACT scan with those
+# keys as an IN predicate, which the manifest pruner resolves against the
+# fact's hidden bucket(custkey) partitioning — whole buckets (and their
+# files) are skipped before Spark ever lists them.  Catalyst's own DPP
+# cannot see our manifests; this closes that gap at the planning layer.
+#
+# Scale contract: the collected key list is DIM-cardinality, bounded by
+# `max_keys` — past the bound the scan falls back to the unpruned join
+# (keys that numerous stop pruning buckets anyway: k distinct keys hit
+# ~min(k, N) of N buckets).  The production variant ships the key set as
+# a bloom probe instead of literals; the IN form is exact and keeps the
+# whole path value-testable.
+# ---------------------------------------------------------------------------
+def runtime_filter_scan(t: Table, key_col: str, keys: list, max_keys: int = 1000):
+    """Fact DataFrame pruned to files that can contain ``key_col IN keys``
+    (falls back to the full scan past max_keys)."""
+    if not keys or len(keys) > max_keys:
+        return t.df()
+    in_list = ", ".join(str(int(k)) for k in sorted(keys))
+    return t.df(where=f"{key_col} IN ({in_list})")
+
+
+@register(
+    "ice_runtime_filter_join",
+    oracle="""
+    SELECT o.o_custkey AS custkey,
+           CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+     WHERE c.c_acctbal > 9950
+     GROUP BY 1
+     ORDER BY 1
+    """,
+    bench=False,
+)
+def ice_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    loc = tempfile.mkdtemp(prefix="ice_rtf_")
+    t = Table.ctas(
+        spark, loc, orders, partitioning=["bucket(8, custkey)"],
+        properties={"merge_mode": "merge-on-read"},
+    )
+    dim = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .where(F.col("c_acctbal") > 9950)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    keys = [r.custkey for r in dim.collect()]
+    fact = runtime_filter_scan(t, "custkey", keys)
+    return (
+        fact.join(F.broadcast(dim), "custkey")
+        .groupBy("custkey")
+        .agg(
+            (
+                F.sum(F.round(F.col("totalprice") * 100, 0).cast("long"))
+                .cast("double") / 100.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )

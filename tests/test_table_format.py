@@ -290,3 +290,31 @@ def test_or_pruning_unions_branch_file_sets(spark, cat, sf_dir):
     # BETWEEN end-to-end on a stats-pruned column
     w2 = "custkey BETWEEN 100 AND 200"
     assert t.df(where=w2).count() == cust.where(w2).count()
+
+
+def test_runtime_filter_join_prunes_buckets(spark, cat, sf_dir):
+    """The dim-derived IN list must prune the bucketed fact to a strict
+    file subset (one key -> one bucket of 8), and past max_keys the scan
+    falls back to the full file set rather than a 10^6-literal predicate."""
+    from iceberg_trino_sql_demo_spark.operators.table_format_ops import (
+        runtime_filter_scan,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey"), F.col("o_totalprice").alias("tp")
+    )
+    cat.ctas("orders_rtf", o, partitioning=["bucket(8, custkey)"])
+    t = cat.table("orders_rtf")
+    all_files = len(t.io.read_manifest(t._resolve()).data_files)
+    assert all_files >= 8
+
+    one = runtime_filter_scan(t, "custkey", [42])
+    n_scanned = len(
+        {r[0] for r in one.select(F.input_file_name()).distinct().collect()}
+    )
+    assert n_scanned < all_files, "single key must skip other buckets"
+    assert one.count() == o.where("custkey = 42").count()
+
+    # past the bound: full scan, same results as no filter
+    many = runtime_filter_scan(t, "custkey", list(range(5000)), max_keys=10)
+    assert many.count() == o.count()
