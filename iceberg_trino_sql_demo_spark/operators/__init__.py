@@ -132,6 +132,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_topk_sq8",
     "q11_important_share",
     "ice_runtime_filter_join",
+    "events_hourly_distinct_users",
+    "orders_avg_basket_by_priority",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

@@ -1774,3 +1774,53 @@ def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "type")
     )
+
+
+# ---------------------------------------------------------------------------
+# two-level re-aggregation — aggregate OF an aggregate: average basket
+# (per-order lineitem revenue) by order priority.  The inner per-order
+# sums accumulate as scaled BIGINTs; the outer average divides two exact
+# integers, so the result is deterministic across engines AND across
+# partitionings.  Plan: the fact shuffles once on orderkey for the inner
+# agg; the outer agg re-shuffles only |orders| pre-aggregated rows — the
+# canonical rollup-of-rollup shape warehouse reports live on.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_avg_basket_by_priority",
+    oracle="""
+    WITH per_order AS (
+      SELECT l.l_orderkey AS orderkey,
+             SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                      AS BIGINT)) AS rev_sc
+        FROM lineitem l
+       GROUP BY 1
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p.rev_sc) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_basket
+      FROM per_order p
+      JOIN orders o ON o.o_orderkey = p.orderkey
+     GROUP BY 1
+     ORDER BY 1
+    """,
+)
+def orders_avg_basket_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = l.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.sum(F.round(revenue * 10000, 0).cast("long")).alias("rev_sc")
+    )
+    return (
+        per_order.join(o, per_order.orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum("rev_sc").cast("double")
+                / 10000.0
+                / F.count(F.lit(1))
+            ).alias("avg_basket"),
+        )
+        .orderBy("priority")
+    )
