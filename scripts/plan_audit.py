@@ -75,6 +75,23 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "scan -> unrolled codegen dot -> TakeOrdered: top-k without a "
         "single shuffle; each task keeps k rows, the driver merges.",
     ),
+    "ann_topk_sq8": (
+        ["TakeOrderedAndProject"],
+        ["Exchange", "Window", "CartesianProduct"],
+        0,
+        "quantized prescore + exact rescore with ZERO exchanges: both the "
+        "top-C prescore cut and the final top-k run as TakeOrdered (each "
+        "task keeps k rows, the driver merges) — no global sort, no "
+        "global window, nothing shuffled.",
+    ),
+    "orders_avg_basket_by_priority": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["Expand", "CartesianProduct", "SortMergeJoin"],
+        5,
+        "aggregate-of-aggregate: the fact shuffles once for the per-order "
+        "sums; the outer priority aggregate and its join see only "
+        "|orders| pre-aggregated rows (orders broadcast).",
+    ),
     "dedup_span_exact": (
         ["HashAggregate"],
         ["CartesianProduct", "SortMergeJoin"],
