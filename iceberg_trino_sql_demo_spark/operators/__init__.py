@@ -134,6 +134,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_runtime_filter_join",
     "events_hourly_distinct_users",
     "orders_avg_basket_by_priority",
+    "q5_local_supplier_revenue",
+    "q6_forecast_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

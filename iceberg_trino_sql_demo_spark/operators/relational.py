@@ -1824,3 +1824,99 @@ def orders_avg_basket_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: local-supplier revenue — the 5-way join whose distinguishing
+# constraint is an equality BETWEEN TWO DIMENSIONS (supplier.nation =
+# customer.nation), not a fact FK.  All dims broadcast; the constraint is
+# applied inside the supplier join condition so mismatched-nation rows
+# die at the join instead of surviving to a filter.  One fact pass, one
+# aggregate on the nation grain.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                     AND s.s_nationkey = c.c_nationkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+     WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+       AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
+     GROUP BY 1
+     ORDER BY revenue DESC, nation
+    """,
+)
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(scaled_long_sum(revenue, "revenue", scale=4))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: the pure filter-sum forecast — no join, three pushable
+# predicates, one scalar aggregate.  Every predicate reaches the parquet
+# scan (PushedFilters), so at 100 TB this is IO-bound on exactly the
+# row groups whose min/max straddle the ship-date year.  The discount
+# BETWEEN compares stored doubles against the same parsed literals on
+# both engines — bit-identical, no epsilon games.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000, 0)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+     WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+       AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+       AND l_discount BETWEEN 0.05 AND 0.07
+       AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000, 0
+                    ).cast("long")
+                ).cast("double")
+                / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
