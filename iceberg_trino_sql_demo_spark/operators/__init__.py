@@ -136,6 +136,7 @@ _DRIVER_PRIORITY: list[str] = [
     "orders_avg_basket_by_priority",
     "q5_local_supplier_revenue",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

@@ -1920,3 +1920,72 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: bi-national volume shipping — a DISJUNCTION OF CONJUNCTIONS
+# over two dimension attributes ((s_nation=A AND c_nation=B) OR the
+# reverse), grouped by the nation pair and ship year.  The OR cannot be
+# split per side, so it evaluates after both nation joins; both nation
+# lookups broadcast and each is pre-filtered to the two named nations, so
+# the fact rows surviving to the OR are already the ~2/25ths that can
+# match.  (Nation names in this corpus are the generator's NATION_k.)
+# ---------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+     WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+        OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9')
+     GROUP BY 1, 2, 3
+     ORDER BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pair = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_9", "NATION_6")
+    )
+    n1 = pair.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = pair.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_9")
+                & (F.col("cust_nation") == "NATION_6")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_6")
+                & (F.col("cust_nation") == "NATION_9")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).alias("l_year"),
+        )
+        .agg(scaled_long_sum(revenue, "revenue", scale=4))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
