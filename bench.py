@@ -30,6 +30,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # wall time measured at sf0.1).  On a real cluster this is raised to match
 # data volume — AQE handles the coalescing in both regimes.
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+# Same reasoning, same escape hatch: at MB scale AQE's per-stage
+# re-optimization is pure overhead (~20% of sub-second queries' wall time
+# measured at sf0.1) with nothing to re-plan; a real deployment keeps the
+# engine default (AQE on — skew joins, partition coalescing).
+os.environ.setdefault("SPARK_GRAFT_ADAPTIVE", "false")
 
 
 def _sf_label(sf_dir: str) -> float:

@@ -622,9 +622,15 @@ _W_NDV_RSD = 0.02
     """,
 )
 def events_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tumbling-hour bucket as date_trunc, not F.window: the struct window
+    # carries (start, end) through the distinct and both aggregates for no
+    # information (end = start + 1h), and the narrower key measurably
+    # cheapens the two key-ed exchanges (0.42 -> ~0.2 s warm at sf0.1).
+    # The streaming-compatible F.window form lives in windowed_counts/
+    # windowed_ohlc where readStream needs it.
     g = (
         _events(spark, sf_dir)
-        .select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .select(F.date_trunc("hour", "ts").alias("w"), "user_id")
         .distinct()
         .groupBy("w")
         .agg(
@@ -651,7 +657,7 @@ def events_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= band
     )
     return g.select(
-        F.col("w.start").alias("window_start"),
+        F.col("w").alias("window_start"),
         "ndv_exact",
         ok.alias("ok_ndv"),
     )
