@@ -1075,3 +1075,76 @@ def ice_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END composition: readStream micro-batch ingestion (exactly-once
+# table sink) -> versioned base table -> INCREMENTAL materialized-view
+# refresh over the CDC delta.  This is the continuous-aggregation
+# production loop in one scenario: events stream into the table with the
+# (stream, batch) watermark in the snapshot commit; the aggregate MV
+# refreshes once (full), late rows arrive, and the second refresh merges
+# ONLY the delta by key arithmetic (asserted: mode == incremental-merge).
+# The MV stores scaled-integer cents so the delta merge is exact integer
+# addition — merging pre-divided doubles would round differently than a
+# full recompute; the final division happens once, at read.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_stream_to_incremental_mv",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+     GROUP BY 1
+    UNION ALL
+    SELECT 'synthetic', 7.5, 2
+    """,
+    bench=False,
+)
+def ice_stream_to_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_into_table
+
+    wh = tempfile.mkdtemp(prefix="ice_sti_")
+    cat = Catalog(spark, wh)
+    cat.create_schema("demo")
+    cat.use("demo")
+    t = Table.create(
+        spark, os.path.join(wh, "events_ing"),
+        [("event_id", "bigint"), ("ts", "bigint"), ("user_id", "bigint"),
+         ("event_type", "string"), ("value", "double"), ("props", "string")],
+    )
+    cat.register_table("demo", "events_ing", t.location)
+    stream_into_table(
+        spark, sf_dir, t, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_sti_")
+    )
+    cat.register_table_view("events_ing", view_name="ice_sti_events")
+    cat.create_materialized_view(
+        "mv_sti",
+        "SELECT event_type, "
+        "SUM(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents, "
+        "COUNT(*) AS n_events FROM ice_sti_events GROUP BY event_type",
+        base_table="events_ing",
+        base_view="ice_sti_events",
+        aggregate_merge={"keys": ["event_type"], "sums": ["total_cents"],
+                         "counts": ["n_events"]},
+    )
+    # late arrivals after the initial materialization
+    t.refresh().insert([
+        {"event_id": 10_000_001, "ts": 1, "user_id": 1,
+         "event_type": "synthetic", "value": 3.25, "props": "{}"},
+        {"event_id": 10_000_002, "ts": 2, "user_id": 2,
+         "event_type": "synthetic", "value": 4.25, "props": "{}"},
+    ])
+    mv = cat.refresh_materialized_view("mv_sti")
+    mode = cat.data["mviews"][cat._qualify("mv_sti")]["last_refresh_mode"]
+    assert mode == "incremental-merge", mode
+    return mv.df().select(
+        "event_type",
+        (F.col("total_cents").cast("double") / 100.0).alias("total_value"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
