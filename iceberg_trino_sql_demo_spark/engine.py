@@ -325,10 +325,14 @@ class Engine:
                 expr = re.sub(rf"\b{sa}\.(\w+)", r"__src_\1", expr.strip())
                 matched_set[col.strip().split(".")[-1]] = expr
         key = re.search(r"\(?\s*\w+\.(\w+)\s*=", on).group(1)
-        insert_not_matched = bool(re.search(r"WHEN\s+NOT\s+MATCHED", rest, _FLAGS))
+        by_source_delete = bool(re.search(
+            r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE", rest, _FLAGS))
+        insert_not_matched = bool(re.search(
+            r"WHEN\s+NOT\s+MATCHED(?!\s+BY\s+SOURCE)", rest, _FLAGS))
         self._table(tgt).merge(src_df, on=key, matched_set=matched_set,
                                matched_condition=matched_cond,
-                               insert_not_matched=insert_not_matched)
+                               insert_not_matched=insert_not_matched,
+                               delete_not_matched_by_source=by_source_delete)
 
     def _h_add_column(self, m: re.Match) -> None:
         name, col, type_s, default = m.groups()

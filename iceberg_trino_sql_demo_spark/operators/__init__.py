@@ -134,6 +134,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_runtime_filter_join",
     "events_hourly_distinct_users",
     "ice_stream_to_incremental_mv",
+    "ice_merge_full_sync",
     "orders_avg_basket_by_priority",
     "q5_local_supplier_revenue",
     "q6_forecast_revenue",

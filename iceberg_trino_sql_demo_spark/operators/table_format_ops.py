@@ -1148,3 +1148,43 @@ def ice_stream_to_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_cents").cast("double") / 100.0).alias("total_value"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M4+ full-sync MERGE (beyond the reference): WHEN NOT MATCHED BY SOURCE
+# THEN DELETE makes the target CONVERGE to the source — update matched,
+# insert missing, delete stranded, one atomic snapshot.  The state after
+# the merge is exactly the source relation, which is the entire oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_merge_full_sync",
+    oracle="""
+    SELECT * FROM (VALUES
+        (2001, 'SYNCED A', 'SQLENGINE', 10.0, 'FRANCE'),
+        (99001, 'SYNCED NEW', 'SQLENGINE', 20.0, 'GERMANY')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    schema, _ = _cached_src(spark, sf_dir)
+    src = spark.createDataFrame(
+        [
+            (2001, "SYNCED A", "SQLENGINE", 10.0, "FRANCE"),
+            (99001, "SYNCED NEW", "SQLENGINE", 20.0, "GERMANY"),
+        ],
+        schema,
+    )
+    t.merge(
+        src, on="custkey",
+        matched_set={
+            "name": "__src_name",
+            "mktsegment": "__src_mktsegment",
+            "account_balance": "__src_account_balance",
+            "nation": "__src_nation",
+        },
+        delete_not_matched_by_source=True,
+    )
+    return t.df()

@@ -875,11 +875,14 @@ class Table:
         matched_set: dict[str, str] | None = None,
         matched_condition: str | None = None,
         insert_not_matched: bool = True,
+        delete_not_matched_by_source: bool = False,
         ref: str = MAIN,
     ) -> Snapshot:
         """MERGE INTO target USING source ON (t.on = s.on)
         WHEN MATCHED [AND cond] THEN UPDATE SET ...
-        WHEN NOT MATCHED THEN INSERT (reference :146-157).
+        WHEN NOT MATCHED THEN INSERT (reference :146-157)
+        [WHEN NOT MATCHED BY SOURCE THEN DELETE — beyond the reference:
+        the full-sync form that makes the target converge to the source].
 
         ``matched_set`` maps target column -> source expression (over source
         columns).  Executed as CoW over affected files + one append of
@@ -887,6 +890,13 @@ class Table:
         DML (the reference only merges on main, :146-157; accepting a ref
         removes the one API asymmetry VERDICT r2 flagged — "What's wrong"
         #4).
+
+        ``delete_not_matched_by_source`` drops target rows whose key has
+        no source row.  Any file may hold such rows, so this form
+        rewrites every data file (exactly like Spark/Iceberg's own
+        NOT MATCHED BY SOURCE without a narrowing condition) — and skips
+        the affected-file probe entirely; a matched-but-condition-false
+        row is kept, not deleted.
         """
         manifest = self._manifest(self._resolve(ref))
         src_cols = {c: f"__src_{c}" for c in source.columns}
@@ -896,15 +906,20 @@ class Table:
         # _path column against the source keys.  Only file paths (manifest
         # cardinality) reach the driver — the source key set never does, so
         # a 100 TB CDC-upsert source flows executor-to-executor throughout.
-        probe = snapshot_df(self.spark, self.meta, manifest, hidden=True)
-        hit_paths = {
-            r[0].replace("file:", "")
-            for r in probe.join(src, probe[on] == src[src_cols[on]], "left_semi")
-            .select("_path")
-            .distinct()
-            .collect()
-        }
-        affected = [f for f in manifest.data_files if f.path in hit_paths]
+        if delete_not_matched_by_source:
+            affected = list(manifest.data_files)
+        else:
+            probe = snapshot_df(self.spark, self.meta, manifest, hidden=True)
+            hit_paths = {
+                r[0].replace("file:", "")
+                for r in probe.join(
+                    src, probe[on] == src[src_cols[on]], "left_semi"
+                )
+                .select("_path")
+                .distinct()
+                .collect()
+            }
+            affected = [f for f in manifest.data_files if f.path in hit_paths]
         new_seq = self.meta.last_sequence_number + 1
         tgt_names = [f.name for f in self.meta.schema.fields]
 
@@ -930,6 +945,8 @@ class Table:
             out = out.withColumn(
                 LAST_SEQ, F.when(F.col("__matched"), F.lit(new_seq)).otherwise(F.col(LAST_SEQ))
             ).drop("__matched")
+            if delete_not_matched_by_source:
+                out = out.where(F.col(src_cols[on]).isNotNull())
             matched_df = out.select(*tgt_names, ROW_ID, LAST_SEQ)
             parts_new.append(matched_df)
 

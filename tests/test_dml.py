@@ -423,3 +423,28 @@ def test_dynamic_overwrite_refuses_old_spec_files(spark, tmp_path, sf_dir):
     src = spark.createDataFrame([(1, "Y", "S", 1.0, "FRANCE")], t.df().schema)
     with pytest.raises(ValueError, match="older partition spec"):
         t.dynamic_overwrite(src)
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path, sf_dir):
+    """Full-sync MERGE: after WHEN NOT MATCHED BY SOURCE THEN DELETE the
+    target's key set equals the source's — updates applied, missing keys
+    inserted, stranded keys deleted, matched-but-condition-false rows
+    kept un-updated (not deleted)."""
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    t = Table.create(
+        spark, str(tmp_path / "sync"),
+        [("k", "bigint"), ("v", "string")],
+    )
+    t.insert([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}])
+    src = spark.createDataFrame(
+        [(1, "a2"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    t.merge(
+        src, on="k",
+        matched_set={"v": "__src_v"},
+        matched_condition="v <> __src_v",   # k=3 matches but v equal: kept
+        delete_not_matched_by_source=True,
+    )
+    got = {(r.k, r.v) for r in t.df().collect()}
+    assert got == {(1, "a2"), (3, "c"), (4, "d")}, got
