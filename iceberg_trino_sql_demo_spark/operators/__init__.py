@@ -139,6 +139,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q5_local_supplier_revenue",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

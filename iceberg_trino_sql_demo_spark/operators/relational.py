@@ -1989,3 +1989,50 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(scaled_long_sum(revenue, "revenue", scale=4))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share — a conditional fraction of a grouped total over
+# time: what share of each year's revenue came from NATION_9 suppliers.
+# Numerator and denominator are the SAME scaled-integer aggregate over
+# the same rows (one pass, one shuffle); the division happens once per
+# output row on exact longs, so the share is deterministic to the bit.
+# ---------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN s.s_nationkey = 9
+                         THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                         * 10000, 0) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE)
+           / SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                      AS BIGINT)) AS mkt_share
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+     GROUP BY 1
+     ORDER BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    scaled = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("s_nationkey") == 9, scaled).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(scaled)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
