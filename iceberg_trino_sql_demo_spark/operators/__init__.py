@@ -140,6 +140,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
+    "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",
