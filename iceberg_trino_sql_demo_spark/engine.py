@@ -279,6 +279,27 @@ class Engine:
         )
         t.append(aligned, ref=m.group(2) or "main")
 
+    def _h_show_schemas(self, m: re.Match) -> "DataFrame":
+        rows = [(n, e["location"]) for n, e in
+                sorted(self.catalog.data["schemas"].items())]
+        return self.spark.createDataFrame(
+            rows, "schema string, location string")
+
+    def _h_show_tables(self, m: re.Match) -> "DataFrame":
+        schema = _last(m.group(1)) if m.group(1) else self.catalog.current_schema
+        pre = f"{schema}."
+        rows = sorted(q.split(".", 1)[1] for q in self.catalog.data["tables"]
+                      if q.startswith(pre))
+        return self.spark.createDataFrame([(t,) for t in rows], "table string")
+
+    def _h_describe(self, m: re.Match) -> "DataFrame":
+        t = self._table(m.group(1))
+        rows = [(f.name, f.type,
+                 "" if f.write_default is None else str(f.write_default))
+                for f in t.meta.schema.fields]
+        return self.spark.createDataFrame(
+            rows, "column string, type string, default string")
+
     def _h_insert_overwrite(self, m: re.Match) -> None:
         """INSERT OVERWRITE t SELECT ... — dynamic partition overwrite
         (replaces exactly the partitions the SELECT produces; positional
@@ -446,6 +467,10 @@ class Engine:
                     _FLAGS), _h_insert_overwrite),
         (re.compile(r"^TRUNCATE\s+TABLE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?$", _FLAGS),
          lambda self, m: self._table(m.group(1)).truncate(ref=m.group(2) or "main")),
+        (re.compile(r"^SHOW\s+SCHEMAS$", _FLAGS), _h_show_schemas),
+        (re.compile(r"^SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w.\"]+))?$", _FLAGS),
+         _h_show_tables),
+        (re.compile(r"^DESCRIBE\s+([\w.\"]+)$", _FLAGS), _h_describe),
         (re.compile(r"^UPDATE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SET\s+(.*?)\s+WHERE\s+(.*)$",
                     _FLAGS), _h_update),
         (re.compile(r"^DELETE\s+FROM\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?\s*WHERE\s+(.*)$",

@@ -401,3 +401,19 @@ def test_truncate_table(eng):
     assert sql(f"SELECT * FROM trunc_t FOR VERSION AS OF {pre}").count() == n0
     snap = t.refresh().meta.snapshots[-1]
     assert snap.operation == "delete" and snap.summary["truncate"] == "true"
+
+
+def test_show_and_describe(eng):
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS desc_t")
+    sql("CREATE OR REPLACE TABLE desc_t AS SELECT * FROM tpch.sf1.nation")
+    sql("ALTER TABLE desc_t ADD COLUMN phone varchar DEFAULT '+33606060606'")
+    schemas = {r.schema for r in sql("SHOW SCHEMAS").collect()}
+    assert "victorc_iceberg" in schemas
+    tables = {r.table for r in sql("SHOW TABLES").collect()}
+    assert "desc_t" in tables
+    cols = {r.column: (r.type, r.default) for r in sql("DESCRIBE desc_t").collect()}
+    assert cols["phone"] == ("string", "+33606060606")
+    assert "n_nationkey" in cols
