@@ -279,6 +279,19 @@ class Engine:
         )
         t.append(aligned, ref=m.group(2) or "main")
 
+    def _h_explain(self, m: re.Match) -> "DataFrame":
+        """EXPLAIN SELECT ... — the rewritten query's FORMATTED physical
+        plan as a one-row DataFrame (engine-table pins, metadata tables
+        and dialect rewrites all resolve first, so the plan shown is the
+        plan that runs)."""
+        df = self._select(m.group(1))
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        return self._one_row(plan, "plan")
+
     def _h_show_schemas(self, m: re.Match) -> "DataFrame":
         rows = [(n, e["location"]) for n, e in
                 sorted(self.catalog.data["schemas"].items())]
@@ -467,6 +480,7 @@ class Engine:
                     _FLAGS), _h_insert_overwrite),
         (re.compile(r"^TRUNCATE\s+TABLE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?$", _FLAGS),
          lambda self, m: self._table(m.group(1)).truncate(ref=m.group(2) or "main")),
+        (re.compile(r"^EXPLAIN\s+(SELECT.*)$", _FLAGS), _h_explain),
         (re.compile(r"^SHOW\s+SCHEMAS$", _FLAGS), _h_show_schemas),
         (re.compile(r"^SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w.\"]+))?$", _FLAGS),
          _h_show_tables),

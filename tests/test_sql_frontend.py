@@ -417,3 +417,13 @@ def test_show_and_describe(eng):
     cols = {r.column: (r.type, r.default) for r in sql("DESCRIBE desc_t").collect()}
     assert cols["phone"] == ("string", "+33606060606")
     assert "n_nationkey" in cols
+
+
+def test_explain_select(eng):
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS exp_t")
+    sql("CREATE OR REPLACE TABLE exp_t AS SELECT * FROM tpch.sf1.nation")
+    plan = sql("EXPLAIN SELECT n_name FROM exp_t WHERE n_nationkey = 3").collect()[0].plan
+    assert "Physical Plan" in plan and "Scan parquet" in plan
