@@ -141,6 +141,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",
     "q13_customer_distribution",
+    "lineitem_measures_unpivot",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",

@@ -2080,3 +2080,56 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — the inverse of the pivot query: three measure columns
+# fold into (measure, value) rows, then per-measure profile aggregates.
+# Spark's ``stack`` does the melt in ONE scan of the fact (the generator
+# emits 3 rows per input row inside the same whole-stage-codegen pass);
+# the portable oracle needs three scans UNION ALL'd — at 100 TB that is
+# the difference between reading the table once and three times.  Values
+# melt as exact cents so every aggregate is integer arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_measures_unpivot",
+    oracle="""
+    WITH m AS (
+      SELECT 'quantity' AS measure,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS v FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice',
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'discount',
+             CAST(round(l_discount * 100, 0) AS BIGINT) FROM lineitem
+    )
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS DOUBLE) / 100.0 AS total,
+           CAST(MIN(v) AS DOUBLE) / 100.0 AS min_v,
+           CAST(MAX(v) AS DOUBLE) / 100.0 AS max_v
+      FROM m
+     GROUP BY 1
+     ORDER BY 1
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    melted = l.selectExpr(
+        "stack(3, "
+        "'quantity',      CAST(round(l_quantity * 100, 0) AS BIGINT), "
+        "'extendedprice', CAST(round(l_extendedprice * 100, 0) AS BIGINT), "
+        "'discount',      CAST(round(l_discount * 100, 0) AS BIGINT)"
+        ") AS (measure, v)"
+    )
+    return (
+        melted.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("v").cast("double") / 100.0).alias("total"),
+            (F.min("v").cast("double") / 100.0).alias("min_v"),
+            (F.max("v").cast("double") / 100.0).alias("max_v"),
+        )
+        .orderBy("measure")
+    )
