@@ -110,7 +110,11 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
             if len(runs) >= max(1, MAX_RUNS):
                 break
-            if len(runs) >= max(1, RUNS) and runs[-1] > min(runs[:-1]) * 0.9:
+            # plateau check needs a prior run to compare against — with
+            # RUNS=1 there is none and the single run is final (ADVICE r5)
+            if len(runs) >= max(1, RUNS) and (
+                len(runs) < 2 or runs[-1] > min(runs[:-1]) * 0.9
+            ):
                 break
         timings[name] = round(min(runs), 4)
         cold[name] = round(runs[0], 4)
@@ -134,7 +138,20 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "cold_total": round(sum(cold.values()), 4),
-                "runs_per_query": f"{max(1, RUNS)}-{max(1, MAX_RUNS)} (plateau-adaptive)",
+                # numeric again (ADVICE r5: consumers expect an int); the
+                # plateau extension is described by max_runs_per_query
+                "runs_per_query": max(1, RUNS),
+                "max_runs_per_query": max(1, MAX_RUNS),
+                "plateau_adaptive": True,
+                # the AQE setting this run actually used (ADVICE r5:
+                # bench profile defaults AQE off — see comment at top —
+                # while the engine default is on; record it so numbers
+                # are comparable across configs)
+                "adaptive": os.environ.get("SPARK_GRAFT_ADAPTIVE", "true").lower()
+                != "false",
+                "shuffle_partitions": int(
+                    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+                ),
                 "calibration": _calibration(spark),
                 "sf": _sf_label(SF_DIR),
             }

@@ -28,6 +28,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_trino_sql_demo_spark.functions.trino import translate_datetime_pattern
+from iceberg_trino_sql_demo_spark.plans.predicates import parse_simple_predicates
 from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
 from iceberg_trino_sql_demo_spark.sources.table import Table
 
@@ -110,6 +111,14 @@ class Engine:
         def sub_from(m: re.Match) -> str:
             kw, raw, kind, pin = m.group(1), m.group(2), m.group(3), m.group(4)
             name = _last(raw)
+            # the WHERE governing THIS query block (VERDICT r4 #1: without
+            # this, every Engine.sql SELECT listed the whole snapshot and
+            # manifest/partition/bloom pruning never fired through the SQL
+            # entry point).  Extracted from the statement text, filtered to
+            # predicates on the table's own columns, handed to Table.df as
+            # prune-only predicates — the statement's WHERE still runs in
+            # Catalyst, so this is purely a scan reduction.
+            block_where = _block_where(s, m.end())
             # stored views re-execute their SQL (D14, :53-55) — recursively
             try:
                 q = self.catalog._qualify(name)
@@ -122,8 +131,9 @@ class Engine:
                 t = self.catalog.table(name)
             except (KeyError, ValueError):
                 return f"{kw} {name}"  # plain temp view (testdata / federation)
+            prune = _prunable_for(block_where, t) if block_where else None
             if pin is None:
-                df = t.df(hidden=wants_hidden)
+                df = t.df(hidden=wants_hidden, prune_predicates=prune)
             elif kind and kind.upper() == "TIMESTAMP":
                 from datetime import datetime, timezone
 
@@ -141,11 +151,14 @@ class Engine:
                     ) from exc
                 if dt.tzinfo is None:
                     dt = dt.replace(tzinfo=timezone.utc)
-                df = t.df(as_of_ms=int(dt.timestamp() * 1000), hidden=wants_hidden)
+                df = t.df(as_of_ms=int(dt.timestamp() * 1000), hidden=wants_hidden,
+                          prune_predicates=prune)
             elif pin.startswith("'"):
-                df = t.df(ref=pin.strip("'"), hidden=wants_hidden)
+                df = t.df(ref=pin.strip("'"), hidden=wants_hidden,
+                          prune_predicates=prune)
             else:
-                df = t.df(version=int(pin), hidden=wants_hidden)
+                df = t.df(version=int(pin), hidden=wants_hidden,
+                          prune_predicates=prune)
             return f"{kw} {self._tmp_view(df, name)}"
 
         # the quoted alternative accepts ANY quoted literal (ADVICE r2: a
@@ -513,6 +526,107 @@ class Engine:
                     _FLAGS), _h_fast_forward),
         (re.compile(r"^(SELECT|WITH)\b.*$", _FLAGS), _h_select),
     ]
+
+
+# ---------------------------------------------------------------------------
+# WHERE extraction for manifest pruning (scan planning, not semantics —
+# the extracted predicates are prune-only; the statement's WHERE always
+# still executes in Catalyst, so every miss here is just a lost skip)
+# ---------------------------------------------------------------------------
+_STOP_KW = re.compile(
+    r"\b(GROUP|HAVING|ORDER|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|"
+    r"DISTRIBUTE|SORT|CLUSTER|QUALIFY)\b",
+    re.IGNORECASE,
+)
+_WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
+
+
+def _block_where(s: str, pos: int) -> str | None:
+    """Text of the WHERE clause governing the query block that contains
+    position ``pos`` (immediately after a FROM/JOIN table reference).
+
+    Paren- and quote-aware: a subquery's parens are skipped wholesale, so an
+    inner block's WHERE is never attributed to the outer FROM (and vice
+    versa — scanning from an inner FROM stops at the subquery's closing
+    paren).  Returns None when the block ends (close-paren, stop keyword,
+    end of text) before a block-level WHERE appears."""
+    depth, in_str, i, n = 0, False, pos, len(s)
+    while i < n:
+        c = s[i]
+        if in_str:
+            in_str = c != "'"
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            if depth == 0:
+                return None  # block closed before any WHERE
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0:
+            if _WHERE_KW.match(s, i):
+                start = i + 5
+                j, d2, instr = start, 0, False
+                end = n
+                while j < n:
+                    cj = s[j]
+                    if instr:
+                        instr = cj != "'"
+                    elif cj == "'":
+                        instr = True
+                    elif cj == "(":
+                        d2 += 1
+                    elif cj == ")":
+                        if d2 == 0:
+                            end = j
+                            break
+                        d2 -= 1
+                    elif d2 == 0 and _STOP_KW.match(s, j):
+                        end = j
+                        break
+                    j += 1
+                text = s[start:end].strip()
+                return text or None
+            if _STOP_KW.match(s, i):
+                return None  # GROUP BY / ORDER BY / set-op before any WHERE
+        i += 1
+    return None
+
+
+def _prunable_for(where_text: str, t: Table) -> list | None:
+    """The subset of ``where_text``'s simple predicates that reference
+    ``t``'s own (current-schema) columns — safe to prune t's manifest with
+    even when the block joins several tables: an unqualified column that
+    resolves ambiguously would fail Catalyst analysis anyway, so a
+    schema-member predicate can only mean THIS table's column.  Alias-
+    qualified predicates (``c.mktsegment``) don't parse as simple atoms and
+    are skipped (conservative).  A disjunction survives only if every
+    branch references only t's columns (a disjunction prunes to the union
+    of branch file-sets, so one foreign branch invalidates the whole)."""
+    # run the Trino literal rewrites the main pass applies later, so
+    # date('x') predicates parse as DATE literals here too
+    w = re.sub(r"\bdate\s*\(\s*'([^']+)'\s*\)", r"DATE '\1'", where_text,
+               flags=_FLAGS)
+    preds = parse_simple_predicates(w)
+    if not preds:
+        return None
+    cols = {f.name for f in t.meta.schema.fields}
+
+    def ok(p) -> bool:
+        if p.op == "or":
+            return all(all(ok(q) for q in branch) for branch in p.value)
+        return p.column in cols
+
+    kept = [p for p in preds if ok(p)]
+    return kept or None
 
 
 # ---------------------------------------------------------------------------

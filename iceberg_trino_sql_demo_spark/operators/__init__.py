@@ -107,31 +107,90 @@ def register(
 #: after all modules load, in this order; everything else keeps its module
 #: registration order behind them.
 #:
-#: Composition (round 4; freshness rule from VERDICT r3 #8 — no query's
-#: newest driver row may age past 2 rounds): first the 39 queries whose
-#: latest green row is r02 (the 21 ``ice_*`` scenarios, 12 relational
-#: shapes, 4 streaming replays rotated out of the r03 sample), then every
-#: query whose IMPLEMENTATION changed this round (the dedup/ANN family:
-#: prepared-plan cache, arithmetic simhash assembly, jaccard broadcast
-#: guard, slim min_by + sqrt(n) centroids in IVF, adaptive sign-LSH
-#: planes, repartition-before-expansion), then cheap r03-green
-#: re-confirms to fill the window.
+#: Composition (round 5; freshness rule from VERDICT r3 #8 plus the r4
+#: rotation directive #2): first the queries NEW this round, then every
+#: query whose IMPLEMENTATION changed this round, then the four streaming
+#: replays whose newest driver row is r01 (never rotated back in — the
+#: oldest rows in the registry), then the 33 r02-latest queries (5
+#: relational shapes, 23 ``ice_*`` scenarios, 5 deferred basics).  The
+#: r4-green block (sampled last round, unchanged since) sits below the
+#: 50-query window; pytest oracle parity still covers it every round.
 _DRIVER_PRIORITY: list[str] = [
-    # -- NEW this round, never driver-sampled: these outrank every
-    # re-confirm (a missing row is worse than an age-3 row)
+    # -- NEW this round, never driver-sampled
+    "ice_sql_pruned_select",
+    # -- implementation changed this round (frontend pruning plumbing,
+    # bounded runtime-filter collect, decimal zscore accumulator,
+    # stale-spec check hoist in dynamic_overwrite)
+    "events_anomaly_zscore",
+    "ice_dynamic_overwrite",
+    "ice_runtime_filter_join",
+    # -- newest driver row is r01 (oldest in the registry): streaming
+    "events_stream_tumbling",
+    "events_stateful_user_totals",
+    "events_stream_dedup",
+    "events_stream_interval_join",
+    # -- newest driver row is r02: relational shapes
+    "rollup_order_priority",
+    "set_ops_customers",
+    "orders_exists_late_lineitem",
+    "part_brand_max_price",
+    "pivot_segment_by_region",
+    # -- newest driver row is r02: table-format scenarios
+    "ice_ctas_roundtrip",
+    "ice_insert_values",
+    "ice_update_row",
+    "ice_mor_delete",
+    "ice_time_travel",
+    "ice_rollback",
+    "ice_branch_dml",
+    "ice_merge_upsert",
+    "ice_add_column_default",
+    "ice_partition_evolution",
+    "ice_table_changes",
+    "ice_optimize_roundtrip",
+    "ice_snapshot_operations",
+    "ice_show_stats_minmax",
+    "ice_properties_show_create",
+    "ice_branches_ff",
+    "ice_views_mv",
+    "ice_expire_orphans",
+    "ice_schema_types",
+    "ice_row_lineage",
+    "ice_meta_join",
+    "ice_sql_roundtrip",
+    "ice_optimize_where_mtime",
+    # -- newest driver row is r02: deferred basics
+    "orderdate_range",
+    "customer_in_list",
+    "concat_datefmt",
+    "interval_cutoff",
+    "top_acctbal_desc",
+    # -- r03-latest re-confirms filling the remaining window slots
+    "text_fingerprint",
+    "contamination_ngram",
+    "dedup_simhash",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_prefiltered",
+    "dedup_embedding_cosine",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "ann_topk_bruteforce",
+    "kmeans_iteration_stats",
+    "dedup_exact",
+    "dedup_cluster_components",
+    # ---- 50-query window boundary (approximately) ----
+    # -- r04-green, unchanged since: below the window this round
     "dedup_span_exact",
     "events_ohlc_hourly",
     "events_gap_fill_locf",
     "events_trailing_24h",
     "basket_part_pairs",
-    "events_anomaly_zscore",
     "events_stream_ohlc",
-    "ice_dynamic_overwrite",
     "dedup_incremental_minhash",
     "dedup_span_scrub",
     "ann_topk_sq8",
     "q11_important_share",
-    "ice_runtime_filter_join",
     "events_hourly_distinct_users",
     "ice_stream_to_incremental_mv",
     "ice_merge_full_sync",
@@ -167,68 +226,8 @@ _DRIVER_PRIORITY: list[str] = [
     "events_funnel_steps",
     "text_repetition_ratio",
     "training_corpus_select",
-    # -- newest driver row is r02: relational shapes (the five most
-    # trivial unchanged-since-r01 shapes — orderdate_range,
-    # customer_in_list, concat_datefmt, interval_cutoff,
-    # top_acctbal_desc — are deferred below the window to make room for
-    # the never-sampled block; pytest oracle parity still covers them
-    # every round)
     "left_join_shape",
     "window_rank_per_nation",
-    "rollup_order_priority",
-    "set_ops_customers",
-    "orders_exists_late_lineitem",
-    "part_brand_max_price",
-    "pivot_segment_by_region",
-    # -- newest driver row is r02: table-format scenarios
-    "ice_ctas_roundtrip",
-    "ice_insert_values",
-    "ice_update_row",
-    "ice_mor_delete",
-    "ice_time_travel",
-    "ice_rollback",
-    "ice_branch_dml",
-    "ice_merge_upsert",
-    "ice_add_column_default",
-    "ice_partition_evolution",
-    "ice_table_changes",
-    "ice_optimize_roundtrip",
-    "ice_snapshot_operations",
-    "ice_show_stats_minmax",
-    "ice_properties_show_create",
-    "ice_branches_ff",
-    "ice_views_mv",
-    "ice_expire_orphans",
-    "ice_schema_types",
-    "ice_row_lineage",
-    "ice_meta_join",
-    "ice_sql_roundtrip",
-    "ice_optimize_where_mtime",
-    # -- newest driver row is r02: streaming replays
-    "events_stream_tumbling",
-    "events_stateful_user_totals",
-    "events_stream_dedup",
-    "events_stream_interval_join",
-    # -- deferred r02 re-confirms (see note above)
-    "orderdate_range",
-    "customer_in_list",
-    "concat_datefmt",
-    "interval_cutoff",
-    "top_acctbal_desc",
-    # -- implementation changed this round (round-4 perf/scale work)
-    "text_fingerprint",
-    "contamination_ngram",
-    "dedup_simhash",
-    "dedup_shingle_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_prefiltered",
-    "dedup_embedding_cosine",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "ann_topk_bruteforce",
-    "kmeans_iteration_stats",
-    "dedup_exact",
-    "dedup_cluster_components",
 ]
 
 

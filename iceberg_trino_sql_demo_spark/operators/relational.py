@@ -1709,7 +1709,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = cents.groupBy("user_id").agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum("x").cast(d38).alias("s"),
-        F.sum(F.col("x") * F.col("x")).cast(d38).alias("ss"),
+        # the x*x ACCUMULATOR must already be decimal (ADVICE r5): a LONG
+        # running sum wraps at ~9.2e18 — about 1e6 rows of x~1e6 cents —
+        # silently diverging from DuckDB's HUGEINT; casting the operand
+        # promotes the whole sum to decimal(38,0), matching the documented
+        # ~1e9-events-per-user bound
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("ss"),
     )
     dev = F.col("n") * F.col("x").cast(d38) - F.col("s")
     return (

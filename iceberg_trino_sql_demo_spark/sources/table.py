@@ -222,14 +222,24 @@ class Table:
         hidden: bool = False,
         where: str | None = None,
         as_of_ms: int | None = None,
+        prune_predicates: list | None = None,
     ) -> DataFrame:
         """Read a snapshot (P1/P9/P10).  ``where`` (Spark SQL expression
         text) is applied as a filter AND used for engine-side manifest
         pruning when it parses into simple predicates.  ``as_of_ms``
-        implements FOR TIMESTAMP AS OF (newest snapshot at or before)."""
+        implements FOR TIMESTAMP AS OF (newest snapshot at or before).
+
+        ``prune_predicates`` (pre-parsed ``plans.pruning.Predicate`` list)
+        prunes the manifest WITHOUT adding a row filter — the caller
+        guarantees an equivalent filter runs downstream.  This is how the
+        SQL frontend hands a statement's WHERE to the manifest pruner while
+        the statement's own WHERE still executes in Catalyst (pruning stays
+        correctness-neutral either way: conservative keep-on-unknown)."""
         snap = self._resolve(ref, version, as_of_ms)
         manifest = self._manifest(snap)
         preds = parse_simple_predicates(where) if where else []
+        if prune_predicates:
+            preds = [*preds, *prune_predicates]
         if preds:
             manifest = Manifest(
                 prune_files(manifest.data_files, self.meta, preds, self.spark),
@@ -549,6 +559,18 @@ class Table:
         """
         m = self.meta
         base = self._manifest(self._resolve(ref))
+        # stale-spec check FIRST (ADVICE r5): it needs only the manifest,
+        # and raising after write_data_files would leave orphaned parquet
+        # no snapshot references (and expire_snapshots can't reclaim)
+        if m.spec.fields:
+            stale = [f for f in base.data_files if f.spec_id != m.spec.spec_id]
+            if stale:
+                raise ValueError(
+                    f"dynamic_overwrite: {len(stale)} file(s) were written "
+                    "under an older partition spec and cannot be matched "
+                    "against the current spec's partition tuples — run "
+                    "optimize() to rewrite them under the current spec first"
+                )
         aligned = df.select(
             *[
                 F.col(f.name).cast(spark_type(f.type)).alias(f.name)
@@ -563,14 +585,6 @@ class Table:
         if not m.spec.fields:
             removed = list(base.data_files)
         else:
-            stale = [f for f in base.data_files if f.spec_id != m.spec.spec_id]
-            if stale:
-                raise ValueError(
-                    f"dynamic_overwrite: {len(stale)} file(s) were written "
-                    "under an older partition spec and cannot be matched "
-                    "against the current spec's partition tuples — run "
-                    "optimize() to rewrite them under the current spec first"
-                )
             touched = {tuple(sorted(f.partition.items())) for f in new_files}
             removed = [
                 f for f in base.data_files

@@ -113,8 +113,22 @@ def audit(spark, write_md: bool = False) -> dict[str, list[str]]:
     sections: list[str] = []
     for name, (need, forbid, max_ex, why) in EXPECT.items():
         df = ops.QUERIES[name](spark, SF)
+        # run the query FIRST (ADVICE r5): with AQE on, reading
+        # executedPlan before any action pins the initial
+        # AdaptiveSparkPlan (isFinalPlan=false), not the runtime-rewritten
+        # final plan the invariants claim to check.  collect() drives the
+        # df's OWN queryExecution (a write would create a separate one),
+        # and sf0.001 results are tiny.
+        df.collect()
         qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
+        # AdaptiveSparkPlanExec.toString prints BOTH the final and the
+        # initial plan — audit only the final section, else every reused
+        # exchange double-counts and a rewritten-away SortMergeJoin would
+        # still "appear" from the initial plan
+        cut = plan.find("== Initial Plan ==")
+        if cut != -1:
+            plan = plan[:cut]
         errs = []
         for s in need:
             if s not in plan:
