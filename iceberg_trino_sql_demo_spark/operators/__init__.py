@@ -118,6 +118,7 @@ def register(
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
     "ice_sql_pruned_select",
+    "ice_branch_retention",
     # -- implementation changed this round (frontend pruning plumbing,
     # bounded runtime-filter collect, decimal zscore accumulator,
     # stale-spec check hoist in dynamic_overwrite)

@@ -1613,6 +1613,21 @@ def q22_idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At 100 TB this is one orderkey-keyed exchange whose per-key work is
 # capped by basket size — the classic affinity-mining plan.  A top-20 cut
 # keeps the result driver-small; ties broken on the pair key.
+#
+# DECISION RECORD (VERDICT r4 #4): the proposed a-priori frequency cut
+# (drop parts whose order-frequency can't reach the top-20 support floor)
+# was implemented experimentally and MEASURED INAPPLICABLE on this
+# corpus: part frequencies are uniform (min 3, median 30, max ~53 at
+# both sf0.01 and sf0.1) while the 20th pair count is only 2-3, so any
+# CORRECT floor (a pair in k orders needs both parts in >=k orders;
+# provable floor = the 20th candidate pair count, at most 3 here) prunes
+# ZERO parts — every part clears it.  The cut only pays on skewed
+# corpora where a long tail of near-singleton parts feeds the pair space.
+# What does pay here: the pair key rides the shuffle as ONE packed long
+# (part_a<<32 | part_b) instead of two longs — smaller exchange rows,
+# single-column hash/compare in the final aggregate (~8% warm,
+# measured 1.28 -> 1.17 s at sf0.1), and at 100 TB the same 8-byte key
+# halves the dominant pair-exchange.
 # ---------------------------------------------------------------------------
 @register(
     "basket_part_pairs",
@@ -1648,11 +1663,18 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.orderkey") == F.col("b.orderkey"))
             & (F.col("a.partkey") < F.col("b.partkey")),
         )
-        .groupBy(
-            F.col("a.partkey").alias("part_a"),
-            F.col("b.partkey").alias("part_b"),
+        # pack the unordered pair into one long before the aggregate
+        # exchange (see decision record above); partkeys are < 2^32
+        .select(
+            (F.shiftleft(F.col("a.partkey"), 32) + F.col("b.partkey")).alias("pk")
         )
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.shiftright("pk", 32).alias("part_a"),
+            (F.col("pk") % (1 << 32)).alias("part_b"),
+            "n_orders",
+        )
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )

@@ -932,6 +932,50 @@ def ice_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# V7 extension: branch-scoped retention (VERDICT r4 #8, Iceberg's per-ref
+# max-snapshot-age / min-snapshots-to-keep).  A dev branch with
+# min_snapshots_to_keep=2 pins its two newest ancestors through a
+# retention-0 expire; the third dev commit's predecessor (outside every
+# window, not a ref head) is reaped.  Value-checks: the expire count, the
+# surviving snapshot count, and reads at the dev head AND its pinned
+# parent (time travel inside the branch window still works post-expire).
+# ---------------------------------------------------------------------------
+@register(
+    "ice_branch_retention",
+    oracle=f"""
+    SELECT CAST(1 AS BIGINT) AS dropped,
+           CAST(3 AS BIGINT) AS n_snapshots,
+           count(*) + 3 AS dev_rows,
+           count(*) + 2 AS dev_prev_rows
+      FROM ({_BASE_SQL})
+    """,
+    bench=False,
+)
+def ice_branch_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = _scratch_customer(spark, sf_dir)  # s1 (seed)
+    t.create_branch("dev")
+    for i in range(3):  # s2, s3, s4 on dev
+        t.insert(
+            [{"custkey": 9100 + i, "name": f"DEV ROW {i}",
+              "mktsegment": "SQLENGINE", "account_balance": float(i),
+              "nation": "FRANCE"}],
+            ref="dev",
+        )
+    t.set_branch_retention("dev", min_snapshots_to_keep=2)
+    dropped = t.expire_snapshots(retention_ms=0)
+    snaps = sorted(s.snapshot_id for s in t.meta.snapshots)
+    dev_head = t.meta.refs["dev"]
+    dev_prev = t.meta.snapshot_by_id(dev_head).parent_id
+    return spark.createDataFrame(
+        [(dropped, len(snaps),
+          t.df(ref="dev").count(), t.df(version=dev_prev).count())],
+        "dropped bigint, n_snapshots bigint, dev_rows bigint, dev_prev_rows bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # P3/P4 through the SQL frontend WITH manifest pruning (VERDICT r4 #1):
 # the statement's WHERE is extracted by Engine._rewrite_select, handed to
 # Table.df(prune_predicates=...), and partition-prunes the scan before

@@ -315,6 +315,11 @@ class TableMetadata:
     #: ref name -> "branch" | "tag"; absent = branch (older metadata files
     #: predate tags, and every pre-tag ref was writable)
     ref_types: dict[str, str] = field(default_factory=dict)
+    #: ref name -> {"max_snapshot_age_ms": int, "min_snapshots_to_keep": int}
+    #: — per-ref retention consulted by expire_snapshots (Iceberg's
+    #: branch-level max-snapshot-age / min-snapshots-to-keep); absent ref =
+    #: global behavior (only the head is pinned)
+    ref_retention: dict[str, dict] = field(default_factory=dict)
 
     def ref_type(self, name: str) -> str:
         return self.ref_types.get(name, "branch")
@@ -377,6 +382,7 @@ class TableMetadata:
                 "sort_order": self.sort_order,
                 "column_stats": self.column_stats,
                 "ref_types": self.ref_types,
+                "ref_retention": self.ref_retention,
             },
             indent=1,
             default=str,
@@ -406,6 +412,7 @@ class TableMetadata:
             sort_order=d.get("sort_order", []),
             column_stats=d.get("column_stats", {}),
             ref_types=d.get("ref_types", {}),
+            ref_retention=d.get("ref_retention", {}),
         )
 
     @staticmethod

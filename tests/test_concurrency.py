@@ -233,3 +233,78 @@ def test_hint_lag_recovery(spark, tmp_path):
     assert io.current_version() == v
     # and a fresh handle still sees the newest state
     assert Table(spark, loc).df().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Cross-PROCESS commit CAS (VERDICT r4 #7): the in-thread tests above share
+# one Python process; the exclusive-create (os.link) claim is about
+# processes.  N separate processes hammer MetadataIO commits against one
+# table dir — no Spark involved (the CAS is pure metadata) — and every
+# writer's every commit must land: dense version chain, zero lost updates.
+# ---------------------------------------------------------------------------
+def _cas_worker(loc: str, w: int, n_commits: int, barrier, q) -> None:
+    """Runs in a child process: n_commits optimistic commits, each adding
+    a unique marker property, retrying on CommitConflict from a fresh
+    read (the same retry protocol Table._commit_snapshot uses)."""
+    from iceberg_trino_sql_demo_spark.sources.metadata import (
+        CommitConflict as CC,
+        MetadataIO as IO,
+    )
+
+    io = IO(loc)
+    barrier.wait()
+    done, spins = 0, 0
+    while done < n_commits:
+        meta, v = io.read()
+        meta.properties = dict(meta.properties)
+        meta.properties[f"w{w}c{done}"] = str(os.getpid())
+        try:
+            io.commit(meta, v)
+            done += 1
+        except CC:
+            spins += 1
+            if spins > 100_000:  # pragma: no cover
+                q.put((w, -1))
+                return
+    q.put((w, done))
+
+
+def test_cross_process_commit_cas_loses_nothing(tmp_path):
+    import multiprocessing as mp
+
+    from iceberg_trino_sql_demo_spark.sources.metadata import (
+        NestedField,
+        PartitionSpec,
+        TableMetadata,
+        TableSchema,
+    )
+
+    loc = str(tmp_path / "xproc")
+    schema = TableSchema(0, (NestedField(1, "id", "bigint"),))
+    meta = TableMetadata.new(loc, schema, PartitionSpec(0, ()), {})
+    io = MetadataIO(loc)
+    assert io.commit(meta, 0) == 1  # seed v1
+
+    n_procs, n_commits = 6, 5
+    ctx = mp.get_context("spawn")  # no inherited fds/JVM state
+    barrier = ctx.Barrier(n_procs)
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_cas_worker, args=(loc, w, n_commits, barrier, q))
+        for w in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    results = dict(q.get(timeout=120) for _ in range(n_procs))
+    for p in procs:
+        p.join(timeout=60)
+    assert results == {w: n_commits for w in range(n_procs)}
+
+    final, v = io.read()
+    assert v == 1 + n_procs * n_commits
+    # dense version chain: every vN.metadata.json exists (no clobbered winners)
+    for i in range(1, v + 1):
+        assert os.path.exists(io.metadata_file(i)), f"v{i} missing"
+    # zero lost updates: every writer's every marker survived to the head
+    expected = {f"w{w}c{i}" for w in range(n_procs) for i in range(n_commits)}
+    assert expected <= set(final.properties)

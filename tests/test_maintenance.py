@@ -262,3 +262,53 @@ def test_optimize_zorder_partitioned_table(spark, tmp_path, sf_dir):
         t.df(where=f"partkey <= {pk_lo}").count()
         == li.where(F.col("partkey") <= pk_lo).count()
     )
+
+
+def test_branch_scoped_retention_min_keep(t):
+    """VERDICT r4 #8: a dev branch carrying min_snapshots_to_keep pins its
+    newest N ancestors through a retention-0 main-side expire; snapshots
+    outside every window still go, and clearing the override restores the
+    global head-only behavior."""
+    _insert_n(t, 1)               # s2 (s1 = ctas seed)
+    t.create_branch("dev")
+    t.insert([{"n_nationkey": 9500, "n_name": "D0", "n_regionkey": 1}], ref="dev")  # s3
+    t.insert([{"n_nationkey": 9501, "n_name": "D1", "n_regionkey": 1}], ref="dev")  # s4
+    snaps = [s.snapshot_id for s in t.meta.snapshots]
+    assert len(snaps) == 4
+    s1, s2, s3, s4 = snaps
+    dev_rows = t.df(ref="dev").count()
+
+    t.set_branch_retention("dev", min_snapshots_to_keep=3)
+    dropped = t.expire_snapshots(retention_ms=0)
+    # kept: main head s2, dev head s4 + 2 ancestors (s3 and s2); dropped: s1
+    assert dropped == 1
+    remaining = {s.snapshot_id for s in t.meta.snapshots}
+    assert remaining == {s2, s3, s4}
+    # dev history is still time-travelable within its window
+    assert t.df(version=s3).count() == dev_rows - 1
+    assert t.df(ref="dev").count() == dev_rows
+    # ice_expire semantics unchanged for main: current state survives
+    assert t.df().count() > 0
+
+    # clearing the override: global behavior drops the now-unpinned ancestor
+    t.set_branch_retention("dev", None, None)
+    assert t.expire_snapshots(retention_ms=0) == 1  # s3 goes (s2 is main head)
+    assert {s.snapshot_id for s in t.meta.snapshots} == {s2, s4}
+
+
+def test_branch_scoped_retention_max_age(t):
+    """An age window on the branch keeps every young ancestor (all of them,
+    in a fresh-built table) even under global retention 0 — and survives a
+    metadata round-trip (persisted in ref_retention, not session state)."""
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    _insert_n(t, 2)
+    t.create_branch("dev")
+    t.insert([{"n_nationkey": 9600, "n_name": "E0", "n_regionkey": 2}], ref="dev")
+    t.set_branch_retention("dev", max_snapshot_age_ms=3_600_000)
+    # reload from disk: the override must be durable metadata
+    t2 = Table(t.spark, t.location)
+    assert t2.meta.ref_retention["dev"] == {"max_snapshot_age_ms": 3_600_000}
+    # every snapshot is an ancestor of dev's head and younger than 1h
+    assert t2.expire_snapshots(retention_ms=0) == 0
+    assert len(t2.meta.snapshots) == len(t.refresh().meta.snapshots)
