@@ -84,6 +84,44 @@ def build_scaled_corpus(base_dir: str, out_dir: str, multiplier: int) -> None:
     out.to_parquet(os.path.join(out_dir, "embeddings.parquet"), index=False)
 
 
+#: dimension tables copied verbatim when scaling the relational facts —
+#: the realistic 100 TB shape: facts grow, dims don't
+_REL_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def build_scaled_relational(base_dir: str, out_dir: str, multiplier: int) -> None:
+    """Write an m-times-larger ``lineitem.parquet`` + ``orders.parquet``
+    (plus verbatim dim copies) under ``out_dir``.
+
+    Replica k shifts ``orderkey`` by ``k * REPLICA_STRIDE`` on BOTH facts,
+    so the lineitem<->orders join keeps exactly the base fan-out (each
+    replica joins only itself — join output grows linearly by
+    construction, making "wall time grew linearly" a claim about the
+    PLAN, not an artifact of quadratic join output).  Dim foreign keys
+    (custkey, partkey, suppkey) are left unchanged: dims stay fixed size
+    and per-dim-key fan-in grows m-fold — the realistic skewless scale-up
+    of a warehouse fact table.  Pure function of (base bytes, multiplier)."""
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, keycols in (("lineitem", ("l_orderkey",)), ("orders", ("o_orderkey",))):
+        base = pd.read_parquet(os.path.join(base_dir, f"{name}.parquet"))
+        parts = [base]
+        for k in range(1, multiplier):
+            rep = base.copy()
+            for c in keycols:
+                rep[c] = rep[c] + k * REPLICA_STRIDE
+            parts.append(rep)
+        pd.concat(parts, ignore_index=True).to_parquet(
+            os.path.join(out_dir, f"{name}.parquet"), index=False
+        )
+    for name in _REL_DIMS:
+        shutil.copy(
+            os.path.join(base_dir, f"{name}.parquet"),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+
+
 if __name__ == "__main__":
     import argparse
 

@@ -210,9 +210,22 @@ def write_scaling_md(results: list[dict]) -> None:
         "   holds at any size.",
         "",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SCALING.md"), "w") as fh:
-        fh.write("\n".join(lines))
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.md")
+    # preserve the relational-family section maintained by
+    # scripts/relational_scaling.py — this writer owns everything else
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as fh:
+            old = fh.read()
+        from scripts.relational_scaling import SECTION_BEGIN, SECTION_END
+
+        if SECTION_BEGIN in old and SECTION_END in old:
+            tail = "\n" + old[
+                old.index(SECTION_BEGIN): old.index(SECTION_END) + len(SECTION_END)
+            ] + "\n"
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + tail)
 
 
 if __name__ == "__main__":

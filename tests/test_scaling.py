@@ -366,3 +366,80 @@ def test_multiprobe_pair_branches_agree(spark, sf_dir, tmp_path_factory):
     assert sql_pairs, "scaled corpus must contain injected duplicate pairs"
     for k, c in sql_pairs.items():
         assert abs(c - gemm_pairs[k]) <= 1e-6, (k, c, gemm_pairs[k])
+
+
+# ---------------------------------------------------------------------------
+# Relational family (VERDICT r4 #6): the TPC-H join+agg shapes on the
+# replicated-fact corpus (scripts/scale_corpus.build_scaled_relational —
+# per-replica orderkey shifts make the lineitem x orders join output
+# exactly linear by construction).  Deterministic linearity proof: the
+# pricing_summary scaled-long sums are EXACTLY M-fold (integer adds,
+# order-free); plan-shape invariance: the physical plan at Mx has the
+# same join strategy (no cartesian/BNLJ, same exchange count) as 1x —
+# scale changes data volume, never the plan family.  Wall-time gets a
+# deliberately loose ceiling (floor-dominated at test scale; the real
+# curves live in SCALING.md's relational section).
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def scaled_rel(spark, sf_dir, tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.scale_corpus import build_scaled_relational
+
+    root = tmp_path_factory.mktemp("scaled_rel")
+    base, big = str(root / "x1"), str(root / f"x{M}")
+    build_scaled_relational(sf_dir, base, 1)
+    build_scaled_relational(sf_dir, big, M)
+    return base, big
+
+
+def test_relational_family_scales_linearly(spark, scaled_rel):
+    import time as _time
+
+    from iceberg_trino_sql_demo_spark import operators as ops
+
+    ops.load_all()
+    base, big = scaled_rel
+
+    # exact M-fold aggregates: every scaled-long sum and count
+    p1 = {(r.l_returnflag, r.l_linestatus): r for r in
+          ops.QUERIES["pricing_summary"](spark, base).collect()}
+    pm = {(r.l_returnflag, r.l_linestatus): r for r in
+          ops.QUERIES["pricing_summary"](spark, big).collect()}
+    assert set(p1) == set(pm)
+    for k, r1 in p1.items():
+        rm = pm[k]
+        assert rm.count_order == M * r1.count_order
+        for col in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+            assert abs(rm[col] - M * r1[col]) < 1e-6, (k, col)
+
+    # plan-shape invariance under scale for the two heaviest shapes
+    for name in ("q18_large_volume_customer", "q21_sole_late_supplier"):
+        plans = []
+        for d in (base, big):
+            df = ops.QUERIES[name](spark, d)
+            df.collect()  # finalize AQE
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            cut = plan.find("== Initial Plan ==")
+            if cut != -1:
+                plan = plan[:cut]
+            assert "CartesianProduct" not in plan and \
+                "BroadcastNestedLoopJoin" not in plan, (name, d)
+            plans.append(plan.count("Exchange"))
+        assert plans[0] == plans[1], f"{name}: exchange count changed with scale"
+
+    # loose wall ceiling: M-fold data may not cost more than 8x warm time
+    # (linear would be <=Mx; the slack absorbs scheduler-floor noise)
+    for name in ("pricing_summary", "q18_large_volume_customer"):
+        warm = {}
+        for d in (base, big):
+            df = ops.QUERIES[name](spark, d)
+            runs = []
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                df.count()
+                runs.append(_time.perf_counter() - t0)
+            warm[d] = min(runs)
+        assert warm[big] <= max(8 * warm[base], warm[base] + 2.0), (
+            name, warm)

@@ -531,3 +531,66 @@ def test_explain_select(eng):
     sql("CREATE OR REPLACE TABLE exp_t AS SELECT * FROM tpch.sf1.nation")
     plan = sql("EXPLAIN SELECT n_name FROM exp_t WHERE n_nationkey = 3").collect()[0].plan
     assert "Physical Plan" in plan and "Scan parquet" in plan
+
+
+def test_trino_function_dialect(eng):
+    """Trino->Spark function translation in the SELECT rewriter (missing
+    #1 from the r4 verdict): renames, arg-shuffles and semantic shims,
+    checked against hand-computed values.  Unmapped complex calls fall
+    through verbatim and fail loudly in Spark, never silently."""
+    sql = eng.sql
+    row = sql(
+        "SELECT approx_distinct(n_regionkey) AS ad,"
+        "       arbitrary(n_regionkey) AS arb,"
+        "       strpos('hello world', 'world') AS sp,"
+        "       day_of_year(DATE '2024-02-01') AS doy,"
+        "       week_of_year(DATE '2024-01-08') AS woy,"
+        "       levenshtein_distance('kitten', 'sitting') AS lev,"
+        "       codepoint('A') AS cp,"
+        "       starts_with('spark', 'sp') AS sw,"
+        "       to_hex(CAST('f' AS BINARY)) AS th,"
+        "       to_unixtime(TIMESTAMP '1970-01-01 00:01:00 UTC') AS tu,"
+        "       date_add('day', 3, DATE '2024-01-01') AS da,"
+        "       date_diff('day', DATE '2024-01-01', DATE '2024-01-31') AS dd,"
+        "       day_of_week(DATE '2024-01-01') AS dw_mon,"
+        "       day_of_week(DATE '2024-01-07') AS dw_sun,"
+        "       bitwise_and(12, 10) AS ba,"
+        "       bitwise_or(12, 10) AS bo,"
+        "       bitwise_xor(12, 10) AS bx,"
+        "       date_parse('2024/01/15', '%Y/%m/%d') AS dp "
+        "FROM tpch.sf1.nation"
+    ).head()
+    assert row.ad == 5 and row.arb in (0, 1, 2, 3, 4)
+    assert row.sp == 7
+    assert row.doy == 32 and row.woy == 2
+    assert row.lev == 3 and row.cp == 65 and row.sw is True
+    assert row.th == "66"
+    assert row.tu == 60.0
+    assert str(row.da).startswith("2024-01-04")
+    assert row.dd == 30
+    assert row.dw_mon == 1 and row.dw_sun == 7  # ISO numbering
+    assert (row.ba, row.bo, row.bx) == (8, 14, 6)
+    assert str(row.dp).startswith("2024-01-15")
+
+
+def test_alter_branch_set_retention(eng):
+    """ALTER BRANCH ... SET RETENTION wires the per-ref expire window
+    (VERDICT r4 #8) through the SQL surface: the override lands in table
+    metadata and a retention-0 expire keeps the branch's young history."""
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS rt_probe")
+    sql("CREATE OR REPLACE TABLE rt_probe AS SELECT * FROM tpch.sf1.nation")
+    sql("INSERT INTO rt_probe (n_nationkey, n_name, n_regionkey, n_comment) VALUES (900, 'A', 0, 'x')")
+    sql("CREATE BRANCH IF NOT EXISTS dev IN TABLE rt_probe")
+    sql("INSERT INTO rt_probe @ dev(n_nationkey, n_name, n_regionkey, n_comment) VALUES (901, 'B', 0, 'x')")
+    sql("ALTER BRANCH dev IN TABLE rt_probe SET RETENTION "
+        "(max_snapshot_age => '7d', min_snapshots_to_keep => 2)")
+    t = eng.catalog.table("rt_probe")
+    assert t.meta.ref_retention["dev"] == {
+        "max_snapshot_age_ms": 7 * 86_400_000, "min_snapshots_to_keep": 2}
+    n_before = len(t.meta.snapshots)
+    sql("ALTER TABLE rt_probe EXECUTE expire_snapshots(retention_threshold => '0s')")
+    # every snapshot is young (7d window) and an ancestor of dev: all kept
+    assert len(t.refresh().meta.snapshots) == n_before
