@@ -131,7 +131,11 @@ class Engine:
                 t = self.catalog.table(name)
             except (KeyError, ValueError):
                 return f"{kw} {name}"  # plain temp view (testdata / federation)
-            prune = _prunable_for(block_where, t) if block_where else None
+            alias = _trailing_alias(s, m.end())
+            prune = (
+                _prunable_for(block_where, t, alias=alias, table_name=name)
+                if block_where else None
+            )
             if pin is None:
                 df = t.df(hidden=wants_hidden, prune_predicates=prune)
             elif kind and kind.upper() == "TIMESTAMP":
@@ -631,6 +635,15 @@ def _translate_trino_functions(s: str) -> str:
             rf"(\1 {op} \2)",
             s, flags=_FLAGS,
         )
+    # CROSS JOIN UNNEST(arr) AS t(x) -> LATERAL VIEW explode (the Trino
+    # array-flattening idiom; single-column form only — multi-array and
+    # WITH ORDINALITY fall through and fail loudly)
+    s = re.sub(
+        r"\bCROSS\s+JOIN\s+UNNEST\s*\(((?:[^()']|'[^']*'|\([^)]*\))*)\)"
+        r"\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)",
+        r"LATERAL VIEW explode(\1) \2 AS \3",
+        s, flags=_FLAGS,
+    )
     return s
 
 
@@ -707,20 +720,58 @@ def _block_where(s: str, pos: int) -> str | None:
     return None
 
 
-def _prunable_for(where_text: str, t: Table) -> list | None:
+#: tokens that can follow a table reference but are NOT an alias
+_NOT_ALIAS = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "JOIN", "ON", "LEFT",
+    "RIGHT", "FULL", "INNER", "CROSS", "OUTER", "SEMI", "ANTI", "NATURAL",
+    "UNION", "INTERSECT", "EXCEPT", "FOR", "AS", "USING", "LATERAL",
+    "WINDOW", "QUALIFY", "SORT", "DISTRIBUTE", "CLUSTER", "TABLESAMPLE",
+    "AND", "OR", "WHEN", "THEN", "SELECT", "SET", "VALUES",
+}
+
+
+def _trailing_alias(s: str, pos: int) -> str | None:
+    """The alias token directly after a FROM/JOIN table reference at
+    ``pos``, if any (``FROM customer c`` / ``FROM customer AS c``)."""
+    m = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", s[pos:], _FLAGS)
+    if m and m.group(1).upper() not in _NOT_ALIAS:
+        return m.group(1)
+    return None
+
+
+def _prunable_for(
+    where_text: str, t: Table,
+    alias: str | None = None, table_name: str | None = None,
+) -> list | None:
     """The subset of ``where_text``'s simple predicates that reference
     ``t``'s own (current-schema) columns — safe to prune t's manifest with
     even when the block joins several tables: an unqualified column that
     resolves ambiguously would fail Catalyst analysis anyway, so a
-    schema-member predicate can only mean THIS table's column.  Alias-
-    qualified predicates (``c.mktsegment``) don't parse as simple atoms and
-    are skipped (conservative).  A disjunction survives only if every
+    schema-member predicate can only mean THIS table's column.  Predicates
+    qualified by THIS table's alias or name are unqualified first (the
+    reference's flagship filter is ``c.mktsegment='AUTOMOBILE'``);
+    predicates carrying any OTHER qualifier don't parse as simple atoms
+    and are skipped (conservative).  A disjunction survives only if every
     branch references only t's columns (a disjunction prunes to the union
     of branch file-sets, so one foreign branch invalidates the whole)."""
     # run the Trino literal rewrites the main pass applies later, so
     # date('x') predicates parse as DATE literals here too
     w = re.sub(r"\bdate\s*\(\s*'([^']+)'\s*\)", r"DATE '\1'", where_text,
                flags=_FLAGS)
+    # unqualify THIS table's own alias/name — with string literals masked
+    # first, so a literal value containing "c.x" is never rewritten (a
+    # corrupted literal would prune on a value no row contains)
+    lits: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"'\x00{len(lits) - 1}\x00'"
+
+    w = re.sub(r"'[^']*'", _mask, w)
+    for q in (alias, table_name):
+        if q:
+            w = re.sub(rf"\b{re.escape(q)}\.(\w+)", r"\1", w, flags=_FLAGS)
+    w = re.sub(r"'\x00(\d+)\x00'", lambda m: lits[int(m.group(1))], w)
     preds = parse_simple_predicates(w)
     if not preds:
         return None

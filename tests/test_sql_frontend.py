@@ -594,3 +594,38 @@ def test_alter_branch_set_retention(eng):
     sql("ALTER TABLE rt_probe EXECUTE expire_snapshots(retention_threshold => '0s')")
     # every snapshot is young (7d window) and an ancestor of dev: all kept
     assert len(t.refresh().meta.snapshots) == n_before
+
+
+def test_unnest_rewrite(eng):
+    """CROSS JOIN UNNEST(arr) AS t(x) flattens via LATERAL VIEW explode."""
+    rows = eng.sql(
+        "SELECT n_nationkey, x "
+        "FROM tpch.sf1.nation CROSS JOIN UNNEST(sequence(1, 2)) AS u(x) "
+        "WHERE n_nationkey = 0 ORDER BY x"
+    ).collect()
+    assert [(r.n_nationkey, r.x) for r in rows] == [(0, 1), (0, 2)]
+
+
+def test_frontend_alias_qualified_where_prunes(eng):
+    """The reference's flagship filter shape — ``FROM customer c WHERE
+    c.mktsegment='X'`` — must prune through the alias: the qualifier is
+    stripped for THIS table only (other tables' qualifiers are left and
+    skipped), and string literals are mask-protected from the rewrite."""
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS al_t")
+    sql("CREATE OR REPLACE TABLE al_t WITH (partitioning = ARRAY['regionkey']) AS "
+        "SELECT n_name AS name, n_regionkey AS regionkey FROM tpch.sf1.nation")
+    total = len(sql("SELECT * FROM al_t").inputFiles())
+    q = sql("SELECT a.name FROM al_t AS a WHERE a.regionkey = 2 ORDER BY a.name")
+    assert 0 < len(q.inputFiles()) < total
+    expect = sorted(r.name for r in sql("SELECT name FROM al_t WHERE regionkey = 2").collect())
+    assert [r.name for r in q.collect()] == expect
+    # bare-alias form (no AS) prunes too
+    q2 = sql("SELECT a.name FROM al_t a WHERE a.regionkey = 2")
+    assert len(q2.inputFiles()) == len(q.inputFiles())
+    # a literal containing an alias-dot pattern must NOT be rewritten:
+    # correct empty result, and no pruning on the corrupted-literal column
+    q3 = sql("SELECT a.name FROM al_t a WHERE a.name = 'a.name' AND a.regionkey = 2")
+    assert q3.count() == 0
