@@ -119,6 +119,9 @@ _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
     "ice_sql_pruned_select",
     "ice_branch_retention",
+    "events_stream_sessionization",
+    "text_bigram_familiarity",
+    "dedup_edit_distance",
     # -- implementation changed this round (frontend pruning plumbing,
     # bounded runtime-filter collect, decimal zscore accumulator,
     # stale-spec check hoist in dynamic_overwrite)

@@ -1906,3 +1906,72 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_new", "id_old", "n_common", "n_new", "n_old")
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup pairs — the fuzzy-matching family member the
+# shingle/minhash/simhash/cosine operators don't cover: small CHARACTER
+# edits (typos, OCR noise, template fills) that leave most word shingles
+# intact but also matter below the shingle grain.  Classic blocked
+# levenshtein join:
+#
+# - compare KEY is the 60-char document prefix (edit distance over full
+#   documents is O(len^2) per pair and the prefix decides near-identity
+#   for boilerplate/template dups);
+# - candidate blocking: equi-join on the FIRST TOKEN (the recall trade,
+#   same contract as LSH banding: a dup edited in its first word is
+#   missed — documented, bounded by the companion operators) AND a length
+#   band |len_a - len_b| <= 4, which is EXACT: levenshtein >= length
+#   difference, so no distance<=4 pair is lost to it;
+# - candidates pay one levenshtein each (JVM codegen built-in, identical
+#   integer result in DuckDB — no float anywhere).
+#
+# Scale: pair volume is sum_b n_b^2 over first-token blocks (vocab-bounded
+# blocks, measured balanced on this corpus); at 100 TB the blocking key
+# becomes (first token, length bucket) written as a partition key so the
+# self-join is partition-local, and AQE's skew join covers a hot block.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, substr(text, 1, 60) AS pfx,
+             string_split(text, ' ')[1] AS tok1,
+             len(substr(text, 1, 60)) AS n
+        FROM ({_CORPUS_SQL})
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS distance
+      FROM c a JOIN c b
+        ON a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+       AND abs(a.n - b.n) <= 4
+     WHERE levenshtein(a.pfx, b.pfx) <= 4
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus_with_dups(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 60).alias("pfx"),
+        F.element_at(F.split("text", " "), 1).alias("tok1"),
+        F.length(F.substring("text", 1, 60)).alias("n"),
+    )
+    a = c.select(
+        F.col("doc_id").alias("id_a"), F.col("pfx").alias("pa"),
+        "tok1", F.col("n").alias("na"),
+    )
+    b = c.select(
+        F.col("doc_id").alias("id_b"), F.col("pfx").alias("pb"),
+        "tok1", F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, "tok1")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("na") - F.col("nb")) <= 4)
+        )
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("pa", "pb").cast("long").alias("distance"),
+        )
+        .where(F.col("distance") <= 4)
+    )

@@ -136,6 +136,46 @@ def events_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "events_stream_sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS boundary
+        FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+      FROM sessions
+     GROUP BY user_id, session_no
+    """,
+    bench=False,
+)
+def events_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a STREAMING query: merging session windows are a
+    native stateful operator (sessions extend/merge incrementally under
+    the watermark, state bounded by the gap horizon); after the
+    availableNow drain the sessions equal the batch session_window
+    aggregate — same gaps-and-islands oracle as events_sessionization."""
+    from iceberg_trino_sql_demo_spark.streaming.ingest import (
+        stream_sessionization,
+    )
+
+    return stream_sessionization(
+        spark, sf_dir, query_name=f"stream_sess_{uuid.uuid4().hex[:8]}"
+    )
+
+
+@register(
     "events_stream_ohlc",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,

@@ -511,3 +511,77 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("tf").cast("double") / F.sum("tf")).alias("top_token_share"),
         (5 * F.max("tf") > F.sum("tf")).cast("int").alias("flagged_repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram familiarity — the integer-exact cousin of a perplexity-proxy
+# quality filter (CCNet/Gopher pipelines score docs with a corpus LM and
+# drop the tails): each document is scored by how common its adjacent
+# word-bigrams are in the whole corpus.  High familiarity = boilerplate-
+# like text assembled from ubiquitous transitions; a high rare-bigram
+# count = unusual/garbled text.  Deliberately NO log-probabilities: both
+# engines would compute log2 with different libm implementations and a
+# scaled rounding could flip on a ulp boundary, so the score is the exact
+# integer pair (sum of corpus counts, n) with ONE final division —
+# deterministic on both engines.
+#
+# Plan: tokenize -> per-doc adjacent pairs via slice+transform (array ops,
+# no self-join on position) -> corpus counts via keyed hash-agg (partial
+# map-side combine, skew-safe where a window-count over bg would
+# serialize the hottest bigram) -> count join back -> per-doc aggregate.
+# Two bg-keyed exchanges; at 100 TB the hot-bigram join skew is AQE
+# skew-join territory (or salt the count join) — the aggregation side is
+# already safe.
+# ---------------------------------------------------------------------------
+@register(
+    "text_bigram_familiarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        FROM toks WHERE len(ts) >= 2
+    ),
+    cc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bg)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(cc.c) AS BIGINT) AS familiarity_sum,
+           CAST(sum(cc.c) AS DOUBLE) / count(*) AS familiarity,
+           CAST(sum(CASE WHEN cc.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM bg b JOIN cc ON cc.bg = b.bg
+     GROUP BY 1
+    """,
+)
+def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("ts"),
+        )
+        .where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(ts, 1, size(ts) - 1),"
+                    " (x, i) -> concat(x, ' ', element_at(ts, i + 2)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").cast("long").alias("familiarity_sum"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("familiarity"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_rare"),
+        )
+    )

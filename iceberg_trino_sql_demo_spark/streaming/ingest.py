@@ -138,6 +138,55 @@ def stream_ohlc(
     return spark.table(query_name)
 
 
+def windowed_sessions(
+    events: DataFrame, watermark: bool = False, unit: str = "us"
+) -> DataFrame:
+    """Shared batch/stream sessionization plan: per-user sessions closed by
+    a 30-minute inactivity gap (native session_window — the same state
+    machine the batch operator and its gaps-and-islands oracle encode).
+    Under a watermark the session state is bounded: a session closes for
+    good once the watermark passes its gap-extended end."""
+    df = events.withColumn("ts", F.timestamp_micros(ts_micros(unit)))
+    if watermark:
+        df = df.withWatermark("ts", "2 hours")
+    return (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+def stream_sessionization(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_sessions"
+) -> DataFrame:
+    """Sessionization executed as a Structured Streaming query: merging
+    session windows are a native stateful operator, so sessions extend /
+    merge incrementally across micro-batches; after the availableNow drain
+    the session set equals the batch session_window aggregate (same
+    gaps-and-islands oracle)."""
+    with pinned_conf(spark, {"spark.sql.session.timeZone": "UTC"}):
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        agg = windowed_sessions(src, watermark=True, unit=events_ts_unit(sf_dir))
+        ckpt = tempfile.mkdtemp(prefix="ckpt_")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, ckpt)
+    return spark.table(query_name)
+
+
 def _drain(q, checkpoint_dir: str | None, timeout: int = 300) -> None:
     """Block until the availableNow query finishes; fail loudly on timeout
     (a silently partial drain would surface as a wrong-but-plausible result)
