@@ -122,6 +122,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_stream_sessionization",
     "text_bigram_familiarity",
     "dedup_edit_distance",
+    "dedup_edit_distance_passjoin",
     # -- implementation changed this round (frontend pruning plumbing,
     # bounded runtime-filter collect, decimal zscore accumulator,
     # stale-spec check hoist in dynamic_overwrite)

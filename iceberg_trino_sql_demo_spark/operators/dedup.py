@@ -1926,10 +1926,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - candidates pay one levenshtein each (JVM codegen built-in, identical
 #   integer result in DuckDB — no float anywhere).
 #
-# Scale: pair volume is sum_b n_b^2 over first-token blocks (vocab-bounded
-# blocks, measured balanced on this corpus); at 100 TB the blocking key
-# becomes (first token, length bucket) written as a partition key so the
-# self-join is partition-local, and AQE's skew join covers a hot block.
+# Scale: pair volume is sum_b n_b^2 over first-token blocks — balanced on
+# this corpus but the blocks themselves GROW with the corpus (first tokens
+# repeat), so this cheap scheme is the small-corpus flavor; the scale path
+# is dedup_edit_distance_passjoin below (segment blocking, provable recall
+# 1.0, candidates bounded by exact-substring collisions instead of block
+# cardinality).
 # ---------------------------------------------------------------------------
 @register(
     "dedup_edit_distance",
@@ -1974,4 +1976,100 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("pa", "pb").cast("long").alias("distance"),
         )
         .where(F.col("distance") <= 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pass-Join variant — the SCALE PATH for edit-distance dedup (the
+# first-token blocking above is cheap but its blocks grow with the
+# corpus; segment blocking does not).  Li/Deng/Feng's Pass-Join lemma:
+# partition a string into d+1 segments — any string within edit distance
+# d contains at least one segment VERBATIM, start-shifted by at most d.
+# So the index side emits each doc's 5 exact segments (d=4), the probe
+# side emits every 12-char window within +-4 of each segment's canonical
+# start, and the (segment_idx, substring) equi-join generates candidates
+# with PROVABLE recall 1.0 — which the oracle actually checks: the DuckDB
+# side is the UNBLOCKED quadratic ground truth, so hash equality proves
+# the blocked pipeline lost nothing.  Measured at sf0.01: 458 candidates
+# for 81 true pairs over 1050 docs (~0.44/doc), vs ~9k block pairs for
+# the first-token scheme.
+#
+# Contract: documents with a full 60-char prefix (the template/boilerplate
+# near-dup shape this operator hunts); shorter docs are served by the
+# exact/shingle family — a sub-56-char prefix cannot be within distance 4
+# of a 60-char one anyway (levenshtein >= length difference).
+# ---------------------------------------------------------------------------
+_PJ_D = 4          # edit-distance threshold
+_PJ_SEGS = _PJ_D + 1
+_PJ_LEN = 60
+_PJ_SEG_LEN = _PJ_LEN // _PJ_SEGS
+
+
+@register(
+    "dedup_edit_distance_passjoin",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, substr(text, 1, {_PJ_LEN}) AS pfx FROM ({_CORPUS_SQL})
+       WHERE len(substr(text, 1, {_PJ_LEN})) = {_PJ_LEN}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS distance
+      FROM c a JOIN c b ON a.doc_id < b.doc_id
+     WHERE levenshtein(a.pfx, b.pfx) <= {_PJ_D}
+    """,
+)
+def dedup_edit_distance_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _corpus_with_dups(spark, sf_dir)
+        .select("doc_id", F.substring("text", 1, _PJ_LEN).alias("pfx"))
+        .where(F.length("pfx") == _PJ_LEN)
+    )
+    seg_starts = [1 + i * _PJ_SEG_LEN for i in range(_PJ_SEGS)]
+    idx = c.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("seg"),
+                    F.substring("pfx", seg_starts[i], _PJ_SEG_LEN).alias("s"),
+                )
+                for i in range(_PJ_SEGS)
+            ])
+        ).alias("k"),
+    ).select("id_a", "k.seg", "k.s")
+    probe_keys = []
+    max_start = _PJ_LEN - _PJ_SEG_LEN + 1
+    for i in range(_PJ_SEGS):
+        for d in range(-_PJ_D, _PJ_D + 1):
+            p = seg_starts[i] + d
+            if 1 <= p <= max_start:
+                probe_keys.append((i, p))
+    probe = c.select(
+        F.col("doc_id").alias("id_b"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("seg"),
+                    F.substring("pfx", p, _PJ_SEG_LEN).alias("s"),
+                )
+                for i, p in probe_keys
+            ])
+        ).alias("k"),
+    ).select("id_b", "k.seg", "k.s")
+    cand = (
+        idx.join(probe, ["seg", "s"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pa = c.select(F.col("doc_id").alias("id_a"), F.col("pfx").alias("pa"))
+    pb = c.select(F.col("doc_id").alias("id_b"), F.col("pfx").alias("pb"))
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("pa", "pb").cast("long").alias("distance"),
+        )
+        .where(F.col("distance") <= _PJ_D)
     )

@@ -41,6 +41,16 @@ FAMILY = [
     "dedup_semantic_clusters",
     "dedup_cluster_components",
     "dedup_incremental_minhash",
+    # dedup_edit_distance* are deliberately ABSENT: the scaled corpus's
+    # per-replica word-suffix perturbation is a WORD-level rewrite that is
+    # sub-threshold for d=4 CHARACTER edits (replicas of the same doc
+    # differ only in suffix digits, ~4-5 chars in a 60-char prefix), so
+    # cross-replica pairs land within the edit threshold and TRUE pairs
+    # grow ~m^2 by data construction — the linear-growth premise of this
+    # harness doesn't hold for character-level similarity.  The operator's
+    # scale argument is its candidate bound (Pass-Join exact-substring
+    # collisions), oracle-proven recall 1.0 against the unblocked ground
+    # truth.
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
