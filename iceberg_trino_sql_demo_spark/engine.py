@@ -65,7 +65,13 @@ class Engine:
 
     # ------------------------------------------------------------------
     def sql(self, statement: str) -> DataFrame | None:
-        s = statement.strip().rstrip(";").strip()
+        # comments are stripped BEFORE dispatch: the anchored-regex
+        # dispatcher, the WHERE-extraction pruner and the dialect rewrites
+        # all scan raw text, and commented-out SQL fragments (a "-- WHERE
+        # x=1" note, a paren inside /* */) would otherwise corrupt depth
+        # tracking — worst case extracting a predicate the query never
+        # states and pruning files it needs
+        s = _strip_sql_comments(statement).strip().rstrip(";").strip()
         for pattern, handler in self._DISPATCH:
             m = pattern.match(s)
             if m:
@@ -545,6 +551,39 @@ class Engine:
                     _FLAGS), _h_branch_retention),
         (re.compile(r"^(SELECT|WITH)\b.*$", _FLAGS), _h_select),
     ]
+
+
+def _strip_sql_comments(s: str) -> str:
+    """Remove ``-- line`` and ``/* block */`` comments, quote-aware: a
+    comment marker inside a string literal is content, not a comment.
+    Line comments keep their newline (token separation); unterminated
+    block comments swallow to end-of-text like every SQL lexer."""
+    out: list[str] = []
+    i, n, in_str = 0, len(s), False
+    while i < n:
+        c = s[i]
+        if in_str:
+            out.append(c)
+            in_str = c != "'"
+            i += 1
+            continue
+        if c == "'":
+            out.append(c)
+            in_str = True
+            i += 1
+            continue
+        if c == "-" and s.startswith("--", i):
+            j = s.find("\n", i)
+            i = n if j == -1 else j  # keep the newline itself
+            continue
+        if c == "/" and s.startswith("/*", i):
+            j = s.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+            out.append(" ")  # a block comment is a token separator
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,27 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "exactly what this operator hunts, and partial aggregation plus "
         "the composite key keep that hot span from serializing one task.",
     ),
+    "text_bigram_familiarity": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        5,
+        "corpus bigram counts as a keyed hash-agg WITH map-side partials "
+        "(skew-safe where a window-count over bg would serialize the "
+        "hottest bigram), count join back on bg, per-doc aggregate — "
+        "every join is an equi-join; the hot-bigram join side is AQE "
+        "skew-join territory at scale.",
+    ),
+    "dedup_edit_distance_passjoin": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        8,
+        "Pass-Join candidate generation is a pure (segment, substring) "
+        "equi-join — never a cross join — followed by a distinct and two "
+        "id-keyed prefix joins for the verify levenshtein; candidate "
+        "volume is bounded by exact-substring collisions, and the oracle "
+        "is the unblocked ground truth (recall 1.0 is value-checked, not "
+        "claimed).",
+    ),
 }
 
 

@@ -629,3 +629,28 @@ def test_frontend_alias_qualified_where_prunes(eng):
     # correct empty result, and no pruning on the corrupted-literal column
     q3 = sql("SELECT a.name FROM al_t a WHERE a.name = 'a.name' AND a.regionkey = 2")
     assert q3.count() == 0
+
+
+def test_sql_comments_stripped(eng):
+    """Comments are lexed away before dispatch: a commented-out WHERE must
+    neither reach the pruner nor break statement-shape matching, and
+    comment markers inside string literals are content."""
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS cm_t")
+    sql("""-- create the probe table
+        CREATE OR REPLACE TABLE cm_t WITH (partitioning = ARRAY['regionkey']) AS
+        SELECT n_name AS name, n_regionkey AS regionkey /* all regions */
+        FROM tpch.sf1.nation""")
+    total = len(sql("SELECT * FROM cm_t").inputFiles())
+    # the commented WHERE must not prune or filter anything
+    q = sql("SELECT name FROM cm_t -- WHERE regionkey = 2\n ORDER BY name")
+    assert len(q.inputFiles()) == total
+    assert q.count() == 25
+    # a '--' inside a literal is content, not a comment
+    r = sql("SELECT '--not a comment' AS v").head()
+    assert r.v == "--not a comment"
+    # block comment containing parens must not corrupt depth tracking
+    q2 = sql("SELECT name FROM cm_t /* ( WHERE ) */ WHERE regionkey = 2")
+    assert 0 < len(q2.inputFiles()) < total and q2.count() == 5
