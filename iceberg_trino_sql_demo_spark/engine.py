@@ -302,6 +302,26 @@ class Engine:
         )
         t.append(aligned, ref=m.group(2) or "main")
 
+    def _h_explain_analyze(self, m: re.Match) -> "DataFrame":
+        """EXPLAIN ANALYZE SELECT ... — EXECUTE the rewritten query, then
+        return the AQE-FINAL physical plan (isFinalPlan=true: runtime
+        reoptimizations included, unlike plain EXPLAIN's initial plan)
+        plus row count and wall time, Trino's annotated-plan shape."""
+        import time as _time
+
+        df = self._select(m.group(1))
+        t0 = _time.perf_counter()
+        n_rows = len(df.collect())
+        elapsed_ms = int((_time.perf_counter() - t0) * 1000)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        cut = plan.find("== Initial Plan ==")
+        if cut != -1:
+            plan = plan[:cut]
+        return self.spark.createDataFrame(
+            [(plan, n_rows, elapsed_ms)],
+            "plan string, n_rows bigint, elapsed_ms bigint",
+        )
+
     def _h_explain(self, m: re.Match) -> "DataFrame":
         """EXPLAIN SELECT ... — the rewritten query's FORMATTED physical
         plan as a one-row DataFrame (engine-table pins, metadata tables
@@ -516,6 +536,7 @@ class Engine:
                     _FLAGS), _h_insert_overwrite),
         (re.compile(r"^TRUNCATE\s+TABLE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?$", _FLAGS),
          lambda self, m: self._table(m.group(1)).truncate(ref=m.group(2) or "main")),
+        (re.compile(r"^EXPLAIN\s+ANALYZE\s+(SELECT.*)$", _FLAGS), _h_explain_analyze),
         (re.compile(r"^EXPLAIN\s+(SELECT.*)$", _FLAGS), _h_explain),
         (re.compile(r"^SHOW\s+SCHEMAS$", _FLAGS), _h_show_schemas),
         (re.compile(r"^SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w.\"]+))?$", _FLAGS),

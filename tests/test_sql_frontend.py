@@ -654,3 +654,16 @@ def test_sql_comments_stripped(eng):
     # block comment containing parens must not corrupt depth tracking
     q2 = sql("SELECT name FROM cm_t /* ( WHERE ) */ WHERE regionkey = 2")
     assert 0 < len(q2.inputFiles()) < total and q2.count() == 5
+
+
+def test_explain_analyze(eng):
+    """EXPLAIN ANALYZE executes and reports the AQE-final plan + metrics."""
+    sql = eng.sql
+    sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
+    sql("USE iceberg_glue.victorc_iceberg")
+    sql("DROP TABLE IF EXISTS ea_t")
+    sql("CREATE OR REPLACE TABLE ea_t AS SELECT * FROM tpch.sf1.nation")
+    row = sql("EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n FROM ea_t GROUP BY n_regionkey").head()
+    assert row.n_rows == 5 and row.elapsed_ms >= 0
+    assert "Initial Plan" not in row.plan
+    assert "HashAggregate" in row.plan or "Aggregate" in row.plan
