@@ -311,7 +311,9 @@ def _adaptive_cent_mod(n_vecs: int) -> int:
     return max(_CENT_MOD, int(math.sqrt(n_vecs)))
 
 
-def _assign(e_df: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign(
+    e_df: DataFrame, cent: DataFrame, n_rows: int | None = None
+) -> DataFrame:
     """(vec_id, embedding, cluster): nearest centroid by cosine distance.
 
     The argmin is ONE hash aggregate (``min_by`` keyed on a
@@ -347,7 +349,13 @@ def _assign(e_df: DataFrame, cent: DataFrame) -> DataFrame:
     spark = e_df.sparkSession
     cent_rows = cent.collect()  # C rows (driver-side, manifest-cardinality)
     if len(cent_rows) <= _ASSIGN_SQL_MAX_CENTROIDS:
+        # expansion parallelism scales with the corpus when the caller
+        # knows its size (parquet footer count): a 2k-vector corpus at 32
+        # tasks x 4 stages is pure scheduler floor (~0.2 s of the r5
+        # bench's ann_topk_ivf), while the 50x point still fans out fully
         p = spark.sparkContext.defaultParallelism
+        if n_rows is not None:
+            p = max(1, min(p, -(-n_rows // 2000)))
         # norms are hand-CSE'd BELOW the join: inlining sqrt(dot(x,x)) in
         # the post-join cosine recomputes each side's 64-term norm n*C
         # times (and triples the expansion stage's codegen, the JIT-warmup
@@ -365,10 +373,13 @@ def _assign(e_df: DataFrame, cent: DataFrame) -> DataFrame:
             F.col("cent_id"),
             F.struct((1 - cos).alias("dist"), F.col("cent_id").alias("cent_id")),
         ).alias("cluster")
-        assigned_ids = d.groupBy("vec_id").agg(best)
-        return e_df.join(assigned_ids, "vec_id").select(
-            "vec_id", "embedding", "cluster"
-        )
+        # the embedding rides the assignment aggregate (first() over the
+        # expansion is deterministic: every expanded row carries the same
+        # vector) — one vec_id shuffle instead of agg-shuffle + join-back
+        # shuffle, the same bytes moved once
+        return d.groupBy("vec_id").agg(
+            best, F.first("embedding").alias("embedding")
+        ).select("vec_id", "embedding", "cluster")
 
     import numpy as np
     import pandas as pd
@@ -448,11 +459,12 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest the query.  Recall vs brute force is asserted in
     tests/test_extensions.py; values are oracle-checked."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cent_mod = _adaptive_cent_mod(parquet_row_count(table_path(sf_dir, "embeddings")))
+    n_rows = parquet_row_count(table_path(sf_dir, "embeddings"))
+    cent_mod = _adaptive_cent_mod(n_rows)
     cent = e.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
-    assigned = _assign(e, cent)
+    assigned = _assign(e, cent, n_rows=n_rows)
 
     qv = _query_vector(spark, sf_dir)
     qcos = _dot_lit("cent", qv) / (
@@ -524,11 +536,12 @@ def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed aggregate matches DuckDB bit-for-bit (float SUM would
     diverge with partitioning)."""
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    cent_mod = _adaptive_cent_mod(parquet_row_count(table_path(sf_dir, "embeddings")))
+    n_rows = parquet_row_count(table_path(sf_dir, "embeddings"))
+    cent_mod = _adaptive_cent_mod(n_rows)
     cent = e.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
-    assigned = _assign(e, cent)
+    assigned = _assign(e, cent, n_rows=n_rows)
     norm = F.sqrt(_dot("embedding", "embedding"))
     return (
         assigned.select("cluster", F.round(norm * 1e6).cast("long").alias("nm"))
