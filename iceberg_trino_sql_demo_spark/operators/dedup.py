@@ -2017,6 +2017,13 @@ _PJ_SEG_LEN = _PJ_LEN // _PJ_SEGS
       FROM c a JOIN c b ON a.doc_id < b.doc_id
      WHERE levenshtein(a.pfx, b.pfx) <= {_PJ_D}
     """,
+    # excluded from the timed bench: the oracle is DELIBERATELY the
+    # unblocked quadratic ground truth (a recall-1.0 proof, not a
+    # comparable workload) — at sf0.1 DuckDB pays minutes on it, which
+    # would flatter the aggregate ratio for the wrong reason.  The
+    # comparable edit-distance workload is dedup_edit_distance above,
+    # where BOTH engines run the same blocked plan.
+    bench=False,
 )
 def dedup_edit_distance_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
