@@ -117,6 +117,10 @@ def register(
 #: 50-query window; pytest oracle parity still covers it every round.
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q16_supplier_variety",
+    "q20_promotable_suppliers",
     "ice_sql_pruned_select",
     "ice_branch_retention",
     "events_stream_sessionization",

@@ -2160,3 +2160,268 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: region-constrained minimum-cost supplier per part — the classic
+# correlated MIN subquery, decorrelated into a per-part aggregate joined
+# back on value equality.  No partsupp table exists in this corpus, so the
+# part<->supplier cost relation derives from lineitem (min observed sale
+# price in cents); the *shape* — dim-chain filter, per-key MIN, equality
+# join-back, multi-dim output sort + LIMIT — is Q2's.  Costs accumulate as
+# scaled BIGINT cents so the MIN-equality never hinges on a double ulp.
+# 100 TB plan: region/nation/filtered-part/supplier are all broadcast; the
+# only full fact pass is one scan aggregated on (partkey, suppkey) — the
+# join-back runs on the already-aggregated (small) relation, repartitioned
+# by partkey.  Reference analog: dim-chain SELECT, iceberg_trino_sqldemo
+# .sql:19-40.
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE'
+    ),
+    ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cost_c
+        FROM lineitem
+        JOIN eu ON l_suppkey = eu.s_suppkey
+       GROUP BY 1, 2
+    ),
+    mn AS (SELECT partkey, MIN(cost_c) AS min_c FROM ps GROUP BY 1)
+    SELECT eu.s_acctbal AS acctbal, eu.s_name AS supplier,
+           eu.n_name AS nation, p.p_partkey AS partkey,
+           p.p_brand AS brand,
+           CAST(ps.cost_c AS DOUBLE) / 100.0 AS min_cost
+      FROM ps
+      JOIN mn ON mn.partkey = ps.partkey AND ps.cost_c = mn.min_c
+      JOIN part p ON p.p_partkey = ps.partkey
+      JOIN eu ON eu.s_suppkey = ps.suppkey
+     WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+     ORDER BY acctbal DESC, supplier, partkey
+     LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT is deterministic: (supplier, partkey) pairs are unique at the
+    (partkey, suppkey) aggregate grain, so the sort is a total order."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pf = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    # Prune the fact scan to filtered parts BEFORE aggregating: the per-part
+    # MIN is independent of the part predicate, so prefiltering is lossless
+    # (the oracle filters after the aggregate — same result, stated once).
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pf.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    ps = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cost_c"))
+    mn = ps.groupBy("partkey").agg(F.min("cost_c").alias("min_c"))
+    return (
+        ps.join(mn.withColumnRenamed("partkey", "mn_partkey"),
+                (F.col("partkey") == F.col("mn_partkey"))
+                & (F.col("cost_c") == F.col("min_c")))
+        .join(F.broadcast(pf), F.col("p_partkey") == F.col("partkey"))
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("suppkey"))
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("out_partkey"),
+            F.col("p_brand").alias("brand"),
+            (F.col("cost_c").cast("double") / 100.0).alias("min_cost"),
+        )
+        .withColumnRenamed("out_partkey", "partkey")
+        .orderBy(F.col("acctbal").desc(), "supplier", "partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-type profit by nation and year — the widest join tree
+# in the TPC-H sweep (fact x part x supplier x nation x orders) with an
+# expression aggregate.  No partsupp supply cost exists in this corpus;
+# cost is proxied as 50% of the part's retail price per unit, which keeps
+# Q9's expression shape (revenue minus quantity-scaled cost) in exact
+# scaled-cents BIGINT arithmetic on both engines.
+# 100 TB plan: part ('%gear%' prefilter), supplier and nation broadcast;
+# the single at-scale shuffle is lineitem><orders on orderkey (both sides
+# bucketable on orderkey); the (nation, year) aggregate is ~|nations * 7|
+# groups with map-side partials.  Reference analog: federation join + agg,
+# iceberg_trino_sqldemo.sql:286-295.
+# ---------------------------------------------------------------------------
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                         AS BIGINT)
+                    - CAST(round(p.p_retailprice * 50, 0) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT))
+                AS DOUBLE) / 100.0 AS profit
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey  = l.l_partkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+     WHERE p.p_name LIKE '%gear%'
+     GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    cost_c = F.round(F.col("p_retailprice") * 50, 0).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(rev_c - cost_c).cast("double") / 100.0).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier variety per (brand, type, size) — COUNT(DISTINCT) over
+# an anti-joined key set.  The classic "customer complaints" NOT IN becomes
+# a negative-balance supplier exclusion (this corpus's supplier table has no
+# comment column); the shape — NOT IN decorrelated to a broadcast anti-join,
+# then a distinct-count per composite dim key — is Q16's.
+# 100 TB plan: the excluded-supplier set is a scalar-cardinality broadcast;
+# the distinct runs as a two-phase shuffle on (brand, type, size, suppkey)
+# with map-side partial dedup, then a cheap second aggregate — no Expand
+# node, no whole-fact re-shuffle for the count.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+     WHERE p.p_brand <> 'Brand#13'
+       AND p.p_type <> 'MEDIUM'
+       AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+       AND l.l_suppkey NOT IN
+           (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+     GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+            "l_suppkey",
+        )
+        .distinct()
+        .groupBy("brand", "type", "size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: promotable suppliers — nested semi-joins over a decorrelated
+# threshold aggregate.  The classic availqty > 1/2 * year-demand predicate
+# (partsupp-based) becomes: suppliers whose 1996 shipped quantity of
+# 'old *' parts exceeds 1/6 of their all-time shipped quantity of those
+# parts (integer cross-multiplied, no division), then restricted to ASIA.
+# 100 TB plan: the part-name semi-join is a broadcast of the filtered part
+# keys; ONE fact pass aggregates per supplier with a conditional partial
+# sum; everything after runs at |suppliers| cardinality against broadcast
+# dims.  Reference analog: filtered dim-chain, iceberg_trino_sqldemo
+# .sql:215-216.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_promotable_suppliers",
+    oracle="""
+    WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'old %'),
+    sp AS (
+      SELECT l_suppkey AS suppkey,
+             SUM(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                       AND CAST(l_shipdate AS DATE) <  DATE '1997-01-01'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q96,
+             SUM(CAST(l_quantity AS BIGINT)) AS qall
+        FROM lineitem
+        JOIN fp ON p_partkey = l_partkey
+       GROUP BY 1
+    )
+    SELECT s.s_name AS supplier, n.n_name AS nation
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      JOIN sp ON sp.suppkey = s.s_suppkey
+     WHERE r.r_name = 'ASIA' AND 6 * sp.q96 > sp.qall
+     ORDER BY supplier
+    """,
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _t(spark, sf_dir, "part").where(F.col("p_name").like("old %")).select(
+        "p_partkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(fp), F.col("l_partkey") == F.col("p_partkey")
+    )
+    in96 = (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date")) & (
+        F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date")
+    )
+    qty = F.col("l_quantity").cast("long")
+    sp = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.when(in96, qty).otherwise(F.lit(0))).alias("q96"),
+        F.sum(qty).alias("qall"),
+    )
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        sp.where(6 * F.col("q96") > F.col("qall"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
+        .select(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
+        .orderBy("supplier")
+    )
