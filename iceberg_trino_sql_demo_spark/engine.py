@@ -61,6 +61,7 @@ class Engine:
         self.spark = spark
         self.catalog = Catalog(spark, warehouse)
         self.session: dict[str, str] = {}
+        self.prepared: dict[str, str] = {}
         self._view_n = 0
 
     # ------------------------------------------------------------------
@@ -509,6 +510,36 @@ class Engine:
     def _h_select(self, m: re.Match) -> DataFrame:
         return self._select(m.group(0))
 
+    # -- prepared statements (Trino PREPARE/EXECUTE/DEALLOCATE): the text
+    # is stored verbatim and re-dispatched at EXECUTE time, so every
+    # statement shape the frontend supports is preparable.  ``?``
+    # placeholders are substituted positionally, quote-aware.
+    def _h_prepare(self, m: re.Match) -> None:
+        self.prepared[m.group(1).lower()] = m.group(2).strip()
+
+    def _h_execute_prepared(self, m: re.Match) -> DataFrame | None:
+        name = m.group(1).lower()
+        if name not in self.prepared:
+            raise ValueError(f"prepared statement not found: {name}")
+        stmt = self.prepared[name]
+        params = _split_top_level(m.group(2)) if m.group(2) else []
+        if params:
+            stmt = _substitute_placeholders(stmt, params)
+        elif _count_placeholders(stmt):
+            raise ValueError(f"prepared statement {name} has parameters; "
+                             "EXECUTE requires USING")
+        return self.sql(stmt)
+
+    def _h_deallocate(self, m: re.Match) -> None:
+        self.prepared.pop(m.group(1).lower(), None)
+
+    def _h_show_session(self, m: re.Match) -> DataFrame:
+        return self.spark.createDataFrame(
+            sorted(self.session.items()), "name string, value string")
+
+    def _h_reset_session(self, m: re.Match) -> None:
+        self.session.pop(m.group(1), None)
+
     # dispatch table: (anchored pattern, handler) — first match wins
     _DISPATCH = [
         (re.compile(r"^SET\s+SESSION\s+([\w.]+)\s*=\s*(.+)$", _FLAGS), _h_set_session),
@@ -542,6 +573,13 @@ class Engine:
         (re.compile(r"^SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w.\"]+))?$", _FLAGS),
          _h_show_tables),
         (re.compile(r"^DESCRIBE\s+([\w.\"]+)$", _FLAGS), _h_describe),
+        (re.compile(r"^SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.\"]+)$", _FLAGS), _h_describe),
+        (re.compile(r"^SHOW\s+SESSION$", _FLAGS), _h_show_session),
+        (re.compile(r"^RESET\s+SESSION\s+([\w.]+)$", _FLAGS), _h_reset_session),
+        (re.compile(r"^PREPARE\s+(\w+)\s+FROM\s+(.+)$", _FLAGS), _h_prepare),
+        (re.compile(r"^EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?$", _FLAGS),
+         _h_execute_prepared),
+        (re.compile(r"^DEALLOCATE\s+PREPARE\s+(\w+)$", _FLAGS), _h_deallocate),
         (re.compile(r"^UPDATE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SET\s+(.*?)\s+WHERE\s+(.*)$",
                     _FLAGS), _h_update),
         (re.compile(r"^DELETE\s+FROM\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?\s*WHERE\s+(.*)$",
@@ -640,6 +678,19 @@ _TRINO_FN_RENAMES = {
     "starts_with": "startswith",
     "to_hex": "hex",
     "from_hex": "unhex",
+    "last_day_of_month": "last_day",
+    "from_iso8601_timestamp": "to_timestamp",
+    "from_iso8601_date": "to_date",
+    # lambda higher-order predicates: identical `x -> expr` lambda syntax,
+    # only the function name differs (none_match is a shape rewrite below)
+    "any_match": "exists",
+    "all_match": "forall",
+    # Trino contains(array, elem); Spark's string `contains` is not valid
+    # Trino, so the token is unambiguous in Trino-dialect input
+    "contains": "array_contains",
+    "is_nan": "isnan",
+    "json_parse": "parse_json",
+    "json_format": "to_json",
 }
 
 #: simple argument: any sequence of quote-free text (no parens/commas)
@@ -704,7 +755,167 @@ def _translate_trino_functions(s: str) -> str:
         r"LATERAL VIEW explode(\1) \2 AS \3",
         s, flags=_FLAGS,
     )
+    # -- balanced-call shape rewrites: unlike the _ARG regex tier these
+    # handle nested calls and lambdas in arguments.  Rewrites whose
+    # lambda returns None leave the call verbatim (loud Spark failure).
+    # hash idioms FIRST (narrower than the generic to_utf8 rewrite):
+    # Trino md5/sha*(varbinary) -> varbinary vs Spark's hex-string returns,
+    # so md5(to_utf8(x)) must become binary again for outer to_hex/length
+    s = _rewrite_calls(s, "md5", lambda a: (
+        f"unhex(md5({_inner_utf8(a[0])}))" if len(a) == 1 and _inner_utf8(a[0]) else None))
+    s = _rewrite_calls(s, "sha256", lambda a: (
+        f"unhex(sha2({_inner_utf8(a[0])}, 256))" if len(a) == 1 and _inner_utf8(a[0]) else None))
+    s = _rewrite_calls(s, "sha512", lambda a: (
+        f"unhex(sha2({_inner_utf8(a[0])}, 512))" if len(a) == 1 and _inner_utf8(a[0]) else None))
+    s = _rewrite_calls(s, "sha1", lambda a: (
+        f"unhex(sha1({_inner_utf8(a[0])}))" if len(a) == 1 and _inner_utf8(a[0]) else None))
+    s = _rewrite_calls(s, "to_utf8", lambda a: (
+        f"encode({a[0]}, 'UTF-8')" if len(a) == 1 else None))
+    s = _rewrite_calls(s, "from_utf8", lambda a: (
+        f"decode({a[0]}, 'UTF-8')" if len(a) == 1 else None))
+    # from_unixtime: Trino returns TIMESTAMP; Spark's returns STRING
+    s = _rewrite_calls(s, "from_unixtime", lambda a: (
+        f"timestamp_seconds({a[0]})" if len(a) == 1 else None))
+    # format_datetime / parse_datetime use Joda patterns; Spark's java.time
+    # patterns agree on the yMdHmsS token family this frontend supports —
+    # the pattern passes through verbatim (a literal-only rewrite: dynamic
+    # patterns fall through loudly)
+    s = _rewrite_calls(s, "format_datetime", lambda a: (
+        f"date_format({a[0]}, {a[1]})"
+        if len(a) == 2 and _is_str_literal(a[1]) else None))
+    s = _rewrite_calls(s, "parse_datetime", lambda a: (
+        f"to_timestamp({a[0]}, {a[1]})"
+        if len(a) == 2 and _is_str_literal(a[1]) else None))
+    # Trino split() delimiter is a LITERAL string; Spark's is a Java regex.
+    # \Q...\E quoting makes the translation exact for literal delimiters.
+    s = _rewrite_calls(s, "split", lambda a: (
+        f"split({a[0]}, " + _regex_quote_literal(a[1])
+        + (f", {a[2]}" if len(a) == 3 else "") + ")"
+        if len(a) in (2, 3) and _is_str_literal(a[1]) else None))
+    # url_extract_* -> parse_url parts (PORT is BIGINT in Trino)
+    for trino_fn, part in (("url_extract_host", "HOST"),
+                           ("url_extract_path", "PATH"),
+                           ("url_extract_protocol", "PROTOCOL"),
+                           ("url_extract_query", "QUERY"),
+                           ("url_extract_fragment", "REF")):
+        s = _rewrite_calls(s, trino_fn, lambda a, p=part: (
+            f"parse_url({a[0]}, '{p}')" if len(a) == 1 else None))
+    # Spark's parse_url has no PORT part; Trino's port is the numeric
+    # suffix of the authority (NULL when absent)
+    s = _rewrite_calls(s, "url_extract_port", lambda a: (
+        f"CAST(nullif(regexp_extract(parse_url({a[0]}, 'AUTHORITY'), "
+        "':([0-9]+)$', 1), '') AS BIGINT)" if len(a) == 1 else None))
+    s = _rewrite_calls(s, "url_extract_parameter", lambda a: (
+        f"parse_url({a[0]}, 'QUERY', {a[1]})" if len(a) == 2 else None))
+    s = _rewrite_calls(s, "none_match", lambda a: (
+        f"(NOT exists({a[0]}, {a[1]}))" if len(a) == 2 else None))
+    s = _rewrite_calls(s, "geometric_mean", lambda a: (
+        f"EXP(AVG(LN({a[0]})))" if len(a) == 1 else None))
     return s
+
+
+def _is_str_literal(arg: str) -> bool:
+    a = arg.strip()
+    return len(a) >= 2 and a[0] == "'" and a[-1] == "'" and "'" not in a[1:-1]
+
+
+def _regex_quote_literal(arg: str) -> str:
+    """A quoted SQL literal, re-quoted as a Java regex that matches it
+    literally (\\Q...\\E).  Callers gate on _is_str_literal first."""
+    body = arg.strip()[1:-1]
+    return "'\\\\Q" + body + "\\\\E'"
+
+
+def _inner_utf8(arg: str) -> str | None:
+    """The x of a ``to_utf8(x)`` argument, else None (hash-idiom gate)."""
+    m = re.fullmatch(r"to_utf8\s*\((.*)\)", arg.strip(), _FLAGS)
+    return m.group(1).strip() if m else None
+
+
+def _count_placeholders(stmt: str) -> int:
+    """Number of ``?`` parameter markers outside string literals."""
+    count, in_str = 0, False
+    for c in stmt:
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "?":
+            count += 1
+    return count
+
+
+def _substitute_placeholders(stmt: str, params: list[str]) -> str:
+    """Positional ``?`` substitution for EXECUTE ... USING, quote-aware.
+    Parameter count must match exactly (Trino errors likewise)."""
+    n = _count_placeholders(stmt)
+    if n != len(params):
+        raise ValueError(
+            f"prepared statement has {n} parameters, USING supplied {len(params)}")
+    out, in_str, it = [], False, iter(params)
+    for c in stmt:
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "?":
+            out.append(next(it))
+            continue
+        out.append(c)
+    return "".join(out)
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas at paren depth 0, quote-aware."""
+    parts, depth, in_str, start = [], 0, False, 0
+    for i, c in enumerate(text):
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+    parts.append(text[start:].strip())
+    return parts
+
+
+def _rewrite_calls(s: str, fname: str, fmt) -> str:
+    """Rewrite every balanced ``fname(args...)`` call via ``fmt(args) ->
+    str | None`` (None = leave verbatim).  Quote-aware; the scan resumes
+    AFTER each replacement, so a replacement that re-mentions ``fname``
+    (e.g. md5 -> unhex(md5(...))) is final, not re-rewritten."""
+    pat = re.compile(rf"\b{fname}\s*\(", _FLAGS)
+    pos = 0
+    while True:
+        m = pat.search(s, pos)
+        if not m:
+            return s
+        depth, in_str, i, n = 1, False, m.end(), len(s)
+        while i < n and depth:
+            c = s[i]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced — not a call we can parse; stop rewriting
+            return s
+        args = _split_top_level(s[m.end():i - 1])
+        repl = fmt(args)
+        if repl is None:
+            pos = i
+        else:
+            s = s[:m.start()] + repl + s[i:]
+            pos = m.start() + len(repl)
 
 
 # ---------------------------------------------------------------------------

@@ -47,7 +47,7 @@ def _canon(v: Any) -> Any:
         return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon(x) for x in v)
     if pd.isna(v):
         return None

@@ -1,0 +1,215 @@
+"""Trino-dialect frontend breadth (VERDICT r4 "What's missing" #1).
+
+Each case is a Trino-dialect statement a reference-style user would
+write, run through ``Engine.sql`` against testdata temp views, compared
+value-for-value against an independent DuckDB statement of the same
+meaning.  This pins the TRANSLATION (name renames, shape rewrites,
+return-type fixes), not Spark itself.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from iceberg_trino_sql_demo_spark.engine import Engine
+from tests.conftest import SF_ORACLE
+from tests.oracle_utils import compare_frames, duckdb_run
+
+_VIEWS = ("orders", "lineitem", "customer", "documents", "events")
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    for name in _VIEWS:
+        spark.read.parquet(f"{SF_ORACLE}/{name}.parquet").createOrReplaceTempView(name)
+    return Engine(spark, tempfile.mkdtemp(prefix="dialect_wh_"))
+
+
+def _check(eng, trino_sql: str, duck_sql: str) -> None:
+    got = eng.sql(trino_sql).toPandas()
+    want = duckdb_run(duck_sql, SF_ORACLE)
+    problems = compare_frames(got, want)
+    assert not problems, problems
+
+
+# -- function translations --------------------------------------------------
+
+def test_from_unixtime_returns_timestamp(eng):
+    # Trino from_unixtime -> TIMESTAMP; Spark's same-named builtin returns
+    # a STRING, so the rename to timestamp_seconds is a return-type fix
+    _check(
+        eng,
+        "SELECT o_orderkey, from_unixtime(o_orderkey * 1000) AS ts "
+        "FROM orders WHERE o_orderkey <= 5 ORDER BY o_orderkey",
+        "SELECT o_orderkey, epoch_ms(o_orderkey * 1000 * 1000) AS ts "
+        "FROM orders WHERE o_orderkey <= 5 ORDER BY o_orderkey",
+    )
+
+
+def test_split_literal_delimiter(eng):
+    # Trino split('a.b.c', '.') treats '.' literally; an untranslated
+    # Spark split would regex-match everything and return empty strings
+    _check(
+        eng,
+        "SELECT o_orderkey, split('a.b.c', '.') AS parts "
+        "FROM orders WHERE o_orderkey = 1",
+        "SELECT o_orderkey, ['a','b','c'] AS parts FROM orders WHERE o_orderkey = 1",
+    )
+
+
+def test_split_with_limit(eng):
+    _check(
+        eng,
+        "SELECT split('a|b|c|d', '|', 2) AS parts "
+        "FROM orders WHERE o_orderkey = 1",
+        "SELECT ['a', 'b|c|d'] AS parts FROM orders WHERE o_orderkey = 1",
+    )
+
+
+def test_hash_idiom_to_hex_md5_to_utf8(eng):
+    # the canonical Trino row-hash idiom: lower(to_hex(md5(to_utf8(x))))
+    _check(
+        eng,
+        "SELECT o_orderkey, lower(to_hex(md5(to_utf8(o_orderstatus)))) AS h "
+        "FROM orders WHERE o_orderkey <= 3 ORDER BY o_orderkey",
+        "SELECT o_orderkey, md5(o_orderstatus) AS h "
+        "FROM orders WHERE o_orderkey <= 3 ORDER BY o_orderkey",
+    )
+
+
+def test_sha256_and_length_of_to_utf8(eng):
+    _check(
+        eng,
+        "SELECT lower(to_hex(sha256(to_utf8('abc')))) AS h, "
+        "length(to_utf8(o_orderstatus)) AS n "
+        "FROM orders WHERE o_orderkey = 1",
+        "SELECT lower(sha256('abc')) AS h, "
+        "CAST(octet_length(encode(o_orderstatus)) AS INT) AS n "
+        "FROM orders WHERE o_orderkey = 1",
+    )
+
+
+def test_url_extract_family(eng):
+    url = "'https://example.com:8443/path/doc?q=spark&lang=en#frag'"
+    _check(
+        eng,
+        f"SELECT url_extract_host({url}) AS host, "
+        f"url_extract_path({url}) AS path, "
+        f"url_extract_protocol({url}) AS proto, "
+        f"url_extract_port({url}) AS port, "
+        f"url_extract_parameter({url}, 'lang') AS lang "
+        "FROM orders WHERE o_orderkey = 1",
+        "SELECT 'example.com' AS host, '/path/doc' AS path, "
+        "'https' AS proto, CAST(8443 AS BIGINT) AS port, 'en' AS lang",
+    )
+
+
+def test_lambda_matches_and_reduce(eng):
+    # any_match/all_match/none_match -> exists/forall/NOT exists; reduce
+    # needs no rename (Spark >= 3.5 ships reduce) — included to pin that
+    _check(
+        eng,
+        "SELECT o_orderkey, "
+        "any_match(sequence(1, o_orderkey), x -> x >= 3) AS has3, "
+        "all_match(sequence(1, o_orderkey), x -> x < 10) AS all_small, "
+        "none_match(sequence(1, o_orderkey), x -> x > 4) AS none_big, "
+        "reduce(sequence(1, o_orderkey), CAST(0 AS BIGINT), (s, x) -> s + x, s -> s) AS tot "
+        "FROM orders WHERE o_orderkey BETWEEN 1 AND 5 ORDER BY o_orderkey",
+        "SELECT o_orderkey, "
+        "len(list_filter(range(1, o_orderkey + 1), x -> x >= 3)) > 0 AS has3, "
+        "len(list_filter(range(1, o_orderkey + 1), x -> x < 10)) = o_orderkey AS all_small, "
+        "len(list_filter(range(1, o_orderkey + 1), x -> x > 4)) = 0 AS none_big, "
+        "list_sum(range(1, o_orderkey + 1)) AS tot "
+        "FROM orders WHERE o_orderkey BETWEEN 1 AND 5 ORDER BY o_orderkey",
+    )
+
+
+def test_contains_and_geometric_mean(eng):
+    _check(
+        eng,
+        "SELECT contains(sequence(1, 5), CAST(o_orderkey AS BIGINT)) AS in5, "
+        "round(geometric_mean(o_totalprice), 2) AS gm "
+        "FROM orders WHERE o_orderkey <= 8 GROUP BY 1 ORDER BY 1",
+        "SELECT list_contains(range(1, 6), o_orderkey) AS in5, "
+        "round(exp(avg(ln(o_totalprice))), 2) AS gm "
+        "FROM orders WHERE o_orderkey <= 8 GROUP BY 1 ORDER BY 1",
+    )
+
+
+def test_iso8601_and_last_day_of_month(eng):
+    _check(
+        eng,
+        "SELECT from_iso8601_date('2024-02-10') AS d, "
+        "last_day_of_month(from_iso8601_timestamp('2024-02-10T08:30:00')) AS eom "
+        "FROM orders WHERE o_orderkey = 1",
+        "SELECT DATE '2024-02-10' AS d, DATE '2024-02-29' AS eom",
+    )
+
+
+def test_format_and_parse_datetime(eng):
+    _check(
+        eng,
+        "SELECT format_datetime(parse_datetime('2024/03/05 07', 'yyyy/MM/dd HH'), "
+        "'yyyy-MM-dd HH:mm') AS s FROM orders WHERE o_orderkey = 1",
+        "SELECT '2024-03-05 07:00' AS s",
+    )
+
+
+def test_json_parse_and_extract(eng):
+    _check(
+        eng,
+        "SELECT json_extract_scalar(props, '$.plan') AS plan, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1",
+        "SELECT props ->> '$.plan' AS plan, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY 1",
+    )
+
+
+# -- statement shapes --------------------------------------------------------
+
+def test_prepare_execute_deallocate(eng):
+    eng.sql("PREPARE top_orders FROM "
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_orderkey <= ? ORDER BY o_totalprice DESC LIMIT ?")
+    got = eng.sql("EXECUTE top_orders USING 50, 3").toPandas()
+    want = duckdb_run(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey <= 50 ORDER BY o_totalprice DESC LIMIT 3", SF_ORACLE)
+    assert not compare_frames(got, want)
+    # missing USING on a parameterized statement is loud
+    with pytest.raises(ValueError, match="USING"):
+        eng.sql("EXECUTE top_orders")
+    eng.sql("DEALLOCATE PREPARE top_orders")
+    with pytest.raises(ValueError, match="not found"):
+        eng.sql("EXECUTE top_orders USING 1, 1")
+
+
+def test_execute_param_count_mismatch(eng):
+    eng.sql("PREPARE one FROM SELECT ? AS x FROM orders WHERE o_orderkey = 1")
+    with pytest.raises(ValueError, match="parameters"):
+        eng.sql("EXECUTE one USING 1, 2")
+    # a ? inside a string literal is content, not a parameter
+    eng.sql("PREPARE q FROM SELECT '?' AS mark, ? AS x "
+            "FROM orders WHERE o_orderkey = 1")
+    got = eng.sql("EXECUTE q USING 7").toPandas()
+    assert got.iloc[0]["mark"] == "?" and got.iloc[0]["x"] == 7
+
+
+def test_show_session_and_reset(eng):
+    eng.sql("SET SESSION query_max_run_time = '2h'")
+    rows = {r["name"]: r["value"] for r in eng.sql("SHOW SESSION").collect()}
+    assert rows.get("query_max_run_time") == "'2h'"
+    eng.sql("RESET SESSION query_max_run_time")
+    rows = {r["name"]: r["value"] for r in eng.sql("SHOW SESSION").collect()}
+    assert "query_max_run_time" not in rows
+
+
+def test_show_columns(eng, spark):
+    eng.sql("CREATE SCHEMA dial")
+    eng.sql("USE dial")
+    eng.sql("CREATE TABLE tcols AS SELECT o_orderkey, o_orderstatus "
+            "FROM orders WHERE o_orderkey <= 5")
+    cols = [r[0] for r in eng.sql("SHOW COLUMNS FROM tcols").collect()]
+    assert cols == ["o_orderkey", "o_orderstatus"]
