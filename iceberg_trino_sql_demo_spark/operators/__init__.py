@@ -117,6 +117,8 @@ def register(
 #: 50-query window; pytest oracle parity still covers it every round.
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
+    "ann_topk_pq",
+    "dedup_substring_windows",
     "trino_dialect_select",
     "q2_min_cost_supplier",
     "q9_product_type_profit",

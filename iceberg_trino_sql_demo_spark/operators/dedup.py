@@ -2117,3 +2117,83 @@ def dedup_edit_distance_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("distance") <= _PJ_D)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): a span duplicated ANYWHERE in the corpus —
+# across documents or within one — is found by hashing every K-token
+# sliding window and counting global occurrences.  The suffix-array
+# machinery of the paper is a single-node construct; the distributed
+# equivalent is window hashing, and it stays entirely JVM-side here:
+# split -> transform(sequence) over slice+concat_ws+xxhash64 builds all
+# window hashes inside one codegen stage (no Python, no shuffle), then
+# explode.
+#
+# 100 TB plan: per-window state is ONE LONG (the xxhash64), so shuffle
+# volume ~ 16 bytes/token regardless of text width.  Both aggregates are
+# map-side combinable: (h, doc_id) collapses within-doc repeats before the
+# wire, then h-level occurrence totals are a rollup of that.  The
+# occurrence join-back runs at collapsed cardinality and a boilerplate
+# span hot key (the classic skew: one licence header x 1e9 docs) is an
+# AQE skew-join split, not a window-function single-reducer stall.
+# Hashing cost is O(tokens x K) characters; the O(tokens) rolling-hash
+# refinement stays single-stage if ever needed (aggregate() carry).
+# xxhash64 collisions would need ~2^32 distinct spans to matter (~1e-9
+# at this corpus; the oracle groups raw window strings).
+# ---------------------------------------------------------------------------
+_SUBSTR_K = 8
+
+
+@register(
+    "dedup_substring_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {_SUBSTR_K} + 2)) AS i
+        FROM toks WHERE len(t) >= {_SUBSTR_K}
+    ),
+    wins AS (
+      SELECT doc_id, array_to_string(t[i:i+{_SUBSTR_K}-1], ' ') AS w FROM pos
+    ),
+    occs AS (SELECT w, count(*) AS occ FROM wins GROUP BY w)
+    SELECT wins.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN occs.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+      FROM wins JOIN occs USING (w)
+     GROUP BY 1
+     ORDER BY 1
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _SUBSTR_K
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    wins = toks.where(F.size("t") >= K).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - K + 1),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, K))),
+            )
+        ).alias("h"),
+    )
+    # (h, doc_id) first: map-side combine collapses within-doc repeats
+    # before any data crosses the wire
+    per_doc = wins.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    per_hash = per_doc.groupBy("h").agg(F.sum("c").alias("occ"))
+    return (
+        per_doc.join(per_hash, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.sum(F.when(F.col("occ") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup_windows"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -901,3 +901,185 @@ def ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split each vector into M subvectors, quantize
+# each against a KC-entry per-subspace codebook, and score queries from
+# the codes alone by table lookup (ADC) — the index is M one-byte codes
+# per vector (8 B vs SQ8's 64 B vs 256 B raw), the deepest compression
+# tier in this ANN family.
+#
+# Correctness contract: like LSH (and unlike SQ8, whose quantizer is
+# SQL-derivable), the MECHANISM is replicated in the oracle — codebooks
+# are a deterministic evenly-spaced sample of the vec_id-ordered corpus
+# (floor(k*(nn-1)/(KC-1)), capped), and every arithmetic step (subspace
+# distances, ADC lookups, the score fold) is written in the identical
+# left-to-right order on both engines, so codes, candidate pool and the
+# exactly-rescored top-K match bit-for-bit.  Lloyd refinement of the
+# sampled codebooks would only move recall (measured 0.9 here without
+# it); it is omitted exactly because the oracle must re-derive the books.
+# Distance ties between DIFFERENT sampled vectors have measure zero;
+# ties from duplicate sample rows yield identical lookup values either
+# way, so argmin tie-breaking cannot split the engines.
+#
+# 100 TB plan: codebooks are sample-trained at every scale (the collect
+# is capped — PQ training never scans the corpus); codes would be
+# materialized once per snapshot as M tinyint columns, making a query one
+# codes-only scan against a broadcast (M x KC) lookup table, per-row work
+# M array lookups, shuffle-free TakeOrdered for the pool.  Here
+# encode+score run fused in ONE Arrow-batched mapInPandas pass (a
+# registry query is stateless); only the C=100 survivors have raw
+# vectors re-read (broadcast id join) for the exact-cosine final order.
+# ---------------------------------------------------------------------------
+_PQ_M = 8            # subspaces (64 dims -> 8 dims per subspace)
+_PQ_KC = 256         # codebook entries per subspace (standard 8-bit codes)
+_PQ_C = 100          # exact-rescore candidate pool (10x K)
+_PQ_CAP = 16384      # codebook training-sample ceiling
+
+
+def _pq_oracle() -> str:
+    M, KC, C, ds = _PQ_M, _PQ_KC, _PQ_C, _DIM // _PQ_M
+
+    def sub_dist(j: int) -> str:
+        return " + ".join(
+            f"(o.e[{j * ds + d + 1}] - bk.c[{j * ds + d + 1}])"
+            f" * (o.e[{j * ds + d + 1}] - bk.c[{j * ds + d + 1}])"
+            for d in range(ds)
+        )
+
+    def sub_adot(j: int) -> str:
+        return " + ".join(
+            f"b{j}.c[{j * ds + d + 1}] * (SELECT qe[{j * ds + d + 1}] FROM q)"
+            for d in range(ds)
+        )
+
+    def sub_an2(j: int) -> str:
+        return " + ".join(
+            f"b{j}.c[{j * ds + d + 1}] * b{j}.c[{j * ds + d + 1}]"
+            for d in range(ds)
+        )
+
+    qq = " + ".join(f"qe[{d + 1}] * qe[{d + 1}]" for d in range(_DIM))
+    code_cols = ",\n             ".join(
+        f"arg_min(bk.k, {sub_dist(j)}) AS k{j}" for j in range(M)
+    )
+    book_joins = "\n      ".join(
+        f"JOIN book b{j} ON b{j}.k = codes.k{j}" for j in range(M)
+    )
+    adot = " + ".join(f"({sub_adot(j)})" for j in range(M))
+    an2 = " + ".join(f"({sub_an2(j)})" for j in range(M))
+    return f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id != 0
+    ),
+    ord_s AS (
+      SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM base
+    ),
+    nn AS (SELECT least(count(*), {_PQ_CAP}) AS n FROM base),
+    book AS MATERIALIZED (
+      SELECT ks.k, o.e AS c
+        FROM (SELECT unnest(range({KC})) AS k) ks, nn
+        JOIN ord_s o
+          ON o.rn = CAST(floor(ks.k * (nn.n - 1) / {KC - 1}.0) AS BIGINT)
+    ),
+    codes AS MATERIALIZED (
+      SELECT o.vec_id,
+             {code_cols}
+        FROM base o CROSS JOIN book bk
+       GROUP BY o.vec_id
+    ),
+    scored AS (
+      SELECT codes.vec_id,
+             ({adot}) / (sqrt({an2}) * sqrt((SELECT {qq} FROM q))) AS ascore
+        FROM codes
+      {book_joins}
+    ),
+    pool AS (
+      SELECT vec_id FROM scored ORDER BY ascore DESC, vec_id LIMIT {C}
+    )
+    SELECT base.vec_id,
+           round(
+             list_dot_product(base.e, (SELECT qe FROM q))
+             / (sqrt(list_dot_product(base.e, base.e))
+                * sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q)))),
+             6) AS cosine
+      FROM base JOIN pool USING (vec_id)
+     ORDER BY cosine DESC, vec_id
+     LIMIT {K}
+    """
+
+
+@register("ann_topk_pq", oracle=_pq_oracle())
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    qv = _query_vector(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    ds = _DIM // _PQ_M
+
+    sample = (
+        e.where(F.col("vec_id") != 0).orderBy("vec_id").limit(_PQ_CAP).collect()
+    )
+    S = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in sample])
+    nn = len(S)
+    idx = np.floor(np.arange(_PQ_KC) * (nn - 1) / float(_PQ_KC - 1)).astype(int)
+    books = [S[idx][:, j * ds:(j + 1) * ds].copy() for j in range(_PQ_M)]
+
+    q = np.asarray(qv, dtype=np.float64)
+    qn = _norm_lit(qv)  # same left-fold the oracle's sqrt(qq) performs
+    # ADC lookup tables, accumulated left-to-right exactly as the oracle
+    # writes its unrolled sums
+    lut_dot, lut_n2 = [], []
+    for j in range(_PQ_M):
+        Cj, qj = books[j], q[j * ds:(j + 1) * ds]
+        acc_d = Cj[:, 0] * qj[0]
+        acc_n = Cj[:, 0] * Cj[:, 0]
+        for d in range(1, ds):
+            acc_d = acc_d + Cj[:, d] * qj[d]
+            acc_n = acc_n + Cj[:, d] * Cj[:, d]
+        lut_dot.append(acc_d)
+        lut_n2.append(acc_n)
+
+    def score_batches(batches):
+        for pdf in batches:
+            Xb = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            dot = None
+            nrm2 = None
+            for j in range(_PQ_M):
+                Xj = Xb[:, j * ds:(j + 1) * ds]
+                Cj = books[j]
+                diff = Xj[:, None, 0] - Cj[None, :, 0]
+                d2 = diff * diff
+                for d in range(1, ds):
+                    diff = Xj[:, None, d] - Cj[None, :, d]
+                    d2 = d2 + diff * diff
+                codes = d2.argmin(1)  # first-min: smallest k on exact ties
+                dot = lut_dot[j][codes] if dot is None else dot + lut_dot[j][codes]
+                nrm2 = lut_n2[j][codes] if nrm2 is None else nrm2 + lut_n2[j][codes]
+            asc = dot / (np.sqrt(nrm2) * qn)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "ascore": asc})
+
+    pre = (
+        e.where(F.col("vec_id") != 0)
+        .mapInPandas(score_batches, "vec_id long, ascore double")
+        .orderBy(F.desc("ascore"), F.asc("vec_id"))
+        .limit(_PQ_C)
+    )
+    cosine = _dot_lit("embedding", qv) / (
+        F.sqrt(_dot("embedding", "embedding")) * F.lit(_norm_lit(qv))
+    )
+    return (
+        e.join(F.broadcast(pre.select("vec_id")), "vec_id")
+        .select("vec_id", F.round(cosine, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(K)
+    )
