@@ -201,3 +201,28 @@ def events_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ohlc(
         spark, sf_dir, query_name=f"stream_ohlc_{uuid.uuid4().hex[:8]}"
     )
+
+
+@register(
+    "events_stream_left_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM events p
+      LEFT JOIN events c
+        ON c.event_type = 'click'
+       AND c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+       AND c.ts <  p.ts
+     WHERE p.event_type = 'purchase'
+    """,
+    bench=False,
+)
+def events_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-driven NULL
+    finalization (flush-file pattern — see streaming/ingest.py): drained
+    output equals the batch left join, which is the oracle."""
+    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_left_outer_join
+
+    return stream_left_outer_join(
+        spark, sf_dir, query_name=f"stream_loj_{uuid.uuid4().hex[:8]}"
+    )

@@ -443,3 +443,100 @@ def stream_interval_join(
     )
     _drain(q, ckpt)
     return spark.table(query_name)
+
+
+def stream_left_outer_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_loj"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits — with
+    its preceding-hour same-user clicks when they exist, with NULL when
+    none arrived.
+
+    Outer stream-stream joins have a semantics trap the inner variant
+    doesn't: an unmatched row is emitted only when the WATERMARK passes
+    the point where a match is provably impossible, and the watermark
+    only advances when later data arrives — an availableNow drain of a
+    finite source can end with the final hour's unmatched purchases still
+    parked in state, silently missing from the output.  The standard
+    production fix is replayed here: the source directory is the real
+    events file plus tiny far-future "flush" files (two, so the watermark
+    update from the first is applied while the second still drives a
+    batch), which push the watermark past every real event and finalize
+    all state before the drain stops.  Flush rows carry negative ids and
+    are filtered from the emitted frame; the oracle is the batch LEFT
+    JOIN over the real events only.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    unit = events_ts_unit(sf_dir)
+    mult = {"ns": 10**9, "us": 10**6, "ms": 10**3}[unit]
+    src_dir = tempfile.mkdtemp(prefix="loj_src_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(src_dir, "events.parquet"))
+    for i, secs in enumerate((4102444800, 4102531200)):  # 2100-01-01, +1 day
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1 - 2 * i, -2 - 2 * i], pa.int64()),
+                "ts": pa.array([secs * mult] * 2, pa.int64()),
+                "user_id": pa.array([-1, -2], pa.int64()),
+                "event_type": pa.array(["purchase", "click"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(src_dir, f"zz_flush_{i}.parquet"))
+
+    # ONE watermark, assigned BEFORE the event-type split (then a stream
+    # self-join of the two filtered branches).  The inner variant's
+    # per-side watermark-after-filter shape silently breaks the OUTER
+    # join: the sides are separate file sources whose batches interleave
+    # asymmetrically, so one side's watermark operator can miss the flush
+    # rows entirely and the min-policy global watermark never advances —
+    # measured: 4 final-window NULLs never emitted.  With the watermark
+    # upstream of both filters, every admitted row advances both branches
+    # together (verified: drained count equals the batch left join).
+    base = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros(ts_micros(unit)).alias("ets"),
+        )
+        .withWatermark("ets", "1 hour")
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ets").alias("p_ts"),
+    )
+    clicks = base.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ets").alias("c_ts"),
+    )
+    joined = (
+        purchases.join(
+            clicks,
+            F.expr(
+                "c_user = p_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
+            ),
+            "leftOuter",
+        )
+        .where(F.col("p_id") >= 0)
+        .select(F.col("p_id").alias("purchase_id"), F.col("c_id").alias("click_id"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _drain(q, ckpt)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.table(query_name)
