@@ -585,3 +585,81 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_rare"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation profile — the query a data curator runs BEFORE
+# choosing mixture weights: for every source, corpus share, exact-dup
+# incidence, length distribution, and the stopword/diversity quality
+# gate pass-rate, all in one pass-shaped plan.  Everything is exact
+# integers (counts, char sums, integer-threshold gate) so the oracle
+# match has no float boundaries.
+#
+# 100 TB plan: the dup flag is one md5-keyed aggregate (map-side
+# combinable) joined back at collapsed cardinality; the token-quality
+# gate reuses text_quality's explode->count shape; the final rollup is
+# |sources| rows.  Three shuffles total (hash, doc-token, source), each
+# on a key the next stage needs anyway.
+# ---------------------------------------------------------------------------
+@register(
+    "source_quality_profile",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1
+    ),
+    tok AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             count(DISTINCT t) AS n_distinct,
+             sum(CASE WHEN t IN {_STOP_SQL} THEN 1 ELSE 0 END) AS n_stop
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+       WHERE t <> ''
+       GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hashes.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(min(tok.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(tok.n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(CASE WHEN 10 * tok.n_stop < 3 * tok.n_tokens
+                          AND 10 * tok.n_distinct >= tok.n_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+      FROM documents d
+      JOIN hashes ON hashes.h = md5(d.text)
+      JOIN tok ON tok.doc_id = d.doc_id
+     GROUP BY 1
+     ORDER BY 1
+    """,
+)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    hashes = d.groupBy(F.md5("text").alias("h")).agg(F.count(F.lit(1)).alias("n"))
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("t").alias("n_distinct"),
+            F.sum(F.col("t").isin(*_STOPWORDS).cast("long")).alias("n_stop"),
+        )
+    )
+    gate = (10 * F.col("n_stop") < 3 * F.col("n_tokens")) & (
+        10 * F.col("n_distinct") >= F.col("n_tokens")
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", F.md5("text").alias("h"))
+        .join(hashes, "h")
+        .join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n") > 1).cast("long")).alias("n_dup_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum(gate.cast("long")).alias("n_quality_pass"),
+        )
+        .orderBy("source")
+    )

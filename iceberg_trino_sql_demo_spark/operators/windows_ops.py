@@ -661,3 +661,60 @@ def events_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ndv_exact",
         ok.alias("ok_ndv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user exponential moving average — the sequential-recurrence operator
+# class (ema_i = a*x_i + (1-a)*ema_{i-1}): no window frame can express it,
+# so this is the canonical applyInPandas shape — shuffle once on the
+# entity key, then an O(n) Arrow-batched scan per entity, parallel across
+# entities.  a = 0.25 is exactly representable in binary, and BOTH engines
+# evaluate the identical a*x + (1-a)*prev in the same sequential order
+# (pandas loop here, recursive CTE in the oracle), so the doubles match
+# bit-for-bit with no rounding tolerance.
+#
+# 100 TB plan: one hash shuffle on user_id; per-entity state is one
+# double, work is one pass.  A hot entity (the classic skew) is chunked
+# by time range with the previous chunk's closing EMA as the next
+# chunk's seed — same recurrence, bounded partitions.  bench=False: the
+# oracle's recursive CTE re-joins the full sequence per recursion level
+# (O(depth x n)) — a structurally unfair cross-engine timing target.
+# ---------------------------------------------------------------------------
+@register(
+    "events_ema_per_user",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, rn, v AS ema FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn, 0.25 * s.v + 0.75 * r.ema
+        FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ema FROM rec
+    """,
+    bench=False,
+)
+def events_ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_raw", F.col("value").cast("double").alias("v")
+    )
+
+    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_raw", "event_id"])
+        out, prev = [], None
+        for v in pdf["v"].to_numpy():
+            prev = float(v) if prev is None else 0.25 * float(v) + 0.75 * prev
+            out.append(prev)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ema": out}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ema, "user_id long, event_id long, ema double"
+    )

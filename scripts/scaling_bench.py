@@ -51,10 +51,14 @@ FAMILY = [
     # scale argument is its candidate bound (Pass-Join exact-substring
     # collisions), oracle-proven recall 1.0 against the unblocked ground
     # truth.
+    # substring-window dedup scales like the token count: window hashes
+    # are longs, both aggregates map-side combine (dedup.py docstring)
+    "dedup_substring_windows",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ann_topk_sq8",
+    "ann_topk_pq",
     "ann_knn_join",
     "ann_knn_join_lsh",
     # linear text/pipeline representatives: one tokenize-explode shape,
