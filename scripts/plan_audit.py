@@ -112,6 +112,36 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "every join is an equi-join; the hot-bigram join side is AQE "
         "skew-join territory at scale.",
     ),
+    "q9_product_type_profit": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+        6,
+        "the widest TPC-H join tree (fact x part x supplier x nation x "
+        "orders): every dim side broadcasts (part is '%gear%'-prefiltered "
+        "before the join), the (nation, year) aggregate partial-aggregates "
+        "map-side, so the single at-scale exchange carries ~|nations x "
+        "years| groups, not fact rows.",
+    ),
+    "dedup_substring_windows": (
+        ["HashAggregate", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        8,
+        "window hashes are built inside one codegen stage (split -> "
+        "transform -> explode, the Generate) and every aggregate is a "
+        "partial+final hash pair — the (h, doc_id) collapse runs map-side "
+        "before any shuffle, and the occurrence join-back happens at "
+        "collapsed cardinality (broadcast at this scale, AQE skew-join "
+        "beyond).",
+    ),
+    "source_quality_profile": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        8,
+        "three keyed aggregates (md5 dup counts, per-doc token stats, the "
+        "per-source rollup) each partial-aggregate map-side; the two "
+        "join-backs run at collapsed cardinality and broadcast at audit "
+        "scale.",
+    ),
     "dedup_edit_distance_passjoin": (
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
