@@ -746,9 +746,23 @@ def _translate_trino_functions(s: str) -> str:
             rf"(\1 {op} \2)",
             s, flags=_FLAGS,
         )
-    # CROSS JOIN UNNEST(arr) AS t(x) -> LATERAL VIEW explode (the Trino
-    # array-flattening idiom; single-column form only — multi-array and
-    # WITH ORDINALITY fall through and fail loudly)
+    # CROSS JOIN UNNEST(arr) AS t(x) -> LATERAL VIEW explode; the WITH
+    # ORDINALITY form -> posexplode with the (value, ordinal) column order
+    # swapped (Trino appends the ordinal LAST; posexplode yields pos
+    # first, and Trino's ordinal is 1-based vs posexplode's 0-based, so
+    # the alias binds pos to a shifted private name).  Single-array form
+    # only — multi-array UNNEST falls through and fails loudly.
+    s = re.sub(
+        r"\bCROSS\s+JOIN\s+UNNEST\s*\(((?:[^()']|'[^']*'|\([^)]*\))*)\)"
+        r"\s+WITH\s+ORDINALITY\s+AS\s+(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
+        lambda m: (
+            f"LATERAL VIEW posexplode({m.group(1)}) {m.group(2)} "
+            f"AS __{m.group(4)}_0, {m.group(3)} "
+            f"LATERAL VIEW explode(array(__{m.group(4)}_0 + 1)) "
+            f"__ord_{m.group(2)} AS {m.group(4)}"
+        ),
+        s, flags=_FLAGS,
+    )
     s = re.sub(
         r"\bCROSS\s+JOIN\s+UNNEST\s*\(((?:[^()']|'[^']*'|\([^)]*\))*)\)"
         r"\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)",

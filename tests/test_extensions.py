@@ -72,6 +72,31 @@ def test_ann_pq_recall_and_score_faithfulness(spark):
             assert abs(cosine - brute[vec_id]) < 1e-9
 
 
+def test_ann_pq_gemm_branch_matches_fold():
+    # the >10k-row GEMM encode branch must produce the same codes as the
+    # oracle-exact left-fold branch on real corpus data (ulp-reordered
+    # sums may only differ on exact distance ties, which don't exist here)
+    import numpy as np
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{SF}/embeddings.parquet' "
+        "WHERE vec_id != 0 ORDER BY vec_id"
+    ).fetchall()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    ds = 8
+    for j in range(8):
+        Xj = X[:, j * ds:(j + 1) * ds]
+        Cj = X[np.linspace(0, len(X) - 1, 256).astype(int)][:, j * ds:(j + 1) * ds]
+        diff = Xj[:, None, 0] - Cj[None, :, 0]
+        fold = diff * diff
+        for d in range(1, ds):
+            diff = Xj[:, None, d] - Cj[None, :, d]
+            fold = fold + diff * diff
+        gemm = (Xj * Xj).sum(1)[:, None] - 2.0 * (Xj @ Cj.T) + (Cj * Cj).sum(1)[None, :]
+        assert (fold.argmin(1) == gemm.argmin(1)).all()
+
+
 def test_langid_deterministic_and_total(spark):
     a = ops.QUERIES["text_langid"](spark, SF)
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
