@@ -533,6 +533,35 @@ class Engine:
     def _h_deallocate(self, m: re.Match) -> None:
         self.prepared.pop(m.group(1).lower(), None)
 
+    def _h_describe_input(self, m: re.Match) -> DataFrame:
+        name = m.group(1).lower()
+        if name not in self.prepared:
+            raise ValueError(f"prepared statement not found: {name}")
+        n = _count_placeholders(self.prepared[name])
+        # Trino reports 'unknown' where a parameter's type is not
+        # determinable from context; this frontend never infers, so every
+        # position reports unknown (the positions themselves are the
+        # actionable part)
+        rows = [(i + 1, "unknown") for i in range(n)]
+        return self.spark.createDataFrame(rows, "position long, type string")
+
+    def _h_describe_output(self, m: re.Match) -> DataFrame:
+        name = m.group(1).lower()
+        if name not in self.prepared:
+            raise ValueError(f"prepared statement not found: {name}")
+        stmt = self.prepared[name]
+        if not re.match(r"^(SELECT|WITH)\b", stmt, _FLAGS):
+            raise ValueError("DESCRIBE OUTPUT supports prepared SELECTs only")
+        # parameters become NULL literals for ANALYSIS only (never run);
+        # statements whose ? sits where NULL cannot type (e.g. LIMIT ?)
+        # fail loudly in the analyzer
+        n = _count_placeholders(stmt)
+        if n:
+            stmt = _substitute_placeholders(stmt, ["NULL"] * n)
+        schema = self.spark.sql(self._rewrite_select(stmt)).schema
+        rows = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        return self.spark.createDataFrame(rows, "column_name string, type string")
+
     def _h_show_session(self, m: re.Match) -> DataFrame:
         return self.spark.createDataFrame(
             sorted(self.session.items()), "name string, value string")
@@ -572,6 +601,8 @@ class Engine:
         (re.compile(r"^SHOW\s+SCHEMAS$", _FLAGS), _h_show_schemas),
         (re.compile(r"^SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w.\"]+))?$", _FLAGS),
          _h_show_tables),
+        (re.compile(r"^DESCRIBE\s+INPUT\s+(\w+)$", _FLAGS), _h_describe_input),
+        (re.compile(r"^DESCRIBE\s+OUTPUT\s+(\w+)$", _FLAGS), _h_describe_output),
         (re.compile(r"^DESCRIBE\s+([\w.\"]+)$", _FLAGS), _h_describe),
         (re.compile(r"^SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.\"]+)$", _FLAGS), _h_describe),
         (re.compile(r"^SHOW\s+SESSION$", _FLAGS), _h_show_session),

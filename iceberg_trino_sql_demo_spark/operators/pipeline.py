@@ -662,3 +662,73 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking with overlap — the step between cleaning and
+# tokenization in a pretraining pipeline: split every document into
+# L-token windows advancing by stride s = L - o, so consecutive chunks
+# share o tokens and no token is more than L-1 positions from a chunk
+# start.  Start positions 1, 1+s, 1+2s, ... <= max(1, n - o) provably
+# cover the document (the last start f satisfies f > n - L, so
+# f + L - 1 >= n) without emitting a tail chunk fully contained in its
+# predecessor.
+#
+# 100 TB plan: explode(sequence(...)) fans each doc into ceil(n/s) rows
+# inside one codegen stage — no shuffle at all (the output is written
+# partition-parallel); chunk text re-materializes from the shared token
+# array per row, so memory per task is one document, not one corpus.
+# Chunks surface as md5 fingerprints here to keep the oracle rows narrow;
+# a real pipeline writes the text column straight out.
+# ---------------------------------------------------------------------------
+_CHUNK_L = 32   # tokens per chunk
+_CHUNK_O = 8    # overlap tokens; stride = L - o = 24
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - {_CHUNK_O}, 1) + 1, {_CHUNK_L - _CHUNK_O}))
+               AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_CHUNK_L - _CHUNK_O} AS BIGINT) AS chunk_idx,
+           CAST(len(t[s:s+{_CHUNK_L}-1]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[s:s+{_CHUNK_L}-1], ' ')) AS chunk_hash
+      FROM starts
+     ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L, o = _CHUNK_L, _CHUNK_O
+    s = L - o
+    toks = (
+        _docs(spark, sf_dir)
+        .where(F.trim(F.col("text")) != "")
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - o, F.lit(1)), F.lit(s)
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / s).cast("long").alias("chunk_idx"),
+            F.size(F.slice("t", F.col("s"), L)).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice("t", F.col("s"), L))).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

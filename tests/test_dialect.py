@@ -210,6 +210,18 @@ def test_execute_param_count_mismatch(eng):
     assert got.iloc[0]["mark"] == "?" and got.iloc[0]["x"] == 7
 
 
+def test_describe_input_output(eng):
+    eng.sql("PREPARE dsc FROM SELECT o_orderkey, o_orderstatus AS st, "
+            "o_totalprice * 2 AS dbl FROM orders WHERE o_orderkey <= ? AND "
+            "o_orderstatus = ?")
+    inp = eng.sql("DESCRIBE INPUT dsc").collect()
+    assert [r.position for r in inp] == [1, 2]
+    out = {r.column_name: r.type for r in eng.sql("DESCRIBE OUTPUT dsc").collect()}
+    assert out == {"o_orderkey": "bigint", "st": "string", "dbl": "double"}
+    with pytest.raises(ValueError, match="not found"):
+        eng.sql("DESCRIBE INPUT nope")
+
+
 def test_show_session_and_reset(eng):
     eng.sql("SET SESSION query_max_run_time = '2h'")
     rows = {r["name"]: r["value"] for r in eng.sql("SHOW SESSION").collect()}
