@@ -225,3 +225,80 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir).where(F.col("media_type") == "video/mp4")
     return media.select("doc_id", "media").mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio frame windowing: the decoded sample stream is framed into
+# FRAME-sample windows advancing by HOP samples (the STFT /
+# feature-extraction input shape), entirely inside an Arrow-batched
+# mapInPandas kernel — the framing and per-frame fingerprinting are
+# real; the PCM decode that would precede them (librosa/soundfile) is
+# the documented stub, standing in decoded "samples" = code points of
+# the payload (this DuckDB build has no BLOB slicing, so the oracle
+# replicates the stub at character grain — byte grain the moment a real
+# decoder lands, without touching the plan).  Start positions
+# 1, 1+HOP, ... <= max(n - HOP, 1) cover every sample (same coverage
+# lemma as doc_chunk_overlap with L=FRAME, o=HOP).
+#
+# 100 TB plan: frames never leave the worker as raw bytes — each emits a
+# fixed-width fingerprint row, so output volume is ~n/HOP small rows per
+# blob regardless of media size, and blobs stream batch-wise (one
+# partition holds one batch of blobs, not the corpus).
+# ---------------------------------------------------------------------------
+_AUDIO_FRAME = 256
+_AUDIO_HOP = 128
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL}),
+    a AS (
+      SELECT doc_id, media AS b, length(media) AS n
+        FROM media WHERE media_type = 'audio/wav'
+    ),
+    pos AS (
+      SELECT doc_id, b,
+             unnest(range(1, greatest(n - {_AUDIO_HOP}, 1) + 1, {_AUDIO_HOP}))
+               AS s
+        FROM a
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_AUDIO_HOP} AS BIGINT) AS frame_idx,
+           CAST(length(substring(b, s, {_AUDIO_FRAME})) AS BIGINT)
+             AS n_frame_samples,
+           substr(md5(substring(b, s, {_AUDIO_FRAME})), 1, 16) AS frame_sig
+      FROM pos
+     ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frame, hop = _AUDIO_FRAME, _AUDIO_HOP
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                samples = bytes(blob).decode("utf-8")  # decode STUB output
+                last = max(len(samples) - hop, 1)
+                for idx, s in enumerate(range(0, last, hop)):
+                    chunk = samples[s:s + frame]
+                    rows.append(
+                        (int(doc_id), idx, len(chunk),
+                         hashlib.md5(chunk.encode("utf-8")).hexdigest()[:16])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frame_samples", "frame_sig"],
+            )
+
+    return (
+        media_table(spark, sf_dir)
+        .where(F.col("media_type") == "audio/wav")
+        .select("doc_id", "media")
+        .mapInPandas(
+            frame_batches,
+            "doc_id long, frame_idx long, n_frame_samples long, frame_sig string",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
