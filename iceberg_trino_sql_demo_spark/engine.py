@@ -428,6 +428,13 @@ class Engine:
         parts = [p.strip().strip("'\"") for p in m.group(2).split(",") if p.strip()]
         self._table(m.group(1)).set_partitioning(parts)
 
+    def _h_set_properties(self, m: re.Match) -> None:
+        props = {
+            k.lower(): v.strip("'")
+            for k, v in re.findall(r"(\w+)\s*=\s*('[^']*'|[\w.]+)", m.group(2))
+        }
+        self._table(m.group(1)).set_properties(**props)
+
     def _h_execute(self, m: re.Match) -> None:
         name, proc, args, where = m.groups()
         t = self._table(name)
@@ -615,6 +622,8 @@ class Engine:
                     _FLAGS), _h_update),
         (re.compile(r"^DELETE\s+FROM\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?\s*WHERE\s+(.*)$",
                     _FLAGS), _h_delete),
+        (re.compile(r"^DELETE\s+FROM\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?$", _FLAGS),
+         lambda self, m: self._table(m.group(1)).truncate(ref=m.group(2) or "main")),
         (re.compile(r"^MERGE\s+INTO\s+([\w.\"]+)\s+AS\s+(\w+)\s+USING\s+([\w.\"]+)\s+AS\s+(\w+)"
                     r"\s+ON\s+(\(.*?\)|[^\s]+(?:\s*=\s*[^\s]+))\s+(WHEN\s+.*)$", _FLAGS), _h_merge),
         (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()0-9]+)"
@@ -625,6 +634,8 @@ class Engine:
                     _FLAGS), _h_rename_column),
         (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+SET\s+PROPERTIES\s+partitioning\s*=\s*"
                     r"ARRAY\s*\[(.*?)\]$", _FLAGS), _h_set_partitioning),
+        (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+SET\s+PROPERTIES\s+(.+)$",
+                    _FLAGS), _h_set_properties),
         (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+EXECUTE\s+(\w+)\s*"
                     r"(?:\(([^)]*)\))?\s*(?:WHERE\s+(.*))?$", _FLAGS), _h_execute),
         (re.compile(r"^CALL\s+system\.rollback_to_snapshot\s*\((.*)\)$", _FLAGS),

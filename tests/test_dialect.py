@@ -238,3 +238,17 @@ def test_show_columns(eng, spark):
             "FROM orders WHERE o_orderkey <= 5")
     cols = [r[0] for r in eng.sql("SHOW COLUMNS FROM tcols").collect()]
     assert cols == ["o_orderkey", "o_orderstatus"]
+
+
+def test_set_properties_and_bare_delete(eng, spark):
+    eng.sql("CREATE SCHEMA props")
+    eng.sql("USE props")
+    eng.sql("CREATE TABLE pt AS SELECT o_orderkey FROM orders WHERE o_orderkey <= 9")
+    eng.sql("ALTER TABLE pt SET PROPERTIES commit_retries = 7, gc_enabled = 'false'")
+    t = eng.catalog.table("pt")
+    assert t.meta.properties["commit_retries"] == "7"
+    assert t.meta.properties["gc_enabled"] == "false"
+    # Trino full-table DELETE (no WHERE) = truncate; history survives
+    assert eng.sql("SELECT count(*) AS n FROM pt").collect()[0].n == 10
+    eng.sql("DELETE FROM pt")
+    assert eng.sql("SELECT count(*) AS n FROM pt").collect()[0].n == 0
