@@ -226,3 +226,29 @@ def events_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_left_outer_join(
         spark, sf_dir, query_name=f"stream_loj_{uuid.uuid4().hex[:8]}"
     )
+
+
+@register(
+    "events_stream_chained_agg",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS w30, user_id,
+             count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, w30) AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_user_buckets,
+           CAST(max(cnt) AS BIGINT) AS max_bucket_events
+      FROM b GROUP BY 1
+    """,
+    bench=False,
+)
+def events_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained stateful window aggregates in one streaming query
+    (30-min per-user counts -> hourly rollup); drained equal to the batch
+    two-level rollup.  See streaming/ingest.py:stream_chained_agg."""
+    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_chained_agg
+
+    return stream_chained_agg(
+        spark, sf_dir, query_name=f"stream_chain_{uuid.uuid4().hex[:8]}"
+    )

@@ -445,6 +445,43 @@ def stream_interval_join(
     return spark.table(query_name)
 
 
+def _flushed_events_dir(sf_dir: str, unit: str,
+                        instants: list[int] | None = None) -> str:
+    """A temp source directory: the real events file (symlinked) plus tiny
+    "flush" parquets at the given raw-``unit`` instants, which advance the
+    watermark past every real event so final-window state can be emitted
+    before an availableNow drain stops (each instant drives its own
+    micro-batch, so the watermark update from one is applied while the
+    next still runs).  Default: two far-future instants — enough for a
+    SINGLE stateful operator.  Chained stateful operators need a staged
+    LADDER instead (see stream_chained_agg): a one-batch watermark jump
+    past an intermediate row's event time makes the downstream operator
+    drop it as late, so each rung must advance the watermark by less
+    than the gap it finalizes.  Flush rows carry negative ids; callers
+    filter them AFTER the watermark operator."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mult = {"ns": 10**9, "us": 10**6, "ms": 10**3}[unit]
+    if instants is None:
+        instants = [4102444800 * mult, 4102531200 * mult]  # 2100-01-01, +1d
+    src_dir = tempfile.mkdtemp(prefix="flush_src_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(src_dir, "events.parquet"))
+    for i, inst in enumerate(instants):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1 - 2 * i, -2 - 2 * i], pa.int64()),
+                "ts": pa.array([int(inst)] * 2, pa.int64()),
+                "user_id": pa.array([-1, -2], pa.int64()),
+                "event_type": pa.array(["purchase", "click"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(src_dir, f"zz_flush_{i}.parquet"))
+    return src_dir
+
+
 def stream_left_outer_join(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_loj"
 ) -> DataFrame:
@@ -466,25 +503,8 @@ def stream_left_outer_join(
     are filtered from the emitted frame; the oracle is the batch LEFT
     JOIN over the real events only.
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     unit = events_ts_unit(sf_dir)
-    mult = {"ns": 10**9, "us": 10**6, "ms": 10**3}[unit]
-    src_dir = tempfile.mkdtemp(prefix="loj_src_")
-    os.symlink(table_path(sf_dir, "events"), os.path.join(src_dir, "events.parquet"))
-    for i, secs in enumerate((4102444800, 4102531200)):  # 2100-01-01, +1 day
-        tbl = pa.table(
-            {
-                "event_id": pa.array([-1 - 2 * i, -2 - 2 * i], pa.int64()),
-                "ts": pa.array([secs * mult] * 2, pa.int64()),
-                "user_id": pa.array([-1, -2], pa.int64()),
-                "event_type": pa.array(["purchase", "click"], pa.string()),
-                "value": pa.array([0.0, 0.0], pa.float64()),
-                "props": pa.array(["{}", "{}"], pa.string()),
-            }
-        )
-        pq.write_table(tbl, os.path.join(src_dir, f"zz_flush_{i}.parquet"))
+    src_dir = _flushed_events_dir(sf_dir, unit)
 
     # ONE watermark, assigned BEFORE the event-type split (then a stream
     # self-join of the two filtered branches).  The inner variant's
@@ -529,6 +549,89 @@ def stream_left_outer_join(
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _drain(q, ckpt)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.table(query_name)
+
+
+def stream_chained_agg(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_chain"
+) -> DataFrame:
+    """CHAINED stateful aggregation (Spark 3.4+ multi-stateful support):
+    a 30-minute (window, user) count re-aggregated into hourly rollups —
+    two stateful operators in ONE streaming query, the shape a
+    continuous-aggregation hierarchy needs (raw -> fine grain -> coarse
+    grain without leaving the stream).
+
+    The second aggregate buckets on window_time(w) (= w.end - 1 us), the
+    supported chained-window pattern.  Both operators finalize in append
+    mode only when the watermark passes them, so the drain needs flush
+    rows — staged as a LADDER (max+2h/max+4h/max+6h): a one-batch
+    watermark jump past an intermediate row's event time can drop it as
+    late at the second aggregate, so each rung advances the watermark
+    across the tail windows gradually.
+
+    Flush-row hygiene differs from the outer join's: a pre-aggregation
+    ``event_id >= 0`` filter does NOT work here, because Catalyst pushes
+    that deterministic filter BELOW the EventTimeWatermark node — the
+    flush rows then never reach the watermark tracker and the drain
+    stalls at max-1h (measured: the final 2 hourly rollups missing, with
+    the watermark pinned at 22:57 across every flush batch).  Instead
+    the flush rows flow through BOTH aggregates and their far-future
+    windows are cut after the final aggregate (hour_start <= the real
+    corpus max — flush windows start >= max+2h, so the cut is exact).
+    Drained output equals the batch two-level rollup, which is the
+    oracle.
+    """
+    unit = events_ts_unit(sf_dir)
+    max_raw = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(table_path(sf_dir, "events"))
+        .agg(F.max("ts").alias("m")).head().m
+    )
+    mult = {"ns": 10**9, "us": 10**6, "ms": 10**3}[unit]
+    hour = 3600 * mult
+    src_dir = _flushed_events_dir(
+        sf_dir, unit, [max_raw + 2 * hour, max_raw + 4 * hour, max_raw + 6 * hour]
+    )
+    max_us = {"ns": max_raw // 1000, "us": max_raw, "ms": max_raw * 1000}[unit]
+    base = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select(
+            "user_id",
+            F.timestamp_micros(ts_micros(unit)).alias("ets"),
+        )
+        .withWatermark("ets", "1 hour")
+    )
+    b30 = base.groupBy(
+        F.window("ets", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    hourly = (
+        b30.groupBy(F.window(F.window_time("w"), "1 hour").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_user_buckets"),
+            F.max("cnt").alias("max_bucket_events"),
+        )
+        .select(
+            F.col("h.start").alias("hour_start"),
+            "n_user_buckets",
+            "max_bucket_events",
+        )
+        .where(F.col("hour_start") <= F.timestamp_micros(F.lit(max_us)))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        hourly.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
