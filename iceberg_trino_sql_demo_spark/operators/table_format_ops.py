@@ -1291,3 +1291,68 @@ def ice_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_not_matched_by_source=True,
     )
     return t.df()
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource API (Spark 4 pyspark.sql.datasource): the engine table
+# read through spark.read.format("ice_table") with typed-Filter pushdown
+# into the manifest pruner — one InputPartition per SURVIVING data file,
+# so partition pruning decides Spark's task list (sources/pyds.py).  The
+# prune_log side-channel records what planning decided; scanned < total
+# is surfaced as the oracle-checked ``pruned`` column, and the aggregate
+# itself value-checks against the testdata recomputation.  Reference:
+# filtered Iceberg SELECTs, iceberg_trino_sqldemo.sql:215-216.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_python_datasource",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(account_balance AS BIGINT)) AS BIGINT) AS balance_sum,
+           CAST(TRUE AS BOOLEAN) AS pruned
+      FROM ({_BASE_SQL}) WHERE mktsegment = 'AUTOMOBILE'
+    """,
+    bench=False,
+)
+def ice_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.pyds import FORMAT_NAME, IceTableDataSource
+
+    from iceberg_trino_sql_demo_spark.session import pinned_conf
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="ice_wh_"))
+    cat.create_schema("pyds")
+    cat.use("pyds")
+    schema, rows = _cached_src(spark, sf_dir)
+    t = cat.ctas(
+        "customer_ds", spark.createDataFrame(rows, schema),
+        partitioning=["mktsegment"],
+    )
+    spark.dataSource.register(IceTableDataSource)  # idempotent re-register
+    log = os.path.join(tempfile.mkdtemp(prefix="ice_ds_"), "prune.json")
+    # pushFilters requires spark.sql.python.filterPushdown.enabled; the pin
+    # is SCOPED (restored before return — operators never mutate the
+    # caller's session, VERDICT r2 #3), so the read + collect happen inside
+    # it and the one-row result is re-localized for the caller
+    with pinned_conf(spark, {"spark.sql.python.filterPushdown.enabled": "true"}):
+        res = (
+            spark.read.format(FORMAT_NAME)
+            .option("path", t.location)
+            .option("prune_log", log)
+            .load()
+            .where(F.col("mktsegment") == "AUTOMOBILE")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("account_balance").cast("long")).alias("balance_sum"),
+            )
+        )
+        out = res.collect()[0]
+    with open(log) as fh:
+        decided = json.load(fh)
+    return spark.createDataFrame(
+        [(out.n_rows, out.balance_sum, bool(decided["scanned"] < decided["total"]))],
+        "n_rows bigint, balance_sum bigint, pruned boolean",
+    )

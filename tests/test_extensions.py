@@ -603,3 +603,32 @@ def test_ann_sq8_recall_vs_bruteforce(spark):
     for r in ops.QUERIES["ann_topk_sq8"](spark, SF).collect():
         if r.vec_id in bs:
             assert abs(r.cosine - bs[r.vec_id]) < 1e-9
+
+
+def test_python_datasource_matches_table_df(spark):
+    # full-scan (no filter) read through the ice_table Python DataSource
+    # equals the engine's own Table.df over the same snapshot
+    import tempfile
+
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.pyds import (
+        FORMAT_NAME,
+        IceTableDataSource,
+    )
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="wh_"))
+    cat.create_schema("dst")
+    cat.use("dst")
+    src = spark.read.parquet(f"{SF}/nation.parquet")
+    t = cat.ctas("nation_ds", src, partitioning=["n_regionkey"])
+    from iceberg_trino_sql_demo_spark.session import pinned_conf
+
+    spark.dataSource.register(IceTableDataSource)
+    # a reader implementing pushFilters requires the conf even filterless
+    with pinned_conf(spark, {"spark.sql.python.filterPushdown.enabled": "true"}):
+        via_ds = sorted(
+            tuple(r) for r in
+            spark.read.format(FORMAT_NAME).option("path", t.location).load().collect()
+        )
+    via_table = sorted(tuple(r) for r in t.df().collect())
+    assert via_ds == via_table and len(via_ds) == src.count()
