@@ -2469,3 +2469,44 @@ def trino_dialect_select(spark: SparkSession, sf_dir: str) -> DataFrame:
          ORDER BY 1, 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function sweep: the ranking/navigation family in ONE pass —
+# ntile quartiles, lag/lead neighbours, percent_rank — partitioned by
+# market segment, totally ordered by (acctbal, custkey) so every result
+# is deterministic (custkey is unique; percent_rank's (rank-1)/(n-1)
+# division is the same IEEE op on both engines).
+# 100 TB plan: one hash exchange on mktsegment feeds a single Window
+# operator evaluating all four functions over the same sorted run — the
+# frame work is O(1) per row (navigation offsets + rank counters), never
+# a per-row rescan.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           c_mktsegment AS segment,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           lag(c_custkey) OVER w AS prev_custkey,
+           lead(c_custkey) OVER w AS next_custkey,
+           percent_rank() OVER w AS pct_rank
+      FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.lag("c_custkey").over(w).alias("prev_custkey"),
+            F.lead("c_custkey").over(w).alias("next_custkey"),
+            F.percent_rank().over(w).alias("pct_rank"),
+        )
+    )
