@@ -733,6 +733,15 @@ _TRINO_FN_RENAMES = {
     "is_nan": "isnan",
     "json_parse": "parse_json",
     "json_format": "to_json",
+    # Trino format() and Spark format_string() are both java.util.Formatter
+    # printf dialects — exact rename
+    "format": "format_string",
+    # Trino zip(a, b, ...) -> array(row(...)); arrays_zip is the same
+    # positional pairing (field names differ but positions agree)
+    "zip": "arrays_zip",
+    # Trino repeat(element, count) builds an ARRAY (its string-repeat does
+    # not exist), so the token unambiguously means array_repeat here
+    "repeat": "array_repeat",
 }
 
 #: simple argument: any sequence of quote-free text (no parens/commas)
@@ -867,6 +876,58 @@ def _translate_trino_functions(s: str) -> str:
         f"(NOT exists({a[0]}, {a[1]}))" if len(a) == 2 else None))
     s = _rewrite_calls(s, "geometric_mean", lambda a: (
         f"EXP(AVG(LN({a[0]})))" if len(a) == 1 else None))
+    # -- tier 3 ------------------------------------------------------------
+    # regexp_extract: Trino's 2-arg default is group 0 (whole match);
+    # Spark's 2-arg default is group 1 — pin the group explicitly
+    s = _rewrite_calls(s, "regexp_extract", lambda a: (
+        f"regexp_extract({a[0]}, {a[1]}, 0)" if len(a) == 2 else None))
+    # truncate(x): round toward zero, DOUBLE in/out (2-arg decimal form
+    # falls through loudly)
+    s = _rewrite_calls(s, "truncate", lambda a: (
+        f"CAST(SIGN({a[0]}) * FLOOR(ABS({a[0]})) AS DOUBLE)"
+        if len(a) == 1 else None))
+    # to_base/from_base <-> conv; Trino emits lowercase digits, Spark's
+    # conv uppercase, and from_base returns BIGINT vs conv's STRING
+    s = _rewrite_calls(s, "to_base", lambda a: (
+        f"lower(conv({a[0]}, 10, {a[1]}))" if len(a) == 2 else None))
+    s = _rewrite_calls(s, "from_base", lambda a: (
+        f"CAST(conv({a[0]}, {a[1]}, 10) AS BIGINT)" if len(a) == 2 else None))
+    # bit_count(x, 64): the 64-bit form is Spark's bit_count (INT -> BIGINT
+    # cast); narrower widths reinterpret the two's complement — fall through
+    s = _rewrite_calls(s, "bit_count", lambda a: (
+        f"CAST(bit_count({a[0]}) AS BIGINT)"
+        if len(a) == 2 and a[1].strip() == "64" else None))
+    # TRY(CAST(x AS T)) -> TRY_CAST; the general TRY(expr) error-absorber
+    # has no Spark equivalent and falls through loudly
+    s = _rewrite_calls(s, "try", lambda a: (
+        "try_" + a[0].strip()
+        if len(a) == 1 and _is_single_cast_call(a[0]) else None))
+    # map_agg(k, v): build entries deterministically (sorted by key) so
+    # repeated runs agree; Spark maps are insertion-ordered on display
+    s = _rewrite_calls(s, "map_agg", lambda a: (
+        f"map_from_entries(array_sort(collect_list(struct({a[0]}, {a[1]}))))"
+        if len(a) == 2 else None))
+    # ARRAY[...] constructor -> array(...); outer-first replacement, the
+    # loop re-scans so nested constructors translate on later passes
+    s = _rewrite_array_constructors(s)
+    # MAP(ARRAY[k...], ARRAY[v...]) (already array(...) by now) -> paired
+    # arrays; bare MAP() -> empty map.  Spark's variadic map(k1, v1, ...)
+    # is NOT Trino syntax, so the 2-arg form is unambiguous.
+    s = _rewrite_calls(s, "map", lambda a: (
+        "map()" if a == [""] or not a
+        else f"map_from_arrays({a[0]}, {a[1]})" if len(a) == 2
+        else None))
+    # ROW(a, b) -> struct(a, b) (field names differ: Trino's are
+    # anonymous, Spark derives col1/col2 — positional access agrees)
+    s = re.sub(r"\bROW\s*\(", "struct(", s, flags=_FLAGS)
+    # TABLESAMPLE BERNOULLI(p) / SYSTEM(p) -> Spark's row-Bernoulli
+    # percent sampler (Spark has no block sampling; BERNOULLI is exact
+    # semantics, SYSTEM a coarser superset the row sampler satisfies)
+    s = re.sub(
+        r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s*\)",
+        r"TABLESAMPLE (\1 PERCENT)",
+        s, flags=_FLAGS,
+    )
     return s
 
 
@@ -880,6 +941,59 @@ def _regex_quote_literal(arg: str) -> str:
     literally (\\Q...\\E).  Callers gate on _is_str_literal first."""
     body = arg.strip()[1:-1]
     return "'\\\\Q" + body + "\\\\E'"
+
+
+def _rewrite_array_constructors(s: str) -> str:
+    """``ARRAY[...]`` -> ``array(...)``; bracket-balanced and quote-aware
+    (the body keeps its own parens/brackets verbatim — nested ARRAY[
+    constructors are caught because the scan restarts inside the
+    replacement)."""
+    pat = re.compile(r"\bARRAY\s*\[", _FLAGS)
+    pos = 0
+    while True:
+        m = pat.search(s, pos)
+        if not m:
+            return s
+        depth, in_str, i, n = 1, False, m.end(), len(s)
+        while i < n and depth:
+            c = s[i]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced — leave verbatim (loud Spark parse error)
+            return s
+        s = s[:m.start()] + "array(" + s[m.end():i - 1] + ")" + s[i:]
+        pos = m.start() + len("array(")
+
+
+def _is_single_cast_call(arg: str) -> bool:
+    """True iff ``arg`` is exactly one balanced ``CAST(...)`` call — the
+    paren opened after CAST must close at the final character (rules out
+    ``cast(a) || cast(b)``, which merely starts and ends right)."""
+    a = arg.strip()
+    m = re.match(r"cast\s*\(", a, _FLAGS)
+    if not m or not a.endswith(")"):
+        return False
+    depth, in_str = 1, False
+    for i in range(m.end(), len(a)):
+        c = a[i]
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(a) - 1
+    return False
 
 
 def _inner_utf8(arg: str) -> str | None:

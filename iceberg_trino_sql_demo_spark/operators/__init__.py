@@ -117,6 +117,7 @@ def register(
 #: 50-query window; pytest oracle parity still covers it every round.
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
+    "trino_dialect_tier3",
     "customer_balance_quartiles",
     "ice_python_datasource",
     "events_stream_chained_agg",

@@ -2472,6 +2472,69 @@ def trino_dialect_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trino-dialect tier-3 round-trip (frontend breadth, driver-gated): the
+# statement is TRINO SQL through Engine.sql exercising the tier-3
+# rewrites — 2-arg regexp_extract (group-0 default), truncate (toward
+# zero), to_base (lowercase digits, vs Spark conv's uppercase), format
+# (printf), TRY(CAST(...)) -> TRY_CAST, bit_count's 64-bit form, and the
+# ARRAY[...]/zip/repeat constructor family — against a native DuckDB
+# oracle.  Aggregates stay order-insensitive (count/max) so no float
+# summation boundary exists; the plan is one hash aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "trino_dialect_tier3",
+    oracle="""
+    SELECT priority,
+           pri_digit,
+           n,
+           max_trunc,
+           n_hex,
+           format('{}:{}', pri_digit, n) AS tag,
+           TRY_CAST(pri_digit AS INTEGER) AS pri_num,
+           CAST(bit_count(n) AS BIGINT) AS n_bits,
+           CAST(2 AS BIGINT) AS z2
+      FROM (
+        SELECT o_orderpriority AS priority,
+               regexp_extract(o_orderpriority, '[0-9]+') AS pri_digit,
+               count(*) AS n,
+               CAST(trunc(max(o_totalprice)) AS DOUBLE) AS max_trunc,
+               printf('%x', count(*)) AS n_hex
+          FROM orders GROUP BY 1, 2
+      )
+     ORDER BY priority
+    """,
+)
+def trino_dialect_tier3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="dialect_wh_"))
+    return eng.sql(
+        """
+        SELECT priority,
+               pri_digit,
+               n,
+               truncate(max_price) AS max_trunc,
+               to_base(n, 16) AS n_hex,
+               format('%s:%d', pri_digit, n) AS tag,
+               TRY(CAST(pri_digit AS INTEGER)) AS pri_num,
+               bit_count(n, 64) AS n_bits,
+               CAST(cardinality(zip(repeat(n, 2), ARRAY[1, 2])) AS BIGINT) AS z2
+          FROM (
+            SELECT o_orderpriority AS priority,
+                   regexp_extract(o_orderpriority, '[0-9]+') AS pri_digit,
+                   CAST(count(*) AS BIGINT) AS n,
+                   max(o_totalprice) AS max_price
+              FROM orders GROUP BY 1, 2
+          )
+         ORDER BY priority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window-function sweep: the ranking/navigation family in ONE pass —
 # ntile quartiles, lag/lead neighbours, percent_rank — partitioned by
 # market segment, totally ordered by (acctbal, custkey) so every result

@@ -252,3 +252,91 @@ def test_set_properties_and_bare_delete(eng, spark):
     assert eng.sql("SELECT count(*) AS n FROM pt").collect()[0].n == 10
     eng.sql("DELETE FROM pt")
     assert eng.sql("SELECT count(*) AS n FROM pt").collect()[0].n == 0
+
+
+# -- tier 3 -----------------------------------------------------------------
+
+def test_regexp_extract_default_group_zero(eng):
+    # Trino's 2-arg regexp_extract returns the WHOLE match (group 0);
+    # Spark's 2-arg default is group 1 — the rewrite pins group 0
+    _check(
+        eng,
+        "SELECT o_orderkey, regexp_extract(o_orderpriority, '[0-9]+-[A-Z]+') AS m "
+        "FROM orders WHERE o_orderkey <= 5 ORDER BY o_orderkey",
+        "SELECT o_orderkey, regexp_extract(o_orderpriority, '[0-9]+-[A-Z]+') AS m "
+        "FROM orders WHERE o_orderkey <= 5 ORDER BY o_orderkey",
+    )
+
+
+def test_truncate_toward_zero(eng):
+    _check(
+        eng,
+        "SELECT truncate(-3.7) AS a, truncate(2.9) AS b "
+        "FROM orders WHERE o_orderkey = 1",
+        "SELECT CAST(trunc(-3.7) AS DOUBLE) AS a, CAST(trunc(2.9) AS DOUBLE) AS b "
+        "FROM orders WHERE o_orderkey = 1",
+    )
+
+
+def test_to_base_from_base(eng):
+    # Trino to_base emits lowercase digits (Spark conv uppercases);
+    # from_base returns BIGINT (conv returns STRING)
+    _check(
+        eng,
+        "SELECT to_base(255, 16) AS h, from_base('ff', 16) AS n "
+        "FROM orders WHERE o_orderkey = 1",
+        "SELECT 'ff' AS h, CAST(255 AS BIGINT) AS n FROM orders WHERE o_orderkey = 1",
+    )
+
+
+def test_try_cast_idiom(eng):
+    # TRY(CAST(x AS T)) -> TRY_CAST; non-numeric status yields NULL
+    _check(
+        eng,
+        "SELECT o_orderkey, TRY(CAST(o_orderstatus AS INTEGER)) AS v "
+        "FROM orders WHERE o_orderkey <= 3 ORDER BY o_orderkey",
+        "SELECT o_orderkey, TRY_CAST(o_orderstatus AS INTEGER) AS v "
+        "FROM orders WHERE o_orderkey <= 3 ORDER BY o_orderkey",
+    )
+
+
+def test_format_zip_repeat_bitcount(eng):
+    _check(
+        eng,
+        "SELECT format('%s:%d', o_orderstatus, o_orderkey) AS f, "
+        "cardinality(zip(ARRAY[1, 2, 3], ARRAY[4, 5, 6])) AS z, "
+        "repeat(o_orderkey, 3) AS r, "
+        "bit_count(o_orderkey, 64) AS b, "
+        "element_at(ARRAY['x', 'y'], 2) AS e, "
+        "map_values(MAP(ARRAY['a', 'b'], ARRAY[o_orderkey, o_orderkey + 1])) AS mv "
+        "FROM orders WHERE o_orderkey <= 3 ORDER BY o_orderkey",
+        "SELECT format('{}:{}', o_orderstatus, o_orderkey) AS f, "
+        "3 AS z, [o_orderkey, o_orderkey, o_orderkey] AS r, "
+        "bit_count(o_orderkey) AS b, 'y' AS e, "
+        "[o_orderkey, o_orderkey + 1] AS mv "
+        "FROM orders WHERE o_orderkey <= 3 ORDER BY o_orderkey",
+    )
+
+
+def test_map_agg_values(eng):
+    # map_agg -> sorted map_from_entries; compare through map_values to
+    # stay inside the canonicalizer's list handling
+    _check(
+        eng,
+        "SELECT o_orderpriority, map_values(map_agg(o_orderkey, o_custkey)) AS v "
+        "FROM orders WHERE o_orderkey <= 32 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        "SELECT o_orderpriority, list(o_custkey ORDER BY o_orderkey) AS v "
+        "FROM orders WHERE o_orderkey <= 32 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )
+
+
+def test_tablesample_bernoulli(eng):
+    # sampling is nondeterministic — assert the translated statement runs
+    # and returns a plausible subset (full scan = 1500 orders at sf0.01)
+    n_all = eng.sql("SELECT count(*) AS n FROM orders").collect()[0].n
+    n_sample = eng.sql(
+        "SELECT count(*) AS n FROM orders TABLESAMPLE BERNOULLI(10)"
+    ).collect()[0].n
+    assert 0 <= n_sample < n_all
