@@ -118,6 +118,11 @@ def register(
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
     "trino_dialect_tier3",
+    "contamination_bloom_prefilter",
+    "text_quality_classifier",
+    "source_temperature_resample",
+    "split_leakage_safe",
+    "url_normalize_dedup",
     "customer_balance_quartiles",
     "ice_python_datasource",
     "events_stream_chained_agg",

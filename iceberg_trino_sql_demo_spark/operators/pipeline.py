@@ -58,6 +58,127 @@ def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe train/valid/test split — the correctness rule behind every
+# held-out eval: duplicate documents must land in the SAME split, or the
+# "held-out" set is silently inside the training set.  Splitting on the
+# raw doc_id (sample_hash_bucket above) violates this on any deduplicated
+# corpus; here the split key is the duplicate GROUP's representative
+# (min doc_id per content hash), so every member inherits one verdict.
+# Plan shape at 100 TB: one hash aggregate on the 128-bit content hash
+# and one co-partitioned join back on the same key — the second shuffle
+# reuses the first's partitioning; no window, no driver state.  The
+# 80/10/10 bucketing reuses the md5-prefix identity, keyed by the
+# representative id so the assignment is stable under re-crawls that
+# add more duplicates (new copies join the old group's split).
+# ---------------------------------------------------------------------------
+def _split_leakage_oracle() -> str:
+    from iceberg_trino_sql_demo_spark.operators.dedup import _CORPUS_SQL
+
+    return f"""
+    WITH c AS ({_CORPUS_SQL}),
+    g AS (SELECT md5(text) AS h, MIN(doc_id) AS rep FROM c GROUP BY 1),
+    j AS (SELECT c.doc_id, g.rep,
+                 ('0x' || substr(md5(CAST(g.rep AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+            FROM c JOIN g ON md5(c.text) = g.h)
+    SELECT doc_id, rep AS group_rep,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split
+      FROM j
+    """
+
+
+@register("split_leakage_safe", oracle=_split_leakage_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.operators.dedup import _corpus_with_dups
+
+    corpus = _corpus_with_dups(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    groups = corpus.groupBy("h").agg(F.min("doc_id").alias("group_rep"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("group_rep").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return corpus.join(groups, "h").select(
+        "doc_id",
+        "group_rep",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup — the crawl-side dedup that runs BEFORE any
+# content hashing: the same page fetched as https://WWW.Site.com:443/a?utm=x
+# and https://site.com/a must collapse.  The corpus has no URL column, so
+# a deterministic synthetic URL derives from (source, doc_id) with the
+# classic noise injected — mixed host case, www. prefix, explicit :443
+# default port, utm tracking params — and normalization strips all four
+# (lowercase host, drop www., drop default port, drop the query).  The
+# URL parse runs through Spark's parse_url (the url_extract_* family the
+# frontend maps); DuckDB re-derives the same parts with regexes.  Plan:
+# scan-side expressions + ONE hash aggregate on the canonical key —
+# content never moves, exactly how a 100 TB frontier dedup runs.
+# ---------------------------------------------------------------------------
+@register(
+    "url_normalize_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM'
+                  WHEN doc_id % 3 = 1 THEN 'www.' || source || '.example.com'
+                  ELSE source || '.example.com' END ||
+             CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+             '/doc/' || CAST(doc_id % 500 AS VARCHAR) ||
+             '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    ),
+    n AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(string_split(regexp_extract(url, '://([^/]+)', 1), ':')[1]),
+               '^www\\.', '') ||
+             regexp_extract(url, '://[^/]+([^?#]*)', 1) AS norm_url
+        FROM u
+    )
+    SELECT norm_url,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           MIN(doc_id) AS keeper
+      FROM n GROUP BY 1
+    """,
+)
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.upper("source"), F.lit(".Example.COM")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")))
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    norm = F.concat(
+        F.regexp_replace(
+            F.lower(F.parse_url(F.col("url"), F.lit("HOST"))), r"^www\.", ""
+        ),
+        F.parse_url(F.col("url"), F.lit("PATH")),
+    )
+    return (
+        with_url.select("doc_id", norm.alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # greedy sequence packing — assign documents to fixed-token-budget packs.
 # One window per source: cumulative token sum ordered by doc_id; a document
 # joins the pack its START offset falls in (contiguous greedy fill).  At
@@ -237,6 +358,84 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — same RESULT as contamination_ngram
+# (the bloom is lossless here: every false positive dies in the exact
+# membership join that follows), different 100 TB plan: the broadcast
+# carries ~10 BITS per eval shingle instead of the 16-byte (h1, h2) exact
+# set — 13x smaller for benchmark suites with 10^8 grams — and the
+# membership test is a pure scan-side JVM expression, so corpus shingles
+# that miss the bloom never reach the join at all.  Construction is
+# distributed end-to-end: eval shingles explode into k (word, mask)
+# probes, bit_or-aggregated per 64-bit word; the driver only ever holds
+# the m/64-long dense bitset (the same double-hashing scheme as the
+# per-file blooms in sources/bloom.py, reduced mod a power-of-two m with
+# an odd stride so the probe family stays coprime).
+# ---------------------------------------------------------------------------
+@register("contamination_bloom_prefilter", oracle=_contamination_oracle())
+def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from iceberg_trino_sql_demo_spark.operators.dedup import shingle_hash_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_sh = shingle_hash_pairs(docs.where(is_eval)).select("h1", "h2").distinct()
+    eval_sh.persist()
+    n_eval = eval_sh.count()  # one scalar to the driver (sizes the bitset)
+
+    m_bits = max(1024, 1 << math.ceil(math.log2(n_eval * 10 + 1)))
+    n_words, k = m_bits // 64, 7
+
+    # reduced probe bases: values < m_bits, so idx arithmetic stays far
+    # from BIGINT overflow (h1 + i*h2 on the raw 60-bit halves would not);
+    # SQL-expression probes because pyspark's shiftleft/shiftright helpers
+    # only accept literal bit counts
+    def _probe_sql(i: int) -> str:
+        return (
+            f"pmod(pmod(h1, {m_bits}) + {i} * (pmod(h2, {m_bits}) | 1), {m_bits})"
+        )
+
+    probes = ", ".join(_probe_sql(i) for i in range(k))
+    set_words = (
+        eval_sh.selectExpr(f"explode(array({probes})) AS idx")
+        .selectExpr(
+            "cast(idx div 64 AS int) AS w",
+            "shiftleft(1L, cast(idx % 64 AS int)) AS m",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in set_words:
+        words[r["w"]] = r["bits"]
+    bloom = spark.createDataFrame([(words,)], "bits array<long>")
+
+    train = shingle_hash_pairs(docs.where(~is_eval))
+    # n_shingles counts the UNfiltered per-doc shingle set (the bloom only
+    # prunes the overlap-join side)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    member = " AND ".join(
+        f"(shiftright(element_at(bits, cast({_probe_sql(i)} div 64 AS int) + 1), "
+        f"cast({_probe_sql(i)} % 64 AS int)) & 1) = 1"
+        for i in range(k)
+    )
+    candidates = (
+        train.crossJoin(F.broadcast(bloom))
+        .where(F.expr(member))
+        .select("doc_id", "h1", "h2")
+    )
+
+    hits = (
+        candidates.join(F.broadcast(eval_sh), ["h1", "h2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(sizes, "doc_id").select("doc_id", "n_overlap", "n_shingles")
+
+
+# ---------------------------------------------------------------------------
 # PII scrub statistics — the compliance pass every training pipeline runs
 # before tokenization: count email/phone matches per source (the scrub
 # itself is the same regexp_replace; counting keeps the output small and
@@ -341,6 +540,74 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= ((F.col("n") + 9) / 10).cast("long"))
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source resampling — the mixture-rebalancing step of
+# multilingual/multi-source training (alpha-sampling a la multilingual
+# BERT / XLM: quota_s ~ n_s^alpha with alpha = 0.5, so small sources are
+# upweighted relative to their raw share).  All quota arithmetic is exact
+# integers: weight_s = floor(sqrt(n_s)*1000) (sqrt is IEEE
+# exactly-rounded, identical in both engines), total budget = half the
+# corpus, quota_s = (budget * weight_s) // sum(weights) — no float
+# summation anywhere.  Selection inside a source is by md5 rank (a
+# deterministic uniform "random" sample, reproducible across runs and
+# engines).  100 TB plan: quotas come from an S-row aggregate (S =
+# #sources) pushed through a single-partition window — trivially small;
+# the only data-scale shuffle is ONE row_number window on source, and the
+# quota join back is a broadcast.  A badly skewed source (one source =
+# 90% of corpus) serializes its rank sort — the salting remedy is the
+# same staged top-k used by events_topk_per_type.
+# ---------------------------------------------------------------------------
+@register(
+    "source_temperature_resample",
+    oracle="""
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+    w AS (SELECT source, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS wt FROM c),
+    t AS (SELECT source, wt,
+                 CAST(SUM(wt) OVER () AS BIGINT) AS tot_w,
+                 CAST(SUM(n) OVER () AS BIGINT) AS tot_n
+            FROM w),
+    q AS (SELECT source, CAST(((tot_n // 2) * wt) // tot_w AS BIGINT) AS quota FROM t),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+      FROM r JOIN q ON r.source = q.source
+     WHERE r.rk <= q.quota
+    """,
+)
+def source_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # the OVER () windows below move S rows to one partition — S = #sources
+    quotas = (
+        counts.select(
+            "source",
+            "n",
+            F.floor(F.sqrt("n") * 1000).cast("long").alias("wt"),
+        )
+        .select(
+            "source",
+            F.expr(
+                "((CAST(sum(n) OVER () AS BIGINT) div 2) * wt) "
+                "div CAST(sum(wt) OVER () AS BIGINT)"
+            ).alias("quota"),
+        )
+    )
+    order = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(order).cast("long").alias("rk")
+    )
+    return ranked.join(F.broadcast(quotas), "source").where(
+        F.col("rk") <= F.col("quota")
+    ).select("doc_id", "source", "rk")
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,71 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier — the fasttext-shaped model
+# every web-scale curation stack runs (CCNet/RefinedWeb quality gates):
+# token -> hash bucket -> per-bucket weight, doc score = sum of weights.
+# The hashing-trick point for 100 TB: there is NO vocabulary — no
+# dictionary build, no token->id join, no OOV path; the "model" is a
+# fixed B-entry weight table evaluated as a scan-side expression (a real
+# deployment broadcasts the trained float[B]; here the weights derive
+# arithmetically from the bucket id so the DuckDB oracle replays them
+# bit-for-bit).  Integer milli-weights keep the doc score an exact
+# BIGINT sum — no float summation order anywhere.  Plan: codegen'd scan
+# + explode + ONE doc_id hash aggregate; nothing else shuffles.
+# ---------------------------------------------------------------------------
+_QC_BUCKETS = 256
+_QC_MIX = 2_654_435_761  # Knuth multiplicative-hash constant
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lower(t) AS t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+       WHERE t != ''
+    ),
+    w AS (
+      SELECT doc_id,
+             ((('0x' || substr(md5(t), 1, 8))::BIGINT % {_QC_BUCKETS})
+              * {_QC_MIX}) % 2001 - 1000 AS wt
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(wt) AS BIGINT) AS score_milli,
+           (sum(wt) > 0) AS quality_pos
+      FROM w GROUP BY doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower("t")), 1, 8), 16, 10).cast("long")
+        % _QC_BUCKETS
+    )
+    wt = (bucket * F.lit(_QC_MIX)) % 2001 - 1000
+    return (
+        toks.select("doc_id", wt.alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("wt").alias("score_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_milli",
+            (F.col("score_milli") > 0).alias("quality_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # language ID — character-n-gram-frequency heuristic: score each doc against
 # tiny per-language marker lexicons (broadcast join), argmax wins.  The
 # testdata's ``lang`` column is a synthetic label (texts are English-ish bag
