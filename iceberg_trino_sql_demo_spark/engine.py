@@ -488,6 +488,12 @@ class Engine:
             _last(kw["schema_name"]), kw["table_name"], kw["table_location"]
         )
 
+    def _h_call_add_files(self, m: re.Match) -> None:
+        kw = dict(re.findall(r"(\w+)\s*=>\s*'([^']*)'", m.group(1)))
+        self._table(f"{kw['schema_name']}.{kw['table_name']}").add_files(
+            kw["source_dir"]
+        )
+
     def _h_create_branch(self, m: re.Match) -> None:
         self._table(m.group(2)).create_branch(m.group(1), if_not_exists=True)
 
@@ -641,6 +647,7 @@ class Engine:
         (re.compile(r"^CALL\s+system\.rollback_to_snapshot\s*\((.*)\)$", _FLAGS),
          _h_call_rollback),
         (re.compile(r"^CALL\s+system\.register_table\s*\((.*)\)$", _FLAGS), _h_call_register),
+        (re.compile(r"^CALL\s+system\.add_files\s*\((.*)\)$", _FLAGS), _h_call_add_files),
         (re.compile(r"^CREATE\s+BRANCH\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+IN\s+TABLE\s+([\w.\"]+)$",
                     _FLAGS), _h_create_branch),
         (re.compile(r"^DROP\s+BRANCH\s+(?:IF\s+EXISTS\s+)?(\w+)\s+IN\s+TABLE\s+([\w.\"]+)$",

@@ -118,6 +118,7 @@ def register(
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
     "trino_dialect_tier3",
+    "ice_add_files",
     "contamination_bloom_prefilter",
     "text_quality_classifier",
     "source_temperature_resample",

@@ -125,6 +125,37 @@ def ice_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# add_files adoption (Iceberg's migrate-in-place ingestion): parquet
+# written OUTSIDE the engine is committed as an append snapshot with no
+# copy and no rewrite — only footers are read.  The staged batch lands at
+# a path outside the table location; the scenario returns the merged
+# content (same final state as ice_insert_values, arrived at through
+# adoption instead of a write), and tests/test_maintenance.py asserts the
+# manifest literally points at the staged paths.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_add_files",
+    oracle=f"SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL}",
+    bench=False,
+)
+def ice_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema, rows = _cached_src(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="ice_adopt_")
+    t = Table.ctas(
+        spark,
+        loc,
+        spark.createDataFrame(rows, schema),
+        properties={"merge_mode": "merge-on-read"},  # unpartitioned: add_files v1
+    )
+    staging = tempfile.mkdtemp(prefix="ice_staged_batch_")
+    spark.createDataFrame(
+        [tuple(r[f.name] for f in schema.fields) for r in _ROWS], schema
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    t.add_files(staging)
+    return t.df()
+
+
+# ---------------------------------------------------------------------------
 # M2 UPDATE (reference :129): balance of 2001 becomes 1000
 # ---------------------------------------------------------------------------
 @register(

@@ -68,7 +68,11 @@ from iceberg_trino_sql_demo_spark.sources.reader import (
     snapshot_df,
 )
 from iceberg_trino_sql_demo_spark.sources.transforms import parse_transform
-from iceberg_trino_sql_demo_spark.sources.writer import spec_transforms, write_data_files
+from iceberg_trino_sql_demo_spark.sources.writer import (
+    harvest_files,
+    spec_transforms,
+    write_data_files,
+)
 
 COPY_ON_WRITE = "copy-on-write"
 MERGE_ON_READ = "merge-on-read"
@@ -1330,6 +1334,64 @@ class Table:
         m.snapshot_log = [e for e in m.snapshot_log if e["snapshot_id"] not in dropped_ids]
         self._commit_metadata_only()
         return len(dropped)
+
+    def add_files(self, source_dir: str, ref: str = MAIN) -> Snapshot:
+        """CALL system.add_files — adopt existing parquet files IN PLACE
+        (Iceberg's add_files / Trino's migrate-style ingestion): no data
+        copy, no rewrite.  The manifest entries point at the original
+        paths; only their footers are read (stats/bloom-free pruning
+        still works off the harvested min/max).  After adoption the files
+        are table-owned, exactly like Iceberg: expire_snapshots may
+        delete them once unreferenced — callers adopting shared files
+        should copy first or disable gc.
+
+        V1 constraints (all loud):
+        - current spec must be unpartitioned (hive-partition dirs would
+          need partition-value parsing against the table's transforms);
+        - no column carries a physical rename (adopted footers use
+          logical names, which is what ``pname`` resolves to only while
+          ``physical_name`` is unset);
+        - every schema column must appear in each file's footer (columns
+          ADDED after adoption are fine — that's the normal
+          default-surfacing path — but a file missing a CURRENT column
+          would silently read as all-null without lineage defaults).
+        """
+        m = self.meta
+        if m.spec.fields:
+            raise ValueError(
+                "add_files: only unpartitioned tables can adopt files (the "
+                "current spec has partition fields)")
+        renamed = [f.name for f in m.schema.fields if f.physical_name]
+        if renamed:
+            raise ValueError(
+                f"add_files: columns {renamed} carry physical renames; "
+                "adopted footers resolve by logical name only")
+        new_files = harvest_files(
+            source_dir, m.schema, m.spec, m.last_sequence_number + 1
+        )
+        if not new_files:
+            raise FileNotFoundError(f"add_files: no parquet under {source_dir}")
+        import pyarrow.parquet as pq
+
+        want = {f.name for f in m.schema.fields}
+        for df_entry in new_files:
+            have = {
+                c.split(".")[0]
+                for c in pq.ParquetFile(df_entry.path).schema_arrow.names
+            }
+            missing = want - have
+            if missing:
+                raise ValueError(
+                    f"add_files: {df_entry.path} lacks schema columns "
+                    f"{sorted(missing)}")
+        base = self._manifest(self._resolve(ref))
+        manifest = Manifest(base.data_files + new_files, base.delete_files)
+        summary = {
+            "added-data-files": len(new_files),
+            "added-records": sum(f.record_count for f in new_files),
+            "adopted": "true",
+        }
+        return self._commit_snapshot(manifest, "append", ref, summary)
 
     def remove_orphan_files(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> int:
         """EXECUTE remove_orphan_files (reference :261): on-disk files not

@@ -312,3 +312,71 @@ def test_branch_scoped_retention_max_age(t):
     # every snapshot is an ancestor of dev's head and younger than 1h
     assert t2.expire_snapshots(retention_ms=0) == 0
     assert len(t2.meta.snapshots) == len(t.refresh().meta.snapshots)
+
+
+# -- add_files adoption ------------------------------------------------------
+
+def test_add_files_adopts_in_place(spark, tmp_path, sf_dir, t):
+    """Adopted parquet is referenced at its ORIGINAL path (no copy), its
+    rows are readable with harvested stats, and lineage ranges assign."""
+    staging = str(tmp_path / "staged")
+    spark.createDataFrame(
+        [(9100, "ADOPT_A", 1), (9101, "ADOPT_B", 2)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).coalesce(1).write.parquet(staging)
+
+    before = t.df().count()
+    snap = t.add_files(staging)
+    assert snap.summary["adopted"] == "true"
+
+    man = t.io.read_manifest(t._resolve())
+    adopted = [f for f in man.data_files if f.path.startswith(staging)]
+    assert adopted, "manifest must point at the staged paths (no copy)"
+    assert all(f.record_count > 0 for f in adopted)
+    assert all(f.first_row_id >= 0 for f in adopted)  # lineage assigned
+    # harvested min/max present for the key column of adopted files
+    keyid = str(t.meta.schema.field_by_name("n_nationkey").id)
+    assert all(f.stats[keyid]["min"] == 9100 for f in adopted)
+
+    after = t.df()
+    assert after.count() == before + 2
+    assert after.where(F.col("n_name") == "ADOPT_A").count() == 1
+
+
+def test_add_files_guards(spark, tmp_path, sf_dir, t):
+    # missing column is loud
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [(9200,)], "n_nationkey bigint"
+    ).coalesce(1).write.parquet(bad)
+    with pytest.raises(ValueError, match="lacks schema columns"):
+        t.add_files(bad)
+    # partitioned tables refuse (v1)
+    t.set_partitioning(["n_regionkey"])
+    ok = str(tmp_path / "ok")
+    spark.createDataFrame(
+        [(9201, "X", 1)], "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).coalesce(1).write.parquet(ok)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        t.add_files(ok)
+
+
+def test_add_files_via_frontend_call(spark, tmp_path, sf_dir):
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh2"))
+    eng.sql("CREATE SCHEMA adopt")
+    eng.sql("USE adopt")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation_src")
+    eng.sql("CREATE TABLE nat AS SELECT * FROM nation_src")
+    staging = str(tmp_path / "staged2")
+    spark.createDataFrame(
+        [(9300, "CALLED", 0)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).coalesce(1).write.parquet(staging)
+    n0 = eng.sql("SELECT count(*) AS n FROM nat").collect()[0].n
+    eng.sql(
+        "CALL system.add_files(schema_name => 'adopt', table_name => 'nat', "
+        f"source_dir => '{staging}')"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM nat").collect()[0].n == n0 + 1
