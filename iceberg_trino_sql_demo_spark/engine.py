@@ -464,10 +464,13 @@ class Engine:
                 expr = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", expr, flags=_FLAGS)
                 row = self.spark.sql(f"SELECT CAST({expr} AS TIMESTAMP)").head()
                 cutoff_ms = int(row[0].timestamp() * 1000)
+            rewrite_dels = bool(re.search(
+                r"rewrite_deletes\s*=>\s*true", args or "", _FLAGS))
             t.optimize(
                 file_size_threshold=threshold,
                 modified_after_ms=cutoff_ms,
                 zorder_by=zcols,
+                rewrite_deletes=rewrite_dels,
             )
         else:
             raise ValueError(f"unknown procedure {proc}")

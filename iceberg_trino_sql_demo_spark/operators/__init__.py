@@ -119,6 +119,8 @@ _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
     "trino_dialect_tier3",
     "ice_add_files",
+    "ice_wap_publish",
+    "ice_forget_user",
     "contamination_bloom_prefilter",
     "text_quality_classifier",
     "source_temperature_resample",

@@ -156,6 +156,34 @@ def ice_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Right-to-be-forgotten purge — the compliance composition: a
+# merge-on-read DELETE hides the rows instantly (cheap deletion vector),
+# then optimize(rewrite_deletes=True) materializes the vectors into clean
+# data files (Iceberg's delete-file-threshold rewrite), and
+# expire_snapshots(0) reaps every snapshot — and every data file — that
+# could still reach the deleted bytes.  After the three steps the subject
+# is gone from DISK, not just from the read view;
+# tests/test_maintenance.py::test_forget_user_purges_disk proves it by
+# scanning every surviving parquet footer-to-footer.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_forget_user",
+    oracle=f"""
+    SELECT * FROM (SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL})
+     WHERE custkey <> 2002
+    """,
+    bench=False,
+)
+def ice_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    t.delete("custkey = 2002")  # MoR: deletion vector, bytes still on disk
+    t.optimize(rewrite_deletes=True)  # materialize: rewrite targeted files
+    t.expire_snapshots(retention_ms=0)  # reap pre-purge snapshots + files
+    return t.df()
+
+
+# ---------------------------------------------------------------------------
 # M2 UPDATE (reference :129): balance of 2001 becomes 1000
 # ---------------------------------------------------------------------------
 @register(
@@ -666,6 +694,51 @@ def ice_branches_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.fast_forward("main", "dev")
     rows = [(b, t.df(ref=b).count()) for b in t.branches()]
     return spark.createDataFrame(rows, "branch string, n_rows bigint")
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish — the production ingestion pattern the branch
+# surface exists FOR (Iceberg WAP; reference branch surface :234-253):
+# every batch lands on a staging branch, an audit query gates it, and
+# only passing batches reach main — atomically, via fast-forward.  The
+# scenario drives BOTH arms: a poisoned batch (negative balance) whose
+# audit fails and whose branch is dropped with main untouched, then a
+# clean batch that passes, fast-forwards into main, and pins an
+# immutable audit tag at the published snapshot.  Readers of main never
+# observe a half-audited state — the publish is one ref swap.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_wap_publish",
+    oracle=f"SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL}",
+    bench=False,
+)
+def ice_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    main_before = t._resolve("main")
+
+    # the audit gates the BATCH DELTA (rows the staging branch added),
+    # not the whole branch read — the base corpus legitimately carries
+    # negative balances; a real deployment derives the delta via
+    # table_changes CDC, here the batch keyspace (custkey >= 2001) is
+    # disjoint by construction
+    _audit = "custkey >= 2001 AND account_balance < 0"
+
+    # batch 1: fails audit (negative balance) -> branch dropped, main intact
+    t.create_branch("wap_1")
+    t.insert([{"custkey": 9901, "name": "BAD", "mktsegment": "SQLENGINE",
+               "account_balance": -5.0, "nation": "FRANCE"}], ref="wap_1")
+    assert t.df(ref="wap_1").where(_audit).count() > 0  # audit gate fires
+    t.drop_branch("wap_1")
+    assert t._resolve("main") == main_before  # publish never happened
+
+    # batch 2: passes audit -> fast-forward publish + audit tag
+    t.create_branch("wap_2")
+    t.insert(_ROWS, ref="wap_2")
+    assert t.df(ref="wap_2").where(_audit).count() == 0
+    t.fast_forward("main", "wap_2")
+    t.create_tag("audited_1", t._resolve("main").snapshot_id)
+    t.drop_branch("wap_2")
+    return t.df()
 
 
 # ---------------------------------------------------------------------------

@@ -1425,6 +1425,7 @@ class Table:
         file_size_threshold: int = 100 * 1024 * 1024,
         modified_after_ms: int | None = None,
         zorder_by: list[str] | None = None,
+        rewrite_deletes: bool = False,
     ) -> Snapshot | None:
         """EXECUTE optimize(file_size_threshold) [WHERE $file_modified_time]
         (reference :263, :267-268): bin-pack small files per partition.
@@ -1436,7 +1437,15 @@ class Table:
         rewrite_data_files sort strategy with a zorder() order): every
         data file is rewritten into files covering ranges of the Morton
         key over the named columns, so manifest min/max pruning serves
-        predicates on ANY participating column.  See sources/zorder.py."""
+        predicates on ANY participating column.  See sources/zorder.py.
+
+        ``rewrite_deletes=True`` (Iceberg's delete-file-threshold shape)
+        additionally rewrites every data file a position-delete file
+        references, regardless of size or group — materializing MoR
+        deletes into clean files; _rewrite_files then drops the
+        fully-applied delete files.  With a following
+        ``expire_snapshots`` this is the compliance purge path: deleted
+        rows stop existing on disk, not just in the read view."""
         if zorder_by:
             if modified_after_ms is not None:
                 raise ValueError(
@@ -1445,14 +1454,27 @@ class Table:
                 )
             return self._optimize_zorder(zorder_by, file_size_threshold)
         manifest = self._manifest(self._resolve(MAIN))
-        cands = [f for f in manifest.data_files if f.file_size_bytes < file_size_threshold]
+        targeted: set[str] = (
+            {p for d in manifest.delete_files for p in d.referenced_files}
+            if rewrite_deletes else set()
+        )
+        cands = [
+            f for f in manifest.data_files
+            if f.file_size_bytes < file_size_threshold or f.path in targeted
+        ]
         if modified_after_ms is not None:
             cands = [f for f in cands if f.file_modified_ms > modified_after_ms]
-        # only partitions with >1 small file benefit
+        # only partitions with >1 small file benefit — except delete-
+        # targeted files, which are rewritten even alone (the point is
+        # materializing the delete, not the packing)
         by_part: dict[str, list[DataFile]] = {}
         for f in cands:
             by_part.setdefault(f"{f.spec_id}|{sorted(f.partition.items())}", []).append(f)
-        compact = [f for fs in by_part.values() if len(fs) > 1 for f in fs]
+        compact = [
+            f for fs in by_part.values()
+            if len(fs) > 1 or any(f.path in targeted for f in fs)
+            for f in fs
+        ]
         if not compact:
             return None
         src = self._read_files_with_lineage(manifest, compact)

@@ -204,6 +204,9 @@ def test_no_unintended_cartesian_or_bnlj_plans(spark):
         "dedup_semantic_clusters",
         "q22_idle_balance_customers",
         "q11_important_share",
+        # 1-row broadcast bloom bitset attached to the shingle scan —
+        # the intended membership-test shape (pipeline.py)
+        "contamination_bloom_prefilter",
     }
 
     offenders = {}

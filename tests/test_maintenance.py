@@ -380,3 +380,34 @@ def test_add_files_via_frontend_call(spark, tmp_path, sf_dir):
         f"source_dir => '{staging}')"
     )
     assert eng.sql("SELECT count(*) AS n FROM nat").collect()[0].n == n0 + 1
+
+
+def test_forget_user_purges_disk(spark, tmp_path, sf_dir, t):
+    """MoR delete -> optimize(rewrite_deletes) -> expire(0): the deleted
+    key must be absent from EVERY parquet byte on disk, not just the read
+    view, and the fully-applied delete files must leave the manifest."""
+    import pyarrow.parquet as pq
+
+    _insert_n(t, 3)  # keys 9000..9002
+    t.delete("n_nationkey = 9001")
+    man = t.io.read_manifest(t._resolve())
+    assert man.delete_files, "precondition: MoR delete produced a vector"
+
+    t.optimize(rewrite_deletes=True)
+    man = t.io.read_manifest(t._resolve())
+    assert not man.delete_files, "rewrite must materialize the deletes"
+
+    t.expire_snapshots(retention_ms=0)
+    # read view correct
+    assert t.df().where(F.col("n_nationkey") == 9001).count() == 0
+    assert t.df().where(F.col("n_nationkey") == 9000).count() == 1
+    # and the bytes are gone: scan every surviving parquet file
+    for root, _dirs, files in os.walk(os.path.join(t.location, "data")):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(os.path.join(root, fn))
+            cols = [c.split(".")[0] for c in tbl.column_names]
+            if "n_nationkey" in cols:
+                vals = tbl.column(cols.index("n_nationkey")).to_pylist()
+                assert 9001 not in vals, f"purged key survives in {fn}"
