@@ -352,10 +352,19 @@ class Engine:
     def _h_describe(self, m: re.Match) -> "DataFrame":
         t = self._table(m.group(1))
         rows = [(f.name, f.type,
-                 "" if f.write_default is None else str(f.write_default))
+                 "" if f.write_default is None else str(f.write_default),
+                 f.doc or "")
                 for f in t.meta.schema.fields]
         return self.spark.createDataFrame(
-            rows, "column string, type string, default string")
+            rows, "column string, type string, default string, comment string")
+
+    def _h_comment_table(self, m: re.Match) -> None:
+        text = None if m.group(2) is None else m.group(2).replace("''", "'")
+        self._table(m.group(1)).set_table_comment(text)
+
+    def _h_comment_column(self, m: re.Match) -> None:
+        text = None if m.group(3) is None else m.group(3).replace("''", "'")
+        self._table(m.group(1)).set_column_comment(m.group(2), text)
 
     def _h_insert_overwrite(self, m: re.Match) -> None:
         """INSERT OVERWRITE t SELECT ... — dynamic partition overwrite
@@ -620,6 +629,10 @@ class Engine:
         (re.compile(r"^DESCRIBE\s+INPUT\s+(\w+)$", _FLAGS), _h_describe_input),
         (re.compile(r"^DESCRIBE\s+OUTPUT\s+(\w+)$", _FLAGS), _h_describe_output),
         (re.compile(r"^DESCRIBE\s+([\w.\"]+)$", _FLAGS), _h_describe),
+        (re.compile(r"^COMMENT\s+ON\s+TABLE\s+([\w.\"]+)\s+IS\s+"
+                    r"(?:'((?:[^']|'')*)'|NULL)$", _FLAGS), _h_comment_table),
+        (re.compile(r"^COMMENT\s+ON\s+COLUMN\s+([\w.\"]+)\.(\w+)\s+IS\s+"
+                    r"(?:'((?:[^']|'')*)'|NULL)$", _FLAGS), _h_comment_column),
         (re.compile(r"^SHOW\s+COLUMNS\s+(?:FROM|IN)\s+([\w.\"]+)$", _FLAGS), _h_describe),
         (re.compile(r"^SHOW\s+SESSION$", _FLAGS), _h_show_session),
         (re.compile(r"^RESET\s+SESSION\s+([\w.]+)$", _FLAGS), _h_reset_session),

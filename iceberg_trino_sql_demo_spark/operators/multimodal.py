@@ -302,3 +302,69 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact payload dedup per modality — the first pass of every multimodal
+# ingest (identical jpeg/wav blobs from re-crawls collapse BEFORE any
+# decode spends GPU time).  The digest is computed over the opaque BYTES
+# (F.md5 on the binary column — payloads are never decoded or
+# JVM-materialized as strings), grouped per (digest, media_type) so a
+# byte-coincidence across modalities never merges.  Injected duplicates
+# reuse dedup_exact's shifted-id convention; note the copy's media_type
+# derives from its NEW id (1000000 % 3 = 1 shifts the modality), which
+# the oracle replicates — cross-modal copies stay distinct rows, exactly
+# what per-modality dedup should do.  Plan: scan + ONE hash aggregate on
+# the 128-bit digest; payload bytes never shuffle (only digests do).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    m AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type
+        FROM docs
+    )
+    SELECT md5(text) AS content_hash,
+           media_type,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper,
+           CAST(SUM(length(text)) AS BIGINT) AS total_bytes
+      FROM m GROUP BY 1, 2
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(table_path(sf_dir, "documents")).select("doc_id", "text")
+    dup = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    u = d.unionAll(dup)
+    m = u.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )
+    return (
+        m.select(
+            "doc_id",
+            "media_type",
+            F.md5("media").alias("content_hash"),
+            F.length("media").cast("long").alias("n_bytes"),
+        )
+        .groupBy("content_hash", "media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

@@ -213,6 +213,7 @@ def show_create_table(table, name: str) -> str:
     cols = ",\n".join(
         f"   {f.name} {f.type}"
         + (f" DEFAULT {f.initial_default!r}" if f.initial_default is not None else "")
+        + (" COMMENT '" + f.doc.replace("'", "''") + "'" if f.doc else "")
         for f in m.schema.fields
     )
     props = [f"   format = '{m.properties.get('format', 'parquet')}'"]
@@ -226,6 +227,11 @@ def show_create_table(table, name: str) -> str:
         so = ", ".join(f"'{c}'" for c in m.sort_order)
         props.append(f"   sorted_by = ARRAY[{so}]")
     props.append(f"   location = '{m.location}'")
+    comment = (
+        "\nCOMMENT '" + m.properties["comment"].replace("'", "''") + "'"
+        if m.properties.get("comment") else ""
+    )
     return (
-        f"CREATE TABLE {name} (\n{cols}\n)\nWITH (\n" + ",\n".join(props) + "\n)"
+        f"CREATE TABLE {name} (\n{cols}\n){comment}\nWITH (\n"
+        + ",\n".join(props) + "\n)"
     )

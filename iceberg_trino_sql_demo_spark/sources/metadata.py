@@ -90,6 +90,7 @@ class NestedField:
     initial_default: Any = None
     write_default: Any = None
     physical_name: str | None = None
+    doc: str | None = None  # COMMENT ON COLUMN text
 
     @property
     def pname(self) -> str:
@@ -105,6 +106,8 @@ class NestedField:
             d["write_default"] = self.write_default
         if self.physical_name:
             d["physical_name"] = self.physical_name
+        if self.doc:
+            d["doc"] = self.doc
         return d
 
     @staticmethod
@@ -117,6 +120,7 @@ class NestedField:
             initial_default=d.get("initial_default"),
             write_default=d.get("write_default"),
             physical_name=d.get("physical_name"),
+            doc=d.get("doc"),
         )
 
 

@@ -1080,6 +1080,38 @@ class Table:
         self.meta.properties.update({k: str(v) for k, v in props.items()})
         self._commit_metadata_only()
 
+    def set_table_comment(self, text: str | None) -> None:
+        """COMMENT ON TABLE — stored as the ``comment`` table property
+        (Trino surfaces it the same way); IS NULL clears."""
+        if text is None:
+            self.meta.properties.pop("comment", None)
+        else:
+            self.meta.properties["comment"] = text
+        self._commit_metadata_only()
+
+    def set_column_comment(self, column: str, text: str | None) -> None:
+        """COMMENT ON COLUMN — stored on the field itself (``doc``, the
+        Iceberg field-doc slot).  A comment is metadata-only: the schema
+        id does NOT bump (no reader behavior changes), matching Iceberg's
+        updateSchema().updateColumnDoc() semantics."""
+        sch = self.meta.schema
+        if not sch.has(column):
+            raise KeyError(column)
+        fields = tuple(
+            NestedField(
+                id=f.id, name=f.name, type=f.type, nullable=f.nullable,
+                initial_default=f.initial_default, write_default=f.write_default,
+                physical_name=f.physical_name, doc=text,
+            ) if f.name == column else f
+            for f in sch.fields
+        )
+        new_schema = TableSchema(schema_id=sch.schema_id, fields=fields)
+        self.meta.schemas = [
+            new_schema if s.schema_id == sch.schema_id else s
+            for s in self.meta.schemas
+        ]
+        self._commit_metadata_only()
+
     # ------------------------------------------------------------------
     # branching & time travel (V1-V5, M5)
     # ------------------------------------------------------------------

@@ -65,6 +65,15 @@ FAMILY = [
     # one broadcast-eval-set scan, and the composed corpus-selection DAG
     "text_token_stats",
     "contamination_ngram",
+    # r5 batch-4 curation ops — all scan + one keyed aggregate; the bloom
+    # variant additionally pins that the bitset prefilter stays effective
+    # as the corpus grows (same result as contamination_ngram, smaller
+    # join input)
+    "contamination_bloom_prefilter",
+    "text_quality_classifier",
+    "split_leakage_safe",
+    "url_normalize_dedup",
+    "source_temperature_resample",
     "training_corpus_select",
 ]
 

@@ -340,3 +340,25 @@ def test_tablesample_bernoulli(eng):
         "SELECT count(*) AS n FROM orders TABLESAMPLE BERNOULLI(10)"
     ).collect()[0].n
     assert 0 <= n_sample < n_all
+
+
+def test_comment_on_table_and_column(eng, spark):
+    eng.sql("CREATE SCHEMA cmt")
+    eng.sql("USE cmt")
+    eng.sql("CREATE TABLE ct AS SELECT o_orderkey FROM orders WHERE o_orderkey <= 3")
+    eng.sql("COMMENT ON TABLE ct IS 'it''s the fact table'")
+    eng.sql("COMMENT ON COLUMN ct.o_orderkey IS 'primary key'")
+    ddl = eng.catalog.table("ct")
+    assert ddl.meta.properties["comment"] == "it's the fact table"
+    show = eng.sql("SHOW CREATE TABLE ct").collect()[0][0]
+    assert "COMMENT 'it''s the fact table'" in show
+    assert "COMMENT 'primary key'" in show
+    desc = {r.column: r.comment for r in eng.sql("DESCRIBE ct").collect()}
+    assert desc["o_orderkey"] == "primary key"
+    # comments survive the metadata round-trip (re-open from disk)
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+    t2 = Table(spark, ddl.location)
+    assert t2.meta.schema.field_by_name("o_orderkey").doc == "primary key"
+    # IS NULL clears
+    eng.sql("COMMENT ON TABLE ct IS NULL")
+    assert "comment" not in eng.catalog.table("ct").meta.properties
