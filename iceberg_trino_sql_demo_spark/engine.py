@@ -930,6 +930,10 @@ def _translate_trino_functions(s: str) -> str:
     s = _rewrite_calls(s, "map_agg", lambda a: (
         f"map_from_entries(array_sort(collect_list(struct({a[0]}, {a[1]}))))"
         if len(a) == 2 else None))
+    # bare CAST type names: Trino's unsized VARCHAR/VARBINARY are
+    # Spark's STRING/BINARY (Spark demands a size on VARCHAR)
+    s = re.sub(r"\bAS\s+VARCHAR\s*([),])", r"AS STRING\1", s, flags=_FLAGS)
+    s = re.sub(r"\bAS\s+VARBINARY\s*([),])", r"AS BINARY\1", s, flags=_FLAGS)
     # ARRAY[...] constructor -> array(...); outer-first replacement, the
     # loop re-scans so nested constructors translate on later passes
     s = _rewrite_array_constructors(s)

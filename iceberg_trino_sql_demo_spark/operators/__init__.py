@@ -121,6 +121,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_add_files",
     "ice_wap_publish",
     "ice_forget_user",
+    "multimodal_payload_dedup",
+    "text_bpe_merge_candidates",
     "contamination_bloom_prefilter",
     "text_quality_classifier",
     "source_temperature_resample",

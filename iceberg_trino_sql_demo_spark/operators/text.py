@@ -728,3 +728,76 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction — ONE training step of byte-pair-encoding vocab
+# learning (Sennrich et al.): build the word-frequency table, split words
+# into symbols (characters at step 0), and rank adjacent-symbol pairs by
+# corpus-weighted count — the top pair is the next merge rule.  The
+# classic implementation is a driver-side dict; the distributed shape
+# here is what tokenizer training on a 100 TB corpus actually needs:
+# token-frequency aggregate (map-side combined), global top-K vocab cut
+# (sort+limit — Spark plans TakeOrdered, no full sort materialization),
+# then a transform/explode over characters and a second hash aggregate.
+# Every count is an exact BIGINT; ties break on the pair itself, so the
+# top-20 is fully deterministic.  Words shorter than 2 symbols carry no
+# pairs and are filtered on BOTH engines (Spark's sequence(1, 0) would
+# otherwise count DOWNWARD — [1, 0] — a silent corruption, not an error).
+# ---------------------------------------------------------------------------
+_BPE_VOCAB = 2000
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lower(t) AS t FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents) u
+       WHERE t != ''
+    ),
+    vocab AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS freq
+        FROM tok GROUP BY 1
+       ORDER BY freq DESC, t LIMIT {_BPE_VOCAB}
+    ),
+    pairs AS (
+      SELECT substr(t, i, 1) AS sym_a, substr(t, i + 1, 1) AS sym_b, freq
+        FROM (SELECT * FROM vocab WHERE length(t) >= 2),
+             unnest(range(1, length(t))) AS u(i)
+    )
+    SELECT sym_a, sym_b, CAST(SUM(freq) AS BIGINT) AS weight
+      FROM pairs GROUP BY 1, 2
+     ORDER BY weight DESC, sym_a, sym_b LIMIT 20
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .select(F.lower("t").alias("t"))
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "t")
+        .limit(_BPE_VOCAB)
+        .where(F.length("t") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(t) - 1), "
+                "i -> struct(substring(t, i, 1) AS sym_a, "
+                "substring(t, i + 1, 1) AS sym_b))"
+            )
+        ).alias("p"),
+        "freq",
+    ).select("p.sym_a", "p.sym_b", "freq")
+    return (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(F.sum("freq").alias("weight"))
+        .orderBy(F.desc("weight"), "sym_a", "sym_b")
+        .limit(20)
+    )

@@ -362,3 +362,19 @@ def test_comment_on_table_and_column(eng, spark):
     # IS NULL clears
     eng.sql("COMMENT ON TABLE ct IS NULL")
     assert "comment" not in eng.catalog.table("ct").meta.properties
+
+
+def test_listagg_and_filter_clause_shared(eng):
+    # Trino listagg WITHIN GROUP and FILTER (WHERE ...) parse natively in
+    # Spark 4 — pinned here so a regression in the shared surface is loud
+    _check(
+        eng,
+        "SELECT o_orderpriority AS pri, "
+        "listagg(CAST(o_orderkey AS VARCHAR), ',') WITHIN GROUP (ORDER BY o_orderkey) AS keys, "
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f "
+        "FROM orders WHERE o_orderkey <= 32 GROUP BY 1 ORDER BY 1",
+        "SELECT o_orderpriority AS pri, "
+        "string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys, "
+        "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f "
+        "FROM orders WHERE o_orderkey <= 32 GROUP BY 1 ORDER BY 1",
+    )
