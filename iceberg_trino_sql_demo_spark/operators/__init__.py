@@ -305,12 +305,14 @@ def release_caches() -> None:
     source-row cache, returning the session to an unpinned state."""
     from iceberg_trino_sql_demo_spark.operators import (
         dedup,
+        pipeline,
         relational,
         similarity,
         table_format_ops,
     )
 
     for lst in (
+        pipeline._BLOOM_PERSISTED,
         dedup._MINHASH_PERSISTED,
         dedup._SIMHASH_PERSISTED,
         dedup._PREF_PERSISTED,

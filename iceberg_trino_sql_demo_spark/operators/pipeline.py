@@ -371,16 +371,24 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-file blooms in sources/bloom.py, reduced mod a power-of-two m with
 # an odd stride so the probe family stays coprime).
 # ---------------------------------------------------------------------------
+#: persisted eval-shingle frame from the previous invocation (released on
+#: the next call or by operators.release_caches)
+_BLOOM_PERSISTED: list[DataFrame] = []
+
+
 @register("contamination_bloom_prefilter", oracle=_contamination_oracle())
 def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from iceberg_trino_sql_demo_spark.operators.dedup import shingle_hash_pairs
 
+    while _BLOOM_PERSISTED:
+        _BLOOM_PERSISTED.pop().unpersist()
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     eval_sh = shingle_hash_pairs(docs.where(is_eval)).select("h1", "h2").distinct()
     eval_sh.persist()
+    _BLOOM_PERSISTED.append(eval_sh)
     n_eval = eval_sh.count()  # one scalar to the driver (sizes the bitset)
 
     m_bits = max(1024, 1 << math.ceil(math.log2(n_eval * 10 + 1)))
