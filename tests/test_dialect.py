@@ -378,3 +378,81 @@ def test_listagg_and_filter_clause_shared(eng):
         "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f "
         "FROM orders WHERE o_orderkey <= 32 GROUP BY 1 ORDER BY 1",
     )
+
+
+# -- dialect differential fuzz ----------------------------------------------
+# The fixed dialect tests pin hand-picked translations; this property
+# test walks the mapped function space itself.  Each strategy leaf emits
+# a (trino_expr, duckdb_expr) PAIR of the same meaning; the Trino side
+# runs through Engine.sql's rewriter, the DuckDB side natively — any
+# translation drift (argument order, return type, case, 1-vs-0 basing)
+# surfaces on inputs nobody hand-picked.  All generated expressions are
+# deterministic (no float summation, single-op float math only).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def dialect_pair(draw):
+    kind = draw(st.sampled_from(
+        ["strpos", "hash", "codepoint", "dow", "doy", "date_add",
+         "truncate", "to_base", "bitwise", "split_part", "from_base_rt",
+         "any_match"]))
+    if kind == "strpos":
+        c = draw(st.sampled_from(["E", "-", "1", "Z"]))
+        return (f"strpos(o_orderpriority, '{c}')",
+                f"CAST(strpos(o_orderpriority, '{c}') AS BIGINT)")
+    if kind == "hash":
+        return ("lower(to_hex(md5(to_utf8(o_orderstatus))))",
+                "md5(o_orderstatus)")
+    if kind == "codepoint":
+        i = draw(st.integers(min_value=1, max_value=3))
+        return (f"codepoint(substr(o_orderpriority, {i}, 1))",
+                f"ascii(substr(o_orderpriority, {i}, 1))")
+    if kind == "dow":
+        return ("day_of_week(o_orderdate)", "CAST(isodow(o_orderdate) AS INT)")
+    if kind == "doy":
+        return ("day_of_year(o_orderdate)", "CAST(dayofyear(o_orderdate) AS INT)")
+    if kind == "date_add":
+        n = draw(st.integers(min_value=-30, max_value=30))
+        u = draw(st.sampled_from(["day", "hour"]))
+        return (f"date_add('{u}', {n}, o_orderdate)",
+                f"o_orderdate + INTERVAL ({n}) {u}")
+    if kind == "truncate":
+        k = draw(st.integers(min_value=2, max_value=9))
+        return (f"truncate(o_totalprice / {k})",
+                f"CAST(trunc(o_totalprice / {k}) AS DOUBLE)")
+    if kind == "to_base":
+        b, fmt = draw(st.sampled_from([(16, "%x"), (8, "%o")]))
+        return (f"to_base(o_orderkey, {b})", f"printf('{fmt}', o_orderkey)")
+    if kind == "bitwise":
+        m = draw(st.integers(min_value=1, max_value=255))
+        fn, op = draw(st.sampled_from(
+            [("bitwise_and", "&"), ("bitwise_or", "|")]))
+        return (f"{fn}(o_orderkey, {m})", f"o_orderkey {op} {m}")
+    if kind == "split_part":
+        i = draw(st.integers(min_value=1, max_value=2))
+        return (f"split_part(o_orderpriority, '-', {i})",
+                f"split_part(o_orderpriority, '-', {i})")
+    if kind == "from_base_rt":
+        b = draw(st.sampled_from([2, 8, 16]))
+        return (f"from_base(to_base(o_orderkey, {b}), {b})", "o_orderkey")
+    # any_match over a bounded sequence
+    j = draw(st.integers(min_value=1, max_value=8))
+    return (f"any_match(sequence(1, 5), x -> x > {j})",
+            f"len(list_filter(range(1, 6), x -> x > {j})) > 0")
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pair=dialect_pair())
+def test_dialect_translation_fuzz(eng, pair):
+    trino_expr, duck_expr = pair
+    _check(
+        eng,
+        f"SELECT o_orderkey, {trino_expr} AS v FROM orders "
+        "WHERE o_orderkey <= 100 ORDER BY o_orderkey",
+        f"SELECT o_orderkey, {duck_expr} AS v FROM orders "
+        "WHERE o_orderkey <= 100 ORDER BY o_orderkey",
+    )
