@@ -142,6 +142,53 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "join-backs run at collapsed cardinality and broadcast at audit "
         "scale.",
     ),
+    "contamination_bloom_prefilter": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        10,
+        "the BNLJ here is the INTENDED shape: a one-row broadcast carrying "
+        "the bloom bitset attaches to the shingle scan so the k-probe "
+        "membership test evaluates scan-side; survivors then take the "
+        "exact broadcast hash join.  Misses never shuffle — at 100 TB the "
+        "overlap join's input is the bloom's pass-rate fraction of the "
+        "corpus grams, and the broadcast is bits, not the exact set.",
+    ),
+    "split_leakage_safe": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        5,
+        "one hash aggregate on the 128-bit content hash elects the group "
+        "representative and the join back rides the SAME key, so the "
+        "second stage reuses the first exchange's partitioning; the "
+        "bucket CASE is a scan-side expression.",
+    ),
+    "text_bpe_merge_candidates": (
+        ["HashAggregate", "Generate", "TakeOrdered"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        6,
+        "word-frequency aggregate (map-side combined) -> global top-K "
+        "vocab cut planned as TakeOrdered (no full sort materialization) "
+        "-> char-pair Generate inside one codegen stage -> second "
+        "partial+final hash aggregate; both heavy stages are "
+        "map-side-combinable counts.",
+    ),
+    "source_temperature_resample": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        7,
+        "the single-partition window runs over the S-row source-count "
+        "aggregate (S = #sources), never data; the data-scale work is ONE "
+        "row_number window on source plus a broadcast quota join — the "
+        "md5 rank makes the quota cut a deterministic uniform sample.",
+    ),
+    "multimodal_payload_dedup": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        4,
+        "digest-early: md5 of the payload BYTES is computed scan-side, so "
+        "only 16-byte digests (never media blobs) enter the single "
+        "partial+final hash aggregate.",
+    ),
     "dedup_edit_distance_passjoin": (
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
