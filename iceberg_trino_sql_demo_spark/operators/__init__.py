@@ -123,6 +123,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_forget_user",
     "multimodal_payload_dedup",
     "text_bpe_merge_candidates",
+    "events_stream_full_outer",
     "contamination_bloom_prefilter",
     "text_quality_classifier",
     "source_temperature_resample",

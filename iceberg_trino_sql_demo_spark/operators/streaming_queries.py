@@ -229,6 +229,30 @@ def events_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_full_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+       AND c.ts <  p.ts
+    """,
+    bench=False,
+)
+def events_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — unmatched rows emit
+    NULL-padded from BOTH state stores under watermark finalization;
+    drained output equals the batch full join, which is the oracle.
+    See streaming/ingest.py:stream_full_outer_join."""
+    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_full_outer_join
+
+    return stream_full_outer_join(
+        spark, sf_dir, query_name=f"stream_foj_{uuid.uuid4().hex[:8]}"
+    )
+
+
+@register(
     "events_stream_chained_agg",
     oracle="""
     WITH b AS (

@@ -562,6 +562,74 @@ def stream_left_outer_join(
     return spark.table(query_name)
 
 
+def stream_full_outer_join(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_foj"
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: unmatched rows on BOTH
+    sides emit NULL-padded once the watermark proves no partner can
+    arrive — purchases with no preceding-hour click AND clicks no
+    purchase followed within the hour.
+
+    Same two traps, same fixes as the LEFT variant above: one watermark
+    assigned BEFORE the event-type split (per-side watermarks strand the
+    min-policy), and far-future flush files so the availableNow drain
+    finalizes BOTH state stores' tails (full outer parks unmatched rows
+    on both sides, so a stranded watermark silently loses rows from
+    each).  Flush rows carry negative ids on either side and are
+    NULL-safely filtered from the emitted frame."""
+    unit = events_ts_unit(sf_dir)
+    src_dir = _flushed_events_dir(sf_dir, unit)
+
+    base = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.timestamp_micros(ts_micros(unit)).alias("ets"),
+        )
+        .withWatermark("ets", "1 hour")
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ets").alias("p_ts"),
+    )
+    clicks = base.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ets").alias("c_ts"),
+    )
+    joined = (
+        purchases.join(
+            clicks,
+            F.expr(
+                "c_user = p_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts < p_ts"
+            ),
+            "fullOuter",
+        )
+        .where(
+            (F.col("p_id").isNull() | (F.col("p_id") >= 0))
+            & (F.col("c_id").isNull() | (F.col("c_id") >= 0))
+        )
+        .select(F.col("p_id").alias("purchase_id"), F.col("c_id").alias("click_id"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _drain(q, ckpt)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.table(query_name)
+
+
 def stream_chained_agg(
     spark: SparkSession, sf_dir: str, query_name: str = "stream_chain"
 ) -> DataFrame:
