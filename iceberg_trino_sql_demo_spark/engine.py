@@ -467,12 +467,27 @@ class Engine:
                     if c.strip()
                 ]
             cutoff_ms = None
-            if where:
+            part_filter = None
+            if where and "$file_modified_time" in where:
                 # "$file_modified_time" > <expr> — evaluate expr via Spark
                 expr = re.search(r">\s*(.*)$", where, _FLAGS).group(1)
                 expr = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", expr, flags=_FLAGS)
                 row = self.spark.sql(f"SELECT CAST({expr} AS TIMESTAMP)").head()
                 cutoff_ms = int(row[0].timestamp() * 1000)
+            elif where:
+                # partition-scoped optimize: col = literal [AND ...] —
+                # anything not of that exact shape is loud
+                part_filter = {}
+                for clause in re.split(r"\bAND\b", where, flags=_FLAGS):
+                    pm = re.fullmatch(r"\s*(\w+)\s*=\s*('[^']*'|-?\d+)\s*", clause)
+                    if not pm:
+                        raise ValueError(
+                            f"optimize WHERE: unsupported clause {clause!r} "
+                            "(identity-partition equality or "
+                            "$file_modified_time only)")
+                    val = pm.group(2)
+                    part_filter[pm.group(1)] = (
+                        val.strip("'") if val.startswith("'") else int(val))
             rewrite_dels = bool(re.search(
                 r"rewrite_deletes\s*=>\s*true", args or "", _FLAGS))
             t.optimize(
@@ -480,6 +495,7 @@ class Engine:
                 modified_after_ms=cutoff_ms,
                 zorder_by=zcols,
                 rewrite_deletes=rewrite_dels,
+                partition_filter=part_filter,
             )
         else:
             raise ValueError(f"unknown procedure {proc}")

@@ -1458,6 +1458,7 @@ class Table:
         modified_after_ms: int | None = None,
         zorder_by: list[str] | None = None,
         rewrite_deletes: bool = False,
+        partition_filter: dict[str, Any] | None = None,
     ) -> Snapshot | None:
         """EXECUTE optimize(file_size_threshold) [WHERE $file_modified_time]
         (reference :263, :267-268): bin-pack small files per partition.
@@ -1470,6 +1471,14 @@ class Table:
         data file is rewritten into files covering ranges of the Morton
         key over the named columns, so manifest min/max pruning serves
         predicates on ANY participating column.  See sources/zorder.py.
+
+        ``partition_filter={col: value}`` scopes the compaction to the
+        named identity partitions (``ALTER TABLE t EXECUTE optimize WHERE
+        mktsegment = 'X'`` — Trino's partition-scoped optimize): only
+        manifest entries whose partition tuple matches every pair are
+        candidates, decided from metadata alone.  Keys must be identity
+        partition fields of the current spec — transform fields
+        (year/bucket/truncate) raise rather than guessing value mapping.
 
         ``rewrite_deletes=True`` (Iceberg's delete-file-threshold shape)
         additionally rewrites every data file a position-delete file
@@ -1496,6 +1505,23 @@ class Table:
         ]
         if modified_after_ms is not None:
             cands = [f for f in cands if f.file_modified_ms > modified_after_ms]
+        if partition_filter:
+            # identity fields' partition-dict key IS the source column name
+            identity = set()
+            for sf in self.meta.spec.fields:
+                if parse_transform(sf.transform).name == "identity":
+                    identity.add(next(
+                        c.name for c in self.meta.schema.fields
+                        if c.id == sf.source_id))
+            bad = set(partition_filter) - identity
+            if bad:
+                raise ValueError(
+                    f"optimize WHERE: {sorted(bad)} are not identity "
+                    f"partition fields of the current spec ({sorted(identity)})")
+            cands = [
+                f for f in cands
+                if all(f.partition.get(k) == v for k, v in partition_filter.items())
+            ]
         # only partitions with >1 small file benefit — except delete-
         # targeted files, which are rewritten even alone (the point is
         # materializing the delete, not the packing)

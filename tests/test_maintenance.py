@@ -411,3 +411,41 @@ def test_forget_user_purges_disk(spark, tmp_path, sf_dir, t):
             if "n_nationkey" in cols:
                 vals = tbl.column(cols.index("n_nationkey")).to_pylist()
                 assert 9001 not in vals, f"purged key survives in {fn}"
+
+
+def test_optimize_partition_scoped(spark, tmp_path, sf_dir):
+    """ALTER TABLE t EXECUTE optimize WHERE <identity partition> = 'X':
+    only the named partition compacts; every other partition's files are
+    byte-identical (same paths); content unchanged."""
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE SCHEMA po")
+    eng.sql("USE po")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust.createOrReplaceTempView("cust_src")
+    eng.sql("CREATE TABLE pc WITH (partitioning = ARRAY['c_mktsegment']) "
+            "AS SELECT c_custkey, c_name, c_mktsegment FROM cust_src")
+    t = eng.catalog.table("pc")
+    # small-file inserts into two partitions
+    for i in range(3):
+        t.insert([{"c_custkey": 90000 + i, "c_name": f"A{i}",
+                   "c_mktsegment": "AUTOMOBILE"}])
+        t.insert([{"c_custkey": 91000 + i, "c_name": f"B{i}",
+                   "c_mktsegment": "BUILDING"}])
+    before = {f.path: f.partition for f in t.io.read_manifest(t._resolve()).data_files}
+    n_before = t.df().count()
+    seg = lambda fs, s: {p for p, part in fs.items() if part.get("c_mktsegment") == s}
+
+    eng.sql("ALTER TABLE pc EXECUTE optimize WHERE c_mktsegment = 'AUTOMOBILE'")
+    t = eng.catalog.table("pc")
+    after = {f.path: f.partition for f in t.io.read_manifest(t._resolve()).data_files}
+    # AUTOMOBILE compacted: fewer files, different paths
+    assert len(seg(after, "AUTOMOBILE")) < len(seg(before, "AUTOMOBILE"))
+    # every other partition untouched, path-for-path
+    for s in ("BUILDING", "MACHINERY", "HOUSEHOLD", "FURNITURE"):
+        assert seg(after, s) == seg(before, s), s
+    assert t.df().count() == n_before
+    # unknown / transform columns are loud
+    with pytest.raises(ValueError, match="identity"):
+        t.optimize(partition_filter={"c_name": "x"})
