@@ -124,6 +124,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_payload_dedup",
     "text_bpe_merge_candidates",
     "events_stream_full_outer",
+    "ann_filtered_topk",
     "contamination_bloom_prefilter",
     "text_quality_classifier",
     "source_temperature_resample",

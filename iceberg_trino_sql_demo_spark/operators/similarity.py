@@ -1098,3 +1098,63 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search — top-K among vectors whose DOCUMENT passes a
+# metadata predicate (lang = 'en').  The production question this answers
+# is pre- vs post-filtering: post-filtering (top-K first, filter after)
+# under-returns whenever the filter is selective — K survivors of a
+# filtered corpus are NOT the filtered survivors of a top-K — so the
+# exact semantics demand the predicate BEFORE the ranking.  Plan: the
+# metadata side reduces to a keep-set of ids joined to the vector scan
+# (broadcast while small, co-keyed equi-join at scale — never a filter
+# on the collected result), then the same staged-literal cosine and
+# TakeOrdered as the brute-force kernel.  At 100 TB with an IVF index
+# the same join applies per probed list; exactness here is what the
+# oracle pins.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    scored AS (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), (SELECT qe FROM q))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q))))
+             AS cosine
+        FROM embeddings e JOIN keep k ON k.doc_id = e.vec_id
+       WHERE e.vec_id != 0
+    )
+    SELECT vec_id, round(cosine, 6) AS cosine
+      FROM scored
+     ORDER BY cosine DESC, vec_id
+     LIMIT {K}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.session import table_path
+
+    qv = _query_vector(spark, sf_dir)
+    keep = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    cosine = _dot_lit("embedding", qv) / (
+        F.sqrt(_dot("embedding", "embedding")) * F.lit(_norm_lit(qv))
+    )
+    return (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") != 0)
+        .join(F.broadcast(keep), "vec_id")
+        .select("vec_id", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(K)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+    )
