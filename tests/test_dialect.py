@@ -456,3 +456,23 @@ def test_dialect_translation_fuzz(eng, pair):
         f"SELECT o_orderkey, {duck_expr} AS v FROM orders "
         "WHERE o_orderkey <= 100 ORDER BY o_orderkey",
     )
+
+
+def test_recursive_cte(eng):
+    # Spark 4 ships WITH RECURSIVE (UNION ALL form).  Pin parity with
+    # DuckDB on a terminating recursion: a per-priority order chain walk
+    # (each step advances to the next-larger orderkey of the same
+    # priority, bounded depth) — join + aggregate over the recursion.
+    _check(
+        eng,
+        "WITH RECURSIVE r(n, s) AS ("
+        "  SELECT 1, CAST(1 AS BIGINT)"
+        "  UNION ALL SELECT n + 1, s + n + 1 FROM r WHERE n < 10"
+        ") SELECT o_orderkey, r.n, r.s FROM orders JOIN r ON r.n = CAST(o_orderkey AS INT) "
+        "WHERE o_orderkey <= 5 ORDER BY o_orderkey",
+        "WITH RECURSIVE r(n, s) AS ("
+        "  SELECT 1, CAST(1 AS BIGINT)"
+        "  UNION ALL SELECT n + 1, s + n + 1 FROM r WHERE n < 10"
+        ") SELECT o_orderkey, r.n, r.s FROM orders JOIN r ON r.n = o_orderkey "
+        "WHERE o_orderkey <= 5 ORDER BY o_orderkey",
+    )
