@@ -1158,3 +1158,189 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(K)
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Range search — ALL neighbors within a cosine radius of each probe, the
+# retrieval mode dedup/contamination pipelines actually run ("give me every
+# candidate above τ", not a fixed k).  Semantics differ from ann_knn_join
+# in the way that matters at scale: there is NO per-query ranking window —
+# the kernel is one corpus scan + a filter, embarrassingly parallel with
+# zero shuffles after the scan (TakeOrdered/window never appears).
+#
+# Plan shape: probe set collected driver-side (scalar cardinality, same
+# class as _query_vector), inlined as staged literal dot columns (the
+# janino-safe two-projection pattern from ann_topk_lsh), exploded to
+# (q_id, cosine) pairs, filtered on the 6-decimal-ROUNDED cosine so the
+# τ boundary cannot flip on a last-ulp libm divergence (the rounding rule
+# the whole cosine family uses).  At 100 TB the same sign-LSH bucket
+# prefilter as ann_topk_lsh composes in front (scan only hamming-radius
+# buckets per probe); the exact scan is the recall baseline.
+# ---------------------------------------------------------------------------
+_RANGE_MOD = 101  # probe set: vec_id % 101 == 0 (deterministic both engines)
+_RANGE_TAU = 0.25
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, e AS qe FROM base WHERE vec_id % {_RANGE_MOD} = 0
+    ),
+    scored AS (
+      SELECT q.q_id, b.vec_id,
+             round(list_dot_product(b.e, q.qe)
+                   / (sqrt(list_dot_product(b.e, b.e))
+                      * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+        FROM base b CROSS JOIN q
+       WHERE b.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, cosine
+      FROM scored
+     WHERE cosine >= {_RANGE_TAU}
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    qrows = (
+        e.where(F.col("vec_id") % _RANGE_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = sorted((int(r[0]), [float(x) for x in r[1]]) for r in qrows)
+    for _, vec in qs:
+        if len(vec) != _DIM:
+            raise ValueError(
+                f"embeddings dim changed: data has {len(vec)}, engine built "
+                f"for {_DIM} — update similarity._DIM"
+            )
+    # stage 1: per-probe dots + self-norm as separate top-level expressions
+    # (separate codegen methods); stage 2 assembles, explodes, filters —
+    # no persist needed: single pass, nothing is re-read
+    scored = e.select(
+        "vec_id",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+        *[_dot_lit("embedding", vec).alias(f"d{i}") for i, (_, vec) in enumerate(qs)],
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("q_id"),
+                    F.round(
+                        F.col(f"d{i}") / (F.col("nrm") * F.lit(_norm_lit(vec))), 6
+                    ).alias("cosine"),
+                )
+                for i, (qid, vec) in enumerate(qs)
+            ]
+        )
+    )
+    return (
+        scored.select("vec_id", pairs.alias("p"))
+        .select("p.q_id", "vec_id", "p.cosine")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .where(F.col("cosine") >= F.lit(_RANGE_TAU))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier filter — per-label centroid-distance curation: within
+# each label, flag the rows farthest from the label centroid (mislabeled /
+# junk candidates a curation pipeline drops before training).
+#
+# Exactness: the centroid is never materialized as floats.  Components are
+# quantized to integer micros per row FIRST (the kmeans_iteration_stats
+# rule: integer sums are order-independent, float sums are not), then for
+# row x in a label with n rows and per-position component sums S:
+#     n^2 * ||x - S/n||^2  =  Σ_pos (n·x_pos − S_pos)²
+# — all-integer, computed in decimal(38,0)/HUGEINT (a long accumulator
+# would wrap: at sf0.1 the per-position term reaches ~2.5e17 and 64
+# positions sum past 9.2e18 — the events_anomaly_zscore lesson).
+# Flag rule is integer too: rnk * 20 <= n  (top 5%, ties by vec_id).
+#
+# Plan shape / 100 TB: posexplode -> (label,pos) hash-agg (map-side
+# combine; output is labels×dim rows — tiny), broadcast back onto the
+# exploded frame, (vec_id) hash-agg for the distance, one window per
+# label for the rank.  Shuffle keys are (label,pos) and label — fixed
+# width, bounded cardinality; the window's partition count equals the
+# label count, which is fine for classifier-style label spaces (for
+# unbounded label spaces the flag threshold composes with approx
+# quantiles instead of a rank window).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_outlier_filter",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE)
+                        * 1000000) AS BIGINT) AS xq
+        FROM embeddings
+    ),
+    sums AS (
+      SELECT label, pos,
+             CAST(SUM(xq) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS HUGEINT) AS n
+        FROM comp GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT c.vec_id, c.label,
+             SUM((s.n * c.xq - s.s) * (s.n * c.xq - s.s)) AS d2,
+             MAX(s.n) AS n
+        FROM comp c JOIN sums s ON s.label = c.label AND s.pos = c.pos
+       GROUP BY c.vec_id, c.label
+    ),
+    ranked AS (
+      SELECT vec_id, label,
+             CAST(row_number() OVER (PARTITION BY label
+                                     ORDER BY d2 DESC, vec_id ASC) AS INT)
+                 AS outlier_rank,
+             n
+        FROM dist
+    )
+    SELECT vec_id, label, outlier_rank
+      FROM ranked
+     WHERE outlier_rank * 20 <= n
+    """,
+)
+def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d38 = "decimal(38,0)"
+    comp = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        # DuckDB generate_subscripts is 1-based; align
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+    )
+    sums = comp.groupBy("label", "pos").agg(
+        F.sum("xq").cast(d38).alias("s"),
+        F.count(F.lit(1)).cast(d38).alias("n"),
+    )
+    term = F.col("n") * F.col("xq").cast(d38) - F.col("s")
+    dist = (
+        comp.join(F.broadcast(sums), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term * term).alias("d2"), F.max("n").alias("n"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        dist.select(
+            "vec_id",
+            "label",
+            F.row_number().over(w).alias("outlier_rank"),
+            "n",
+        )
+        .where(F.col("outlier_rank").cast(d38) * 20 <= F.col("n"))
+        .select("vec_id", "label", "outlier_rank")
+    )

@@ -801,3 +801,93 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight"), "sym_a", "sym_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate — the tokenizer-coverage check every pipeline runs before
+# committing to a vocab: fix the top-K corpus terms as "the tokenizer
+# vocabulary", then measure each document's out-of-vocabulary token rate
+# and flag docs above a threshold (candidates for vocab retraining or
+# exclusion).  Distinct from vocab_top_terms (corpus-level inventory) and
+# text_quality (stopword/diversity ratios): this is per-doc coverage
+# against a FIXED top-K cut.
+#
+# Exactness: counts are integers; the rate is reported as an exact integer
+# permille (1000 * oov DIV tokens) so no float boundary can flip the flag.
+# The vocab cut is deterministic (freq DESC, term ASC, LIMIT K) on both
+# engines.
+#
+# Plan shape / 100 TB: explode -> (term) hash-agg for the vocab (map-side
+# combine; output is K rows, broadcast back), then explode -> LEFT
+# broadcast-join against the K-row vocab -> (doc_id) hash-agg.  Two scans
+# of documents, zero wide shuffles beyond the per-doc aggregate; the vocab
+# never exceeds K rows regardless of corpus size.  Reference analog: the
+# reference has no text ops — this extends the engine for LLM curation
+# (assignment brief), mirroring tokenizer-coverage audits in public
+# pipelines (e.g. BPE vocab coverage checks).
+# ---------------------------------------------------------------------------
+_OOV_VOCAB_K = 16
+_OOV_FLAG_PERMILLE = 60
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (
+      SELECT t AS term
+        FROM tok WHERE t != ''
+       GROUP BY t
+       ORDER BY count(*) DESC, term ASC
+       LIMIT {_OOV_VOCAB_K}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(1000 * sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS oov_permille,
+           CASE WHEN 1000 * sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                     > {_OOV_FLAG_PERMILLE} * count(*)
+                THEN 1 ELSE 0 END AS flag_high_oov
+      FROM tok LEFT JOIN vocab v ON tok.t = v.term
+     WHERE tok.t != ''
+     GROUP BY doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    vocab = (
+        toks.groupBy(F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(_OOV_VOCAB_K)
+        .select("term")
+    )
+    joined = toks.join(
+        F.broadcast(vocab), toks["t"] == vocab["term"], "left"
+    )
+    oov = F.sum(F.when(F.col("term").isNull(), 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    return (
+        joined.groupBy("doc_id")
+        .agg(n.alias("n_tokens"), oov.alias("n_oov"))
+        # integer DIV and an integer-cross-multiplied flag: no float
+        # boundary anywhere (the oracle uses // and the same cross-multiply)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("1000 * n_oov DIV n_tokens").alias("oov_permille"),
+            F.expr(
+                f"CASE WHEN 1000 * n_oov > {_OOV_FLAG_PERMILLE} * n_tokens "
+                "THEN 1 ELSE 0 END"
+            ).alias("flag_high_oov"),
+        )
+    )
