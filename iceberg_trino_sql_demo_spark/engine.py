@@ -781,6 +781,8 @@ _TRINO_FN_RENAMES = {
     # Trino repeat(element, count) builds an ARRAY (its string-repeat does
     # not exist), so the token unambiguously means array_repeat here
     "repeat": "array_repeat",
+    # Trino chr(codepoint) is Spark's char
+    "chr": "char",
 }
 
 #: simple argument: any sequence of quote-free text (no parens/commas)
@@ -946,6 +948,15 @@ def _translate_trino_functions(s: str) -> str:
     s = _rewrite_calls(s, "map_agg", lambda a: (
         f"map_from_entries(array_sort(collect_list(struct({a[0]}, {a[1]}))))"
         if len(a) == 2 else None))
+    # -- tier 4 ------------------------------------------------------------
+    # Trino 2-arg regexp_replace DELETES matches; Spark's needs the
+    # explicit empty replacement (3-arg form passes through by name)
+    s = _rewrite_calls(s, "regexp_replace", lambda a: (
+        f"regexp_replace({a[0]}, {a[1]}, '')" if len(a) == 2 else None))
+    # infinity()/nan() -> double literals via cast (Spark has no niladic
+    # forms; the string casts fold to constants at analysis)
+    s = re.sub(r"\binfinity\s*\(\s*\)", "CAST('Infinity' AS DOUBLE)", s, flags=_FLAGS)
+    s = re.sub(r"\bnan\s*\(\s*\)", "CAST('NaN' AS DOUBLE)", s, flags=_FLAGS)
     # bare CAST type names: Trino's unsized VARCHAR/VARBINARY are
     # Spark's STRING/BINARY (Spark demands a size on VARCHAR)
     s = re.sub(r"\bAS\s+VARCHAR\s*([),])", r"AS STRING\1", s, flags=_FLAGS)
@@ -963,6 +974,14 @@ def _translate_trino_functions(s: str) -> str:
     # ROW(a, b) -> struct(a, b) (field names differ: Trino's are
     # anonymous, Spark derives col1/col2 — positional access agrees)
     s = re.sub(r"\bROW\s*\(", "struct(", s, flags=_FLAGS)
+    # ngrams(arr, n) -> sliding slices; Trino emits max(len-n+1, 1) grams
+    # (an array shorter than n yields one truncated gram), which is
+    # exactly the greatest(..., 1) bound — slice() past the end shortens.
+    # AFTER the ARRAY[...] constructor rewrite: bracketed array literals
+    # carry top-level commas the balanced-call splitter doesn't group.
+    s = _rewrite_calls(s, "ngrams", lambda a: (
+        f"transform(sequence(1, greatest(size({a[0]}) - ({a[1]}) + 1, 1)), "
+        f"i -> slice({a[0]}, i, {a[1]}))" if len(a) == 2 else None))
     # TABLESAMPLE BERNOULLI(p) / SYSTEM(p) -> Spark's row-Bernoulli
     # percent sampler (Spark has no block sampling; BERNOULLI is exact
     # semantics, SYSTEM a coarser superset the row sampler satisfies)

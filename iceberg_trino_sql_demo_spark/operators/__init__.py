@@ -117,6 +117,12 @@ def register(
 #: 50-query window; pytest oracle parity still covers it every round.
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
+    "text_oov_rate",
+    "ann_range_search",
+    "embedding_outlier_filter",
+    "dedup_cross_source_matrix",
+    "events_stream_static_enrich",
+    "trino_dialect_tier4",
     "trino_dialect_tier3",
     "ice_add_files",
     "ice_wap_publish",

@@ -2197,3 +2197,91 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source content-overlap matrix — the source-pair redundancy report a
+# mixture-design pass runs before setting per-source sampling weights:
+# for every pair of sources, how many distinct shingle identities do they
+# share, and what is the set-level jaccard?  High-overlap pairs indicate
+# mirrored / syndicated content whose combined weight should be discounted
+# (the corpus-level complement of per-doc near-dedup).
+#
+# Reuses the SHARED hashed-shingle pipeline (hash-early, DF-capped,
+# persisted once per corpus — the same `sh` identity the jaccard/minhash
+# family and their oracles use), so the matrix is oracle-checked end to
+# end and costs nothing extra to stand up when the dedup family already
+# ran.  Exactness: counts are integers; jaccard is reported as an exact
+# integer permille (1000*shared DIV union).
+#
+# Plan shape / 100 TB: sh ⋈ docs on doc_id (one fact shuffle), distinct
+# (source, ha, hb) with map-side partial, then a self-equi-join on the
+# two long halves.  Fan-out per shingle identity is bounded by the DF cap
+# (a shingle in ≤max_df docs appears in ≤max_df sources), so candidate
+# pairs per shingle are ≤max_df² regardless of corpus size — the same
+# blocking argument the jaccard operator's scaling table measures.  The
+# output is |sources|²/2 rows, aggregated with map-side combine on a
+# two-string key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH {_hsh_capped("SELECT doc_id, text FROM documents")},
+    srcsh AS (
+      SELECT DISTINCT d.source, s.ha, s.hb
+        FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM srcsh GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+        FROM srcsh a
+        JOIN srcsh b ON a.ha = b.ha AND a.hb = b.hb AND a.source < b.source
+       GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           CAST(1000 * p.n_shared // (x.n + y.n - p.n_shared) AS BIGINT)
+               AS jaccard_permille
+      FROM pairs p
+      JOIN sizes x ON x.source = p.source_a
+      JOIN sizes y ON y.source = p.source_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = hashed_shingles(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    srcsh = sh.join(src, "doc_id").select("source", "ha", "hb").distinct()
+    sizes = srcsh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = srcsh.alias("a")
+    b = srcsh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ha") == F.col("b.ha"))
+            & (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sx = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sy = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sx), "source_a")
+        .join(F.broadcast(sy), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr("1000 * n_shared DIV (n_a + n_b - n_shared)").alias(
+                "jaccard_permille"
+            ),
+        )
+    )

@@ -2573,3 +2573,57 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(w).alias("pct_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trino-dialect tier-4 round-trip (frontend breadth, driver-gated): TRINO
+# SQL through Engine.sql exercising the tier-4 rewrites — ngrams (sliding
+# slices with Trino's max(len-n+1, 1) gram count), chr -> char, 2-arg
+# regexp_replace (delete-matches; Spark/Trino both replace ALL matches,
+# DuckDB needs the explicit 'g' flag), infinity() in a dead CASE branch —
+# plus natively-shared higher-order reduce with a finisher lambda.  The
+# oracle is written in native DuckDB (its reduce/ngrams shapes differ, so
+# equivalent expressions stand in).  Aggregates are count/max only — no
+# float summation boundary; the plan is one hash aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "trino_dialect_tier4",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(len(string_split(text, ' ')) - 1) AS BIGINT) AS max_bigrams,
+           chr(CAST(65 + max(len(text)) % 26 AS INTEGER)) AS len_char,
+           max(regexp_replace(source, '[0-9]', '', 'g')) AS src_alpha,
+           CAST(max(len(replace(text, ' ', ''))) AS BIGINT) AS max_nonspace,
+           CASE WHEN count(*) > 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE 'Infinity'::DOUBLE END AS inf_guard
+      FROM documents
+     GROUP BY 1
+     ORDER BY 1
+    """,
+)
+def trino_dialect_tier4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    eng = Engine(spark, tempfile.mkdtemp(prefix="dialect_wh_"))
+    return eng.sql(
+        """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(cardinality(ngrams(split(text, ' '), 2))) AS BIGINT)
+                   AS max_bigrams,
+               chr(65 + max(length(text)) % 26) AS len_char,
+               max(regexp_replace(source, '[0-9]')) AS src_alpha,
+               CAST(max(reduce(split(text, ' '), 0,
+                               (s, x) -> s + length(x), s -> s)) AS BIGINT)
+                   AS max_nonspace,
+               CASE WHEN count(*) > 0 THEN 0.0E0 ELSE infinity() END
+                   AS inf_guard
+          FROM documents
+         GROUP BY 1
+         ORDER BY 1
+        """
+    )

@@ -276,3 +276,28 @@ def events_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_chained_agg(
         spark, sf_dir, query_name=f"stream_chain_{uuid.uuid4().hex[:8]}"
     )
+
+
+@register(
+    "events_stream_static_enrich",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events e
+      JOIN customer c ON c.c_custkey = e.user_id
+     GROUP BY 1, 2
+    """,
+    bench=False,
+)
+def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (dim lookup inside a streaming
+    plan, zero join state) feeding a watermarked tumbling aggregate; after
+    the availableNow drain the result equals the batch join+group — the
+    oracle."""
+    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_static_enrich
+
+    return stream_static_enrich(
+        spark, sf_dir, query_name=f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    )

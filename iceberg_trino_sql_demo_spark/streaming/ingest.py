@@ -711,3 +711,69 @@ def stream_chained_agg(
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
     return spark.table(query_name)
+
+
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_enrich"
+) -> DataFrame:
+    """Stream-static join: the event stream enriched with a STATIC
+    dimension (customer → market segment) before a watermarked tumbling
+    aggregate per (hour, segment).
+
+    The static side is a batch DataFrame joined into a streaming plan —
+    Spark re-plans it per micro-batch with no state: this is the
+    zero-state enrichment shape (dim lookup) every streaming pipeline
+    runs, distinct from the stream-stream interval joins (state-bounded
+    by watermarks) already covered.  The dim is broadcast: per-batch it
+    ships once per executor and the join never shuffles the stream side.
+    At 100 TB/day the same plan holds — the dim's size, not the stream's,
+    bounds the broadcast; for dims past broadcast scale the join falls
+    back to a shuffled stream-batch join, still stateless.
+
+    After the availableNow drain the emitted aggregate equals the batch
+    join+group — which is exactly the registered oracle.
+    """
+    unit = events_ts_unit(sf_dir)
+    dim = (
+        spark.read.parquet(table_path(sf_dir, "customer"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    with pinned_conf(spark, {"spark.sql.session.timeZone": "UTC"}):
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        df = (
+            src.withColumn("ts", F.timestamp_micros(ts_micros(unit)))
+            .withWatermark("ts", "2 hours")
+            .join(F.broadcast(dim), "user_id")
+        )
+        agg = (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                decimal_sum(F.col("value"), "total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "segment",
+                "n_events",
+                "total_value",
+            )
+        )
+        ckpt = tempfile.mkdtemp(prefix="ckpt_")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q, ckpt)
+    return spark.table(query_name)

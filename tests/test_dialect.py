@@ -398,7 +398,7 @@ def dialect_pair(draw):
     kind = draw(st.sampled_from(
         ["strpos", "hash", "codepoint", "dow", "doy", "date_add",
          "truncate", "to_base", "bitwise", "split_part", "from_base_rt",
-         "any_match"]))
+         "any_match", "chr_rt", "ngrams", "regexp_del"]))
     if kind == "strpos":
         c = draw(st.sampled_from(["E", "-", "1", "Z"]))
         return (f"strpos(o_orderpriority, '{c}')",
@@ -438,6 +438,20 @@ def dialect_pair(draw):
     if kind == "from_base_rt":
         b = draw(st.sampled_from([2, 8, 16]))
         return (f"from_base(to_base(o_orderkey, {b}), {b})", "o_orderkey")
+    if kind == "chr_rt":
+        # printable ASCII codepoints round-trip through chr/codepoint
+        cp = draw(st.integers(min_value=33, max_value=126))
+        return (f"codepoint(chr({cp} + 0 * o_orderkey))", f"CAST({cp} AS INT)")
+    if kind == "ngrams":
+        n = draw(st.integers(min_value=1, max_value=4))
+        # gram count over a 3-token split: max(3 - n + 1, 1)
+        return (f"cardinality(ngrams(split(o_orderpriority, '-'), {n}))",
+                f"CAST(greatest(len(string_split(o_orderpriority, '-')) "
+                f"- {n} + 1, 1) AS BIGINT)")
+    if kind == "regexp_del":
+        cls = draw(st.sampled_from(["[0-9]", "[A-Z]", "[-]"]))
+        return (f"regexp_replace(o_orderpriority, '{cls}')",
+                f"regexp_replace(o_orderpriority, '{cls}', '', 'g')")
     # any_match over a bounded sequence
     j = draw(st.integers(min_value=1, max_value=8))
     return (f"any_match(sequence(1, 5), x -> x > {j})",
@@ -475,4 +489,62 @@ def test_recursive_cte(eng):
         "  UNION ALL SELECT n + 1, s + n + 1 FROM r WHERE n < 10"
         ") SELECT o_orderkey, r.n, r.s FROM orders JOIN r ON r.n = o_orderkey "
         "WHERE o_orderkey <= 5 ORDER BY o_orderkey",
+    )
+
+
+# -- tier 4 -------------------------------------------------------------------
+
+def test_ngrams_sliding_slices(eng):
+    # Trino ngrams: max(len-n+1, 1) grams; short arrays yield ONE
+    # (truncated) gram
+    _check(
+        eng,
+        "SELECT o_orderkey, ngrams(ARRAY['a','b','c'], 2) AS g2, "
+        "ngrams(ARRAY['a'], 3) AS g_short "
+        "FROM orders WHERE o_orderkey = 1",
+        "SELECT o_orderkey, [['a','b'],['b','c']] AS g2, [['a']] AS g_short "
+        "FROM orders WHERE o_orderkey = 1",
+    )
+
+
+def test_chr_and_infinity_nan(eng):
+    _check(
+        eng,
+        "SELECT o_orderkey, chr(65 + CAST(o_orderkey AS INTEGER)) AS c, "
+        "CASE WHEN o_orderkey > 0 THEN 0.0E0 ELSE infinity() END AS guard, "
+        "is_nan(CASE WHEN o_orderkey > 0 THEN nan() ELSE 0.0E0 END) AS isn "
+        "FROM orders WHERE o_orderkey <= 3 ORDER BY o_orderkey",
+        "SELECT o_orderkey, chr(CAST(65 + o_orderkey AS INTEGER)) AS c, "
+        "CASE WHEN o_orderkey > 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE 'Infinity'::DOUBLE END AS guard, "
+        "isnan(CASE WHEN o_orderkey > 0 THEN 'NaN'::DOUBLE "
+        "ELSE CAST(0.0 AS DOUBLE) END) AS isn "
+        "FROM orders WHERE o_orderkey <= 3 ORDER BY o_orderkey",
+    )
+
+
+def test_regexp_replace_two_arg_deletes_all(eng):
+    # Trino 2-arg regexp_replace deletes ALL matches; DuckDB needs the
+    # explicit '' replacement AND the 'g' flag for the same semantics
+    _check(
+        eng,
+        "SELECT o_orderpriority AS p, "
+        "regexp_replace(o_orderpriority, '[0-9-]') AS alpha "
+        "FROM orders WHERE o_orderkey = 1",
+        "SELECT o_orderpriority AS p, "
+        "regexp_replace(o_orderpriority, '[0-9-]', '', 'g') AS alpha "
+        "FROM orders WHERE o_orderkey = 1",
+    )
+
+
+def test_reduce_with_finisher_shared(eng):
+    # Trino reduce(array, state, input, output) parses natively in Spark 4
+    # (same 4-arg higher-order form) — pinned as a no-rewrite dependency
+    _check(
+        eng,
+        "SELECT o_orderkey, reduce(split(o_orderpriority, '-'), 0, "
+        "(s, x) -> s + length(x), s -> s) AS total_len "
+        "FROM orders WHERE o_orderkey <= 3 ORDER BY o_orderkey",
+        "SELECT o_orderkey, len(replace(o_orderpriority, '-', '')) AS total_len "
+        "FROM orders WHERE o_orderkey <= 3 ORDER BY o_orderkey",
     )
