@@ -1179,6 +1179,9 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _RANGE_MOD = 101  # probe set: vec_id % 101 == 0 (deterministic both engines)
 _RANGE_TAU = 0.25
+#: probe-count ceiling for the staged-literal branch; larger probe sets
+#: (scaled corpora under the % rule) take the batched-GEMM branch
+_RANGE_LITERAL_MAX = 32
 
 
 @register(
@@ -1217,6 +1220,46 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"embeddings dim changed: data has {len(vec)}, engine built "
                 f"for {_DIM} — update similarity._DIM"
             )
+    if len(qs) > _RANGE_LITERAL_MAX:
+        # scale branch (probe set grows with the corpus under the % rule):
+        # inlining q probes as literal dot columns builds a q×DIM-term
+        # projection — fine to ~32 probes, pathological past it (plan size
+        # and codegen grow with q).  Beyond the cap, score a whole Arrow
+        # batch against ALL probes with one numpy GEMM per batch — same
+        # no-shuffle shape (scan -> mapInPandas -> filter), same rounded-
+        # cosine contract; only activates beyond oracle scale (same
+        # convention as the IVF/PQ/semantic GEMM branches; np.round is
+        # half-even vs Spark's HALF_UP — indistinguishable off the exact
+        # 5e-7 boundary, and this branch is never oracle-compared).
+        import numpy as np
+        import pandas as pd
+
+        Q = np.array([vec for _, vec in qs], dtype=np.float64)
+        qids = np.array([qid for qid, _ in qs], dtype=np.int64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+
+        def score_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                vn = np.sqrt((V * V).sum(axis=1))
+                C = np.round((V @ Q.T) / (vn[:, None] * qn[None, :]), 6)
+                vid = pdf["vec_id"].to_numpy()
+                ii, jj = np.nonzero(C >= _RANGE_TAU)
+                keep = vid[ii] != qids[jj]
+                yield pd.DataFrame(
+                    {
+                        "q_id": qids[jj][keep],
+                        "vec_id": vid[ii][keep],
+                        "cosine": C[ii, jj][keep],
+                    }
+                )
+
+        p = spark.sparkContext.defaultParallelism
+        return e.select("vec_id", "embedding").repartition(p).mapInPandas(
+            score_batches, "q_id long, vec_id long, cosine double"
+        )
     # stage 1: per-probe dots + self-norm as separate top-level expressions
     # (separate codegen methods); stage 2 assembles, explodes, filters —
     # no persist needed: single pass, nothing is re-read

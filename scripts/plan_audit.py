@@ -189,6 +189,44 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "only 16-byte digests (never media blobs) enter the single "
         "partial+final hash aggregate.",
     ),
+    "text_oov_rate": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+        6,
+        "the top-K vocab cut plans as TakeOrdered over the term aggregate "
+        "(never a global sort), broadcasts its K rows into a left join on "
+        "the token stream, and the per-doc rollup is one partial+final "
+        "hash aggregate — the vocab side is K rows at any corpus size.",
+    ),
+    "embedding_outlier_filter": (
+        ["Window", "BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+        7,
+        "the (label, pos) component-sum aggregate is labels x dim rows — "
+        "broadcast back onto the exploded components; the distance rollup "
+        "is one (vec_id, label) hash aggregate and the 5%-flag is a "
+        "per-label rank window, so no stage ever keys on anything wider "
+        "than (label, pos).",
+    ),
+    "ann_range_search": (
+        ["Generate"],
+        ["Exchange", "Window", "CartesianProduct", "SortMergeJoin"],
+        0,
+        "range semantics need no ranking: scan -> staged literal dots -> "
+        "explode -> filter, ZERO shuffles — embarrassingly parallel at "
+        "any corpus size (the >32-probe GEMM branch keeps the same "
+        "shape).",
+    ),
+    "dedup_cross_source_matrix": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        10,
+        "per-source shingle sets distinct on (source, ha, hb) with "
+        "map-side partial, self-equi-join on the two long halves (pair "
+        "fan-out per shingle bounded by the DF cap), and a two-string-key "
+        "final aggregate of |sources|^2/2 groups; the size join is two "
+        "broadcasts of the S-row per-source counts.",
+    ),
     "dedup_edit_distance_passjoin": (
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],

@@ -75,6 +75,15 @@ FAMILY = [
     "url_normalize_dedup",
     "source_temperature_resample",
     "training_corpus_select",
+    # r5 batch-5: the source-pair overlap matrix (pair fan-out bounded by
+    # the DF cap regardless of corpus size), tokenizer-coverage OOV scan
+    # (two scans + keyed agg), range search (no-window probe-batch scan;
+    # the GEMM branch engages past 32 probes), and the per-label
+    # centroid-distance filter (label×dim agg + one label window)
+    "dedup_cross_source_matrix",
+    "text_oov_rate",
+    "ann_range_search",
+    "embedding_outlier_filter",
 ]
 
 DIAG = {

@@ -443,3 +443,24 @@ def test_relational_family_scales_linearly(spark, scaled_rel):
             warm[d] = min(runs)
         assert warm[big] <= max(8 * warm[base], warm[base] + 2.0), (
             name, warm)
+
+
+def test_range_search_gemm_branch_matches_literal_branch(spark, sf_dir, monkeypatch):
+    """ann_range_search's batched-GEMM branch (probe sets past the
+    staged-literal ceiling) must produce the same (q_id, vec_id) pair set
+    as the literal branch, with cosines agreeing to the rounding grain —
+    forced here by dropping the literal ceiling to zero."""
+    from iceberg_trino_sql_demo_spark.operators import similarity as sim
+
+    lit = {
+        (r.q_id, r.vec_id): r.cosine
+        for r in sim.ann_range_search(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(sim, "_RANGE_LITERAL_MAX", 0)
+    gemm = {
+        (r.q_id, r.vec_id): r.cosine
+        for r in sim.ann_range_search(spark, sf_dir).collect()
+    }
+    assert set(lit) == set(gemm)
+    for k, v in lit.items():
+        assert abs(v - gemm[k]) <= 1e-6, (k, v, gemm[k])
