@@ -399,9 +399,12 @@ class Engine:
     def _h_merge(self, m: re.Match) -> None:
         tgt, _ta, src, sa, on, rest = m.groups()
         src_df = self._select(f"SELECT * FROM {src}")
+        # clause conditions are tempered to never cross a THEN — a lazy
+        # (.*?) would otherwise swallow a preceding/following clause when
+        # the statement carries BOTH a MATCHED DELETE and a MATCHED UPDATE
         mm = re.search(
-            r"WHEN\s+MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+UPDATE\s+SET\s+(.*?)"
-            r"(?:WHEN\s+NOT\s+MATCHED|$)", rest, _FLAGS)
+            r"WHEN\s+MATCHED(?:\s+AND\s+((?:(?!\bTHEN\b).)*?))?\s+THEN\s+UPDATE\s+SET\s+(.*?)"
+            r"(?:WHEN\s+(?:NOT\s+)?MATCHED|$)", rest, _FLAGS)
         matched_set, matched_cond = {}, None
         if mm:
             if mm.group(1):
@@ -411,6 +414,26 @@ class Engine:
                 col, expr = part.split("=", 1)
                 expr = re.sub(rf"\b{sa}\.(\w+)", r"__src_\1", expr.strip())
                 matched_set[col.strip().split(".")[-1]] = expr
+        # multi-clause form: WHEN MATCHED AND cond THEN DELETE (the clause
+        # precedes the UPDATE clause in statement order — first match wins)
+        md = re.search(
+            r"WHEN\s+MATCHED(?:\s+AND\s+((?:(?!\bTHEN\b).)*?))?\s+THEN\s+DELETE",
+            rest, _FLAGS)
+        matched_del = None
+        if md and mm and mm.start() < md.start():
+            # first-match-wins: the engine evaluates the delete clause
+            # before the update clause, so only the DELETE-first statement
+            # order is faithful — refuse the other loudly rather than
+            # silently deleting rows the statement would have updated
+            raise ValueError(
+                "MERGE: WHEN MATCHED ... THEN DELETE must precede the "
+                "WHEN MATCHED ... THEN UPDATE clause (first-match-wins; "
+                "the engine applies the delete clause first)"
+            )
+        if md:
+            matched_del = md.group(1) or "true"
+            matched_del = re.sub(rf"\b{sa}\.(\w+)", r"__src_\1", matched_del)
+            matched_del = re.sub(r"\b\w+\.(\w+)", r"\1", matched_del)
         key = re.search(r"\(?\s*\w+\.(\w+)\s*=", on).group(1)
         by_source_delete = bool(re.search(
             r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE", rest, _FLAGS))
@@ -418,6 +441,7 @@ class Engine:
             r"WHEN\s+NOT\s+MATCHED(?!\s+BY\s+SOURCE)", rest, _FLAGS))
         self._table(tgt).merge(src_df, on=key, matched_set=matched_set,
                                matched_condition=matched_cond,
+                               matched_delete_condition=matched_del,
                                insert_not_matched=insert_not_matched,
                                delete_not_matched_by_source=by_source_delete)
 

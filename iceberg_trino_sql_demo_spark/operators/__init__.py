@@ -117,6 +117,9 @@ def register(
 #: 50-query window; pytest oracle parity still covers it every round.
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
+    "events_heavy_hitters_cms",
+    "events_user_triangles",
+    "ice_merge_multi_clause",
     "text_oov_rate",
     "ann_range_search",
     "embedding_outlier_filter",

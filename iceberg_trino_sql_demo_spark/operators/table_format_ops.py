@@ -1460,3 +1460,68 @@ def ice_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(out.n_rows, out.balance_sum, bool(decided["scanned"] < decided["total"]))],
         "n_rows bigint, balance_sum bigint, pruned boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 extension: multi-clause MERGE — WHEN MATCHED AND cond THEN DELETE
+# preceding WHEN MATCHED THEN UPDATE (first-match-wins, statement order),
+# the prune-then-upsert idiom CDC compaction jobs run: tombstoned keys are
+# deleted, surviving matches updated, new keys inserted — one atomic
+# snapshot.  The statement goes through Engine.sql, exercising the
+# tempered clause parser (conditions cannot swallow a neighboring THEN).
+# Final state is small and fully determined — the VALUES oracle.
+# Reference analog: the MERGE surface, iceberg_trino_sqldemo.sql:146-157.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_merge_multi_clause",
+    oracle=f"""
+    SELECT * FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT * FROM (VALUES
+        (2002, 'COMMANDER BUN BUN', 'SQLENGINE', 2.0, 'FRANCE'),
+        (2003, 'UPDATED C', 'SQLENGINE', 33.0, 'FRANCE'),
+        (99001, 'FRESH', 'SQLENGINE', 50.0, 'GERMANY')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ice_wh_"))
+    eng.sql("CREATE SCHEMA m")
+    eng.sql("USE m")
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    eng.catalog.register_table("m", "customer", t.location)
+    schema, _ = _cached_src(spark, sf_dir)
+    src = spark.createDataFrame(
+        [
+            # tombstone: matched, delete condition true (negative balance)
+            (2001, "TOMBSTONE", "SQLENGINE", -1.0, "FRANCE"),
+            # plain update: matched, delete condition false
+            (2003, "UPDATED C", "SQLENGINE", 33.0, "FRANCE"),
+            # insert: unmatched key
+            (99001, "FRESH", "SQLENGINE", 50.0, "GERMANY"),
+        ],
+        schema,
+    )
+    src.createOrReplaceTempView("merge_src_multi")
+    eng.sql(
+        """
+        MERGE INTO customer AS t USING merge_src_multi AS s
+          ON (t.custkey = s.custkey)
+        WHEN MATCHED AND s.account_balance < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+             name = s.name, account_balance = s.account_balance
+        WHEN NOT MATCHED THEN INSERT VALUES
+             (s.custkey, s.name, s.mktsegment, s.account_balance, s.nation)
+        """
+    )
+    # read back through the frontend: `t` holds the pre-merge metadata
+    # version (Table pins its snapshot at construction; the engine's own
+    # Table instance committed the merge)
+    return eng.sql(
+        "SELECT custkey, name, mktsegment, account_balance, nation "
+        "FROM customer"
+    )

@@ -718,3 +718,205 @@ def events_ema_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ema, "user_id long, event_id long, ema double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters — the fixed-memory frequent-items pattern:
+# a d×w integer sketch (ONE aggregation of fixed output size, mergeable
+# across partitions exactly like any partial hash-agg) elects candidate
+# keys, and the exact count pass runs ONLY on rows whose key survived the
+# sketch.  CMS never under-estimates, so the candidate set is a LOSSLESS
+# superset of the true heavy hitters — the final output equals the plain
+# GROUP BY ... HAVING oracle, value-for-value (the same prefilter-lossless
+# contract as contamination_bloom_prefilter).
+#
+# 100 TB story: the sketch is d×w longs regardless of corpus size and
+# broadcasts back in KBs; the key-distinct probe phase shuffles one row
+# per distinct key; the exact pass's shuffle carries only rows of
+# candidate keys — on Zipfian key spaces (the heavy-hitter regime) that
+# is a tiny fraction of the corpus.  Everything is integer arithmetic on
+# xxhash64 buckets; no floats anywhere.
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 256
+_CMS_T = 20
+
+
+@register(
+    "events_heavy_hitters_cms",
+    oracle=f"""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events
+     GROUP BY user_id, event_type
+    HAVING count(*) >= {_CMS_T}
+    """,
+)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    probe_cols = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.pmod(
+                F.xxhash64(F.lit(j), F.col("user_id"), F.col("event_type")),
+                F.lit(_CMS_W),
+            ).alias("b"),
+        )
+        for j in range(_CMS_D)
+    ]
+    # the sketch: one fixed-size (d*w groups) aggregation over the stream
+    cms = (
+        ev.select(F.explode(F.array(*probe_cols)).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # estimate every distinct key from the broadcast sketch: min over the
+    # d rows (classic CMS point query); >= T elects it a candidate
+    keys = ev.distinct()
+    est = (
+        keys.select("user_id", "event_type", F.explode(F.array(*probe_cols)).alias("p"))
+        .join(F.broadcast(cms),
+              (F.col("p.j") == F.col("j")) & (F.col("p.b") == F.col("b")))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("c").alias("est"))
+    )
+    cand = est.where(F.col("est") >= _CMS_T).select("user_id", "event_type")
+    # exact pass scoped to candidate keys only (lossless: CMS estimates
+    # dominate true counts, so no true heavy hitter was dropped)
+    return (
+        ev.join(F.broadcast(cand), ["user_id", "event_type"], "leftsemi")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _CMS_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle participation — graph analytics over the co-occurrence graph
+# (users purchasing within the same hour).  Triangle enumeration uses the
+# DEGREE-ORIENTED wedge join (orient every edge from its lower-(degree,id)
+# endpoint to the higher one; enumerate wedges only at each triangle's
+# minimum-rank vertex and close them with one equi-join) — the textbook
+# O(m^1.5) bound on wedge candidates, vs the unbounded hub fan-out of a
+# naive id-ordered wedge join: a single celebrity vertex of degree D
+# generates D² id-ordered wedges but only (its rank-forward neighbors)²
+# oriented ones.  The rank is the exact integer degree*2^32 + id, so both
+# engines order identically with no float or tuple comparison.
+#
+# Output: per-user triangle participation (each triangle credits all
+# three corners), top-20 — the clustering signal community-detection
+# pipelines start from.  All-integer; the same SQL runs as the oracle.
+# ---------------------------------------------------------------------------
+_TRI_TOPK = 20
+
+
+@register(
+    "events_user_triangles",
+    oracle=f"""
+    WITH p AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e0 AS (
+      SELECT DISTINCT least(a.user_id, b.user_id) AS x,
+             greatest(a.user_id, b.user_id) AS y
+        FROM p a JOIN p b ON a.h = b.h AND a.user_id < b.user_id
+    ),
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT x AS u FROM e0 UNION ALL SELECT y AS u FROM e0)
+       GROUP BY u
+    ),
+    oe AS (
+      SELECT CASE WHEN dx.d * 4294967296 + e0.x < dy.d * 4294967296 + e0.y
+                  THEN e0.x ELSE e0.y END AS src,
+             CASE WHEN dx.d * 4294967296 + e0.x < dy.d * 4294967296 + e0.y
+                  THEN e0.y ELSE e0.x END AS dst,
+             CASE WHEN dx.d * 4294967296 + e0.x < dy.d * 4294967296 + e0.y
+                  THEN dy.d * 4294967296 + e0.y
+                  ELSE dx.d * 4294967296 + e0.x END AS dst_rank
+        FROM e0 JOIN deg dx ON dx.u = e0.x JOIN deg dy ON dy.u = e0.y
+    ),
+    tri AS (
+      SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+        FROM oe w1
+        JOIN oe w2 ON w2.src = w1.src AND w1.dst_rank < w2.dst_rank
+        JOIN oe w3 ON w3.src = w1.dst AND w3.dst = w2.dst
+    ),
+    corners AS (
+      SELECT a AS user_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM corners
+     GROUP BY user_id
+     ORDER BY n_triangles DESC, user_id
+     LIMIT {_TRI_TOPK}
+    """,
+)
+def events_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(
+            F.least("a.user_id", "b.user_id").alias("x"),
+            F.greatest("a.user_id", "b.user_id").alias("y"),
+        )
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("x").alias("u"))
+        .unionAll(e0.select(F.col("y").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rank = lambda d, v: F.col(d) * F.lit(4294967296) + F.col(v)  # noqa: E731
+    dx = deg.select(F.col("u").alias("x"), F.col("d").alias("dxd"))
+    dy = deg.select(F.col("u").alias("y"), F.col("d").alias("dyd"))
+    ranked = (
+        e0.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x", "y",
+            rank("dxd", "x").alias("rx"),
+            rank("dyd", "y").alias("ry"),
+        )
+    )
+    oe = ranked.select(
+        F.when(F.col("rx") < F.col("ry"), F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(F.col("rx") < F.col("ry"), F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.greatest("rx", "ry").alias("dst_rank"),
+    )
+    w1 = oe.alias("w1")
+    w2 = oe.alias("w2")
+    w3 = oe.alias("w3")
+    tri = (
+        w1.join(w2, (F.col("w2.src") == F.col("w1.src"))
+                & (F.col("w1.dst_rank") < F.col("w2.dst_rank")))
+        .join(w3, (F.col("w3.src") == F.col("w1.dst"))
+              & (F.col("w3.dst") == F.col("w2.dst")))
+        .select(
+            F.col("w1.src").alias("a"),
+            F.col("w1.dst").alias("b"),
+            F.col("w2.dst").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionAll(tri.select(F.col("b").alias("user_id")))
+        .unionAll(tri.select(F.col("c").alias("user_id")))
+    )
+    return (
+        corners.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("user_id"))
+        .limit(_TRI_TOPK)
+    )

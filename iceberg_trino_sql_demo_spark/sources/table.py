@@ -892,11 +892,13 @@ class Table:
         on: str,
         matched_set: dict[str, str] | None = None,
         matched_condition: str | None = None,
+        matched_delete_condition: str | None = None,
         insert_not_matched: bool = True,
         delete_not_matched_by_source: bool = False,
         ref: str = MAIN,
     ) -> Snapshot:
         """MERGE INTO target USING source ON (t.on = s.on)
+        [WHEN MATCHED AND del_cond THEN DELETE]
         WHEN MATCHED [AND cond] THEN UPDATE SET ...
         WHEN NOT MATCHED THEN INSERT (reference :146-157)
         [WHEN NOT MATCHED BY SOURCE THEN DELETE — beyond the reference:
@@ -915,6 +917,13 @@ class Table:
         NOT MATCHED BY SOURCE without a narrowing condition) — and skips
         the affected-file probe entirely; a matched-but-condition-false
         row is kept, not deleted.
+
+        ``matched_delete_condition`` is the multi-clause MERGE form
+        (WHEN MATCHED AND cond THEN DELETE preceding the UPDATE clause):
+        clause order follows the SQL statement — a matched row satisfying
+        the delete condition is removed and never reaches the UPDATE
+        branch; both conditions evaluate against the OLD row plus source
+        columns, Trino/Spark first-match-wins semantics.
         """
         manifest = self._manifest(self._resolve(ref))
         src_cols = {c: f"__src_{c}" for c in source.columns}
@@ -949,12 +958,20 @@ class Table:
             # splitting) when the source is itself table-sized.
             tgt = self._read_files_with_lineage(manifest, affected)
             joined = tgt.join(src, tgt[on] == src[src_cols[on]], "left")
-            mcond = F.col(src_cols[on]).isNotNull()
+            is_hit = F.col(src_cols[on]).isNotNull()
+            dcond = (
+                is_hit & F.expr(matched_delete_condition)
+                if matched_delete_condition
+                else F.lit(False)
+            )
+            mcond = is_hit & ~dcond
             if matched_condition:
                 mcond = mcond & F.expr(matched_condition)
-            # evaluate the match condition against the OLD row once, before
-            # any assignment rewrites the columns it references
-            out = joined.withColumn("__matched", mcond)
+            # evaluate BOTH clause conditions against the OLD row once,
+            # before any assignment rewrites the columns they reference;
+            # the delete clause precedes the update clause (statement
+            # order, first match wins)
+            out = joined.withColumn("__mdel", dcond).withColumn("__matched", mcond)
             for col_name, src_expr in (matched_set or {}).items():
                 out = out.withColumn(
                     col_name,
@@ -962,7 +979,7 @@ class Table:
                 )
             out = out.withColumn(
                 LAST_SEQ, F.when(F.col("__matched"), F.lit(new_seq)).otherwise(F.col(LAST_SEQ))
-            ).drop("__matched")
+            ).where(~F.col("__mdel")).drop("__matched", "__mdel")
             if delete_not_matched_by_source:
                 out = out.where(F.col(src_cols[on]).isNotNull())
             matched_df = out.select(*tgt_names, ROW_ID, LAST_SEQ)
