@@ -117,6 +117,8 @@ def register(
 #: 50-query window; pytest oracle parity still covers it every round.
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled
+    "events_pattern_sequence",
+    "dedup_minhash_calibration",
     "events_heavy_hitters_cms",
     "events_user_triangles",
     "ice_merge_multi_clause",

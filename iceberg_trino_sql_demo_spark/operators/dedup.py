@@ -2285,3 +2285,140 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration — the sketch-quality report: for every band-elected
+# candidate pair, the signature's jaccard ESTIMATE (matching permutations
+# / NUM_PERM — the unbiased MinHash estimator) next to the EXACT shingle
+# jaccard, both as integer permille.  This is how a pipeline tunes
+# NUM_PERM/band geometry before trusting the sketch at scale: systematic
+# estimate-vs-exact gaps mean the permutation family or banding is wrong
+# for the corpus.  Everything reuses the shared hashed-shingle pipeline
+# and the SAME banding as dedup_minhash_lsh, so the report covers exactly
+# the pairs that operator would verify.  All-integer output; the oracle
+# replays the identical signature/band/verify SQL.
+# ---------------------------------------------------------------------------
+_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(NUM_PERM)
+)
+
+_CALIBRATION_ORACLE = f"""
+    WITH {_hsh_capped("SELECT doc_id, text FROM documents")},
+    sig AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n,
+             {_SIG_SQL}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, unnest([{_BAND_SQL}]) AS bucket FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM banded x JOIN banded y
+          ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    common AS (
+      SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand
+        JOIN sh a ON a.doc_id = id_a
+        JOIN sh b ON b.doc_id = id_b AND b.ha = a.ha AND b.hb = a.hb
+       GROUP BY id_a, id_b
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(1000 * ({_MATCH_SQL}) // {NUM_PERM} AS BIGINT) AS est_permille,
+           CAST(1000 * coalesce(cm.n_common, 0)
+                // (sa.n + sb.n - coalesce(cm.n_common, 0)) AS BIGINT)
+               AS exact_permille
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.id_a
+      JOIN sig b ON b.doc_id = c.id_b
+      LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+"""
+
+
+@register("dedup_minhash_calibration", oracle=_CALIBRATION_ORACLE)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
+        sh = hashed_shingles(spark, sf_dir)
+        sig = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
+        ).persist()
+        sig.count()
+    _MINHASH_PERSISTED.append(sig)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(band)),
+                *[
+                    F.col(f"h{band * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"b{band}")
+        for band in range(BANDS)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"),
+              (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("id_a"), "ha", "hb")
+    shb = sh.select(F.col("doc_id").alias("id_b_s"),
+                    F.col("ha").alias("hb_a"), F.col("hb").alias("hb_b"))
+    common = (
+        cand.join(sha, "id_a")
+        .join(
+            shb,
+            (F.col("id_b") == F.col("id_b_s"))
+            & (F.col("ha") == F.col("hb_a"))
+            & (F.col("hb") == F.col("hb_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(NUM_PERM)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(NUM_PERM)],
+    )
+    match = sum(
+        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("long") for i in range(NUM_PERM)
+    )
+    with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
+        out = (
+            cand.join(F.broadcast(a), "id_a")
+            .join(F.broadcast(b), "id_b")
+            .join(common, ["id_a", "id_b"], "left")
+            .select(
+                "id_a",
+                "id_b",
+                (F.lit(1000) * match).alias("m1000"),
+                F.coalesce(F.col("n_common"), F.lit(0)).alias("nc"),
+                "n_a",
+                "n_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.expr(f"m1000 DIV {NUM_PERM}").cast("long").alias("est_permille"),
+                F.expr("1000 * nc DIV (n_a + n_b - nc)").cast("long").alias(
+                    "exact_permille"
+                ),
+            )
+        )
+    return out

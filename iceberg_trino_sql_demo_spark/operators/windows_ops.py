@@ -920,3 +920,70 @@ def events_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("user_id"))
         .limit(_TRI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern matching — the MATCH_RECOGNIZE-style behavioral query
+# (did the user view → click → purchase, contiguously?) expressed as a
+# per-user ordered event-initial string plus pure string arithmetic:
+# occurrences = (len(seq) − len(replace(seq, pattern, ''))) DIV len(pattern)
+# — identical integer semantics on both engines, no regex dialect in play.
+#
+# Ordering is total and engine-identical: (raw epoch ticks, event_id) —
+# event_id is unique, so the aggregated string is deterministic.  Spark
+# side sorts each user's collected structs (array_sort on (ts_raw,
+# event_id, initial) — field-order struct comparison) instead of a window
+# sort: ONE hash aggregate, no per-user sort partition.  At scale the
+# sequence length is bounded by per-user activity (the same per-entity
+# bound every sessionization query carries); a 100 TB pipeline windows
+# the sequence by day/session first — composable with the session ops.
+# ---------------------------------------------------------------------------
+_PATTERN = "vcp"  # view -> click -> purchase, contiguous
+
+
+@register(
+    "events_pattern_sequence",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(seq) AS BIGINT) AS n_events,
+           CAST((len(seq) - len(replace(seq, '{_PATTERN}', '')))
+                // {len(_PATTERN)} AS BIGINT) AS n_conversions,
+           CASE WHEN seq LIKE '%{_PATTERN}%' THEN 1 ELSE 0 END AS converted
+      FROM s
+    """,
+)
+def events_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts_raw",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("i"),
+    )
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts_raw", "event_id", "i"))),
+                    lambda x: x["i"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    pat_len = len(_PATTERN)
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        F.expr(
+            f"(length(seq) - length(replace(seq, '{_PATTERN}', ''))) "
+            f"DIV {pat_len}"
+        ).cast("long").alias("n_conversions"),
+        F.when(F.col("seq").contains(_PATTERN), 1).otherwise(0).alias("converted"),
+    )

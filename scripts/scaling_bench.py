@@ -84,6 +84,9 @@ FAMILY = [
     "text_oov_rate",
     "ann_range_search",
     "embedding_outlier_filter",
+    # sketch-calibration report rides the same signature/band pipeline as
+    # dedup_minhash_lsh — its cost must track the candidate set, not n²
+    "dedup_minhash_calibration",
 ]
 
 DIAG = {
