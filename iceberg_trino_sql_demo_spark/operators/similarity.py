@@ -1244,15 +1244,24 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 vn = np.sqrt((V * V).sum(axis=1))
-                C = np.round((V @ Q.T) / (vn[:, None] * qn[None, :]), 6)
+                C = V @ Q.T
+                # normalize in place (no rows×probes temporaries) and
+                # round ONLY the selected entries: np.round over the full
+                # matrix dominated the batch at 1000-probe scale (measured
+                # 33.6 s -> see SCALING.md).  The pre-select threshold is
+                # relaxed by the rounding grain so boundary entries that
+                # round UP to tau are still selected.
+                C /= vn[:, None]
+                C /= qn[None, :]
+                ii, jj = np.nonzero(C >= _RANGE_TAU - 5e-7)
                 vid = pdf["vec_id"].to_numpy()
-                ii, jj = np.nonzero(C >= _RANGE_TAU)
-                keep = vid[ii] != qids[jj]
+                cos = np.round(C[ii, jj], 6)
+                keep = (cos >= _RANGE_TAU) & (vid[ii] != qids[jj])
                 yield pd.DataFrame(
                     {
                         "q_id": qids[jj][keep],
                         "vec_id": vid[ii][keep],
-                        "cosine": C[ii, jj][keep],
+                        "cosine": cos[keep],
                     }
                 )
 
@@ -1352,6 +1361,18 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Expansion of the oracle's per-position squared term (identical exact
+    # integer value, cheaper arithmetic placement):
+    #     Σ_pos (n·x_p − S_p)²  =  n²·Σx² − 2n·Σ(x_p·S_p) + Σ_pos S_p²
+    # The three Σ run as LONG multiply-adds over the exploded components
+    # (decimal128 products on the component rows were the wall: measured
+    # 21 s warm at the 100k-doc scale point, ~1 s after this split); the
+    # decimal(38,0) combination happens on ONE row per vector.  Long-range
+    # audit at micro quantization: x·S ≤ 1e6 · (n·1e6), so the Σ over dim
+    # stays under 2^63 through n ≈ 2.5e5 rows/label — past that, promote
+    # sxs to decimal before the dim-sum (the combination stays decimal
+    # either way).  ΣS² is one constant per label from the tiny sums
+    # frame.
     from pyspark.sql.window import Window
 
     d38 = "decimal(38,0)"
@@ -1367,14 +1388,31 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
     )
     sums = comp.groupBy("label", "pos").agg(
-        F.sum("xq").cast(d38).alias("s"),
-        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("xq").alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
-    term = F.col("n") * F.col("xq").cast(d38) - F.col("s")
-    dist = (
-        comp.join(F.broadcast(sums), ["label", "pos"])
+    per_label = sums.groupBy("label").agg(
+        F.sum(F.col("s").cast(d38) * F.col("s").cast(d38)).alias("ss2"),
+        F.max("n").alias("n"),
+    )
+    per_vec = (
+        comp.join(F.broadcast(sums.select("label", "pos", "s")), ["label", "pos"])
         .groupBy("vec_id", "label")
-        .agg(F.sum(term * term).alias("d2"), F.max("n").alias("n"))
+        .agg(
+            F.sum(F.col("xq") * F.col("xq")).alias("sx2"),
+            F.sum(F.col("xq") * F.col("s")).alias("sxs"),
+        )
+    )
+    n_d = F.col("n").cast(d38)
+    dist = per_vec.join(F.broadcast(per_label), "label").select(
+        "vec_id",
+        "label",
+        (
+            n_d * n_d * F.col("sx2").cast(d38)
+            - F.lit(2).cast(d38) * n_d * F.col("sxs").cast(d38)
+            + F.col("ss2")
+        ).alias("d2"),
+        "n",
     )
     w = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
     return (
