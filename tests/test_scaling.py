@@ -464,3 +464,15 @@ def test_range_search_gemm_branch_matches_literal_branch(spark, sf_dir, monkeypa
     assert set(lit) == set(gemm)
     for k, v in lit.items():
         assert abs(v - gemm[k]) <= 1e-6, (k, v, gemm[k])
+
+
+def test_batch5_ops_scale_shapes(spark, scaled):
+    """Scale invariants for the batch-5 curation ops: the OOV audit is one
+    row per document (exactly M-fold); the cross-source matrix is one row
+    per source PAIR — constant across corpus scale (replicas keep their
+    source, so the pair space never grows)."""
+    base, big = scaled
+    n1, nm = _counts(spark, "text_oov_rate", base, big)
+    assert nm == M * n1, f"text_oov_rate: {n1} -> {nm}, expected exactly {M}x"
+    m1, mm = _counts(spark, "dedup_cross_source_matrix", base, big)
+    assert m1 == mm, f"cross_source_matrix rows changed with scale: {m1} -> {mm}"
