@@ -2591,10 +2591,12 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(max(len(string_split(text, ' ')) - 1) AS BIGINT) AS max_bigrams,
+           CAST(max(greatest(least(len(string_split(text, ' ')), 64) - 1, 1))
+                AS BIGINT) AS max_bigrams,
            chr(CAST(65 + max(len(text)) % 26 AS INTEGER)) AS len_char,
            max(regexp_replace(source, '[0-9]', '', 'g')) AS src_alpha,
-           CAST(max(len(replace(text, ' ', ''))) AS BIGINT) AS max_nonspace,
+           CAST(max(len(array_to_string(string_split(text, ' ')[1:64], '')))
+                AS BIGINT) AS max_nonspace,
            CASE WHEN count(*) > 0 THEN CAST(0.0 AS DOUBLE)
                 ELSE 'Infinity'::DOUBLE END AS inf_guard
       FROM documents
@@ -2613,11 +2615,11 @@ def trino_dialect_tier4(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(max(cardinality(ngrams(split(text, ' '), 2))) AS BIGINT)
-                   AS max_bigrams,
+               CAST(max(cardinality(ngrams(slice(split(text, ' '), 1, 64), 2)))
+                    AS BIGINT) AS max_bigrams,
                chr(65 + max(length(text)) % 26) AS len_char,
                max(regexp_replace(source, '[0-9]')) AS src_alpha,
-               CAST(max(reduce(split(text, ' '), 0,
+               CAST(max(reduce(slice(split(text, ' '), 1, 64), 0,
                                (s, x) -> s + length(x), s -> s)) AS BIGINT)
                    AS max_nonspace,
                CASE WHEN count(*) > 0 THEN 0.0E0 ELSE infinity() END

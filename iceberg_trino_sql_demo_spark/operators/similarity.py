@@ -1180,8 +1180,11 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_MOD = 101  # probe set: vec_id % 101 == 0 (deterministic both engines)
 _RANGE_TAU = 0.25
 #: probe-count ceiling for the staged-literal branch; larger probe sets
-#: (scaled corpora under the % rule) take the batched-GEMM branch
-_RANGE_LITERAL_MAX = 32
+#: take the batched-GEMM branch.  Measured crossover at sf0.1 (20 probes,
+#: 5000 rows): literal 2.1 s warm (janino-heavy 1300-expression plan) vs
+#: GEMM 0.26 s — the literal branch only wins for handfuls of probes
+#: where its zero-Python, zero-shuffle plan is unbeatable
+_RANGE_LITERAL_MAX = 8
 
 
 @register(
@@ -1265,8 +1268,20 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-        p = spark.sparkContext.defaultParallelism
-        return e.select("vec_id", "embedding").repartition(p).mapInPandas(
+        # Partitioning: only intervene in the SMALL regime.  A blanket
+        # repartition(defaultParallelism) turns a 5k-row corpus into 32
+        # near-empty Arrow batches whose python-worker round-trips dominate
+        # (measured 1.75 s warm vs ~0.3 s single-batch), while at true
+        # scale a forced repartition would shuffle the whole embedding
+        # table for nothing — the parquet scan's own splits already give
+        # executor parallelism, so the big regime maps the scan partitions
+        # directly (zero shuffle).
+        par = spark.sparkContext.defaultParallelism
+        n_rows = parquet_row_count(table_path(sf_dir, "embeddings"))
+        src = e.select("vec_id", "embedding")
+        if n_rows < 20_000 * par:
+            src = src.repartition(max(1, min(par, (n_rows + 19_999) // 20_000)))
+        return src.mapInPandas(
             score_batches, "q_id long, vec_id long, cosine double"
         )
     # stage 1: per-probe dots + self-norm as separate top-level expressions
