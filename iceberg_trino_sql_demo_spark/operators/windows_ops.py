@@ -987,3 +987,264 @@ def events_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_conversions"),
         F.when(F.col("seq").contains(_PATTERN), 1).otherwise(0).alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketch (HyperLogLog registers) — the 100 TB NDV
+# primitive: per-group state is 64 six-bit registers, mergeable by MAX, so
+# partial sketches combine across partitions / days / tables without
+# re-scanning (exact COUNT DISTINCT re-shuffles every key; the sketch is a
+# fixed-size map-side aggregate).  Spark's approx_count_distinct IS this
+# operator fused into codegen (events_hourly_distinct_users checks it); this
+# query builds the registers EXPLICITLY so (a) the sketch state itself is
+# an inspectable, storable column an incremental pipeline can persist and
+# merge later, and (b) both engines derive identical registers from md5 —
+# a full-value oracle over the estimator, not a tolerance band.
+#
+# Register math, all integer/string ops (engine-identical, no floats):
+#   bucket = first 8 hash bits mod 64 (256/64 exact -> unbiased)
+#   rho    = leading-zero count of the next 60 bits + 1, via hex-nibble
+#            arithmetic (strip leading '0' nibbles, CASE on the first
+#            surviving nibble) — no log2/bit_length float detours
+#   Z      = sum over 64 buckets of 2^-M, scaled by 2^40 into BIGINT
+#            (registers capped at 40: P(rho>40) = 2^-40 per key, and BOTH
+#            engines apply the same cap, so parity is unconditional)
+#   est    = alpha_64 * 64^2 / Z with alpha scaled to x1000, one integer
+#            division; small-range regime (zeros>0 and est<=2.5m) switches
+#            to linear counting m*ln(m/zeros) via a 63-entry integer lookup
+#            shared VERBATIM by both engines.
+# The ok_est band documents accuracy vs the exact NDV (m=64 -> ~13% rsd);
+# it is itself deterministic (same registers -> same boolean both sides).
+# tests/test_extensions.py proves mergeability: half-corpus register MAXes
+# merge to the full-corpus estimate.
+# ---------------------------------------------------------------------------
+_HLL_LC = {  # zeros -> round(64 * ln(64/zeros)): linear-counting estimates
+    1: 266, 2: 222, 3: 196, 4: 177, 5: 163, 6: 151, 7: 142, 8: 133, 9: 126,
+    10: 119, 11: 113, 12: 107, 13: 102, 14: 97, 15: 93, 16: 89, 17: 85,
+    18: 81, 19: 78, 20: 74, 21: 71, 22: 68, 23: 65, 24: 63, 25: 60, 26: 58,
+    27: 55, 28: 53, 29: 51, 30: 48, 31: 46, 32: 44, 33: 42, 34: 40, 35: 39,
+    36: 37, 37: 35, 38: 33, 39: 32, 40: 30, 41: 28, 42: 27, 43: 25, 44: 24,
+    45: 23, 46: 21, 47: 20, 48: 18, 49: 17, 50: 16, 51: 15, 52: 13, 53: 12,
+    54: 11, 55: 10, 56: 9, 57: 7, 58: 6, 59: 5, 60: 4, 61: 3, 62: 2, 63: 1,
+}
+#: CASE expression over zeros (= 64 - observed buckets); shared verbatim
+#: by the Spark plan and the DuckDB oracle so the lookup cannot drift.
+_HLL_LC_CASE = (
+    "CASE (64 - m_nonzero) "
+    + " ".join(f"WHEN {z} THEN {v}" for z, v in _HLL_LC.items())
+    + " ELSE 0 END"
+)
+#: alpha_64 = 0.709 scaled x1000; numerator 709*64^2*2^40 ~ 3.2e18 < 2^63.
+_HLL_NUM = 709 * 64 * 64
+#: first-nibble leading-zero-bit lookup (hex digit -> extra zero bits)
+_HLL_NIB_CASE = (
+    "CASE substring(stripped, 1, 1) WHEN '1' THEN 3 WHEN '2' THEN 2 "
+    "WHEN '3' THEN 2 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 "
+    "WHEN '7' THEN 1 ELSE 0 END"
+)
+_HLL_P40 = 1 << 40  # inlined as a literal: engine-neutral, no shift op
+_HLL_EST = (
+    f"CAST(CASE WHEN m_nonzero < 64 "
+    f"AND ({_HLL_NUM} * CAST({_HLL_P40} AS BIGINT)) DIV (1000 * zsum) <= 160 "
+    f"THEN {_HLL_LC_CASE} "
+    f"ELSE ({_HLL_NUM} * CAST({_HLL_P40} AS BIGINT)) DIV (1000 * zsum) "
+    f"END AS BIGINT)"
+)
+
+
+def _hll_registers(h: DataFrame) -> DataFrame:
+    """(event_type, hx md5-hex) -> per-(event_type, bucket) register M."""
+    b = h.select(
+        "event_type",
+        (F.conv(F.substring("hx", 1, 2), 16, 10).cast("long") % 64)
+        .alias("bucket"),
+        F.expr("trim(LEADING '0' FROM substring(hx, 3, 15))").alias("stripped"),
+    )
+    rho = F.when(F.col("stripped") == "", F.lit(61)).otherwise(
+        (15 - F.length("stripped")) * 4 + F.expr(_HLL_NIB_CASE) + 1
+    )
+    return (
+        b.withColumn("rho", rho)
+        .groupBy("event_type", "bucket")
+        .agg(F.least(F.max("rho"), F.lit(40)).alias("m"))
+    )
+
+
+def _hll_estimate(reg: DataFrame) -> DataFrame:
+    """registers -> (event_type, hll_est, m_nonzero)."""
+    z = reg.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - m)"))
+            + (64 - F.count(F.lit(1))) * F.lit(_HLL_P40)
+        ).alias("zsum"),
+        F.count(F.lit(1)).cast("long").alias("m_nonzero"),
+    )
+    return z.select(
+        "event_type", F.expr(_HLL_EST).alias("hll_est"), "m_nonzero"
+    )
+
+
+def _hll_oracle() -> str:
+    # DuckDB spelling of the identical register pipeline.  `DIV` is Spark;
+    # DuckDB floor-divides positives identically with `//`.
+    est = _HLL_EST.replace("DIV", "//")
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+        FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             ('0x' || substr(hx, 1, 2))::BIGINT % 64 AS bucket,
+             ltrim(substr(hx, 3, 15), '0') AS stripped
+        FROM h
+    ),
+    r AS (
+      SELECT event_type, bucket,
+             CASE WHEN stripped = '' THEN 61
+                  ELSE (15 - length(stripped)) * 4 + {_HLL_NIB_CASE} + 1
+             END AS rho
+        FROM b
+    ),
+    reg AS (
+      SELECT event_type, bucket, least(max(rho), 40) AS m
+        FROM r GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT event_type,
+             sum(CAST(1 AS BIGINT) << (40 - m))
+               + (64 - count(*)) * (CAST(1 AS BIGINT) << 40) AS zsum,
+             CAST(count(*) AS BIGINT) AS m_nonzero
+        FROM reg GROUP BY 1
+    ),
+    e AS (SELECT event_type, {est} AS hll_est, m_nonzero FROM z),
+    x AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_exact
+        FROM events GROUP BY 1
+    )
+    SELECT x.event_type, x.ndv_exact, e.hll_est, e.m_nonzero,
+           (100 * abs(e.hll_est - x.ndv_exact) <= 35 * x.ndv_exact
+            OR abs(e.hll_est - x.ndv_exact) <= 10) AS ok_est
+      FROM x JOIN e USING (event_type)
+    """
+
+
+@register("events_ndv_hll_sketch", oracle=_hll_oracle())
+def events_ndv_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    h = (
+        ev.select("event_type", "user_id")
+        .distinct()  # dedup BEFORE hashing: one md5 per live key
+        .select(
+            "event_type", F.md5(F.col("user_id").cast("string")).alias("hx")
+        )
+    )
+    est = _hll_estimate(_hll_registers(h))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("ndv_exact")
+    )
+    j = exact.join(est, "event_type")
+    ok = (
+        100 * F.abs(F.col("hll_est") - F.col("ndv_exact"))
+        <= 35 * F.col("ndv_exact")
+    ) | (F.abs(F.col("hll_est") - F.col("ndv_exact")) <= 10)
+    return j.select(
+        "event_type", "ndv_exact", "hll_est", "m_nonzero", ok.alias("ok_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One PageRank power-iteration step over the purchase co-occurrence graph
+# (same edge derivation as events_user_triangles: users purchasing in the
+# same hour).  The full algorithm is this superstep in a driver loop —
+# Spark's classic iterative-graph shape; one step is the oracle-checkable
+# unit (the loop multiplies wall-clock, not plan shape).
+#
+# All-integer arithmetic so both engines agree bit-for-bit: ranks in
+# micro-units (r0 = 1_000_000 per node), per-neighbor contribution is
+# r0 DIV degree (one truncating division, same on both engines for
+# positive operands), damping 0.85 applied as (850 * S) DIV 1000.
+#
+# 100 TB plan: degree = one keyed agg; the neighbor-sum = one shuffle of
+# the edge list joined against the (broadcastable or co-partitioned)
+# contribution vector.  Per iteration: two exchanges, no driver state —
+# the rank vector never leaves the cluster.  Hot-node skew lands in the
+# SUM (commutative partial aggs absorb it), not in a join fan-out.
+# ---------------------------------------------------------------------------
+_PR_TOPK = 20
+
+
+@register(
+    "events_pagerank_iter",
+    oracle=f"""
+    WITH p AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    e0 AS (
+      SELECT DISTINCT least(a.user_id, b.user_id) AS x,
+             greatest(a.user_id, b.user_id) AS y
+        FROM p a JOIN p b ON a.h = b.h AND a.user_id < b.user_id
+    ),
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT x AS u FROM e0 UNION ALL SELECT y AS u FROM e0)
+       GROUP BY u
+    ),
+    contrib AS (SELECT u, 1000000 // d AS c FROM deg),
+    nb AS (
+      SELECT e0.x AS u, c.c FROM e0 JOIN contrib c ON c.u = e0.y
+      UNION ALL
+      SELECT e0.y, c.c FROM e0 JOIN contrib c ON c.u = e0.x
+    ),
+    s AS (SELECT u, sum(c) AS sc FROM nb GROUP BY u)
+    SELECT s.u AS user_id, deg.d AS degree,
+           CAST(150000 + (850 * s.sc) // 1000 AS BIGINT) AS rank_micro
+      FROM s JOIN deg ON deg.u = s.u
+     ORDER BY rank_micro DESC, user_id
+     LIMIT {_PR_TOPK}
+    """,
+)
+def events_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = p.alias("a"), p.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("x"), F.col("b.user_id").alias("y"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("x").alias("u"))
+        .unionAll(e0.select(F.col("y").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # contribution vector is node-cardinality — broadcast both probe sides
+    # so the edge list never shuffles for the join (at larger graphs AQE
+    # falls back to a co-partitioned join on the same plan)
+    cx = deg.select(F.col("u").alias("y"), F.expr("1000000 DIV d").alias("cy"))
+    cy = deg.select(F.col("u").alias("x"), F.expr("1000000 DIV d").alias("cx"))
+    nb = (
+        e0.join(F.broadcast(cx), "y").select(F.col("x").alias("u"), F.col("cy").alias("c"))
+        .unionAll(
+            e0.join(F.broadcast(cy), "x").select(F.col("y").alias("u"), F.col("cx").alias("c"))
+        )
+    )
+    s = nb.groupBy("u").agg(F.sum("c").alias("sc"))
+    return (
+        s.join(deg, "u")
+        .select(
+            F.col("u").alias("user_id"),
+            F.col("d").alias("degree"),
+            (F.lit(150000) + F.expr("(850 * sc) DIV 1000"))
+            .cast("long").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "user_id")
+        .limit(_PR_TOPK)
+    )
