@@ -891,3 +891,87 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flag_high_oov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build — the retrieval-side primitive of a training-data
+# stack (BM25 retrieval, decontamination lookups, corpus search): for each
+# frequent term, the posting list of documents containing it, per-document
+# term frequency, and the first occurrence position.
+#
+# Plan shape: posexplode -> (doc, term) map-side-combinable count/min agg ->
+# one term-keyed agg.  Two exchanges total; the second reuses nothing from
+# the first on purpose (term cardinality << (doc,term) cardinality, so the
+# term agg wants its own narrower partitioning).  At 100 TB the skew risk
+# is stopword terms whose posting lists are unbounded — here the df cut
+# (HAVING df >= _INV_MIN_DF) bounds the OUTPUT, and at scale the posting
+# array itself gets capped with slice(sort_array(...), 1, K) while tf/df
+# stay exact (the aggregate is still map-side combinable); the checksum
+# column keeps the full-list content verifiable either way.
+#
+# Postings are compared as the canonical comma-joined ascending doc_id
+# string (exact cross-engine multiset proof); pos_checksum folds every
+# (doc_id x first position) product so position content is value-checked
+# without shipping a positions array per row.
+# ---------------------------------------------------------------------------
+_INV_MIN_DF = 5
+_INV_TOPK = 100
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, unnest(toks) AS term FROM tok
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM dt GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT t.doc_id, t.term, t.tf,
+             CAST(list_position(k.toks, t.term) AS BIGINT) AS first_pos
+        FROM tf t JOIN tok k USING (doc_id)
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           CAST(sum(doc_id * first_pos) AS BIGINT) AS pos_checksum,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      FROM fp
+     GROUP BY term
+    HAVING count(*) >= {_INV_MIN_DF}
+     ORDER BY df DESC, term
+     LIMIT {_INV_TOPK}
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dt = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    tf = dt.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        # posexplode is 0-based; DuckDB list_position is 1-based
+        (F.min("pos") + 1).cast("long").alias("first_pos"),
+    )
+    inv = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.sum(F.col("doc_id") * F.col("first_pos")).cast("long")
+        .alias("pos_checksum"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+    return (
+        inv.where(F.col("df") >= _INV_MIN_DF)
+        .orderBy(F.desc("df"), "term")
+        .limit(_INV_TOPK)
+    )
