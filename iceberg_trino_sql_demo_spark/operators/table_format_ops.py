@@ -1525,3 +1525,118 @@ def ice_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT custkey, name, mktsegment, account_balance, nation "
         "FROM customer"
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot cherry-pick (Iceberg CALL system.cherrypick_snapshot) — the
+# selective counterpart of FAST FORWARD (reference :249): replay ONE dev
+# commit's file delta onto main without taking the rest of the branch.
+# Zero data movement: the new main commit lists the same added file paths.
+# Scenario: two appends land on dev; only the first is picked; main shows
+# base + that one batch (and tests/test_maintenance.py proves the picked
+# file path is SHARED between refs and the delete-delta guard raises).
+# ---------------------------------------------------------------------------
+@register(
+    "ice_cherrypick",
+    oracle=f"""
+    SELECT * FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT * FROM (VALUES
+        (910001, 'PICKED', 'SQLENGINE', 11.0, 'FRANCE')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_cherrypick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.create_branch("dev")
+    picked = t.insert(
+        [{"custkey": 910001, "name": "PICKED", "mktsegment": "SQLENGINE",
+          "account_balance": 11.0, "nation": "FRANCE"}],
+        ref="dev",
+    )
+    t.insert(
+        [{"custkey": 910002, "name": "NOT PICKED", "mktsegment": "SQLENGINE",
+          "account_balance": 12.0, "nation": "ITALY"}],
+        ref="dev",
+    )
+    t.cherrypick(picked.snapshot_id)
+    return t.df()  # main: base + the picked batch only
+
+
+# ---------------------------------------------------------------------------
+# Branch content diff — "what changed on dev vs main", as rows.  The scale
+# property is manifest-first cancellation: data files live on BOTH refs
+# with identical MoR-delete sets contribute identical row multisets and
+# are never read; only the symmetric file difference is scanned (a
+# one-commit branch on a 100 TB table diffs by reading that commit).  The
+# scenario exercises every diff class: a main-only insert, a main-side MoR
+# delete (row resurfaces as right-only), a dev-only insert, and a dev-side
+# update (original = left-only, new version = right-only); the untouched
+# shared rows (base 500 + row 2003) cancel.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_branch_diff",
+    oracle="""
+    SELECT side, CAST(custkey AS BIGINT) AS custkey, name, mktsegment,
+           CAST(account_balance AS DOUBLE) AS account_balance, nation,
+           CAST(n_copies AS BIGINT) AS n_copies
+      FROM (VALUES
+        ('left',  920100, 'LEFTY',             'SQLENGINE',  5.0, 'FRANCE', 1),
+        ('left',    2002, 'COMMANDER BUN BUN', 'SQLENGINE',  2.0, 'FRANCE', 1),
+        ('right',   2001, 'COMMANDER BUN BUN', 'SQLENGINE',  1.0, 'FRANCE', 1),
+        ('right',   2002, 'COMMANDER BUN BUN', 'SQLENGINE', 99.0, 'FRANCE', 1),
+        ('right', 920200, 'RIGHTY',            'SQLENGINE',  6.0, 'ITALY',  1)
+    ) AS v(side, custkey, name, mktsegment, account_balance, nation, n_copies)
+    """,
+    bench=False,
+)
+def ice_branch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)  # shared batch: 2001/2002/2003
+    t.create_branch("dev")
+    t.insert(
+        [{"custkey": 920100, "name": "LEFTY", "mktsegment": "SQLENGINE",
+          "account_balance": 5.0, "nation": "FRANCE"}]
+    )
+    t.delete("custkey = 2001")  # main-side MoR delete in the shared batch
+    t.insert(
+        [{"custkey": 920200, "name": "RIGHTY", "mktsegment": "SQLENGINE",
+          "account_balance": 6.0, "nation": "ITALY"}],
+        ref="dev",
+    )
+    t.update({"account_balance": 99.0}, "custkey = 2002", ref="dev")
+    return t.branch_diff("main", "dev")
+
+
+# ---------------------------------------------------------------------------
+# Zero-copy clone (Iceberg CALL system.snapshot / Delta SHALLOW CLONE): a
+# new independent table whose first snapshot points at the source's files
+# — one metadata write at any table size.  Writes to either side are
+# invisible to the other; the clone carries gc_scope=own_location so its
+# expire_snapshots can never unlink source-owned files
+# (tests/test_maintenance.py proves both).
+# ---------------------------------------------------------------------------
+@register(
+    "ice_zero_copy_clone",
+    oracle=f"""
+    SELECT * FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT * FROM (VALUES
+        (930001, 'CLONE ONLY', 'SQLENGINE', 21.0, 'FRANCE')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    c = t.clone(tempfile.mkdtemp(prefix="ice_clone_"))
+    c.insert(
+        [{"custkey": 930001, "name": "CLONE ONLY", "mktsegment": "SQLENGINE",
+          "account_balance": 21.0, "nation": "FRANCE"}]
+    )
+    t.insert(  # source-side divergence: must NOT surface in the clone
+        [{"custkey": 930002, "name": "SRC ONLY", "mktsegment": "SQLENGINE",
+          "account_balance": 22.0, "nation": "ITALY"}]
+    )
+    return c.refresh().df()

@@ -1253,6 +1253,176 @@ class Table:
         )
         self._commit_metadata_only()
 
+    def cherrypick(self, snapshot_id: int, ref: str = MAIN) -> Snapshot:
+        """CALL system.cherrypick_snapshot: re-apply ONE snapshot's file
+        delta (vs its own parent) onto ``ref``'s current head as a new
+        commit.  The source snapshot — typically on another branch or an
+        abandoned head after a rollback (reference :218-231) — is not
+        moved; this is Iceberg's cherry-pick, the selective counterpart
+        of fast_forward (which requires full ancestry).
+
+        Supported deltas mirror Iceberg's: pure appends and dynamic
+        overwrites.  A snapshot carrying a delete-file delta (MoR DELETE/
+        UPDATE/MERGE) raises — position deletes reference parent-chain
+        file paths that need not exist on the target.  Overwrite deltas
+        additionally require every replaced file to still be live on the
+        target (otherwise the overwrite's read-set has diverged and the
+        replace is not semantically replayable).
+
+        File-delta replay, not data copy: the new commit lists the SAME
+        added file paths, so a 100 TB cherry-pick moves zero data bytes
+        and costs one manifest write."""
+        m = self.meta
+        snap = m.snapshot_by_id(snapshot_id)
+        parent = (
+            self._manifest(m.snapshot_by_id(snap.parent_id))
+            if snap.parent_id is not None
+            else Manifest([], [])
+        )
+        child = self._manifest(snap)
+        if {d.path for d in child.delete_files} != {
+            d.path for d in parent.delete_files
+        }:
+            raise ValueError(
+                "cherrypick: snapshot carries a delete-file delta (MoR "
+                "DELETE/UPDATE/MERGE); only append and dynamic-overwrite "
+                "snapshots can be cherry-picked"
+            )
+        parent_paths = {f.path for f in parent.data_files}
+        added = [f for f in child.data_files if f.path not in parent_paths]
+        removed = parent_paths - {f.path for f in child.data_files}
+        base = self._manifest(self._resolve(ref))
+        base_paths = {f.path for f in base.data_files}
+        if not removed <= base_paths:
+            raise ValueError(
+                "cherrypick: snapshot replaces file(s) no longer live on "
+                f"{ref!r}; the overwrite is not replayable"
+            )
+        dup = [f.path for f in added if f.path in base_paths]
+        if dup:
+            raise ValueError(
+                f"cherrypick: added file(s) already live on {ref!r} "
+                f"(already picked or fast-forwarded): {dup[:3]}"
+            )
+        manifest = Manifest(
+            [f for f in base.data_files if f.path not in removed] + added,
+            base.delete_files,
+        )
+        summary = {
+            "cherrypicked-from": str(snapshot_id),
+            "added-data-files": len(added),
+            "added-records": sum(f.record_count for f in added),
+        }
+        return self._commit_snapshot(manifest, snap.operation, ref, summary)
+
+    def branch_diff(self, left: str = MAIN, right: str = "dev") -> DataFrame:
+        """Content diff between two refs: the multiset of rows only on
+        ``left`` / only on ``right``, as (side, <row columns>, n_copies).
+
+        Scale shape — manifest-first: a data file PRESENT ON BOTH SIDES
+        with an identical referencing-delete-file set contributes the
+        identical row multiset to both branches and cancels WITHOUT being
+        read; only the symmetric file difference (plus shared files whose
+        MoR delete sets diverged) is scanned.  A one-commit dev branch on
+        a 100 TB table diffs by reading that commit's files, not the
+        table.  The residual row-level diff groups each side by a row
+        digest (md5 of the canonical JSON struct — digest compare only,
+        both sides rendered by the same engine) and joins on the single
+        non-null digest key, so NULL-valued columns cannot mis-join."""
+        ml = self._manifest(self._resolve(left))
+        mr = self._manifest(self._resolve(right))
+
+        def delmap(man: Manifest) -> dict[str, frozenset]:
+            mp: dict[str, frozenset] = {f.path: frozenset() for f in man.data_files}
+            for d in man.delete_files:
+                for p in d.referenced_files:
+                    if p in mp:
+                        mp[p] = mp[p] | {d.path}
+            return mp
+
+        dl, dr = delmap(ml), delmap(mr)
+        same = {p for p in dl.keys() & dr.keys() if dl[p] == dr[p]}
+        lf = [f for f in ml.data_files if f.path not in same]
+        rf = [f for f in mr.data_files if f.path not in same]
+        ldf = snapshot_df(self.spark, self.meta, Manifest(lf, ml.delete_files))
+        rdf = snapshot_df(self.spark, self.meta, Manifest(rf, mr.delete_files))
+        cols = self.meta.schema.names
+
+        def digest_counts(df: DataFrame) -> DataFrame:
+            k = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+            return df.groupBy(k.alias("_k")).agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.first(c).alias(c) for c in cols],
+            )
+
+        lc, rc = digest_counts(ldf), digest_counts(rdf)
+        j = lc.alias("l").join(rc.alias("r"), "_k", "full")
+        delta = F.coalesce(F.col("l._n"), F.lit(0)) - F.coalesce(
+            F.col("r._n"), F.lit(0)
+        )
+        side = F.when(delta > 0, F.lit("left")).otherwise(F.lit("right"))
+        return (
+            j.where(delta != 0)
+            .select(
+                side.alias("side"),
+                *[
+                    F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c)
+                    for c in cols
+                ],
+                F.abs(delta).cast("long").alias("n_copies"),
+            )
+        )
+
+    def clone(self, location: str) -> "Table":
+        """Zero-copy clone (Iceberg CALL system.snapshot / Delta SHALLOW
+        CLONE): a NEW independent table at ``location`` whose first
+        snapshot lists the source's live data and delete files by path —
+        no data bytes move, the clone costs one metadata write at any
+        table size.  Subsequent DML on the clone writes under the clone's
+        own location and commits to the clone's own metadata; the source
+        never observes it.
+
+        Like Iceberg's snapshot tables the clone must not garbage-collect
+        files it does not own: ``gc_scope=own_location`` is set so
+        expire_snapshots only ever unlinks paths under the clone's
+        location (remove_orphan_files is location-scoped by construction)."""
+        m = self.meta
+        os.makedirs(os.path.join(location, "metadata"), exist_ok=True)
+        new_meta = TableMetadata.new(
+            location,
+            m.schema,
+            m.spec,
+            {**m.properties, "gc_scope": "own_location",
+             "cloned_from": self.location},
+        )
+        # carry the full schema/spec history so old files' column-id
+        # projection and per-file spec-id pruning resolve identically
+        new_meta.schemas = list(m.schemas)
+        new_meta.current_schema_id = m.current_schema_id
+        new_meta.specs = list(m.specs)
+        new_meta.default_spec_id = m.default_spec_id
+        new_meta.last_column_id = m.last_column_id
+        new_meta.last_partition_field_id = m.last_partition_field_id
+        new_meta.sort_order = list(m.sort_order)
+        # cloned files keep their first_row_id ranges and sequence numbers;
+        # the clone's counters must start past them or its own first append
+        # would mint overlapping row-lineage ids
+        new_meta.next_row_id = m.next_row_id
+        new_meta.last_sequence_number = m.last_sequence_number
+        io = MetadataIO(location)
+        io.commit(new_meta, 0)
+        t = Table(self.spark, location)
+        src = self._manifest(self._resolve(MAIN))
+        if src.data_files or src.delete_files:
+            t._commit_snapshot(
+                Manifest(list(src.data_files), list(src.delete_files)),
+                "append",
+                MAIN,
+                {"cloned-from": self.location,
+                 "added-data-files": len(src.data_files)},
+            )
+        return t
+
     # ------------------------------------------------------------------
     # CDC (V6)
     # ------------------------------------------------------------------
@@ -1367,9 +1537,16 @@ class Table:
             man = self.io.read_manifest(s)
             live_files.update(f.path for f in man.data_files)
             live_files.update(d.path for d in man.delete_files)
+        # a shallow clone (gc_scope=own_location) must never unlink paths
+        # it does not own — its manifests reference the source table's
+        # files (Iceberg snapshot tables disable gc for the same reason)
+        own_only = self.meta.properties.get("gc_scope") == "own_location"
+        prefix = os.path.join(self.location, "")
         for s in dropped:
             man = self.io.read_manifest(s)
             for p in [f.path for f in man.data_files] + [d.path for d in man.delete_files]:
+                if own_only and not p.startswith(prefix):
+                    continue
                 if p not in live_files and os.path.exists(p):
                     os.remove(p)
             os.remove(os.path.join(self.location, s.manifest))

@@ -449,3 +449,97 @@ def test_optimize_partition_scoped(spark, tmp_path, sf_dir):
     # unknown / transform columns are loud
     with pytest.raises(ValueError, match="identity"):
         t.optimize(partition_filter={"c_name": "x"})
+
+
+# ---------------------------------------------------------------------------
+# cherry-pick / zero-copy clone / branch diff (round 5 sixth batch)
+# ---------------------------------------------------------------------------
+
+
+def test_cherrypick_shares_files_and_skips_rest(t):
+    t.create_branch("dev")
+    picked = t.insert([{"n_nationkey": 9100, "n_name": "PICK", "n_regionkey": 0}],
+                      ref="dev")
+    t.insert([{"n_nationkey": 9101, "n_name": "SKIP", "n_regionkey": 0}], ref="dev")
+    base_rows = t.df().count()
+    t.cherrypick(picked.snapshot_id)
+    names = {r.n_name for r in t.df().collect()}
+    assert "PICK" in names and "SKIP" not in names
+    assert t.df().count() == base_rows + 1
+    # zero-copy: the picked snapshot's added file path is literally shared
+    dev_paths = {f.path for f in t.io.read_manifest(t._resolve("dev")).data_files}
+    main_paths = {f.path for f in t.io.read_manifest(t._resolve()).data_files}
+    picked_paths = {
+        f.path for f in t.io.read_manifest(picked).data_files
+    } - {f.path for f in t.io.read_manifest(
+        t.meta.snapshot_by_id(picked.parent_id)).data_files}
+    assert picked_paths and picked_paths <= main_paths and picked_paths <= dev_paths
+
+
+def test_cherrypick_guards(t):
+    t.create_branch("dev")
+    s = t.insert([{"n_nationkey": 9200, "n_name": "A", "n_regionkey": 0}], ref="dev")
+    # delete-file delta is not cherry-pickable
+    d = t.delete("n_nationkey = 9200", ref="dev")
+    with pytest.raises(ValueError, match="delete-file delta"):
+        t.cherrypick(d.snapshot_id)
+    # double-pick is rejected (added files already live on target)
+    t.cherrypick(s.snapshot_id)
+    with pytest.raises(ValueError, match="already"):
+        t.cherrypick(s.snapshot_id)
+
+
+def test_clone_is_zero_copy_and_isolated(t, tmp_path):
+    import glob
+
+    src_rows = t.df().count()
+    c = t.clone(str(tmp_path / "clone"))
+    # zero-copy: no parquet bytes under the clone's own data dir yet
+    assert not glob.glob(str(tmp_path / "clone" / "data" / "**" / "*.parquet"),
+                         recursive=True)
+    clone_paths = {f.path for f in c.io.read_manifest(c._resolve()).data_files}
+    src_paths = {f.path for f in t.io.read_manifest(t._resolve()).data_files}
+    assert clone_paths == src_paths
+    # divergence is invisible cross-table
+    c.insert([{"n_nationkey": 9300, "n_name": "CLONEROW", "n_regionkey": 1}])
+    t.insert([{"n_nationkey": 9301, "n_name": "SRCROW", "n_regionkey": 1}])
+    assert c.df().count() == src_rows + 1
+    assert t.refresh().df().count() == src_rows + 1
+    assert {r.n_name for r in c.df().collect()} - {r.n_name for r in t.df().collect()} == {"CLONEROW"}
+
+
+def test_clone_expire_never_reaps_source_files(t, tmp_path):
+    c = t.clone(str(tmp_path / "clone"))
+    # churn the clone so its history has droppable snapshots, then expire
+    # everything: gc_scope=own_location must leave source-owned bytes alone
+    c.insert([{"n_nationkey": 9400, "n_name": "X", "n_regionkey": 1}])
+    c.truncate()
+    c.insert([{"n_nationkey": 9401, "n_name": "Y", "n_regionkey": 1}])
+    src_paths = {f.path for f in t.io.read_manifest(t._resolve()).data_files}
+    c.expire_snapshots(retention_ms=0)
+    for p in src_paths:
+        assert os.path.exists(p), "clone expire deleted a source-owned file"
+    assert t.df().count() > 0
+
+
+def test_branch_diff_cancels_shared_files(t):
+    base_paths = {f.path for f in t.io.read_manifest(t._resolve()).data_files}
+    t.create_branch("dev")
+    t.insert([{"n_nationkey": 9500, "n_name": "DEVROW", "n_regionkey": 2}],
+             ref="dev")
+    d = t.branch_diff("main", "dev")
+    rows = d.collect()
+    assert {(r.side, r.n_name) for r in rows} == {("right", "DEVROW")}
+    # manifest-first cancellation: the untouched shared base files are not
+    # in the diff's scan set
+    scanned = set(d.inputFiles())
+    assert not (scanned & {p for p in base_paths})
+
+
+def test_branch_diff_multiset_counts(t):
+    t.create_branch("dev")
+    row = {"n_nationkey": 9600, "n_name": "DUP", "n_regionkey": 2}
+    t.insert([row], ref="dev")
+    t.insert([row], ref="dev")  # identical row twice -> n_copies = 2
+    d = t.branch_diff("main", "dev").collect()
+    assert len(d) == 1 and d[0].side == "right" and d[0].n_copies == 2
