@@ -534,6 +534,31 @@ class Engine:
             tbl, sid = parts[1], parts[2]
         self._table(tbl).rollback_to_snapshot(int(sid))
 
+    def _h_call_cherrypick(self, m: re.Match) -> None:
+        # CALL system.cherrypick_snapshot('schema', 'table', id) or the
+        # named-argument form — same conventions as rollback_to_snapshot
+        args = m.group(1)
+        parts = [a.strip().strip("'") for a in _split_top(args)]
+        kw = dict(re.findall(r"(\w+)\s*=>\s*('[^']*'|\d+)", args))
+        if kw:
+            tbl, sid = kw.get("table_name", "").strip("'"), kw.get("snapshot_id")
+        else:
+            tbl, sid = parts[1], parts[2]
+        self._table(tbl).cherrypick(int(sid))
+
+    def _h_call_snapshot(self, m: re.Match) -> None:
+        # CALL system.snapshot(source_table => 's', table_name => 'c',
+        # table_location => '/path') — Iceberg's snapshot-table procedure:
+        # zero-copy clone of source_table registered as a new entry
+        kw = dict(re.findall(r"(\w+)\s*=>\s*'([^']*)'", m.group(1)))
+        src = self._table(kw["source_table"])
+        src.clone(kw["table_location"])
+        self.catalog.register_table(
+            _last(kw.get("schema_name", self.catalog.current_schema or "")),
+            kw["table_name"],
+            kw["table_location"],
+        )
+
     def _h_call_register(self, m: re.Match) -> None:
         kw = dict(re.findall(r"(\w+)\s*=>\s*'([^']*)'", m.group(1)))
         self.catalog.register_table(
@@ -702,6 +727,10 @@ class Engine:
                     r"(?:\(([^)]*)\))?\s*(?:WHERE\s+(.*))?$", _FLAGS), _h_execute),
         (re.compile(r"^CALL\s+system\.rollback_to_snapshot\s*\((.*)\)$", _FLAGS),
          _h_call_rollback),
+        (re.compile(r"^CALL\s+system\.cherrypick_snapshot\s*\((.*)\)$", _FLAGS),
+         _h_call_cherrypick),
+        (re.compile(r"^CALL\s+system\.snapshot\s*\((.*)\)$", _FLAGS),
+         _h_call_snapshot),
         (re.compile(r"^CALL\s+system\.register_table\s*\((.*)\)$", _FLAGS), _h_call_register),
         (re.compile(r"^CALL\s+system\.add_files\s*\((.*)\)$", _FLAGS), _h_call_add_files),
         (re.compile(r"^CREATE\s+BRANCH\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+IN\s+TABLE\s+([\w.\"]+)$",

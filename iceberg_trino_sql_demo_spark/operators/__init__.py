@@ -116,7 +116,13 @@ def register(
 #: r4-green block (sampled last round, unchanged since) sits below the
 #: 50-query window; pytest oracle parity still covers it every round.
 _DRIVER_PRIORITY: list[str] = [
-    # -- NEW this round, never driver-sampled
+    # -- NEW this round, never driver-sampled (sixth batch first)
+    "events_ndv_hll_sketch",
+    "events_pagerank_iter",
+    "text_inverted_index",
+    "ice_cherrypick",
+    "ice_branch_diff",
+    "ice_zero_copy_clone",
     "events_pattern_sequence",
     "dedup_minhash_calibration",
     "events_heavy_hitters_cms",

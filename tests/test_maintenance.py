@@ -543,3 +543,34 @@ def test_branch_diff_multiset_counts(t):
     t.insert([row], ref="dev")  # identical row twice -> n_copies = 2
     d = t.branch_diff("main", "dev").collect()
     assert len(d) == 1 and d[0].side == "right" and d[0].n_copies == 2
+
+
+def test_cherrypick_and_snapshot_via_frontend(spark, tmp_path, sf_dir):
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh3"))
+    eng.sql("CREATE SCHEMA pick")
+    eng.sql("USE pick")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation_src3"
+    )
+    eng.sql("CREATE TABLE nat AS SELECT * FROM nation_src3")
+    eng.sql("CREATE BRANCH dev IN TABLE nat")
+    eng.sql("INSERT INTO nat @ dev(n_nationkey, n_name, n_regionkey) "
+            "VALUES (9700, 'PICKME', 0)")
+    n0 = eng.sql("SELECT count(*) AS n FROM nat").collect()[0].n
+    t = eng.catalog.table("nat")
+    sid = t.refresh().meta.refs["dev"]
+    eng.sql(f"CALL system.cherrypick_snapshot('pick', 'nat', {sid})")
+    assert eng.sql("SELECT count(*) AS n FROM nat").collect()[0].n == n0 + 1
+    # zero-copy clone through CALL system.snapshot, then diverge the clone
+    loc = str(tmp_path / "nat_clone")
+    eng.sql(
+        "CALL system.snapshot(schema_name => 'pick', source_table => 'nat', "
+        f"table_name => 'nat_clone', table_location => '{loc}')"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM nat_clone").collect()[0].n == n0 + 1
+    eng.sql("INSERT INTO nat_clone(n_nationkey, n_name, n_regionkey) "
+            "VALUES (9701, 'CLONESIDE', 1)")
+    assert eng.sql("SELECT count(*) AS n FROM nat_clone").collect()[0].n == n0 + 2
+    assert eng.sql("SELECT count(*) AS n FROM nat").collect()[0].n == n0 + 1
