@@ -1640,3 +1640,37 @@ def ice_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
           "account_balance": 22.0, "nation": "ITALY"}]
     )
     return c.refresh().df()
+
+
+# ---------------------------------------------------------------------------
+# CDC replica apply — table_changes (reference :114-125) consumed as a sync
+# feed: a zero-copy clone taken at snapshot s0 converges to the source's
+# head by replaying the NET row deltas between s0 and head
+# (Table.apply_changes: last-ordinal-wins compression, then MERGE).  The
+# scenario drives all three net classes through one feed: a plain insert,
+# an update (delete+insert at one ordinal -> net upsert of the new image),
+# and a delete (net removal).  Replica content must equal the source head.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_cdc_replica_apply",
+    oracle=f"""
+    SELECT * FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT * FROM (VALUES
+        (2001, 'COMMANDER BUN BUN', 'SQLENGINE',  1.0, 'FRANCE'),
+        (2002, 'COMMANDER BUN BUN', 'SQLENGINE', 77.0, 'FRANCE')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_cdc_replica_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    s0 = t._resolve().snapshot_id
+    replica = t.clone(tempfile.mkdtemp(prefix="ice_replica_"))
+    # source evolves: insert batch, update one row, delete another
+    t.insert(_ROWS)
+    t.update({"account_balance": 77.0}, "custkey = 2002")
+    t.delete("custkey = 2003")
+    head = t.meta.refs["main"]
+    replica.apply_changes(t.table_changes(s0, head), on="custkey")
+    return replica.refresh().df()

@@ -1008,6 +1008,51 @@ class Table:
             new_df = new_df.unionByName(p)
         return self._rewrite_files(manifest, affected, new_df, "overwrite", ref)
 
+    def apply_changes(self, changes: DataFrame, on: str) -> None:
+        """Apply a ``table_changes`` CDC feed to THIS table — the
+        replica-sync pattern: a downstream copy converges by replaying net
+        row deltas instead of re-copying the table.  Changes compress to
+        ONE net action per key (highest ``_change_ordinal`` wins; at equal
+        ordinal — an UPDATE's delete+insert pair — the insert is the final
+        state), then apply as MERGE: net-insert keys upsert, net-delete
+        keys are removed when present (a delete for a key the replica
+        never had is a no-op, NOT an insert of the tombstone's old image).
+
+        100 TB shape: the source side of the pipeline reads only changed
+        files (table_changes is manifest-delta scoped), compression is one
+        keyed window over the delta (not the table), and each merge
+        rewrites only affected replica files via the distributed
+        affected-file probe."""
+        from pyspark.sql import Window
+
+        cols = self.meta.schema.names
+        pri = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+        w = Window.partitionBy(on).orderBy(
+            F.col("_change_ordinal").desc(), pri.desc()
+        )
+        net = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ins = net.where(F.col("_change_type") == "insert").select(*cols)
+        if not ins.isEmpty():
+            self.merge(
+                ins,
+                on=on,
+                matched_set={
+                    c: f"__src_{c}" for c in cols if c != on
+                },
+            )
+        dels = net.where(F.col("_change_type") == "delete").select(on)
+        if not dels.isEmpty():
+            self.merge(
+                dels,
+                on=on,
+                matched_delete_condition="true",
+                insert_not_matched=False,
+            )
+
     # ------------------------------------------------------------------
     # schema evolution (D9-D13)
     # ------------------------------------------------------------------

@@ -448,3 +448,35 @@ def test_merge_not_matched_by_source_delete(spark, tmp_path, sf_dir):
     )
     got = {(r.k, r.v) for r in t.df().collect()}
     assert got == {(1, "a2"), (3, "c"), (4, "d")}, got
+
+
+def test_apply_changes_net_compression_and_noop_delete(spark, tmp_path, sf_dir):
+    """CDC apply: update compresses to the new image, insert+delete of the
+    same key nets out entirely, and a delete for a key the replica never
+    had is a no-op (not an insert of the tombstone's old image)."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_schema("cdc")
+    cat.use("cdc")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    t = cat.ctas("nation", nation)
+    s0 = t._resolve().snapshot_id
+    replica = t.clone(str(tmp_path / "replica"))
+    # replica diverges: drop one source row so a later source-side delete
+    # of it must be a no-op on the replica
+    replica.delete("n_nationkey = 0")
+
+    t.insert([{"n_nationkey": 9800, "n_name": "EPHEMERAL", "n_regionkey": 1}])
+    t.delete("n_nationkey = 9800")  # insert+delete -> nets out
+    t.update({"n_name": "'RENAMED'"}, "n_nationkey = 1")
+    t.delete("n_nationkey = 0")     # replica already lacks key 0 -> no-op
+
+    replica.apply_changes(t.table_changes(s0, t.meta.refs["main"]), on="n_nationkey")
+    rows = {r.n_nationkey: r.n_name for r in replica.refresh().df().collect()}
+    assert 9800 not in rows
+    assert rows[1] == "RENAMED"
+    assert 0 not in rows
+    src = {r.n_nationkey: r.n_name for r in t.df().collect()}
+    src.pop(0, None)  # the replica's own divergence, never re-inserted
+    assert rows == src

@@ -635,3 +635,39 @@ def test_python_datasource_matches_table_df(spark):
         )
     via_table = sorted(tuple(r) for r in t.df().collect())
     assert via_ds == via_table and len(via_ds) == src.count()
+
+
+def test_hll_registers_merge_by_max(spark, sf_oracle_dir):
+    """The HLL sketch's core contract: partial register states built on
+    disjoint corpus halves MERGE (per-bucket MAX) to exactly the
+    full-corpus registers, so the estimate is identical whether the
+    sketch was built in one pass or accumulated incrementally."""
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.operators.windows_ops import (
+        _events,
+        _hll_estimate,
+        _hll_registers,
+    )
+
+    ev = _events(spark, sf_oracle_dir)
+    h = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select("event_type", F.md5(F.col("user_id").cast("string")).alias("hx"),
+                (F.col("user_id") % 2).alias("half"))
+    )
+    full = _hll_estimate(_hll_registers(h.drop("half")))
+    parts = [
+        _hll_registers(h.where(F.col("half") == i).drop("half"))
+        for i in (0, 1)
+    ]
+    merged_reg = (
+        parts[0].unionByName(parts[1])
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    merged = _hll_estimate(merged_reg)
+    a = {r.event_type: (r.hll_est, r.m_nonzero) for r in full.collect()}
+    b = {r.event_type: (r.hll_est, r.m_nonzero) for r in merged.collect()}
+    assert a == b and a
