@@ -124,6 +124,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_branch_diff",
     "ice_zero_copy_clone",
     "ice_cdc_replica_apply",
+    "ann_topk_ivfpq",
     "events_pattern_sequence",
     "dedup_minhash_calibration",
     "events_heavy_hitters_cms",

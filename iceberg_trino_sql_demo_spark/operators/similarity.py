@@ -1440,3 +1440,220 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("outlier_rank").cast(d38) * 20 <= F.col("n"))
         .select("vec_id", "label", "outlier_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the production ANN composition at 100 TB: the coarse quantizer
+# prunes the corpus to N_PROBE inverted lists (IVF, ~1/sqrt(n) of the
+# data), PQ's 8-byte ADC codes rank ONLY those list members (so the
+# expensive exact arithmetic never touches the corpus), and a bounded
+# exact-cosine rescore fixes the quantization error on the candidate
+# pool.  Memory math at scale: 64-dim float32 vectors = 256 B/vector;
+# the scan that ranks candidates here reads 8 B/vector codes — a 32x
+# bandwidth cut on top of IVF's list pruning.
+#
+# Every stage reuses an already-oracle-checked kernel: the coarse
+# assignment is ann_topk_ivf's _assign (min_by hash aggregate / GEMM
+# branch past oracle scale), the codebook + ADC fold is ann_topk_pq's
+# (sample-derived, identical left-to-right accumulation on both
+# engines), the rescore is the brute-force staged-literal cosine.  The
+# DuckDB oracle is the same composition in SQL, so codes, probe set,
+# ADC pool and final top-K all hash-match.
+# ---------------------------------------------------------------------------
+def _ivfpq_oracle() -> str:
+    M, KC, C, ds = _PQ_M, _PQ_KC, _PQ_C, _DIM // _PQ_M
+
+    def sub_dist(j: int) -> str:
+        return " + ".join(
+            f"(o.e[{j * ds + d + 1}] - bk.c[{j * ds + d + 1}])"
+            f" * (o.e[{j * ds + d + 1}] - bk.c[{j * ds + d + 1}])"
+            for d in range(ds)
+        )
+
+    def sub_adot(j: int) -> str:
+        return " + ".join(
+            f"b{j}.c[{j * ds + d + 1}] * (SELECT qe[{j * ds + d + 1}] FROM q)"
+            for d in range(ds)
+        )
+
+    def sub_an2(j: int) -> str:
+        return " + ".join(
+            f"b{j}.c[{j * ds + d + 1}] * b{j}.c[{j * ds + d + 1}]"
+            for d in range(ds)
+        )
+
+    qq = " + ".join(f"qe[{d + 1}] * qe[{d + 1}]" for d in range(_DIM))
+    code_cols = ",\n             ".join(
+        f"arg_min(bk.k, {sub_dist(j)}) AS k{j}" for j in range(M)
+    )
+    book_joins = "\n      ".join(
+        f"JOIN book b{j} ON b{j}.k = codes.k{j}" for j in range(M)
+    )
+    adot = " + ".join(f"({sub_adot(j)})" for j in range(M))
+    an2 = " + ".join(f"({sub_an2(j)})" for j in range(M))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id != 0
+    ),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    cent AS (
+      SELECT vec_id AS cent_id, e AS c FROM base
+       WHERE vec_id % {_CENT_MOD} = {_CENT_RESIDUE}
+    ),
+    assign AS (
+      SELECT vec_id, e, cent_id AS cluster
+        FROM (
+          SELECT b.vec_id, b.e, cent.cent_id,
+                 row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY 1 - list_dot_product(b.e, cent.c)
+                            / (sqrt(list_dot_product(b.e, b.e))
+                               * sqrt(list_dot_product(cent.c, cent.c))) ASC,
+                            cent.cent_id ASC) AS rk
+            FROM base b CROSS JOIN cent
+        ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT cent_id
+        FROM cent CROSS JOIN q
+       ORDER BY 1 - list_dot_product(qe, c)
+                / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c, c))) ASC,
+                cent_id ASC
+       LIMIT {N_PROBE}
+    ),
+    cand AS (
+      SELECT vec_id, e FROM assign
+       WHERE cluster IN (SELECT cent_id FROM probes)
+    ),
+    ord_s AS (
+      SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM base
+    ),
+    nn AS (SELECT least(count(*), {_PQ_CAP}) AS n FROM base),
+    book AS MATERIALIZED (
+      SELECT ks.k, o.e AS c
+        FROM (SELECT unnest(range({KC})) AS k) ks, nn
+        JOIN ord_s o
+          ON o.rn = CAST(floor(ks.k * (nn.n - 1) / {KC - 1}.0) AS BIGINT)
+    ),
+    codes AS MATERIALIZED (
+      SELECT o.vec_id,
+             {code_cols}
+        FROM cand o CROSS JOIN book bk
+       GROUP BY o.vec_id
+    ),
+    scored AS (
+      SELECT codes.vec_id,
+             ({adot}) / (sqrt({an2}) * sqrt((SELECT {qq} FROM q))) AS ascore
+        FROM codes
+      {book_joins}
+    ),
+    pool AS (
+      SELECT vec_id FROM scored ORDER BY ascore DESC, vec_id LIMIT {C}
+    )
+    SELECT base.vec_id,
+           round(
+             list_dot_product(base.e, (SELECT qe FROM q))
+             / (sqrt(list_dot_product(base.e, base.e))
+                * sqrt(list_dot_product((SELECT qe FROM q), (SELECT qe FROM q)))),
+             6) AS cosine
+      FROM base JOIN pool USING (vec_id)
+     ORDER BY cosine DESC, vec_id
+     LIMIT {K}
+    """
+
+
+@register("ann_topk_ivfpq", oracle=_ivfpq_oracle())
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    qv = _query_vector(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "embedding").where(
+        F.col("vec_id") != 0
+    )
+    n_rows = parquet_row_count(table_path(sf_dir, "embeddings"))
+    ds = _DIM // _PQ_M
+
+    # --- IVF side: coarse quantizer + probe set (ann_topk_ivf kernels)
+    cent_mod = _adaptive_cent_mod(n_rows)
+    cent = e.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    assigned = _assign(e, cent, n_rows=n_rows)
+    qcos = _dot_lit("cent", qv) / (
+        F.sqrt(_dot("cent", "cent")) * F.lit(_norm_lit(qv))
+    )
+    probes = [
+        r.cent_id
+        for r in cent.orderBy(F.asc(1 - qcos), F.asc("cent_id"))
+        .limit(N_PROBE)
+        .collect()
+    ]
+    cand = assigned.where(F.col("cluster").isin(probes)).select(
+        "vec_id", "embedding"
+    )
+
+    # --- PQ side: the ann_topk_pq codebook + ADC fold, over candidates only
+    sample = e.orderBy("vec_id").limit(_PQ_CAP).collect()
+    S = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in sample])
+    nn = len(S)
+    idx = np.floor(np.arange(_PQ_KC) * (nn - 1) / float(_PQ_KC - 1)).astype(int)
+    books = [S[idx][:, j * ds:(j + 1) * ds].copy() for j in range(_PQ_M)]
+    q = np.asarray(qv, dtype=np.float64)
+    qn = _norm_lit(qv)
+    lut_dot, lut_n2 = [], []
+    for j in range(_PQ_M):
+        Cj, qj = books[j], q[j * ds:(j + 1) * ds]
+        acc_d = Cj[:, 0] * qj[0]
+        acc_n = Cj[:, 0] * Cj[:, 0]
+        for d in range(1, ds):
+            acc_d = acc_d + Cj[:, d] * qj[d]
+            acc_n = acc_n + Cj[:, d] * Cj[:, d]
+        lut_dot.append(acc_d)
+        lut_n2.append(acc_n)
+    use_gemm = n_rows > 10_000
+    c2 = [(books[j] * books[j]).sum(1) for j in range(_PQ_M)]
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            dot = None
+            nrm2 = None
+            for j in range(_PQ_M):
+                Xj = Xb[:, j * ds:(j + 1) * ds]
+                Cj = books[j]
+                if use_gemm:
+                    d2 = (Xj * Xj).sum(1)[:, None] - 2.0 * (Xj @ Cj.T) + c2[j][None, :]
+                else:
+                    diff = Xj[:, None, 0] - Cj[None, :, 0]
+                    d2 = diff * diff
+                    for d in range(1, ds):
+                        diff = Xj[:, None, d] - Cj[None, :, d]
+                        d2 = d2 + diff * diff
+                codes = d2.argmin(1)
+                dot = lut_dot[j][codes] if dot is None else dot + lut_dot[j][codes]
+                nrm2 = lut_n2[j][codes] if nrm2 is None else nrm2 + lut_n2[j][codes]
+            asc = dot / (np.sqrt(nrm2) * qn)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "ascore": asc})
+
+    pool = (
+        cand.mapInPandas(score_batches, "vec_id long, ascore double")
+        .orderBy(F.desc("ascore"), F.asc("vec_id"))
+        .limit(_PQ_C)
+    )
+    cosine = _dot_lit("embedding", qv) / (
+        F.sqrt(_dot("embedding", "embedding")) * F.lit(_norm_lit(qv))
+    )
+    return (
+        e.join(F.broadcast(pool.select("vec_id")), "vec_id")
+        .select("vec_id", F.round(cosine, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(K)
+    )

@@ -671,3 +671,24 @@ def test_hll_registers_merge_by_max(spark, sf_oracle_dir):
     a = {r.event_type: (r.hll_est, r.m_nonzero) for r in full.collect()}
     b = {r.event_type: (r.hll_est, r.m_nonzero) for r in merged.collect()}
     assert a == b and a
+
+
+def test_ann_ivfpq_recall_and_exact_scores(spark):
+    """IVF-PQ stacks two approximations (probe pruning + 8-byte codes);
+    with N_PROBE=2 lists and a 10x rescore pool the composition should
+    still recover most of the exact top-10, and every returned cosine is
+    exact by construction (rescore reads the raw vectors)."""
+    brute = [r.vec_id for r in ops.QUERIES["ann_topk_bruteforce"](spark, SF).collect()]
+    ivfpq = [r.vec_id for r in ops.QUERIES["ann_topk_ivfpq"](spark, SF).collect()]
+    recall = len(set(brute) & set(ivfpq)) / len(brute)
+    # IVF alone bounds this composition's recall from above; PQ within the
+    # probed lists should cost little extra (pool is 10x K)
+    ivf = [r.vec_id for r in ops.QUERIES["ann_topk_ivf"](spark, SF).collect()]
+    ivf_recall = len(set(brute) & set(ivf)) / len(brute)
+    assert recall >= max(0.5, ivf_recall - 0.2), (
+        f"IVF-PQ recall {recall} vs IVF {ivf_recall}"
+    )
+    bs = {r.vec_id: r.cosine for r in ops.QUERIES["ann_topk_bruteforce"](spark, SF).collect()}
+    for r in ops.QUERIES["ann_topk_ivfpq"](spark, SF).collect():
+        if r.vec_id in bs:
+            assert abs(r.cosine - bs[r.vec_id]) < 1e-9
