@@ -330,6 +330,7 @@ def release_caches() -> None:
         relational,
         similarity,
         table_format_ops,
+        windows_ops,
     )
 
     for lst in (
@@ -346,6 +347,7 @@ def release_caches() -> None:
         similarity._KNN_PERSISTED,
         similarity._KNNL_PERSISTED,
         relational._QUANT_PERSISTED,
+        windows_ops._PR_PERSISTED,
     ):
         while lst:
             lst.pop().unpersist()

@@ -1053,7 +1053,12 @@ _HLL_EST = (
 
 
 def _hll_registers(h: DataFrame) -> DataFrame:
-    """(event_type, hx md5-hex) -> per-(event_type, bucket) register M."""
+    """(event_type, hx md5-hex, one row per DISTINCT key) -> per-
+    (event_type, bucket) register M plus ``nk``, the bucket's exact
+    distinct-key count.  ``m`` merges across partial sketches by MAX;
+    ``nk`` merges by SUM when the partials cover disjoint key sets —
+    riding the exact count through the same aggregate is what lets the
+    full query report ndv_exact without a second corpus scan."""
     b = h.select(
         "event_type",
         (F.conv(F.substring("hx", 1, 2), 16, 10).cast("long") % 64)
@@ -1066,21 +1071,26 @@ def _hll_registers(h: DataFrame) -> DataFrame:
     return (
         b.withColumn("rho", rho)
         .groupBy("event_type", "bucket")
-        .agg(F.least(F.max("rho"), F.lit(40)).alias("m"))
+        .agg(
+            F.least(F.max("rho"), F.lit(40)).alias("m"),
+            F.count(F.lit(1)).alias("nk"),
+        )
     )
 
 
 def _hll_estimate(reg: DataFrame) -> DataFrame:
-    """registers -> (event_type, hll_est, m_nonzero)."""
+    """registers -> (event_type, ndv_exact, hll_est, m_nonzero)."""
     z = reg.groupBy("event_type").agg(
         (
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - m)"))
             + (64 - F.count(F.lit(1))) * F.lit(_HLL_P40)
         ).alias("zsum"),
         F.count(F.lit(1)).cast("long").alias("m_nonzero"),
+        F.sum("nk").cast("long").alias("ndv_exact"),
     )
     return z.select(
-        "event_type", F.expr(_HLL_EST).alias("hll_est"), "m_nonzero"
+        "event_type", "ndv_exact", F.expr(_HLL_EST).alias("hll_est"),
+        "m_nonzero",
     )
 
 
@@ -1107,48 +1117,42 @@ def _hll_oracle() -> str:
         FROM b
     ),
     reg AS (
-      SELECT event_type, bucket, least(max(rho), 40) AS m
+      SELECT event_type, bucket, least(max(rho), 40) AS m,
+             count(*) AS nk
         FROM r GROUP BY 1, 2
     ),
     z AS (
       SELECT event_type,
              sum(CAST(1 AS BIGINT) << (40 - m))
                + (64 - count(*)) * (CAST(1 AS BIGINT) << 40) AS zsum,
-             CAST(count(*) AS BIGINT) AS m_nonzero
+             CAST(count(*) AS BIGINT) AS m_nonzero,
+             CAST(sum(nk) AS BIGINT) AS ndv_exact
         FROM reg GROUP BY 1
-    ),
-    e AS (SELECT event_type, {est} AS hll_est, m_nonzero FROM z),
-    x AS (
-      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_exact
-        FROM events GROUP BY 1
     )
-    SELECT x.event_type, x.ndv_exact, e.hll_est, e.m_nonzero,
-           (100 * abs(e.hll_est - x.ndv_exact) <= 35 * x.ndv_exact
-            OR abs(e.hll_est - x.ndv_exact) <= 10) AS ok_est
-      FROM x JOIN e USING (event_type)
+    SELECT event_type, ndv_exact, {est} AS hll_est, m_nonzero,
+           (100 * abs({est} - ndv_exact) <= 35 * ndv_exact
+            OR abs({est} - ndv_exact) <= 10) AS ok_est
+      FROM z
     """
 
 
 @register("events_ndv_hll_sketch", oracle=_hll_oracle())
 def events_ndv_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    h = (
-        ev.select("event_type", "user_id")
-        .distinct()  # dedup BEFORE hashing: one md5 per live key
-        .select(
-            "event_type", F.md5(F.col("user_id").cast("string")).alias("hx")
-        )
+    # ONE linear pipeline, single corpus scan: distinct keys -> bucket
+    # registers (exact per-bucket count rides the same aggregate) ->
+    # per-group estimate.  No join, no second scan — ndv_exact is the sum
+    # of the buckets' exact counts (the audit-pinned 3-exchange shape).
+    d = ev.select("event_type", "user_id").distinct()
+    h = d.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hx")
     )
     est = _hll_estimate(_hll_registers(h))
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("long").alias("ndv_exact")
-    )
-    j = exact.join(est, "event_type")
     ok = (
         100 * F.abs(F.col("hll_est") - F.col("ndv_exact"))
         <= 35 * F.col("ndv_exact")
     ) | (F.abs(F.col("hll_est") - F.col("ndv_exact")) <= 10)
-    return j.select(
+    return est.select(
         "event_type", "ndv_exact", "hll_est", "m_nonzero", ok.alias("ok_est")
     )
 
@@ -1172,6 +1176,13 @@ def events_ndv_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SUM (commutative partial aggs absorb it), not in a join fan-out.
 # ---------------------------------------------------------------------------
 _PR_TOPK = 20
+
+#: persisted symmetric edge list + degree vector (drained by
+#: operators.release_caches and re-built per invocation): the superstep
+#: references the edge list THREE times (degree count, both neighbor-sum
+#: probe sides) — unpersisted, Catalyst re-runs the co-occurrence
+#: self-join per reference (measured: 19 Exchange nodes vs the pinned 9)
+_PR_PERSISTED: list[DataFrame] = []
 
 
 @register(
@@ -1213,18 +1224,24 @@ def events_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = p.alias("a"), p.alias("b")
+    while _PR_PERSISTED:
+        _PR_PERSISTED.pop().unpersist()
     e0 = (
         a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.user_id") < F.col("b.user_id")))
         .select(F.col("a.user_id").alias("x"), F.col("b.user_id").alias("y"))
         .distinct()
+        .persist()
     )
+    _PR_PERSISTED.append(e0)
     deg = (
         e0.select(F.col("x").alias("u"))
         .unionAll(e0.select(F.col("y").alias("u")))
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
+    _PR_PERSISTED.append(deg)
     # contribution vector is node-cardinality — broadcast both probe sides
     # so the edge list never shuffles for the join (at larger graphs AQE
     # falls back to a co-partitioned join on the same plan)

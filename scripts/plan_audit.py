@@ -238,6 +238,47 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "is the unblocked ground truth (recall 1.0 is value-checked, not "
         "claimed).",
     ),
+    "events_ndv_hll_sketch": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        6,
+        "one linear pipeline, single corpus scan: distinct keys -> "
+        "per-bucket register MAX (the exact count rides the same "
+        "aggregate) -> per-group estimate.  All three aggregates "
+        "partial-combine map-side and the register frame is groups x 64 "
+        "rows regardless of corpus size; no join, no second scan.",
+    ),
+    "events_pagerank_iter": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+        9,
+        "one superstep = degree hash-agg + contribution broadcast onto "
+        "the edge list + neighbor-sum hash-agg; the edge-list union never "
+        "sorts, and hot-node skew is absorbed by map-side partial sums, "
+        "not a join fan-out.",
+    ),
+    "text_inverted_index": (
+        ["HashAggregate", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        5,
+        "posexplode (Generate) feeds a (doc, term) partial+final hash "
+        "aggregate, then one term-keyed aggregate builds the postings; "
+        "the df cut bounds stopword rows in the OUTPUT while both "
+        "aggregates stay map-side combinable.",
+    ),
+    "ann_topk_ivfpq": (
+        # "Aggregate" matches Hash- AND ObjectHashAggregate: the coarse
+        # assignment's first(embedding) payload (array) forces the object
+        # variant at oracle scales (see _assign docstring)
+        ["Aggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin"],
+        8,
+        "coarse assignment is the min_by hash aggregate over the "
+        "broadcast centroid expansion; probed-list candidates flow "
+        "through the Arrow ADC scorer into a TakeOrdered pool, and the "
+        "rescore joins the pool ids back by broadcast — the corpus-sized "
+        "stage reads codes, not raw vectors, at scale.",
+    ),
 }
 
 

@@ -662,14 +662,17 @@ def test_hll_registers_merge_by_max(spark, sf_oracle_dir):
         _hll_registers(h.where(F.col("half") == i).drop("half"))
         for i in (0, 1)
     ]
+    # m merges by MAX; nk by SUM (the halves partition the key space)
     merged_reg = (
         parts[0].unionByName(parts[1])
         .groupBy("event_type", "bucket")
-        .agg(F.max("m").alias("m"))
+        .agg(F.max("m").alias("m"), F.sum("nk").alias("nk"))
     )
     merged = _hll_estimate(merged_reg)
-    a = {r.event_type: (r.hll_est, r.m_nonzero) for r in full.collect()}
-    b = {r.event_type: (r.hll_est, r.m_nonzero) for r in merged.collect()}
+    a = {r.event_type: (r.ndv_exact, r.hll_est, r.m_nonzero)
+         for r in full.collect()}
+    b = {r.event_type: (r.ndv_exact, r.hll_est, r.m_nonzero)
+         for r in merged.collect()}
     assert a == b and a
 
 
