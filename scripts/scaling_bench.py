@@ -87,6 +87,12 @@ FAMILY = [
     # sketch-calibration report rides the same signature/band pipeline as
     # dedup_minhash_lsh — its cost must track the candidate set, not n²
     "dedup_minhash_calibration",
+    # r5 batch-6: the inverted-index build (posexplode + two keyed aggs,
+    # output bounded by the df cut) and the IVF+PQ composition (probe
+    # pruning means the ADC stage's input is ~N_PROBE/sqrt(n) of the
+    # corpus — wall time should grow SLOWER than the brute-force row)
+    "text_inverted_index",
+    "ann_topk_ivfpq",
 ]
 
 DIAG = {
