@@ -118,6 +118,7 @@ def register(
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled (sixth batch first)
     "events_ndv_hll_sketch",
+    "events_rolling_ndv_sketch",
     "events_pagerank_iter",
     "text_inverted_index",
     "ice_cherrypick",
@@ -125,6 +126,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_zero_copy_clone",
     "ice_cdc_replica_apply",
     "ann_topk_ivfpq",
+    "pii_scrub_text",
     "events_pattern_sequence",
     "dedup_minhash_calibration",
     "events_heavy_hitters_cms",

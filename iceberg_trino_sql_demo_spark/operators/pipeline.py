@@ -1007,3 +1007,54 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub TRANSFORM — the complement of pii_scrub_stats: the cleaned
+# training text itself, emails/phones replaced with typed placeholder
+# tokens (the standard pre-training redaction contract: the model sees
+# <EMAIL>/<PHONE>, never the value; placeholders keep sentence structure
+# where deletion would splice unrelated tokens together).  Same injected
+# synthetic PII as the stats op, same regexes — one codegen'd
+# regexp_replace chain per row, zero shuffles; the audit row-count
+# invariant (scrubbed docs == corpus docs) is structural.
+# ---------------------------------------------------------------------------
+@register(
+    "pii_scrub_text",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             text || CASE WHEN doc_id % 20 = 0 THEN '{_PII_SUFFIX}' ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id, source,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                + len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+               AS n_redactions
+      FROM corpus
+    """,
+)
+def pii_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 20 == 0, _PII_SUFFIX).otherwise(""),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>",
+    )
+    n_red = (
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0)))
+    ).cast("long")
+    return corpus.select(
+        "doc_id", "source", clean.alias("clean_text"),
+        n_red.alias("n_redactions"),
+    )
