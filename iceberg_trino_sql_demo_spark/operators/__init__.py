@@ -127,6 +127,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_cdc_replica_apply",
     "ann_topk_ivfpq",
     "pii_scrub_text",
+    "dedup_ngram_containment",
+    "multimodal_ahash_near_dup",
     "events_pattern_sequence",
     "dedup_minhash_calibration",
     "events_heavy_hitters_cms",

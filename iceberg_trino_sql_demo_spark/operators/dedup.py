@@ -2422,3 +2422,96 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# N-gram CONTAINMENT — the asymmetric cousin of dedup_shingle_jaccard, and
+# the right measure for embedded copies: a 200-word quote pasted into a
+# 5000-word article has Jaccard ~0.04 (invisible to symmetric dedup) but
+# containment ~1.0 from the quote's side.  Curation uses this to find
+# boilerplate inclusions, quoted benchmarks, and wrapper pages whose
+# "content" is another document.
+#
+# containment(A in B) = |A∩B| / |A| >= 0.8, evaluated as the integer
+# inequality 10*c >= 8*n_a (no float boundary).  Candidates come from the
+# SAME df-capped hashed-shingle self-join as Jaccard (one undirected pair
+# aggregate; both directions are projected from it afterwards, so the
+# expensive join work is not doubled).  Scale shape: identical to
+# dedup_shingle_jaccard — hash-early longs, df cap bounding hot-shingle
+# fan-out, broadcast-or-shuffle join picked by measured size.
+# ---------------------------------------------------------------------------
+_CONTAIN_NUM, _CONTAIN_DEN = 8, 10  # tau = 0.8
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {{capped}},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) c
+        FROM sh a JOIN sh b
+          ON a.ha = b.ha AND a.hb = b.hb AND a.doc_id < b.doc_id
+       GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT id_a, id_b, c, sa.n AS n_a, sb.n AS n_b
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    directed AS (
+      SELECT id_a AS contained_id, id_b AS container_id, c,
+             n_a AS n_contained, n_b AS n_container
+        FROM sized WHERE {_CONTAIN_DEN} * c >= {_CONTAIN_NUM} * n_a
+      UNION ALL
+      SELECT id_b, id_a, c, n_b, n_a
+        FROM sized WHERE {_CONTAIN_DEN} * c >= {_CONTAIN_NUM} * n_b
+    )
+    SELECT contained_id, container_id, c AS n_common, n_contained,
+           n_container,
+           CAST(1000 * c // n_contained AS BIGINT) AS containment_permille
+      FROM directed
+    """.format(capped=_hsh_capped("SELECT doc_id, text FROM documents")),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, n_sh = hashed_shingles_with_stats(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    small = n_sh * 24 <= _BHJ_SHINGLE_BYTES
+    p = spark.sparkContext.defaultParallelism
+    a = (sh.repartition(p) if small else sh).alias("a")
+    b = F.broadcast(sh.alias("b")) if small else sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ha") == F.col("b.ha"))
+               & (F.col("a.hb") == F.col("b.hb"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    sized = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    fwd = sized.where(
+        _CONTAIN_DEN * F.col("c") >= _CONTAIN_NUM * F.col("n_a")
+    ).select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        "c",
+        F.col("n_a").alias("n_contained"),
+        F.col("n_b").alias("n_container"),
+    )
+    rev = sized.where(
+        _CONTAIN_DEN * F.col("c") >= _CONTAIN_NUM * F.col("n_b")
+    ).select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        "c",
+        F.col("n_b").alias("n_contained"),
+        F.col("n_a").alias("n_container"),
+    )
+    return fwd.unionByName(rev).select(
+        "contained_id", "container_id", F.col("c").alias("n_common"),
+        "n_contained", "n_container",
+        F.expr("1000 * c DIV n_contained").cast("long")
+        .alias("containment_permille"),
+    )

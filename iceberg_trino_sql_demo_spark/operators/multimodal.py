@@ -368,3 +368,105 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup buckets (aHash) — the multimodal counterpart of
+# text near-dup: re-encoded/re-crawled media whose BYTES differ but whose
+# content is identical collapse on a content-derived signature that exact
+# payload digests (multimodal_payload_dedup) cannot see.  The classic
+# average-hash recipe: sample a fixed 8x8=64-value grid from the decoded
+# luma plane, threshold each value against the grid mean, read the 64
+# bits as the signature; equal signatures are near-dup candidates
+# (hamming-radius banding over these same bits is the recall knob, same
+# mechanics as dedup_simhash's multi-index).
+#
+# The DECODE step is this repo's documented multimodal stub (_fake_decode
+# — no codec libs in the container): the "luma plane" is the payload's
+# byte sequence, sampled at 64 evenly-spaced offsets with pure integer
+# position arithmetic ((i*n) DIV 64).  Real deployments replace exactly
+# that sampler with resize(8,8)+grayscale; every downstream step
+# (threshold, signature, bucket aggregate) is the production plan.  The
+# injected near-dups mutate the LAST byte — byte-distinct, md5-distinct,
+# signature-equal — so n_exact_variants >= 2 per bucket proves the
+# operator sees through byte identity.  Plan: scan + one 64-element
+# transform per row (codegen'd, no UDF) + ONE hash aggregate on the
+# signature; payload bytes never shuffle.
+# ---------------------------------------------------------------------------
+_AHASH_SAMPLE = (
+    "transform(sequence(0, 63), "
+    "i -> ascii(substring(text, CAST((i * length(text)) DIV 64 AS INT) + 1, 1)))"
+)
+
+
+@register(
+    "multimodal_ahash_near_dup",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 64
+      UNION ALL
+      SELECT doc_id + 2000000, substr(text, 1, length(text) - 1) || 'x' AS text
+        FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 64
+    ),
+    sig AS (
+      SELECT doc_id, md5(text) AS exact_hash,
+             list_transform(range(0, 64),
+               i -> ascii(substr(text, CAST((i * length(text)) // 64 AS INT) + 1, 1))) AS v
+        FROM docs
+    ),
+    bits AS (
+      SELECT doc_id, exact_hash,
+             array_to_string(list_transform(v, x ->
+               CASE WHEN 64 * x >= list_sum(v) THEN '1' ELSE '0' END), '') AS ahash
+        FROM sig
+    )
+    SELECT ahash, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT exact_hash) AS BIGINT) AS n_exact_variants,
+           MIN(doc_id) AS keeper
+      FROM bits GROUP BY ahash HAVING count(*) >= 2
+    """,
+)
+def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        spark.read.parquet(table_path(sf_dir, "documents"))
+        .select("doc_id", "text")
+        .where(F.length("text") >= 64)
+    )
+    mut = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 1)"), F.lit("x")
+        ).alias("text"),
+    )
+
+    # signatures are computed PER BRANCH and then unioned: a lambda whose
+    # body references `text` across a self-union trips Catalyst attribute
+    # rewriting (NoSuchElementException: key not found — both branches
+    # share the attr id); after this projection the union carries only
+    # branch-local attributes
+    def _sig(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.md5(F.encode("text", "utf-8")).alias("exact_hash"),
+            F.expr(_AHASH_SAMPLE).alias("v"),
+        )
+
+    sig = _sig(d).unionAll(_sig(mut))
+    bits = sig.select(
+        "doc_id",
+        "exact_hash",
+        F.expr(
+            "array_join(transform(v, x -> "
+            "CASE WHEN 64 * x >= aggregate(v, 0, (a, b) -> a + b) "
+            "THEN '1' ELSE '0' END), '')"
+        ).alias("ahash"),
+    )
+    return (
+        bits.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct("exact_hash").cast("long").alias("n_exact_variants"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
