@@ -129,6 +129,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pii_scrub_text",
     "dedup_ngram_containment",
     "multimodal_ahash_near_dup",
+    "ice_stream_table_changes",
     "events_pattern_sequence",
     "dedup_minhash_calibration",
     "events_heavy_hitters_cms",

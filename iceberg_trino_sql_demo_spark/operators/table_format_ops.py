@@ -1674,3 +1674,67 @@ def ice_cdc_replica_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = t.meta.refs["main"]
     replica.apply_changes(t.table_changes(s0, head), on="custkey")
     return replica.refresh().df()
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental read — the table consumed AS A STREAM SOURCE
+# (Iceberg's spark streaming read): snapshots committed after the stream's
+# start offset arrive as microbatches of inserted rows, planned from the
+# manifest delta (an incremental consumer never rescans the table).  The
+# scenario commits two appends past s0 and drains with availableNow; the
+# drained rows equal exactly those appends, stamped with the engine's
+# monotone commit sequence (CTAS=1, so the appends are 2 and 3).
+# ---------------------------------------------------------------------------
+@register(
+    "ice_stream_table_changes",
+    oracle=f"""
+    SELECT custkey, name, account_balance,
+           'insert' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_sequence_number
+      FROM ({_ROWS_SQL.replace("SELECT *", "SELECT custkey, name, mktsegment, account_balance, nation")})
+    UNION ALL
+    SELECT 940001, 'STREAMED', 40.0, 'insert', CAST(3 AS BIGINT)
+    """,
+    bench=False,
+    memo=False,
+)
+def ice_stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from iceberg_trino_sql_demo_spark.sources.pyds import (
+        STREAM_FORMAT_NAME,
+        IceChangesDataSource,
+    )
+    from iceberg_trino_sql_demo_spark.streaming.ingest import _drain
+
+    t = _scratch_customer(spark, sf_dir)
+    s0 = t._resolve().snapshot_id
+    t.insert(_ROWS)
+    t.insert(
+        [{"custkey": 940001, "name": "STREAMED", "mktsegment": "SQLENGINE",
+          "account_balance": 40.0, "nation": "FRANCE"}]
+    )
+    spark.dataSource.register(IceChangesDataSource)  # idempotent re-register
+    src = (
+        spark.readStream.format(STREAM_FORMAT_NAME)
+        .option("path", t.location)
+        .option("start_snapshot_id", s0)
+        .load()
+    )
+    qname = f"ice_cdc_stream_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
+    q = (
+        src.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, ckpt)
+    from pyspark.sql import functions as F
+
+    return spark.table(qname).select(
+        "custkey", "name", "account_balance",
+        "_change_type", "_commit_sequence_number",
+    )

@@ -109,3 +109,41 @@ def test_stream_ingestion_exactly_once(spark, tmp_path):
     other = table_sink(t, "other-stream")
     other(replay.select(*[f.name for f in t.meta.schema.fields]), 0)
     assert t.df().count() == src_n + 10
+
+
+def test_ice_changes_stream_reader_offsets_and_guard(spark, tmp_path, sf_dir):
+    """Direct contract test of the CDC stream reader: offset walk, exact
+    range replay (readBetweenOffsets — checkpoint recovery), and the loud
+    append-only guard on delete-bearing histories."""
+    import pytest
+
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.pyds import IceChangesStreamReader
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_schema("cdc")
+    cat.use("cdc")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    t = cat.ctas("nation", nation)
+    s0 = t._resolve().snapshot_id
+    t.insert([{"n_nationkey": 9900, "n_name": "B1", "n_regionkey": 0}])
+    s1 = t._resolve().snapshot_id
+    t.insert([{"n_nationkey": 9901, "n_name": "B2", "n_regionkey": 0}])
+    s2 = t._resolve().snapshot_id
+
+    r = IceChangesStreamReader(t.location, s0)
+    assert r.initialOffset() == {"snapshot_id": s0}
+    rows, nxt = r.read({"snapshot_id": s0})
+    assert nxt == {"snapshot_id": s2}
+    assert [x[1] for x in rows] == ["B1", "B2"]  # commit order
+    assert {x[-2] for x in rows} == {"insert"}
+    # empty batch at head
+    rows2, nxt2 = r.read(nxt)
+    assert rows2 == [] and nxt2 == nxt
+    # exact range replay: only the first append
+    replay = r.readBetweenOffsets({"snapshot_id": s0}, {"snapshot_id": s1})
+    assert [x[1] for x in replay] == ["B1"]
+    # append-only guard: a MoR delete makes the next batch raise loudly
+    t.delete("n_nationkey = 9900")
+    with pytest.raises(ValueError, match="append-only"):
+        r.read({"snapshot_id": s2})
