@@ -457,6 +457,9 @@ class Engine:
     def _h_rename_column(self, m: re.Match) -> None:
         self._table(m.group(1)).rename_column(m.group(2), m.group(3))
 
+    def _h_rename_table(self, m: re.Match) -> None:
+        self.catalog.rename_table(m.group(1).strip('"'), m.group(2).strip('"'))
+
     def _h_set_partitioning(self, m: re.Match) -> None:
         parts = [p.strip().strip("'\"") for p in m.group(2).split(",") if p.strip()]
         self._table(m.group(1)).set_partitioning(parts)
@@ -719,6 +722,8 @@ class Engine:
          _h_drop_column),
         (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$",
                     _FLAGS), _h_rename_column),
+        (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+RENAME\s+TO\s+([\w.\"]+)$",
+                    _FLAGS), _h_rename_table),
         (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+SET\s+PROPERTIES\s+partitioning\s*=\s*"
                     r"ARRAY\s*\[(.*?)\]$", _FLAGS), _h_set_partitioning),
         (re.compile(r"^ALTER\s+TABLE\s+([\w.\"]+)\s+SET\s+PROPERTIES\s+(.+)$",

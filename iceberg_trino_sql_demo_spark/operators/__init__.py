@@ -130,6 +130,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_containment",
     "multimodal_ahash_near_dup",
     "ice_stream_table_changes",
+    "ice_rename_table",
     "events_pattern_sequence",
     "dedup_minhash_calibration",
     "events_heavy_hitters_cms",

@@ -1738,3 +1738,47 @@ def ice_stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "name", "account_balance",
         "_change_type", "_commit_sequence_number",
     )
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE ... RENAME TO — catalog-entry move (Iceberg rename): the
+# location with its full snapshot history is untouched; the old name stops
+# resolving, the new name carries time travel across the rename.  The
+# scenario renames after an insert, reads through the NEW name at the
+# frontend, and proves history by time-traveling the renamed table back
+# to the pre-insert snapshot.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_rename_table",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_now,
+           CAST((SELECT count(*) FROM ({_BASE_SQL})) AS BIGINT) AS n_at_s0,
+           TRUE AS old_name_gone
+      FROM (SELECT * FROM ({_BASE_SQL}) UNION ALL {_ROWS_SQL})
+    """,
+    bench=False,
+)
+def ice_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="ice_wh_"))
+    eng.sql("CREATE SCHEMA ren")
+    eng.sql("USE ren")
+    schema, rows = _cached_src(spark, sf_dir)
+    t = eng.catalog.ctas("customer_old", spark.createDataFrame(rows, schema))
+    s0 = t._resolve().snapshot_id
+    t.insert(_ROWS)
+    eng.sql("ALTER TABLE customer_old RENAME TO customer_new")
+    n_now = eng.sql("SELECT count(*) AS n FROM customer_new").collect()[0].n
+    n_at_s0 = (
+        eng.catalog.table("customer_new").df(version=s0).count()
+    )
+    try:
+        eng.sql("SELECT count(*) FROM customer_old")
+        old_gone = False
+    except Exception:  # KeyError from the catalog or AnalysisException
+        old_gone = True
+    return spark.createDataFrame(
+        [(n_now, n_at_s0, old_gone)],
+        "n_now bigint, n_at_s0 bigint, old_name_gone boolean",
+    )

@@ -119,6 +119,19 @@ class Catalog:
         if purge and os.path.isdir(loc):
             shutil.rmtree(loc)
 
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE old RENAME TO new — a catalog-entry move, exactly
+        like Iceberg: the table LOCATION (metadata, manifests, data files,
+        full snapshot history) is untouched, only the name pointing at it
+        changes.  At any table size this is one catalog write."""
+        qo, qn = self._qualify(old), self._qualify(new)
+        if qo not in self.data["tables"]:
+            raise KeyError(f"table {qo} does not exist")
+        if qn in self.data["tables"]:
+            raise ValueError(f"table {qn} already exists")
+        self.data["tables"][qn] = self.data["tables"].pop(qo)
+        self._save()
+
     def register_table(self, schema: str, table: str, location: str) -> Table:
         """CALL system.register_table (D16, reference :276-279): adopt an
         existing table directory; its newest metadata version wins."""
