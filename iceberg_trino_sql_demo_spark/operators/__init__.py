@@ -131,6 +131,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_ahash_near_dup",
     "ice_stream_table_changes",
     "ice_rename_table",
+    "ice_stream_cdc_to_replica",
     "events_pattern_sequence",
     "dedup_minhash_calibration",
     "events_heavy_hitters_cms",

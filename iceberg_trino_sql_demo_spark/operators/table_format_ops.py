@@ -1782,3 +1782,65 @@ def ice_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_now, n_at_s0, old_gone)],
         "n_now bigint, n_at_s0 bigint, old_name_gone boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming table replication, end to end: the CDC stream source
+# (ice_table_changes — manifest-delta microbatches) drained into a
+# zero-copy clone through the exactly-once table sink (per-batch
+# watermark committed IN the replica's snapshot summary, so re-delivered
+# batches are no-ops).  This closes the loop the two pieces were built
+# for: source table -> incremental CDC stream -> atomically-committed
+# replica, no full rescan anywhere, restartable from either side's
+# durable state.  The scenario streams two post-clone appends; the
+# replica must equal the source head.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_stream_cdc_to_replica",
+    oracle=f"""
+    SELECT * FROM ({_BASE_SQL})
+    UNION ALL {_ROWS_SQL}
+    UNION ALL
+    SELECT * FROM (VALUES
+        (950001, 'REPLICATED', 'SQLENGINE', 50.0, 'ITALY')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+    memo=False,
+)
+def ice_stream_cdc_to_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from iceberg_trino_sql_demo_spark.sources.pyds import (
+        STREAM_FORMAT_NAME,
+        IceChangesDataSource,
+    )
+    from iceberg_trino_sql_demo_spark.streaming.ingest import _drain, table_sink
+
+    t = _scratch_customer(spark, sf_dir)
+    s0 = t._resolve().snapshot_id
+    replica = t.clone(tempfile.mkdtemp(prefix="ice_replica_"))
+    t.insert(_ROWS)
+    t.insert(
+        [{"custkey": 950001, "name": "REPLICATED", "mktsegment": "SQLENGINE",
+          "account_balance": 50.0, "nation": "ITALY"}]
+    )
+    spark.dataSource.register(IceChangesDataSource)
+    src = (
+        spark.readStream.format(STREAM_FORMAT_NAME)
+        .option("path", t.location)
+        .option("start_snapshot_id", s0)
+        .load()
+    )
+    cols = [f.name for f in replica.meta.schema.fields]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_repl_")
+    q = (
+        src.writeStream.foreachBatch(
+            table_sink(replica, f"cdc_repl_{_uuid.uuid4().hex[:8]}", cols)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, ckpt)
+    return replica.refresh().df()
