@@ -119,6 +119,7 @@ _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round, never driver-sampled (sixth batch first)
     "events_ndv_hll_sketch",
     "events_rolling_ndv_sketch",
+    "events_kmv_set_sketch",
     "events_pagerank_iter",
     "text_inverted_index",
     "ice_cherrypick",

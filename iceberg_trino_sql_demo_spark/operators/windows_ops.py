@@ -1382,3 +1382,152 @@ def events_rolling_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wh").alias("window_end_hh"),
         "ndv_exact", "hll_est", "m_nonzero", ok.alias("ok_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-sketch SET OPERATIONS — the third sketch in the toolbox
+# (HLL = mergeable counting, CMS = frequency, KMV/theta = set algebra):
+# per-group state is the K smallest distinct 52-bit key hashes, mergeable
+# by "union then keep K smallest", and — unlike HLL — two sketches
+# support an INTERSECTION estimate (inclusion-exclusion on HLL explodes
+# for small overlaps; theta intersects directly: members of both
+# sketches below theta = min(theta_a, theta_b), scaled by 2^52/theta).
+#
+# All integer arithmetic, shared verbatim by both engines: 13-hex-digit
+# md5 prefixes (52 bits keeps (K-1)*2^52 inside BIGINT), estimates by one
+# integer division, exact fallback when a group has fewer than K keys
+# (the sketch IS the key set).  Spark builds each sketch as
+# TakeOrdered(K) — map-side partial top-K, the mergeable production
+# shape; the oracle ranks with row_number.  Exact NDVs ride along for
+# the deterministic ok bands (identical on both engines).
+# ---------------------------------------------------------------------------
+_KMV_K = 128
+_KMV_P = 1 << 52  # hash space size (13 hex digits)
+
+
+@register(
+    "events_kmv_set_sketch",
+    oracle=f"""
+    WITH ua AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ub AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+        FROM events WHERE event_type = 'click'
+    ),
+    uu AS (SELECT h FROM ua UNION SELECT h FROM ub),
+    sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM ua) WHERE rn <= {_KMV_K}),
+    sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM ub) WHERE rn <= {_KMV_K}),
+    su AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM uu) WHERE rn <= {_KMV_K}),
+    stats AS (
+      SELECT
+        (SELECT count(*) FROM sa) AS ca, (SELECT max(h) FROM sa) AS ta,
+        (SELECT count(*) FROM sb) AS cb, (SELECT max(h) FROM sb) AS tb,
+        (SELECT count(*) FROM su) AS cu, (SELECT max(h) FROM su) AS tu,
+        (SELECT CAST(count(*) AS BIGINT) FROM ua) AS exact_a,
+        (SELECT CAST(count(*) AS BIGINT) FROM ub) AS exact_b,
+        (SELECT CAST(count(*) AS BIGINT) FROM uu) AS exact_union,
+        (SELECT CAST(count(*) AS BIGINT) FROM ua JOIN ub USING (h)) AS exact_inter
+    ),
+    est AS (
+      SELECT *,
+        CAST(CASE WHEN ca < {_KMV_K} THEN ca ELSE ({_KMV_K} - 1) * {_KMV_P} // ta END AS BIGINT) AS est_a,
+        CAST(CASE WHEN cb < {_KMV_K} THEN cb ELSE ({_KMV_K} - 1) * {_KMV_P} // tb END AS BIGINT) AS est_b,
+        CAST(CASE WHEN cu < {_KMV_K} THEN cu ELSE ({_KMV_K} - 1) * {_KMV_P} // tu END AS BIGINT) AS est_union,
+        least(CASE WHEN ca < {_KMV_K} THEN {_KMV_P} ELSE ta END,
+              CASE WHEN cb < {_KMV_K} THEN {_KMV_P} ELSE tb END) AS theta
+      FROM stats
+    ),
+    fin AS (
+      SELECT exact_a, est_a, exact_b, est_b, exact_union, est_union,
+             exact_inter,
+             CAST((SELECT count(*) FROM sa JOIN sb USING (h) WHERE h < theta)
+                  * {_KMV_P} // theta AS BIGINT) AS est_inter
+        FROM est
+    )
+    SELECT exact_a, est_a, exact_b, est_b, exact_union, est_union,
+           exact_inter, est_inter,
+           (100 * abs(est_a - exact_a) <= 30 * exact_a OR abs(est_a - exact_a) <= 10) AS ok_a,
+           (100 * abs(est_union - exact_union) <= 30 * exact_union
+            OR abs(est_union - exact_union) <= 10) AS ok_union,
+           (100 * abs(est_inter - exact_inter) <= 30 * exact_inter
+            OR abs(est_inter - exact_inter) <= 10) AS ok_inter
+      FROM fin
+    """,
+)
+def events_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    h52 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("long").alias("h")
+
+    def keys(cond) -> DataFrame:
+        return ev.where(cond).select(h52).distinct()
+
+    ua = keys(F.col("event_type") == "purchase")
+    ub = keys(F.col("event_type") == "click")
+    uu = ua.unionAll(ub).distinct()
+
+    def sketch_stats(df: DataFrame, tag: str) -> DataFrame:
+        sk = df.orderBy("h").limit(_KMV_K)  # TakeOrdered: mergeable top-K
+        return sk.agg(
+            F.count(F.lit(1)).alias(f"c{tag}"), F.max("h").alias(f"t{tag}")
+        )
+
+    one = (
+        sketch_stats(ua, "a")
+        .crossJoin(sketch_stats(ub, "b"))
+        .crossJoin(sketch_stats(uu, "u"))
+        .crossJoin(ua.agg(F.count(F.lit(1)).cast("long").alias("exact_a")))
+        .crossJoin(ub.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
+        .crossJoin(uu.agg(F.count(F.lit(1)).cast("long").alias("exact_union")))
+        .crossJoin(
+            ua.join(ub, "h").agg(
+                F.count(F.lit(1)).cast("long").alias("exact_inter")
+            )
+        )
+    )
+
+    def est(c: str, t: str) -> str:
+        return (
+            f"CAST(CASE WHEN {c} < {_KMV_K} THEN {c} "
+            f"ELSE ({_KMV_K} - 1) * {_KMV_P} DIV {t} END AS BIGINT)"
+        )
+
+    one = one.select(
+        "*",
+        F.expr(est("ca", "ta")).alias("est_a"),
+        F.expr(est("cb", "tb")).alias("est_b"),
+        F.expr(est("cu", "tu")).alias("est_union"),
+        F.expr(
+            f"least(CASE WHEN ca < {_KMV_K} THEN {_KMV_P} ELSE ta END, "
+            f"CASE WHEN cb < {_KMV_K} THEN {_KMV_P} ELSE tb END)"
+        ).alias("theta"),
+    )
+    ska = ua.orderBy("h").limit(_KMV_K)
+    skb = ub.orderBy("h").limit(_KMV_K)
+    inter_below = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(one.select("theta")))
+        .where(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    fin = one.crossJoin(F.broadcast(inter_below)).select(
+        "exact_a", "est_a", "exact_b", "est_b", "exact_union", "est_union",
+        "exact_inter",
+        F.expr(f"CAST(ni * {_KMV_P} DIV theta AS BIGINT)").alias("est_inter"),
+    )
+
+    def ok(e: str, x: str):
+        return (100 * F.abs(F.col(e) - F.col(x)) <= 30 * F.col(x)) | (
+            F.abs(F.col(e) - F.col(x)) <= 10
+        )
+
+    return fin.select(
+        "exact_a", "est_a", "exact_b", "est_b", "exact_union", "est_union",
+        "exact_inter", "est_inter",
+        ok("est_a", "exact_a").alias("ok_a"),
+        ok("est_union", "exact_union").alias("ok_union"),
+        ok("est_inter", "exact_inter").alias("ok_inter"),
+    )
