@@ -207,6 +207,12 @@ def test_no_unintended_cartesian_or_bnlj_plans(spark):
         # 1-row broadcast bloom bitset attached to the shingle scan —
         # the intended membership-test shape (pipeline.py)
         "contamination_bloom_prefilter",
+        # the same broadcast(centroids) assignment kernel as ann_topk_ivf
+        # feeds the IVF-PQ composition's coarse stage
+        "ann_topk_ivfpq",
+        # one-row sketch-stat frames cross-joined into the single result
+        # row (theta, counts) — scalar combination, not a data join
+        "events_kmv_set_sketch",
     }
 
     offenders = {}
