@@ -93,6 +93,11 @@ FAMILY = [
     # corpus — wall time should grow SLOWER than the brute-force row)
     "text_inverted_index",
     "ann_topk_ivfpq",
+    # r5 batch-7: containment rides the same df-capped shingle join as
+    # jaccard (pair fan-out bounded identically); the aHash bucket pass is
+    # one scan + one signature-keyed aggregate — both must stay linear
+    "dedup_ngram_containment",
+    "multimodal_ahash_near_dup",
 ]
 
 DIAG = {
