@@ -444,11 +444,20 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rewriting (NoSuchElementException: key not found — both branches
     # share the attr id); after this projection the union carries only
     # branch-local attributes
+    # the grid total is hoisted into its own column: inlining
+    # aggregate(v, ...) inside the per-element lambda re-sums the 64
+    # values for EVERY element (64x redundant work — measured 33.6 s
+    # warm at the 100k-doc scale point before the hoist).  Both lambda
+    # columns are computed per branch BEFORE the union (see the Catalyst
+    # attribute-rewrite note above — the hoisted aggregate trips it too).
     def _sig(df: DataFrame) -> DataFrame:
-        return df.select(
+        out = df.select(
             "doc_id",
             F.md5(F.encode("text", "utf-8")).alias("exact_hash"),
             F.expr(_AHASH_SAMPLE).alias("v"),
+        )
+        return out.select(
+            "*", F.expr("aggregate(v, 0, (a, b) -> a + b)").alias("total")
         )
 
     sig = _sig(d).unionAll(_sig(mut))
@@ -457,8 +466,7 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_hash",
         F.expr(
             "array_join(transform(v, x -> "
-            "CASE WHEN 64 * x >= aggregate(v, 0, (a, b) -> a + b) "
-            "THEN '1' ELSE '0' END), '')"
+            "CASE WHEN 64 * x >= total THEN '1' ELSE '0' END), '')"
         ).alias("ahash"),
     )
     return (
