@@ -439,35 +439,43 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
 
-    # signatures are computed PER BRANCH and then unioned: a lambda whose
-    # body references `text` across a self-union trips Catalyst attribute
-    # rewriting (NoSuchElementException: key not found — both branches
-    # share the attr id); after this projection the union carries only
-    # branch-local attributes
-    # the grid total is hoisted into its own column: inlining
-    # aggregate(v, ...) inside the per-element lambda re-sums the 64
-    # values for EVERY element (64x redundant work — measured 33.6 s
-    # warm at the 100k-doc scale point before the hoist).  Both lambda
-    # columns are computed per branch BEFORE the union (see the Catalyst
-    # attribute-rewrite note above — the hoisted aggregate trips it too).
-    def _sig(df: DataFrame) -> DataFrame:
-        out = df.select(
-            "doc_id",
-            F.md5(F.encode("text", "utf-8")).alias("exact_hash"),
-            F.expr(_AHASH_SAMPLE).alias("v"),
-        )
-        return out.select(
-            "*", F.expr("aggregate(v, 0, (a, b) -> a + b)").alias("total")
-        )
+    # The signature runs in the Arrow path (house style for the multimodal
+    # decode boundary), not SQL expressions, for a MEASURED reason: each
+    # sampled substring(text, pos, 1) scans the UTF8 string to char `pos`
+    # (variable-width encoding, no char index), so 64 samples at ~10 KB
+    # docs cost O(64·n) per row — 44 s warm at the 100k-doc scale point,
+    # unchanged by hoisting the grid-total out of the bit lambda.  Byte
+    # sampling via numpy is one O(n) frombuffer + 64 O(1) loads (~2 s).
+    # Byte == char here: the corpus is asserted ASCII
+    # (tests/test_extensions.py::test_documents_text_is_ascii), so the
+    # SQL-char oracle and the byte sampler agree; a non-ASCII corpus
+    # would re-point the sampler at the real decoded luma plane anyway.
+    import hashlib
 
-    sig = _sig(d).unionAll(_sig(mut))
-    bits = sig.select(
-        "doc_id",
-        "exact_hash",
-        F.expr(
-            "array_join(transform(v, x -> "
-            "CASE WHEN 64 * x >= total THEN '1' ELSE '0' END), '')"
-        ).alias("ahash"),
+    import numpy as np
+    import pandas as pd
+
+    def sig_batches(batches):
+        for pdf in batches:
+            hs, ah = [], []
+            for s in pdf["text"]:
+                b = s.encode("utf-8")
+                a = np.frombuffer(b, dtype=np.uint8)
+                idx = (np.arange(64) * len(b)) // 64
+                v = a[idx].astype(np.int64)
+                total = int(v.sum())
+                ah.append(
+                    "".join("1" if 64 * int(x) >= total else "0" for x in v)
+                )
+                hs.append(hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "exact_hash": hs, "ahash": ah}
+            )
+
+    bits = d.unionAll(mut).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        sig_batches, "doc_id long, exact_hash string, ahash string"
     )
     return (
         bits.groupBy("ahash")
