@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_ndv_hll_sketch",
     "events_rolling_ndv_sketch",
     "events_kmv_set_sketch",
+    "events_stream_ndv_sketch",
     "events_pagerank_iter",
     "text_inverted_index",
     "ice_cherrypick",

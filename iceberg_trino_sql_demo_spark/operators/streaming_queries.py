@@ -301,3 +301,28 @@ def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_enrich(
         spark, sf_dir, query_name=f"stream_enrich_{uuid.uuid4().hex[:8]}"
     )
+
+
+def _stream_ndv_oracle() -> str:
+    # execution-mode twin: the streamed registers must equal the batch
+    # pipeline's, so the oracle IS the batch sketch oracle
+    from iceberg_trino_sql_demo_spark.operators.windows_ops import _hll_oracle
+
+    return _hll_oracle()
+
+
+@register(
+    "events_stream_ndv_sketch",
+    oracle=_stream_ndv_oracle(),
+    bench=False,
+)
+def events_stream_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register sketch built by the STREAM (no pre-distinct —
+    duplicate-insensitive max(rho) is the stateful aggregate, constant
+    groups x 64 state at any volume); drained registers estimate equal to
+    the batch pipeline.  See streaming/ingest.py:stream_ndv_sketch."""
+    from iceberg_trino_sql_demo_spark.streaming.ingest import stream_ndv_sketch
+
+    return stream_ndv_sketch(
+        spark, sf_dir, query_name=f"stream_ndv_{uuid.uuid4().hex[:8]}"
+    )

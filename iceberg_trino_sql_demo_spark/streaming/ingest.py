@@ -777,3 +777,78 @@ def stream_static_enrich(
         )
         _drain(q, ckpt)
     return spark.table(query_name)
+
+
+def stream_ndv_sketch(
+    spark: SparkSession, sf_dir: str, query_name: str = "stream_ndv"
+) -> DataFrame:
+    """The HLL register sketch built BY THE STREAM (events_ndv_hll_sketch's
+    execution-mode twin): per-(event_type, bucket) register MAXes as the
+    stateful streaming aggregate.
+
+    Duplicate-insensitivity is what makes the sketch streamable: max(rho)
+    over re-observed keys equals max(rho) over distinct keys, so the plan
+    needs NO pre-aggregate distinct (which an append-mode stream could not
+    express without watermark-bounded state in the key cardinality).  The
+    stateful operator's state is groups x 64 six-bit registers — constant
+    for the life of the stream, at any volume; this is why production
+    streaming NDV is always a sketch, never COUNT(DISTINCT).
+
+    After the availableNow drain, the estimate derived from the streamed
+    registers equals the batch pipeline's (same oracle); the exact NDV for
+    the ok band comes from a batch read of the same corpus."""
+    from iceberg_trino_sql_demo_spark.operators.windows_ops import (
+        _HLL_EST,
+        _HLL_P40,
+        _events,
+        _hll_registers,
+    )
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    h = src.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hx")
+    )
+    # nk from a NON-distinct stream counts observations, not keys — only
+    # the duplicate-insensitive register column m is consumed downstream
+    reg = _hll_registers(h).select("event_type", "bucket", "m")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ndv_")
+    q = (
+        reg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, ckpt)
+    streamed = spark.table(query_name)
+    z = streamed.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - m)"))
+            + (64 - F.count(F.lit(1))) * F.lit(_HLL_P40)
+        ).alias("zsum"),
+        F.count(F.lit(1)).cast("long").alias("m_nonzero"),
+    )
+    est = z.select(
+        "event_type", F.expr(_HLL_EST).alias("hll_est"), "m_nonzero"
+    )
+    exact = (
+        _events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("ndv_exact"))
+    )
+    ok = (
+        100 * F.abs(F.col("hll_est") - F.col("ndv_exact"))
+        <= 35 * F.col("ndv_exact")
+    ) | (F.abs(F.col("hll_est") - F.col("ndv_exact")) <= 10)
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type", "ndv_exact", "hll_est", "m_nonzero",
+        ok.alias("ok_est"),
+    )
