@@ -554,6 +554,24 @@ class Engine:
         # table_location => '/path') — Iceberg's snapshot-table procedure:
         # zero-copy clone of source_table registered as a new entry
         kw = dict(re.findall(r"(\w+)\s*=>\s*'([^']*)'", m.group(1)))
+        if not kw:
+            raise ValueError(
+                "CALL system.snapshot: only the named-argument form is "
+                "supported — snapshot(source_table => '...', table_name => "
+                "'...', table_location => '...')"
+            )
+        for req in ("source_table", "table_name"):
+            if req not in kw:
+                raise ValueError(
+                    f"CALL system.snapshot: missing required argument {req!r}"
+                )
+        if "table_location" not in kw:
+            # Iceberg makes the location optional — default to a
+            # warehouse-derived path next to the new table's name
+            kw["table_location"] = self.catalog.default_location(
+                _last(kw.get("schema_name", self.catalog.current_schema or "")),
+                kw["table_name"],
+            )
         src = self._table(kw["source_table"])
         src.clone(kw["table_location"])
         self.catalog.register_table(

@@ -107,96 +107,32 @@ def register(
 #: after all modules load, in this order; everything else keeps its module
 #: registration order behind them.
 #:
-#: Composition (round 5; freshness rule from VERDICT r3 #8 plus the r4
-#: rotation directive #2): first the queries NEW this round, then every
-#: query whose IMPLEMENTATION changed this round, then the four streaming
-#: replays whose newest driver row is r01 (never rotated back in — the
-#: oldest rows in the registry), then the 33 r02-latest queries (5
-#: relational shapes, 23 ``ice_*`` scenarios, 5 deferred basics).  The
-#: r4-green block (sampled last round, unchanged since) sits below the
-#: 50-query window; pytest oracle parity still covers it every round.
+#: Composition (round 6; VERDICT r5 directive #2): FIRST the 12 queries no
+#: driver round has ever sampled (the judge's explicit rotation list), then
+#: the queries NEW this round, then every query whose implementation
+#: changed this round (the metadata-plane rewrite touches every ``ice_*``
+#: scenario, so the 23 r02-stale core scenarios follow immediately), then
+#: the r01-stale streaming replays and r02 deferred basics.  Blocks that
+#: were driver-sampled green in r5 and are unchanged since sit below the
+#: 50-query window; pytest oracle parity still covers them every round.
 _DRIVER_PRIORITY: list[str] = [
-    # -- NEW this round, never driver-sampled (sixth batch first)
-    "events_ndv_hll_sketch",
-    "events_rolling_ndv_sketch",
-    "events_kmv_set_sketch",
-    "events_stream_ndv_sketch",
-    "events_pagerank_iter",
-    "text_inverted_index",
-    "ice_cherrypick",
-    "ice_branch_diff",
-    "ice_zero_copy_clone",
-    "ice_cdc_replica_apply",
-    "ann_topk_ivfpq",
-    "pii_scrub_text",
-    "dedup_ngram_containment",
-    "multimodal_ahash_near_dup",
-    "ice_stream_table_changes",
-    "ice_rename_table",
-    "ice_stream_cdc_to_replica",
-    "events_pattern_sequence",
-    "dedup_minhash_calibration",
-    "events_heavy_hitters_cms",
-    "events_user_triangles",
-    "ice_merge_multi_clause",
-    "text_oov_rate",
-    "ann_range_search",
-    "embedding_outlier_filter",
-    "dedup_cross_source_matrix",
-    "events_stream_static_enrich",
-    "trino_dialect_tier4",
-    "trino_dialect_tier3",
-    "ice_add_files",
-    "ice_wap_publish",
-    "ice_forget_user",
-    "multimodal_payload_dedup",
-    "text_bpe_merge_candidates",
-    "events_stream_full_outer",
-    "ann_filtered_topk",
-    "contamination_bloom_prefilter",
-    "text_quality_classifier",
-    "source_temperature_resample",
-    "split_leakage_safe",
-    "url_normalize_dedup",
-    "customer_balance_quartiles",
-    "ice_python_datasource",
-    "events_stream_chained_agg",
-    "multimodal_audio_windows",
-    "doc_chunk_overlap",
-    "events_ema_per_user",
-    "source_quality_profile",
-    "events_stream_left_join",
-    "ann_topk_pq",
+    # -- never driver-sampled in any round (VERDICT r5 #2 list)
+    "dedup_edit_distance",
+    "dedup_edit_distance_passjoin",
     "dedup_substring_windows",
-    "trino_dialect_select",
+    "events_stream_sessionization",
+    "ice_branch_retention",
+    "ice_sql_pruned_select",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q16_supplier_variety",
     "q20_promotable_suppliers",
-    "ice_sql_pruned_select",
-    "ice_branch_retention",
-    "events_stream_sessionization",
     "text_bigram_familiarity",
-    "dedup_edit_distance",
-    "dedup_edit_distance_passjoin",
-    # -- implementation changed this round (frontend pruning plumbing,
-    # bounded runtime-filter collect, decimal zscore accumulator,
-    # stale-spec check hoist in dynamic_overwrite)
-    "events_anomaly_zscore",
-    "ice_dynamic_overwrite",
-    "ice_runtime_filter_join",
-    # -- newest driver row is r01 (oldest in the registry): streaming
-    "events_stream_tumbling",
-    "events_stateful_user_totals",
-    "events_stream_dedup",
-    "events_stream_interval_join",
-    # -- newest driver row is r02: relational shapes
-    "rollup_order_priority",
-    "set_ops_customers",
-    "orders_exists_late_lineitem",
-    "part_brand_max_price",
-    "pivot_segment_by_region",
-    # -- newest driver row is r02: table-format scenarios
+    "trino_dialect_select",
+    # -- NEW this round (added as round 6 lands them)
+    # -- implementation changed this round: metadata plane (columnar
+    # manifests + lazy/delta commits) rewrites the storage under every
+    # ice_* scenario; these 23 core ones were last driver-sampled in r2
     "ice_ctas_roundtrip",
     "ice_insert_values",
     "ice_update_row",
@@ -220,6 +156,23 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_meta_join",
     "ice_sql_roundtrip",
     "ice_optimize_where_mtime",
+    # -- implementation changed this round (ADVICE r5 fixes)
+    "events_pagerank_iter",
+    "ice_rename_table",
+    "ice_zero_copy_clone",
+    "ice_stream_table_changes",
+    "ice_stream_cdc_to_replica",
+    # -- newest driver row is r01: streaming replays
+    "events_stream_tumbling",
+    "events_stateful_user_totals",
+    "events_stream_dedup",
+    "events_stream_interval_join",
+    # -- newest driver row is r02: relational shapes
+    "rollup_order_priority",
+    "set_ops_customers",
+    "orders_exists_late_lineitem",
+    "part_brand_max_price",
+    "pivot_segment_by_region",
     # -- newest driver row is r02: deferred basics
     "orderdate_range",
     "customer_in_list",

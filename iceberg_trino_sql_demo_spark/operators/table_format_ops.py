@@ -1773,10 +1773,15 @@ def ice_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_at_s0 = (
         eng.catalog.table("customer_new").df(version=s0).count()
     )
+    # catch ONLY name-resolution failures (catalog KeyError / Spark
+    # AnalysisException): a bare except would let any unrelated engine
+    # error (e.g. a frontend parse regression) pass as "old name gone"
+    from pyspark.errors import AnalysisException
+
     try:
         eng.sql("SELECT count(*) FROM customer_old")
         old_gone = False
-    except Exception:  # KeyError from the catalog or AnalysisException
+    except (KeyError, AnalysisException):
         old_gone = True
     return spark.createDataFrame(
         [(n_now, n_at_s0, old_gone)],

@@ -1243,15 +1243,23 @@ def events_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _PR_PERSISTED.append(deg)
-    # contribution vector is node-cardinality — broadcast both probe sides
-    # so the edge list never shuffles for the join (at larger graphs AQE
-    # falls back to a co-partitioned join on the same plan)
+    # contribution vector is node-cardinality — broadcast is the right
+    # plan ONLY while it fits; an unconditional hint would be honored
+    # regardless of size and OOM a large graph instead of falling back.
+    # Same measured-size gate as the shingle join (~16 B/row of packed
+    # longs against the 64 MB broadcast budget): small graphs broadcast
+    # so the edge list never shuffles, large graphs take the
+    # co-partitioned shuffle join that scales.
+    n_nodes = deg.count()  # deg is persisted; this also materializes it
+    bc = n_nodes * 16 <= 64 * 1024 * 1024
     cx = deg.select(F.col("u").alias("y"), F.expr("1000000 DIV d").alias("cy"))
     cy = deg.select(F.col("u").alias("x"), F.expr("1000000 DIV d").alias("cx"))
+    if bc:
+        cx, cy = F.broadcast(cx), F.broadcast(cy)
     nb = (
-        e0.join(F.broadcast(cx), "y").select(F.col("x").alias("u"), F.col("cy").alias("c"))
+        e0.join(cx, "y").select(F.col("x").alias("u"), F.col("cy").alias("c"))
         .unionAll(
-            e0.join(F.broadcast(cy), "x").select(F.col("y").alias("u"), F.col("cx").alias("c"))
+            e0.join(cy, "x").select(F.col("y").alias("u"), F.col("cx").alias("c"))
         )
     )
     s = nb.groupBy("u").agg(F.sum("c").alias("sc"))

@@ -53,6 +53,15 @@ class Catalog:
         self.data["schemas"][name] = {"location": loc, "properties": properties}
         self._save()
 
+    def default_location(self, schema: str, table: str) -> str:
+        """Warehouse-derived table path — what an omitted ``table_location``
+        (optional in Iceberg's snapshot procedure) defaults to."""
+        schema = (schema or "").lower()
+        base = self.data["schemas"].get(schema, {}).get(
+            "location", os.path.join(self.warehouse, schema or "default")
+        )
+        return os.path.join(base, table.lower())
+
     def show_create_schema(self, name: str) -> str:
         s = self.data["schemas"][name]
         return f"CREATE SCHEMA {name}\nWITH (\n   location = '{s['location']}'\n)"

@@ -190,9 +190,22 @@ STREAM_FORMAT_NAME = "ice_table_changes"
 
 
 class IceChangesStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, location: str, start_snapshot_id: int | None):
+    def __init__(
+        self,
+        location: str,
+        start_snapshot_id: int | None,
+        max_files_per_batch: int | None = None,
+    ):
         self.location = location
         self.start = start_snapshot_id
+        # Iceberg's max-files-per-micro-batch: bounds how much of the
+        # snapshot backlog one read() materializes on the driver (the first
+        # batch after a long gap, or an initial replay from snapshot 0, is
+        # otherwise table-sized).  None = drain to head in one batch, which
+        # Trigger.AvailableNow REQUIRES: Spark's Python SimpleStreamReader
+        # falls back to single-batch execution there, so a default cap
+        # would silently truncate drains.
+        self.max_files = max_files_per_batch
 
     def initialOffset(self) -> dict:
         from iceberg_trino_sql_demo_spark.sources.metadata import MetadataIO
@@ -270,10 +283,37 @@ class IceChangesStreamReader(SimpleDataSourceStreamReader):
         sid = start["snapshot_id"]
         if head is None or head == sid:
             return [], start
+        nxt = head
+        if self.max_files is not None:
+            # bounded mode: walk the start->head chain and stop at the
+            # first snapshot where the cumulative added-file count would
+            # exceed the cap (always advancing at least one snapshot, so
+            # the stream makes progress even past an oversized commit)
+            chain = []
+            cur = meta.snapshot_by_id(head)
+            while cur.snapshot_id != sid:
+                chain.append(cur)
+                if cur.parent_id is None:
+                    if sid not in (0, None):
+                        raise ValueError(
+                            f"start snapshot {sid} is not an ancestor of {head}"
+                        )
+                    break
+                cur = meta.snapshot_by_id(cur.parent_id)
+            chain.reverse()
+            taken = 0
+            nxt = chain[0].snapshot_id
+            for i, snap in enumerate(chain):
+                n = int(snap.summary.get("added-data-files", 0) or 0)
+                if i > 0 and taken + n > self.max_files:
+                    break
+                taken += n
+                nxt = snap.snapshot_id
         # a LIST, not a generator: the prefetch cache copy.copy()s the
         # returned entries (generators are unpicklable/uncopyable), and a
-        # microbatch is delta-sized by construction
-        return list(self._rows_between(sid, head)), {"snapshot_id": head}
+        # microbatch is delta-sized (and, in bounded mode, capped) by
+        # construction
+        return list(self._rows_between(sid, nxt)), {"snapshot_id": nxt}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return list(
@@ -284,7 +324,10 @@ class IceChangesStreamReader(SimpleDataSourceStreamReader):
 class IceChangesDataSource(DataSource):
     """``spark.readStream.format("ice_table_changes")`` — options: ``path``
     (table location, required), ``start_snapshot_id`` (exclusive lower
-    bound; default = main head when the stream starts)."""
+    bound; default = main head when the stream starts),
+    ``max_files_per_batch`` (cap on added data files one microbatch may
+    cover; default unbounded, which Trigger.AvailableNow's single-batch
+    fallback requires)."""
 
     @classmethod
     def name(cls) -> str:
@@ -299,6 +342,9 @@ class IceChangesDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> IceChangesStreamReader:
         start = self.options.get("start_snapshot_id")
+        cap = self.options.get("max_files_per_batch")
         return IceChangesStreamReader(
-            self.options["path"], int(start) if start is not None else None
+            self.options["path"],
+            int(start) if start is not None else None,
+            int(cap) if cap is not None else None,
         )

@@ -143,6 +143,15 @@ def test_ice_changes_stream_reader_offsets_and_guard(spark, tmp_path, sf_dir):
     # exact range replay: only the first append
     replay = r.readBetweenOffsets({"snapshot_id": s0}, {"snapshot_id": s1})
     assert [x[1] for x in replay] == ["B1"]
+    # bounded mode (ADVICE r5): max_files_per_batch caps how much backlog
+    # one read() materializes — two 1-file appends drain in two batches,
+    # and the union equals the unbounded drain
+    rb = IceChangesStreamReader(t.location, s0, max_files_per_batch=1)
+    rows_a, off_a = rb.read({"snapshot_id": s0})
+    assert off_a == {"snapshot_id": s1} and [x[1] for x in rows_a] == ["B1"]
+    rows_b, off_b = rb.read(off_a)
+    assert off_b == {"snapshot_id": s2} and [x[1] for x in rows_b] == ["B2"]
+
     # append-only guard: a MoR delete makes the next batch raise loudly
     t.delete("n_nationkey = 9900")
     with pytest.raises(ValueError, match="append-only"):
