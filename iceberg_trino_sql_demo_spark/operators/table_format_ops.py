@@ -1849,3 +1849,130 @@ def ice_stream_cdc_to_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _drain(q, ckpt)
     return replica.refresh().df()
+
+
+# ---------------------------------------------------------------------------
+# Equality deletes (Iceberg v2/v3; VERDICT r5 #3).  Position deletes force a
+# read-before-write — exactly wrong for streaming upsert ingestion; the
+# equality-delete file (key columns, applies to STRICTLY older data files)
+# lets one commit carry "delete key K everywhere" + "here are K's new rows"
+# with no read of existing data.  The scenario exercises the full life
+# cycle: blind upsert of two existing keys + one new key, a SECOND upsert
+# overwriting rows the first one wrote (cross-commit strictness), and a
+# pure key delete — the final state must equal the SQL replay.  Reference
+# anchor: the deletion-vector surface at iceberg_trino_sqldemo.sql:141-143.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_equality_delete",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+         ranked AS (
+            SELECT b.*, row_number() OVER (ORDER BY custkey) AS rn FROM base b
+         )
+    SELECT custkey, name, mktsegment, account_balance, nation
+      FROM ranked WHERE rn > 3
+    UNION ALL
+    SELECT custkey, 'UPSERTED2', 'SQLENGINE', 13.0, 'FRANCE'
+      FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT custkey, 'UPSERTED', 'SQLENGINE', 11.0, 'FRANCE'
+      FROM ranked WHERE rn = 2
+    UNION ALL
+    SELECT * FROM (VALUES
+        (777001, 'UPSERTED', 'SQLENGINE', 12.0, 'FRANCE')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    k1, k2, k3 = [
+        r.custkey for r in t.df().orderBy("custkey").limit(3).collect()
+    ]
+    up = spark.createDataFrame(
+        [
+            {"custkey": k1, "name": "UPSERTED", "mktsegment": "SQLENGINE",
+             "account_balance": 11.0, "nation": "FRANCE"},
+            {"custkey": k2, "name": "UPSERTED", "mktsegment": "SQLENGINE",
+             "account_balance": 11.0, "nation": "FRANCE"},
+            {"custkey": 777001, "name": "UPSERTED", "mktsegment": "SQLENGINE",
+             "account_balance": 12.0, "nation": "FRANCE"},
+        ],
+        t.df().schema,
+    )
+    t.upsert_by_key(up, ["custkey"])
+    # second upsert must replace rows the FIRST upsert wrote (sequence
+    # strictness across commits, not just vs the CTAS files)
+    up2 = spark.createDataFrame(
+        [{"custkey": k1, "name": "UPSERTED2", "mktsegment": "SQLENGINE",
+          "account_balance": 13.0, "nation": "FRANCE"}],
+        t.df().schema,
+    )
+    t.upsert_by_key(up2, ["custkey"])
+    # pure equality delete: one live key, one absent key (no-op)
+    t.delete_by_key(
+        spark.createDataFrame([(k3,), (777999,)], "custkey bigint"), ["custkey"]
+    )
+    return t.refresh().df()
+
+
+# ---------------------------------------------------------------------------
+# Full CDC streaming (VERDICT r5 #5): the ice_table_changes stream in
+# mode='cdc' emits row-level deletes too — removed-file and position-deleted
+# rows with full values, equality deletes as key-only rows — and the
+# replica applies each micro-batch BY KEY in ONE atomic commit
+# (streaming/ingest.cdc_upsert_sink -> Table.upsert_by_key with the
+# exactly-once watermark in the same snapshot summary).  A history bearing
+# UPDATE (blind upsert), DELETE (MoR position delete), plain appends and a
+# pure key delete streams into the replica, which must converge to the
+# source head.  Microbatches stay O(commit delta): equality deletes never
+# trigger a scan of older files anywhere in the pipeline.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_stream_cdc_full",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+         ranked AS (
+            SELECT b.*, row_number() OVER (ORDER BY custkey) AS rn FROM base b
+         )
+    SELECT custkey, name, mktsegment, account_balance, nation
+      FROM ranked WHERE rn > 2
+    UNION ALL
+    SELECT custkey, 'UPSERTED', 'SQLENGINE', 21.0, 'GERMANY'
+      FROM ranked WHERE rn = 1
+    UNION ALL {_ROWS_SQL}
+    UNION ALL
+    SELECT * FROM (VALUES
+        (888001, 'UPSERTED', 'SQLENGINE', 22.0, 'GERMANY')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_stream_cdc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.streaming.ingest import (
+        stream_cdc_to_replica_by_key,
+    )
+
+    t = _scratch_customer(spark, sf_dir)
+    k1, k2 = [r.custkey for r in t.df().orderBy("custkey").limit(2).collect()]
+    replica = t.clone(tempfile.mkdtemp(prefix="ice_replica_cdc_"))
+    s0 = t._resolve().snapshot_id
+    up = spark.createDataFrame(
+        [
+            {"custkey": k1, "name": "UPSERTED", "mktsegment": "SQLENGINE",
+             "account_balance": 21.0, "nation": "GERMANY"},
+            {"custkey": 888001, "name": "UPSERTED", "mktsegment": "SQLENGINE",
+             "account_balance": 22.0, "nation": "GERMANY"},
+        ],
+        t.df().schema,
+    )
+    t.upsert_by_key(up, ["custkey"])       # UPDATE + new key, one commit
+    t.delete(f"custkey = {k2}")            # MoR position delete
+    t.insert(_ROWS)                        # plain append
+    t.delete_by_key(                       # pure equality delete (no-op key)
+        spark.createDataFrame([(777999,)], "custkey bigint"), ["custkey"]
+    )
+    stream_cdc_to_replica_by_key(
+        spark, t, replica, ["custkey"], start_snapshot_id=s0
+    )
+    return replica.refresh().df()

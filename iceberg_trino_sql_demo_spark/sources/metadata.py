@@ -225,12 +225,20 @@ class DataFile:
 
 @dataclass(frozen=True)
 class DeleteFile:
-    """Position-delete parquet: columns (file_path string, pos long).
+    """A delete file — position or equality content (Iceberg v2/v3).
 
+    ``content='position'``: parquet columns (file_path string, pos long);
     ``file_path`` values are stored as ``file:`` URIs so the read-path
     anti-join compares directly against Spark's ``_metadata.file_path``.
     ``referenced_files`` (plain paths) lets the reader scope the anti-join
     to affected data files without opening the delete file.
+
+    ``content='equality'``: parquet columns ``k_<id>`` (one per entry of
+    ``equality_ids``, id-stable so renames never corrupt the mapping);
+    applies to every data file with ``sequence_number`` STRICTLY below this
+    file's — which is what lets a streaming upsert commit the delete and
+    the replacement rows in ONE snapshot with no read-before-write: the
+    new data files share the commit's sequence number and are exempt.
     """
 
     path: str
@@ -238,16 +246,21 @@ class DeleteFile:
     file_size_bytes: int
     sequence_number: int
     referenced_files: tuple[str, ...] = ()
+    content: str = "position"
+    equality_ids: tuple[int, ...] = ()
 
     def to_dict(self) -> dict:
         d = self.__dict__.copy()
         d["referenced_files"] = list(self.referenced_files)
+        d["equality_ids"] = list(self.equality_ids)
         return d
 
     @staticmethod
     def from_dict(d: dict) -> "DeleteFile":
         d = dict(d)
         d["referenced_files"] = tuple(d.get("referenced_files", ()))
+        d["content"] = d.get("content", "position")
+        d["equality_ids"] = tuple(d.get("equality_ids", ()))
         return DeleteFile(**d)
 
 

@@ -195,9 +195,15 @@ class IceChangesStreamReader(SimpleDataSourceStreamReader):
         location: str,
         start_snapshot_id: int | None,
         max_files_per_batch: int | None = None,
+        mode: str = "append_only",
     ):
         self.location = location
         self.start = start_snapshot_id
+        #: 'append_only' (default): delete-bearing snapshots raise loudly;
+        #: 'cdc': row-level changes stream too — removed-file and
+        #: position-deleted rows as full-value deletes, equality deletes as
+        #: key-only delete rows (microbatches stay O(commit delta))
+        self.mode = mode
         # Iceberg's max-files-per-micro-batch: bounds how much of the
         # snapshot backlog one read() materializes on the driver (the first
         # batch after a long gap, or an initial replay from snapshot 0, is
@@ -243,37 +249,89 @@ class IceChangesStreamReader(SimpleDataSourceStreamReader):
         prev_paths = {f.path for f in prev.data_files} if prev else set()
         prev_dels = {d.path for d in prev.delete_files} if prev else set()
         cols = [(f.pname, f.name) for f in meta.schema.fields]
+
+        def _file_rows(path: str):
+            tbl = pq.read_table(path)
+            have = set(tbl.column_names)
+            missing = [p for p, _ in cols if p not in have]
+            if missing:
+                raise NotImplementedError(
+                    f"file {os.path.basename(path)} lacks physical "
+                    f"column(s) {missing}: schema-evolution reads belong "
+                    "to Table.df"
+                )
+            return tbl, tbl.select([p for p, _ in cols]).to_pylist()
+
         for snap in chain:
             man = io.read_manifest(snap)
             cur_paths = {f.path for f in man.data_files}
-            if (prev_paths - cur_paths) or (
-                {d.path for d in man.delete_files} != prev_dels
-            ):
+            cur_del_by_path = {d.path: d for d in man.delete_files}
+            removed_paths = prev_paths - cur_paths
+            new_del_paths = set(cur_del_by_path) - prev_dels
+            if self.mode != "cdc" and (removed_paths or new_del_paths or
+                                       prev_dels - set(cur_del_by_path)):
                 raise ValueError(
                     f"snapshot {snap.snapshot_id} ({snap.operation}) is not "
                     "append-only; the ice_table_changes stream supports "
-                    "append histories (use batch table_changes for row-level "
-                    "deletes)"
+                    "append histories by default — pass mode='cdc' to stream "
+                    "row-level changes (deletes emitted as key rows), or use "
+                    "batch table_changes for exact full-row deletes"
                 )
+            if self.mode == "cdc":
+                # deletes first (logical apply order within a commit):
+                # (1) removed data files (CoW rewrite / overwrite): every
+                #     row re-emitted as a full-value delete — a by-key
+                #     replica nets this out exactly, including compactions
+                for p in sorted(removed_paths):
+                    _tbl, data = _file_rows(p)
+                    for row in data:
+                        yield tuple(row[pn] for pn, _ in cols) + (
+                            "delete", snap.sequence_number,
+                        )
+                for dp in sorted(new_del_paths):
+                    d = cur_del_by_path[dp]
+                    if d.content == "position":
+                        # (2) fresh position deletes: read (file,pos),
+                        #     materialize the deleted rows' full values
+                        dt = pq.read_table(dp)
+                        by_file: dict[str, list[int]] = {}
+                        for fp, pos in zip(
+                            dt.column("file_path").to_pylist(),
+                            dt.column("pos").to_pylist(),
+                        ):
+                            by_file.setdefault(fp.replace("file:", ""), []).append(pos)
+                        for fp, poss in sorted(by_file.items()):
+                            tbl, data = _file_rows(fp)
+                            for i in sorted(poss):
+                                yield tuple(data[i][pn] for pn, _ in cols) + (
+                                    "delete", snap.sequence_number,
+                                )
+                    else:
+                        # (3) equality deletes: KEY-only delete rows (non-key
+                        #     columns None) — delta-sized by construction; a
+                        #     by-key replica needs nothing more, and scanning
+                        #     older files for full values would make a
+                        #     microbatch O(table)
+                        dt = pq.read_table(dp)
+                        id_to_name = {f.id: f.name for f in meta.schema.fields}
+                        keys = [id_to_name[i] for i in d.equality_ids]
+                        kvals = {
+                            k: dt.column(f"k_{i}").to_pylist()
+                            for k, i in zip(keys, d.equality_ids)
+                        }
+                        for r in range(dt.num_rows):
+                            yield tuple(
+                                kvals[n][r] if n in kvals else None
+                                for _, n in cols
+                            ) + ("delete", snap.sequence_number)
             added = [f for f in man.data_files if f.path not in prev_paths]
             for f in added:
-                tbl = pq.read_table(f.path)
-                have = set(tbl.column_names)
-                missing = [p for p, _ in cols if p not in have]
-                if missing:
-                    raise NotImplementedError(
-                        f"file {os.path.basename(f.path)} lacks physical "
-                        f"column(s) {missing}: schema-evolution reads belong "
-                        "to Table.df"
-                    )
-                data = tbl.select([p for p, _ in cols]).to_pylist()
+                _tbl, data = _file_rows(f.path)
                 for row in data:
                     yield tuple(row[p] for p, _ in cols) + (
                         "insert", snap.sequence_number,
                     )
-            prev_paths, prev_dels = cur_paths, {
-                d.path for d in man.delete_files
-            }
+            prev_paths, prev_dels = cur_paths, set(cur_del_by_path)
 
     def read(self, start: dict):
         from iceberg_trino_sql_demo_spark.sources.metadata import MetadataIO
@@ -282,7 +340,10 @@ class IceChangesStreamReader(SimpleDataSourceStreamReader):
         head = meta.refs.get("main")
         sid = start["snapshot_id"]
         if head is None or head == sid:
-            return [], start
+            # an ITERATOR, not a list: when end == start pyspark's wrapper
+            # probes emptiness with next(it) instead of caching (a restart
+            # with zero new commits lands here)
+            return iter(()), start
         nxt = head
         if self.max_files is not None:
             # bounded mode: walk the start->head chain and stop at the
@@ -347,4 +408,5 @@ class IceChangesDataSource(DataSource):
             self.options["path"],
             int(start) if start is not None else None,
             int(cap) if cap is not None else None,
+            self.options.get("mode", "append_only"),
         )

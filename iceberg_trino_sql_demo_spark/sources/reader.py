@@ -135,19 +135,28 @@ def snapshot_df(
         empty = spark.createDataFrame([], out_struct)
         return empty if hidden else empty.select(*[f.name for f in current.fields])
 
-    # data files referenced by live delete files need the MoR anti-join
+    pos_dels = [d for d in manifest.delete_files if d.content == "position"]
+    eq_dels = [d for d in manifest.delete_files if d.content == "equality"]
+
+    # data files referenced by live position-delete files need the MoR
+    # (file, pos) anti-join
     deleted_refs: set[str] = set()
-    for dfl in manifest.delete_files:
+    for dfl in pos_dels:
         deleted_refs.update(getattr(dfl, "referenced_files", []) or _read_refs(dfl.path))
+    # an equality delete applies to every data file STRICTLY older than it
+    # (same-commit data files are exempt — that exemption is what makes the
+    # streaming upsert a blind write)
+    max_eq_seq = max((d.sequence_number for d in eq_dels), default=None)
 
     need_lineage = hidden
-    groups: dict[tuple[int, bool, bool], list[DataFile]] = {}
+    groups: dict[tuple[int, bool, bool, bool], list[DataFile]] = {}
     for f in data_files:
-        key = (f.schema_id, bool(f.has_lineage), f.path in deleted_refs)
+        is_eq = max_eq_seq is not None and f.sequence_number < max_eq_seq
+        key = (f.schema_id, bool(f.has_lineage), f.path in deleted_refs, is_eq)
         groups.setdefault(key, []).append(f)
 
     parts: list[DataFrame] = []
-    for (schema_id, has_lineage, is_deleted), files in sorted(groups.items()):
+    for (schema_id, has_lineage, is_deleted, is_eq), files in sorted(groups.items()):
         fschema = meta.schema_by_id(schema_id)
         struct = fschema.to_struct(physical=True)
         if has_lineage:
@@ -157,7 +166,7 @@ def snapshot_df(
             )
         df = spark.read.schema(struct).parquet(*[f.path for f in files])
         proj = _group_projection(fschema, current, has_lineage)
-        if need_lineage or is_deleted:
+        if need_lineage or is_deleted or is_eq:
             df = df.select(
                 *proj,
                 F.col("_metadata.file_path").alias(_FILE),
@@ -171,12 +180,14 @@ def snapshot_df(
                    .withColumn(FILE_MTIME, F.lit(None).cast("timestamp"))
         if is_deleted:
             dels = read_position_deletes(spark, manifest, only_for=[f.path for f in files])
-            n_del = sum(d.record_count for d in manifest.delete_files)
+            n_del = sum(d.record_count for d in pos_dels)
             df = df.join(
                 _hint_deletes(dels, n_del),
                 (df[_FILE] == dels["__del_file"]) & (df[_POS] == dels["__del_pos"]),
                 "left_anti",
             )
+        if is_eq:
+            df = _apply_equality_deletes(spark, meta, df, files, eq_dels)
         parts.append(df)
 
     df = parts[0]
@@ -275,11 +286,117 @@ def _hint_deletes(dels, n_delete_rows: int):
     return F.broadcast(dels) if n_delete_rows <= _DELETE_BROADCAST_ROWS else dels
 
 
+def _apply_equality_deletes(
+    spark: SparkSession,
+    meta: TableMetadata,
+    df: DataFrame,
+    files: list,
+    eq_dels: list,
+) -> DataFrame:
+    """Anti-join ``df`` (projected to the current schema, carrying _FILE)
+    against the live equality-delete sets.
+
+    Semantics (Iceberg v2 equality deletes): a delete row with key K
+    removes every row with key K from data files whose sequence_number is
+    STRICTLY below the delete file's.  Null keys match null keys
+    (null-safe equality), like Iceberg.  One anti-join per distinct key-id
+    tuple; the per-row data sequence number comes from a broadcast
+    (path -> seq) join over the group's manifest entries — no data read.
+    """
+    from functools import reduce
+
+    # attach each row's data-file sequence number (file-cardinality join)
+    seq_rows = [(_to_uri(f.path), f.sequence_number) for f in files]
+    seq_df = spark.createDataFrame(seq_rows, "__seq_path string, __data_seq long")
+    df = df.join(F.broadcast(seq_df), df[_FILE] == seq_df["__seq_path"], "left").drop(
+        "__seq_path"
+    )
+
+    by_ids: dict[tuple[int, ...], list] = {}
+    for d in eq_dels:
+        by_ids.setdefault(tuple(d.equality_ids), []).append(d)
+    for ids, dels in sorted(by_ids.items()):
+        eqdf = read_equality_deletes(spark, meta, dels)
+        conds = []
+        for cid in ids:
+            fld = next(f for f in meta.schema.fields if f.id == cid)
+            conds.append(df[fld.name].eqNullSafe(eqdf[f"__eqk_{cid}"]))
+        cond = reduce(lambda a, b: a & b, conds) & (
+            df["__data_seq"] < eqdf["__eq_seq"]
+        )
+        n_del = sum(d.record_count for d in dels)
+        df = df.join(_hint_deletes(eqdf, n_del), cond, "left_anti")
+    return df.drop("__data_seq")
+
+
+def read_equality_deletes(
+    spark: SparkSession, meta: TableMetadata, dels: list
+) -> DataFrame:
+    """Union of equality-delete files sharing one key-id tuple, as
+    (__eqk_<id>..., __eq_seq).  Files are grouped by sequence number so the
+    scan stays a plain parquet read per distinct commit."""
+    ids = tuple(dels[0].equality_ids)
+    fields = []
+    for cid in ids:
+        fld = next(f for f in meta.schema.fields if f.id == cid)
+        fields.append(T.StructField(f"k_{cid}", spark_type(fld.type), True))
+    struct = T.StructType(fields)
+    by_seq: dict[int, list[str]] = {}
+    for d in dels:
+        by_seq.setdefault(d.sequence_number, []).append(d.path)
+    out: DataFrame | None = None
+    for seq, paths in sorted(by_seq.items()):
+        part = spark.read.schema(struct).parquet(*paths).withColumn(
+            "__eq_seq", F.lit(seq).cast("long")
+        )
+        out = part if out is None else out.unionByName(part)
+    assert out is not None
+    return out.select(
+        *[F.col(f"k_{cid}").alias(f"__eqk_{cid}") for cid in ids], "__eq_seq"
+    )
+
+
+def rows_matching_equality(
+    spark: SparkSession, meta: TableMetadata, manifest: Manifest, eq_dels: list
+) -> DataFrame:
+    """Rows of ``manifest``'s state (all deletes applied) that the given
+    equality-delete files remove — i.e. key matches AND the row's data file
+    is strictly older than the delete.  Used by CDC to materialize the
+    full values of equality-deleted rows."""
+    from functools import reduce
+
+    base = snapshot_df(spark, meta, manifest, hidden=True)
+    files = manifest.data_files
+    seq_rows = [(_to_uri(f.path), f.sequence_number) for f in files]
+    seq_df = spark.createDataFrame(seq_rows, "__seq_path string, __data_seq long")
+    base = base.join(
+        F.broadcast(seq_df), base[PATH_COL] == seq_df["__seq_path"], "left"
+    )
+    by_ids: dict[tuple[int, ...], list] = {}
+    for d in eq_dels:
+        by_ids.setdefault(tuple(d.equality_ids), []).append(d)
+    out: DataFrame | None = None
+    for ids, dels in sorted(by_ids.items()):
+        eqdf = read_equality_deletes(spark, meta, dels)
+        conds = []
+        for cid in ids:
+            fld = next(f for f in meta.schema.fields if f.id == cid)
+            conds.append(base[fld.name].eqNullSafe(eqdf[f"__eqk_{cid}"]))
+        cond = reduce(lambda a, b: a & b, conds) & (
+            base["__data_seq"] < eqdf["__eq_seq"]
+        )
+        n_del = sum(d.record_count for d in dels)
+        hit = base.join(_hint_deletes(eqdf, n_del), cond, "left_semi")
+        out = hit if out is None else out.unionByName(hit)
+    assert out is not None
+    return out.select(*[f.name for f in meta.schema.fields])
+
+
 def read_position_deletes(
     spark: SparkSession, manifest: Manifest, only_for: list[str] | None = None
 ) -> DataFrame:
     """Union of live position-delete files as (__del_file, __del_pos)."""
-    paths = [d.path for d in manifest.delete_files]
+    paths = [d.path for d in manifest.delete_files if d.content == "position"]
     schema = T.StructType(
         [T.StructField("file_path", T.StringType()), T.StructField("pos", T.LongType())]
     )

@@ -66,6 +66,7 @@ from iceberg_trino_sql_demo_spark.sources.reader import (
     ROW_ID,
     read_position_deletes,
     rows_at_positions,
+    rows_matching_equality,
     snapshot_df,
 )
 from iceberg_trino_sql_demo_spark.sources.transforms import parse_transform
@@ -766,6 +767,134 @@ class Table:
             rebase=False,
         )
 
+    # -- equality deletes (Iceberg v2/v3; the streaming-upsert answer to
+    # position deletes' read-before-write) --------------------------------
+    def _write_equality_delete(
+        self, keys_df: DataFrame, key_cols: list[str], seq: int
+    ) -> list[DeleteFile]:
+        """Write DISTINCT key tuples as an equality-delete parquet.
+        Columns are named ``k_<column id>`` so later renames never corrupt
+        the mapping (reader resolves ids against the current schema)."""
+        import pyarrow.parquet as pq
+
+        ids = [self.meta.schema.field_by_name(c).id for c in key_cols]
+        ddir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:16])
+        (
+            keys_df.select(
+                *[
+                    F.col(c).cast(spark_type(self.meta.schema.field_by_name(c).type)).alias(f"k_{i}")
+                    for c, i in zip(key_cols, ids)
+                ]
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(ddir)
+        )
+        entries: list[DeleteFile] = []
+        for root, _d, fs in os.walk(ddir):
+            for fn in sorted(fs):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                n = pq.ParquetFile(p).metadata.num_rows
+                if n == 0:
+                    continue
+                entries.append(
+                    DeleteFile(
+                        path=p,
+                        record_count=n,
+                        file_size_bytes=os.path.getsize(p),
+                        sequence_number=seq,
+                        content="equality",
+                        equality_ids=tuple(ids),
+                    )
+                )
+        return entries
+
+    def delete_by_key(
+        self, keys_df: DataFrame, key_cols: list[str], ref: str = MAIN
+    ) -> Snapshot:
+        """DELETE every row whose key tuple appears in ``keys_df`` — as an
+        equality-delete file, NO read of existing data (contrast
+        ``delete(where)``, which probes files for matches).  Applies to all
+        data files strictly older than this commit."""
+        seq = self.meta.last_sequence_number + 1
+        entries = self._write_equality_delete(keys_df, key_cols, seq)
+        base = self._manifest(self._resolve(ref))
+        new_dels = base.delete_files + entries
+        manifest = (
+            base.with_delta(delete_files=new_dels)
+            if isinstance(base, LazyManifest)
+            else Manifest(base.data_files, new_dels)
+        )
+        return self._commit_snapshot(
+            manifest,
+            "delete",
+            ref,
+            {
+                "added-delete-files": len(entries),
+                "equality-deletes": "true",
+                "deleted-keys": sum(e.record_count for e in entries),
+            },
+        )
+
+    def upsert_by_key(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        ref: str = MAIN,
+        extra_delete_keys: DataFrame | None = None,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Blind upsert: ONE commit carrying an equality delete on ``df``'s
+        keys plus ``df``'s rows as new data files.  The new files share the
+        commit's sequence number, so the delete (which applies strictly
+        below it) removes every OLD row with those keys and none of the new
+        ones — no read-before-write anywhere, which is what a CDC-replica
+        ingest loop needs (MERGE and position deletes both must first find
+        matching rows).  Duplicate keys WITHIN one batch land as duplicate
+        rows — dedupe upstream, exactly like Iceberg's upsert writer.
+
+        ``extra_delete_keys`` folds pure deletions into the SAME atomic
+        commit (a CDC micro-batch = upserts + deletes in one snapshot, so
+        an exactly-once watermark in ``summary`` covers both)."""
+        m = self.meta
+        seq = m.last_sequence_number + 1
+        keys = df.select(*key_cols)
+        if extra_delete_keys is not None:
+            keys = keys.unionByName(extra_delete_keys.select(*key_cols))
+        entries = self._write_equality_delete(keys, key_cols, seq)
+        aligned = df.select(
+            *[
+                F.col(f.name).cast(spark_type(f.type)).alias(f.name)
+                for f in m.schema.fields
+            ]
+        )
+        new_files = write_data_files(
+            aligned, self.location, m.schema, m.spec, seq, m.sort_order or None
+        )
+        self._enrich_blooms(new_files)
+        base = self._manifest(self._resolve(ref))
+        new_dels = base.delete_files + entries
+        manifest = (
+            base.with_delta(added=new_files, delete_files=new_dels)
+            if isinstance(base, LazyManifest)
+            else Manifest(base.data_files + new_files, new_dels)
+        )
+        return self._commit_snapshot(
+            manifest,
+            "overwrite",
+            ref,
+            {
+                "added-data-files": len(new_files),
+                "added-records": sum(f.record_count for f in new_files),
+                "added-delete-files": len(entries),
+                "equality-deletes": "true",
+                "upserted-keys": sum(e.record_count for e in entries),
+                **(summary or {}),
+            },
+        )
+
     def delete(self, where: str, ref: str = MAIN) -> Snapshot:
         """DELETE FROM ... WHERE (reference :137, :228, :240).
 
@@ -927,11 +1056,16 @@ class Table:
         new_files = [DataFile(**{**f.to_dict(), "has_lineage": True}) for f in new_files]
         self._enrich_blooms(new_files)
         replaced_paths = {f.path for f in replaced}
-        # delete files only referencing replaced data are now applied/garbage
+        # position-delete files only referencing replaced data are now
+        # applied/garbage; EQUALITY deletes always survive a rewrite — they
+        # apply table-wide to older files, and the rewritten rows were read
+        # through the delete-applying path (so the new, newer-sequence
+        # files are correctly exempt while other files still need them)
         kept_dels = [
             d
             for d in manifest.delete_files
-            if any(p not in replaced_paths for p in d.referenced_files)
+            if d.content == "equality"
+            or any(p not in replaced_paths for p in d.referenced_files)
         ]
         if isinstance(manifest, LazyManifest):
             # only segments holding replaced entries get rewritten
@@ -1613,15 +1747,26 @@ class Table:
             if removed:
                 dels = snapshot_df(self.spark, m, Manifest(removed, prev_manifest.delete_files))
                 pieces.append(dels.withColumn("_change_type", F.lit("delete")))
-            if new_dels:
-                del_df = read_position_deletes(self.spark, Manifest([], new_dels))
-                ref_paths = {p for d in new_dels for p in d.referenced_files}
+            new_pos = [d for d in new_dels if d.content == "position"]
+            new_eq = [d for d in new_dels if d.content == "equality"]
+            if new_pos:
+                del_df = read_position_deletes(self.spark, Manifest([], new_pos))
+                ref_paths = {p for d in new_pos for p in d.referenced_files}
                 ref_files = [f for f in prev_manifest.data_files if f.path in ref_paths]
                 gone = rows_at_positions(
                     self.spark, m, ref_files, del_df,
-                    n_delete_rows=sum(d.record_count for d in new_dels),
+                    n_delete_rows=sum(d.record_count for d in new_pos),
                 )
                 pieces.append(gone.withColumn("_change_type", F.lit("delete")))
+            if new_eq:
+                # equality deletes remove the PREVIOUS state's rows whose
+                # key matches and whose file predates the delete — a
+                # same-commit upsert's new rows are exempt (strictly-older
+                # rule) and appear only in the insert piece above
+                gone_eq = rows_matching_equality(
+                    self.spark, m, prev_manifest, new_eq
+                )
+                pieces.append(gone_eq.withColumn("_change_type", F.lit("delete")))
             for p in pieces:
                 p = p.withColumn("_change_ordinal", F.lit(ordinal)).withColumn(
                     "_commit_snapshot_id", F.lit(snap.snapshot_id)

@@ -480,3 +480,92 @@ def test_apply_changes_net_compression_and_noop_delete(spark, tmp_path, sf_dir):
     src = {r.n_nationkey: r.n_name for r in t.df().collect()}
     src.pop(0, None)  # the replica's own divergence, never re-inserted
     assert rows == src
+
+
+# ---------------------------------------------------------------------------
+# Equality deletes (round 6): blind upserts, sequence strictness, CDC
+# ---------------------------------------------------------------------------
+def test_equality_delete_lifecycle(spark, tmp_path, sf_dir):
+    """upsert_by_key/delete_by_key semantics: same-commit exemption,
+    cross-commit strictness, interop with position deletes and time
+    travel, survival through optimize."""
+    cat = Catalog(spark, str(tmp_path / "wh_eq"))
+    cat.create_schema("eq")
+    cat.use("eq")
+    rows = [{"k": i, "v": f"v{i}"} for i in range(10)]
+    t = cat.ctas("tbl", spark.createDataFrame(rows))
+    s0 = t._resolve().snapshot_id
+
+    # one commit: delete keys {2,4} everywhere older + insert new rows —
+    # the new rows share the commit sequence and must survive
+    up = spark.createDataFrame(
+        [{"k": 2, "v": "N2"}, {"k": 4, "v": "N4"}, {"k": 77, "v": "N77"}]
+    )
+    t.upsert_by_key(up, ["k"])
+    got = {r.k: r.v for r in t.df().collect()}
+    assert got[2] == "N2" and got[4] == "N4" and got[77] == "N77"
+    assert len(got) == 11
+
+    # strictness across commits: a second upsert replaces the first's rows
+    t.upsert_by_key(spark.createDataFrame([{"k": 2, "v": "NN2"}]), ["k"])
+    assert {r.v for r in t.df().where("k = 2").collect()} == {"NN2"}
+
+    # pure equality delete; absent key is a no-op
+    t.delete_by_key(spark.createDataFrame([(0,), (999,)], "k bigint"), ["k"])
+    assert {r.k for r in t.df().collect()} == set(range(1, 10)) | {77}
+
+    # position delete on top of equality deletes
+    t.delete("k = 7")
+    live = {r.k for r in t.refresh().df().collect()}
+    assert live == set(range(1, 10)) - {7} | {77}
+
+    # time travel: the pre-upsert snapshot is untouched
+    assert t.df(version=s0).count() == 10
+
+    # optimize must KEEP equality deletes (they apply table-wide) and
+    # preserve visible state exactly
+    before = {(r.k, r.v) for r in t.df().collect()}
+    t.optimize(file_size_threshold=10**9)
+    after = {(r.k, r.v) for r in t.refresh().df().collect()}
+    assert before == after
+
+
+def test_equality_delete_cdc_and_stream_key_rows(spark, tmp_path, sf_dir):
+    """Batch table_changes materializes full values of equality-deleted
+    rows; the cdc-mode stream reader emits key-only delete rows, and both
+    net to the same replica state."""
+    from iceberg_trino_sql_demo_spark.sources.pyds import IceChangesStreamReader
+
+    cat = Catalog(spark, str(tmp_path / "wh_eqcdc"))
+    cat.create_schema("eqcdc")
+    cat.use("eqcdc")
+    rows = [{"k": i, "v": f"v{i}"} for i in range(6)]
+    t = cat.ctas("tbl", spark.createDataFrame(rows))
+    s0 = t._resolve().snapshot_id
+    t.upsert_by_key(spark.createDataFrame([{"k": 1, "v": "N1"}]), ["k"])
+    t.delete_by_key(spark.createDataFrame([(3,)], "k bigint"), ["k"])
+    s2 = t._resolve().snapshot_id
+
+    ch = t.table_changes(s0, s2).collect()
+    tagged = sorted((r._change_ordinal, r._change_type, r.k, r.v) for r in ch)
+    assert tagged == [
+        (0, "delete", 1, "v1"),
+        (0, "insert", 1, "N1"),
+        (1, "delete", 3, "v3"),
+    ]
+
+    # cdc-mode stream (one drain to head): the upsert commit emits a
+    # key-only delete (non-key columns None — O(delta), no old-file scan)
+    # plus the full insert; the key-delete commit emits its key row
+    r = IceChangesStreamReader(t.location, s0, mode="cdc")
+    rows_out, off = r.read({"snapshot_id": s0})
+    assert off == {"snapshot_id": s2}
+    kinds = sorted((x[-2], x[0], x[1]) for x in rows_out)
+    assert kinds == [
+        ("delete", 1, None),
+        ("delete", 3, None),
+        ("insert", 1, "N1"),
+    ]
+    strict = IceChangesStreamReader(t.location, s0)
+    with pytest.raises(ValueError, match="append-only"):
+        strict.read({"snapshot_id": s0})

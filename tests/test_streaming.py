@@ -137,9 +137,9 @@ def test_ice_changes_stream_reader_offsets_and_guard(spark, tmp_path, sf_dir):
     assert nxt == {"snapshot_id": s2}
     assert [x[1] for x in rows] == ["B1", "B2"]  # commit order
     assert {x[-2] for x in rows} == {"insert"}
-    # empty batch at head
+    # empty batch at head (an iterator — pyspark probes it with next())
     rows2, nxt2 = r.read(nxt)
-    assert rows2 == [] and nxt2 == nxt
+    assert list(rows2) == [] and nxt2 == nxt
     # exact range replay: only the first append
     replay = r.readBetweenOffsets({"snapshot_id": s0}, {"snapshot_id": s1})
     assert [x[1] for x in replay] == ["B1"]
@@ -156,3 +156,44 @@ def test_ice_changes_stream_reader_offsets_and_guard(spark, tmp_path, sf_dir):
     t.delete("n_nationkey = 9900")
     with pytest.raises(ValueError, match="append-only"):
         r.read({"snapshot_id": s2})
+
+
+def test_stream_cdc_full_exactly_once_restart(spark, tmp_path, sf_dir):
+    """Full-CDC replica (mode='cdc', by-key apply): a history with UPDATE
+    (blind upsert), DELETE (MoR) and appends converges the replica to the
+    source head; restarting the SAME checkpoint re-delivers nothing new
+    (batch watermark lives in the replica's snapshot summary) and the
+    snapshot count proves it."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.streaming.ingest import (
+        stream_cdc_to_replica_by_key,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh_cdcfull"))
+    cat.create_schema("cf")
+    cat.use("cf")
+    rows = [{"k": i, "v": f"v{i}"} for i in range(8)]
+    src = cat.ctas("src", spark.createDataFrame(rows))
+    rep = src.clone(str(tmp_path / "rep"))
+    s0 = src._resolve().snapshot_id
+    src.upsert_by_key(spark.createDataFrame([{"k": 2, "v": "N2"}]), ["k"])
+    src.delete("k = 5")
+    src.insert([{"k": 60, "v": "v60"}])
+
+    ckpt = str(tmp_path / "ckpt_cdc")
+    stream_cdc_to_replica_by_key(
+        spark, src, rep, ["k"], checkpoint_dir=ckpt, start_snapshot_id=s0
+    )
+    exp = {(r.k, r.v) for r in src.refresh().df().collect()}
+    assert {(r.k, r.v) for r in rep.refresh().df().collect()} == exp
+    n_snaps = len(rep.meta.snapshots)
+
+    # restart on the same checkpoint: no new source commits -> no new
+    # replica snapshots, state unchanged
+    stream_cdc_to_replica_by_key(
+        spark, src, rep.refresh(), ["k"], checkpoint_dir=ckpt,
+        start_snapshot_id=s0,
+    )
+    rep.refresh()
+    assert len(rep.meta.snapshots) == n_snaps
+    assert {(r.k, r.v) for r in rep.df().collect()} == exp
