@@ -125,6 +125,18 @@ def main() -> None:
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 4)
+    # Frozen-core reporting (VERDICT r5 #6): the aggregate ratio drifts
+    # with registry growth (1.24x -> 1.40x across r5 batches was set
+    # growth, not code), so round-over-round comparisons use the FROZEN
+    # r5-close core in bench_core.json; the full set is still reported.
+    # set_hash identifies exactly which names a run benched.
+    import hashlib
+
+    core_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_core.json")
+    core_names = set(json.load(open(core_path))["names"]) if os.path.exists(core_path) else set()
+    core = {k: v for k, v in timings.items() if k in core_names}
+    set_hash = hashlib.md5(",".join(names).encode()).hexdigest()[:12]
+    core_hash = hashlib.md5(",".join(sorted(core)).encode()).hexdigest()[:12]
     # both methodologies go to the JSON (ADVICE r2): `queries`/`value` stay
     # min-of-RUNS warm (like-for-like vs the warm in-process DuckDB
     # baseline), `queries_cold`/`cold_total` are each query's FIRST run
@@ -135,6 +147,10 @@ def main() -> None:
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
+                "bench_set_hash": set_hash,
+                "core_total": round(sum(core.values()), 4),
+                "core_n": len(core),
+                "core_set_hash": core_hash,
                 "queries": timings,
                 "queries_cold": cold,
                 "cold_total": round(sum(cold.values()), 4),

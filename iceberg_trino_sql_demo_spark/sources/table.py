@@ -251,7 +251,57 @@ class Table:
         out = snapshot_df(self.spark, self.meta, manifest, hidden=hidden)
         if where:
             out = out.where(F.expr(where))
+        if preds:
+            out = self._stats_broadcast_hint(out, manifest, preds)
         return out
+
+    #: broadcast budget for the stats-estimated post-filter size, with a
+    #: 10x skew headroom applied by the caller — parquet bytes are
+    #: compressed and NDV-uniformity can be off, so only estimates that
+    #: stay under budget even at 10x qualify
+    _STATS_BHJ_BYTES = 8 * 1024 * 1024
+
+    def _stats_broadcast_hint(self, df: DataFrame, pruned: Manifest, preds: list):
+        """Feed engine ANALYZE stats to Catalyst (VERDICT r5 #8).
+
+        Spark estimates a parquet scan's size from FILE bytes; without
+        catalog column stats it cannot see that an equality/IN filter
+        keeps ~rows/NDV of them, so a selectively-filtered fact side of a
+        join stays sort-merge when it should broadcast (with AQE off, or
+        before the first shuffle materializes).  The engine DOES know:
+        ANALYZE persists per-column NDV (`meta.column_stats`), the pruned
+        manifest gives exact surviving row/byte counts.  Estimate
+        rows-after-filter multiplicatively over equality/IN conjuncts and
+        attach a broadcast hint only when even a 10x-skewed estimate fits
+        the budget — the same measured-size gate as the shingle join, so
+        a wrong uniformity assumption degrades to at most a 10x-under-
+        budget broadcast, never an OOM."""
+        st = self.meta.column_stats or {}
+        total = st.get("row_count")
+        if not total:
+            return df  # never ANALYZEd: no selectivity knowledge
+        rows = sum(f.record_count for f in pruned.data_files)
+        bytes_ = sum(f.file_size_bytes for f in pruned.data_files)
+        if rows == 0:
+            return df
+        sel, saw_eq = 1.0, False
+        for p in preds:
+            cs = st.get(p.column) if isinstance(st.get(p.column), dict) else None
+            ndv = (cs or {}).get("ndv") or 0
+            if ndv <= 0:
+                continue
+            if p.op == "=":
+                sel *= 1.0 / ndv
+                saw_eq = True
+            elif p.op == "in" and isinstance(p.value, (list, tuple)):
+                sel *= min(1.0, len(p.value) / ndv)
+                saw_eq = True
+        if not saw_eq:
+            return df
+        est_bytes = rows * sel * (bytes_ / max(rows, 1))
+        if est_bytes * 10 <= self._STATS_BHJ_BYTES:
+            return df.hint("broadcast")
+        return df
 
     def prune(self, manifest, predicates: list) -> Manifest:
         """Manifest entries that may contain rows matching ALL predicates

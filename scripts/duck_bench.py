@@ -58,11 +58,23 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[n] = round(min(runs), 4)
         print(f"# {n}: {timings[n]:.3f}", file=sys.stderr)
+    # frozen-core totals (bench_core.json; VERDICT r5 #6) so the core
+    # ratio is computable from the two JSON lines alone
+    core_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_core.json",
+    )
+    core_names = (
+        set(json.load(open(core_path))["names"]) if os.path.exists(core_path) else set()
+    )
+    core = {k: v for k, v in timings.items() if k in core_names}
     print(
         json.dumps(
             {
                 "total": round(sum(timings.values()), 4),
                 "n": len(names),
+                "core_total": round(sum(core.values()), 4),
+                "core_n": len(core),
                 "queries": timings,
             }
         )

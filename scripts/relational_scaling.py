@@ -7,7 +7,11 @@ harness applies the same method to the §2/TPC-H shapes that were still
 argued from plan shape: pricing_summary (single-fact agg), q3 (fact x
 fact x dim with date cuts), q18 (HAVING-aggregate semi-join),
 q21 (collapse + window over one fact exchange), federation_agg
-(fact x dims broadcast agg).
+(fact x dims broadcast agg); round 6 adds q9 (the widest join tree in
+the registry) and training_corpus_select (the end-to-end pipeline DAG
+over documents: quality aggs + keeper election + broadcast decontam +
+md5 split) — the two DAGs most likely to hide a shuffle that only
+hurts past MB scale (VERDICT r5 #7).
 
 Corpus: scripts/scale_corpus.build_scaled_relational — lineitem+orders
 replicated with per-replica orderkey shifts (join output provably linear
@@ -42,6 +46,8 @@ FAMILY = [
     "q18_large_volume_customer",
     "q21_sole_late_supplier",
     "federation_agg",
+    "q9_product_type_profit",
+    "training_corpus_select",
 ]
 
 SECTION_BEGIN = "<!-- relational-scaling:begin -->"
@@ -49,7 +55,7 @@ SECTION_END = "<!-- relational-scaling:end -->"
 
 
 def main() -> None:
-    from scripts.scale_corpus import build_scaled_relational
+    from scripts.scale_corpus import build_scaled_corpus, build_scaled_relational
     from iceberg_trino_sql_demo_spark import operators as ops
     from iceberg_trino_sql_demo_spark.session import get_spark
 
@@ -61,6 +67,8 @@ def main() -> None:
         for m in POINTS:
             sf_dir = os.path.join(work, f"x{m}")
             build_scaled_relational(BASE, sf_dir, m)
+            # training_corpus_select runs over documents — scale it too
+            build_scaled_corpus(BASE, sf_dir, m)
             n_li = spark.read.parquet(
                 os.path.join(sf_dir, "lineitem.parquet")
             ).count()

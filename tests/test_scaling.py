@@ -385,12 +385,14 @@ def scaled_rel(spark, sf_dir, tmp_path_factory):
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from scripts.scale_corpus import build_scaled_relational
+    from scripts.scale_corpus import build_scaled_corpus, build_scaled_relational
 
     root = tmp_path_factory.mktemp("scaled_rel")
     base, big = str(root / "x1"), str(root / f"x{M}")
     build_scaled_relational(sf_dir, base, 1)
     build_scaled_relational(sf_dir, big, M)
+    build_scaled_corpus(sf_dir, base, 1)   # documents for the pipeline DAG
+    build_scaled_corpus(sf_dir, big, M)
     return base, big
 
 
@@ -414,8 +416,10 @@ def test_relational_family_scales_linearly(spark, scaled_rel):
         for col in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
             assert abs(rm[col] - M * r1[col]) < 1e-6, (k, col)
 
-    # plan-shape invariance under scale for the two heaviest shapes
-    for name in ("q18_large_volume_customer", "q21_sole_late_supplier"):
+    # plan-shape invariance under scale for the heaviest shapes, the
+    # widest join tree (q9) and the end-to-end pipeline DAG (VERDICT r5 #7)
+    for name in ("q18_large_volume_customer", "q21_sole_late_supplier",
+                 "q9_product_type_profit", "training_corpus_select"):
         plans = []
         for d in (base, big):
             df = ops.QUERIES[name](spark, d)
