@@ -132,6 +132,7 @@ _DRIVER_PRIORITY: list[str] = [
     # -- NEW this round (added as round 6 lands them)
     "ice_equality_delete",
     "ice_stream_cdc_full",
+    "ice_equality_rewrite",
     # -- implementation changed this round: metadata plane (columnar
     # manifests + lazy/delta commits) rewrites the storage under every
     # ice_* scenario; these 23 core ones were last driver-sampled in r2

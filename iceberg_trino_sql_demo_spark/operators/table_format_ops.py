@@ -1976,3 +1976,69 @@ def ice_stream_cdc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, t, replica, ["custkey"], start_snapshot_id=s0
     )
     return replica.refresh().df()
+
+
+# ---------------------------------------------------------------------------
+# Equality-delete compaction: rewrite_equality_deletes materializes the
+# accumulated equality files into ordinary position deletes (one probe job,
+# one atomic commit, visible state unchanged) — the maintenance op that
+# keeps a long-running upsert stream's read path bounded.  The scenario
+# re-runs the ice_equality_delete mutation sequence, compacts, and must
+# read back the identical final state THROUGH the compacted metadata.
+# ---------------------------------------------------------------------------
+@register(
+    "ice_equality_rewrite",
+    oracle=f"""
+    WITH base AS ({_BASE_SQL}),
+         ranked AS (
+            SELECT b.*, row_number() OVER (ORDER BY custkey) AS rn FROM base b
+         )
+    SELECT custkey, name, mktsegment, account_balance, nation
+      FROM ranked WHERE rn > 3
+    UNION ALL
+    SELECT custkey, 'UPSERTED2', 'SQLENGINE', 13.0, 'FRANCE'
+      FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT custkey, 'UPSERTED', 'SQLENGINE', 11.0, 'FRANCE'
+      FROM ranked WHERE rn = 2
+    UNION ALL
+    SELECT * FROM (VALUES
+        (777001, 'UPSERTED', 'SQLENGINE', 12.0, 'FRANCE')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_equality_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    k1, k2, k3 = [
+        r.custkey for r in t.df().orderBy("custkey").limit(3).collect()
+    ]
+    sch = t.df().schema
+    t.upsert_by_key(
+        spark.createDataFrame(
+            [
+                {"custkey": k1, "name": "UPSERTED", "mktsegment": "SQLENGINE",
+                 "account_balance": 11.0, "nation": "FRANCE"},
+                {"custkey": k2, "name": "UPSERTED", "mktsegment": "SQLENGINE",
+                 "account_balance": 11.0, "nation": "FRANCE"},
+                {"custkey": 777001, "name": "UPSERTED", "mktsegment": "SQLENGINE",
+                 "account_balance": 12.0, "nation": "FRANCE"},
+            ],
+            sch,
+        ),
+        ["custkey"],
+    )
+    t.upsert_by_key(
+        spark.createDataFrame(
+            [{"custkey": k1, "name": "UPSERTED2", "mktsegment": "SQLENGINE",
+              "account_balance": 13.0, "nation": "FRANCE"}],
+            sch,
+        ),
+        ["custkey"],
+    )
+    t.delete_by_key(spark.createDataFrame([(k3,)], "custkey bigint"), ["custkey"])
+    t.rewrite_equality_deletes()
+    t.refresh()
+    man = t._manifest(t._resolve())
+    assert not [d for d in man.delete_files if d.content == "equality"]
+    return t.df()

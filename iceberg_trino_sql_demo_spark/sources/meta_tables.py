@@ -125,17 +125,52 @@ def metadata_table(table, kind: str) -> DataFrame:
                 T.StructField("sequence_number", T.LongType()),
             ]
         )
+        del_rows = [
+            (1, d.path, "PARQUET", m.default_spec_id, "{}",
+             d.record_count, d.file_size_bytes, None, d.sequence_number)
+            for d in manifest.delete_files
+        ]
+        from iceberg_trino_sql_demo_spark.sources.manifest_store import LazyManifest
+
+        if isinstance(manifest, LazyManifest) and manifest.segments:
+            # manifests ARE data: serve $files straight off the segment
+            # parquet with a distributed Spark scan instead of driver-side
+            # entry materialization (26.8 s -> a parquet scan at 1M files;
+            # a cluster deployment plans over manifests the same way).
+            # Values are bit-identical to the slow path: the segment writer
+            # stores partition with the same json.dumps form.
+            from pyspark.sql import functions as F
+
+            segs = [os.path.join(m.location, s.path) for s in manifest.segments]
+            df = spark.read.parquet(*segs).select(
+                F.lit(0).cast("int").alias("content"),
+                F.col("path").alias("file_path"),
+                F.lit("PARQUET").alias("file_format"),
+                F.col("spec_id").cast("int").alias("spec_id"),
+                F.col("partition"),
+                F.col("record_count"),
+                F.col("file_size_bytes").alias("file_size_in_bytes"),
+                F.col("first_row_id"),
+                F.col("sequence_number"),
+            )
+            if manifest.removed:
+                df = df.where(~F.col("file_path").isin(*manifest.removed))
+            extra = [
+                (0, f.path, "PARQUET", f.spec_id,
+                 json.dumps(f.partition, default=str), f.record_count,
+                 f.file_size_bytes, f.first_row_id, f.sequence_number)
+                for f in manifest.added
+            ] + del_rows
+            if extra:
+                df = df.unionByName(spark.createDataFrame(extra, schema))
+            return df
         rows = [
             (
                 0, f.path, "PARQUET", f.spec_id, json.dumps(f.partition, default=str),
                 f.record_count, f.file_size_bytes, f.first_row_id, f.sequence_number,
             )
             for f in manifest.data_files
-        ] + [
-            (1, d.path, "PARQUET", m.default_spec_id, "{}",
-             d.record_count, d.file_size_bytes, None, d.sequence_number)
-            for d in manifest.delete_files
-        ]
+        ] + del_rows
         return spark.createDataFrame(rows, schema)
 
     if kind == "partitions":

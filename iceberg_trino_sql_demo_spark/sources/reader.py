@@ -392,6 +392,78 @@ def rows_matching_equality(
     return out.select(*[f.name for f in meta.schema.fields])
 
 
+def equality_positions(
+    spark: SparkSession,
+    meta: TableMetadata,
+    manifest: Manifest,
+    files: list,
+    eq_dels: list,
+) -> DataFrame:
+    """(file_path URI, pos) of every row the given equality deletes
+    suppress within ``files`` — the probe behind
+    ``Table.rewrite_equality_deletes`` (eq -> position materialization).
+    Rows already covered by a position delete are excluded (they need no
+    second tombstone)."""
+    from functools import reduce
+
+    current = meta.schema
+    groups: dict[tuple[int, bool], list] = {}
+    for f in files:
+        groups.setdefault((f.schema_id, bool(f.has_lineage)), []).append(f)
+    base: DataFrame | None = None
+    for (schema_id, has_lineage), fs in sorted(groups.items()):
+        fschema = meta.schema_by_id(schema_id)
+        struct = fschema.to_struct(physical=True)
+        if has_lineage:
+            struct = T.StructType(
+                list(struct.fields)
+                + [T.StructField(ROW_ID, T.LongType()), T.StructField(LAST_SEQ, T.LongType())]
+            )
+        df = spark.read.schema(struct).parquet(*[f.path for f in fs])
+        proj = _group_projection(fschema, current, has_lineage)
+        df = df.select(
+            *proj,
+            F.col("_metadata.file_path").alias(_FILE),
+            F.col("_metadata.row_index").alias(_POS),
+        )
+        base = df if base is None else base.unionByName(df)
+    assert base is not None
+    pos = read_position_deletes(spark, manifest, only_for=[f.path for f in files])
+    n_pos = sum(
+        d.record_count for d in manifest.delete_files if d.content == "position"
+    )
+    base = base.join(
+        _hint_deletes(pos, n_pos),
+        (base[_FILE] == pos["__del_file"]) & (base[_POS] == pos["__del_pos"]),
+        "left_anti",
+    )
+    seq_df = spark.createDataFrame(
+        [(_to_uri(f.path), f.sequence_number) for f in files],
+        "__seq_path string, __data_seq long",
+    )
+    base = base.join(F.broadcast(seq_df), base[_FILE] == seq_df["__seq_path"], "left")
+    by_ids: dict[tuple[int, ...], list] = {}
+    for d in eq_dels:
+        by_ids.setdefault(tuple(d.equality_ids), []).append(d)
+    out: DataFrame | None = None
+    for ids, dels in sorted(by_ids.items()):
+        eqdf = read_equality_deletes(spark, meta, dels)
+        conds = []
+        for cid in ids:
+            fld = next(f for f in meta.schema.fields if f.id == cid)
+            conds.append(base[fld.name].eqNullSafe(eqdf[f"__eqk_{cid}"]))
+        cond = reduce(lambda a, b: a & b, conds) & (
+            base["__data_seq"] < eqdf["__eq_seq"]
+        )
+        n_del = sum(d.record_count for d in dels)
+        hit = base.join(_hint_deletes(eqdf, n_del), cond, "left_semi")
+        out = hit if out is None else out.unionByName(hit)
+    assert out is not None
+    return out.select(
+        F.col(_FILE).alias("file_path"), F.col(_POS).alias("pos")
+    ).distinct()
+
+
 def read_position_deletes(
     spark: SparkSession, manifest: Manifest, only_for: list[str] | None = None
 ) -> DataFrame:

@@ -945,6 +945,38 @@ class Table:
             },
         )
 
+    def rewrite_equality_deletes(self, ref: str = MAIN) -> Snapshot | None:
+        """Materialize accumulated equality deletes into position-delete
+        files (visible state unchanged) — the maintenance op that bounds
+        the read path: every scan of older files pays one anti-join per
+        live equality-delete KEY-SET, so a long-running upsert stream
+        would otherwise accumulate them forever.  After this commit the
+        suppressed rows are ordinary position deletes (scoped by
+        referenced_files, compactable by optimize(rewrite_deletes=True))
+        and the equality files are dropped.  Iceberg reaches the same
+        state through rewrite_position_delete_files + compaction."""
+        from iceberg_trino_sql_demo_spark.sources.reader import equality_positions
+
+        manifest = self._manifest(self._resolve(ref))
+        eq = [d for d in manifest.delete_files if d.content == "equality"]
+        if not eq:
+            return None
+        max_seq = max(d.sequence_number for d in eq)
+        files = [f for f in manifest.data_files if f.sequence_number < max_seq]
+        stripped = [d for d in manifest.delete_files if d.content != "equality"]
+        if isinstance(manifest, LazyManifest):
+            base = manifest.with_delta(delete_files=stripped)
+        else:
+            base = Manifest(manifest.data_files, stripped)
+        if not files:
+            return self._commit_snapshot(
+                base, "replace", ref, {"rewritten-equality-deletes": len(eq)}
+            )
+        matches = equality_positions(self.spark, self.meta, manifest, files, eq)
+        return self._write_position_deletes(
+            base, files, matches, "replace", ref,
+        )
+
     def delete(self, where: str, ref: str = MAIN) -> Snapshot:
         """DELETE FROM ... WHERE (reference :137, :228, :240).
 

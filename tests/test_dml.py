@@ -569,3 +569,34 @@ def test_equality_delete_cdc_and_stream_key_rows(spark, tmp_path, sf_dir):
     strict = IceChangesStreamReader(t.location, s0)
     with pytest.raises(ValueError, match="append-only"):
         strict.read({"snapshot_id": s0})
+
+
+def test_rewrite_equality_deletes_materializes_positions(spark, tmp_path, sf_dir):
+    """eq->position compaction: visible state identical, equality files
+    gone, suppressed rows now ordinary position deletes, and later
+    upserts keep working on the compacted table."""
+    cat = Catalog(spark, str(tmp_path / "wh_eqrw"))
+    cat.create_schema("eqrw")
+    cat.use("eqrw")
+    rows = [{"k": i, "v": f"v{i}"} for i in range(12)]
+    t = cat.ctas("tbl", spark.createDataFrame(rows))
+    t.upsert_by_key(spark.createDataFrame([{"k": 3, "v": "N3"}, {"k": 30, "v": "N30"}]), ["k"])
+    t.delete_by_key(spark.createDataFrame([(5,)], "k bigint"), ["k"])
+    t.delete("k = 7")  # a position delete in the mix
+    before = {(r.k, r.v) for r in t.df().collect()}
+
+    snap = t.rewrite_equality_deletes()
+    assert snap is not None
+    t.refresh()
+    man = t._manifest(t._resolve())
+    assert not [d for d in man.delete_files if d.content == "equality"]
+    assert [d for d in man.delete_files if d.content == "position"]
+    assert {(r.k, r.v) for r in t.df().collect()} == before
+
+    # idempotent: nothing left to rewrite
+    assert t.rewrite_equality_deletes() is None
+
+    # the compacted table still takes upserts
+    t.upsert_by_key(spark.createDataFrame([{"k": 3, "v": "NN3"}]), ["k"])
+    after = {(r.k, r.v) for r in t.refresh().df().collect()}
+    assert after == (before - {(3, "N3")}) | {(3, "NN3")}

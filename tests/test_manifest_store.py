@@ -222,3 +222,38 @@ def test_lazy_manifest_data_paths_matches_materialization(tmp_path):
     t.append_entries([entry(700)])
     man = t._manifest(t._resolve())
     assert man.data_paths() == {f.path for f in man.data_files}
+
+
+def test_files_meta_table_served_from_segments(tmp_path):
+    """$files fast path (Spark scan over segment parquet) returns exactly
+    the slow driver-side materialization."""
+    import pytest
+
+    pytest.importorskip("pyspark")
+    from iceberg_trino_sql_demo_spark.session import get_spark
+    from iceberg_trino_sql_demo_spark.sources.meta_tables import metadata_table
+
+    spark = get_spark("segfiles")
+    t = make_table(tmp_path, n=30)
+    t.spark = spark
+    fast = metadata_table(t, "files")
+    # force the slow path by materializing an eager manifest
+    from iceberg_trino_sql_demo_spark.sources.metadata import Manifest
+
+    man = t._manifest(t._resolve())
+    eager = Manifest(man.data_files, man.delete_files)
+
+    class _Shim:
+        meta = t.meta
+        spark = t.spark
+        io = t.io
+
+        def _resolve(self, ref):
+            return t._resolve(ref)
+
+        def _manifest(self, s):
+            return eager
+
+    slow = metadata_table(_Shim(), "files")
+    k = lambda df: sorted(map(tuple, df.collect()))
+    assert k(fast) == k(slow)
