@@ -308,3 +308,32 @@ def test_cross_process_commit_cas_loses_nothing(tmp_path):
     # zero lost updates: every writer's every marker survived to the head
     expected = {f"w{w}c{i}" for w in range(n_procs) for i in range(n_commits)}
     assert expected <= set(final.properties)
+
+
+def test_upsert_by_key_rebases_over_concurrent_append(spark, tmp_path):
+    """A stale blind upsert (equality delete + replacement rows in ONE
+    commit, round 6) rebases over a concurrent append: both land, and the
+    upsert's equality delete does NOT swallow the racing append's rows —
+    they are not 'strictly older' than the rebased delete, which is
+    exactly snapshot isolation (a row-level op affects only rows its
+    planning read could see)."""
+    loc = str(tmp_path / "ct_upsert")
+    t = Table.create(spark, loc, SCHEMA, ())
+    t.insert([{"id": i, "v": f"r{i}"} for i in range(5)])
+
+    a, b = Table(spark, loc), Table(spark, loc)
+    a.insert([{"id": 2, "v": "racer2"}, {"id": 50, "v": "racer50"}])
+    # stale handle: planned before a's append; upserts id=2 (which the
+    # racer ALSO appended) and id=99 (new)
+    b.upsert_by_key(
+        spark.createDataFrame([{"id": 2, "v": "NEW2"}, {"id": 99, "v": "NEW99"}]),
+        ["id"],
+    )
+    t.refresh()
+    rows = sorted((r.id, r.v) for r in t.df().collect())
+    # old id=2 deleted; racer's id=2 survives (same-age, not strictly
+    # older); upsert's NEW2 lands; racer50 and NEW99 land
+    assert rows == [
+        (0, "r0"), (1, "r1"), (2, "NEW2"), (2, "racer2"),
+        (3, "r3"), (4, "r4"), (50, "racer50"), (99, "NEW99"),
+    ], rows
