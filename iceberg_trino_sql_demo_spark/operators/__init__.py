@@ -133,6 +133,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_equality_delete",
     "ice_stream_cdc_full",
     "ice_equality_rewrite",
+    "training_pack_sequences",
     # -- implementation changed this round: metadata plane (columnar
     # manifests + lazy/delta commits) rewrites the storage under every
     # ice_* scenario; these 23 core ones were last driver-sampled in r2
@@ -300,6 +301,7 @@ def release_caches() -> None:
 
     for lst in (
         pipeline._BLOOM_PERSISTED,
+        pipeline._PACK_PERSISTED,
         dedup._MINHASH_PERSISTED,
         dedup._SIMHASH_PERSISTED,
         dedup._PREF_PERSISTED,

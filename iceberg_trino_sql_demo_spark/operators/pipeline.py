@@ -1058,3 +1058,117 @@ def pii_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", clean.alias("clean_text"),
         n_red.alias("n_redactions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the last shaping step of a pre-training pipeline:
+# concatenate the token stream in a deterministic document order and split
+# it into fixed-length training sequences (the standard concat-and-split
+# packing; zero padding except the final tail).  Output: one row per
+# (sequence, document) assignment with the document's token span inside
+# that sequence — exactly what a loader needs to build attention/loss
+# masks across packed boundaries.
+#
+# Scale design: the global running offset is a prefix scan, and the naive
+# form (one unpartitioned window) funnels 100 TB of token counts through a
+# single task.  Instead: deterministic order-preserving buckets
+# (doc_id DIV K, K sized so ~64 buckets), a local exclusive cumsum per
+# bucket, bucket totals rolled into an exclusive prefix (a 64-row window —
+# constant regardless of corpus), broadcast-joined back.  Every stage is a
+# keyed shuffle or a broadcast; nothing global ever lands in one task.
+# ---------------------------------------------------------------------------
+_PACK_CTX = 512
+_PACK_BUCKETS = 64
+#: release-on-next-invocation persisted frames (see operators.release_caches)
+_PACK_PERSISTED: list = []
+
+
+@register(
+    "training_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents) u
+       WHERE t != ''
+       GROUP BY doc_id
+    ),
+    offs AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS off0
+        FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, n, off0,
+             unnest(generate_series(off0 // {_PACK_CTX},
+                                    (off0 + n - 1) // {_PACK_CTX})) AS s
+        FROM offs
+    )
+    SELECT CAST(s AS BIGINT) AS seq_id,
+           doc_id,
+           CAST(GREATEST(off0, s * {_PACK_CTX})
+                - s * {_PACK_CTX} AS BIGINT) AS begin_in_seq,
+           CAST(LEAST(off0 + n, (s + 1) * {_PACK_CTX})
+                - GREATEST(off0, s * {_PACK_CTX}) AS BIGINT) AS n_toks
+      FROM spans
+    """,
+)
+def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    while _PACK_PERSISTED:
+        _PACK_PERSISTED.pop().unpersist()
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # persisted: three consumers (max_id job, the per-bucket window
+        # branch, the bucket-totals branch) would otherwise each re-run
+        # the tokenize+agg scan — the heaviest stage at corpus scale
+        .persist()
+    )
+    _PACK_PERSISTED.append(toks)
+    # order-preserving deterministic buckets: doc_id DIV K
+    max_id = toks.agg(F.max("doc_id")).head()[0]
+    k = max(1, (int(max_id) + _PACK_BUCKETS) // _PACK_BUCKETS)
+    b = toks.withColumn("__b", (F.col("doc_id") / k).cast("long"))
+    from pyspark.sql import Window
+
+    local = Window.partitionBy("__b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = b.withColumn("__local0", F.coalesce(F.sum("n").over(local), F.lit(0)))
+    # bucket totals -> exclusive prefix: a <=64-row frame, constant at any
+    # corpus size, then broadcast back onto the bucketed rows
+    btot = b.groupBy("__b").agg(F.sum("n").alias("__bt"))
+    wpre = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = btot.withColumn("__pre", F.coalesce(F.sum("__bt").over(wpre), F.lit(0))).select(
+        "__b", "__pre"
+    )
+    off = b.join(F.broadcast(bpre), "__b").select(
+        "doc_id", "n", (F.col("__local0") + F.col("__pre")).alias("off0")
+    )
+    s = F.col("s")
+    return (
+        off.select(
+            "doc_id", "n", "off0",
+            F.explode(
+                F.sequence(
+                    (F.col("off0") / _PACK_CTX).cast("long"),
+                    ((F.col("off0") + F.col("n") - 1) / _PACK_CTX).cast("long"),
+                )
+            ).alias("s"),
+        )
+        .select(
+            s.alias("seq_id"),
+            "doc_id",
+            (F.greatest("off0", s * _PACK_CTX) - s * _PACK_CTX)
+            .cast("long").alias("begin_in_seq"),
+            (
+                F.least(F.col("off0") + F.col("n"), (s + 1) * _PACK_CTX)
+                - F.greatest("off0", s * _PACK_CTX)
+            ).cast("long").alias("n_toks"),
+        )
+    )
