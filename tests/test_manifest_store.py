@@ -257,3 +257,55 @@ def test_files_meta_table_served_from_segments(tmp_path):
     slow = metadata_table(_Shim(), "files")
     k = lambda df: sorted(map(tuple, df.collect()))
     assert k(fast) == k(slow)
+
+
+def test_delta_composition_property(tmp_path):
+    """Property (hypothesis): ANY sequence of commit-sized add/remove
+    deltas applied through LazyManifest.with_delta + write_manifest
+    round-trips to exactly the state a plain Python set-model predicts —
+    segment reuse, rewrite and folding are invisible to the reader."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["add", "remove"]),
+                st.lists(st.integers(min_value=0, max_value=120),
+                         min_size=1, max_size=8, unique=True),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def run(ops):
+        import tempfile
+
+        loc = tempfile.mkdtemp(prefix="ms_prop_", dir=str(tmp_path))
+        t = Table.create(None, str(os.path.join(loc, "t")), COLS, ())
+        model: dict[int, DataFile] = {}
+        for kind, ids in ops:
+            if kind == "add":
+                fresh = [entry(i) for i in ids if i not in model]
+                if not fresh:
+                    continue
+                t.append_entries(fresh)
+                model.update({int(f.stats["1"]["min"] // 10): f for f in fresh})
+            else:
+                victims = [model[i] for i in ids if i in model]
+                if not victims:
+                    continue
+                base = t._manifest(t._resolve())
+                t._commit_snapshot(
+                    base.with_delta(removed=victims), "delete", MAIN
+                )
+                for v in victims:
+                    model.pop(int(v.stats["1"]["min"] // 10))
+            man = t.refresh()._manifest(t._resolve())
+            got = {f.path for f in man.data_files}
+            assert got == {f.path for f in model.values()}
+            n, rec = man.counts()
+            assert n == len(model)
+            assert rec == sum(f.record_count for f in model.values())
+
+    run()
