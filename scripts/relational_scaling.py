@@ -11,7 +11,9 @@ q21 (collapse + window over one fact exchange), federation_agg
 the registry) and training_corpus_select (the end-to-end pipeline DAG
 over documents: quality aggs + keeper election + broadcast decontam +
 md5 split) — the two DAGs most likely to hide a shuffle that only
-hurts past MB scale (VERDICT r5 #7).
+hurts past MB scale (VERDICT r5 #7) — and training_pack_sequences
+(the distributed prefix scan: wall time must track corpus linearly
+with NO single-partition stage growing).
 
 Corpus: scripts/scale_corpus.build_scaled_relational — lineitem+orders
 replicated with per-replica orderkey shifts (join output provably linear
@@ -48,6 +50,7 @@ FAMILY = [
     "federation_agg",
     "q9_product_type_profit",
     "training_corpus_select",
+    "training_pack_sequences",
 ]
 
 SECTION_BEGIN = "<!-- relational-scaling:begin -->"
