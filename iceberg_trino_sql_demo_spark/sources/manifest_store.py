@@ -214,8 +214,15 @@ def write_segment(location: str, entries: list[DataFile]) -> SegmentRef:
     )
 
 
-def entries_from_arrow(tbl: pa.Table) -> list[DataFile]:
-    """Materialize DataFile objects from (a filtered slice of) a segment."""
+def entries_from_arrow(tbl: pa.Table, lean: bool = False) -> list[DataFile]:
+    """Materialize DataFile objects from (a filtered slice of) a segment.
+
+    ``lean=True`` skips the per-entry json parse of ``stats`` and
+    ``partition`` (they come back empty) — those fields are pruning and
+    maintenance concerns, and a plain full-table scan at 10^6 files
+    spends most of its planning time parsing them for nothing.  Lean
+    entries keep every field the read path consumes (path, schema/spec
+    ids, lineage flag, sequence number, row-id base, counts)."""
     fixed = {name: tbl.column(name).to_pylist() for name, _ in _FIXED_COLS}
     n = tbl.num_rows
     out: list[DataFile] = []
@@ -225,10 +232,10 @@ def entries_from_arrow(tbl: pa.Table) -> list[DataFile]:
                 path=fixed["path"][i],
                 spec_id=fixed["spec_id"][i],
                 schema_id=fixed["schema_id"][i],
-                partition=json.loads(fixed["partition"][i]),
+                partition={} if lean else json.loads(fixed["partition"][i]),
                 record_count=fixed["record_count"][i],
                 file_size_bytes=fixed["file_size_bytes"][i],
-                stats=json.loads(fixed["stats"][i]),
+                stats={} if lean else json.loads(fixed["stats"][i]),
                 first_row_id=fixed["first_row_id"][i],
                 sequence_number=fixed["sequence_number"][i],
                 file_modified_ms=fixed["file_modified_ms"][i],
@@ -448,6 +455,26 @@ class LazyManifest:
             out.extend(self.added)
             self._cache = out
         return self._cache
+
+    def scan_files(self, hidden: bool = False) -> list[DataFile]:
+        """Entries sufficient for ``snapshot_df``: full fidelity when
+        ``hidden`` (the $partition system column surfaces per-row
+        partition tuples), LEAN otherwise — a plain full-table scan needs
+        path/ids/lineage/sequence, never the stats or partition json, and
+        skipping those parses is most of full-scan planning at 10^6
+        files.  Never cached (lean entries must not leak into consumers
+        that expect stats)."""
+        if hidden:
+            return self.data_files
+        out: list[DataFile] = []
+        for seg in self.segments:
+            out.extend(
+                entries_from_arrow(read_segment(self.location, seg), lean=True)
+            )
+        if self.removed:
+            out = [f for f in out if f.path not in self.removed]
+        out.extend(self.added)
+        return out
 
     # -- pruned materialization (the planning hot path) -----------------------
     def pruned(self, meta: TableMetadata, predicates: list, spark=None) -> list[DataFile]:

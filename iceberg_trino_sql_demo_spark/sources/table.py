@@ -248,6 +248,13 @@ class Table:
             preds = [*preds, *prune_predicates]
         if preds:
             manifest = self.prune(manifest, preds)
+        elif isinstance(manifest, LazyManifest):
+            # unpruned scan: lean materialization (no stats/partition json
+            # parsing — see manifest_store.scan_files) unless the hidden
+            # $partition column needs the full tuples
+            manifest = Manifest(
+                manifest.scan_files(hidden=hidden), manifest.delete_files
+            )
         out = snapshot_df(self.spark, self.meta, manifest, hidden=hidden)
         if where:
             out = out.where(F.expr(where))

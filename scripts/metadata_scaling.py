@@ -133,6 +133,13 @@ def measure(n: int) -> dict:
         n_all = len(full.data_files)
         t_list = time.perf_counter() - t0
 
+        # (d) unpruned-scan planning: lean entries (no stats/partition
+        # json parse) — what a plain full-table read actually pays
+        t0 = time.perf_counter()
+        lean = t._manifest(t._resolve()).scan_files()
+        t_scan = time.perf_counter() - t0
+        assert len(lean) == n_all
+
         assert n_all == n + 1, (n_all, n)
         assert 0 < n_kept < n, (n_kept, n)
         return {
@@ -142,6 +149,7 @@ def measure(n: int) -> dict:
             "plan_kept": n_kept,
             "commit_s": round(t_commit, 3),
             "list_s": round(t_list, 3),
+            "scan_s": round(t_scan, 3),
         }
     finally:
         shutil.rmtree(loc, ignore_errors=True)
@@ -159,7 +167,9 @@ def write_scaling_md(rows: list[dict]) -> None:
         "non-existent parquet: planning and commits never open data files), a",
         "month(l_orderdate) layout over 84 months.  *plan* = manifest load +",
         "one-month prune (~1.2% selectivity); *commit* = append ONE file to a",
-        "table already holding N; *list* = materialize every entry ($files).",
+        "table already holding N; *list* = materialize every entry ($files);",
+        "*lean scan* = entries for an unpruned full-table read (stats and",
+        "partition json skipped — the read path never consumes them).",
         "",
         "Round-6 storage: manifest list -> immutable parquet segments",
         "(`sources/manifest_store.py`); appends reuse parent segments and",
@@ -171,13 +181,13 @@ def write_scaling_md(rows: list[dict]) -> None:
         "AFTER: commit cost is flat (~5 ms) from 10k to 1M files and planning",
         "is sub-second at 1M entries:",
         "",
-        "| files | plan (s) | kept | commit 1 file (s) | full list (s) |",
-        "|---|---|---|---|---|",
+        "| files | plan (s) | kept | commit 1 file (s) | full list (s) | lean scan list (s) |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['n_files']:,} | {r['plan_s']} | {r['plan_kept']:,} "
-            f"| {r['commit_s']} | {r['list_s']} |"
+            f"| {r['commit_s']} | {r['list_s']} | {r.get('scan_s', '-')} |"
         )
     lines.append("")
     block = "\n".join(lines)

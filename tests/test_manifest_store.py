@@ -309,3 +309,19 @@ def test_delta_composition_property(tmp_path):
             assert rec == sum(f.record_count for f in model.values())
 
     run()
+
+
+def test_scan_files_lean_matches_full(tmp_path):
+    t = make_table(tmp_path, n=50)
+    t.append_entries([entry(700)])
+    man = t._manifest(t._resolve())
+    lean = man.scan_files()
+    full = man.data_files
+    assert [f.path for f in lean] == [f.path for f in full]
+    for a, b in zip(lean, full):
+        assert (a.schema_id, a.has_lineage, a.sequence_number,
+                a.first_row_id, a.record_count) == (
+            b.schema_id, b.has_lineage, b.sequence_number,
+            b.first_row_id, b.record_count)
+    # hidden mode returns full fidelity (partition tuples needed per-row)
+    assert man.scan_files(hidden=True)[0].partition
