@@ -325,3 +325,71 @@ def test_scan_files_lean_matches_full(tmp_path):
             b.first_row_id, b.record_count)
     # hidden mode returns full fidelity (partition tuples needed per-row)
     assert man.scan_files(hidden=True)[0].partition
+
+
+def test_vectorized_prune_property(tmp_path):
+    """Property (hypothesis): for random predicate conjunctions over
+    random-stats entries, the three-stage prune is ALWAYS a subset of the
+    pure-exact prune, and exactly equal whenever every predicate is
+    stats-expressible (no bucket/bloom/transform-only information in
+    play here, so equality must hold)."""
+    from datetime import timedelta
+
+    from hypothesis import given, settings, strategies as st
+
+    import random as _random
+
+    rng = _random.Random(20260815)
+    loc = str(tmp_path / "vp")
+    t = Table.create(None, str(os.path.join(loc, "t")), COLS, ())
+    entries = []
+    for i in range(200):
+        klo = rng.randrange(0, 5000)
+        dlo = date(1994, 1, 1) + timedelta(days=rng.randrange(0, 700))
+        e = DataFile(
+            path=f"/syn/vp/c{i // 16:03d}/f{i:06d}.parquet",
+            spec_id=1,
+            schema_id=1,
+            partition={},
+            record_count=100,
+            file_size_bytes=1000,
+            stats={
+                "1": {"min": klo, "max": klo + rng.randrange(0, 500),
+                      "nulls": rng.choice([0, 0, 5, 100])},
+                "2": {"min": dlo.isoformat(),
+                      "max": (dlo + timedelta(days=rng.randrange(0, 60))).isoformat(),
+                      "nulls": 0},
+            },
+            first_row_id=i * 100,
+            sequence_number=1,
+            file_modified_ms=1_700_000_000_000,
+        )
+        entries.append(e)
+    t._commit_snapshot(Manifest(entries, []), "append", MAIN)
+    man = t._manifest(t._resolve())
+    assert isinstance(man, LazyManifest)
+
+    leaf = st.one_of(
+        st.tuples(st.just("k"),
+                  st.sampled_from(["=", "<", "<=", ">", ">=", "!="]),
+                  st.integers(min_value=-100, max_value=6000)),
+        st.tuples(st.just("k"), st.just("in"),
+                  st.lists(st.integers(min_value=0, max_value=6000),
+                           min_size=1, max_size=4)),
+        st.tuples(st.just("k"),
+                  st.sampled_from(["isnull", "notnull"]), st.none()),
+        st.tuples(st.just("d"), st.sampled_from(["=", "<", ">="]),
+                  st.dates(min_value=date(1993, 6, 1),
+                           max_value=date(1996, 6, 1))),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(preds=st.lists(leaf, min_size=1, max_size=4))
+    def run(preds):
+        ps = [Predicate(c, op, v) for c, op, v in preds]
+        exact = {f.path for f in prune_files(man.data_files, t.meta, ps)}
+        staged = {f.path for f in man.pruned(t.meta, ps)}
+        assert staged <= exact, (ps, staged - exact)
+        assert staged == exact, (ps, exact - staged)
+
+    run()
