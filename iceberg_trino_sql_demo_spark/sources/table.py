@@ -2033,11 +2033,21 @@ class Table:
 
     def remove_orphan_files(self, retention_ms: int = 7 * 24 * 3600 * 1000) -> int:
         """EXECUTE remove_orphan_files (reference :261): on-disk files not
-        referenced by any snapshot, older than the threshold."""
+        referenced by any snapshot, older than the threshold.
+
+        Sweeps the METADATA plane too: a commit attempt that lost the
+        version CAS leaves its pre-written manifest list + delta segment
+        behind (they must be written before the CAS — see
+        MetadataIO.write_manifest), and segment rewrites/folds strand the
+        superseded segment files once no snapshot references them."""
         referenced: set[str] = set()
         for s in self.meta.snapshots:
             man = self.io.read_manifest(s)
-            referenced.update(f.path for f in man.data_files)
+            referenced.update(
+                man.data_paths()
+                if isinstance(man, LazyManifest)
+                else {f.path for f in man.data_files}
+            )
             referenced.update(d.path for d in man.delete_files)
         cutoff = time.time() - retention_ms / 1000
         removed = 0
@@ -2056,6 +2066,24 @@ class Table:
                     if p not in referenced and os.path.getmtime(p) < cutoff:
                         os.remove(p)
                         removed += 1
+        # metadata artifacts: everything a live snapshot's manifest list
+        # names stays; unreferenced snap-*.json / seg-*.parquet older than
+        # the cutoff are CAS losers or superseded segments
+        live_meta: set[str] = set()
+        for s in self.meta.snapshots:
+            live_meta.update(
+                os.path.basename(a) for a in self.io.manifest_artifacts(s)
+            )
+        meta_dir = os.path.join(self.location, "metadata")
+        for fn in os.listdir(meta_dir) if os.path.isdir(meta_dir) else []:
+            if not fn.startswith(("snap-", "seg-")):
+                continue  # vN.metadata.json / version-hint are the log itself
+            if fn in live_meta:
+                continue
+            p = os.path.join(meta_dir, fn)
+            if os.path.getmtime(p) < cutoff:
+                os.remove(p)
+                removed += 1
         return removed
 
     def optimize(

@@ -393,3 +393,35 @@ def test_vectorized_prune_property(tmp_path):
         assert staged == exact, (ps, exact - staged)
 
     run()
+
+
+def test_remove_orphans_sweeps_metadata_losers(tmp_path):
+    """A CAS-losing commit attempt leaves its manifest list + delta
+    segment on disk; remove_orphan_files must sweep exactly those and
+    never anything a live snapshot references."""
+    import time as _time
+
+    t = make_table(tmp_path, n=20)
+    t.append_entries([entry(800)])
+    meta_dir = os.path.join(t.location, "metadata")
+    before = set(os.listdir(meta_dir))
+
+    # simulate a losing attempt: write a manifest (list + segment) that no
+    # snapshot will ever reference
+    t.io.write_manifest(999, Manifest([entry(900), entry(901)], []))
+    orphaned = set(os.listdir(meta_dir)) - before
+    assert orphaned, "the losing attempt must have written artifacts"
+    # age everything so the cutoff admits deletion
+    old = _time.time() - 10
+    for fn in os.listdir(meta_dir):
+        p = os.path.join(meta_dir, fn)
+        os.utime(p, (old, old))
+
+    removed = t.remove_orphan_files(retention_ms=1000)
+    after = set(os.listdir(meta_dir))
+    assert orphaned.isdisjoint(after), "orphaned artifacts must be gone"
+    assert removed >= len(orphaned)
+    # live state untouched and fully readable
+    man = t.refresh()._manifest(t._resolve())
+    assert man.counts()[0] == 21
+    assert len(man.data_files) == 21
