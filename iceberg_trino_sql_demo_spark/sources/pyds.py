@@ -266,6 +266,13 @@ class IceChangesStreamReader(SimpleDataSourceStreamReader):
             man = io.read_manifest(snap)
             cur_paths = {f.path for f in man.data_files}
             cur_del_by_path = {d.path: d for d in man.delete_files}
+            if snap.summary.get("data-invariant") == "true":
+                # compaction / z-order / equality-delete rewrite: file set
+                # changes, logical rows do not — emit nothing (and do NOT
+                # trip the append-only guard: a compacted append table is
+                # still an append table to its consumers)
+                prev_paths, prev_dels = cur_paths, set(cur_del_by_path)
+                continue
             removed_paths = prev_paths - cur_paths
             new_del_paths = set(cur_del_by_path) - prev_dels
             if self.mode != "cdc" and (removed_paths or new_del_paths or

@@ -977,11 +977,14 @@ class Table:
             base = Manifest(manifest.data_files, stripped)
         if not files:
             return self._commit_snapshot(
-                base, "replace", ref, {"rewritten-equality-deletes": len(eq)}
+                base, "replace", ref,
+                {"rewritten-equality-deletes": len(eq), "data-invariant": "true"},
             )
         matches = equality_positions(self.spark, self.meta, manifest, files, eq)
         return self._write_position_deletes(
             base, files, matches, "replace", ref,
+            extra_summary={"rewritten-equality-deletes": len(eq),
+                           "data-invariant": "true"},
         )
 
     def delete(self, where: str, ref: str = MAIN) -> Snapshot:
@@ -1057,6 +1060,7 @@ class Table:
         operation: str,
         ref: str,
         extra_data_df: DataFrame | None = None,
+        extra_summary: dict | None = None,
     ) -> Snapshot:
         ddir = os.path.join(self.location, "deletes", uuid.uuid4().hex[:16])
         # Hash-partition by referenced data file, NOT coalesce(1): a DELETE
@@ -1105,7 +1109,8 @@ class Table:
         return self._commit_snapshot(
             out, operation, ref,
             {"added-delete-files": len(entries),
-             "deleted-records": sum(e.record_count for e in entries)},
+             "deleted-records": sum(e.record_count for e in entries),
+             **(extra_summary or {})},
         )
 
     def _read_files_with_lineage(
@@ -1126,6 +1131,7 @@ class Table:
         operation: str,
         ref: str,
         preserve_order: bool = False,
+        summary: dict | None = None,
     ) -> Snapshot:
         """Swap ``replaced`` for files holding ``new_df`` (CoW / optimize).
         ``new_df`` must carry _row_id/_last_seq columns.  The table's
@@ -1166,7 +1172,9 @@ class Table:
             out = Manifest(kept + new_files, kept_dels)
         return self._commit_snapshot(
             out, operation, ref,
-            {"removed-data-files": len(replaced), "added-data-files": len(new_files)},
+            {"removed-data-files": len(replaced),
+             "added-data-files": len(new_files),
+             **(summary or {})},
         )
 
     def update(self, assignments: dict[str, Any], where: str, ref: str = MAIN) -> Snapshot:
@@ -1822,6 +1830,14 @@ class Table:
         prev_manifest = self._manifest(m.snapshot_by_id(start_snapshot_id))
         for ordinal, snap in enumerate(chain):
             cur_manifest = self._manifest(snap)
+            if snap.summary.get("data-invariant") == "true":
+                # compaction / z-order / equality-delete rewrite: the file
+                # set changes, the logical rows do NOT — Iceberg's CDC
+                # likewise emits nothing for replace snapshots.  Without
+                # this, compacting a 100 TB table would re-stream every
+                # row to every changelog consumer as delete+insert pairs.
+                prev_manifest = cur_manifest
+                continue
             prev_paths = {f.path for f in prev_manifest.data_files}
             cur_paths = {f.path for f in cur_manifest.data_files}
             added = [f for f in cur_manifest.data_files if f.path not in prev_paths]
@@ -2189,7 +2205,10 @@ class Table:
             src = src.repartitionByRange(target, *self.meta.sort_order)
         else:
             src = src.coalesce(target)
-        return self._rewrite_files(manifest, compact, src, "replace", MAIN)
+        return self._rewrite_files(
+            manifest, compact, src, "replace", MAIN,
+            summary={"data-invariant": "true"},
+        )
 
     def _optimize_zorder(
         self, cols: list[str], file_size_threshold: int
@@ -2243,7 +2262,8 @@ class Table:
             src, typed, int(n_files), prefix_cols=pref
         ).drop(*pref)
         snap = self._rewrite_files(
-            manifest, files, clustered, "replace", MAIN, preserve_order=True
+            manifest, files, clustered, "replace", MAIN, preserve_order=True,
+            summary={"data-invariant": "true"},
         )
         # record the clustering in table properties (SHOW CREATE surfaces
         # it; informational — DML appends don't re-cluster until the next

@@ -600,3 +600,38 @@ def test_rewrite_equality_deletes_materializes_positions(spark, tmp_path, sf_dir
     t.upsert_by_key(spark.createDataFrame([{"k": 3, "v": "NN3"}]), ["k"])
     after = {(r.k, r.v) for r in t.refresh().df().collect()}
     assert after == (before - {(3, "N3")}) | {(3, "NN3")}
+
+
+def test_compaction_is_cdc_invisible(spark, tmp_path, sf_dir):
+    """Compaction (optimize), z-order and equality-rewrite commits are
+    data-invariant: table_changes and the CDC stream emit NOTHING for
+    them (a 100 TB compaction must not re-stream the table), and a
+    compaction no longer breaks an append-only CDC stream."""
+    from iceberg_trino_sql_demo_spark.sources.pyds import IceChangesStreamReader
+
+    cat = Catalog(spark, str(tmp_path / "wh_cdcinv"))
+    cat.create_schema("ci")
+    cat.use("ci")
+    t = cat.ctas("tbl", spark.createDataFrame([{"k": i, "v": f"v{i}"} for i in range(6)]))
+    s0 = t._resolve().snapshot_id
+    t.insert([{"k": 10, "v": "v10"}])
+    assert t.optimize(file_size_threshold=10**9) is not None
+    t.insert([{"k": 11, "v": "v11"}])
+    s3 = t._resolve().snapshot_id
+
+    ch = t.table_changes(s0, s3).collect()
+    assert sorted((r._change_type, r.k) for r in ch) == [
+        ("insert", 10), ("insert", 11)
+    ]
+    # append-only stream hops over the compaction instead of raising
+    r = IceChangesStreamReader(t.location, s0)
+    rows, off = r.read({"snapshot_id": s0})
+    assert off == {"snapshot_id": s3}
+    assert sorted(x[0] for x in rows) == [10, 11]
+
+    # equality-rewrite is likewise invisible
+    t.upsert_by_key(spark.createDataFrame([{"k": 3, "v": "N3"}]), ["k"])
+    s4 = t._resolve().snapshot_id
+    t.rewrite_equality_deletes()
+    s5 = t._resolve().snapshot_id
+    assert t.table_changes(s4, s5).count() == 0
