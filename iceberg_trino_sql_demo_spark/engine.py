@@ -524,6 +524,12 @@ class Engine:
                 rewrite_deletes=rewrite_dels,
                 partition_filter=part_filter,
             )
+        elif proc.lower() == "rewrite_equality_deletes":
+            # ALTER TABLE t EXECUTE rewrite_equality_deletes — materialize
+            # accumulated equality deletes into position deletes (state
+            # unchanged; bounds the read path of upsert-heavy tables).
+            # Iceberg's closest analog is rewrite_position_delete_files.
+            t.rewrite_equality_deletes()
         else:
             raise ValueError(f"unknown procedure {proc}")
 

@@ -667,3 +667,23 @@ def test_explain_analyze(eng):
     assert row.n_rows == 5 and row.elapsed_ms >= 0
     assert "Initial Plan" not in row.plan
     assert "HashAggregate" in row.plan or "Aggregate" in row.plan
+
+
+def test_execute_rewrite_equality_deletes(spark, tmp_path):
+    """ALTER TABLE ... EXECUTE rewrite_equality_deletes: the SQL surface of
+    the eq->position compaction (state unchanged, equality files gone)."""
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_eqsql"))
+    eng.sql("CREATE SCHEMA s")
+    eng.sql("USE s")
+    t = eng.catalog.ctas(
+        "tbl", spark.createDataFrame([{"k": i, "v": f"v{i}"} for i in range(6)])
+    )
+    t.upsert_by_key(spark.createDataFrame([{"k": 2, "v": "N2"}]), ["k"])
+    eng.sql("ALTER TABLE tbl EXECUTE rewrite_equality_deletes")
+    t.refresh()
+    man = t._manifest(t._resolve())
+    assert not [d for d in man.delete_files if d.content == "equality"]
+    got = {r.k: r.v for r in eng.sql("SELECT * FROM tbl").collect()}
+    assert got[2] == "N2" and len(got) == 6
