@@ -114,7 +114,7 @@ def metadata_table(table, kind: str) -> DataFrame:
     if kind == "files":
         schema = T.StructType(
             [
-                T.StructField("content", T.IntegerType()),  # 0=data, 1=position deletes
+                T.StructField("content", T.IntegerType()),  # 0=data, 1=position, 2=equality deletes
                 T.StructField("file_path", T.StringType()),
                 T.StructField("file_format", T.StringType()),
                 T.StructField("spec_id", T.IntegerType()),
@@ -125,9 +125,11 @@ def metadata_table(table, kind: str) -> DataFrame:
                 T.StructField("sequence_number", T.LongType()),
             ]
         )
+        # Iceberg content ids: 0=data, 1=position deletes, 2=equality deletes
         del_rows = [
-            (1, d.path, "PARQUET", m.default_spec_id, "{}",
-             d.record_count, d.file_size_bytes, None, d.sequence_number)
+            (2 if d.content == "equality" else 1, d.path, "PARQUET",
+             m.default_spec_id, "{}", d.record_count, d.file_size_bytes,
+             None, d.sequence_number)
             for d in manifest.delete_files
         ]
         from iceberg_trino_sql_demo_spark.sources.manifest_store import LazyManifest

@@ -425,3 +425,24 @@ def test_remove_orphans_sweeps_metadata_losers(tmp_path):
     man = t.refresh()._manifest(t._resolve())
     assert man.counts()[0] == 21
     assert len(man.data_files) == 21
+
+
+def test_files_meta_table_content_ids(tmp_path):
+    """$files content ids follow Iceberg: 0=data, 1=position deletes,
+    2=equality deletes."""
+    import pytest
+
+    pytest.importorskip("pyspark")
+    from iceberg_trino_sql_demo_spark.session import get_spark
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.meta_tables import metadata_table
+
+    spark = get_spark("contentids")
+    cat = Catalog(spark, str(tmp_path / "wh_cid"))
+    cat.create_schema("c")
+    cat.use("c")
+    t = cat.ctas("tbl", spark.createDataFrame([{"k": i, "v": f"v{i}"} for i in range(6)]))
+    t.upsert_by_key(spark.createDataFrame([{"k": 2, "v": "N2"}]), ["k"])  # eq delete
+    t.delete("k = 4")  # MoR position delete
+    contents = {r.content for r in metadata_table(t.refresh(), "files").collect()}
+    assert contents == {0, 1, 2}
