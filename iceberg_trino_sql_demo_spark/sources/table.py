@@ -351,7 +351,7 @@ class Table:
     #: optimistic-concurrency retry budget for snapshot commits — each retry
     #: is metadata-only work (the data files are already written), so a
     #: generous budget costs nothing when uncontended
-    COMMIT_RETRIES = 8
+    COMMIT_RETRIES = 12
 
     def _commit_snapshot(
         self,
@@ -406,6 +406,18 @@ class Table:
             }
         last_err: CommitConflict | None = None
         for attempt in range(self.COMMIT_RETRIES):
+            if attempt:
+                # jittered exponential backoff before re-racing the CAS —
+                # without it, N writers in tight commit loops re-collide
+                # in lockstep and a loser can exhaust any fixed retry
+                # budget (measured: 4 racing one-file appenders blew
+                # through 8 bare retries).  Iceberg's commit retry backs
+                # off the same way.
+                import random as _random
+
+                time.sleep(
+                    min(0.2, 0.002 * (2 ** attempt)) * (0.5 + _random.random())
+                )
             try:
                 return self._try_commit_snapshot(manifest, operation, ref, summary, parent)
             except CommitConflict as e:
@@ -416,13 +428,22 @@ class Table:
                 if not rebase:
                     raise
                 latest = self._manifest(self._resolve(ref))
-                live_data = (
-                    latest.data_paths()
-                    if isinstance(latest, LazyManifest)
-                    else {f.path for f in latest.data_files}
-                )
                 live_dels = {d.path for d in latest.delete_files}
-                if not (removed_data <= live_data and removed_dels <= live_dels):
+                # the live data-path set costs O(total files) to build —
+                # only pay it when a check actually consumes it.  A pure
+                # append (removed/added delete sets empty) needs NONE of
+                # the file-overlap checks, which is what keeps contended
+                # append throughput independent of table size.
+                live_data: set[str] | None = None
+                if removed_data or removed_dels or added_dels:
+                    live_data = (
+                        latest.data_paths()
+                        if isinstance(latest, LazyManifest)
+                        else {f.path for f in latest.data_files}
+                    )
+                if live_data is not None and not (
+                    removed_data <= live_data and removed_dels <= live_dels
+                ):
                     raise CommitConflict(
                         f"cannot rebase {operation} on {ref!r}: a concurrent "
                         "commit removed file(s) this operation also rewrites"
@@ -450,9 +471,12 @@ class Table:
                         "delete references data file(s) this operation "
                         "rewrites (rewriting would drop the deleted rows)"
                     ) from e
-                live_after = (live_data - removed_data) | {
-                    f.path for f in added_data
-                }
+                live_after = (
+                    ((live_data or set()) - removed_data)
+                    | {f.path for f in added_data}
+                    if added_dels
+                    else set()
+                )
                 if any(
                     p not in live_after
                     for d in added_dels

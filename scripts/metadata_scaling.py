@@ -140,6 +140,38 @@ def measure(n: int) -> dict:
         t_scan = time.perf_counter() - t0
         assert len(lean) == n_all
 
+        # (e) contended commits: 4 racing writers x 5 one-file appends on
+        # the N-file table — every commit must land through CAS+rebase,
+        # and throughput must stay table-size-independent
+        import threading
+
+        n_writers, n_commits = 4, 5
+        barrier = threading.Barrier(n_writers)
+        errs: list = []
+
+        def _worker(w: int) -> None:
+            try:
+                h = Table(None, loc)
+                barrier.wait()
+                for j in range(n_commits):
+                    h.refresh()
+                    h.append_entries([synth_entry(n + 100 + w * 10 + j, n)])
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=_worker, args=(w,)) for w in range(n_writers)]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        t_contend = time.perf_counter() - t0
+        assert not errs, errs
+        t.refresh()
+        n_final = t._manifest(t._resolve()).counts()[0]
+        assert n_final == n + 1 + n_writers * n_commits, n_final
+        commits_per_s = round(n_writers * n_commits / t_contend, 1)
+
         assert n_all == n + 1, (n_all, n)
         assert 0 < n_kept < n, (n_kept, n)
         return {
@@ -150,6 +182,7 @@ def measure(n: int) -> dict:
             "commit_s": round(t_commit, 3),
             "list_s": round(t_list, 3),
             "scan_s": round(t_scan, 3),
+            "contended_commits_per_s": commits_per_s,
         }
     finally:
         shutil.rmtree(loc, ignore_errors=True)
@@ -169,7 +202,9 @@ def write_scaling_md(rows: list[dict]) -> None:
         "one-month prune (~1.2% selectivity); *commit* = append ONE file to a",
         "table already holding N; *list* = materialize every entry ($files);",
         "*lean scan* = entries for an unpruned full-table read (stats and",
-        "partition json skipped — the read path never consumes them).",
+        "partition json skipped — the read path never consumes them);",
+        "*contended commits/s* = 4 racing writers x 5 one-file appends",
+        "each, all landing through the CAS+rebase protocol.",
         "",
         "Round-6 storage: manifest list -> immutable parquet segments",
         "(`sources/manifest_store.py`); appends reuse parent segments and",
@@ -181,13 +216,14 @@ def write_scaling_md(rows: list[dict]) -> None:
         "AFTER: commit cost is flat (~5 ms) from 10k to 1M files and planning",
         "is sub-second at 1M entries:",
         "",
-        "| files | plan (s) | kept | commit 1 file (s) | full list (s) | lean scan list (s) |",
-        "|---|---|---|---|---|---|",
+        "| files | plan (s) | kept | commit 1 file (s) | full list (s) | lean scan list (s) | contended commits/s |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['n_files']:,} | {r['plan_s']} | {r['plan_kept']:,} "
-            f"| {r['commit_s']} | {r['list_s']} | {r.get('scan_s', '-')} |"
+            f"| {r['commit_s']} | {r['list_s']} | {r.get('scan_s', '-')} "
+            f"| {r.get('contended_commits_per_s', '-')} |"
         )
     lines.append("")
     block = "\n".join(lines)
