@@ -223,7 +223,14 @@ def entries_from_arrow(tbl: pa.Table, lean: bool = False) -> list[DataFile]:
     spends most of its planning time parsing them for nothing.  Lean
     entries keep every field the read path consumes (path, schema/spec
     ids, lineage flag, sequence number, row-id base, counts)."""
-    fixed = {name: tbl.column(name).to_pylist() for name, _ in _FIXED_COLS}
+    # in lean mode the json string columns are never even materialized out
+    # of arrow — to_pylist of 10^6 multi-hundred-byte strings costs more
+    # than every other column combined
+    skip = {"partition", "stats"} if lean else set()
+    fixed = {
+        name: (None if name in skip else tbl.column(name).to_pylist())
+        for name, _ in _FIXED_COLS
+    }
     n = tbl.num_rows
     out: list[DataFile] = []
     for i in range(n):
