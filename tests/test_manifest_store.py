@@ -446,3 +446,22 @@ def test_files_meta_table_content_ids(tmp_path):
     t.delete("k = 4")  # MoR position delete
     contents = {r.content for r in metadata_table(t.refresh(), "files").collect()}
     assert contents == {0, 1, 2}
+
+
+def test_append_commit_never_materializes_entries(tmp_path, monkeypatch):
+    """O(delta) appends, pinned mechanically: committing one file onto an
+    existing table must never materialize (or even read) the base
+    segments' entries — only segment METADATA (counts, prefixes) and the
+    delta itself.  Timing claims live in SCALING.md; this is the
+    structural guarantee."""
+    import iceberg_trino_sql_demo_spark.sources.manifest_store as ms
+
+    t = make_table(tmp_path, n=60)
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("append commit materialized segment entries")
+
+    monkeypatch.setattr(ms, "entries_from_arrow", boom)
+    t.append_entries([entry(900)])
+    monkeypatch.undo()
+    assert t.refresh()._manifest(t._resolve()).counts()[0] == 61
