@@ -134,6 +134,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ice_stream_cdc_full",
     "ice_equality_rewrite",
     "training_pack_sequences",
+    "dedup_quality_keeper",
     # -- implementation changed this round: metadata plane (columnar
     # manifests + lazy/delta commits) rewrites the storage under every
     # ice_* scenario; these 23 core ones were last driver-sampled in r2

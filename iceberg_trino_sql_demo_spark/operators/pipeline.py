@@ -1172,3 +1172,63 @@ def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_toks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-based keeper election — the FineWeb/Dolma refinement of exact
+# dedup: instead of keeping the lowest-id duplicate, keep the HIGHEST-
+# QUALITY member of each duplicate group (dedup should discard the worse
+# crawl of a page, not the later one).  The quality score here is a
+# deterministic md5-derived stand-in for a learned quality model's output
+# (duplicate members share text, so a content-only score could not
+# discriminate); the election itself — rank within content-hash groups by
+# (score DESC, doc_id ASC) — is exactly the production plan: one hash
+# aggregate's worth of shuffle, a per-group window, no driver state.
+# ---------------------------------------------------------------------------
+def _quality_keeper_oracle() -> str:
+    from iceberg_trino_sql_demo_spark.operators.dedup import _CORPUS_SQL
+
+    return f"""
+    WITH c AS ({_CORPUS_SQL}),
+    scored AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000 AS BIGINT) AS quality
+        FROM c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+                 PARTITION BY content_hash
+                 ORDER BY quality DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY content_hash) AS BIGINT) AS n_copies
+        FROM scored
+    )
+    SELECT content_hash, doc_id AS keep_id, quality AS keep_quality, n_copies
+      FROM ranked WHERE rn = 1 AND n_copies > 1
+    """
+
+
+@register("dedup_quality_keeper", oracle=_quality_keeper_oracle())
+def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from iceberg_trino_sql_demo_spark.operators.dedup import _corpus_with_dups
+
+    scored = _corpus_with_dups(spark, sf_dir).select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1000
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("content_hash")))
+        .where((F.col("rn") == 1) & (F.col("n_copies") > 1))
+        .select("content_hash", F.col("doc_id").alias("keep_id"),
+                F.col("quality").alias("keep_quality"), "n_copies")
+    )
