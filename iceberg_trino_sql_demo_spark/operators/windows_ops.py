@@ -807,6 +807,12 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipelines start from.  All-integer; the same SQL runs as the oracle.
 # ---------------------------------------------------------------------------
 _TRI_TOPK = 20
+_TRI_PERSISTED: list[DataFrame] = []
+# shared broadcast budget for node-cardinality side tables (degree /
+# contribution vectors): ~16 B/row of packed longs vs Spark's default
+# autoBroadcastJoinThreshold scale.  Module-level so tests can force the
+# above-budget shuffle path on a small graph.
+_NODE_BROADCAST_BUDGET = 64 * 1024 * 1024
 
 
 @register(
@@ -863,6 +869,8 @@ def events_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = p.alias("a")
     b = p.alias("b")
+    while _TRI_PERSISTED:
+        _TRI_PERSISTED.pop().unpersist()
     e0 = (
         a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.user_id") < F.col("b.user_id")))
@@ -871,19 +879,32 @@ def events_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("a.user_id", "b.user_id").alias("y"),
         )
         .distinct()
+        .persist()
     )
+    _TRI_PERSISTED.append(e0)
     deg = (
         e0.select(F.col("x").alias("u"))
         .unionAll(e0.select(F.col("y").alias("u")))
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
+    _TRI_PERSISTED.append(deg)
+    # The degree vector is node-cardinality, same as PageRank's
+    # contribution vector: broadcast is right ONLY while it fits the
+    # budget.  Same measured-size gate (~16 B/row of packed longs vs the
+    # 64 MB broadcast budget); above it, the co-partitioned shuffle join
+    # on the edge key scales instead of OOMing the driver/executors.
+    n_nodes = deg.count()  # deg is persisted; this also materializes it
+    bc = n_nodes * 16 <= _NODE_BROADCAST_BUDGET
     rank = lambda d, v: F.col(d) * F.lit(4294967296) + F.col(v)  # noqa: E731
     dx = deg.select(F.col("u").alias("x"), F.col("d").alias("dxd"))
     dy = deg.select(F.col("u").alias("y"), F.col("d").alias("dyd"))
+    if bc:
+        dx, dy = F.broadcast(dx), F.broadcast(dy)
     ranked = (
-        e0.join(F.broadcast(dx), "x")
-        .join(F.broadcast(dy), "y")
+        e0.join(dx, "x")
+        .join(dy, "y")
         .select(
             "x", "y",
             rank("dxd", "x").alias("rx"),
@@ -1251,7 +1272,7 @@ def events_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the edge list never shuffles, large graphs take the
     # co-partitioned shuffle join that scales.
     n_nodes = deg.count()  # deg is persisted; this also materializes it
-    bc = n_nodes * 16 <= 64 * 1024 * 1024
+    bc = n_nodes * 16 <= _NODE_BROADCAST_BUDGET
     cx = deg.select(F.col("u").alias("y"), F.expr("1000000 DIV d").alias("cy"))
     cy = deg.select(F.col("u").alias("x"), F.expr("1000000 DIV d").alias("cx"))
     if bc:

@@ -257,6 +257,18 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "sorts, and hot-node skew is absorbed by map-side partial sums, "
         "not a join fan-out.",
     ),
+    "events_user_triangles": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        9,
+        "degree-oriented wedge join: the node-cardinality degree vector "
+        "broadcasts onto the edge list ONLY below the measured-size gate "
+        "(_NODE_BROADCAST_BUDGET — above it the same query takes a "
+        "co-partitioned shuffle join, pinned by "
+        "test_triangles_degree_broadcast_gate); wedge closure is a pure "
+        "equi-join on (src, dst) with the rank filter inside, so the "
+        "candidate volume keeps the O(m^1.5) orientation bound.",
+    ),
     "text_inverted_index": (
         ["HashAggregate", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],

@@ -572,6 +572,53 @@ def test_plan_audit_invariants(spark):
     assert not problems, problems
 
 
+def test_triangles_degree_broadcast_gate(spark, monkeypatch):
+    """The node-cardinality degree vector broadcasts ONLY below the
+    measured-size gate; above it the same query takes a co-partitioned
+    shuffle join with identical results.  Auto-broadcast is disabled for
+    the whole test so the only broadcast left is the one the gate's
+    explicit hint forces — proving the hint is present below the budget
+    and absent above it (AQE would otherwise re-broadcast tiny sides and
+    mask the gate)."""
+    from iceberg_trino_sql_demo_spark.operators import windows_ops as wo
+
+    def final_plan(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        cut = plan.find("== Initial Plan ==")
+        return plan[:cut] if cut != -1 else plan
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # the prepared-plan memo would hand back the DataFrame built under
+        # the previous budget/conf — clear it so each run re-plans
+        ops._PLAN_CACHE.clear()
+        below = ops.QUERIES["events_user_triangles"](spark, SF)
+        below_rows = [tuple(r) for r in below.collect()]
+        assert "BroadcastHashJoin" in final_plan(below)
+
+        monkeypatch.setattr(wo, "_NODE_BROADCAST_BUDGET", 0)
+        ops._PLAN_CACHE.clear()
+        above = ops.QUERIES["events_user_triangles"](spark, SF)
+        above_rows = [tuple(r) for r in above.collect()]
+        assert "BroadcastHashJoin" not in final_plan(above)
+        assert above_rows == below_rows
+    finally:
+        # drop the budget-0 plan so later tests re-plan under the real gate
+        ops._PLAN_CACHE.clear()
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_incremental_minhash_consistency(spark):
     """The incremental (batch-vs-index) operator must find exactly the
     full operator's pairs that touch the batch slice — no index-index
