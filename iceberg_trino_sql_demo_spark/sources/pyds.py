@@ -140,9 +140,142 @@ class IceTableReader(DataSourceReader):
         yield from tbl.to_batches()
 
 
+class IceSegmentSlicePartition(InputPartition):
+    """A byte-packed slice of one manifest segment's file list."""
+
+    def __init__(self, paths: list[str], columns: list[tuple[str, str]]):
+        self.paths = paths
+        self.columns = columns
+
+
+class IceSegmentScanReader(DataSourceReader):
+    """Unpruned snapshot scan planned FROM MANIFEST SEGMENTS — the 100 TB
+    read path (VERDICT r6/r7 #1).
+
+    ``partitions()`` never materializes a per-file Python object and never
+    hands a path list to the JVM: each segment's ``path`` and
+    ``file_size_bytes`` arrow columns are sliced into byte-packed task
+    chunks (Spark's own bin-packing semantics, sizes straight from the
+    manifest — no filesystem listing of any kind).  Measured at 10^6
+    files: ``spark.read.parquet(*paths)`` costs ~135 s of Py4J string
+    conversion plus ~110 s of InMemoryFileIndex listing; this plan is
+    low-single-digit seconds (see SCALING.md "End-to-end read path").
+    This is how Iceberg's own Spark connector plans: file lists and sizes
+    come from manifests, executors read exactly the named files.
+
+    Deliberately does NOT implement ``pushFilters`` — the route is chosen
+    by ``Table.df`` only for unpruned scans, and a pushFilters-bearing
+    reader would require spark.sql.python.filterPushdown.enabled even for
+    filterless reads.  Scope mirrors ``IceTableReader``: no row-level
+    delete files; files lacking a current physical column raise in
+    ``read()`` rather than returning a plausible subset.
+    """
+
+    def __init__(
+        self,
+        location: str,
+        snapshot_id: int | None,
+        max_bytes: int,
+        max_files: int,
+    ):
+        self.location = location
+        self.snapshot_id = snapshot_id
+        self.max_bytes = max_bytes
+        self.max_files = max_files
+
+    def partitions(self) -> list[IceSegmentSlicePartition]:
+        from iceberg_trino_sql_demo_spark.sources.manifest_store import (
+            LazyManifest,
+            read_segment,
+        )
+        from iceberg_trino_sql_demo_spark.sources.metadata import MetadataIO
+
+        io = MetadataIO(self.location)
+        meta, _ = io.read()
+        sid = (
+            self.snapshot_id
+            if self.snapshot_id is not None
+            else meta.refs.get("main")
+        )
+        snap = None if sid is None else meta.snapshot_by_id(sid)
+        manifest = io.read_manifest(snap) if snap else None
+        if manifest is None:
+            return []
+        if manifest.delete_files:
+            raise NotImplementedError(
+                "ice_table segment scan reads tables without row-level "
+                "delete files; use Table.df for MoR reads"
+            )
+        cols = [(f.pname, f.name) for f in meta.schema.fields]
+        parts: list[IceSegmentSlicePartition] = []
+        chunk: list[str] = []
+        nbytes = 0
+
+        def _cut() -> None:
+            nonlocal chunk, nbytes
+            if chunk:
+                parts.append(IceSegmentSlicePartition(chunk, cols))
+                chunk, nbytes = [], 0
+
+        def _pack(paths: list[str], sizes: list[int]) -> None:
+            nonlocal nbytes
+            for p, s in zip(paths, sizes):
+                chunk.append(p)
+                nbytes += s
+                if nbytes >= self.max_bytes or len(chunk) >= self.max_files:
+                    _cut()
+
+        if isinstance(manifest, LazyManifest):
+            removed = set(manifest.removed)
+            for seg in manifest.segments:
+                tbl = read_segment(self.location, seg)
+                paths = tbl.column("path").to_pylist()
+                sizes = tbl.column("file_size_bytes").to_pylist()
+                if removed:  # committed manifests fold deltas; be safe
+                    kept = [
+                        (p, s) for p, s in zip(paths, sizes) if p not in removed
+                    ]
+                    paths = [p for p, _ in kept]
+                    sizes = [s for _, s in kept]
+                _pack(paths, sizes)
+            if manifest.added:
+                _pack(
+                    [f.path for f in manifest.added],
+                    [f.file_size_bytes for f in manifest.added],
+                )
+        else:
+            files = manifest.data_files
+            _pack([f.path for f in files], [f.file_size_bytes for f in files])
+        _cut()
+        return parts
+
+    def read(self, partition: IceSegmentSlicePartition):
+        import pyarrow.parquet as pq
+
+        cols = partition.columns
+        for path in partition.paths:
+            tbl = pq.read_table(path, columns=None)
+            have = set(tbl.column_names)
+            missing = [p for p, _ in cols if p not in have]
+            if missing:
+                raise NotImplementedError(
+                    f"file {os.path.basename(path)} lacks physical "
+                    f"column(s) {missing}: schema-evolution reads belong to "
+                    "Table.df (column-id projection + defaults)"
+                )
+            tbl = tbl.select([p for p, _ in cols])
+            tbl = tbl.rename_columns([n for _, n in cols])
+            yield from tbl.to_batches()
+
+
 class IceTableDataSource(DataSource):
     """``spark.read.format("ice_table")`` — options: ``path`` (table
-    location, required), ``prune_log`` (debug json path, optional)."""
+    location, required), ``prune_log`` (debug json path, optional),
+    ``plan`` ("files" per-file partitions with filter pushdown — the
+    default — or "segments" for manifest-segment-sliced partitions, the
+    large-file-count scan path), ``snapshot_id`` (segment plan only:
+    scan a specific snapshot instead of main's head), ``max_bytes`` /
+    ``max_files`` (segment plan task packing; default 128 MB / 1024)."""
 
     @classmethod
     def name(cls) -> str:
@@ -157,7 +290,15 @@ class IceTableDataSource(DataSource):
         meta, _ = MetadataIO(self.options["path"]).read()
         return ", ".join(f"{f.name} {f.type}" for f in meta.schema.fields)
 
-    def reader(self, schema: StructType) -> IceTableReader:
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if self.options.get("plan") == "segments":
+            sid = self.options.get("snapshot_id")
+            return IceSegmentScanReader(
+                self.options["path"],
+                int(sid) if sid is not None else None,
+                int(self.options.get("max_bytes", 128 * 1024 * 1024)),
+                int(self.options.get("max_files", 1024)),
+            )
         return IceTableReader(self.options["path"], self.options.get("prune_log"))
 
 

@@ -79,6 +79,14 @@ from iceberg_trino_sql_demo_spark.sources.writer import (
 COPY_ON_WRITE = "copy-on-write"
 MERGE_ON_READ = "merge-on-read"
 
+#: file-count gate for routing unpruned scans through the manifest-segment
+#: DataSource plan instead of spark.read.parquet(*paths).  Below it, the
+#: JVM path costs little (~134 µs/path of Py4J conversion + listing) and
+#: the JVM vectorized parquet reader is the faster executor; above it the
+#: O(files) driver-side handoff dominates (measured 49 s at 200k files,
+#: ~4 minutes at 1M — SCALING.md "End-to-end read path").
+_PYDS_SCAN_FILES = 10_000
+
 
 def _struct_to_fields(struct: T.StructType, start_id: int = 1) -> tuple[NestedField, ...]:
     out = []
@@ -246,21 +254,78 @@ class Table:
         preds = parse_simple_predicates(where) if where else []
         if prune_predicates:
             preds = [*preds, *prune_predicates]
+        out: DataFrame | None = None
         if preds:
             manifest = self.prune(manifest, preds)
         elif isinstance(manifest, LazyManifest):
-            # unpruned scan: lean materialization (no stats/partition json
-            # parsing — see manifest_store.scan_files) unless the hidden
-            # $partition column needs the full tuples
-            manifest = Manifest(
-                manifest.scan_files(hidden=hidden), manifest.delete_files
-            )
-        out = snapshot_df(self.spark, self.meta, manifest, hidden=hidden)
+            if (
+                not hidden
+                and snap is not None
+                and manifest.counts()[0] >= _PYDS_SCAN_FILES
+                and self._segment_scan_safe(manifest)
+            ):
+                # LARGE unpruned scan: plan from manifest segments via the
+                # ice_table DataSource — no per-file Python objects, no
+                # O(files) Py4J path handoff, no JVM file listing (sizes
+                # come from the manifest).  Measured: ~245 s saved at 10^6
+                # files (SCALING.md "End-to-end read path").
+                out = self._segment_scan_df(snap)
+            else:
+                # unpruned scan: lean materialization (no stats/partition
+                # json parsing — see manifest_store.scan_files) unless the
+                # hidden $partition column needs the full tuples
+                manifest = Manifest(
+                    manifest.scan_files(hidden=hidden), manifest.delete_files
+                )
+        if out is None:
+            out = snapshot_df(self.spark, self.meta, manifest, hidden=hidden)
         if where:
             out = out.where(F.expr(where))
         if preds:
             out = self._stats_broadcast_hint(out, manifest, preds)
         return out
+
+    def _segment_scan_safe(self, manifest: LazyManifest) -> bool:
+        """Is the manifest-segment DataSource plan EXACTLY equivalent to
+        the snapshot_df plan for this state?  Requires: no row-level
+        delete files (MoR belongs to snapshot_df), every file written
+        under the CURRENT schema (so no column-id projection, defaults, or
+        type casts apply), and only plain-DDL column types (variant /
+        ns-timestamps have engine-specific dual representations)."""
+        from iceberg_trino_sql_demo_spark.sources.manifest_store import (
+            read_segment,
+        )
+
+        if manifest.delete_files:
+            return False
+        for f in self.meta.schema.fields:
+            if f.type in ("variant", "timestamp_ns"):
+                return False
+        cur = self.meta.current_schema_id
+        import pyarrow.compute as pc
+
+        for seg in manifest.segments:
+            ids = pc.unique(
+                read_segment(manifest.location, seg).column("schema_id")
+            ).to_pylist()
+            if ids and set(ids) != {cur}:
+                return False
+        return all(f.schema_id == cur for f in manifest.added)
+
+    def _segment_scan_df(self, snap: Snapshot) -> DataFrame:
+        from iceberg_trino_sql_demo_spark.sources.pyds import (
+            FORMAT_NAME,
+            IceTableDataSource,
+        )
+
+        self.spark.dataSource.register(IceTableDataSource)  # idempotent
+        return (
+            self.spark.read.format(FORMAT_NAME)
+            .option("path", self.location)
+            .option("plan", "segments")
+            .option("snapshot_id", snap.snapshot_id)
+            .load()
+        )
 
     #: broadcast budget for the stats-estimated post-filter size, with a
     #: 10x skew headroom applied by the caller — parquet bytes are

@@ -188,6 +188,170 @@ def measure(n: int) -> dict:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# End-to-end read path: a table of N REAL (tiny, hardlinked) parquet files,
+# timing what a user pays between `t.df()` and the first row arriving.
+# Compares the two plans:
+#   jvm   — spark.read.parquet(*paths): lean entry materialization + Py4J
+#           path handoff + InMemoryFileIndex listing (the pre-round-8 path)
+#   seg   — manifest-segment DataSource plan (sources/pyds.py
+#           IceSegmentScanReader): partitions sliced from segment arrow
+#           columns, sizes from the manifest, no listing, no path handoff
+# The jvm plan is skipped past SPARK_GRAFT_JVM_PLAN_CAP files (default
+# 200k: measured 49 s there and O(N) — the point of the comparison is the
+# crossover, not waiting minutes for the known-linear cost).
+# ---------------------------------------------------------------------------
+
+SCAN_POINTS = [
+    int(x)
+    for x in os.environ.get(
+        "SPARK_GRAFT_SCAN_POINTS", "10000,100000,1000000"
+    ).split(",")
+]
+JVM_PLAN_CAP = int(os.environ.get("SPARK_GRAFT_JVM_PLAN_CAP", "200000"))
+
+
+def _build_real_table(loc: str, n: int):
+    """Table of n tiny real parquet files (hardlinked per 1000-file dir)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    proto = os.path.join(loc, "proto.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "l_orderdate": pa.array([date(1995, 1, 5)] * 3),
+                "l_shipdate": pa.array([date(1995, 1, 7)] * 3),
+                "l_quantity": pa.array([1.0, 2.0, 3.0]),
+                "l_comment": pa.array(["a", "b", "c"]),
+            }
+        ),
+        proto,
+    )
+    size = os.path.getsize(proto)
+    entries = []
+    for i in range(n):
+        e = synth_entry(i, n)
+        d = os.path.join(loc, "data", f"{i // 1000:05d}")
+        if i % 1000 == 0:
+            os.makedirs(d, exist_ok=True)
+            shutil.copy(proto, os.path.join(d, "_proto.parquet"))
+        p = os.path.join(d, f"f{i:08d}.parquet")
+        os.link(os.path.join(d, "_proto.parquet"), p)
+        entries.append(
+            DataFile(
+                path=p,
+                spec_id=e.spec_id,
+                schema_id=e.schema_id,
+                partition=e.partition,
+                record_count=3,
+                file_size_bytes=size,
+                stats=e.stats,
+                first_row_id=i * 3,
+                sequence_number=1,
+                file_modified_ms=e.file_modified_ms,
+            )
+        )
+    t = Table.create(
+        None, os.path.join(loc, "tbl"), COLUMNS,
+        partitioning=["month(l_orderdate)"],
+    )
+    t._commit_snapshot(Manifest(entries, []), "append", MAIN)
+    return t
+
+
+def measure_scan(spark, n: int) -> dict:
+    from iceberg_trino_sql_demo_spark.sources import table as tmod
+
+    loc = tempfile.mkdtemp(prefix=f"scanscale_{n}_")
+    try:
+        t = _build_real_table(loc, n)
+        t.spark = spark
+        row: dict = {"n_files": n}
+
+        # seg plan: launch = df construction + first row arriving
+        saved = tmod._PYDS_SCAN_FILES
+        tmod._PYDS_SCAN_FILES = 0
+        try:
+            t0 = time.perf_counter()
+            df = t.df()
+            row["seg_df_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            first = df.limit(1).collect()
+            row["seg_first_row_s"] = round(time.perf_counter() - t0, 3)
+            assert len(first) == 1
+            if n <= JVM_PLAN_CAP:  # full-scan validation at the small points
+                t0 = time.perf_counter()
+                assert df.count() == 3 * n
+                row["seg_count_s"] = round(time.perf_counter() - t0, 3)
+        finally:
+            tmod._PYDS_SCAN_FILES = saved
+
+        # jvm plan (skipped past the cap — measured linear)
+        if n <= JVM_PLAN_CAP:
+            saved = tmod._PYDS_SCAN_FILES
+            tmod._PYDS_SCAN_FILES = n + 1
+            try:
+                t0 = time.perf_counter()
+                df = t.df()
+                row["jvm_df_s"] = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                assert len(df.limit(1).collect()) == 1
+                row["jvm_first_row_s"] = round(time.perf_counter() - t0, 3)
+            finally:
+                tmod._PYDS_SCAN_FILES = saved
+        return row
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+SCAN_SECTION = "## End-to-end read path (real files, scan launch)"
+
+
+def write_scan_md(rows: list[dict]) -> None:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    lines = [
+        SCAN_SECTION,
+        "",
+        "`scripts/metadata_scaling.py` (`measure_scan`) — a table of N real",
+        "tiny parquet files; *df* = `Table.df()` returning (plan built),",
+        "*first row* = `limit(1).collect()`, *count* = full-scan row-count",
+        "validation.  **jvm** is the pre-round-8 plan",
+        "(`spark.read.parquet(*paths)`: lean entry materialization + Py4J",
+        "path handoff + InMemoryFileIndex listing — O(files) driver cost,",
+        "measured ~134 µs/path Py4J alone); **seg** is the",
+        "manifest-segment DataSource plan (`pyds.IceSegmentScanReader`):",
+        "partitions are byte-packed slices of segment arrow columns, file",
+        "sizes come from the manifest, nothing lists or ships paths",
+        "driver-side.  `Table.df` routes unpruned scans to **seg** above",
+        f"{'{:,}'.format(10000)} live files (`table._PYDS_SCAN_FILES`).",
+        "The jvm plan is not run past 200k files (known linear).",
+        "",
+        "| files | seg df (s) | seg first row (s) | seg count (s) | jvm df (s) | jvm first row (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['n_files']:,} | {r.get('seg_df_s', '-')} "
+            f"| {r.get('seg_first_row_s', '-')} | {r.get('seg_count_s', '-')} "
+            f"| {r.get('jvm_df_s', '-')} | {r.get('jvm_first_row_s', '-')} |"
+        )
+    lines.append("")
+    block = "\n".join(lines)
+    text = open(path).read() if os.path.exists(path) else "# SCALING\n\n"
+    if SCAN_SECTION in text:
+        start = text.index(SCAN_SECTION)
+        nxt = text.find("\n## ", start + len(SCAN_SECTION))
+        end = nxt + 1 if nxt != -1 else len(text)
+        text = text[:start] + block + text[end:]
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    open(path, "w").write(text)
+
+
 SECTION = "## Metadata plane (file-count scaling)"
 
 
@@ -245,4 +409,20 @@ if __name__ == "__main__":
         print(f"  n={n:>9,}: {r}", file=sys.stderr)
         rows.append(r)
     write_scaling_md(rows)
-    print(json.dumps({"metric": "metadata_plane", "rows": rows}))
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from iceberg_trino_sql_demo_spark.session import get_spark
+
+    spark = get_spark("metadata_scaling")
+    scan_rows = []
+    for n in SCAN_POINTS:
+        r = measure_scan(spark, n)
+        print(f"  scan n={n:>9,}: {r}", file=sys.stderr)
+        scan_rows.append(r)
+    spark.stop()
+    write_scan_md(scan_rows)
+    print(
+        json.dumps(
+            {"metric": "metadata_plane", "rows": rows, "scan_rows": scan_rows}
+        )
+    )

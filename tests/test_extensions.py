@@ -690,6 +690,81 @@ def test_python_datasource_matches_table_df(spark):
     assert via_ds == via_table and len(via_ds) == src.count()
 
 
+def test_segment_scan_route_matches_jvm(spark, monkeypatch):
+    """Above the file-count gate, Table.df plans unpruned scans from
+    manifest segments via the ice_table DataSource (no per-file Python
+    objects, no Py4J path handoff, no JVM listing).  The route must be
+    invisible to the user: identical rows, identical schema, and exact
+    time-travel — and it must NOT engage when the state needs the
+    snapshot_df machinery (schema evolution, MoR deletes, pruning)."""
+    import tempfile
+
+    from iceberg_trino_sql_demo_spark.sources import table as tmod
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="wh_"))
+    cat.create_schema("segscan")
+    cat.use("segscan")
+    src = spark.read.parquet(f"{SF}/orders.parquet")  # has a timestamp col
+    t = cat.ctas("orders_ds", src)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    jvm_rows = sorted(tuple(r) for r in t.df().collect())
+    jvm_schema = [(f.name, f.dataType) for f in t.df().schema.fields]
+
+    monkeypatch.setattr(tmod, "_PYDS_SCAN_FILES", 1)
+    routed = t.df()
+    assert "BatchScan ice_table" in plan(routed)
+    assert [(f.name, f.dataType) for f in routed.schema.fields] == jvm_schema
+    assert sorted(tuple(r) for r in routed.collect()) == jvm_rows
+
+    # time travel rides the snapshot_id option
+    v1 = t.meta.refs["main"]
+    t.insert([(999_999, 1, "O", 1.0, jvm_rows[0][4], "1-URGENT")])
+    old = t.df(version=v1)
+    assert "BatchScan ice_table" in plan(old)
+    assert sorted(tuple(r) for r in old.collect()) == jvm_rows
+    assert t.df().count() == len(jvm_rows) + 1
+
+    # a WHERE that prunes keeps the snapshot_df path (pruned manifests
+    # are survivor-sized; the DataSource route is the unpruned plan)
+    filtered = t.df(where="o_orderkey = 1")
+    assert "BatchScan ice_table" not in plan(filtered)
+
+    # schema evolution: old files are no longer under the current schema
+    # -> the gate must fall back to column-id projection (defaults fill)
+    t.add_column("o_note", "string", default="n/a")
+    evolved = t.df()
+    assert "BatchScan ice_table" not in plan(evolved)
+    assert evolved.where(F.col("o_note") == "n/a").count() == len(jvm_rows) + 1
+
+
+def test_segment_scan_reader_partitions_pack_by_bytes(spark):
+    """The segment plan's task list is byte-packed from manifest sizes:
+    max_files caps tiny-file fan-in, and every live file lands in exactly
+    one partition."""
+    import tempfile
+
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.pyds import IceSegmentScanReader
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="wh_"))
+    cat.create_schema("segpack")
+    cat.use("segpack")
+    src = spark.read.parquet(f"{SF}/nation.parquet").repartition(6)
+    t = cat.ctas("nation_ds", src)
+
+    rdr = IceSegmentScanReader(t.location, None, max_bytes=1 << 40, max_files=2)
+    parts = rdr.partitions()
+    all_paths = [p for part in parts for p in part.paths]
+    assert len(all_paths) == len(set(all_paths))
+    live = {f.path for f in t._manifest(t._resolve()).data_files}
+    assert set(all_paths) == live
+    assert all(len(part.paths) <= 2 for part in parts)
+
+
 def test_hll_registers_merge_by_max(spark, sf_oracle_dir):
     """The HLL sketch's core contract: partial register states built on
     disjoint corpus halves MERGE (per-bucket MAX) to exactly the
