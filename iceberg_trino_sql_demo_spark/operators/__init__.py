@@ -316,6 +316,7 @@ def release_caches() -> None:
         similarity._KNNL_PERSISTED,
         relational._QUANT_PERSISTED,
         windows_ops._PR_PERSISTED,
+        windows_ops._TRI_PERSISTED,
     ):
         while lst:
             lst.pop().unpersist()
