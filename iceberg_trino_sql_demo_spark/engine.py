@@ -530,6 +530,13 @@ class Engine:
             # unchanged; bounds the read path of upsert-heavy tables).
             # Iceberg's closest analog is rewrite_position_delete_files.
             t.rewrite_equality_deletes()
+        elif proc.lower() == "rewrite_position_deletes":
+            # ALTER TABLE t EXECUTE rewrite_position_deletes — consolidate
+            # accumulated position tombstones into one deletion-vector
+            # pack per table (state unchanged; bounds MoR read cost).
+            # Trino analog: rewrite_position_delete_files; Iceberg v3:
+            # deletion vectors (reference :141-143).
+            t.rewrite_position_deletes()
         else:
             raise ValueError(f"unknown procedure {proc}")
 

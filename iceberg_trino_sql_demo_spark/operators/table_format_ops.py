@@ -2042,3 +2042,53 @@ def ice_equality_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     man = t._manifest(t._resolve())
     assert not [d for d in man.delete_files if d.content == "equality"]
     return t.df()
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (reference :141-143, Iceberg v3): accumulated MoR
+# position-delete files consolidate into ONE per-file-bitmap pack
+# (ALTER TABLE ... EXECUTE rewrite_position_deletes /
+# Table.rewrite_position_deletes) — state unchanged, read cost bounded by
+# LIVE tombstones instead of delete-commit count.  The scenario mixes all
+# three read shapes in the final state: rows tombstoned by the DV, a row
+# updated before consolidation (old version in the DV, new version live),
+# and a fresh post-consolidation position-delete file applied ALONGSIDE
+# the DV.  Time travel back across the consolidation stays exact (the
+# invariant commit preserves history).
+# ---------------------------------------------------------------------------
+@register(
+    "ice_deletion_vector",
+    oracle=f"""
+    SELECT * FROM ({_BASE_SQL})
+    UNION ALL
+    SELECT * FROM (VALUES
+        (2003, 'COMMANDER BUN BUN', 'SQLENGINE', 99.0, 'FRANCE')
+    ) AS v(custkey, name, mktsegment, account_balance, nation)
+    """,
+    bench=False,
+)
+def ice_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _scratch_customer(spark, sf_dir)
+    t.insert(_ROWS)
+    t.delete("custkey = 2001")
+    t.update({"account_balance": "99.0"}, "custkey = 2003")
+    pre = t.meta.refs["main"]
+    pre_rows = t.df().count()
+    t.rewrite_position_deletes()
+    man = t._manifest(t._resolve())
+    dvs = [d for d in man.delete_files if d.content == "dv"]
+    assert len(dvs) == 1 and not [
+        d for d in man.delete_files if d.content == "position"
+    ], [d.content for d in man.delete_files]
+    assert dvs[0].index_path and os.path.exists(dvs[0].index_path)
+    # consolidation is data-invariant: same rows, and the pre-commit
+    # snapshot still reads exactly (time travel across the rewrite)
+    assert t.df().count() == pre_rows
+    assert t.df(version=pre).count() == pre_rows
+    # a fresh position delete APPLIES ALONGSIDE the DV
+    t.delete("custkey = 2002")
+    contents = sorted(
+        d.content for d in t._manifest(t._resolve()).delete_files
+    )
+    assert contents == ["dv", "position"], contents
+    return t.df()

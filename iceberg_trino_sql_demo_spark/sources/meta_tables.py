@@ -55,7 +55,7 @@ def metadata_table(table, kind: str) -> DataFrame:
                 s.manifest,
                 {k: str(v) for k, v in s.summary.items()},
             )
-            for s in m.snapshots
+            for s in m.all_snapshots()
         ]
         return spark.createDataFrame(rows, schema)
 
@@ -80,7 +80,7 @@ def metadata_table(table, kind: str) -> DataFrame:
                 m.snapshot_by_id(e["snapshot_id"]).parent_id,
                 e["snapshot_id"] in ancestors,
             )
-            for e in m.snapshot_log
+            for e in m.full_snapshot_log()
         ]
         return spark.createDataFrame(rows, schema)
 
@@ -103,7 +103,7 @@ def metadata_table(table, kind: str) -> DataFrame:
         )
         rows = [
             (_ts(e["timestamp_ms"]), e["file"], e.get("latest_snapshot_id"))
-            for e in m.metadata_log
+            for e in m.full_metadata_log()
         ]
         return spark.createDataFrame(rows, schema)
 
@@ -125,9 +125,11 @@ def metadata_table(table, kind: str) -> DataFrame:
                 T.StructField("sequence_number", T.LongType()),
             ]
         )
-        # Iceberg content ids: 0=data, 1=position deletes, 2=equality deletes
+        # Iceberg content ids: 0=data, 1=position deletes (incl. deletion
+        # vectors, which Iceberg v3 stores as PUFFIN blobs), 2=equality
         del_rows = [
-            (2 if d.content == "equality" else 1, d.path, "PARQUET",
+            (2 if d.content == "equality" else 1, d.path,
+             "PUFFIN" if d.content == "dv" else "PARQUET",
              m.default_spec_id, "{}", d.record_count, d.file_size_bytes,
              None, d.sequence_number)
             for d in manifest.delete_files
@@ -209,7 +211,7 @@ def metadata_table(table, kind: str) -> DataFrame:
             ]
         )
         rows = []
-        for s in m.snapshots:
+        for s in m.all_snapshots():
             p = os.path.join(m.location, s.manifest)
             man = table.io.read_manifest(s)
             rows.append(

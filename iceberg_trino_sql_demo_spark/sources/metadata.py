@@ -248,11 +248,23 @@ class DeleteFile:
     referenced_files: tuple[str, ...] = ()
     content: str = "position"
     equality_ids: tuple[int, ...] = ()
+    #: content='dv' only: columnar (file_path, offset, length, count)
+    #: parquet locating each data file's blob inside ``path`` (the pack)
+    index_path: str | None = None
+
+    def artifact_paths(self) -> tuple[str, ...]:
+        """Every on-disk file this entry comprises (expiry/orphan sweeps
+        must treat the DV index as referenced, not orphaned)."""
+        return (self.path,) if self.index_path is None else (
+            self.path, self.index_path,
+        )
 
     def to_dict(self) -> dict:
         d = self.__dict__.copy()
         d["referenced_files"] = list(self.referenced_files)
         d["equality_ids"] = list(self.equality_ids)
+        if d.get("index_path") is None:
+            d.pop("index_path", None)
         return d
 
     @staticmethod
@@ -261,6 +273,7 @@ class DeleteFile:
         d["referenced_files"] = tuple(d.get("referenced_files", ()))
         d["content"] = d.get("content", "position")
         d["equality_ids"] = tuple(d.get("equality_ids", ()))
+        d.setdefault("index_path", None)
         return DeleteFile(**d)
 
 
@@ -337,9 +350,67 @@ class TableMetadata:
     #: branch-level max-snapshot-age / min-snapshots-to-keep); absent ref =
     #: global behavior (only the head is pinned)
     ref_retention: dict[str, dict] = field(default_factory=dict)
+    #: spilled-history archives, CHRONO order (oldest first): each
+    #: {"file": rel path, "snapshots": n, "snapshot_log": n,
+    #: "metadata_log": n}.  The pointer file keeps only the RECENT tail of
+    #: snapshots / snapshot_log / metadata_log inline (see
+    #: MetadataIO._maybe_spill_history); older entries live in immutable
+    #: side files, loaded lazily by id lookups and the full_* accessors —
+    #: commit cost and pointer size stay O(recent), not O(history).
+    snapshot_archives: list[dict] = field(default_factory=list)
 
     def ref_type(self, name: str) -> str:
         return self.ref_types.get(name, "branch")
+
+    # -- spilled-history access --------------------------------------------
+    def _archive_doc(self, ref: dict) -> dict:
+        cache = getattr(self, "_archive_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_archive_cache", cache)
+        doc = cache.get(ref["file"])
+        if doc is None:
+            with open(os.path.join(self.location, ref["file"])) as fh:
+                doc = json.load(fh)
+            doc["snapshots"] = [Snapshot.from_dict(s) for s in doc["snapshots"]]
+            cache[ref["file"]] = doc
+        return doc
+
+    def all_snapshots(self) -> list["Snapshot"]:
+        """Every snapshot, archived + inline, chronological."""
+        if not self.snapshot_archives:
+            return list(self.snapshots)
+        out: list[Snapshot] = []
+        for ref in self.snapshot_archives:
+            out.extend(self._archive_doc(ref)["snapshots"])
+        out.extend(self.snapshots)
+        return out
+
+    def full_snapshot_log(self) -> list[dict]:
+        out: list[dict] = []
+        for ref in self.snapshot_archives:
+            out.extend(self._archive_doc(ref)["snapshot_log"])
+        out.extend(self.snapshot_log)
+        return out
+
+    def full_metadata_log(self) -> list[dict]:
+        out: list[dict] = []
+        for ref in self.snapshot_archives:
+            out.extend(self._archive_doc(ref)["metadata_log"])
+        out.extend(self.metadata_log)
+        return out
+
+    def inline_all_history(self) -> None:
+        """Materialize every archived entry back inline and detach the
+        archives — the rewrite step history-mutating ops (expire) take
+        before filtering; the next commit re-spills the survivors and the
+        detached archive files become orphan-sweepable."""
+        if not self.snapshot_archives:
+            return
+        self.snapshots = self.all_snapshots()
+        self.snapshot_log = self.full_snapshot_log()
+        self.metadata_log = self.full_metadata_log()
+        self.snapshot_archives = []
 
     # -- accessors --------------------------------------------------------
     @property
@@ -360,6 +431,12 @@ class TableMetadata:
         for s in self.snapshots:
             if s.snapshot_id == snapshot_id:
                 return s
+        # spilled history: time travel / parent walks into the archived
+        # range load the side files lazily (cached per metadata object)
+        for ref in reversed(self.snapshot_archives):
+            for s in self._archive_doc(ref)["snapshots"]:
+                if s.snapshot_id == snapshot_id:
+                    return s
         raise KeyError(f"no snapshot {snapshot_id}")
 
     def current_snapshot_id(self, ref: str = MAIN) -> int | None:
@@ -400,6 +477,7 @@ class TableMetadata:
                 "column_stats": self.column_stats,
                 "ref_types": self.ref_types,
                 "ref_retention": self.ref_retention,
+                "snapshot_archives": self.snapshot_archives,
             },
             indent=1,
             default=str,
@@ -430,6 +508,7 @@ class TableMetadata:
             column_stats=d.get("column_stats", {}),
             ref_types=d.get("ref_types", {}),
             ref_retention=d.get("ref_retention", {}),
+            snapshot_archives=d.get("snapshot_archives", []),
         )
 
     @staticmethod
@@ -514,6 +593,40 @@ class MetadataIO:
         with open(self.metadata_file(v)) as fh:
             return TableMetadata.from_json(fh.read()), v
 
+    #: inline-history tail the pointer file keeps per list; older entries
+    #: spill to immutable snaplog-* side files.  Spill triggers only once
+    #: the inline count reaches KEEP + CHUNK (so ~one archive per CHUNK
+    #: commits, not one per commit) and spills down to KEEP.
+    HISTORY_KEEP = 100
+    HISTORY_CHUNK = 100
+
+    def _maybe_spill_history(self, meta: TableMetadata) -> None:
+        keep, chunk = self.HISTORY_KEEP, self.HISTORY_CHUNK
+        if len(meta.snapshots) < keep + chunk:
+            return
+        cut = len(meta.snapshots) - keep
+        log_cut = max(0, len(meta.snapshot_log) - keep)
+        mlog_cut = max(0, len(meta.metadata_log) - keep)
+        doc = {
+            "snapshots": [s.to_dict() for s in meta.snapshots[:cut]],
+            "snapshot_log": meta.snapshot_log[:log_cut],
+            "metadata_log": meta.metadata_log[:mlog_cut],
+        }
+        rel = os.path.join("metadata", f"snaplog-{uuid.uuid4().hex[:12]}.json")
+        with open(os.path.join(self.location, rel), "w") as fh:
+            json.dump(doc, fh, default=str)
+        meta.snapshot_archives = meta.snapshot_archives + [
+            {
+                "file": rel,
+                "snapshots": cut,
+                "snapshot_log": log_cut,
+                "metadata_log": mlog_cut,
+            }
+        ]
+        meta.snapshots = meta.snapshots[cut:]
+        meta.snapshot_log = meta.snapshot_log[log_cut:]
+        meta.metadata_log = meta.metadata_log[mlog_cut:]
+
     def commit(self, meta: TableMetadata, expected_version: int) -> int:
         """Atomically publish the next metadata version; raises
         ``CommitConflict`` if any other writer committed since
@@ -521,6 +634,10 @@ class MetadataIO:
         os.makedirs(self.meta_dir, exist_ok=True)
         new_v = expected_version + 1
         mfile = self.metadata_file(new_v)
+        saved = (
+            meta.snapshots, meta.snapshot_log,
+            meta.metadata_log, meta.snapshot_archives,
+        )
         meta.metadata_log = meta.metadata_log + [
             {
                 "file": os.path.relpath(mfile, self.location),
@@ -528,6 +645,7 @@ class MetadataIO:
                 "latest_snapshot_id": meta.refs.get(MAIN),
             }
         ]
+        self._maybe_spill_history(meta)
         tmp = mfile + f".tmp{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(meta.to_json())
@@ -536,7 +654,10 @@ class MetadataIO:
             # racing writer can succeed, and full content appears atomically
             os.link(tmp, mfile)
         except FileExistsError:
-            meta.metadata_log = meta.metadata_log[:-1]
+            # restore pre-commit state (a spilled archive file, if any,
+            # becomes an orphan the sweep reclaims — same as manifests)
+            (meta.snapshots, meta.snapshot_log,
+             meta.metadata_log, meta.snapshot_archives) = saved
             raise CommitConflict(
                 f"concurrent commit: v{new_v} already exists under {self.meta_dir}"
             ) from None

@@ -454,6 +454,15 @@ class IceChangesStreamReader(SimpleDataSourceStreamReader):
                                 yield tuple(data[i][pn] for pn, _ in cols) + (
                                     "delete", snap.sequence_number,
                                 )
+                    elif d.content == "dv":
+                        # deletion-vector packs only appear in
+                        # rewrite_position_deletes commits, which are
+                        # data-invariant and skipped above; a dv in a
+                        # data-changing commit would be an engine bug
+                        raise NotImplementedError(
+                            "deletion-vector entry in a non-invariant "
+                            f"commit (snapshot {snap.snapshot_id})"
+                        )
                     else:
                         # (3) equality deletes: KEY-only delete rows (non-key
                         #     columns None) — delta-sized by construction; a

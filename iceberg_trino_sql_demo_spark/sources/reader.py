@@ -135,7 +135,8 @@ def snapshot_df(
         empty = spark.createDataFrame([], out_struct)
         return empty if hidden else empty.select(*[f.name for f in current.fields])
 
-    pos_dels = [d for d in manifest.delete_files if d.content == "position"]
+    pos_dels = [d for d in manifest.delete_files
+                if d.content in ("position", "dv")]
     eq_dels = [d for d in manifest.delete_files if d.content == "equality"]
 
     # data files referenced by live position-delete files need the MoR
@@ -430,7 +431,8 @@ def equality_positions(
     assert base is not None
     pos = read_position_deletes(spark, manifest, only_for=[f.path for f in files])
     n_pos = sum(
-        d.record_count for d in manifest.delete_files if d.content == "position"
+        d.record_count for d in manifest.delete_files
+        if d.content in ("position", "dv")
     )
     base = base.join(
         _hint_deletes(pos, n_pos),
@@ -467,17 +469,37 @@ def equality_positions(
 def read_position_deletes(
     spark: SparkSession, manifest: Manifest, only_for: list[str] | None = None
 ) -> DataFrame:
-    """Union of live position-delete files as (__del_file, __del_pos)."""
+    """Union of live position tombstones as (__del_file, __del_pos) —
+    raw position-delete parquet files plus consolidated deletion-vector
+    packs (sources/deletion_vectors.py)."""
     paths = [d.path for d in manifest.delete_files if d.content == "position"]
+    dvs = [d for d in manifest.delete_files if d.content == "dv"]
     schema = T.StructType(
         [T.StructField("file_path", T.StringType()), T.StructField("pos", T.LongType())]
     )
-    if not paths:
+    parts: list[DataFrame] = []
+    if paths:
+        df = spark.read.schema(schema).parquet(*paths)
+        if only_for is not None:
+            uris = [_to_uri(p) for p in only_for]
+            df = df.where(F.col("file_path").isin(uris))
+        parts.append(
+            df.select(
+                F.col("file_path").alias("__del_file"),
+                F.col("pos").alias("__del_pos"),
+            )
+        )
+    if dvs:
+        from iceberg_trino_sql_demo_spark.sources.deletion_vectors import (
+            read_dv_positions,
+        )
+
+        parts.append(read_dv_positions(spark, dvs, only_for))
+    if not parts:
         return spark.createDataFrame([], schema).select(
             F.col("file_path").alias("__del_file"), F.col("pos").alias("__del_pos")
         )
-    df = spark.read.schema(schema).parquet(*paths)
-    if only_for is not None:
-        uris = [_to_uri(p) for p in only_for]
-        df = df.where(F.col("file_path").isin(uris))
-    return df.select(F.col("file_path").alias("__del_file"), F.col("pos").alias("__del_pos"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1076,6 +1076,73 @@ class Table:
                            "data-invariant": "true"},
         )
 
+    def rewrite_position_deletes(self, ref: str = MAIN) -> Snapshot | None:
+        """Consolidate accumulated position tombstones into ONE deletion-
+        vector pack (visible state unchanged) — the maintenance op that
+        bounds MoR read cost: every scan of a delete-referenced file
+        anti-joins against the UNION of live position-delete files, so a
+        long-running UPDATE/DELETE history otherwise pays O(delete
+        commits) per read.  After this commit the table carries one
+        ``content='dv'`` entry (per-file zstd blobs + columnar index,
+        sources/deletion_vectors.py) holding the distinct live tombstones;
+        tombstones for no-longer-live data files are dropped.  Iceberg v3
+        reaches the same state via deletion vectors in puffin files
+        (reference: DELETION VECTOR section, iceberg_trino_sqldemo.sql
+        :141-143); Trino/Iceberg v2 via rewrite_position_delete_files.
+
+        Returns None when there is nothing to consolidate (zero or one
+        already-consolidated entry)."""
+        from iceberg_trino_sql_demo_spark.sources.deletion_vectors import (
+            write_dv_pack,
+        )
+
+        manifest = self._manifest(self._resolve(ref))
+        pos = [
+            d for d in manifest.delete_files
+            if d.content in ("position", "dv")
+        ]
+        if not pos or (len(pos) == 1 and pos[0].content == "dv"):
+            return None
+        others = [d for d in manifest.delete_files if d not in pos]
+        # scope to LIVE data files: tombstones referencing rewritten /
+        # removed files are inert and must not survive consolidation
+        live = (
+            manifest.data_paths()
+            if isinstance(manifest, LazyManifest)
+            else {f.path for f in manifest.data_files}
+        )
+        covered = sorted(
+            live & {p for d in pos for p in d.referenced_files}
+        )
+        seq = max(d.sequence_number for d in pos)
+        summary = {
+            "rewritten-position-delete-files": len(pos),
+            "data-invariant": "true",
+        }
+        sub = Manifest([], pos)
+        matches = read_position_deletes(self.spark, sub, only_for=covered)
+        packed = write_dv_pack(self.location, matches) if covered else None
+        new_dels = list(others)
+        if packed is not None:
+            pack_path, index_path, total, refs = packed
+            new_dels.append(
+                DeleteFile(
+                    path=pack_path,
+                    record_count=total,
+                    file_size_bytes=os.path.getsize(pack_path),
+                    sequence_number=seq,
+                    referenced_files=refs,
+                    content="dv",
+                    index_path=index_path,
+                )
+            )
+            summary["dv-tombstones"] = total
+        if isinstance(manifest, LazyManifest):
+            out = manifest.with_delta(delete_files=new_dels)
+        else:
+            out = Manifest(manifest.data_files, new_dels)
+        return self._commit_snapshot(out, "replace", ref, summary)
+
     def delete(self, where: str, ref: str = MAIN) -> Snapshot:
         """DELETE FROM ... WHERE (reference :137, :228, :240).
 
@@ -1994,6 +2061,10 @@ class Table:
         without an override keep today's global behavior (head only +
         the global window)."""
         m = self.meta
+        # expiry filters the FULL history — materialize spilled archives
+        # back inline first (the next commit re-spills the survivors, and
+        # the detached snaplog-* files become orphan-sweepable)
+        m.inline_all_history()
         now = now_ms()
         cutoff = now - retention_ms
         keep_ids = set(m.refs.values())
@@ -2035,7 +2106,9 @@ class Table:
                 if isinstance(man, LazyManifest)
                 else {f.path for f in man.data_files}
             )
-            live_files.update(d.path for d in man.delete_files)
+            live_files.update(
+                p for d in man.delete_files for p in d.artifact_paths()
+            )
             # segments are SHARED across snapshots (an append chain reuses
             # every earlier segment) — refcount all metadata artifacts of
             # kept snapshots before unlinking a dropped one's
@@ -2052,7 +2125,8 @@ class Table:
                 if isinstance(man, LazyManifest)
                 else {f.path for f in man.data_files}
             )
-            for p in list(data_paths) + [d.path for d in man.delete_files]:
+            del_paths = [p for d in man.delete_files for p in d.artifact_paths()]
+            for p in list(data_paths) + del_paths:
                 if own_only and not p.startswith(prefix):
                     continue
                 if p not in live_files and os.path.exists(p):
@@ -2146,14 +2220,16 @@ class Table:
         MetadataIO.write_manifest), and segment rewrites/folds strand the
         superseded segment files once no snapshot references them."""
         referenced: set[str] = set()
-        for s in self.meta.snapshots:
+        for s in self.meta.all_snapshots():
             man = self.io.read_manifest(s)
             referenced.update(
                 man.data_paths()
                 if isinstance(man, LazyManifest)
                 else {f.path for f in man.data_files}
             )
-            referenced.update(d.path for d in man.delete_files)
+            referenced.update(
+                p for d in man.delete_files for p in d.artifact_paths()
+            )
         cutoff = time.time() - retention_ms / 1000
         removed = 0
         for sub in ("data", "deletes"):
@@ -2179,9 +2255,15 @@ class Table:
             live_meta.update(
                 os.path.basename(a) for a in self.io.manifest_artifacts(s)
             )
+        # spilled-history archives named by the CURRENT pointer are live;
+        # ones detached by expire's inline_all_history (or by CAS losers)
+        # are sweepable like any stranded metadata artifact
+        live_meta.update(
+            os.path.basename(a["file"]) for a in self.meta.snapshot_archives
+        )
         meta_dir = os.path.join(self.location, "metadata")
         for fn in os.listdir(meta_dir) if os.path.isdir(meta_dir) else []:
-            if not fn.startswith(("snap-", "seg-")):
+            if not fn.startswith(("snap-", "seg-", "snaplog-")):
                 continue  # vN.metadata.json / version-hint are the log itself
             if fn in live_meta:
                 continue

@@ -234,7 +234,7 @@ def table_sink(table, stream_id: str, cols: list[str] | None = None):
         seen = max(
             (
                 int(s.summary[STREAM_BATCH_KEY])
-                for s in t.meta.snapshots
+                for s in t.meta.all_snapshots()
                 if s.summary.get(STREAM_ID_KEY) == stream_id
                 and STREAM_BATCH_KEY in s.summary
             ),
@@ -274,7 +274,7 @@ def cdc_upsert_sink(replica, key_cols: list[str], stream_id: str):
         seen = max(
             (
                 int(s.summary[STREAM_BATCH_KEY])
-                for s in t.meta.snapshots
+                for s in t.meta.all_snapshots()
                 if s.summary.get(STREAM_ID_KEY) == stream_id
                 and STREAM_BATCH_KEY in s.summary
             ),

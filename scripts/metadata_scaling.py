@@ -306,6 +306,108 @@ def measure_scan(spark, n: int) -> dict:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Commit-chain growth: does the pointer file stay O(recent) and commit
+# cost flat as the snapshot history grows?  Before round 8 every
+# vN.metadata.json serialized the FULL snapshot list + logs (O(history)
+# write amplification per commit); now MetadataIO spills all but the
+# newest HISTORY_KEEP entries to immutable snaplog-* side files.
+# ---------------------------------------------------------------------------
+
+CHAIN_POINTS = [
+    int(x)
+    for x in os.environ.get(
+        "SPARK_GRAFT_CHAIN_POINTS", "100,1000,10000"
+    ).split(",")
+]
+
+
+def measure_chain() -> list[dict]:
+    loc = tempfile.mkdtemp(prefix="chainscale_")
+    rows: list[dict] = []
+    try:
+        t = Table.create(
+            None, loc, COLUMNS, partitioning=["month(l_orderdate)"]
+        )
+        t.append_entries([synth_entry(0, max(CHAIN_POINTS))])
+        early_ref = t.meta.refs["main"]
+        done = 1
+        for point in sorted(CHAIN_POINTS):
+            n_tail = min(100, point - done)
+            for i in range(done, point - n_tail):
+                t.append_entries([synth_entry(i, point)])
+            t0 = time.perf_counter()
+            for i in range(point - n_tail, point):
+                t.append_entries([synth_entry(i, point)])
+            tail_s = time.perf_counter() - t0
+            done = point
+            v = t.io.current_version()
+            psize = os.path.getsize(t.io.metadata_file(v))
+            # time travel into the (archived) early range still resolves
+            t0 = time.perf_counter()
+            fresh = Table(None, loc)
+            n_early = len(
+                fresh._manifest(
+                    fresh.meta.snapshot_by_id(early_ref)
+                ).data_files
+            )
+            tt_s = time.perf_counter() - t0
+            rows.append(
+                {
+                    "commits": point,
+                    "commit_ms": round(1000 * tail_s / n_tail, 2),
+                    "pointer_kb": round(psize / 1024, 1),
+                    "archives": len(t.meta.snapshot_archives),
+                    "time_travel_s": round(tt_s, 3),
+                    "early_files": n_early,
+                }
+            )
+            print(f"  chain n={point:>6,}: {rows[-1]}", file=sys.stderr)
+        return rows
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+CHAIN_SECTION = "## Commit chain (pointer-file growth)"
+
+
+def write_chain_md(rows: list[dict]) -> None:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    lines = [
+        CHAIN_SECTION,
+        "",
+        "`scripts/metadata_scaling.py` (`measure_chain`) — one-file append",
+        "commits chained to N; *commit* = mean of the last 100 at each",
+        "point, *pointer* = vN.metadata.json size, *archives* = spilled",
+        "snaplog-* side files (all but the newest 100 snapshot/log entries",
+        "spill; lookups into the archived range load them lazily).  *time",
+        "travel* = fresh process opens the table and resolves snapshot #1's",
+        "manifest.  Without the spill the pointer is O(history) and every",
+        "commit rewrites it.",
+        "",
+        "| commits | commit (ms) | pointer (KB) | archives | time travel to #1 (s) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['commits']:,} | {r['commit_ms']} | {r['pointer_kb']} "
+            f"| {r['archives']} | {r['time_travel_s']} |"
+        )
+    lines.append("")
+    block = "\n".join(lines)
+    text = open(path).read() if os.path.exists(path) else "# SCALING\n\n"
+    if CHAIN_SECTION in text:
+        start = text.index(CHAIN_SECTION)
+        nxt = text.find("\n## ", start + len(CHAIN_SECTION))
+        end = nxt + 1 if nxt != -1 else len(text)
+        text = text[:start] + block + text[end:]
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    open(path, "w").write(text)
+
+
 SCAN_SECTION = "## End-to-end read path (real files, scan launch)"
 
 
@@ -410,6 +512,9 @@ if __name__ == "__main__":
         rows.append(r)
     write_scaling_md(rows)
 
+    chain_rows = measure_chain()
+    write_chain_md(chain_rows)
+
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from iceberg_trino_sql_demo_spark.session import get_spark
 
@@ -423,6 +528,11 @@ if __name__ == "__main__":
     write_scan_md(scan_rows)
     print(
         json.dumps(
-            {"metric": "metadata_plane", "rows": rows, "scan_rows": scan_rows}
+            {
+                "metric": "metadata_plane",
+                "rows": rows,
+                "scan_rows": scan_rows,
+                "chain_rows": chain_rows,
+            }
         )
     )

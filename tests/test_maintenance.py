@@ -574,3 +574,211 @@ def test_cherrypick_and_snapshot_via_frontend(spark, tmp_path, sf_dir):
             "VALUES (9701, 'CLONESIDE', 1)")
     assert eng.sql("SELECT count(*) AS n FROM nat_clone").collect()[0].n == n0 + 2
     assert eng.sql("SELECT count(*) AS n FROM nat").collect()[0].n == n0 + 1
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (rewrite_position_deletes)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def mor(spark, tmp_path, sf_dir):
+    cat = Catalog(spark, str(tmp_path / "whdv"))
+    cat.create_schema("dv")
+    cat.use("dv")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cat.ctas("cust", cust, properties={"merge_mode": "merge-on-read"})
+    return cat.table("cust")
+
+
+def test_dv_consolidation_preserves_state_and_history(mor):
+    """K MoR delete commits -> one content='dv' entry; reads identical,
+    time travel across the (data-invariant) consolidation exact, a fresh
+    post-consolidation delete applies alongside the DV, and a second
+    consolidation folds it in."""
+    t = mor
+    for k in (5, 17, 29, 41):
+        t.delete(f"c_custkey = {k}")
+    t.update({"c_acctbal": "0.0"}, "c_custkey = 8")
+    man = t.io.read_manifest(t._resolve())
+    assert len([d for d in man.delete_files if d.content == "position"]) >= 5
+    pre = t.meta.refs["main"]
+    before = sorted(tuple(r) for r in t.df().collect())
+
+    assert t.rewrite_position_deletes() is not None
+    man = t.io.read_manifest(t._resolve())
+    assert [d.content for d in man.delete_files] == ["dv"]
+    assert sorted(tuple(r) for r in t.df().collect()) == before
+    assert sorted(tuple(r) for r in t.df(version=pre).collect()) == before
+    # idempotent
+    assert t.rewrite_position_deletes() is None
+
+    t.delete("c_custkey = 53")
+    mid = sorted(tuple(r) for r in t.df().collect())
+    assert len(mid) == len(before) - 1
+    assert sorted(d.content for d in
+                  t.io.read_manifest(t._resolve()).delete_files) == [
+        "dv", "position"]
+    assert t.rewrite_position_deletes() is not None
+    man = t.io.read_manifest(t._resolve())
+    assert [d.content for d in man.delete_files] == ["dv"]
+    assert sorted(tuple(r) for r in t.df().collect()) == mid
+
+
+def test_dv_artifacts_survive_expiry_sweeps(mor):
+    """expire_snapshots + remove_orphan_files must treat the DV pack AND
+    its index parquet as referenced."""
+    t = mor
+    t.delete("c_custkey = 5")
+    t.delete("c_custkey = 17")
+    t.rewrite_position_deletes()
+    dv = [d for d in t.io.read_manifest(t._resolve()).delete_files
+          if d.content == "dv"][0]
+    before = sorted(tuple(r) for r in t.df().collect())
+    assert t.expire_snapshots(retention_ms=0) > 0
+    t.refresh()
+    assert t.remove_orphan_files(retention_ms=0) >= 0
+    assert os.path.exists(dv.path) and os.path.exists(dv.index_path)
+    t.refresh()
+    assert sorted(tuple(r) for r in t.df().collect()) == before
+
+
+def test_dv_consolidation_is_cdc_invisible(mor):
+    """table_changes across the consolidation window emits only the real
+    row-level changes, nothing for the data-invariant rewrite commit."""
+    t = mor
+    s0 = t.meta.refs["main"]
+    t.delete("c_custkey = 5")
+    t.rewrite_position_deletes()
+    t.delete("c_custkey = 17")
+    end = t.meta.refs["main"]
+    ch = t.table_changes(s0, end)
+    rows = ch.select("c_custkey", "_change_type").collect()
+    assert sorted((r.c_custkey, r._change_type) for r in rows) == [
+        (5, "delete"), (17, "delete")]
+
+
+def test_dv_drops_tombstones_of_dead_files(mor):
+    """Tombstones referencing data files a rewrite replaced are inert —
+    consolidation must not resurrect or retain them."""
+    t = mor
+    t.delete("c_custkey = 5")
+    # compact everything: the delete-referenced file is rewritten, the
+    # position delete becomes garbage
+    t.optimize(file_size_threshold=1 << 40, rewrite_deletes=True)
+    man = t.io.read_manifest(t._resolve())
+    before = sorted(tuple(r) for r in t.df().collect())
+    t.delete("c_custkey = 17")
+    t.rewrite_position_deletes()
+    man = t.io.read_manifest(t._resolve())
+    dvs = [d for d in man.delete_files if d.content == "dv"]
+    assert len(dvs) == 1 and dvs[0].record_count == 1
+    assert sorted(tuple(r) for r in t.df().collect()) == [
+        r for r in before if r[0] != 17]
+
+
+def test_rewrite_position_deletes_via_frontend(spark, tmp_path, sf_dir):
+    """ALTER TABLE ... EXECUTE rewrite_position_deletes through Engine.sql."""
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whsql"))
+    eng.sql("CREATE SCHEMA demo")
+    eng.sql("USE demo")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust.createOrReplaceTempView("cust_src")
+    eng.sql(
+        "CREATE TABLE cust WITH (merge_mode = 'merge-on-read') AS "
+        "SELECT * FROM cust_src"
+    )
+    eng.sql("DELETE FROM cust WHERE c_custkey = 5")
+    eng.sql("DELETE FROM cust WHERE c_custkey = 17")
+    before = sorted(tuple(r) for r in eng.sql("SELECT * FROM cust").collect())
+    eng.sql("ALTER TABLE cust EXECUTE rewrite_position_deletes")
+    t = eng.catalog.table("cust")
+    assert [d.content for d in t.io.read_manifest(t._resolve()).delete_files] \
+        == ["dv"]
+    assert sorted(tuple(r) for r in eng.sql("SELECT * FROM cust").collect()) \
+        == before
+
+
+# ---------------------------------------------------------------------------
+# spilled history (bounded metadata.json)
+# ---------------------------------------------------------------------------
+
+
+def test_history_spill_keeps_semantics(spark, tmp_path, sf_dir, monkeypatch):
+    """With all-but-the-tail history spilled to snaplog-* archives, time
+    travel, $snapshots/$history/$metadata_log_entries, expiry, and orphan
+    sweeps behave exactly as with inline history."""
+    from iceberg_trino_sql_demo_spark.sources.metadata import MetadataIO
+
+    monkeypatch.setattr(MetadataIO, "HISTORY_KEEP", 5)
+    monkeypatch.setattr(MetadataIO, "HISTORY_CHUNK", 5)
+    cat = Catalog(spark, str(tmp_path / "whspill"))
+    cat.create_schema("sp")
+    cat.use("sp")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.ctas("n", nation.limit(2))
+    t = cat.table("n")
+    early = t.meta.refs["main"]
+    for i in range(24):
+        t.insert([{"n_nationkey": 900 + i, "n_name": f"S{i}", "n_regionkey": 0}])
+    assert t.meta.snapshot_archives, "expected spilled archives"
+    assert len(t.meta.snapshots) <= 10
+    # the pointer file carries only the tail
+    import json as _json
+
+    with open(t.io.metadata_file(t.io.current_version())) as fh:
+        doc = _json.load(fh)
+    assert len(doc["snapshots"]) == len(t.meta.snapshots)
+
+    # archived-range time travel from a FRESH handle (no warm caches)
+    fresh = cat.table("n")
+    assert fresh.df(version=early).count() == 2
+    assert fresh.meta_df("snapshots").count() == 25
+    assert fresh.meta_df("history").count() == 25
+    # one metadata version per commit PLUS the table-creation version
+    assert fresh.meta_df("metadata_log_entries").count() == 26
+    assert len(fresh.meta.all_snapshots()) == 25
+
+    # expiry sees the full history (drops archived snapshots too)
+    dropped = fresh.expire_snapshots(retention_ms=0)
+    assert dropped == 24
+    fresh.refresh()
+    assert len(fresh.meta.all_snapshots()) == 1
+    assert fresh.df().count() == 26
+    # detached archives are sweepable; reads stay intact
+    fresh.remove_orphan_files(retention_ms=0)
+    fresh.refresh()
+    assert fresh.df().count() == 26
+
+
+def test_history_spill_stream_watermark_survives(spark, tmp_path, sf_dir, monkeypatch):
+    """The exactly-once sink's (stream, batch) watermark lives in snapshot
+    summaries; once those snapshots spill, re-delivered batches must STILL
+    be dropped (a lost watermark would double-apply)."""
+    from iceberg_trino_sql_demo_spark.sources.metadata import MetadataIO
+    from iceberg_trino_sql_demo_spark.streaming.ingest import table_sink
+
+    monkeypatch.setattr(MetadataIO, "HISTORY_KEEP", 3)
+    monkeypatch.setattr(MetadataIO, "HISTORY_CHUNK", 3)
+    cat = Catalog(spark, str(tmp_path / "whwm"))
+    cat.create_schema("wm")
+    cat.use("wm")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.ctas("n", nation.limit(1))
+    t = cat.table("n")
+    sink = table_sink(t, "s1")
+    batch = spark.createDataFrame(
+        [(990, "W", 0)], "n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    sink(batch, 7)
+    for i in range(10):  # push the watermark snapshot into the archive
+        t.refresh()
+        t.insert([{"n_nationkey": 800 + i, "n_name": f"F{i}", "n_regionkey": 0}])
+    t.refresh()
+    assert t.meta.snapshot_archives
+    n_before = t.df().count()
+    sink(batch, 7)  # re-delivery of an ARCHIVED batch: must be a no-op
+    t.refresh()
+    assert t.df().count() == n_before
