@@ -386,12 +386,18 @@ class Engine:
         t.dynamic_overwrite(aligned, ref=m.group(2) or "main")
 
     def _h_update(self, m: re.Match) -> None:
-        name, branch, sets_s, where = m.group(1), m.group(2), m.group(3), m.group(4)
+        name, branch, rest = m.group(1), m.group(2), m.group(3)
+        # quote-aware clause split: a WHERE inside a SET string literal
+        # must not terminate the assignment list
+        idx = _top_keyword_index(rest, "WHERE")
+        if idx < 0:
+            raise ValueError("UPDATE requires a WHERE clause")
+        sets_s, where = rest[:idx], rest[idx + len("WHERE"):]
         assignments: dict[str, Any] = {}
         for part in _split_top(sets_s):
             col, expr = part.split("=", 1)
             assignments[col.strip()] = expr.strip()
-        self._table(name).update(assignments, where, ref=branch or "main")
+        self._table(name).update(assignments, where.strip(), ref=branch or "main")
 
     def _h_delete(self, m: re.Match) -> None:
         self._table(m.group(1)).delete(m.group(3), ref=m.group(2) or "main")
@@ -739,7 +745,7 @@ class Engine:
         (re.compile(r"^EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?$", _FLAGS),
          _h_execute_prepared),
         (re.compile(r"^DEALLOCATE\s+PREPARE\s+(\w+)$", _FLAGS), _h_deallocate),
-        (re.compile(r"^UPDATE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SET\s+(.*?)\s+WHERE\s+(.*)$",
+        (re.compile(r"^UPDATE\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?SET\s+(.*)$",
                     _FLAGS), _h_update),
         (re.compile(r"^DELETE\s+FROM\s+([\w.\"]+)\s*(?:@\s*(\w+)\s*)?\s*WHERE\s+(.*)$",
                     _FLAGS), _h_delete),
@@ -1387,6 +1393,35 @@ def _prunable_for(
 # ---------------------------------------------------------------------------
 # literal / list parsing helpers
 # ---------------------------------------------------------------------------
+def _top_keyword_index(s: str, kw: str) -> int:
+    """Index of the first word-boundary occurrence of ``kw`` OUTSIDE
+    single-quoted string literals (and outside parens), or -1.
+
+    The regex dispatcher's lazy ``(.*?)\\s+WHERE`` split is exactly the
+    bug class this exists to kill: ``SET s = 'a WHERE b' WHERE k = 1``
+    must split at the SECOND WHERE (found by the DML fuzz family,
+    tests/test_differential_fuzz.py)."""
+    q, depth, n, up, kwu = False, 0, len(s), s.upper(), kw.upper()
+    i = 0
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            q = not q
+        elif not q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and up.startswith(kwu, i):
+                before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+                j = i + len(kwu)
+                after_ok = j >= n or not (s[j].isalnum() or s[j] == "_")
+                if before_ok and after_ok:
+                    return i
+        i += 1
+    return -1
+
+
 def _split_top(s: str) -> list[str]:
     """Split on commas not inside quotes/parens."""
     out, depth, cur, q = [], 0, [], False
@@ -1422,7 +1457,8 @@ def _parse_literal(tok: str) -> Any:
     if m:
         return m.group(1)
     if tok.startswith("'") and tok.endswith("'"):
-        return tok[1:-1]
+        # SQL '' escape inside a string literal denotes one quote
+        return tok[1:-1].replace("''", "'")
     try:
         return int(tok)
     except ValueError:

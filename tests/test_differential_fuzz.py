@@ -432,3 +432,227 @@ def test_frontend_pruning_neutrality(spark, prune_engine, sql, monkeypatch):
     monkeypatch.setattr(engmod, "_prunable_for", lambda *a, **k: None)
     plain_rows = eng.sql(sql).collect()
     assert sorted(map(tuple, pruned_rows)) == sorted(map(tuple, plain_rows)), sql
+
+
+# ---------------------------------------------------------------------------
+# DML frontend fuzzing (VERDICT r6/r7 #5): generated INSERT/UPDATE/DELETE/
+# MERGE statements through Engine.sql must leave the table in EXACTLY the
+# state a Python model of the statement predicts.  The SELECT fuzz above
+# pins the read dialect; this pins the hand-written DML regex layer
+# (engine.py UPDATE/DELETE/MERGE/INSERT parsing) against the bug class
+# regexes invite: keywords and quotes INSIDE string literals, '' escapes,
+# comments adjacent to clauses, branch targets, and multi-clause MERGE.
+#
+# One shared engine table; every example operates on its own disjoint
+# key slice, so examples never interact and no per-example table-create
+# cost is paid.
+# ---------------------------------------------------------------------------
+
+import itertools as _it
+
+_SLICES = _it.count(1)
+
+#: string literals that stress the regex layer: SQL keywords, comment
+#: openers, parens/commas/operators, and '' escapes — everything here is
+#: INSIDE quotes, so a correct parser must treat it as data
+_NASTY = [
+    "plain",
+    "a WHERE b",
+    "x THEN y",
+    "p AND q, r",
+    "-- not a comment",
+    "/* not a block */",
+    "paren (deep) = 'ish",
+    "it''s quoted",
+    "SET v = 9",
+    "WHEN MATCHED",
+]
+
+
+def _lit(s: str) -> str:
+    """Python value -> SQL string literal ('' escaping)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _unlit(s: str) -> str:
+    """What the engine should store for the _NASTY entry."""
+    return s.replace("''", "'")
+
+
+@pytest.fixture(scope="module")
+def dml_env(spark, tmp_path_factory):
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("whfuzz")))
+    eng.sql("CREATE SCHEMA fz")
+    eng.sql("USE fz")
+    spark.createDataFrame(
+        [], "k long, grp long, v long, s string"
+    ).createOrReplaceTempView("dml_seed")
+    eng.sql("CREATE TABLE dml_t AS SELECT * FROM dml_seed")
+    return eng
+
+
+def _seed_slice(eng, base: int, strs: list[str]) -> list[dict]:
+    rows = [
+        {"k": base + i, "grp": i % 3, "v": i * 10, "s": strs[i % len(strs)]}
+        for i in range(8)
+    ]
+    values = ", ".join(
+        f"({r['k']}, {r['grp']}, {r['v']}, {_lit(r['s'])})" for r in rows
+    )
+    eng.sql(f"INSERT INTO dml_t (k, grp, v, s) VALUES {values}")
+    return rows
+
+
+def _slice_state(eng, base: int, ref: str | None = None) -> set:
+    at = f' FOR VERSION AS OF \'{ref}\'' if ref else ""
+    df = eng.sql(
+        f"SELECT k, grp, v, s FROM dml_t{at} "
+        f"WHERE k >= {base} AND k < {base + 1000}"
+    )
+    return {tuple(r) for r in df.collect()}
+
+
+def _as_set(rows: list[dict]) -> set:
+    return {(r["k"], r["grp"], r["v"], r["s"]) for r in rows}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_insert_statement_roundtrip(dml_env, data):
+    """INSERT VALUES with keyword/quote/comment-shaped string literals
+    lands exactly the stated rows."""
+    base = next(_SLICES) * 1000
+    strs = data.draw(st.lists(st.sampled_from(_NASTY), min_size=2, max_size=5))
+    rows = _seed_slice(dml_env, base, [_unlit(_lit(s))[1:-1] for s in strs])
+    # expected values: the literal with '' collapsed back to '
+    assert _slice_state(dml_env, base) == _as_set(rows)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_update_statement_agreement(dml_env, data):
+    """Random SET lists (arithmetic + nasty string literals) under random
+    predicates — frontend execution equals the Python model."""
+    base = next(_SLICES) * 1000
+    rows = _seed_slice(dml_env, base, _NASTY)
+
+    g = data.draw(st.integers(min_value=0, max_value=2))
+    vcut = data.draw(st.integers(min_value=0, max_value=70))
+    set_str = data.draw(st.sampled_from(_NASTY))
+    add = data.draw(st.integers(min_value=-5, max_value=5))
+    assigns_sql = f"v = v + k + {add}, s = {_lit(set_str)}"
+    where_sql = (
+        f"k >= {base} AND k < {base + 1000} "
+        f"AND (grp = {g} OR v >= {vcut})"
+    )
+    dml_env.sql(
+        f"UPDATE dml_t SET {assigns_sql} -- trailing note\nWHERE {where_sql}"
+    )
+    for r in rows:
+        if r["grp"] == g or r["v"] >= vcut:
+            r["v"] = r["v"] + r["k"] + add
+            r["s"] = set_str
+    assert _slice_state(dml_env, base) == _as_set(rows)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_delete_statement_agreement_with_branch(dml_env, data):
+    """DELETE under random predicates — optionally branch-targeted, in
+    which case main must stay untouched and the branch must match the
+    model."""
+    base = next(_SLICES) * 1000
+    rows = _seed_slice(dml_env, base, _NASTY)
+    g = data.draw(st.integers(min_value=0, max_value=2))
+    vcut = data.draw(st.integers(min_value=5, max_value=75))
+    use_branch = data.draw(st.booleans())
+    where_sql = (
+        f"k >= {base} AND k < {base + 1000} AND (grp = {g} AND v < {vcut})"
+    )
+    expect = [r for r in rows if not (r["grp"] == g and r["v"] < vcut)]
+    if use_branch:
+        br = f"b{base}"
+        t = dml_env.catalog.table("dml_t")
+        t.create_branch(br)
+        dml_env.sql(f"DELETE FROM dml_t @ {br} WHERE {where_sql}")
+        assert _slice_state(dml_env, base, ref=br) == _as_set(expect)
+        assert _slice_state(dml_env, base) == _as_set(rows)  # main intact
+    else:
+        dml_env.sql(f"DELETE FROM dml_t WHERE {where_sql}")
+        assert _slice_state(dml_env, base) == _as_set(expect)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_merge_statement_agreement(dml_env, data):
+    """Multi-clause MERGE (optional MATCHED-AND DELETE before MATCHED
+    UPDATE, NOT MATCHED INSERT) with nasty literals in the source —
+    first-match-wins per statement order, modeled in Python."""
+    spark = dml_env.spark
+    base = next(_SLICES) * 1000
+    rows = _seed_slice(dml_env, base, _NASTY)
+    # source: a random subset of existing keys + some new keys
+    matched = data.draw(
+        st.lists(st.integers(min_value=0, max_value=7), min_size=1,
+                 max_size=4, unique=True)
+    )
+    n_new = data.draw(st.integers(min_value=1, max_value=3))
+    s_lit = data.draw(st.sampled_from(_NASTY))
+    src_rows = [
+        {"k": base + i, "grp": 9, "v": 1000 + i, "s": _unlit(_lit(s_lit))[1:-1]}
+        for i in matched
+    ] + [
+        {"k": base + 100 + j, "grp": 9, "v": 2000 + j,
+         "s": _unlit(_lit(s_lit))[1:-1]}
+        for j in range(n_new)
+    ]
+    view = f"msrc_{base}"
+    spark.createDataFrame(
+        [(r["k"], r["grp"], r["v"], r["s"]) for r in src_rows],
+        "k bigint, grp bigint, v bigint, s string",
+    ).createOrReplaceTempView(view)
+
+    del_cut = data.draw(st.integers(min_value=0, max_value=80))
+    with_delete = data.draw(st.booleans())
+    del_clause = (
+        f"WHEN MATCHED AND t.v < {del_cut} THEN DELETE " if with_delete else ""
+    )
+    stmt = (
+        f"MERGE INTO dml_t AS t USING {view} AS u ON t.k = u.k "
+        + del_clause
+        + "WHEN MATCHED THEN UPDATE SET v = u.v, s = u.s "
+        + "WHEN NOT MATCHED THEN INSERT (k, grp, v, s) "
+        + "VALUES (u.k, u.grp, u.v, u.s)"
+    )
+    dml_env.sql(stmt)
+
+    by_k = {r["k"]: r for r in rows}
+    for sr in src_rows:
+        tr = by_k.get(sr["k"])
+        if tr is not None:
+            if with_delete and tr["v"] < del_cut:
+                del by_k[sr["k"]]  # first-match-wins: delete precedes update
+            else:
+                tr["v"], tr["s"] = sr["v"], sr["s"]
+        else:
+            by_k[sr["k"]] = {"k": sr["k"], "grp": sr["grp"],
+                             "v": sr["v"], "s": sr["s"]}
+    assert _slice_state(dml_env, base) == _as_set(list(by_k.values()))
