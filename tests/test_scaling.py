@@ -480,3 +480,36 @@ def test_batch5_ops_scale_shapes(spark, scaled):
     assert nm == M * n1, f"text_oov_rate: {n1} -> {nm}, expected exactly {M}x"
     m1, mm = _counts(spark, "dedup_cross_source_matrix", base, big)
     assert m1 == mm, f"cross_source_matrix rows changed with scale: {m1} -> {mm}"
+
+
+def test_pack_sequences_bucket_count_self_sizes_and_is_invariant(
+    spark, sf_dir, monkeypatch
+):
+    """The packing prefix scan's bucket count grows with the corpus
+    (footer row count) instead of capping at a constant, and the OUTPUT
+    is bucket-count-invariant: identical rows at 1, 7, and 64+ buckets."""
+    from iceberg_trino_sql_demo_spark import operators as ops
+    from iceberg_trino_sql_demo_spark.operators import pipeline as pl
+
+    ops.load_all()
+    # sizing math: floor, linear growth, ceiling
+    assert pl._pack_buckets(500) == pl._PACK_MIN_BUCKETS
+    assert pl._pack_buckets(pl._PACK_DOCS_PER_BUCKET * 640) == 640
+    assert pl._pack_buckets(10**13) == pl._PACK_MAX_BUCKETS
+
+    def run():
+        ops._PLAN_CACHE.clear()
+        return sorted(
+            tuple(r)
+            for r in ops.QUERIES["training_pack_sequences"](spark, sf_dir).collect()
+        )
+
+    base = run()
+    assert base, "packing produced no rows"
+    for dpb in (10**9, 80):  # -> 64 (floor) and a handful of buckets
+        monkeypatch.setattr(pl, "_PACK_DOCS_PER_BUCKET", dpb)
+        assert run() == base
+    monkeypatch.setattr(pl, "_PACK_MIN_BUCKETS", 1)
+    monkeypatch.setattr(pl, "_PACK_DOCS_PER_BUCKET", 10**9)  # -> 1 bucket
+    assert run() == base
+    ops._PLAN_CACHE.clear()
