@@ -132,6 +132,15 @@ def snapshot_df(
     )
     data_files = manifest.data_files
     if not data_files:
+        if hidden:
+            out_struct = T.StructType(
+                list(out_struct.fields)
+                + [
+                    T.StructField(PARTITION_COL, T.StringType(), True),
+                    T.StructField(PATH_COL, T.StringType(), True),
+                    T.StructField(FILE_MTIME, T.TimestampType(), True),
+                ]
+            )
         empty = spark.createDataFrame([], out_struct)
         return empty if hidden else empty.select(*[f.name for f in current.fields])
 

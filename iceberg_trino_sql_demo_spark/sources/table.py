@@ -738,8 +738,18 @@ class Table:
                 for f in schema.fields
             ]
         )
+        from collections.abc import Mapping
+
         data = []
         for r in rows:
+            if not isinstance(r, Mapping):
+                # a tuple/list row would silently fail every `name in row`
+                # test below and insert all-default columns — refuse loudly
+                raise TypeError(
+                    "insert rows must be mappings of column name -> value "
+                    f"(got {type(r).__name__}); pass a DataFrame for "
+                    "positional rows"
+                )
             vals = []
             for f in schema.fields:
                 if f.name in r:
@@ -1383,6 +1393,24 @@ class Table:
             manifest, affected, matches, "overwrite", ref, extra_data_df=updated
         )
 
+    #: raw-row bound under which a MERGE source's keys become a manifest
+    #: runtime filter (same cap as collect_runtime_filter_keys)
+    _MERGE_RF_MAX_KEYS = 1000
+
+    def _merge_filter_keys(self, source: DataFrame, on: str) -> list | None:
+        """Source join keys when the source is PROVABLY small, else None.
+
+        Bound enforced before materialization: LIMIT N+1 then collect
+        holds at most N+1 rows driver-side and reads ~one source
+        partition; no distinct ever runs over a large source.  None (or
+        an all-NULL key set) means "don't prune"."""
+        cap = self._MERGE_RF_MAX_KEYS
+        rows = source.select(on).limit(cap + 1).collect()
+        if len(rows) > cap:
+            return None
+        keys = sorted({r[0] for r in rows if r[0] is not None})
+        return keys or None
+
     def merge(
         self,
         source: DataFrame,
@@ -1430,10 +1458,29 @@ class Table:
         # _path column against the source keys.  Only file paths (manifest
         # cardinality) reach the driver — the source key set never does, so
         # a 100 TB CDC-upsert source flows executor-to-executor throughout.
+        #
+        # Small-source fast path (VERDICT r6/r7 #7): when the source's raw
+        # row count is provably tiny (LIMIT N+1 collect — one cheap job,
+        # never a full distinct), its keys become a manifest runtime
+        # filter (the ice_runtime_filter_join mechanism): min/max + bloom
+        # pruning bounds BOTH the probe and the not-matched anti-join to
+        # files that can contain a source key, so a 10-key MERGE against a
+        # 10^6-file table reads the pruned subset, not the table.  Pruning
+        # is a conservative superset; the row-level semi-join still
+        # decides the exact affected set, so correctness never depends on
+        # it.  Rows in pruned-away files cannot equi-match any source key,
+        # so the NOT MATCHED anti-join over the pruned state is exact too.
         if delete_not_matched_by_source:
             affected = list(manifest.data_files)
+            scan_manifest = manifest
         else:
-            probe = snapshot_df(self.spark, self.meta, manifest, hidden=True)
+            keys = self._merge_filter_keys(source, on)
+            scan_manifest = (
+                self.prune(manifest, [Predicate(on, "in", keys)])
+                if keys is not None
+                else manifest
+            )
+            probe = snapshot_df(self.spark, self.meta, scan_manifest, hidden=True)
             hit_paths = {
                 r[0].replace("file:", "")
                 for r in probe.join(
@@ -1443,7 +1490,7 @@ class Table:
                 .distinct()
                 .collect()
             }
-            affected = [f for f in manifest.data_files if f.path in hit_paths]
+            affected = [f for f in scan_manifest.data_files if f.path in hit_paths]
         new_seq = self.meta.last_sequence_number + 1
         tgt_names = [f.name for f in self.meta.schema.fields]
 
@@ -1483,7 +1530,7 @@ class Table:
             parts_new.append(matched_df)
 
         if insert_not_matched:
-            tgt_keys = snapshot_df(self.spark, self.meta, manifest).select(on)
+            tgt_keys = snapshot_df(self.spark, self.meta, scan_manifest).select(on)
             unmatched = src.join(
                 tgt_keys, src[src_cols[on]] == tgt_keys[on], "left_anti"
             )

@@ -237,9 +237,17 @@ def test_merge_large_source_never_collects_keys(spark, tmp_path, sf_dir):
     finally:
         DataFrame.collect = orig_collect
 
-    # every driver round-trip during MERGE is manifest-sized, never source-sized
+    # every driver round-trip during MERGE is bounded: manifest-sized
+    # (file paths) or the HARD-CAPPED runtime-filter key probe (LIMIT
+    # _MERGE_RF_MAX_KEYS+1 rows — the probe that proves the source is NOT
+    # small and disables pruning); never source-sized
+    from iceberg_trino_sql_demo_spark.sources.table import Table as _T
+
+    cap = _T._MERGE_RF_MAX_KEYS + 1
     assert collected_sizes, "expected at least the affected-file probe"
-    assert max(collected_sizes) <= max(n_files, 16), collected_sizes
+    assert all(
+        n <= max(n_files, 16) or n == cap for n in collected_sizes
+    ), collected_sizes
     assert t.df().count() == 100_000 + t.df(where="custkey < 1000000").count()
 
 
@@ -635,3 +643,64 @@ def test_compaction_is_cdc_invisible(spark, tmp_path, sf_dir):
     t.rewrite_equality_deletes()
     s5 = t._resolve().snapshot_id
     assert t.table_changes(s4, s5).count() == 0
+
+
+def test_merge_small_source_prunes_affected_file_planning(spark, tmp_path, monkeypatch):
+    """A provably-small MERGE source becomes a manifest runtime filter:
+    the affected-file probe and the NOT-MATCHED anti-join scan only files
+    whose key ranges can match, never the whole table — and the result is
+    identical to the unpruned plan."""
+    from iceberg_trino_sql_demo_spark.sources import table as tmod
+    from iceberg_trino_sql_demo_spark.sources.table import Table
+
+    # four range-disjoint key batches -> four+ files with tight min/max
+    t = Table.ctas(
+        spark, str(tmp_path / "mrf"),
+        spark.createDataFrame(
+            [(k, "base", k * 10) for k in range(100)],
+            "k long, tag string, v long",
+        ).coalesce(1),
+    )
+    for lo in (100, 200, 300):
+        t.insert([{"k": k, "tag": "base", "v": k * 10} for k in range(lo, lo + 100)])
+    man = t._manifest(t._resolve("main"))
+    n_total = len(man.data_files)
+    assert n_total >= 4
+
+    src = spark.createDataFrame(
+        [(250, "upd", 1), (260, "upd", 2), (999, "new", 3)],
+        "k long, tag string, v long",
+    )
+    keys = t._merge_filter_keys(src, "k")
+    assert keys == [250, 260, 999]
+    # the probe must never see more files than the runtime filter admits
+    from iceberg_trino_sql_demo_spark.plans.pruning import Predicate
+
+    n_pruned = len(t.prune(man, [Predicate("k", "in", keys)]).data_files)
+    assert n_pruned < n_total
+
+    seen: list[int] = []
+    real = tmod.snapshot_df
+
+    def spy(spark_, meta, manifest, **kw):
+        seen.append(len(manifest.data_files))
+        return real(spark_, meta, manifest, **kw)
+
+    monkeypatch.setattr(tmod, "snapshot_df", spy)
+    t.merge(src, on="k", matched_set={"tag": "__src_tag", "v": "__src_v"})
+    monkeypatch.setattr(tmod, "snapshot_df", real)
+    assert seen and max(seen) <= n_pruned, (seen, n_pruned, n_total)
+
+    rows = {r.k: (r.tag, r.v) for r in t.df().collect()}
+    assert len(rows) == 401
+    assert rows[250] == ("upd", 1) and rows[260] == ("upd", 2)
+    assert rows[999] == ("new", 3)
+    assert rows[0] == ("base", 0) and rows[399] == ("base", 3990)
+
+    # unprovably-small source (cap exceeded) falls back to the full probe
+    big = spark.range(0, tmod.Table._MERGE_RF_MAX_KEYS + 50).selectExpr(
+        "id AS k", "'bulk' AS tag", "id AS v"
+    )
+    assert t._merge_filter_keys(big, "k") is None
+    t.merge(big, on="k", matched_set={"tag": "__src_tag"})
+    assert t.df().where("tag = 'bulk'").count() == tmod.Table._MERGE_RF_MAX_KEYS + 50

@@ -722,7 +722,9 @@ def test_segment_scan_route_matches_jvm(spark, monkeypatch):
 
     # time travel rides the snapshot_id option
     v1 = t.meta.refs["main"]
-    t.insert([(999_999, 1, "O", 1.0, jvm_rows[0][4], "1-URGENT")])
+    t.insert([{"o_orderkey": 999_999, "o_custkey": 1, "o_orderstatus": "O",
+               "o_totalprice": 1.0, "o_orderdate": jvm_rows[0][4],
+               "o_orderpriority": "1-URGENT"}])
     old = t.df(version=v1)
     assert "BatchScan ice_table" in plan(old)
     assert sorted(tuple(r) for r in old.collect()) == jvm_rows
