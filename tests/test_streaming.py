@@ -197,3 +197,48 @@ def test_stream_cdc_full_exactly_once_restart(spark, tmp_path, sf_dir):
     rep.refresh()
     assert len(rep.meta.snapshots) == n_snaps
     assert {(r.k, r.v) for r in rep.df().collect()} == exp
+
+
+def test_cdc_sink_bounds_delete_files_over_many_batches(spark, tmp_path):
+    """A long-running cdc_upsert_sink must not accumulate delete files
+    forever: past the delete_rewrite_threshold the sink folds equality
+    deletes to position form and consolidates those into one deletion
+    vector, all between batches, all data-invariant.  30 upsert batches
+    with threshold 5: the live delete-file count stays bounded the whole
+    run and the final state matches the per-key last-write model."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.streaming.ingest import cdc_upsert_sink
+
+    cat = Catalog(spark, str(tmp_path / "wh_bound"))
+    cat.create_schema("bd")
+    cat.use("bd")
+    rep = cat.ctas(
+        "rep",
+        spark.createDataFrame([{"k": i, "v": "init"} for i in range(20)]),
+        properties={"delete_rewrite_threshold": "5"},
+    )
+    sink = cdc_upsert_sink(rep, ["k"], "s_bound")
+    model = {i: "init" for i in range(20)}
+    max_del_files = 0
+    for b in range(30):
+        k_up, k_del = b % 20, (b + 7) % 20
+        batch = spark.createDataFrame(
+            [(k_up, f"v{b}", "insert", b + 1), (k_del, None, "delete", b + 1)],
+            "k long, v string, _change_type string, _commit_sequence_number long",
+        )
+        sink(batch, b)
+        model[k_up] = f"v{b}"
+        model.pop(k_del, None)
+        rep.refresh()
+        n_del = len(rep.io.read_manifest(rep._resolve()).delete_files)
+        max_del_files = max(max_del_files, n_del)
+    # threshold 5 + at most a couple of in-flight files between rewrites
+    assert max_del_files <= 7, max_del_files
+    got = {r.k: r.v for r in rep.df().collect()}
+    assert got == model
+    # re-delivery after maintenance commits is still a no-op (the
+    # watermark summary survives the rewrites)
+    n = rep.df().count()
+    sink(batch, 29)
+    rep.refresh()
+    assert rep.df().count() == n
