@@ -405,46 +405,93 @@ class Engine:
     def _h_merge(self, m: re.Match) -> None:
         tgt, _ta, src, sa, on, rest = m.groups()
         src_df = self._select(f"SELECT * FROM {src}")
-        # clause conditions are tempered to never cross a THEN — a lazy
-        # (.*?) would otherwise swallow a preceding/following clause when
-        # the statement carries BOTH a MATCHED DELETE and a MATCHED UPDATE
-        mm = re.search(
-            r"WHEN\s+MATCHED(?:\s+AND\s+((?:(?!\bTHEN\b).)*?))?\s+THEN\s+UPDATE\s+SET\s+(.*?)"
-            r"(?:WHEN\s+(?:NOT\s+)?MATCHED|$)", rest, _FLAGS)
-        matched_set, matched_cond = {}, None
-        if mm:
-            if mm.group(1):
-                matched_cond = re.sub(rf"\b{sa}\.(\w+)", r"__src_\1", mm.group(1))
-                matched_cond = re.sub(r"\b\w+\.(\w+)", r"\1", matched_cond)
-            for part in _split_top(mm.group(2)):
-                col, expr = part.split("=", 1)
-                expr = re.sub(rf"\b{sa}\.(\w+)", r"__src_\1", expr.strip())
-                matched_set[col.strip().split(".")[-1]] = expr
-        # multi-clause form: WHEN MATCHED AND cond THEN DELETE (the clause
-        # precedes the UPDATE clause in statement order — first match wins)
-        md = re.search(
-            r"WHEN\s+MATCHED(?:\s+AND\s+((?:(?!\bTHEN\b).)*?))?\s+THEN\s+DELETE",
-            rest, _FLAGS)
-        matched_del = None
-        if md and mm and mm.start() < md.start():
-            # first-match-wins: the engine evaluates the delete clause
-            # before the update clause, so only the DELETE-first statement
-            # order is faithful — refuse the other loudly rather than
-            # silently deleting rows the statement would have updated
-            raise ValueError(
-                "MERGE: WHEN MATCHED ... THEN DELETE must precede the "
-                "WHEN MATCHED ... THEN UPDATE clause (first-match-wins; "
-                "the engine applies the delete clause first)"
-            )
-        if md:
-            matched_del = md.group(1) or "true"
-            matched_del = re.sub(rf"\b{sa}\.(\w+)", r"__src_\1", matched_del)
-            matched_del = re.sub(r"\b\w+\.(\w+)", r"\1", matched_del)
+
+        def _unalias(cond: str) -> str:
+            cond = re.sub(rf"\b{sa}\.(\w+)", r"__src_\1", cond)
+            return re.sub(r"\b\w+\.(\w+)", r"\1", cond)
+
+        # QUOTE-AWARE clause split (DML fuzz family): the old THEN-tempered
+        # regexes stopped at a THEN/WHEN inside a string literal in a
+        # clause condition, silently dropping the clause.  Clauses start at
+        # top-level WHEN keywords; within each, the first top-level THEN
+        # separates the head (match kind + optional AND condition) from
+        # the action.
+        starts = []
+        pos = 0
+        while True:
+            i = _top_keyword_index(rest[pos:], "WHEN")
+            if i < 0:
+                break
+            starts.append(pos + i)
+            pos += i + 4
+        clauses = [
+            rest[a:b].strip()
+            for a, b in zip(starts, starts[1:] + [len(rest)])
+        ]
+        matched_set: dict[str, str] = {}
+        matched_cond = matched_del = None
+        by_source_delete = insert_not_matched = False
+        seen_update = False
+        for cl in clauses:
+            ti = _top_keyword_index(cl, "THEN")
+            if ti < 0:
+                raise ValueError(f"MERGE: clause without THEN: {cl[:80]!r}")
+            head, action = cl[:ti].strip(), cl[ti + len("THEN"):].strip()
+            ai = _top_keyword_index(head, "AND")
+            cond = head[ai + len("AND"):].strip() if ai >= 0 else None
+            kind = (head[:ai] if ai >= 0 else head).strip().upper()
+            kind = re.sub(r"\s+", " ", kind)
+            if kind == "WHEN MATCHED":
+                if re.match(r"^UPDATE\s+SET\s+", action, _FLAGS):
+                    sets_s = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=_FLAGS)
+                    for part in _split_top(sets_s):
+                        col, expr = part.split("=", 1)
+                        matched_set[col.strip().split(".")[-1]] = _unalias(
+                            expr.strip()
+                        )
+                    matched_cond = _unalias(cond) if cond else None
+                    seen_update = True
+                elif action.upper() == "DELETE":
+                    if seen_update:
+                        # first-match-wins: the engine evaluates the delete
+                        # clause before the update clause, so only the
+                        # DELETE-first statement order is faithful — refuse
+                        # the other loudly rather than silently deleting
+                        # rows the statement would have updated
+                        raise ValueError(
+                            "MERGE: WHEN MATCHED ... THEN DELETE must "
+                            "precede the WHEN MATCHED ... THEN UPDATE "
+                            "clause (first-match-wins; the engine applies "
+                            "the delete clause first)"
+                        )
+                    matched_del = _unalias(cond) if cond else "true"
+                else:
+                    raise ValueError(
+                        f"MERGE: unsupported MATCHED action {action[:60]!r}"
+                    )
+            elif kind in ("WHEN NOT MATCHED", "WHEN NOT MATCHED BY TARGET"):
+                if cond is not None:
+                    raise NotImplementedError(
+                        "MERGE: conditional WHEN NOT MATCHED is not "
+                        "supported (the condition would be silently "
+                        "ignored)"
+                    )
+                if not re.match(r"^INSERT\b", action, _FLAGS):
+                    raise ValueError(
+                        f"MERGE: unsupported NOT MATCHED action "
+                        f"{action[:60]!r}"
+                    )
+                insert_not_matched = True
+            elif kind == "WHEN NOT MATCHED BY SOURCE":
+                if action.upper() != "DELETE" or cond is not None:
+                    raise ValueError(
+                        "MERGE: only unconditional WHEN NOT MATCHED BY "
+                        "SOURCE THEN DELETE is supported"
+                    )
+                by_source_delete = True
+            else:
+                raise ValueError(f"MERGE: unsupported clause {head[:80]!r}")
         key = re.search(r"\(?\s*\w+\.(\w+)\s*=", on).group(1)
-        by_source_delete = bool(re.search(
-            r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE", rest, _FLAGS))
-        insert_not_matched = bool(re.search(
-            r"WHEN\s+NOT\s+MATCHED(?!\s+BY\s+SOURCE)", rest, _FLAGS))
         self._table(tgt).merge(src_df, on=key, matched_set=matched_set,
                                matched_condition=matched_cond,
                                matched_delete_condition=matched_del,

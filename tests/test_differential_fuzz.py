@@ -632,25 +632,34 @@ def test_merge_statement_agreement(dml_env, data):
 
     del_cut = data.draw(st.integers(min_value=0, max_value=80))
     with_delete = data.draw(st.booleans())
+    # clause CONDITIONS carry nasty string literals too (quoted THEN /
+    # WHEN / AND must not terminate the clause scan) — the delete matches
+    # rows below the cut OR with a specific nasty s value; the update
+    # condition excludes one nasty s value
+    del_nasty = data.draw(st.sampled_from(_NASTY))
+    upd_excl = data.draw(st.sampled_from(_NASTY))
     del_clause = (
-        f"WHEN MATCHED AND t.v < {del_cut} THEN DELETE " if with_delete else ""
+        f"WHEN MATCHED AND t.v < {del_cut} OR t.s = {_lit(del_nasty)} "
+        "THEN DELETE " if with_delete else ""
     )
     stmt = (
         f"MERGE INTO dml_t AS t USING {view} AS u ON t.k = u.k "
         + del_clause
-        + "WHEN MATCHED THEN UPDATE SET v = u.v, s = u.s "
+        + f"WHEN MATCHED AND t.s != {_lit(upd_excl)} "
+        + "THEN UPDATE SET v = u.v, s = u.s "
         + "WHEN NOT MATCHED THEN INSERT (k, grp, v, s) "
         + "VALUES (u.k, u.grp, u.v, u.s)"
     )
     dml_env.sql(stmt)
 
+    dn, ux = _unlit(_lit(del_nasty))[1:-1], _unlit(_lit(upd_excl))[1:-1]
     by_k = {r["k"]: r for r in rows}
     for sr in src_rows:
         tr = by_k.get(sr["k"])
         if tr is not None:
-            if with_delete and tr["v"] < del_cut:
+            if with_delete and (tr["v"] < del_cut or tr["s"] == dn):
                 del by_k[sr["k"]]  # first-match-wins: delete precedes update
-            else:
+            elif tr["s"] != ux:
                 tr["v"], tr["s"] = sr["v"], sr["s"]
         else:
             by_k[sr["k"]] = {"k": sr["k"], "grp": sr["grp"],
