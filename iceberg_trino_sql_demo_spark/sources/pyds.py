@@ -177,11 +177,16 @@ class IceSegmentScanReader(DataSourceReader):
         snapshot_id: int | None,
         max_bytes: int,
         max_files: int,
+        paths_file: str | None = None,
     ):
         self.location = location
         self.snapshot_id = snapshot_id
         self.max_bytes = max_bytes
         self.max_files = max_files
+        #: pre-planned file list (PRUNED scans): a parquet of
+        #: (path, file_size_bytes) written by Table.df — the survivor set
+        #: rides one file reference instead of an O(files) Py4J handoff
+        self.paths_file = paths_file
 
     def partitions(self) -> list[IceSegmentSlicePartition]:
         from iceberg_trino_sql_demo_spark.sources.manifest_store import (
@@ -192,6 +197,26 @@ class IceSegmentScanReader(DataSourceReader):
 
         io = MetadataIO(self.location)
         meta, _ = io.read()
+        if self.paths_file is not None:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(self.paths_file)
+            cols = [(f.pname, f.name) for f in meta.schema.fields]
+            parts: list[IceSegmentSlicePartition] = []
+            chunk: list[str] = []
+            nbytes = 0
+            for p, s in zip(
+                tbl.column("path").to_pylist(),
+                tbl.column("file_size_bytes").to_pylist(),
+            ):
+                chunk.append(p)
+                nbytes += s
+                if nbytes >= self.max_bytes or len(chunk) >= self.max_files:
+                    parts.append(IceSegmentSlicePartition(chunk, cols))
+                    chunk, nbytes = [], 0
+            if chunk:
+                parts.append(IceSegmentSlicePartition(chunk, cols))
+            return parts
         sid = (
             self.snapshot_id
             if self.snapshot_id is not None
@@ -298,6 +323,7 @@ class IceTableDataSource(DataSource):
                 int(sid) if sid is not None else None,
                 int(self.options.get("max_bytes", 128 * 1024 * 1024)),
                 int(self.options.get("max_files", 1024)),
+                self.options.get("paths_file"),
             )
         return IceTableReader(self.options["path"], self.options.get("prune_log"))
 

@@ -257,6 +257,11 @@ class Table:
         out: DataFrame | None = None
         if preds:
             manifest = self.prune(manifest, preds)
+            if not hidden:
+                # LARGE survivor sets take the DataSource plan too: the
+                # survivor list rides ONE parquet side file instead of an
+                # O(survivors) Py4J path handoff + JVM listing
+                out = self._pruned_scan_df(manifest)
         elif isinstance(manifest, LazyManifest):
             if (
                 not hidden
@@ -311,6 +316,56 @@ class Table:
             if ids and set(ids) != {cur}:
                 return False
         return all(f.schema_id == cur for f in manifest.added)
+
+    def _pruned_scan_df(self, manifest: Manifest) -> DataFrame | None:
+        """DataSource plan for a PRUNED survivor set, or None when the
+        JVM path is right (small set — its Py4J/listing cost is trivial
+        and the JVM vectorized reader is the faster executor) or the
+        state needs snapshot_df (deletes, schema evolution, exotic
+        types).  The survivor (path, size) list is written to one side
+        parquet; executors byte-pack their own task chunks from it."""
+        import tempfile
+
+        if manifest.delete_files or len(manifest.data_files) < _PYDS_SCAN_FILES:
+            return None
+        for f in self.meta.schema.fields:
+            if f.type in ("variant", "timestamp_ns"):
+                return None
+        cur = self.meta.current_schema_id
+        if any(f.schema_id != cur for f in manifest.data_files):
+            return None
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from iceberg_trino_sql_demo_spark.sources.pyds import (
+            FORMAT_NAME,
+            IceTableDataSource,
+        )
+
+        fd, tmp = tempfile.mkstemp(prefix="ice_scan_", suffix=".parquet")
+        os.close(fd)
+        pq.write_table(
+            pa.table(
+                {
+                    "path": pa.array(
+                        [f.path for f in manifest.data_files], pa.string()
+                    ),
+                    "file_size_bytes": pa.array(
+                        [f.file_size_bytes for f in manifest.data_files],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            tmp,
+        )
+        self.spark.dataSource.register(IceTableDataSource)  # idempotent
+        return (
+            self.spark.read.format(FORMAT_NAME)
+            .option("path", self.location)
+            .option("plan", "segments")
+            .option("paths_file", tmp)
+            .load()
+        )
 
     def _segment_scan_df(self, snap: Snapshot) -> DataFrame:
         from iceberg_trino_sql_demo_spark.sources.pyds import (

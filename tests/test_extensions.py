@@ -730,10 +730,11 @@ def test_segment_scan_route_matches_jvm(spark, monkeypatch):
     assert sorted(tuple(r) for r in old.collect()) == jvm_rows
     assert t.df().count() == len(jvm_rows) + 1
 
-    # a WHERE that prunes keeps the snapshot_df path (pruned manifests
-    # are survivor-sized; the DataSource route is the unpruned plan)
+    # a WHERE that prunes routes through the paths-file DataSource plan
+    # (above the gate) with the filter still executed by Catalyst on top
     filtered = t.df(where="o_orderkey = 1")
-    assert "BatchScan ice_table" not in plan(filtered)
+    assert "BatchScan ice_table" in plan(filtered)
+    assert filtered.count() == 1
 
     # schema evolution: old files are no longer under the current schema
     # -> the gate must fall back to column-id projection (defaults fill)
@@ -741,6 +742,38 @@ def test_segment_scan_route_matches_jvm(spark, monkeypatch):
     evolved = t.df()
     assert "BatchScan ice_table" not in plan(evolved)
     assert evolved.where(F.col("o_note") == "n/a").count() == len(jvm_rows) + 1
+
+
+def test_pruned_scan_routes_through_paths_file(spark, monkeypatch):
+    """Pruned reads with large survivor sets take the DataSource plan via
+    a (path, size) side parquet — identical rows to the JVM route, and
+    the WHERE still executes in Catalyst on top."""
+    import tempfile
+
+    from iceberg_trino_sql_demo_spark.sources import table as tmod
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="wh_"))
+    cat.create_schema("prsc")
+    cat.use("prsc")
+    src = spark.read.parquet(f"{SF}/orders.parquet")
+    t = cat.ctas("orders_pr", src)
+    where = "o_orderkey % 7 = 0 AND o_custkey > 20"
+    jvm_rows = sorted(tuple(r) for r in t.df(where=where).collect())
+    assert jvm_rows
+
+    monkeypatch.setattr(tmod, "_PYDS_SCAN_FILES", 1)
+    routed = t.df(where=where)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan ice_table" in plan
+    assert sorted(tuple(r) for r in routed.collect()) == jvm_rows
+    # the side file carries exactly the pruned survivors: a highly
+    # selective equality prunes to fewer files than the full set
+    full = len(t._manifest(t._resolve()).data_files)
+    sel = t.df(where="o_orderkey = 1")
+    assert "BatchScan ice_table" in \
+        sel._jdf.queryExecution().executedPlan().toString()
+    assert sel.count() == 1
 
 
 def test_segment_scan_reader_partitions_pack_by_bytes(spark):
