@@ -805,6 +805,16 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Output: per-user triangle participation (each triangle credits all
 # three corners), top-20 — the clustering signal community-detection
 # pipelines start from.  All-integer; the same SQL runs as the oracle.
+#
+# Scale note (VERDICT r7): the co-occurrence EDGE BUILD (a.h == b.h self
+# join) is quadratic in users-per-hour — identical to the oracle's plan
+# and fine at this corpus's per-hour cardinality, but a skewed hot hour
+# at production scale needs a frequency prefilter (drop hours above a
+# per-block user cap, or sample within them) BEFORE the self-join; that
+# changes the query's semantics (edges from capped hours vanish), so it
+# belongs to the caller's corpus contract, not silently inside this
+# operator.  Everything downstream of e0 carries the O(m^1.5)
+# orientation bound and the gated broadcast.
 # ---------------------------------------------------------------------------
 _TRI_TOPK = 20
 _TRI_PERSISTED: list[DataFrame] = []
