@@ -465,3 +465,55 @@ def test_append_commit_never_materializes_entries(tmp_path, monkeypatch):
     t.append_entries([entry(900)])
     monkeypatch.undo()
     assert t.refresh()._manifest(t._resolve()).counts()[0] == 61
+
+
+def test_dv_pack_roundtrip_property(spark):
+    """Deletion-vector packs are lossless: for random (file, pos)
+    multisets (duplicates across 'delete files' included), write_dv_pack
+    followed by read_dv_positions returns exactly the DISTINCT tombstone
+    set, and only_for scoping returns exactly the asked files' slices."""
+    import random
+    import tempfile
+
+    from iceberg_trino_sql_demo_spark.sources.deletion_vectors import (
+        read_dv_positions,
+        write_dv_pack,
+    )
+    from iceberg_trino_sql_demo_spark.sources.metadata import DeleteFile
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n_files = rng.randint(1, 6)
+        files = [f"/data/f{trial}_{i:03d}.parquet" for i in range(n_files)]
+        pairs = []
+        for fp in files:
+            for _ in range(rng.randint(1, 40)):
+                pairs.append((f"file:{fp}", rng.randint(0, 10_000)))
+        # duplicates (same tombstone from two delete commits) must collapse
+        pairs += rng.sample(pairs, k=min(10, len(pairs)))
+        matches = spark.createDataFrame(
+            pairs, "__del_file string, __del_pos long"
+        )
+        loc = tempfile.mkdtemp(prefix="dvprop_")
+        pack, idx, total, refs = write_dv_pack(loc, matches)
+        want = set(pairs)
+        assert total == len(want)
+        assert set(refs) == {p for p in files}
+        entry = DeleteFile(
+            path=pack, record_count=total, file_size_bytes=1,
+            sequence_number=1, referenced_files=refs, content="dv",
+            index_path=idx,
+        )
+        got = {
+            (r["__del_file"], r["__del_pos"])
+            for r in read_dv_positions(spark, [entry]).collect()
+        }
+        assert got == want
+        only = files[: max(1, n_files // 2)]
+        scoped = {
+            (r["__del_file"], r["__del_pos"])
+            for r in read_dv_positions(spark, [entry], only_for=only).collect()
+        }
+        assert scoped == {
+            (f, p) for f, p in want if f.replace("file:", "") in only
+        }
