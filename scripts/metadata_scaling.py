@@ -285,6 +285,18 @@ def measure_scan(spark, n: int) -> dict:
                 t0 = time.perf_counter()
                 assert df.count() == 3 * n
                 row["seg_count_s"] = round(time.perf_counter() - t0, 3)
+            # pruned scan (one month of 84 -> ~1.2% of files): survivor
+            # list rides the paths-file side parquet through the same
+            # DataSource plan; launch stays survivor-sized
+            t0 = time.perf_counter()
+            dfp = t.df(
+                where="l_orderdate >= DATE '1995-01-01' "
+                      "AND l_orderdate < DATE '1995-02-01'"
+            )
+            row["pruned_df_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            assert len(dfp.limit(1).collect()) == 1
+            row["pruned_first_row_s"] = round(time.perf_counter() - t0, 3)
         finally:
             tmod._PYDS_SCAN_FILES = saved
 
@@ -432,13 +444,19 @@ def write_scan_md(rows: list[dict]) -> None:
         f"{'{:,}'.format(10000)} live files (`table._PYDS_SCAN_FILES`).",
         "The jvm plan is not run past 200k files (known linear).",
         "",
-        "| files | seg df (s) | seg first row (s) | seg count (s) | jvm df (s) | jvm first row (s) |",
-        "|---|---|---|---|---|---|",
+        "*pruned* = a one-month WHERE (~1.2% of files): the survivor list",
+        "rides a side parquet (paths_file) through the same DataSource",
+        "plan, so pruned-scan launch is survivor-sized, never",
+        "table-sized.",
+        "",
+        "| files | seg df (s) | seg first row (s) | seg count (s) | pruned df (s) | pruned first row (s) | jvm df (s) | jvm first row (s) |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['n_files']:,} | {r.get('seg_df_s', '-')} "
             f"| {r.get('seg_first_row_s', '-')} | {r.get('seg_count_s', '-')} "
+            f"| {r.get('pruned_df_s', '-')} | {r.get('pruned_first_row_s', '-')} "
             f"| {r.get('jvm_df_s', '-')} | {r.get('jvm_first_row_s', '-')} |"
         )
     lines.append("")
