@@ -33,10 +33,13 @@ def main() -> int:
     for i, name in enumerate(names):
         # a FULL-registry sweep in one default-heap (1g) vanilla session
         # accumulates operator-held persisted frames + plan-cache lineage
-        # past the heap (measured: OOM at query ~118 of 156); the driver
-        # itself only ever runs a 50-query window, so this is purely this
-        # harness's footprint — drain the caches every 25 queries
-        if i and i % 25 == 0:
+        # past the heap (measured: OOM at query ~118 of 156 with no
+        # drains; at 203 registered queries even every-25 drains OOM'd
+        # near query ~140) — the driver itself only ever runs a 50-query
+        # window, so this is purely this harness's footprint.  Drain
+        # every 10 queries; a full 203-query sweep then fits (run in
+        # chunks of <=100 names if a future registry outgrows even that).
+        if i and i % 10 == 0:
             entry._ops.release_caches()
             spark.catalog.clearCache()
         t0 = time.time()
