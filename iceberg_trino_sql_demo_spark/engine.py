@@ -1442,19 +1442,24 @@ def _prunable_for(
 # ---------------------------------------------------------------------------
 def _top_keyword_index(s: str, kw: str) -> int:
     """Index of the first word-boundary occurrence of ``kw`` OUTSIDE
-    single-quoted string literals (and outside parens), or -1.
+    single-quoted string literals, double-quoted identifiers, and parens,
+    or -1.
 
     The regex dispatcher's lazy ``(.*?)\\s+WHERE`` split is exactly the
     bug class this exists to kill: ``SET s = 'a WHERE b' WHERE k = 1``
     must split at the SECOND WHERE (found by the DML fuzz family,
-    tests/test_differential_fuzz.py)."""
-    q, depth, n, up, kwu = False, 0, len(s), s.upper(), kw.upper()
+    tests/test_differential_fuzz.py).  Double quotes matter for the same
+    reason: ``SET "WHERE_FLAG" = 1 WHERE k = 1`` (a quoted identifier
+    containing a keyword) must not split inside the identifier."""
+    q, dq, depth, n, up, kwu = False, False, 0, len(s), s.upper(), kw.upper()
     i = 0
     while i < n:
         ch = s[i]
-        if ch == "'":
+        if ch == "'" and not dq:
             q = not q
-        elif not q:
+        elif ch == '"' and not q:
+            dq = not dq
+        elif not q and not dq:
             if ch == "(":
                 depth += 1
             elif ch == ")":
@@ -1470,12 +1475,14 @@ def _top_keyword_index(s: str, kw: str) -> int:
 
 
 def _split_top(s: str) -> list[str]:
-    """Split on commas not inside quotes/parens."""
-    out, depth, cur, q = [], 0, [], False
+    """Split on commas not inside quotes (either kind) or parens."""
+    out, depth, cur, q, dq = [], 0, [], False, False
     for ch in s:
-        if ch == "'":
+        if ch == "'" and not dq:
             q = not q
-        elif not q:
+        elif ch == '"' and not q:
+            dq = not dq
+        elif not q and not dq:
             if ch in "(":
                 depth += 1
             elif ch == ")":

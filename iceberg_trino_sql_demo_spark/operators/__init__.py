@@ -107,84 +107,29 @@ def register(
 #: after all modules load, in this order; everything else keeps its module
 #: registration order behind them.
 #:
-#: Composition (round 6; VERDICT r5 directive #2): FIRST the 12 queries no
-#: driver round has ever sampled (the judge's explicit rotation list), then
-#: the queries NEW this round, then every query whose implementation
-#: changed this round (the metadata-plane rewrite touches every ``ice_*``
-#: scenario, so the 23 r02-stale core scenarios follow immediately), then
-#: the r01-stale streaming replays and r02 deferred basics.  Blocks that
-#: were driver-sampled green in r5 and are unchanged since sit below the
-#: 50-query window; pytest oracle parity still covers them every round.
+#: Composition (round 9; VERDICT r8 directive #3): strict
+#: LEAST-RECENTLY-SAMPLED order computed from the union of
+#: CORRECTNESS_r01-r08 — never-sampled queries first (``ice_deletion_vector``
+#: has no driver row in any round), then ascending by the last round each
+#: query had a driver row, registration order within a round bucket.  New
+#: r9 queries go at the very top so every addition lands in the sample
+#: window.  Queries below the ~50-query window were all driver-green in
+#: r4-r8 and are re-verified every round by the pytest oracle-parity sweep.
 _DRIVER_PRIORITY: list[str] = [
-    # -- never driver-sampled in any round (VERDICT r5 #2 list)
-    "dedup_edit_distance",
-    "dedup_edit_distance_passjoin",
-    "dedup_substring_windows",
-    "events_stream_sessionization",
-    "ice_branch_retention",
-    "ice_sql_pruned_select",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q16_supplier_variety",
-    "q20_promotable_suppliers",
-    "text_bigram_familiarity",
-    "trino_dialect_select",
-    # -- NEW this round (added as round 6 lands them)
-    "ice_equality_delete",
-    "ice_stream_cdc_full",
-    "ice_equality_rewrite",
-    "training_pack_sequences",
-    "dedup_quality_keeper",
-    # -- implementation changed this round: metadata plane (columnar
-    # manifests + lazy/delta commits) rewrites the storage under every
-    # ice_* scenario; these 23 core ones were last driver-sampled in r2
-    "ice_ctas_roundtrip",
-    "ice_insert_values",
-    "ice_update_row",
-    "ice_mor_delete",
-    "ice_time_travel",
-    "ice_rollback",
-    "ice_branch_dml",
-    "ice_merge_upsert",
-    "ice_add_column_default",
-    "ice_partition_evolution",
-    "ice_table_changes",
-    "ice_optimize_roundtrip",
-    "ice_snapshot_operations",
-    "ice_show_stats_minmax",
-    "ice_properties_show_create",
-    "ice_branches_ff",
-    "ice_views_mv",
-    "ice_expire_orphans",
-    "ice_schema_types",
-    "ice_row_lineage",
-    "ice_meta_join",
-    "ice_sql_roundtrip",
-    "ice_optimize_where_mtime",
-    # -- implementation changed this round (ADVICE r5 fixes)
-    "events_pagerank_iter",
-    "ice_rename_table",
-    "ice_zero_copy_clone",
-    "ice_stream_table_changes",
-    "ice_stream_cdc_to_replica",
-    # -- newest driver row is r01: streaming replays
-    "events_stream_tumbling",
-    "events_stateful_user_totals",
-    "events_stream_dedup",
-    "events_stream_interval_join",
-    # -- newest driver row is r02: relational shapes
-    "rollup_order_priority",
+    # -- NEW in round 9: add fresh query names HERE (top of the window)
+    # -- NEVER driver-sampled (union r1-r8)
+    "ice_deletion_vector",
+    # -- last driver-sampled round r2
     "set_ops_customers",
     "orders_exists_late_lineitem",
     "part_brand_max_price",
     "pivot_segment_by_region",
-    # -- newest driver row is r02: deferred basics
     "orderdate_range",
     "customer_in_list",
     "concat_datefmt",
     "interval_cutoff",
     "top_acctbal_desc",
-    # -- r03-latest re-confirms filling the remaining window slots
+    # -- last driver-sampled round r3
     "text_fingerprint",
     "contamination_ngram",
     "dedup_simhash",
@@ -198,8 +143,42 @@ _DRIVER_PRIORITY: list[str] = [
     "kmeans_iteration_stats",
     "dedup_exact",
     "dedup_cluster_components",
-    # ---- 50-query window boundary (approximately) ----
-    # -- r04-green, unchanged since: below the window this round
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "customer_pipeline",
+    "federation_agg",
+    "pricing_summary",
+    "nation_volume",
+    "orders_cumulative_revenue",
+    "cube_returnflag_status",
+    "q3_unshipped_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "q12_priority_shipping",
+    "q14_promo_revenue_share",
+    "q19_brand_discounts",
+    "ice_merge_branch",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_token_bpe",
+    "vocab_top_terms",
+    "sample_hash_bucket",
+    "doc_pack_greedy",
+    "dedup_exact_normalized",
+    "pii_scrub_stats",
+    "source_mixture_sample",
+    "events_tumbling_hourly",
+    "events_sliding_1h_30m",
+    "events_sessionization",
+    "events_variant_extract",
+    "events_hypertable_rollup",
+    "events_asof_attribution",
+    "events_range_join_1h",
+    "events_salted_skew_join",
+    "events_stream_dedup_watermarked",
+    # -- last driver-sampled round r4
     "dedup_span_exact",
     "events_ohlc_hourly",
     "events_gap_fill_locf",
@@ -247,6 +226,106 @@ _DRIVER_PRIORITY: list[str] = [
     "training_corpus_select",
     "left_join_shape",
     "window_rank_per_nation",
+    "events_anomaly_zscore",
+    "ice_dynamic_overwrite",
+    "ice_runtime_filter_join",
+    # -- last driver-sampled round r5
+    "multimodal_audio_windows",
+    "multimodal_payload_dedup",
+    "multimodal_ahash_near_dup",
+    "trino_dialect_tier3",
+    "customer_balance_quartiles",
+    "trino_dialect_tier4",
+    "ice_add_files",
+    "ice_forget_user",
+    "ice_wap_publish",
+    "ice_python_datasource",
+    "ice_merge_multi_clause",
+    "ice_cherrypick",
+    "ice_branch_diff",
+    "ice_cdc_replica_apply",
+    "text_quality_classifier",
+    "ann_topk_pq",
+    "ann_filtered_topk",
+    "ann_range_search",
+    "embedding_outlier_filter",
+    "ann_topk_ivfpq",
+    "dedup_cross_source_matrix",
+    "dedup_minhash_calibration",
+    "dedup_ngram_containment",
+    "source_quality_profile",
+    "text_bpe_merge_candidates",
+    "text_oov_rate",
+    "text_inverted_index",
+    "split_leakage_safe",
+    "url_normalize_dedup",
+    "contamination_bloom_prefilter",
+    "source_temperature_resample",
+    "doc_chunk_overlap",
+    "pii_scrub_text",
+    "events_ema_per_user",
+    "events_heavy_hitters_cms",
+    "events_user_triangles",
+    "events_pattern_sequence",
+    "events_ndv_hll_sketch",
+    "events_rolling_ndv_sketch",
+    "events_kmv_set_sketch",
+    "events_stream_left_join",
+    "events_stream_full_outer",
+    "events_stream_chained_agg",
+    "events_stream_static_enrich",
+    "events_stream_ndv_sketch",
+    # -- last driver-sampled round r8
+    "dedup_edit_distance",
+    "dedup_edit_distance_passjoin",
+    "dedup_substring_windows",
+    "events_stream_sessionization",
+    "ice_branch_retention",
+    "ice_sql_pruned_select",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q16_supplier_variety",
+    "q20_promotable_suppliers",
+    "text_bigram_familiarity",
+    "trino_dialect_select",
+    "ice_equality_delete",
+    "ice_stream_cdc_full",
+    "ice_equality_rewrite",
+    "training_pack_sequences",
+    "dedup_quality_keeper",
+    "ice_ctas_roundtrip",
+    "ice_insert_values",
+    "ice_update_row",
+    "ice_mor_delete",
+    "ice_time_travel",
+    "ice_rollback",
+    "ice_branch_dml",
+    "ice_merge_upsert",
+    "ice_add_column_default",
+    "ice_partition_evolution",
+    "ice_table_changes",
+    "ice_optimize_roundtrip",
+    "ice_snapshot_operations",
+    "ice_show_stats_minmax",
+    "ice_properties_show_create",
+    "ice_branches_ff",
+    "ice_views_mv",
+    "ice_expire_orphans",
+    "ice_schema_types",
+    "ice_row_lineage",
+    "ice_meta_join",
+    "ice_sql_roundtrip",
+    "ice_optimize_where_mtime",
+    "events_pagerank_iter",
+    "ice_rename_table",
+    "ice_zero_copy_clone",
+    "ice_stream_table_changes",
+    "ice_stream_cdc_to_replica",
+    "events_stream_tumbling",
+    "events_stateful_user_totals",
+    "events_stream_dedup",
+    "events_stream_interval_join",
+    "rollup_order_priority",
 ]
 
 

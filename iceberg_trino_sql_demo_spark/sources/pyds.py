@@ -19,18 +19,26 @@ on the pruner.
 task reads exactly one pruned file via Arrow — no JVM round-trip for
 planning, no listing of skipped files.
 
-Scope (documented, loud): current-snapshot reads of tables WITHOUT
-row-level delete files and whose files carry every current-schema column
-under its physical name — the full MoR/evolution read path lives in
-``sources/reader.py``; a table outside this scope raises rather than
-returning a plausible subset.  Reference analog: every SELECT over an
-Iceberg table, e.g. iceberg_trino_sqldemo.sql:215-216.
+Scope: plain-DDL column types (variant / ns-timestamps keep their
+engine-specific dual representations on the ``Table.df`` path).  Schema
+evolution is handled IN the reader: each partition carries a column-id
+projection spec (take / cast / default-fill, computed driver-side from
+the file group's schema — the Arrow mirror of ``reader._group_projection``,
+reference :166-171/:181), so one ADD/DROP COLUMN no longer disqualifies
+the 10^6-file scan route.  Position deletes and deletion-vector packs are
+applied ABOVE this scan by ``Table.df`` (an anti-join against the delete
+set — the reader emits per-row (file, pos) when asked via ``emit_pos``);
+equality deletes still belong to ``sources/reader.py``.  A table outside
+this scope raises rather than returning a plausible subset.  Reference
+analog: every SELECT over an Iceberg table, e.g.
+iceberg_trino_sqldemo.sql:215-216.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re as _re
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -49,12 +57,139 @@ from pyspark.sql.types import StructType
 
 FORMAT_NAME = "ice_table"
 
+#: per-row helper columns the segment reader emits when the caller needs
+#: to apply position deletes above the scan (Table.df drops them after
+#: the anti-join) — the Python-DataSource analog of _metadata.file_path /
+#: _metadata.row_index, which Spark does not synthesize for this format
+POS_FILE_COL = "__sg_file"
+POS_POS_COL = "__sg_pos"
+
+_PA_SIMPLE: dict = {}
+
+
+def _pa_type(ddl: str):
+    """Engine DDL type string -> pyarrow type, or None when the Arrow-side
+    reader cannot represent a CAST/DEFAULT of it (the driver gate then
+    routes the table to sources/reader.py instead).  Only cast targets and
+    default fills need this — columns read as-is keep the file's type."""
+    import pyarrow as pa
+
+    if not _PA_SIMPLE:
+        _PA_SIMPLE.update(
+            {
+                "bigint": pa.int64(),
+                "long": pa.int64(),
+                "int": pa.int32(),
+                "integer": pa.int32(),
+                "smallint": pa.int16(),
+                "tinyint": pa.int8(),
+                "double": pa.float64(),
+                "float": pa.float32(),
+                "real": pa.float32(),
+                "string": pa.string(),
+                "varchar": pa.string(),
+                "boolean": pa.bool_(),
+                "date": pa.date32(),
+                # Spark writes TIMESTAMP as int64 micros adjusted-to-UTC;
+                # pyarrow reads those back as timestamp[us, tz=UTC]
+                "timestamp": pa.timestamp("us", tz="UTC"),
+                "binary": pa.binary(),
+            }
+        )
+    ddl = ddl.strip().lower()
+    m = _re.fullmatch(r"decimal\((\d+)\s*,\s*(\d+)\)", ddl)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    return _PA_SIMPLE.get(ddl)
+
+
+def proj_spec(file_schema, current) -> list[tuple] | None:
+    """Column-id projection spec (file physical layout -> current schema)
+    for the Arrow-side reader — the same semantics as
+    ``reader._group_projection`` (match by id, never by name; missing ->
+    initial_default; type change -> cast), expressed as picklable ops:
+
+        ("take", pname, out_name)            — column present, type equal
+        ("cast", pname, ddl, out_name)       — column present, promote
+        ("default", value, ddl, out_name)    — column absent in the file
+
+    Returns None when any needed cast/default type is outside ``_pa_type``
+    (variant, ns-timestamps, nested types) — the caller falls back to the
+    Catalyst read path, which handles those."""
+    by_id = {f.id: f for f in file_schema.fields}
+    ops: list[tuple] = []
+    for fld in current.fields:
+        src = by_id.get(fld.id)
+        if src is None:
+            if _pa_type(fld.type) is None:
+                return None
+            ops.append(("default", fld.initial_default, fld.type, fld.name))
+        elif src.type != fld.type:
+            if _pa_type(fld.type) is None or _pa_type(src.type) is None:
+                return None
+            ops.append(("cast", src.pname, fld.type, fld.name))
+        else:
+            ops.append(("take", src.pname, fld.name))
+    return ops
+
+
+def _read_cols(spec: list[tuple]) -> list[str]:
+    return [op[1] for op in spec if op[0] != "default"]
+
+
+def _read_projected(path: str, spec: list[tuple]):
+    """Read one data file and project it to the current schema."""
+    import pyarrow.parquet as pq
+
+    cols = _read_cols(spec)
+    if cols:
+        tbl = pq.read_table(path, columns=cols)
+        n = tbl.num_rows
+    else:
+        # every current column postdates this file: row count from the
+        # footer, all columns default-filled
+        tbl, n = None, pq.ParquetFile(path).metadata.num_rows
+    return _apply_spec(tbl, spec, n)
+
+
+def _apply_spec(tbl, spec: list[tuple], n: int):
+    """Project one file's arrow table to the current schema per the spec."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arrays, names = [], []
+    for op in spec:
+        kind = op[0]
+        if kind == "take":
+            arrays.append(tbl.column(op[1]))
+        elif kind == "cast":
+            arrays.append(pc.cast(tbl.column(op[1]), _pa_type(op[2])))
+        else:  # default fill: old rows surface the default, not NULL
+            _, value, ddl, _name = op
+            t = _pa_type(ddl)
+            if value is None:
+                arrays.append(pa.nulls(n, t))
+            else:
+                try:
+                    arr = pa.repeat(pa.scalar(value, type=t), n)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    # literal stored in its parsed form (e.g. ISO date
+                    # string for a date column): arrow casts it
+                    arr = pc.cast(pa.repeat(pa.scalar(value), n), t)
+                arrays.append(arr)
+        names.append(op[-1])
+    return pa.table(dict(zip(names, arrays)))
+
+
+def _to_uri(path: str) -> str:
+    # match _metadata.file_path / reader._to_uri: local files as file:/abs
+    return "file:" + path if path.startswith("/") else path
+
 
 class IceFilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[tuple[str, str]]):
-        # (physical name, logical name) pairs — files store pnames
+    def __init__(self, path: str, spec: list[tuple]):
         self.path = path
-        self.columns = columns
+        self.spec = spec
 
 
 def _to_predicates(filters: list[Filter]) -> list:
@@ -120,32 +255,29 @@ class IceTableReader(DataSourceReader):
         if self.prune_log:  # test/observability hook: what planning decided
             with open(self.prune_log, "w") as fh:
                 json.dump({"total": len(files), "scanned": len(survivors)}, fh)
-        cols = [(f.pname, f.name) for f in meta.schema.fields]
-        return [IceFilePartition(f.path, cols) for f in survivors]
+        specs: dict[int, list[tuple]] = {}
+        for f in survivors:
+            if f.schema_id not in specs:
+                spec = proj_spec(meta.schema_by_id(f.schema_id), meta.schema)
+                if spec is None:
+                    raise NotImplementedError(
+                        f"schema {f.schema_id} -> current projection needs a "
+                        "type outside the Arrow reader; use Table.df"
+                    )
+                specs[f.schema_id] = spec
+        return [IceFilePartition(f.path, specs[f.schema_id]) for f in survivors]
 
     def read(self, partition: IceFilePartition):
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(partition.path)
-        have = set(tbl.column_names)
-        missing = [p for p, _ in partition.columns if p not in have]
-        if missing:
-            raise NotImplementedError(
-                f"file {os.path.basename(partition.path)} lacks physical "
-                f"column(s) {missing}: schema-evolution reads belong to "
-                "Table.df (column-id projection + defaults)"
-            )
-        tbl = tbl.select([p for p, _ in partition.columns])
-        tbl = tbl.rename_columns([n for _, n in partition.columns])
-        yield from tbl.to_batches()
+        yield from _read_projected(partition.path, partition.spec).to_batches()
 
 
 class IceSegmentSlicePartition(InputPartition):
-    """A byte-packed slice of one manifest segment's file list."""
+    """A byte-packed, schema-homogeneous slice of the snapshot's file list."""
 
-    def __init__(self, paths: list[str], columns: list[tuple[str, str]]):
+    def __init__(self, paths: list[str], spec: list[tuple], emit_pos: bool):
         self.paths = paths
-        self.columns = columns
+        self.spec = spec
+        self.emit_pos = emit_pos
 
 
 class IceSegmentScanReader(DataSourceReader):
@@ -166,9 +298,12 @@ class IceSegmentScanReader(DataSourceReader):
     Deliberately does NOT implement ``pushFilters`` — the route is chosen
     by ``Table.df`` only for unpruned scans, and a pushFilters-bearing
     reader would require spark.sql.python.filterPushdown.enabled even for
-    filterless reads.  Scope mirrors ``IceTableReader``: no row-level
-    delete files; files lacking a current physical column raise in
-    ``read()`` rather than returning a plausible subset.
+    filterless reads.  Schema evolution is handled in ``read()`` via the
+    per-partition projection spec (partitions are packed PER schema_id so
+    one spec covers a whole task); with ``emit_pos`` the reader appends
+    (__sg_file, __sg_pos) so ``Table.df`` can anti-join position deletes /
+    deletion vectors above the scan.  Equality deletes stay on the
+    ``sources/reader.py`` path (Table.df routes them there).
     """
 
     def __init__(
@@ -178,15 +313,18 @@ class IceSegmentScanReader(DataSourceReader):
         max_bytes: int,
         max_files: int,
         paths_file: str | None = None,
+        emit_pos: bool = False,
     ):
         self.location = location
         self.snapshot_id = snapshot_id
         self.max_bytes = max_bytes
         self.max_files = max_files
         #: pre-planned file list (PRUNED scans): a parquet of
-        #: (path, file_size_bytes) written by Table.df — the survivor set
-        #: rides one file reference instead of an O(files) Py4J handoff
+        #: (path, file_size_bytes, schema_id) written by Table.df — the
+        #: survivor set rides one file reference instead of an O(files)
+        #: Py4J handoff
         self.paths_file = paths_file
+        self.emit_pos = emit_pos
 
     def partitions(self) -> list[IceSegmentSlicePartition]:
         from iceberg_trino_sql_demo_spark.sources.manifest_store import (
@@ -197,25 +335,55 @@ class IceSegmentScanReader(DataSourceReader):
 
         io = MetadataIO(self.location)
         meta, _ = io.read()
+        parts: list[IceSegmentSlicePartition] = []
+        # one open chunk per schema_id: partitions stay schema-homogeneous
+        # without re-sorting the manifest (evolution means a handful of
+        # schema versions, so packing quality is unaffected)
+        open_chunks: dict[int, tuple[list[str], int]] = {}
+        specs: dict[int, list[tuple]] = {}
+
+        def _spec(sid: int) -> list[tuple]:
+            spec = specs.get(sid)
+            if spec is None:
+                spec = proj_spec(meta.schema_by_id(sid), meta.schema)
+                if spec is None:
+                    raise NotImplementedError(
+                        f"schema {sid} -> current projection needs a type "
+                        "outside the Arrow reader; use Table.df"
+                    )
+                specs[sid] = spec
+            return spec
+
+        def _pack(paths, sizes, sids) -> None:
+            for p, s, sid in zip(paths, sizes, sids):
+                chunk, nbytes = open_chunks.get(sid, ([], 0))
+                chunk.append(p)
+                nbytes += s
+                if nbytes >= self.max_bytes or len(chunk) >= self.max_files:
+                    parts.append(
+                        IceSegmentSlicePartition(chunk, _spec(sid), self.emit_pos)
+                    )
+                    chunk, nbytes = [], 0
+                open_chunks[sid] = (chunk, nbytes)
+
+        def _flush() -> None:
+            for sid, (chunk, _nb) in sorted(open_chunks.items()):
+                if chunk:
+                    parts.append(
+                        IceSegmentSlicePartition(chunk, _spec(sid), self.emit_pos)
+                    )
+            open_chunks.clear()
+
         if self.paths_file is not None:
             import pyarrow.parquet as pq
 
             tbl = pq.read_table(self.paths_file)
-            cols = [(f.pname, f.name) for f in meta.schema.fields]
-            parts: list[IceSegmentSlicePartition] = []
-            chunk: list[str] = []
-            nbytes = 0
-            for p, s in zip(
+            _pack(
                 tbl.column("path").to_pylist(),
                 tbl.column("file_size_bytes").to_pylist(),
-            ):
-                chunk.append(p)
-                nbytes += s
-                if nbytes >= self.max_bytes or len(chunk) >= self.max_files:
-                    parts.append(IceSegmentSlicePartition(chunk, cols))
-                    chunk, nbytes = [], 0
-            if chunk:
-                parts.append(IceSegmentSlicePartition(chunk, cols))
+                tbl.column("schema_id").to_pylist(),
+            )
+            _flush()
             return parts
         sid = (
             self.snapshot_id
@@ -226,29 +394,17 @@ class IceSegmentScanReader(DataSourceReader):
         manifest = io.read_manifest(snap) if snap else None
         if manifest is None:
             return []
-        if manifest.delete_files:
+        if any(d.content == "equality" for d in manifest.delete_files):
             raise NotImplementedError(
-                "ice_table segment scan reads tables without row-level "
-                "delete files; use Table.df for MoR reads"
+                "ice_table segment scan does not apply equality deletes; "
+                "use Table.df for those MoR reads"
             )
-        cols = [(f.pname, f.name) for f in meta.schema.fields]
-        parts: list[IceSegmentSlicePartition] = []
-        chunk: list[str] = []
-        nbytes = 0
-
-        def _cut() -> None:
-            nonlocal chunk, nbytes
-            if chunk:
-                parts.append(IceSegmentSlicePartition(chunk, cols))
-                chunk, nbytes = [], 0
-
-        def _pack(paths: list[str], sizes: list[int]) -> None:
-            nonlocal nbytes
-            for p, s in zip(paths, sizes):
-                chunk.append(p)
-                nbytes += s
-                if nbytes >= self.max_bytes or len(chunk) >= self.max_files:
-                    _cut()
+        if manifest.delete_files and not self.emit_pos:
+            raise NotImplementedError(
+                "table has position deletes: the segment scan must be "
+                "planned with emit_pos so the caller can anti-join them "
+                "(Table.df does this)"
+            )
 
         if isinstance(manifest, LazyManifest):
             removed = set(manifest.removed)
@@ -256,40 +412,42 @@ class IceSegmentScanReader(DataSourceReader):
                 tbl = read_segment(self.location, seg)
                 paths = tbl.column("path").to_pylist()
                 sizes = tbl.column("file_size_bytes").to_pylist()
+                sids = tbl.column("schema_id").to_pylist()
                 if removed:  # committed manifests fold deltas; be safe
                     kept = [
-                        (p, s) for p, s in zip(paths, sizes) if p not in removed
+                        t for t in zip(paths, sizes, sids) if t[0] not in removed
                     ]
-                    paths = [p for p, _ in kept]
-                    sizes = [s for _, s in kept]
-                _pack(paths, sizes)
+                    paths = [p for p, _, _ in kept]
+                    sizes = [s for _, s, _ in kept]
+                    sids = [i for _, _, i in kept]
+                _pack(paths, sizes, sids)
             if manifest.added:
                 _pack(
                     [f.path for f in manifest.added],
                     [f.file_size_bytes for f in manifest.added],
+                    [f.schema_id for f in manifest.added],
                 )
         else:
             files = manifest.data_files
-            _pack([f.path for f in files], [f.file_size_bytes for f in files])
-        _cut()
+            _pack(
+                [f.path for f in files],
+                [f.file_size_bytes for f in files],
+                [f.schema_id for f in files],
+            )
+        _flush()
         return parts
 
     def read(self, partition: IceSegmentSlicePartition):
-        import pyarrow.parquet as pq
+        import pyarrow as pa
 
-        cols = partition.columns
         for path in partition.paths:
-            tbl = pq.read_table(path, columns=None)
-            have = set(tbl.column_names)
-            missing = [p for p, _ in cols if p not in have]
-            if missing:
-                raise NotImplementedError(
-                    f"file {os.path.basename(path)} lacks physical "
-                    f"column(s) {missing}: schema-evolution reads belong to "
-                    "Table.df (column-id projection + defaults)"
-                )
-            tbl = tbl.select([p for p, _ in cols])
-            tbl = tbl.rename_columns([n for _, n in cols])
+            tbl = _read_projected(path, partition.spec)
+            if partition.emit_pos:
+                n = tbl.num_rows
+                tbl = tbl.append_column(
+                    POS_FILE_COL,
+                    pa.repeat(pa.scalar(_to_uri(path), type=pa.string()), n),
+                ).append_column(POS_POS_COL, pa.array(range(n), pa.int64()))
             yield from tbl.to_batches()
 
 
@@ -300,7 +458,9 @@ class IceTableDataSource(DataSource):
     default — or "segments" for manifest-segment-sliced partitions, the
     large-file-count scan path), ``snapshot_id`` (segment plan only:
     scan a specific snapshot instead of main's head), ``max_bytes`` /
-    ``max_files`` (segment plan task packing; default 128 MB / 1024)."""
+    ``max_files`` (segment plan task packing; default 128 MB / 1024),
+    ``emit_pos`` (segment plan: append __sg_file/__sg_pos per row so the
+    caller can apply position deletes above the scan)."""
 
     @classmethod
     def name(cls) -> str:
@@ -313,7 +473,10 @@ class IceTableDataSource(DataSource):
         from iceberg_trino_sql_demo_spark.sources.metadata import MetadataIO
 
         meta, _ = MetadataIO(self.options["path"]).read()
-        return ", ".join(f"{f.name} {f.type}" for f in meta.schema.fields)
+        base = ", ".join(f"{f.name} {f.type}" for f in meta.schema.fields)
+        if str(self.options.get("emit_pos", "")).lower() == "true":
+            base += f", {POS_FILE_COL} string, {POS_POS_COL} bigint"
+        return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if self.options.get("plan") == "segments":
@@ -324,6 +487,7 @@ class IceTableDataSource(DataSource):
                 int(self.options.get("max_bytes", 128 * 1024 * 1024)),
                 int(self.options.get("max_files", 1024)),
                 self.options.get("paths_file"),
+                str(self.options.get("emit_pos", "")).lower() == "true",
             )
         return IceTableReader(self.options["path"], self.options.get("prune_log"))
 

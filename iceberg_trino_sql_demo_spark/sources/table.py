@@ -274,7 +274,7 @@ class Table:
                 # O(files) Py4J path handoff, no JVM file listing (sizes
                 # come from the manifest).  Measured: ~245 s saved at 10^6
                 # files (SCALING.md "End-to-end read path").
-                out = self._segment_scan_df(snap)
+                out = self._segment_scan_df(snap, manifest)
             else:
                 # unpruned scan: lean materialization (no stats/partition
                 # json parsing — see manifest_store.scan_files) unless the
@@ -290,49 +290,49 @@ class Table:
             out = self._stats_broadcast_hint(out, manifest, preds)
         return out
 
-    def _segment_scan_safe(self, manifest: LazyManifest) -> bool:
+    def _segment_scan_safe(self, manifest) -> bool:
         """Is the manifest-segment DataSource plan EXACTLY equivalent to
-        the snapshot_df plan for this state?  Requires: no row-level
-        delete files (MoR belongs to snapshot_df), every file written
-        under the CURRENT schema (so no column-id projection, defaults, or
-        type casts apply), and only plain-DDL column types (variant /
-        ns-timestamps have engine-specific dual representations)."""
-        from iceberg_trino_sql_demo_spark.sources.manifest_store import (
-            read_segment,
-        )
-
-        if manifest.delete_files:
+        the snapshot_df plan for this state?  Schema evolution and
+        position deletes / deletion vectors are handled on the route
+        itself now (per-partition column-id projection specs; anti-join
+        above the scan), so the only disqualifiers are equality deletes
+        (their strictly-older-sequence semantics stay on snapshot_df) and
+        schemas whose projection to current needs a type outside the
+        Arrow reader (variant / ns-timestamps).  Pure metadata checks —
+        no segment reads (r8 re-read every segment's schema_id column per
+        planned query; the projection specs made that check obsolete)."""
+        if any(d.content == "equality" for d in manifest.delete_files):
             return False
-        for f in self.meta.schema.fields:
-            if f.type in ("variant", "timestamp_ns"):
-                return False
-        cur = self.meta.current_schema_id
-        import pyarrow.compute as pc
+        return self._pyds_schemas_safe()
 
-        for seg in manifest.segments:
-            ids = pc.unique(
-                read_segment(manifest.location, seg).column("schema_id")
-            ).to_pylist()
-            if ids and set(ids) != {cur}:
-                return False
-        return all(f.schema_id == cur for f in manifest.added)
+    def _pyds_schemas_safe(self) -> bool:
+        """Every (historical schema -> current) projection expressible in
+        the Arrow-side reader — O(schemas x fields) on inline metadata."""
+        from iceberg_trino_sql_demo_spark.sources.pyds import proj_spec
+
+        cur = self.meta.schema
+        return all(proj_spec(s, cur) is not None for s in self.meta.schemas)
 
     def _pruned_scan_df(self, manifest: Manifest) -> DataFrame | None:
         """DataSource plan for a PRUNED survivor set, or None when the
         JVM path is right (small set — its Py4J/listing cost is trivial
         and the JVM vectorized reader is the faster executor) or the
-        state needs snapshot_df (deletes, schema evolution, exotic
-        types).  The survivor (path, size) list is written to one side
-        parquet; executors byte-pack their own task chunks from it."""
-        import tempfile
+        state needs snapshot_df (equality deletes, exotic types).  The
+        survivor (path, size, schema_id) list is written to one side
+        parquet; executors byte-pack their own task chunks from it.
 
-        if manifest.delete_files or len(manifest.data_files) < _PYDS_SCAN_FILES:
+        The side file lives in the table's OWN metadata dir
+        (``metadata/scan-*.parquet``), not the OS tmp dir: the returned
+        DataFrame is lazy and re-executable, so the file must outlive
+        this call — a tmp-dir file leaks per scan (unbounded for a
+        resident session) and dies under external /tmp cleaning.  Here
+        the routine orphan sweep reclaims it once past retention
+        (remove_orphan_files treats scan-* as never-live metadata)."""
+        import uuid
+
+        if len(manifest.data_files) < _PYDS_SCAN_FILES:
             return None
-        for f in self.meta.schema.fields:
-            if f.type in ("variant", "timestamp_ns"):
-                return None
-        cur = self.meta.current_schema_id
-        if any(f.schema_id != cur for f in manifest.data_files):
+        if not self._segment_scan_safe(manifest):
             return None
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -342,8 +342,10 @@ class Table:
             IceTableDataSource,
         )
 
-        fd, tmp = tempfile.mkstemp(prefix="ice_scan_", suffix=".parquet")
-        os.close(fd)
+        emit_pos = bool(manifest.delete_files)
+        meta_dir = os.path.join(self.location, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        tmp = os.path.join(meta_dir, f"scan-{uuid.uuid4().hex}.parquet")
         pq.write_table(
             pa.table(
                 {
@@ -354,33 +356,75 @@ class Table:
                         [f.file_size_bytes for f in manifest.data_files],
                         pa.int64(),
                     ),
+                    "schema_id": pa.array(
+                        [f.schema_id for f in manifest.data_files], pa.int32()
+                    ),
                 }
             ),
             tmp,
         )
         self.spark.dataSource.register(IceTableDataSource)  # idempotent
-        return (
+        out = (
             self.spark.read.format(FORMAT_NAME)
             .option("path", self.location)
             .option("plan", "segments")
             .option("paths_file", tmp)
+            .option("emit_pos", "true" if emit_pos else "false")
             .load()
         )
+        if emit_pos:
+            out = self._apply_pos_deletes(out, manifest)
+        return out
 
-    def _segment_scan_df(self, snap: Snapshot) -> DataFrame:
+    def _segment_scan_df(self, snap: Snapshot, manifest) -> DataFrame:
         from iceberg_trino_sql_demo_spark.sources.pyds import (
             FORMAT_NAME,
             IceTableDataSource,
         )
 
+        emit_pos = bool(manifest.delete_files)
         self.spark.dataSource.register(IceTableDataSource)  # idempotent
-        return (
+        out = (
             self.spark.read.format(FORMAT_NAME)
             .option("path", self.location)
             .option("plan", "segments")
             .option("snapshot_id", snap.snapshot_id)
+            .option("emit_pos", "true" if emit_pos else "false")
             .load()
         )
+        if emit_pos:
+            out = self._apply_pos_deletes(out, manifest)
+        return out
+
+    def _apply_pos_deletes(self, df: DataFrame, manifest) -> DataFrame:
+        """Anti-join the position-delete / deletion-vector set above a
+        segment DataSource scan (the reader emitted per-row __sg_file /
+        __sg_pos).  Globally correct without per-file grouping: tombstones
+        name (file, pos) pairs, so rows of unreferenced files never match.
+        The delete side broadcasts only while the MANIFEST proves it small
+        (same gate as the snapshot_df MoR join)."""
+        from iceberg_trino_sql_demo_spark.sources.pyds import (
+            POS_FILE_COL,
+            POS_POS_COL,
+        )
+        from iceberg_trino_sql_demo_spark.sources.reader import (
+            _hint_deletes,
+            read_position_deletes,
+        )
+
+        dels = read_position_deletes(self.spark, manifest)
+        n_del = sum(
+            d.record_count
+            for d in manifest.delete_files
+            if d.content in ("position", "dv")
+        )
+        df = df.join(
+            _hint_deletes(dels, n_del),
+            (df[POS_FILE_COL] == dels["__del_file"])
+            & (df[POS_POS_COL] == dels["__del_pos"]),
+            "left_anti",
+        )
+        return df.drop(POS_FILE_COL, POS_POS_COL)
 
     #: broadcast budget for the stats-estimated post-filter size, with a
     #: 10x skew headroom applied by the caller — parquet bytes are
@@ -2353,7 +2397,12 @@ class Table:
         # names stays; unreferenced snap-*.json / seg-*.parquet older than
         # the cutoff are CAS losers or superseded segments
         live_meta: set[str] = set()
-        for s in self.meta.snapshots:
+        # ARCHIVED snapshots are still reachable (time travel via
+        # snapshot_by_id's archive lookup, $snapshots/$files meta tables,
+        # expire's inline_all_history) — their snap-*.json manifests and
+        # any seg-*.parquet only they reference must survive the sweep,
+        # so walk all_snapshots() exactly like the data-file loop above.
+        for s in self.meta.all_snapshots():
             live_meta.update(
                 os.path.basename(a) for a in self.io.manifest_artifacts(s)
             )
@@ -2365,7 +2414,9 @@ class Table:
         )
         meta_dir = os.path.join(self.location, "metadata")
         for fn in os.listdir(meta_dir) if os.path.isdir(meta_dir) else []:
-            if not fn.startswith(("snap-", "seg-", "snaplog-")):
+            # scan-*.parquet are pruned-scan survivor side files
+            # (_pruned_scan_df) — plan scratch, never live, age out here
+            if not fn.startswith(("snap-", "seg-", "snaplog-", "scan-")):
                 continue  # vN.metadata.json / version-hint are the log itself
             if fn in live_meta:
                 continue

@@ -736,12 +736,40 @@ def test_segment_scan_route_matches_jvm(spark, monkeypatch):
     assert "BatchScan ice_table" in plan(filtered)
     assert filtered.count() == 1
 
-    # schema evolution: old files are no longer under the current schema
-    # -> the gate must fall back to column-id projection (defaults fill)
+    # schema evolution STAYS on the route (r9): the reader applies the
+    # column-id projection per partition — old rows surface the default
     t.add_column("o_note", "string", default="n/a")
     evolved = t.df()
-    assert "BatchScan ice_table" not in plan(evolved)
+    assert "BatchScan ice_table" in plan(evolved)
     assert evolved.where(F.col("o_note") == "n/a").count() == len(jvm_rows) + 1
+    # and the route's rows equal the snapshot_df machinery's rows exactly
+    monkeypatch.setattr(tmod, "_PYDS_SCAN_FILES", 10_000)
+    via_jvm = sorted(tuple(r) for r in t.df().collect())
+    monkeypatch.setattr(tmod, "_PYDS_SCAN_FILES", 1)
+    assert sorted(tuple(r) for r in t.df().collect()) == via_jvm
+
+    # MoR position deletes STAY on the route too: emit_pos + anti-join
+    # (merge_mode defaults to merge-on-read: this writes a position-delete)
+    t.delete("o_orderkey % 3 = 0")
+    mor = t.df()
+    assert "BatchScan ice_table" in plan(mor)
+    monkeypatch.setattr(tmod, "_PYDS_SCAN_FILES", 10_000)
+    expect = sorted(tuple(r) for r in t.df().collect())
+    monkeypatch.setattr(tmod, "_PYDS_SCAN_FILES", 1)
+    got = sorted(tuple(r) for r in mor.collect())
+    assert got == expect
+    assert not any(r[0] % 3 == 0 for r in got)
+
+    # equality deletes remain snapshot_df territory
+    t.upsert_by_key(
+        spark.createDataFrame(
+            [(1, 1, "O", 2.0, expect[0][4], "1-URGENT", "eq")],
+            t.df().schema,
+        ),
+        ["o_orderkey"],
+    )
+    eq = t.df()
+    assert "BatchScan ice_table" not in plan(eq)
 
 
 def test_pruned_scan_routes_through_paths_file(spark, monkeypatch):

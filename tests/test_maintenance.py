@@ -753,6 +753,35 @@ def test_history_spill_keeps_semantics(spark, tmp_path, sf_dir, monkeypatch):
     assert fresh.df().count() == 26
 
 
+def test_orphan_sweep_preserves_live_archives(spark, tmp_path, sf_dir, monkeypatch):
+    """remove_orphan_files on a table with LIVE snapshot archives (no prior
+    expire) must keep every archived snapshot's snap-*.json / seg-*.parquet:
+    those snapshots stay reachable via time travel and the $snapshots /
+    $files meta tables, so sweeping them would corrupt the archived range."""
+    from iceberg_trino_sql_demo_spark.sources.metadata import MetadataIO
+
+    monkeypatch.setattr(MetadataIO, "HISTORY_KEEP", 5)
+    monkeypatch.setattr(MetadataIO, "HISTORY_CHUNK", 5)
+    cat = Catalog(spark, str(tmp_path / "wharch"))
+    cat.create_schema("ar")
+    cat.use("ar")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.ctas("n", nation.limit(2))
+    t = cat.table("n")
+    early = t.meta.refs["main"]
+    for i in range(24):
+        t.insert([{"n_nationkey": 700 + i, "n_name": f"A{i}", "n_regionkey": 0}])
+    assert t.meta.snapshot_archives, "expected spilled archives"
+    # sweep with zero retention while the archives are LIVE
+    t.remove_orphan_files(retention_ms=0)
+    # archived-range reads from a FRESH handle must still work
+    fresh = cat.table("n")
+    assert fresh.df(version=early).count() == 2
+    assert fresh.meta_df("snapshots").count() == 25
+    mid = fresh.meta.all_snapshots()[10].snapshot_id
+    assert fresh.df(version=mid).count() > 0
+
+
 def test_history_spill_stream_watermark_survives(spark, tmp_path, sf_dir, monkeypatch):
     """The exactly-once sink's (stream, batch) watermark lives in snapshot
     summaries; once those snapshots spill, re-delivered batches must STILL

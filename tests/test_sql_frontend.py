@@ -687,3 +687,29 @@ def test_execute_rewrite_equality_deletes(spark, tmp_path):
     assert not [d for d in man.delete_files if d.content == "equality"]
     got = {r.k: r.v for r in eng.sql("SELECT * FROM tbl").collect()}
     assert got[2] == "N2" and len(got) == 6
+
+
+def test_keyword_split_ignores_double_quoted_identifiers():
+    """ADVICE r8 (low): _top_keyword_index must skip keyword matches inside
+    double-quoted identifiers, not just single-quoted literals — a column
+    named "WHERE" or "WHERE_FLAG" must not terminate the SET list; same for
+    the MERGE WHEN/THEN/AND scan.  _split_top likewise must not split on a
+    comma inside a quoted identifier."""
+    from iceberg_trino_sql_demo_spark.engine import (
+        _split_top,
+        _top_keyword_index,
+    )
+
+    s = '"WHERE_FLAG" = 1 WHERE k = 1'
+    idx = _top_keyword_index(s, "WHERE")
+    assert s[idx:].startswith("WHERE k"), s[idx:]
+    s2 = 'a = "WHERE" WHERE k = 2'
+    assert s2[_top_keyword_index(s2, "WHERE"):] == "WHERE k = 2"
+    # single-quote behavior unchanged
+    s3 = "s = 'a WHERE b' WHERE k = 1"
+    assert s3[_top_keyword_index(s3, "WHERE"):] == "WHERE k = 1"
+    # a double quote inside a string literal must NOT open identifier mode
+    s4 = "s = 'he said \"x' WHERE k = 3"
+    assert s4[_top_keyword_index(s4, "WHERE"):] == "WHERE k = 3"
+    assert _top_keyword_index('x = "AND,THEN"', "AND") == -1
+    assert _split_top('a = "x,y", b = 2') == ['a = "x,y"', "b = 2"]
