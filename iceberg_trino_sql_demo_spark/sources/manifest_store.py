@@ -96,6 +96,10 @@ class SegmentRef:
     prefixes: tuple[str, ...]
     #: column ids with typed smin_/smax_/snul_ companion columns
     vec_ids: tuple[str, ...]
+    #: sum of entry file_size_bytes — lets the scan router weigh bytes
+    #: without opening the segment; None on segments serialized before the
+    #: field existed (the router then falls back to the count-only gate)
+    bytes: int | None = None
 
     def to_dict(self) -> dict:
         return {
@@ -105,6 +109,7 @@ class SegmentRef:
             "summary": self.summary,
             "prefixes": list(self.prefixes),
             "vec_ids": list(self.vec_ids),
+            "bytes": self.bytes,
         }
 
     @staticmethod
@@ -112,6 +117,7 @@ class SegmentRef:
         return SegmentRef(
             d["path"], d["count"], d["records"], d.get("summary", {}),
             tuple(d.get("prefixes", ())), tuple(d.get("vec_ids", ())),
+            d.get("bytes"),
         )
 
 
@@ -211,6 +217,7 @@ def write_segment(location: str, entries: list[DataFile]) -> SegmentRef:
         summary=summary,
         prefixes=tuple(sorted({os.path.dirname(e.path) for e in entries})),
         vec_ids=tuple(vec_ids),
+        bytes=sum(e.file_size_bytes for e in entries),
     )
 
 
@@ -440,6 +447,18 @@ class LazyManifest:
             - sum(self.removed.values())
         )
         return n, rec
+
+    def total_bytes(self) -> int | None:
+        """Live data bytes without materializing entries — None when any
+        base segment predates the per-segment bytes field.  Removed-path
+        bytes are not tracked (the delta records path -> record_count), so
+        a delta state slightly OVERestimates; removals fold into fresh
+        segments on commit, which restores exactness."""
+        if any(s.bytes is None for s in self.segments):
+            return None
+        return sum(s.bytes for s in self.segments) + sum(
+            f.file_size_bytes for f in self.added
+        )
 
     def data_paths(self) -> set[str]:
         """Every live path — path-column reads only, no entry objects."""

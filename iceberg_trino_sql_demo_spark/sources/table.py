@@ -87,6 +87,22 @@ MERGE_ON_READ = "merge-on-read"
 #: ~4 minutes at 1M — SCALING.md "End-to-end read path").
 _PYDS_SCAN_FILES = 10_000
 
+#: the BYTES half of the scan-route decision (VERDICT r8 #2): the Python
+#: DataSource reader executes via pyarrow in Python workers with no column
+#: pruning, so on bytes-heavy tables it pays a per-byte throughput penalty
+#: vs the JVM vectorized reader.  Measured on this box
+#: (scripts/reader_throughput.py, 16 x ~68 MB files / 1.08 GB, narrow SUM
+#: shape — the JVM's best case): jvm 2719 MB/s vs pyds 683 MB/s -> penalty
+#: (1/T_pyds - 1/T_jvm) = 1.10e-9 s/byte (wide shape: 886 vs 477 ->
+#: 0.97e-9, same band).  The JVM plan's launch cost is
+#: ~1.9e-4 s/file (19.3 s at 100k files, same SCALING.md table).  Route
+#: pyds iff files * _JVM_PER_FILE_S > bytes * _PYDS_BYTE_PENALTY, i.e. the
+#: launch savings beat the worst-case throughput loss.  At 100 MB/file the
+#: break-even is ~580 files' launch per GB — a 10k x 100 MB table (1 TB)
+#: routes JVM, a 10k x 4 MB table routes pyds, exactly the intent.
+_PYDS_BYTE_PENALTY = 1.1e-9
+_JVM_PER_FILE_S = 1.9e-4
+
 
 def _struct_to_fields(struct: T.StructType, start_id: int = 1) -> tuple[NestedField, ...]:
     out = []
@@ -267,6 +283,9 @@ class Table:
                 not hidden
                 and snap is not None
                 and manifest.counts()[0] >= _PYDS_SCAN_FILES
+                and self._pyds_bytes_ok(
+                    manifest.counts()[0], manifest.total_bytes()
+                )
                 and self._segment_scan_safe(manifest)
             ):
                 # LARGE unpruned scan: plan from manifest segments via the
@@ -305,6 +324,16 @@ class Table:
             return False
         return self._pyds_schemas_safe()
 
+    def _pyds_bytes_ok(self, n_files: int, total_bytes: int | None) -> bool:
+        """Bytes half of the route decision: take the DataSource plan only
+        while the O(files) JVM launch cost it saves exceeds the Python
+        reader's worst-case per-byte throughput penalty (both measured —
+        see _PYDS_BYTE_PENALTY above).  Unknown bytes (segments predating
+        the bytes field) keep the count-only decision."""
+        if total_bytes is None:
+            return True
+        return n_files * _JVM_PER_FILE_S > total_bytes * _PYDS_BYTE_PENALTY
+
     def _pyds_schemas_safe(self) -> bool:
         """Every (historical schema -> current) projection expressible in
         the Arrow-side reader — O(schemas x fields) on inline metadata."""
@@ -331,6 +360,11 @@ class Table:
         import uuid
 
         if len(manifest.data_files) < _PYDS_SCAN_FILES:
+            return None
+        if not self._pyds_bytes_ok(
+            len(manifest.data_files),
+            sum(f.file_size_bytes for f in manifest.data_files),
+        ):
             return None
         if not self._segment_scan_safe(manifest):
             return None

@@ -804,6 +804,49 @@ def test_pruned_scan_routes_through_paths_file(spark, monkeypatch):
     assert sel.count() == 1
 
 
+def test_scan_route_is_bytes_aware(spark, monkeypatch):
+    """The pyds route saves O(files) launch cost but reads via Python/Arrow
+    at lower per-byte throughput (SCALING.md "Reader throughput"): above
+    the count gate, MANY TINY files route pyds, FEW LARGE files stay on the
+    JVM vectorized reader."""
+    import tempfile
+
+    from pyspark.sql import functions as Fx
+
+    from iceberg_trino_sql_demo_spark.sources import table as tmod
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="wh_"))
+    cat.create_schema("bw")
+    cat.use("bw")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    monkeypatch.setattr(tmod, "_PYDS_SCAN_FILES", 1)
+    # many tiny files: launch savings dominate -> DataSource plan
+    tiny = cat.ctas(
+        "tiny", spark.read.parquet(f"{SF}/nation.parquet").repartition(8)
+    )
+    assert "BatchScan ice_table" in plan(tiny.df())
+    # few large files (~8 MB): per-byte penalty dominates -> JVM plan
+    big_src = spark.range(400_000).select(
+        Fx.col("id").alias("k"), Fx.md5(Fx.col("id").cast("string")).alias("s")
+    )
+    big = cat.ctas("big", big_src.coalesce(1))
+    man = big._manifest(big._resolve())
+    nbytes = man.total_bytes()
+    assert nbytes == sum(f.file_size_bytes for f in man.data_files)
+    assert nbytes > 2_000_000  # the point needs real megabytes
+    assert not big._pyds_bytes_ok(1, nbytes)
+    assert "BatchScan ice_table" not in plan(big.df())
+    # rows identical either way (force the route to prove equivalence)
+    monkeypatch.setattr(tmod, "_PYDS_BYTE_PENALTY", 0.0)
+    routed = big.df()
+    assert "BatchScan ice_table" in plan(routed)
+    assert routed.count() == 400_000
+
+
 def test_segment_scan_reader_partitions_pack_by_bytes(spark):
     """The segment plan's task list is byte-packed from manifest sizes:
     max_files caps tiny-file fan-in, and every live file lands in exactly
