@@ -1,0 +1,141 @@
+"""Bounded registry of operator-persisted frames (the session pin budget).
+
+Every dedup/ANN/graph operator persists intermediate frames (hashed
+shingles, minhash signatures, LSH dots, edge lists, ...) for the
+duration of its invocation and deliberately leaves them pinned so an
+immediately repeated run stays warm.  Each operator used to drain its
+OWN previous pins at the start of its next invocation via a
+module-level ``_X_PERSISTED`` list — hygiene that bounds nothing
+ACROSS operators: a resident session running the whole registry
+accumulates every operator's last invocation until the heap dies
+(measured: OOM near query ~118/156 in a default-1g vanilla session;
+``tests/vanilla_check.py`` documented the manual every-10-queries
+drain; VERDICT r8 "What's wrong" #3).
+
+This registry keeps the per-invocation reuse semantics — ``open_group``
+drains that group's previous pins exactly like the old lists — and adds
+the global bound the lists never had: at every group open the JVM's
+MEASURED cached-block total (``SparkContext.getRDDStorageInfo``, mem +
+disk) is compared against a budget derived from the driver heap, and
+the oldest pins of OTHER groups are evicted LRU-first until the total
+fits.  Eviction is always correctness-safe: pins are plain ``persist()``
+marks, so Catalyst silently recomputes an evicted frame on its next
+action — worst case is recompute cost, never a wrong result.
+(``localCheckpoint``-backed RDDs are NOT pins: unpersisting one is
+unrecoverable, so dedup's star-contraction keeps those in its own
+module list, exempt from the budget.)
+
+Budget: ``SPARK_GRAFT_PIN_BUDGET_MB`` if set, else 30% of the usable
+driver heap (local mode: executors share the driver JVM, so
+``Runtime.maxMemory`` IS the storage ceiling).  At the default 1 GiB
+vanilla heap that is ~220 MB — small enough that a 203-query sweep
+stays alive with zero manual drains (the done-criterion), large enough
+that a repeated single operator never evicts itself.  On the 128 GiB
+test/bench sessions the budget is effectively unbounded, preserving
+warm-rerun behavior there.
+"""
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+class _Pin:
+    __slots__ = ("df", "group", "seq", "on_evict")
+
+    def __init__(self, df: DataFrame, group: str, seq: int,
+                 on_evict: Callable[[], None] | None):
+        self.df = df
+        self.group = group
+        self.seq = seq
+        self.on_evict = on_evict
+
+
+#: insertion-ordered (oldest first) — LRU is by group-open recency, which
+#: _SEQ tracks: re-opening a group re-stamps nothing, but its new pins
+#: carry newer seqs, so a group's age is the age of its newest pin.
+_PINS: list[_Pin] = []
+_SEQ = itertools.count()
+
+
+def _budget_bytes(spark) -> int:
+    mb = os.environ.get("SPARK_GRAFT_PIN_BUDGET_MB")
+    if mb:
+        return int(mb) << 20
+    heap = int(spark.sparkContext._jvm.Runtime.getRuntime().maxMemory())
+    # mirror Spark's unified-memory shape: reserve 300 MB, then take a
+    # conservative 30% of the remainder for resident pins so execution
+    # memory for the RUNNING query always dominates what idle operators
+    # keep warm
+    return int(max(heap - (300 << 20), heap // 2) * 0.30)
+
+
+def _cached_bytes(spark) -> int:
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return sum(i.memSize() + i.diskSize() for i in infos)
+    except Exception:  # dead/foreign JVM: nothing measurable to bound
+        return 0
+
+
+def _unpin(p: _Pin) -> None:
+    try:
+        p.df.unpersist(blocking=True)
+    except Exception:  # session gone — the block died with the JVM
+        pass
+    if p.on_evict is not None:
+        p.on_evict()
+
+
+def open_group(group: str, spark=None) -> None:
+    """Start a new invocation of ``group``: drain its previous pins
+    (identical to the old per-module list drain), then — if a session is
+    supplied — enforce the global budget against everyone else's pins."""
+    drain(group)
+    if spark is not None:
+        enforce(spark, protect=group)
+
+
+def pin(group: str, df: DataFrame, level=None,
+        on_evict: Callable[[], None] | None = None) -> DataFrame:
+    """Persist ``df`` and register it under ``group``.  Returns ``df``."""
+    df.persist(level) if level is not None else df.persist()
+    _PINS.append(_Pin(df, group, next(_SEQ), on_evict))
+    return df
+
+
+def drain(group: str) -> None:
+    keep, dead = [], []
+    for p in _PINS:
+        (dead if p.group == group else keep).append(p)
+    _PINS[:] = keep
+    for p in dead:
+        _unpin(p)
+
+
+def enforce(spark, protect: str) -> None:
+    """Evict oldest pins of groups other than ``protect`` until the JVM's
+    measured cached total fits the budget.  Blocking unpersist so the
+    re-measure after each eviction is accurate."""
+    budget = _budget_bytes(spark)
+    if _cached_bytes(spark) <= budget:
+        return
+    for p in sorted((p for p in _PINS if p.group != protect),
+                    key=lambda p: p.seq):
+        _PINS.remove(p)
+        _unpin(p)
+        if _cached_bytes(spark) <= budget:
+            return
+
+
+def release_all() -> None:
+    dead, _PINS[:] = _PINS[:], []
+    for p in dead:
+        _unpin(p)
+
+
+def pinned_groups() -> set[str]:
+    return {p.group for p in _PINS}

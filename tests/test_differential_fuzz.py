@@ -665,3 +665,180 @@ def test_merge_statement_agreement(dml_env, data):
             by_k[sr["k"]] = {"k": sr["k"], "grp": sr["grp"],
                              "v": sr["v"], "s": sr["s"]}
     assert _slice_state(dml_env, base) == _as_set(list(by_k.values()))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_insert_select_statement_agreement(dml_env, data):
+    """INSERT INTO [@branch] SELECT (VERDICT r8 #8): the inner SELECT
+    carries nasty string literals in its WHERE plus inline comments — the
+    INSERT regex must hand the WHOLE tail to the read dialect, and a
+    branch target must leave main untouched."""
+    spark = dml_env.spark
+    base = next(_SLICES) * 1000
+    rows = _seed_slice(dml_env, base, _NASTY)
+    excl = data.draw(st.sampled_from(_NASTY))
+    add = data.draw(st.integers(min_value=-5, max_value=5))
+    use_branch = data.draw(st.booleans())
+    view = f"isrc_{base}"
+    src_rows = [
+        {"k": base + 200 + i, "grp": 7, "v": 3000 + i,
+         "s": _unlit(_lit(s))[1:-1]}
+        for i, s in enumerate(_NASTY[:6])
+    ]
+    spark.createDataFrame(
+        [(r["k"], r["grp"], r["v"], r["s"]) for r in src_rows],
+        "k bigint, grp bigint, v bigint, s string",
+    ).createOrReplaceTempView(view)
+    sel = (
+        f"SELECT k, grp, v + {add}, s FROM {view} "
+        f"WHERE s != {_lit(excl)} /* WHEN MATCHED */ -- SELECT note"
+    )
+    ex = _unlit(_lit(excl))[1:-1]
+    expect_new = [
+        {**r, "v": r["v"] + add} for r in src_rows if r["s"] != ex
+    ]
+    if use_branch:
+        br = f"ib{base}"
+        dml_env.catalog.table("dml_t").create_branch(br)
+        dml_env.sql(f"INSERT INTO dml_t @ {br} {sel}")
+        assert _slice_state(dml_env, base, ref=br) == _as_set(rows + expect_new)
+        assert _slice_state(dml_env, base) == _as_set(rows)  # main intact
+    else:
+        dml_env.sql(f"INSERT INTO dml_t {sel}")
+        assert _slice_state(dml_env, base) == _as_set(rows + expect_new)
+
+
+@pytest.fixture(scope="module")
+def ovw_env(dml_env):
+    """Partitioned table for INSERT OVERWRITE fuzzing — dynamic overwrite
+    replaces exactly the partitions the SELECT produces, so examples stay
+    disjoint by using base-derived grp partition values."""
+    dml_env.spark.createDataFrame(
+        [], "k long, grp long, v long, s string"
+    ).createOrReplaceTempView("ovw_seed")
+    dml_env.sql(
+        "CREATE TABLE ovw_t WITH (partitioning = ARRAY['grp']) "
+        "AS SELECT * FROM ovw_seed"
+    )
+    return dml_env
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_insert_overwrite_partition_agreement(ovw_env, data):
+    """INSERT OVERWRITE SELECT (VERDICT r8 #8): partitions named by the
+    source are replaced wholesale, unnamed partitions survive byte-for-
+    byte — with nasty literals flowing through the SELECT."""
+    spark = ovw_env.spark
+    base = next(_SLICES) * 1000
+    grps = [base, base + 1, base + 2]
+    seed = [
+        {"k": base + i, "grp": grps[i % 3], "v": i * 10,
+         "s": _unlit(_lit(_NASTY[i % len(_NASTY)]))[1:-1]}
+        for i in range(9)
+    ]
+    vals = ", ".join(
+        f"({r['k']}, {r['grp']}, {r['v']}, {_lit(r['s'])})" for r in seed
+    )
+    ovw_env.sql(f"INSERT INTO ovw_t (k, grp, v, s) VALUES {vals}")
+
+    touched = data.draw(
+        st.lists(st.sampled_from(grps), min_size=1, max_size=3, unique=True)
+    )
+    s_lit = data.draw(st.sampled_from(_NASTY))
+    src_rows = [
+        {"k": base + 500 + g % 100, "grp": g, "v": 9000 + g % 100,
+         "s": _unlit(_lit(s_lit))[1:-1]}
+        for g in touched
+    ]
+    view = f"osrc_{base}"
+    spark.createDataFrame(
+        [(r["k"], r["grp"], r["v"], r["s"]) for r in src_rows],
+        "k bigint, grp bigint, v bigint, s string",
+    ).createOrReplaceTempView(view)
+    ovw_env.sql(
+        f"INSERT OVERWRITE ovw_t SELECT k, grp, v, s FROM {view} "
+        f"WHERE s != 'OVERWRITE -- trap' -- note"
+    )
+    expect = [r for r in seed if r["grp"] not in touched] + src_rows
+    got = {
+        tuple(r)
+        for r in ovw_env.sql(
+            f"SELECT k, grp, v, s FROM ovw_t "
+            f"WHERE grp >= {base} AND grp < {base + 3}"
+        ).collect()
+    }
+    assert got == _as_set(expect)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_merge_nested_condition_agreement(dml_env, data):
+    """MERGE with NESTED parenthesized clause conditions carrying quoted
+    keywords, plus line and block comments BETWEEN clauses (VERDICT r8
+    #8): the quote-aware WHEN/THEN/AND scan must treat parenthesized
+    sub-conditions as opaque and the comment stripper must not eat
+    literal '--'/'/*' inside strings."""
+    spark = dml_env.spark
+    base = next(_SLICES) * 1000
+    rows = _seed_slice(dml_env, base, _NASTY)
+    matched = data.draw(
+        st.lists(st.integers(min_value=0, max_value=7), min_size=1,
+                 max_size=5, unique=True)
+    )
+    s_lit = data.draw(st.sampled_from(_NASTY))
+    src_rows = [
+        {"k": base + i, "grp": 9, "v": 1000 + i, "s": _unlit(_lit(s_lit))[1:-1]}
+        for i in matched
+    ] + [{"k": base + 300, "grp": 9, "v": 5000, "s": _unlit(_lit(s_lit))[1:-1]}]
+    view = f"nsrc_{base}"
+    spark.createDataFrame(
+        [(r["k"], r["grp"], r["v"], r["s"]) for r in src_rows],
+        "k bigint, grp bigint, v bigint, s string",
+    ).createOrReplaceTempView(view)
+
+    vcut = data.draw(st.integers(min_value=0, max_value=80))
+    g = data.draw(st.integers(min_value=0, max_value=2))
+    nasty = data.draw(st.sampled_from(_NASTY))
+    # nested condition: (v < cut AND (grp = g OR s = 'nasty')) — inner
+    # ANDs/ORs live inside parens, so the top-level AND scan must stop at
+    # the connector; the condition also quotes THEN/WHEN keywords
+    cond = (
+        f"(t.v < {vcut} AND (t.grp = {g} OR t.s = {_lit(nasty)} "
+        f"OR t.s = 'x THEN y'))"
+    )
+    stmt = (
+        f"MERGE INTO dml_t AS t USING {view} AS u ON t.k = u.k "
+        f"/* block WHEN MATCHED comment */ "
+        f"WHEN MATCHED AND {cond} THEN UPDATE SET v = u.v, s = u.s "
+        f"-- line THEN comment\n"
+        f"WHEN NOT MATCHED THEN INSERT (k, grp, v, s) "
+        f"VALUES (u.k, u.grp, u.v, u.s)"
+    )
+    dml_env.sql(stmt)
+
+    ns = _unlit(_lit(nasty))[1:-1]
+    by_k = {r["k"]: r for r in rows}
+    for sr in src_rows:
+        tr = by_k.get(sr["k"])
+        if tr is not None:
+            if tr["v"] < vcut and (tr["grp"] == g or tr["s"] == ns
+                                   or tr["s"] == "x THEN y"):
+                tr["v"], tr["s"] = sr["v"], sr["s"]
+        else:
+            by_k[sr["k"]] = {"k": sr["k"], "grp": sr["grp"],
+                             "v": sr["v"], "s": sr["s"]}
+    assert _slice_state(dml_env, base) == _as_set(list(by_k.values()))
