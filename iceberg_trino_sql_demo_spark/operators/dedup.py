@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.operators import pins, register
 from iceberg_trino_sql_demo_spark.session import parquet_row_count, pinned_conf, table_path
 
 #: number of minhash permutations and LSH banding layout (8 bands x 4 rows).
@@ -275,12 +275,13 @@ def hashed_shingles_with_stats(
     hit = _HASHED_SH_CACHE.get(key)
     if hit is not None:
         return hit[1], hit[2]
-    for k in list(_HASHED_SH_CACHE):
-        _HASHED_SH_CACHE.pop(k)[0].unpersist()
+    _HASHED_SH_CACHE.clear()
+    pins.open_group("hashed_sh", spark)
     shp, capped = build_hashed_shingles(
         _docs(spark, sf_dir).select("doc_id", "text"), n
     )
     n_sh = shp.count()  # materializes the shared persist eagerly
+    pins.adopt("hashed_sh", shp, on_evict=_HASHED_SH_CACHE.clear)
     _HASHED_SH_CACHE[key] = (shp, capped, n_sh)
     return capped, n_sh
 
@@ -459,9 +460,6 @@ _MINHASH_ORACLE = f"""
 """
 
 
-#: persisted frames from the previous invocation, released on the next call
-#: so repeated runs don't grow the session's cache
-_MINHASH_PERSISTED: list[DataFrame] = []
 
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -491,8 +489,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB the same structure holds with MEMORY_AND_DISK persistence;
     # signatures are ~num_docs x NUM_PERM longs, orders of magnitude
     # smaller than the data.
-    while _MINHASH_PERSISTED:
-        _MINHASH_PERSISTED.pop().unpersist()
+    pins.open_group("minhash", spark)
     # the 64-min aggregate is >100 output fields: keep it inside
     # whole-stage codegen under ANY caller session (default ceiling 100
     # silently drops wide plans to interpreted eval).  The conf is scoped
@@ -532,7 +529,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     ).persist()
-    _MINHASH_PERSISTED.extend([sig, cand])
+    pins.adopt("minhash", sig)
+    pins.adopt("minhash", cand)
     # verify candidates with exact jaccard over the hashed-shingle sets
     # (integer arithmetic, tau = 0.5), over the candidate docs only:
     # semi-join keeps the verification input proportional to |candidates|,
@@ -601,9 +599,6 @@ def _simhash_bit(b: int):
 def _simhash_bit_sql(b: int) -> str:
     half = _SIMHASH_BITS // 2
     return f"((ha >> {b}) & 1)" if b < half else f"((hb >> {b - half}) & 1)"
-#: persisted signature frame from the previous invocation (released on the
-#: next call, same hygiene pattern as _MINHASH_PERSISTED below)
-_SIMHASH_PERSISTED: list[DataFrame] = []
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,8 +616,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached narrow result (doc_id, simhash) is what both sides of the
     downstream chunk self-join read, so the aggregate runs exactly once.
     """
-    while _SIMHASH_PERSISTED:
-        _SIMHASH_PERSISTED.pop().unpersist()
+    pins.open_group("simhash", spark)
     with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
         # repartition before the explode for the same reason as
         # build_hashed_shingles: tokenize+md5 work scales with tokens, not
@@ -657,7 +651,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             sig_col = term if sig_col is None else sig_col + term
         sig = bit_sums.select("doc_id", sig_col.alias("simhash")).persist()
         sig.count()
-    _SIMHASH_PERSISTED.append(sig)
+    pins.adopt("simhash", sig)
     return sig
 
 
@@ -948,8 +942,6 @@ def _prefiltered_oracle() -> str:
     """
 
 
-#: persisted bucketed frame from the previous invocation (released next call)
-_PREF_PERSISTED: list[DataFrame] = []
 
 #: target mean bucket occupancy for the sign-LSH prefilter.  Candidate
 #: pairs per bucket grow with occupancy SQUARED, so a fixed plane count
@@ -1019,8 +1011,7 @@ def prefiltered_bucketed_corpus(
         if hit is not None:
             return hit
         _PREF_CACHE.clear()
-        while _PREF_PERSISTED:
-            _PREF_PERSISTED.pop().unpersist()
+        pins.open_group("pref", spark)
         res = _build_prefiltered_bucketed(spark, sf_dir, persist=True)
         _PREF_CACHE[key] = res
         return res
@@ -1061,7 +1052,7 @@ def _build_prefiltered_bucketed(
         if persist:
             dots = dots.persist()
             dots.count()
-            _PREF_PERSISTED.append(dots)
+            pins.adopt("pref", dots, on_evict=_PREF_CACHE.clear)
         bucketed = dots.select(
             "vec_id", "embedding", "nrm", _bucket_from_dots(n_planes).alias("bucket")
         )
@@ -1091,7 +1082,7 @@ def _build_prefiltered_bucketed(
     if persist:
         bucketed = bucketed.persist()
         bucketed.count()
-        _PREF_PERSISTED.append(bucketed)
+        pins.adopt("pref", bucketed, on_evict=_PREF_CACHE.clear)
     return bucketed, n_planes
 
 
@@ -1118,20 +1109,13 @@ def dedup_embedding_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
-    return _score_candidate_pairs(pairs, _PREF_PAIR_PERSISTED)
+    return _score_candidate_pairs(pairs, "pref_pair")
 
 
-#: per-operator persisted candidate frames (released on that operator's
-#: next invocation / release_caches) — one slot per consumer so one
-#: operator's run can never unpersist a frame a sibling's memoized plan
-#: still references
-_PREF_PAIR_PERSISTED: list[DataFrame] = []
-_MP_PAIR_PERSISTED: list[DataFrame] = []
-_SEM_PAIR_PERSISTED: list[DataFrame] = []
 
 
 def _score_candidate_pairs(
-    cand: DataFrame, slot: list[DataFrame], extra_cols: tuple[str, ...] = ()
+    cand: DataFrame, group: str, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """cosine >= 0.95 scoring of an (id_a, ea, na, id_b, eb, nb, ...)
     candidate frame in its OWN whole-stage-codegen stage.
@@ -1150,11 +1134,11 @@ def _score_candidate_pairs(
     on the next invocation and by release_caches()."""
     from iceberg_trino_sql_demo_spark.operators.similarity import _dot
 
-    while slot:
-        slot.pop().unpersist()
+    pins.open_group(group, cand.sparkSession)
     cosine = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
-    scored = cand.select(*extra_cols, "id_a", "id_b", cosine.alias("c")).persist()
-    slot.append(scored)
+    scored = pins.pin(
+        group, cand.select(*extra_cols, "id_a", "id_b", cosine.alias("c"))
+    )
     return (
         scored.where(F.col("c") >= 0.95)
         .select(*extra_cols, "id_a", "id_b", F.round("c", 6).alias("cosine"))
@@ -1257,7 +1241,7 @@ def _multiprobe_pairs(
         cand = probes.join(b, probes["probe"] == b["bucket"]).where(
             F.col("id_a") < F.col("id_b")
         )
-        return _score_candidate_pairs(cand.drop("probe", "bucket"), _MP_PAIR_PERSISTED)
+        return _score_candidate_pairs(cand.drop("probe", "bucket"), "mp_pair")
     # scale path (adaptive plane count, beyond any oracle-checked corpus):
     # the expression-dot join scores every candidate one unrolled 64-term
     # dot at a time (measured 24 s warm at the 50x point, 8.3M pairs);
@@ -1321,8 +1305,6 @@ def _multiprobe_pairs(
 # cover real corpora; only a one-row convergence count reaches the driver
 # per round.  Oracle: DuckDB WITH RECURSIVE transitive closure.
 # ---------------------------------------------------------------------------
-#: persisted frames from the previous invocation (released on next call)
-_CC_PERSISTED: list[DataFrame] = []
 
 
 @register(
@@ -1353,8 +1335,7 @@ _CC_PERSISTED: list[DataFrame] = []
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation over exact-dup pairs until fixpoint; returns
     (doc_id, cluster_id, cluster_size) for every document in a cluster."""
-    while _CC_PERSISTED:
-        _CC_PERSISTED.pop().unpersist()
+    pins.open_group("cc", spark)
     corpus = _corpus_with_dups(spark, sf_dir)
     pairs = (
         corpus.alias("a")
@@ -1412,7 +1393,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
     )
     edges.unpersist()
-    _CC_PERSISTED.append(backing)  # consumed lazily by `out`; freed next call
+    pins.adopt("cc", backing)  # consumed lazily by `out`; freed next call
     return out
 
 
@@ -1668,9 +1649,6 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_pairs(assigned, use_gemm=cent_mod != _CENT_MOD)
 
 
-#: persisted assignment frames from the previous semantic invocation
-#: (released on the next call / release_caches)
-_SEM_PERSISTED: list[DataFrame] = []
 
 
 def _semantic_pairs(assigned: DataFrame, use_gemm: bool) -> DataFrame:
@@ -1690,10 +1668,11 @@ def _semantic_pairs(assigned: DataFrame, use_gemm: bool) -> DataFrame:
         # reference the same assignment subplan (cross join + min_by agg +
         # join-back), which otherwise executes twice per action — measured
         # 3.3 s vs 1.7 s warm at sf0.1.
-        while _SEM_PERSISTED:
-            _SEM_PERSISTED.pop().unpersist()
-        sided = assigned.withColumn("nrm", F.sqrt(_dot("embedding", "embedding"))).persist()
-        _SEM_PERSISTED.append(sided)
+        pins.open_group("sem", spark)
+        sided = pins.pin(
+            "sem",
+            assigned.withColumn("nrm", F.sqrt(_dot("embedding", "embedding"))),
+        )
         a = sided.select(
             "cluster", F.col("vec_id").alias("id_a"),
             F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
@@ -1704,7 +1683,7 @@ def _semantic_pairs(assigned: DataFrame, use_gemm: bool) -> DataFrame:
         )
         pairs = a.join(b, "cluster").where(F.col("id_a") < F.col("id_b"))
         return _score_candidate_pairs(
-            pairs, _SEM_PAIR_PERSISTED, extra_cols=("cluster",)
+            pairs, "sem_pair", extra_cols=("cluster",)
         )
     # scale path (adaptive centroid count, beyond any oracle-checked
     # corpus): the expression-dot join scores ~n*cent_mod/2 pairs one
@@ -1816,9 +1795,6 @@ _INCR_MINHASH_ORACLE = f"""
      WHERE 2 * n_common >= sa.n + sb.n - n_common
 """
 
-#: persisted frames from the previous invocation (same hygiene as
-#: _MINHASH_PERSISTED)
-_INCR_PERSISTED: list[DataFrame] = []
 
 
 @register("dedup_incremental_minhash", oracle=_INCR_MINHASH_ORACLE)
@@ -1827,8 +1803,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the incoming batch against the full corpus, index self-pairs never
     generated.  Shares the session-cached hashed-shingle pipeline with
     the other shingle operators."""
-    while _INCR_PERSISTED:
-        _INCR_PERSISTED.pop().unpersist()
+    pins.open_group("incr_minhash", spark)
     with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
         sh = hashed_shingles(spark, sf_dir)
         sig = sh.groupBy("doc_id").agg(
@@ -1836,7 +1811,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
         ).persist()
         sig.count()
-    _INCR_PERSISTED.append(sig)
+    pins.adopt("incr_minhash", sig)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -1871,7 +1846,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("id_new"), F.col("y.doc_id").alias("id_old"))
         .distinct()
     ).persist()
-    _INCR_PERSISTED.append(cand)
+    pins.adopt("incr_minhash", cand)
     cand_ids = (
         cand.select(F.col("id_new").alias("doc_id"))
         .unionAll(cand.select(F.col("id_old").alias("doc_id")))
@@ -2342,6 +2317,7 @@ _CALIBRATION_ORACLE = f"""
 
 @register("dedup_minhash_calibration", oracle=_CALIBRATION_ORACLE)
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pins.open_group("calibration", spark)
     with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
         sh = hashed_shingles(spark, sf_dir)
         sig = sh.groupBy("doc_id").agg(
@@ -2349,7 +2325,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
         ).persist()
         sig.count()
-    _MINHASH_PERSISTED.append(sig)
+    pins.adopt("calibration", sig)
     band_cols = [
         F.md5(
             F.concat_ws(

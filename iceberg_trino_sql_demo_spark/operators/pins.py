@@ -66,11 +66,18 @@ def _budget_bytes(spark) -> int:
     if mb:
         return int(mb) << 20
     heap = int(spark.sparkContext._jvm.Runtime.getRuntime().maxMemory())
-    # mirror Spark's unified-memory shape: reserve 300 MB, then take a
-    # conservative 30% of the remainder for resident pins so execution
-    # memory for the RUNNING query always dominates what idle operators
-    # keep warm
-    return int(max(heap - (300 << 20), heap // 2) * 0.30)
+    usable = max(heap - (300 << 20), heap // 2)
+    # mirror Spark's unified-memory shape: reserve 300 MB, then keep the
+    # resident-pin share SMALL relative to execution memory — on a
+    # default 1 GiB local heap the 32 executor threads' task buffers,
+    # broadcast variables and codegen all share the same JVM, and a 30%
+    # share measurably starved them (the 203-query vanilla sweep OOM'd at
+    # query ~92 under 30%; ~5% of usable ≈ 36 MB survives while still
+    # keeping the running operator's own frames).  Big heaps scale the
+    # share up: warm-rerun behavior on the 128 GiB bench/test sessions is
+    # effectively unbounded either way.
+    share = 0.05 if usable <= (4 << 30) else 0.30
+    return int(usable * share)
 
 
 def _cached_bytes(spark) -> int:
@@ -101,9 +108,22 @@ def open_group(group: str, spark=None) -> None:
 
 def pin(group: str, df: DataFrame, level=None,
         on_evict: Callable[[], None] | None = None) -> DataFrame:
-    """Persist ``df`` and register it under ``group``.  Returns ``df``."""
+    """Persist ``df`` and register it under ``group``.  Returns ``df``.
+
+    Enforces the budget here too (protecting ``group``): a multi-stage
+    operator that pins under several groups within ONE query (corpus
+    selection opens hashed_sh + bloom + pack + ...) would otherwise
+    accumulate unbounded until its NEXT open_group."""
     df.persist(level) if level is not None else df.persist()
+    return adopt(group, df, on_evict)
+
+
+def adopt(group: str, df: DataFrame,
+          on_evict: Callable[[], None] | None = None) -> DataFrame:
+    """Register an ALREADY-persisted frame (builders that own their own
+    persist call, e.g. build_hashed_shingles) under ``group``."""
     _PINS.append(_Pin(df, group, next(_SEQ), on_evict))
+    enforce(df.sparkSession, protect=group)
     return df
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.operators import pins, register
 from iceberg_trino_sql_demo_spark.session import table_path
 
 
@@ -371,9 +371,6 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-file blooms in sources/bloom.py, reduced mod a power-of-two m with
 # an odd stride so the probe family stays coprime).
 # ---------------------------------------------------------------------------
-#: persisted eval-shingle frame from the previous invocation (released on
-#: the next call or by operators.release_caches)
-_BLOOM_PERSISTED: list[DataFrame] = []
 
 
 @register("contamination_bloom_prefilter", oracle=_contamination_oracle())
@@ -382,13 +379,11 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from iceberg_trino_sql_demo_spark.operators.dedup import shingle_hash_pairs
 
-    while _BLOOM_PERSISTED:
-        _BLOOM_PERSISTED.pop().unpersist()
+    pins.open_group("bloom", spark)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     eval_sh = shingle_hash_pairs(docs.where(is_eval)).select("h1", "h2").distinct()
-    eval_sh.persist()
-    _BLOOM_PERSISTED.append(eval_sh)
+    pins.pin("bloom", eval_sh)
     n_eval = eval_sh.count()  # one scalar to the driver (sizes the bitset)
 
     m_bits = max(1024, 1 << math.ceil(math.log2(n_eval * 10 + 1)))
@@ -1100,7 +1095,6 @@ def _pack_buckets(n_docs: int) -> int:
         max(_PACK_MIN_BUCKETS, math.ceil(n_docs / _PACK_DOCS_PER_BUCKET)),
     )
 #: release-on-next-invocation persisted frames (see operators.release_caches)
-_PACK_PERSISTED: list = []
 
 
 @register(
@@ -1137,8 +1131,7 @@ _PACK_PERSISTED: list = []
 )
 def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    while _PACK_PERSISTED:
-        _PACK_PERSISTED.pop().unpersist()
+    pins.open_group("pack", spark)
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
         .where(F.col("t") != "")
@@ -1149,7 +1142,7 @@ def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the tokenize+agg scan — the heaviest stage at corpus scale
         .persist()
     )
-    _PACK_PERSISTED.append(toks)
+    pins.adopt("pack", toks)
     # order-preserving deterministic buckets: doc_id DIV K
     from iceberg_trino_sql_demo_spark.session import parquet_row_count, table_path
 

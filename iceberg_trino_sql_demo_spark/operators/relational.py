@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.operators import pins, register
 from iceberg_trino_sql_demo_spark.functions.trino import (
     decimal_sum,
     scaled_long_sum,
@@ -569,9 +569,6 @@ _BAND_PROBE_MARGIN = 0.004
 #: the four profiled percentiles, shared by query + oracle construction
 _QUANTILE_TAGS = [(0, 0.25, "q25"), (1, 0.50, "q50"), (2, 0.75, "q75"), (3, 0.95, "q95")]
 
-#: persisted per-group ks frame from the previous quantile-harness call,
-#: released on the next call (family cache-slot convention)
-_QUANT_PERSISTED: list[DataFrame] = []
 
 
 def _per_band(colfmt: str):
@@ -606,11 +603,9 @@ def _sketch_banded_ranked(base: DataFrame, ks: DataFrame) -> DataFrame:
     # offset pass and ksx) — without an eager persist each broadcast build
     # re-runs the 0.4 s sketch aggregate (measured: the persist halves the
     # warm query)
-    while _QUANT_PERSISTED:
-        _QUANT_PERSISTED.pop().unpersist()
-    ks = ks.persist()
+    pins.open_group("quant", ks.sparkSession)
+    ks = pins.pin("quant", ks)
     ks.count()
-    _QUANT_PERSISTED.append(ks)
     off = (
         base.join(
             F.broadcast(

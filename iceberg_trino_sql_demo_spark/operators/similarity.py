@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_trino_sql_demo_spark.operators import register
+from iceberg_trino_sql_demo_spark.operators import pins, register
 from iceberg_trino_sql_demo_spark.session import parquet_row_count, table_path
 
 K = 10
@@ -30,7 +30,6 @@ PROBE_RADIUS = 3
 
 #: persisted staged-dot frame from the previous ann_topk_lsh invocation,
 #: released on the next call (same hygiene as dedup's persisted caches)
-_LSH_PERSISTED: list[DataFrame] = []
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,14 +245,12 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # honest production shape anyway: at 100 TB the bucket is computed
     # once at WRITE time and stored as a cluster/partition key, never
     # recomputed per probe.
-    while _LSH_PERSISTED:
-        _LSH_PERSISTED.pop().unpersist()
-    dots = e.select(
+    pins.open_group("lsh", spark)
+    dots = pins.pin("lsh", e.select(
         "vec_id",
         "embedding",
         *[_dot_lit("embedding", p).alias(f"d{i}") for i, p in enumerate(planes)],
-    ).persist()
-    _LSH_PERSISTED.append(dots)
+    ))
     bucketed = dots.select("vec_id", "embedding", _bucket_from_dots().alias("bucket"))
 
     q_bucket = 0
@@ -568,8 +565,7 @@ _KNN_Q = 5  # query set: vec_id < 5 (deterministic; oracle picks the same)
 _KNN_K = 3  # neighbors returned per query
 
 #: persisted scored frame from the previous ann_knn_join call (stage
-#: barrier for the staged per-query dots; same hygiene as _LSH_PERSISTED)
-_KNN_PERSISTED: list[DataFrame] = []
+#: barrier for the staged per-query dots; same hygiene as the lsh group)
 
 
 @register(
@@ -628,15 +624,14 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"embeddings dim changed: data has {len(vec)}, engine built "
                 f"for {_DIM} — update similarity._DIM"
             )
-    while _KNN_PERSISTED:
-        _KNN_PERSISTED.pop().unpersist()
+    pins.open_group("knn", spark)
     # stage 1: per-query dots + self-norm as separate top-level expressions
     scored = e.select(
         "vec_id",
         F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
         *[_dot_lit("embedding", vec).alias(f"d{i}") for i, (_, vec) in enumerate(qs)],
-    ).persist()
-    _KNN_PERSISTED.append(scored)
+    )
+    scored = pins.pin("knn", scored)
     # stage 2: assemble cosines from the cached scalars, explode, rank
     pairs = F.explode(
         F.array(
@@ -669,7 +664,6 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: persisted staged-dot frame for the prefiltered knn join (own slot so a
 #: still-referenced ann_knn_join result is never unpersisted mid-use)
-_KNNL_PERSISTED: list[DataFrame] = []
 
 _KNN_LSH_ORACLE = f"""
     WITH base AS (
@@ -740,15 +734,14 @@ def ann_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot = sum(a * c for a, c in zip(vec, p))
             b += (1 if dot >= 0 else 0) * (2 ** i)
         q_buckets.append(b)
-    while _KNNL_PERSISTED:
-        _KNNL_PERSISTED.pop().unpersist()
+    pins.open_group("knnl", spark)
     staged = e.select(
         "vec_id",
         F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
         *[_dot_lit("embedding", p).alias(f"d{i}") for i, p in enumerate(planes)],
         *[_dot_lit("embedding", vec).alias(f"s{i}") for i, (_, vec) in enumerate(qs)],
-    ).persist()
-    _KNNL_PERSISTED.append(staged)
+    )
+    staged = pins.pin("knnl", staged)
     bucketed = staged.withColumn("bucket", _bucket_from_dots())
     pairs = F.explode(
         F.array(

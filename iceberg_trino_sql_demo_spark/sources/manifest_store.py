@@ -502,6 +502,50 @@ class LazyManifest:
         out.extend(self.added)
         return out
 
+    def candidate_files(
+        self,
+        size_below: int,
+        modified_after_ms: int | None = None,
+        targeted: frozenset[str] | set[str] = frozenset(),
+    ) -> list[DataFile]:
+        """Maintenance candidate selection (optimize's predicate: smaller
+        than ``size_below`` OR in ``targeted``, AND — if given — modified
+        after ``modified_after_ms``) answered VECTORIZED per segment:
+        pyarrow compute over the typed file_size_bytes / file_modified_ms
+        / path columns, materializing Python entries only for survivors.
+        A bin-pack sweep over a healthy 10^6-file table (few small files)
+        previously paid the full 20+ s entry materialization just to
+        decide there was nothing to do; this pays column scans
+        (~0.1 s/10^6 entries) plus survivors."""
+        import pyarrow.compute as pc
+
+        out: list[DataFile] = []
+        for seg in self.segments:
+            tbl = read_segment(self.location, seg)
+            mask = pc.less(tbl.column("file_size_bytes"), size_below)
+            if targeted:
+                mask = pc.or_(
+                    mask, pc.is_in(tbl.column("path"),
+                                   value_set=pa.array(sorted(targeted))),
+                )
+            if modified_after_ms is not None:
+                mask = pc.and_(
+                    mask,
+                    pc.greater(tbl.column("file_modified_ms"),
+                               modified_after_ms),
+                )
+            cand = tbl.filter(mask)
+            if cand.num_rows:
+                out.extend(entries_from_arrow(cand))
+        if self.removed:
+            out = [f for f in out if f.path not in self.removed]
+        for f in self.added:
+            if f.file_size_bytes < size_below or f.path in targeted:
+                if (modified_after_ms is None
+                        or f.file_modified_ms > modified_after_ms):
+                    out.append(f)
+        return out
+
     # -- pruned materialization (the planning hot path) -----------------------
     def pruned(self, meta: TableMetadata, predicates: list, spark=None) -> list[DataFile]:
         """Three-stage prune: segment summaries -> vectorized stats mask ->

@@ -315,6 +315,26 @@ class Manifest:
             [DeleteFile.from_dict(f) for f in d["delete_files"]],
         )
 
+    def candidate_files(
+        self,
+        size_below: int,
+        modified_after_ms: int | None = None,
+        targeted: frozenset[str] | set[str] = frozenset(),
+    ) -> list["DataFile"]:
+        """Maintenance candidate selection: entries smaller than
+        ``size_below`` OR named in ``targeted``, optionally restricted to
+        those modified after ``modified_after_ms`` — the optimize()
+        predicate.  Eager manifests filter in Python; the lazy mirror
+        (manifest_store.LazyManifest.candidate_files) answers the same
+        question from segment columns without materializing the table."""
+        out = [
+            f for f in self.data_files
+            if f.file_size_bytes < size_below or f.path in targeted
+        ]
+        if modified_after_ms is not None:
+            out = [f for f in out if f.file_modified_ms > modified_after_ms]
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Table metadata (the vN.metadata.json document)

@@ -2507,12 +2507,12 @@ class Table:
             {p for d in manifest.delete_files for p in d.referenced_files}
             if rewrite_deletes else set()
         )
-        cands = [
-            f for f in manifest.data_files
-            if f.file_size_bytes < file_size_threshold or f.path in targeted
-        ]
-        if modified_after_ms is not None:
-            cands = [f for f in cands if f.file_modified_ms > modified_after_ms]
+        # vectorized on segment-backed manifests: a healthy 10^6-file
+        # table's no-op bin-pack sweep decides from column scans
+        # (~0.1 s) instead of the full 20+ s entry materialization
+        cands = manifest.candidate_files(
+            file_size_threshold, modified_after_ms, targeted
+        )
         if partition_filter:
             # identity fields' partition-dict key IS the source column name
             identity = set()

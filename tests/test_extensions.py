@@ -431,6 +431,50 @@ def test_release_caches_unpins_everything(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
+def test_pin_budget_evicts_lru_and_recomputes(spark, monkeypatch):
+    """The bounded pin registry (operators/pins.py, VERDICT r8 #7): with
+    the budget forced to zero, opening a NEW group must LRU-evict every
+    other group's resident pins — and an evicted operator re-run must
+    silently recompute to the identical result (persist marks are
+    correctness-free).  The shared shingle cache's on_evict hook must
+    drop its dict entry so consumers rebuild instead of reusing a frame
+    whose persist mark is gone."""
+    from iceberg_trino_sql_demo_spark.operators import dedup, pins
+
+    ops.load_all()
+    ops.release_caches()
+    n1 = sorted(map(tuple, ops.QUERIES["dedup_minhash_lsh"](spark, SF).collect()))
+    assert {"hashed_sh", "minhash"} <= pins.pinned_groups()
+    monkeypatch.setenv("SPARK_GRAFT_PIN_BUDGET_MB", "0")
+    ops.QUERIES["dedup_simhash"](spark, SF).count()
+    assert pins.pinned_groups() == {"simhash"}
+    assert not dedup._HASHED_SH_CACHE  # on_evict dropped the entry
+    monkeypatch.delenv("SPARK_GRAFT_PIN_BUDGET_MB")
+    ops._PLAN_CACHE.clear()  # force a rebuild through the evicted state
+    n2 = sorted(map(tuple, ops.QUERIES["dedup_minhash_lsh"](spark, SF).collect()))
+    assert n1 == n2
+    ops.release_caches()
+
+
+def test_plan_cache_is_lru_bounded(spark, monkeypatch):
+    """The prepared-plan cache must hold at most _PLAN_CACHE_MAX entries
+    (resident Catalyst trees are driver-heap weight), evicting oldest
+    first and refreshing recency on hit."""
+    monkeypatch.setattr(ops, "_PLAN_CACHE_MAX", 3)
+    ops.load_all()
+    ops._PLAN_CACHE.clear()
+    names = ["federation_agg", "customer_pipeline", "orderdate_range",
+             "left_join_shape"]
+    for n in names[:3]:
+        ops.QUERIES[n](spark, SF)
+    first = ops.QUERIES[names[0]](spark, SF)  # hit: refresh recency
+    ops.QUERIES[names[3]](spark, SF)  # overflow: evicts names[1], not [0]
+    assert len(ops._PLAN_CACHE) == 3
+    cached_names = {k[3] for k in ops._PLAN_CACHE}
+    assert cached_names == {names[0], names[2], names[3]}
+    assert ops.QUERIES[names[0]](spark, SF) is first  # still memoized
+
+
 def test_multiprobe_prefiltered_superset_and_candidate_bound(spark, sf_oracle_dir):
     """hamming<=1 multi-probe: result pairs are a superset of the
     single-probe operator's (same threshold, wider candidate net) and the

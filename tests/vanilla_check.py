@@ -31,17 +31,13 @@ def main() -> int:
     spark = SparkSession.builder.getOrCreate()
     failures = 0
     for i, name in enumerate(names):
-        # a FULL-registry sweep in one default-heap (1g) vanilla session
-        # accumulates operator-held persisted frames + plan-cache lineage
-        # past the heap (measured: OOM at query ~118 of 156 with no
-        # drains; at 203 registered queries even every-25 drains OOM'd
-        # near query ~140) — the driver itself only ever runs a 50-query
-        # window, so this is purely this harness's footprint.  Drain
-        # every 10 queries; a full 203-query sweep then fits (run in
-        # chunks of <=100 names if a future registry outgrows even that).
-        if i and i % 10 == 0:
-            entry._ops.release_caches()
-            spark.catalog.clearCache()
+        # NO manual drains: the bounded pin registry (operators/pins.py,
+        # VERDICT r8 #7) LRU-evicts resident operator persists against a
+        # heap-derived budget at every group open, and the prepared-plan
+        # cache is LRU-bounded — a full-registry sweep in one default-heap
+        # (1g) vanilla session must now fit on its own.  (Before the
+        # budget: OOM at query ~118 of 156 with no drains; this harness
+        # drained every 10 queries as a workaround.)
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR).toPandas()
