@@ -43,12 +43,15 @@ NO_BENCH: set[str] = set()
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 
 #: LRU bound on resident prepared plans: each entry keeps a full analyzed/
-#: optimized Catalyst tree alive in the driver JVM, and a session that
-#: walks the whole 200+-query registry would otherwise accumulate all of
-#: them (part of the measured 1g-heap vanilla-sweep OOM, alongside the
-#: unbounded operator pins — VERDICT r8 #7).  64 plans comfortably covers
-#: any working set that actually repeats; evicted plans just re-analyze.
-_PLAN_CACHE_MAX = 64
+#: optimized Catalyst tree alive in the driver JVM — for the wide dedup
+#: aggregates those trees (and the executed broadcast blocks they keep
+#: reachable) are driver-heap weight, and a session that walks the whole
+#: 200+-query registry would otherwise accumulate all of them (part of
+#: the measured 1g-heap vanilla-sweep OOM, alongside the unbounded
+#: operator pins — VERDICT r8 #7).  64 plans comfortably covers any
+#: working set that actually repeats; evicted plans just re-analyze.
+#: Env-tunable for small-heap resident sessions.
+_PLAN_CACHE_MAX = int(os.environ.get("SPARK_GRAFT_PLAN_CACHE_MAX", "64"))
 
 
 def _data_fingerprint(sf_dir: str) -> int:
@@ -131,6 +134,8 @@ def register(
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW in round 9: add fresh query names HERE (top of the window)
     "events_user_triangles_capped",
+    "text_perplexity_unigram",
+    "dedup_cdc_chunks",
     # -- NEVER driver-sampled (union r1-r8)
     "ice_deletion_vector",
     # -- last driver-sampled round r2

@@ -2491,3 +2491,115 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000 * c DIV n_contained").cast("long")
         .alias("containment_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — the rsync/LBFS boundary trick at
+# token grain: a chunk ends wherever the rolling 3-gram hash ≡ 0 (mod 8),
+# so boundaries are a pure function of LOCAL content.  Insert or delete a
+# sentence and only the chunks touching the edit change identity — every
+# other chunk re-aligns and still dedups, which fixed-size blocks
+# fundamentally cannot do.  This is the storage/dataset-dedup primitive
+# (LBFS, restic, data-lake dedup) complementing the document-grain
+# operators above: exact/minhash dedup whole docs, span dedup fixed
+# windows, CDC dedups shared PASSAGES across otherwise-different docs.
+#
+# Shape at 100 TB: one per-doc window pass (bounded by doc length — the
+# same per-entity bound sessionization carries), then a keyed aggregate
+# on chunk_hash; no self-join, no pair blow-up.  Expected chunk length is
+# the modulus (8 tokens) — tune _CDC_MOD to trade dedup granularity
+# against chunk-table size.
+# ---------------------------------------------------------------------------
+_CDC_K = 3   # boundary decided by the k-gram ending at the position
+_CDC_MOD = 8  # P(boundary) = 1/8 -> ~8-token expected chunks
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(sp) AS t, generate_subscripts(sp, 1) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+    ),
+    g AS (
+      SELECT doc_id, pos, t,
+             CASE WHEN lead(t, {_CDC_K - 1}) OVER w IS NOT NULL
+                   AND ('0x' || substr(md5(t || ' ' || lead(t, 1) OVER w
+                                       || ' ' || lead(t, 2) OVER w), 1, 8)
+                       )::BIGINT % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS b
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    c AS (
+      SELECT doc_id, pos, t,
+             1 + coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS chunk_id
+        FROM g
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_hash,
+             count(*) AS n_toks
+        FROM c GROUP BY doc_id, chunk_id
+    )
+    SELECT chunk_hash,
+           CAST(min(n_toks) AS BIGINT) AS n_toks,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_copies
+      FROM chunks
+     GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated CDC chunks: (chunk_hash, n_toks, n_docs,
+    n_copies) for every content-defined chunk appearing in ≥2 documents.
+    Boundary = md5 of the 3-gram ENDING here ≡ 0 (mod 8) — identical
+    integer arithmetic on both engines via the established
+    ('0x'||substr(md5,1,8))::BIGINT == conv(substring(md5,1,8),16,10)
+    bridge."""
+    from pyspark.sql.window import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t1, t2 = F.lead("t", 1).over(w), F.lead("t", _CDC_K - 1).over(w)
+    gram_hash = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.col("t"), t1, t2)), 1, 8),
+            16, 10,
+        ).cast("long")
+    )
+    tagged = toks.withColumn(
+        "b",
+        F.when(t2.isNotNull() & (gram_hash % _CDC_MOD == 0), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    cum_prev = F.coalesce(
+        F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    c = tagged.withColumn("chunk_id", cum_prev + 1)
+    chunks = c.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s["t"],
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min("n_toks").cast("long").alias("n_toks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -975,3 +975,60 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "term")
         .limit(_INV_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity proxy — the classic LM-based quality filter
+# (CCNet/RedPajama shape): score every document by its mean per-token
+# information content under the corpus's own add-1-smoothed unigram model.
+# High bits/token = unusual vocabulary (noise, boilerplate soup, wrong
+# language); the 100 TB pipeline thresholds on this score next to the
+# Gopher gates.  Two linear keyed aggregates + one broadcast join — the
+# vocabulary is orders of magnitude smaller than the corpus, and the
+# per-doc score is a plain hash aggregate, so the shape is flat at any
+# corpus size.  (A real deployment swaps the corpus-trained unigram model
+# for a fixed reference model — same join, the model table just stops
+# depending on the input.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_perplexity_unigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    toks2 AS (SELECT doc_id, t FROM toks WHERE t != ''),
+    vocab AS (SELECT t, count(*) AS n FROM toks2 GROUP BY t),
+    stats AS (SELECT sum(n) AS total, count(*) AS vsize FROM vocab)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(avg(-log2((v.n + 1) / (s.total + s.vsize))), 6)
+               AS bits_per_token
+      FROM toks2 JOIN vocab v USING (t) CROSS JOIN stats s
+     GROUP BY doc_id
+    """,
+)
+def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    stats = vocab.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("vsize")
+    )
+    # add-1 smoothing; -log2 p stays double end-to-end and the mean is
+    # rounded to 6 decimals on both engines (sum order across engines
+    # differs at the ULP, never at 1e-6 over per-doc token counts)
+    bits = -F.log2((F.col("n") + 1) / (F.col("total") + F.col("vsize")))
+    return (
+        toks.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(bits), 6).alias("bits_per_token"),
+        )
+    )
