@@ -297,6 +297,25 @@ def measure_scan(spark, n: int) -> dict:
             t0 = time.perf_counter()
             assert len(dfp.limit(1).collect()) == 1
             row["pruned_first_row_s"] = round(time.perf_counter() - t0, 3)
+
+            # evolved + MoR variant (VERDICT r8 #1 done-criterion): one
+            # ADD COLUMN w/ default + one merge-on-read position delete —
+            # the long-lived-table state — must STAY on the segment route
+            # (per-partition column-id projection; (file,pos) anti-join
+            # above the scan) with the same flat launch.  The delete's
+            # stats prune scopes it to ONE file (synthetic orderkey
+            # ranges), the realistic sparse-delete shape.
+            t.add_column("note", "string", default="n/a")
+            t.delete("l_orderkey = 2")
+            t0 = time.perf_counter()
+            dfe = t.df()
+            row["evomor_df_s"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            assert len(dfe.limit(1).collect()) == 1
+            row["evomor_first_row_s"] = round(time.perf_counter() - t0, 3)
+            if n <= JVM_PLAN_CAP:
+                assert dfe.count() == 3 * n - 1
+                assert dfe.where("note = 'n/a'").count() == 3 * n - 1
         finally:
             tmod._PYDS_SCAN_FILES = saved
 
@@ -449,14 +468,22 @@ def write_scan_md(rows: list[dict]) -> None:
         "plan, so pruned-scan launch is survivor-sized, never",
         "table-sized.",
         "",
-        "| files | seg df (s) | seg first row (s) | seg count (s) | pruned df (s) | pruned first row (s) | jvm df (s) | jvm first row (s) |",
-        "|---|---|---|---|---|---|---|---|",
+        "",
+        "*evo+MoR* = the SAME table after one ADD COLUMN (default) and a",
+        "one-file merge-on-read position delete — the normal long-lived",
+        "state: the route keeps the segment plan (per-partition column-id",
+        "projection + (file,pos) anti-join), so launch stays flat instead",
+        "of falling back to the O(files) handoff.",
+        "",
+        "| files | seg df (s) | seg first row (s) | seg count (s) | pruned df (s) | pruned first row (s) | evo+MoR df (s) | evo+MoR first row (s) | jvm df (s) | jvm first row (s) |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['n_files']:,} | {r.get('seg_df_s', '-')} "
             f"| {r.get('seg_first_row_s', '-')} | {r.get('seg_count_s', '-')} "
             f"| {r.get('pruned_df_s', '-')} | {r.get('pruned_first_row_s', '-')} "
+            f"| {r.get('evomor_df_s', '-')} | {r.get('evomor_first_row_s', '-')} "
             f"| {r.get('jvm_df_s', '-')} | {r.get('jvm_first_row_s', '-')} |"
         )
     lines.append("")
