@@ -98,6 +98,12 @@ FAMILY = [
     # one scan + one signature-keyed aggregate — both must stay linear
     "dedup_ngram_containment",
     "multimodal_ahash_near_dup",
+    # r9: CDC chunk dedup (doc-partitioned window pass + chunk-hash keyed
+    # aggregate — join-free, so pair count is undefined and wall time must
+    # track tokens) and the unigram-LM perplexity scorer (vocab broadcast
+    # + per-doc hash aggregate) — both must stay ~linear
+    "dedup_cdc_chunks",
+    "text_perplexity_unigram",
 ]
 
 DIAG = {
@@ -258,8 +264,10 @@ def write_scaling_md(results: list[dict]) -> None:
     ]
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.md")
-    # preserve the relational-family section maintained by
-    # scripts/relational_scaling.py — this writer owns everything else
+    # preserve every section maintained by the OTHER harnesses
+    # (relational_scaling, metadata_scaling, dv_scaling,
+    # reader_throughput) — this writer owns only the dedup/ANN family
+    # header + tables + "What this harness caught"
     tail = ""
     if os.path.exists(path):
         with open(path) as fh:
@@ -267,9 +275,22 @@ def write_scaling_md(results: list[dict]) -> None:
         from scripts.relational_scaling import SECTION_BEGIN, SECTION_END
 
         if SECTION_BEGIN in old and SECTION_END in old:
-            tail = "\n" + old[
+            tail += "\n" + old[
                 old.index(SECTION_BEGIN): old.index(SECTION_END) + len(SECTION_END)
             ] + "\n"
+        foreign_heads = [
+            "## Metadata plane",
+            "## End-to-end read path",
+            "## Deletion vectors",
+            "## Commit chain",
+            "## Reader throughput",
+            "## Maintenance plane",
+        ]
+        first = min(
+            (old.index(h) for h in foreign_heads if h in old), default=None
+        )
+        if first is not None:
+            tail += "\n" + old[first:].rstrip() + "\n"
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + tail)
 

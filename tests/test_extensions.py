@@ -213,6 +213,9 @@ def test_no_unintended_cartesian_or_bnlj_plans(spark):
         # one-row sketch-stat frames cross-joined into the single result
         # row (theta, counts) — scalar combination, not a data join
         "events_kmv_set_sketch",
+        # the one-row (total tokens, vocab size) corpus-stats frame
+        # broadcast onto the token stream — same scalar-attachment shape
+        "text_perplexity_unigram",
     }
 
     offenders = {}
