@@ -148,6 +148,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_user_triangles_capped",
     "text_perplexity_unigram",
     "dedup_cdc_chunks",
+    "dedup_cdc_scrub",
     # -- NEVER driver-sampled (union r1-r8)
     "ice_deletion_vector",
     # -- last driver-sampled round r2

@@ -2514,9 +2514,8 @@ _CDC_K = 3   # boundary decided by the k-gram ending at the position
 _CDC_MOD = 8  # P(boundary) = 1/8 -> ~8-token expected chunks
 
 
-@register(
-    "dedup_cdc_chunks",
-    oracle=f"""
+#: shared chunk-construction CTE (both CDC oracles build on it)
+_CDC_CHUNKS_CTE = f"""
     WITH toks AS (
       SELECT doc_id, unnest(sp) AS t, generate_subscripts(sp, 1) AS pos
         FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
@@ -2542,7 +2541,12 @@ _CDC_MOD = 8  # P(boundary) = 1/8 -> ~8-token expected chunks
              md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_hash,
              count(*) AS n_toks
         FROM c GROUP BY doc_id, chunk_id
-    )
+    )"""
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=_CDC_CHUNKS_CTE + """
     SELECT chunk_hash,
            CAST(min(n_toks) AS BIGINT) AS n_toks,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -2559,6 +2563,21 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic on both engines via the established
     ('0x'||substr(md5,1,8))::BIGINT == conv(substring(md5,1,8),16,10)
     bridge."""
+    chunks = _cdc_chunk_frame(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min("n_toks").cast("long").alias("n_toks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, chunk_hash, n_toks) — the CDC chunk table both
+    CDC operators consume; mirrors _CDC_CHUNKS_CTE exactly."""
     from pyspark.sql.window import Window
 
     toks = _docs(spark, sf_dir).select(
@@ -2582,7 +2601,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     c = tagged.withColumn("chunk_id", cum_prev + 1)
-    chunks = c.groupBy("doc_id", "chunk_id").agg(
+    return c.groupBy("doc_id", "chunk_id").agg(
         F.md5(
             F.array_join(
                 F.transform(
@@ -2594,12 +2613,59 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_hash"),
         F.count(F.lit(1)).alias("n_toks"),
     )
-    return (
-        chunks.groupBy("chunk_hash")
-        .agg(
-            F.min("n_toks").cast("long").alias("n_toks"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-        .where(F.col("n_docs") >= 2)
+
+
+#: chunk_id is bounded by per-doc token count — 2^20 packs (doc, chunk)
+#: into one ordered bigint so "first occurrence" is engine-identical
+_CDC_PACK = 1 << 20
+
+
+@register(
+    "dedup_cdc_scrub",
+    oracle=_CDC_CHUNKS_CTE + f""",
+    ranked AS (
+      SELECT doc_id, chunk_id, n_toks,
+             doc_id * {_CDC_PACK} + chunk_id AS k,
+             min(doc_id * {_CDC_PACK} + chunk_id)
+                 OVER (PARTITION BY chunk_hash) AS keeper
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN k = keeper THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_chunks_dropped,
+           CAST(sum(n_toks) AS BIGINT) AS n_toks_total,
+           CAST(sum(CASE WHEN k = keeper THEN n_toks ELSE 0 END) AS BIGINT)
+               AS n_toks_kept,
+           CAST(1000 * sum(CASE WHEN k = keeper THEN 0 ELSE n_toks END)
+                // sum(n_toks) AS BIGINT) AS scrub_permille
+      FROM ranked
+     GROUP BY doc_id
+    """,
+)
+def dedup_cdc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE output of CDC dedup (same relationship span_scrub
+    has to span dedup): per document, how many chunks/tokens survive when
+    every duplicated chunk keeps exactly its first occurrence — "first"
+    by the engine-identical packed (doc_id, chunk_id) order, so both
+    engines elect the same keeper deterministically.  One chunk_hash
+    window over the chunk table (already orders of magnitude smaller
+    than the corpus) + one per-doc aggregate; a 100 TB scrub pipeline
+    feeds n_toks_kept straight into the packing operator."""
+    from pyspark.sql.window import Window
+
+    chunks = _cdc_chunk_frame(spark, sf_dir)
+    k = F.col("doc_id") * _CDC_PACK + F.col("chunk_id")
+    keeper = F.min(k).over(Window.partitionBy("chunk_hash"))
+    ranked = chunks.select(
+        "doc_id", "n_toks", k.alias("k"), keeper.alias("keeper")
+    )
+    kept = F.col("k") == F.col("keeper")
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(kept, 0).otherwise(1)).alias("n_chunks_dropped"),
+        F.sum("n_toks").alias("n_toks_total"),
+        F.sum(F.when(kept, F.col("n_toks")).otherwise(0)).alias("n_toks_kept"),
+        F.expr(f"1000 * sum(CASE WHEN k = keeper THEN 0 ELSE n_toks END) "
+               f"DIV sum(n_toks)").cast("long").alias("scrub_permille"),
     )
