@@ -274,6 +274,7 @@ def hashed_shingles_with_stats(
     key = (_session_token(spark), sf_dir, n)
     hit = _HASHED_SH_CACHE.get(key)
     if hit is not None:
+        pins.touch("hashed_sh")  # reuse = recency, else LRU evicts it first
         return hit[1], hit[2]
     _HASHED_SH_CACHE.clear()
     pins.open_group("hashed_sh", spark)
@@ -1009,6 +1010,7 @@ def prefiltered_bucketed_corpus(
         key = (_session_token(spark), sf_dir)
         hit = _PREF_CACHE.get(key)
         if hit is not None:
+            pins.touch("pref")  # reuse = recency, else LRU evicts it first
             return hit
         _PREF_CACHE.clear()
         pins.open_group("pref", spark)

@@ -25,14 +25,13 @@ action — worst case is recompute cost, never a wrong result.
 unrecoverable, so dedup's star-contraction keeps those in its own
 module list, exempt from the budget.)
 
-Budget: ``SPARK_GRAFT_PIN_BUDGET_MB`` if set, else 30% of the usable
-driver heap (local mode: executors share the driver JVM, so
-``Runtime.maxMemory`` IS the storage ceiling).  At the default 1 GiB
-vanilla heap that is ~220 MB — small enough that a 203-query sweep
-stays alive with zero manual drains (the done-criterion), large enough
-that a repeated single operator never evicts itself.  On the 128 GiB
-test/bench sessions the budget is effectively unbounded, preserving
-warm-rerun behavior there.
+Budget: ``SPARK_GRAFT_PIN_BUDGET_MB`` if set, else a heap-share from
+``Runtime.maxMemory`` (local mode: executors share the driver JVM, so
+that IS the storage ceiling): **5% of usable on heaps ≤ 4 GiB** (~36 MB
+at the default 1 GiB vanilla heap — a 30% share was measured to starve
+the 32 executor threads' task buffers and OOM the 203-query sweep at
+query ~92), **30% above** (the 128 GiB test/bench sessions are
+effectively unbounded, preserving warm-rerun behavior there).
 """
 from __future__ import annotations
 
@@ -125,6 +124,18 @@ def adopt(group: str, df: DataFrame,
     _PINS.append(_Pin(df, group, next(_SEQ), on_evict))
     enforce(df.sparkSession, protect=group)
     return df
+
+
+def touch(group: str) -> None:
+    """Refresh a group's LRU recency.  Keyed caches (the shared hashed-
+    shingle frame, the bucketed-corpus cache) return on a hit WITHOUT
+    re-pinning; without this, the most-reused shared frame keeps its
+    original seq and is always the FIRST evicted under budget pressure —
+    exactly backwards (review r9 finding)."""
+    for p in _PINS:
+        if p.group == group:
+            p.seq = next(_SEQ)
+    _PINS.sort(key=lambda p: p.seq)
 
 
 def drain(group: str) -> None:

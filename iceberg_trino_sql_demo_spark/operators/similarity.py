@@ -28,8 +28,6 @@ K = 10
 N_PLANES = 8
 PROBE_RADIUS = 3
 
-#: persisted staged-dot frame from the previous ann_topk_lsh invocation,
-#: released on the next call (same hygiene as dedup's persisted caches)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,8 +562,6 @@ def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_Q = 5  # query set: vec_id < 5 (deterministic; oracle picks the same)
 _KNN_K = 3  # neighbors returned per query
 
-#: persisted scored frame from the previous ann_knn_join call (stage
-#: barrier for the staged per-query dots; same hygiene as the lsh group)
 
 
 @register(
@@ -662,8 +658,6 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: persisted staged-dot frame for the prefiltered knn join (own slot so a
-#: still-referenced ann_knn_join result is never unpersisted mid-use)
 
 _KNN_LSH_ORACLE = f"""
     WITH base AS (

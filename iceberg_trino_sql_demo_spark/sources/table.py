@@ -87,6 +87,12 @@ MERGE_ON_READ = "merge-on-read"
 #: ~4 minutes at 1M — SCALING.md "End-to-end read path").
 _PYDS_SCAN_FILES = 10_000
 
+#: minimum age before remove_orphan_files may sweep a pruned-scan
+#: survivor side file (metadata/scan-*.parquet): lazy pruned-scan plans
+#: re-read their side file per action, so plan scratch must outlive any
+#: reasonable in-flight plan even under retention_ms=0 maintenance
+_SCAN_SCRATCH_MIN_AGE_S = 3600
+
 #: the BYTES half of the scan-route decision (VERDICT r8 #2): the Python
 #: DataSource reader executes via pyarrow in Python workers with no column
 #: pruning, so on bytes-heavy tables it pays a per-byte throughput penalty
@@ -336,10 +342,23 @@ class Table:
 
     def _pyds_schemas_safe(self) -> bool:
         """Every (historical schema -> current) projection expressible in
-        the Arrow-side reader — O(schemas x fields) on inline metadata."""
+        the Arrow-side reader — O(schemas x fields) on inline metadata.
+
+        The CURRENT schema's types must each be Arrow/DDL-expressible
+        independently of evolution: a never-evolved table whose columns
+        include variant/timestamp_ns yields an all-'take' projection spec
+        (proj_spec never consults the type map for takes), but the
+        DataSource cannot emit those types in its Spark schema — the
+        engine-side dual representations live on the Catalyst read path
+        (review r9 finding: the old per-entry guard rejected these;
+        the spec-based gate must too).  Only these engine-only types
+        disqualify — ordinary types absent from the picklable cast map
+        (timestamp_ntz, ...) read natively as takes."""
         from iceberg_trino_sql_demo_spark.sources.pyds import proj_spec
 
         cur = self.meta.schema
+        if any(f.type in ("variant", "timestamp_ns") for f in cur.fields):
+            return False
         return all(proj_spec(s, cur) is not None for s in self.meta.schemas)
 
     def _pruned_scan_df(self, manifest: Manifest) -> DataFrame | None:
@@ -2447,15 +2466,21 @@ class Table:
             os.path.basename(a["file"]) for a in self.meta.snapshot_archives
         )
         meta_dir = os.path.join(self.location, "metadata")
+        # pruned-scan survivor side files (_pruned_scan_df) are plan
+        # scratch, never live — but a LAZY pruned-scan DataFrame re-reads
+        # its side file on every action, so an aggressive retention
+        # (retention_ms=0 maintenance) must not break plans still in
+        # flight.  Floor their sweep age at one hour independently of the
+        # caller's retention; plans older than that re-plan cheaply.
+        scan_cutoff = min(cutoff, time.time() - _SCAN_SCRATCH_MIN_AGE_S)
         for fn in os.listdir(meta_dir) if os.path.isdir(meta_dir) else []:
-            # scan-*.parquet are pruned-scan survivor side files
-            # (_pruned_scan_df) — plan scratch, never live, age out here
             if not fn.startswith(("snap-", "seg-", "snaplog-", "scan-")):
                 continue  # vN.metadata.json / version-hint are the log itself
             if fn in live_meta:
                 continue
             p = os.path.join(meta_dir, fn)
-            if os.path.getmtime(p) < cutoff:
+            eff_cutoff = scan_cutoff if fn.startswith("scan-") else cutoff
+            if os.path.getmtime(p) < eff_cutoff:
                 os.remove(p)
                 removed += 1
         return removed

@@ -976,3 +976,48 @@ def test_ann_ivfpq_recall_and_exact_scores(spark):
     for r in ops.QUERIES["ann_topk_ivfpq"](spark, SF).collect():
         if r.vec_id in bs:
             assert abs(r.cosine - bs[r.vec_id]) < 1e-9
+
+
+def test_exotic_current_schema_stays_off_segment_route(spark):
+    """A NEVER-evolved table whose current schema carries engine-only
+    dual-representation types (variant, ns-timestamps) yields an
+    all-'take' projection spec, so the spec-based gate alone would
+    approve it — but the DataSource cannot emit those types in a Spark
+    schema.  The current-schema type check must reject it (r9 review
+    finding: the old per-entry guard did; the spec gate must too)."""
+    import tempfile
+
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="wh_exotic_"))
+    cat.create_schema("ex")
+    cat.use("ex")
+    seed = spark.createDataFrame([(1, "a")], "k long, s string")
+    plain = cat.ctas("plain_t", seed)
+    assert plain._pyds_schemas_safe()
+    exotic = cat.ctas("exotic_t", seed)
+    exotic.add_column("payload", "variant", default=None)
+    assert not exotic._pyds_schemas_safe()
+    # the read path itself still works (Catalyst route)
+    assert exotic.df().count() == 1
+
+
+def test_pin_touch_refreshes_lru_recency(spark, monkeypatch):
+    """A keyed-cache HIT must refresh the group's LRU age: under budget
+    pressure the most-REUSED shared frame (the hashed-shingle pipeline)
+    must outlive a one-shot group pinned between reuses."""
+    from iceberg_trino_sql_demo_spark.operators import dedup, pins
+
+    ops.load_all()
+    ops.release_caches()
+    dedup.hashed_shingles(spark, SF)          # pin seq: oldest
+    ops.QUERIES["dedup_simhash"](spark, SF).count()  # younger group
+    dedup.hashed_shingles(spark, SF)          # cache HIT -> touch
+    monkeypatch.setenv("SPARK_GRAFT_PIN_BUDGET_MB", "0")
+    # a new group's open evicts oldest-first until under budget; with the
+    # touch, simhash (now oldest) must fall before the shingle frame
+    pins.open_group("probe", spark)
+    groups = pins.pinned_groups()
+    assert "simhash" not in groups
+    monkeypatch.delenv("SPARK_GRAFT_PIN_BUDGET_MB")
+    ops.release_caches()
