@@ -301,6 +301,17 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "dedup is a keyed aggregate on the chunk hash — no pair "
         "generation at any scale.",
     ),
+    "dedup_cdc_scrub": (
+        ["Window", "HashAggregate", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "BroadcastHashJoin"],
+        4,
+        "the scrub stays join-free like the chunk build it shares: one "
+        "chunk_hash-partitioned window elects first-occurrence keepers "
+        "over the (already small) chunk table, and the per-doc retention "
+        "stats are a single keyed aggregate — no pair generation, no "
+        "join, at any corpus size.",
+    ),
     "text_inverted_index": (
         ["HashAggregate", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
