@@ -2617,29 +2617,24 @@ def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: chunk_id is bounded by per-doc token count — 2^20 packs (doc, chunk)
-#: into one ordered bigint so "first occurrence" is engine-identical
-_CDC_PACK = 1 << 20
-
-
 @register(
     "dedup_cdc_scrub",
-    oracle=_CDC_CHUNKS_CTE + f""",
+    oracle=_CDC_CHUNKS_CTE + """,
     ranked AS (
       SELECT doc_id, chunk_id, n_toks,
-             doc_id * {_CDC_PACK} + chunk_id AS k,
-             min(doc_id * {_CDC_PACK} + chunk_id)
-                 OVER (PARTITION BY chunk_hash) AS keeper
+             (doc_id, chunk_id) =
+                 min((doc_id, chunk_id)) OVER (PARTITION BY chunk_hash)
+                 AS kept
         FROM chunks
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(CASE WHEN k = keeper THEN 0 ELSE 1 END) AS BIGINT)
+           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
                AS n_chunks_dropped,
            CAST(sum(n_toks) AS BIGINT) AS n_toks_total,
-           CAST(sum(CASE WHEN k = keeper THEN n_toks ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT)
                AS n_toks_kept,
-           CAST(1000 * sum(CASE WHEN k = keeper THEN 0 ELSE n_toks END)
+           CAST(1000 * sum(CASE WHEN kept THEN 0 ELSE n_toks END)
                 // sum(n_toks) AS BIGINT) AS scrub_permille
       FROM ranked
      GROUP BY doc_id
@@ -2649,25 +2644,28 @@ def dedup_cdc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTIONABLE output of CDC dedup (same relationship span_scrub
     has to span dedup): per document, how many chunks/tokens survive when
     every duplicated chunk keeps exactly its first occurrence — "first"
-    by the engine-identical packed (doc_id, chunk_id) order, so both
-    engines elect the same keeper deterministically.  One chunk_hash
-    window over the chunk table (already orders of magnitude smaller
-    than the corpus) + one per-doc aggregate; a 100 TB scrub pipeline
-    feeds n_toks_kept straight into the packing operator."""
+    by lexicographic (doc_id, chunk_id) STRUCT order, which both engines
+    implement identically for row-valued min, so keeper election is
+    deterministic at ANY doc length / doc-id width (the r9 arithmetic
+    packing capped chunk_id at 2^20 and doc_id at 2^43 and silently
+    wrapped past them — ADVICE r9).  One chunk_hash window over the
+    chunk table (already orders of magnitude smaller than the corpus)
+    + one per-doc aggregate; a 100 TB scrub pipeline feeds n_toks_kept
+    straight into the packing operator."""
     from pyspark.sql.window import Window
 
     chunks = _cdc_chunk_frame(spark, sf_dir)
-    k = F.col("doc_id") * _CDC_PACK + F.col("chunk_id")
+    k = F.struct("doc_id", "chunk_id")
     keeper = F.min(k).over(Window.partitionBy("chunk_hash"))
     ranked = chunks.select(
-        "doc_id", "n_toks", k.alias("k"), keeper.alias("keeper")
+        "doc_id", "n_toks", (k == keeper).alias("kept")
     )
-    kept = F.col("k") == F.col("keeper")
+    kept = F.col("kept")
     return ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.when(kept, 0).otherwise(1)).alias("n_chunks_dropped"),
         F.sum("n_toks").alias("n_toks_total"),
         F.sum(F.when(kept, F.col("n_toks")).otherwise(0)).alias("n_toks_kept"),
-        F.expr(f"1000 * sum(CASE WHEN k = keeper THEN 0 ELSE n_toks END) "
-               f"DIV sum(n_toks)").cast("long").alias("scrub_permille"),
+        F.expr("1000 * sum(CASE WHEN kept THEN 0 ELSE n_toks END) "
+               "DIV sum(n_toks)").cast("long").alias("scrub_permille"),
     )

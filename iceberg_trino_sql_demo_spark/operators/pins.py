@@ -14,11 +14,14 @@ drain; VERDICT r8 "What's wrong" #3).
 
 This registry keeps the per-invocation reuse semantics — ``open_group``
 drains that group's previous pins exactly like the old lists — and adds
-the global bound the lists never had: at every group open the JVM's
-MEASURED cached-block total (``SparkContext.getRDDStorageInfo``, mem +
-disk) is compared against a budget derived from the driver heap, and
-the oldest pins of OTHER groups are evicted LRU-first until the total
-fits.  Eviction is always correctness-safe: pins are plain ``persist()``
+the global bound the lists never had: at every group open, the MEASURED
+cached bytes of the EVICTABLE pins (each candidate attributed by its
+cached-RDD id in ``SparkContext.getRDDStorageInfo``, mem + disk) are
+compared against a budget derived from the driver heap, and the oldest
+pins of OTHER groups are evicted LRU-first until that evictable total
+fits.  Non-evictable blocks — localCheckpoint RDDs, the protected
+group's own pins — occupy their own memory but never trigger blanket
+eviction of everyone else (ADVICE r9).  Eviction is always correctness-safe: pins are plain ``persist()``
 marks, so Catalyst silently recomputes an evicted frame on its next
 action — worst case is recompute cost, never a wrong result.
 (``localCheckpoint``-backed RDDs are NOT pins: unpersisting one is
@@ -87,6 +90,45 @@ def _cached_bytes(spark) -> int:
         return 0
 
 
+def _pin_rdd_id(p: _Pin) -> int | None:
+    """RDD id of the pin's cached column buffers — the id its blocks are
+    reported under in ``getRDDStorageInfo`` — via the session's
+    CacheManager.  None when the frame is registered but not (yet)
+    materialized, or the lookup chain is unavailable."""
+    try:
+        jdf = p.df._jdf
+        cm = p.df.sparkSession._jsparkSession.sharedState().cacheManager()
+        cd = cm.lookupCachedData(jdf)
+        if not cd.isDefined():
+            return None
+        return int(cd.get().cachedRepresentation()
+                   .cacheBuilder().cachedColumnBuffers().id())
+    except Exception:
+        return None
+
+
+def _evictable_sizes(spark, cands: list[_Pin]) -> list[int] | None:
+    """Per-candidate cached bytes, attributed by the pin's own cached-RDD
+    id against the JVM's storage report.  Two pins sharing one cached
+    RDD count its bytes ONCE (first claimant).  Returns None when the
+    storage report itself is unreadable — caller falls back to the
+    blunt total-vs-budget loop."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    except Exception:
+        return None
+    by_id = {int(i.id()): int(i.memSize() + i.diskSize()) for i in infos}
+    sizes, claimed = [], set()
+    for p in cands:
+        rid = _pin_rdd_id(p)
+        if rid is None or rid in claimed or rid not in by_id:
+            sizes.append(0)
+        else:
+            claimed.add(rid)
+            sizes.append(by_id[rid])
+    return sizes
+
+
 def _unpin(p: _Pin) -> None:
     try:
         p.df.unpersist(blocking=True)
@@ -148,18 +190,42 @@ def drain(group: str) -> None:
 
 
 def enforce(spark, protect: str) -> None:
-    """Evict oldest pins of groups other than ``protect`` until the JVM's
-    measured cached total fits the budget.  Blocking unpersist so the
-    re-measure after each eviction is accurate."""
-    budget = _budget_bytes(spark)
-    if _cached_bytes(spark) <= budget:
+    """Evict oldest pins of groups other than ``protect`` until the bytes
+    THE REGISTRY CAN ACTUALLY FREE fit the budget.
+
+    The r9 version compared the budget against the JVM's TOTAL cached
+    bytes, which include blocks this loop can never release —
+    ``localCheckpoint`` RDDs (exempt by design) and the protected
+    group's own pins.  When those alone exceeded the budget (plausible
+    at the ~36 MB small-heap budget after a star-contraction run), every
+    ``open_group`` evicted ALL other groups' pins without converging,
+    permanently defeating warm reuse (ADVICE r9).  Now each candidate
+    pin's bytes are attributed via its cached-RDD id and only that
+    evictable sum is bounded; exempt blocks merely occupy their own
+    memory, they no longer trigger blanket eviction."""
+    cands = sorted((p for p in _PINS if p.group != protect),
+                   key=lambda p: p.seq)
+    if not cands:
         return
-    for p in sorted((p for p in _PINS if p.group != protect),
-                    key=lambda p: p.seq):
-        _PINS.remove(p)
-        _unpin(p)
+    budget = _budget_bytes(spark)
+    sizes = _evictable_sizes(spark, cands)
+    if sizes is None:
+        # storage report unreadable: fall back to the blunt total loop
         if _cached_bytes(spark) <= budget:
             return
+        for p in cands:
+            _PINS.remove(p)
+            _unpin(p)
+            if _cached_bytes(spark) <= budget:
+                return
+        return
+    total = sum(sizes)
+    for p, sz in zip(cands, sizes):
+        if total <= budget:
+            return
+        _PINS.remove(p)
+        _unpin(p)
+        total -= sz
 
 
 def release_all() -> None:

@@ -1,0 +1,256 @@
+"""Pure-Python Apache Avro Object Container File reader.
+
+Apache Iceberg stores its manifest lists and manifest files as Avro OCF
+(Iceberg spec, "Manifests" / "Manifest Lists" sections).  Adopting a
+genuine Iceberg table (reference `iceberg_trino_sqldemo.sql:276-279`,
+`CALL system.register_table`) therefore requires reading Avro — and this
+sandbox ships no Python avro library, so this is a from-scratch decoder
+of the public Avro 1.x specification:
+
+- OCF layout: 4-byte magic ``Obj\\x01``, file-metadata map (bytes
+  values; carries ``avro.schema`` JSON + ``avro.codec``), 16-byte sync
+  marker, then data blocks of (row count, byte size, payload, sync).
+- Binary encoding: zigzag-varint int/long, little-endian IEEE
+  float/double, length-prefixed bytes/string, 1-byte boolean, unions as
+  (branch index, value), arrays/maps as count-prefixed blocks
+  (negative count = abs count + explicit block byte size), records as
+  field concatenation in schema order, enums as symbol index, fixed as
+  raw width bytes.
+- Codecs: ``null`` and ``deflate`` (raw DEFLATE, no zlib header).
+  Anything else (snappy/zstd need external libs) fails loudly.
+
+The decoder is WRITER-SCHEMA driven and fully generic — records decode
+to dicts keyed by field name, so the Iceberg layer above
+(``iceberg_compat.py``) works off plain Python values and never needs
+schema resolution (we always read with the writer's own schema).
+Logical types are surfaced raw (e.g. timestamp-micros stays a long);
+interpretation belongs to the caller.
+
+Cross-implementation coverage: the test fixture writes its manifests
+with the JVM's Apache Avro 1.12 (bundled with Spark), so every file this
+module parses in CI was produced by the reference Java implementation,
+not by a sibling Python writer.
+"""
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from typing import Any, BinaryIO
+
+_MAGIC = b"Obj\x01"
+
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+}
+
+
+class AvroError(ValueError):
+    pass
+
+
+class _Bin:
+    """Binary decoder over a bytes buffer (one OCF block or header)."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        p = self.pos
+        if p + n > len(self.buf):
+            raise AvroError("truncated avro data")
+        self.pos = p + n
+        return self.buf[p:p + n]
+
+    def read_long(self) -> int:
+        """Zigzag varint (int and long share the wire format)."""
+        shift, acc = 0, 0
+        buf, p = self.buf, self.pos
+        while True:
+            if p >= len(buf):
+                raise AvroError("truncated varint")
+            b = buf[p]
+            p += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        self.pos = p
+        return (acc >> 1) ^ -(acc & 1)
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+    def read_string(self) -> str:
+        return self.read_bytes().decode("utf-8")
+
+
+class _Decoder:
+    """Writer-schema-driven value decoder with a named-type registry."""
+
+    def __init__(self, schema: Any):
+        self.named: dict[str, Any] = {}
+        self.schema = self._index(schema, None)
+
+    # -- schema indexing: register named types, resolve references -------
+    def _index(self, s: Any, namespace: str | None) -> Any:
+        if isinstance(s, str):
+            if s in _PRIMITIVES:
+                return s
+            full = s if "." in s or s in self.named else (
+                f"{namespace}.{s}" if namespace else s)
+            return {"__ref__": full if full in self.named else s}
+        if isinstance(s, list):
+            return [self._index(b, namespace) for b in s]
+        if isinstance(s, dict):
+            t = s.get("type")
+            if t in ("record", "enum", "fixed"):
+                ns = s.get("namespace", namespace)
+                name = s["name"]
+                full = name if "." in name else (
+                    f"{ns}.{name}" if ns else name)
+                out = dict(s)
+                self.named[full] = out
+                self.named[name] = out  # short-name fallback
+                if t == "record":
+                    out["fields"] = [
+                        {**f, "type": self._index(f["type"], ns)}
+                        for f in s["fields"]
+                    ]
+                return out
+            if t == "array":
+                return {**s, "items": self._index(s["items"], namespace)}
+            if t == "map":
+                return {**s, "values": self._index(s["values"], namespace)}
+            # {"type": "string", "logicalType": ...} wrapper form
+            return self._index(t, namespace) if isinstance(t, (dict, list)) \
+                else {**s, "type": t}
+        raise AvroError(f"unsupported schema node: {s!r}")
+
+    def _resolve(self, s: Any) -> Any:
+        while isinstance(s, dict) and "__ref__" in s:
+            ref = s["__ref__"]
+            if ref not in self.named:
+                raise AvroError(f"unresolved named type {ref!r}")
+            s = self.named[ref]
+        return s
+
+    # -- decode -----------------------------------------------------------
+    def decode(self, d: _Bin, s: Any = None) -> Any:
+        s = self._resolve(self.schema if s is None else s)
+        if isinstance(s, dict) and isinstance(s.get("type"), str) \
+                and s["type"] in _PRIMITIVES and "name" not in s:
+            s = s["type"]  # logical-type wrapper: surface raw
+        if isinstance(s, str):
+            if s == "null":
+                return None
+            if s == "boolean":
+                return d.read(1) != b"\x00"
+            if s in ("int", "long"):
+                return d.read_long()
+            if s == "float":
+                return struct.unpack("<f", d.read(4))[0]
+            if s == "double":
+                return struct.unpack("<d", d.read(8))[0]
+            if s == "bytes":
+                return d.read_bytes()
+            if s == "string":
+                return d.read_string()
+            raise AvroError(f"unknown primitive {s!r}")
+        if isinstance(s, list):  # union: branch index then value
+            idx = d.read_long()
+            if not 0 <= idx < len(s):
+                raise AvroError(f"union branch {idx} out of range")
+            return self.decode(d, s[idx])
+        t = s["type"]
+        if t == "record":
+            return {f["name"]: self.decode(d, f["type"]) for f in s["fields"]}
+        if t == "enum":
+            return s["symbols"][d.read_long()]
+        if t == "fixed":
+            return d.read(s["size"])
+        if t == "array":
+            out = []
+            while True:
+                n = d.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    d.read_long()  # block byte size, unused
+                for _ in range(n):
+                    out.append(self.decode(d, s["items"]))
+        if t == "map":
+            out_m: dict[str, Any] = {}
+            while True:
+                n = d.read_long()
+                if n == 0:
+                    return out_m
+                if n < 0:
+                    n = -n
+                    d.read_long()
+                for _ in range(n):
+                    out_m[d.read_string()] = self.decode(d, s["values"])
+        raise AvroError(f"unsupported complex type {t!r}")
+
+
+def read_ocf(path_or_file: str | BinaryIO) -> tuple[dict, list[Any]]:
+    """Read a whole Avro OCF -> (file metadata dict, decoded rows).
+
+    Metadata values are bytes except ``avro.schema``/``avro.codec`` which
+    are decoded to str for convenience.  Rows are dicts for record
+    schemas (the only shape Iceberg uses at top level).
+    """
+    fh: BinaryIO
+    own = isinstance(path_or_file, str)
+    fh = open(path_or_file, "rb") if own else path_or_file  # type: ignore
+    try:
+        raw = fh.read()
+    finally:
+        if own:
+            fh.close()
+    if raw[:4] != _MAGIC:
+        raise AvroError("not an Avro object container file (bad magic)")
+    d = _Bin(raw)
+    d.pos = 4
+    meta: dict[str, Any] = {}
+    while True:
+        n = d.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            d.read_long()
+        for _ in range(n):
+            k = d.read_string()
+            meta[k] = d.read_bytes()
+    for k in ("avro.schema", "avro.codec"):
+        if k in meta:
+            meta[k] = meta[k].decode("utf-8")
+    sync = d.read(16)
+    codec = meta.get("avro.codec", "null")
+    if codec not in ("null", "deflate"):
+        raise AvroError(
+            f"unsupported avro codec {codec!r}: only null/deflate are "
+            "decodable without external libraries — rewrite the table's "
+            "manifests with a supported codec to adopt it")
+    dec = _Decoder(json.loads(meta["avro.schema"]))
+    rows: list[Any] = []
+    while d.pos < len(d.buf):
+        count = d.read_long()
+        size = d.read_long()
+        payload = d.read(size)
+        if d.read(16) != sync:
+            raise AvroError("sync marker mismatch (corrupt block)")
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        bd = _Bin(payload)
+        for _ in range(count):
+            rows.append(dec.decode(bd))
+        if bd.pos != len(payload):
+            raise AvroError("block decoded short/long vs declared count")
+    return meta, rows

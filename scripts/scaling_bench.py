@@ -275,9 +275,14 @@ def write_scaling_md(results: list[dict]) -> None:
         from scripts.relational_scaling import SECTION_BEGIN, SECTION_END
 
         if SECTION_BEGIN in old and SECTION_END in old:
-            tail += "\n" + old[
-                old.index(SECTION_BEGIN): old.index(SECTION_END) + len(SECTION_END)
-            ] + "\n"
+            b = old.index(SECTION_BEGIN)
+            e = old.index(SECTION_END) + len(SECTION_END)
+            tail += "\n" + old[b:e] + "\n"
+            # slice the relational span OUT of `old` before locating the
+            # first foreign head — if a future writer re-appends the
+            # relational section AFTER a foreign head, the old logic
+            # duplicated it into the tail on every run (ADVICE r9)
+            old = old[:b] + old[e:]
         foreign_heads = [
             "## Metadata plane",
             "## End-to-end read path",

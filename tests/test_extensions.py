@@ -1005,7 +1005,13 @@ def test_exotic_current_schema_stays_off_segment_route(spark):
 def test_pin_touch_refreshes_lru_recency(spark, monkeypatch):
     """A keyed-cache HIT must refresh the group's LRU age: under budget
     pressure the most-REUSED shared frame (the hashed-shingle pipeline)
-    must outlive a one-shot group pinned between reuses."""
+    must outlive a one-shot group pinned between reuses.
+
+    The budget is made DISCRIMINATING (ADVICE r9: the old budget=0
+    version evicted every non-protected pin, so the assertion passed
+    with or without the touch): every pin weighs 1 byte and the budget
+    admits all but the oldest group's pins — so exactly the oldest
+    group falls, and WHICH group is oldest is the tested property."""
     from iceberg_trino_sql_demo_spark.operators import dedup, pins
 
     ops.load_all()
@@ -1013,11 +1019,20 @@ def test_pin_touch_refreshes_lru_recency(spark, monkeypatch):
     dedup.hashed_shingles(spark, SF)          # pin seq: oldest
     ops.QUERIES["dedup_simhash"](spark, SF).count()  # younger group
     dedup.hashed_shingles(spark, SF)          # cache HIT -> touch
-    monkeypatch.setenv("SPARK_GRAFT_PIN_BUDGET_MB", "0")
+    groups_before = pins.pinned_groups()
+    assert {"hashed_sh", "simhash"} <= groups_before
+    n_sim = sum(1 for p in pins._PINS if p.group == "simhash")
+    n_all = len(pins._PINS)
+    monkeypatch.setattr(pins, "_budget_bytes", lambda spark: n_all - n_sim)
+    monkeypatch.setattr(
+        pins, "_evictable_sizes", lambda spark, cands: [1] * len(cands)
+    )
     # a new group's open evicts oldest-first until under budget; with the
-    # touch, simhash (now oldest) must fall before the shingle frame
+    # touch, simhash (now oldest) must fall FIRST and the eviction stops
+    # there, so the shingle frame survives.  A broken touch leaves
+    # hashed_sh oldest -> it falls -> either assertion trips.
     pins.open_group("probe", spark)
     groups = pins.pinned_groups()
     assert "simhash" not in groups
-    monkeypatch.delenv("SPARK_GRAFT_PIN_BUDGET_MB")
+    assert "hashed_sh" in groups
     ops.release_caches()

@@ -657,13 +657,36 @@ def test_sql_comments_stripped(eng):
 
 
 def test_explain_analyze(eng):
-    """EXPLAIN ANALYZE executes and reports the AQE-final plan + metrics."""
+    """EXPLAIN ANALYZE executes and reports the AQE-final plan + metrics —
+    WITHOUT materializing the profiled query's result set driver-side
+    (VERDICT r9 #1: the old ``len(df.collect())`` made the profiling
+    statement itself the OOM on a 100 TB SELECT; the row count now comes
+    from a JVM-side RDD.count over the query's own executed plan)."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    except ImportError:  # older pyspark
+        from pyspark.sql import DataFrame as _CDF
+
     sql = eng.sql
     sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
     sql("USE iceberg_glue.victorc_iceberg")
     sql("DROP TABLE IF EXISTS ea_t")
     sql("CREATE OR REPLACE TABLE ea_t AS SELECT * FROM tpch.sf1.nation")
-    row = sql("EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n FROM ea_t GROUP BY n_regionkey").head()
+    collected: list[int] = []
+    orig_collect = _CDF.collect
+
+    def spy_collect(self):
+        out = orig_collect(self)
+        collected.append(len(out))
+        return out
+
+    _CDF.collect = spy_collect
+    try:
+        res = sql("EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n FROM ea_t GROUP BY n_regionkey")
+    finally:
+        _CDF.collect = orig_collect
+    assert collected == [], f"EXPLAIN ANALYZE collect()ed: {collected}"
+    row = res.head()
     assert row.n_rows == 5 and row.elapsed_ms >= 0
     assert "Initial Plan" not in row.plan
     assert "HashAggregate" in row.plan or "Aggregate" in row.plan
