@@ -2092,3 +2092,63 @@ def ice_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert contents == ["dv", "position"], contents
     return t.df()
+
+
+# ---------------------------------------------------------------------------
+# D16+ register_table over a GENUINE Apache Iceberg v2 table (reference
+# :276-279: `CALL system.register_table(..., table_location => 's3://...')`
+# adopts foreign metadata written by another engine).  The fixture is a
+# real spec-v2 layout — metadata.json, Avro manifest list + manifests
+# written by the JVM's Apache Avro, parquet data files with field-ids,
+# position-delete files, s3:// recorded URIs rebased at adoption — built
+# from this sf_dir's customer rows so DuckDB can state the live content
+# relationally: custkey <= 400 minus the position-deleted custkey%7==0
+# rows (sources/iceberg_fixture.py documents the delete placement).
+# ---------------------------------------------------------------------------
+
+#: one genuine-Iceberg fixture per sf_dir (immutable once written; each
+#: query call adopts it into a FRESH warehouse, so re-runs stay isolated)
+_ICEBERG_FIX_CACHE: dict[str, str] = {}
+
+
+@register(
+    "ice_register_iceberg",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           c_name AS name,
+           c_mktsegment AS mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+      FROM customer
+     WHERE c_custkey < 400 AND c_custkey % 7 <> 0
+    """,
+    bench=False,
+)
+def ice_register_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_trino_sql_demo_spark.session import table_path
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        write_iceberg_fixture,
+    )
+
+    loc = _ICEBERG_FIX_CACHE.get(sf_dir)
+    if loc is None:
+        rows = [
+            r.asDict()
+            for r in spark.read.parquet(table_path(sf_dir, "customer"))
+            .selectExpr(
+                "c_custkey AS custkey",
+                "c_name AS name",
+                "c_mktsegment AS mktsegment",
+                "CAST(c_acctbal AS DOUBLE) AS acctbal",
+            )
+            .where("custkey < 400")
+            .collect()  # bounded by construction: < 400 distinct custkeys
+        ]
+        assert len(rows) <= 400
+        loc = tempfile.mkdtemp(prefix="ice_genuine_")
+        write_iceberg_fixture(spark, loc, rows, delete_mod=7)
+        _ICEBERG_FIX_CACHE[sf_dir] = loc
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="wh_adopt_"))
+    cat.create_schema("ext")
+    t = cat.register_table("ext", "adopted_customer", loc)
+    return t.df().select("custkey", "name", "mktsegment", "acctbal")

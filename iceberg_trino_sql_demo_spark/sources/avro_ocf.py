@@ -194,7 +194,11 @@ class _Decoder:
                     n = -n
                     d.read_long()
                 for _ in range(n):
-                    out_m[d.read_string()] = self.decode(d, s["values"])
+                    # key MUST be bound before the value decode runs — in
+                    # `m[k_expr] = v_expr` Python evaluates v_expr first,
+                    # which would decode the value out of the key's bytes
+                    k = d.read_string()
+                    out_m[k] = self.decode(d, s["values"])
         raise AvroError(f"unsupported complex type {t!r}")
 
 

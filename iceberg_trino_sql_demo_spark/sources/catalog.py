@@ -143,11 +143,43 @@ class Catalog:
 
     def register_table(self, schema: str, table: str, location: str) -> Table:
         """CALL system.register_table (D16, reference :276-279): adopt an
-        existing table directory; its newest metadata version wins."""
+        existing table directory; its newest metadata version wins.
+
+        Two metadata dialects are recognized:
+
+        - **engine-own** (underscore-keyed ``v*.metadata.json``): the
+          catalog simply points at the directory.
+        - **genuine Apache Iceberg v1/v2** (hyphen-keyed spec metadata +
+          Avro manifests — what another engine's
+          ``register_table(table_location => 's3://...')`` adopts,
+          reference :276-279): the current snapshot is parsed by
+          ``iceberg_compat`` and committed as an engine table under the
+          schema's own warehouse path, referencing the Iceberg parquet
+          data files IN PLACE.  Engine metadata never lands inside the
+          Iceberg table's directory (its ``metadata/v*.metadata.json``
+          names would collide with ours)."""
+        from iceberg_trino_sql_demo_spark.sources import iceberg_compat
+
+        q = f"{schema}.{table}".lower()
+        if iceberg_compat.is_iceberg_location(location):
+            engine_loc = self.default_location(schema, table)
+            if os.path.abspath(engine_loc) == os.path.abspath(location):
+                raise ValueError(
+                    f"register_table: adopted Iceberg table {location!r} "
+                    "coincides with the engine's warehouse path for "
+                    f"{q!r} — metadata files would collide")
+            if MetadataIO(engine_loc).current_version() > 0:
+                raise ValueError(
+                    f"register_table: engine table already exists at "
+                    f"{engine_loc!r}; DROP it before re-adopting")
+            t = iceberg_compat.adopt_iceberg_table(
+                self.spark, engine_loc, location)
+            self.data["tables"][q] = engine_loc
+            self._save()
+            return t
         io = MetadataIO(location)
         if io.current_version() == 0:
             raise FileNotFoundError(f"no table metadata under {location}")
-        q = f"{schema}.{table}".lower()
         self.data["tables"][q] = location
         self._save()
         return Table(self.spark, location)

@@ -1,0 +1,355 @@
+"""Writer of a GENUINE Apache Iceberg v2 table — fixture for adoption tests.
+
+This is NOT a production write path: it exists so ``iceberg_compat`` can
+be exercised against a real spec-v2 table in a sandbox with no
+``pyiceberg``/network.  Genuineness is maximized three ways:
+
+1. **Manifests and the manifest list are written by the JVM's Apache
+   Avro 1.12** (bundled with Spark): records are materialized JVM-side
+   by Avro's own ``JsonDecoder`` + ``GenericDatumReader`` from Avro-JSON
+   text (py4j auto-unboxes java.lang.Long, so direct GenericData.Record
+   construction cannot express a small long — the JSON route lets the
+   reference Java implementation do ALL type resolution), then written
+   with ``DataFileWriter``.  The pure-Python OCF reader
+   (``avro_ocf.py``) is therefore verified against the reference Java
+   Avro implementation, not a sibling Python writer.
+2. The layout follows the public Iceberg spec: ``metadata/v1.metadata
+   .json`` (format-version 2, hyphenated keys), ``version-hint.text``,
+   Avro manifest list -> Avro manifests -> parquet data files with
+   ``PARQUET:field_id`` metadata, position-delete parquet files with
+   (file_path, pos), manifest bounds in single-value serialization
+   (spec Appendix D).
+3. **All recorded URIs use an s3:// prefix** that does not resolve
+   locally — adoption must exercise the location-rebase path, exactly
+   the reference's ``register_table(table_location => 's3://...')``
+   scenario (iceberg_trino_sqldemo.sql:276-279) applied to a table whose
+   files now sit on local disk.
+
+The data manifest is deflate-coded and the delete manifest null-coded,
+covering both codecs the reader supports.
+"""
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+
+
+def _kv_map_schema(name: str, kid: int, vid: int, vtype: str) -> dict:
+    return ["null", {
+        "type": "array", "logicalType": "map", "items": {
+            "type": "record", "name": name, "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": vtype, "field-id": vid}]}}]
+
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "partition", "field-id": 102, "type": {
+                    "type": "record", "name": "r102", "fields": []}},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
+                {"name": "null_value_counts", "default": None,
+                 "field-id": 110,
+                 "type": _kv_map_schema("k121_v122", 121, 122, "long")},
+                {"name": "lower_bounds", "default": None, "field-id": 125,
+                 "type": _kv_map_schema("k126_v127", 126, 127, "bytes")},
+                {"name": "upper_bounds", "default": None, "field-id": 128,
+                 "type": _kv_map_schema("k129_v130", 129, 130, "bytes")},
+            ]}},
+    ]}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ]}
+
+
+def _bytes_json(b: bytes) -> str:
+    """Avro-JSON encodes bytes as a string of the bytes' Latin-1 chars."""
+    return b.decode("latin-1")
+
+
+def _u(branch: str, v):
+    """Avro-JSON union value: {branch: value} (None stays null)."""
+    return None if v is None else {branch: v}
+
+
+class _AvroJvm:
+    """JVM Apache-Avro writing: Avro-JSON text -> GenericRecord -> OCF."""
+
+    def __init__(self, spark):
+        self.jvm = spark.sparkContext._jvm
+
+    def parse(self, schema_json: str):
+        return self.jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+
+    def write_ocf(self, path: str, schema, json_records: list[str],
+                  meta: dict[str, str], deflate: bool = False) -> None:
+        reader = self.jvm.org.apache.avro.generic.GenericDatumReader(schema)
+        factory = self.jvm.org.apache.avro.io.DecoderFactory.get()
+        w = self.jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+        dfw = self.jvm.org.apache.avro.file.DataFileWriter(w)
+        if deflate:
+            dfw.setCodec(
+                self.jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+        for k, v in meta.items():
+            dfw.setMeta(k, v)
+        dfw.create(schema, self.jvm.java.io.File(path))
+        for js in json_records:
+            dec = factory.jsonDecoder(schema, js)
+            dfw.append(reader.read(None, dec))
+        dfw.close()
+
+
+def _bound_long(v: int) -> bytes:
+    return struct.pack("<q", int(v))
+
+
+def _bound_double(v: float) -> bytes:
+    return struct.pack("<d", float(v))
+
+
+def _bound_string(v: str) -> bytes:
+    return v.encode("utf-8")
+
+
+_FIELDS = [
+    # (id, name, iceberg type, bound encoder)
+    (1, "custkey", "long", _bound_long),
+    (2, "name", "string", _bound_string),
+    (3, "mktsegment", "string", _bound_string),
+    (4, "acctbal", "double", _bound_double),
+]
+
+
+def _write_data_file(path: str, rows: list[dict]) -> None:
+    """Parquet data file with Iceberg PARQUET:field_id column metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_types = {"long": pa.int64(), "string": pa.string(),
+                "double": pa.float64()}
+    fields = [
+        pa.field(name, pa_types[t],
+                 metadata={b"PARQUET:field_id": str(fid).encode()})
+        for fid, name, t, _ in _FIELDS
+    ]
+    cols = {name: [r[name] for r in rows] for _, name, _, _ in _FIELDS}
+    pq.write_table(pa.table(cols, schema=pa.schema(fields)), path)
+
+
+def _int_map_json(pairs: list[tuple[int, object]]):
+    return _u("array", [{"key": k, "value": v} for k, v in pairs])
+
+
+def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
+                          delete_mod: int = 7) -> dict:
+    """Write a genuine Iceberg v2 table under ``local_dir``.
+
+    ``source_rows``: dicts with custkey/name/mktsegment/acctbal.  Rows
+    split by custkey parity into two custkey-ordered data files; every
+    row with ``custkey % delete_mod == 0`` is removed via a
+    position-delete file — so the live content is relationally
+    expressible as ``WHERE custkey % delete_mod <> 0`` (the DuckDB
+    oracle's view of the same fixture).
+
+    Returns {"location": local_dir, "recorded_location": s3 uri,
+             "live_rows": n}.
+    """
+    av = _AvroJvm(spark)
+    rec_loc = "s3://demo-warehouse/demo/adopt_tbl"
+    meta_dir = os.path.join(local_dir, "metadata")
+    data_dir = os.path.join(local_dir, "data")
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    groups = [
+        sorted((r for r in source_rows if r["custkey"] % 2 == 0),
+               key=lambda r: r["custkey"]),
+        sorted((r for r in source_rows if r["custkey"] % 2 == 1),
+               key=lambda r: r["custkey"]),
+    ]
+    groups = [g for g in groups if g]
+    entry_schema = av.parse(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+
+    data_entries, delete_entries = [], []
+    deleted = 0
+    snapshot_id = 4242424242
+    for i, rows in enumerate(groups):
+        fname = f"part-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        fpath = os.path.join(data_dir, fname)
+        _write_data_file(fpath, rows)
+        lo = [(fid, _bytes_json(enc(min(r[name] for r in rows))))
+              for fid, name, _, enc in _FIELDS]
+        hi = [(fid, _bytes_json(enc(max(r[name] for r in rows))))
+              for fid, name, _, enc in _FIELDS]
+        data_entries.append(json.dumps({
+            "status": 1,  # ADDED
+            "snapshot_id": _u("long", snapshot_id),
+            "sequence_number": _u("long", 1),
+            "file_sequence_number": _u("long", 1),
+            "data_file": {
+                "content": 0,
+                "file_path": f"{rec_loc}/data/{fname}",
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(rows),
+                "file_size_in_bytes": os.path.getsize(fpath),
+                "null_value_counts": _int_map_json(
+                    [(fid, 0) for fid, *_ in _FIELDS]),
+                "lower_bounds": _int_map_json(lo),
+                "upper_bounds": _int_map_json(hi),
+            }}))
+
+        # position deletes for this file: rows at positions where
+        # custkey % delete_mod == 0 (file is custkey-ordered, so position
+        # is just the enumerate index)
+        dels = [(f"{rec_loc}/data/{fname}", pos)
+                for pos, r in enumerate(rows)
+                if r["custkey"] % delete_mod == 0]
+        if dels:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            del_name = f"delete-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+            del_path = os.path.join(data_dir, del_name)
+            pq.write_table(
+                pa.table({
+                    "file_path": pa.array([p for p, _ in dels], pa.string()),
+                    "pos": pa.array([p for _, p in dels], pa.int64()),
+                }),
+                del_path,
+            )
+            deleted += len(dels)
+            delete_entries.append(json.dumps({
+                "status": 1,
+                "snapshot_id": _u("long", snapshot_id),
+                "sequence_number": _u("long", 1),
+                "file_sequence_number": _u("long", 1),
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": f"{rec_loc}/data/{del_name}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(dels),
+                    "file_size_in_bytes": os.path.getsize(del_path),
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                }}))
+
+    man_meta = {
+        "schema": _schema_json(),
+        "partition-spec": "[]",
+        "partition-spec-id": "0",
+        "format-version": "2",
+    }
+    data_man = f"manifest-data-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, data_man), entry_schema,
+                 data_entries, {**man_meta, "content": "data"},
+                 deflate=True)  # deflate codec coverage
+    manifests = [(data_man, 0, len(data_entries),
+                  sum(len(g) for g in groups))]
+    if delete_entries:
+        del_man = f"manifest-deletes-{uuid.uuid4().hex[:8]}.avro"
+        av.write_ocf(os.path.join(meta_dir, del_man), entry_schema,
+                     delete_entries, {**man_meta, "content": "deletes"},
+                     deflate=False)  # null codec coverage
+        manifests.append((del_man, 1, len(delete_entries), deleted))
+
+    ml_schema = av.parse(json.dumps(_MANIFEST_LIST_SCHEMA))
+    ml_entries = []
+    for fname, content, n_files, n_rows in manifests:
+        ml_entries.append(json.dumps({
+            "manifest_path": f"{rec_loc}/metadata/{fname}",
+            "manifest_length":
+                os.path.getsize(os.path.join(meta_dir, fname)),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": n_files,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }))
+    ml_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, ml_name), ml_schema, ml_entries,
+                 {"format-version": "2"})
+
+    now = int(time.time() * 1000)
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": rec_loc,
+        "last-sequence-number": 1,
+        "last-updated-ms": now,
+        "last-column-id": 4,
+        "current-schema-id": 0,
+        "schemas": [json.loads(_schema_json())],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet",
+                       "commit.retry.num-retries": "4"},
+        "current-snapshot-id": snapshot_id,
+        "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+        "snapshots": [{
+            "snapshot-id": snapshot_id,
+            "sequence-number": 1,
+            "timestamp-ms": now,
+            "summary": {"operation": "append"},
+            "manifest-list": f"{rec_loc}/metadata/{ml_name}",
+            "schema-id": 0,
+        }],
+        "snapshot-log": [{"snapshot-id": snapshot_id, "timestamp-ms": now}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    live = sum(len(g) for g in groups) - deleted
+    return {"location": local_dir, "recorded_location": rec_loc,
+            "live_rows": live}
+
+
+def _schema_json() -> str:
+    return json.dumps({
+        "type": "struct", "schema-id": 0, "fields": [
+            {"id": fid, "name": name, "required": False, "type": t}
+            for fid, name, t, _ in _FIELDS
+        ]})

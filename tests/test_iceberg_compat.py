@@ -1,0 +1,216 @@
+"""Genuine-Iceberg adoption (sources/iceberg_compat.py + avro_ocf.py).
+
+The fixture (sources/iceberg_fixture.py) is a real spec-v2 layout whose
+Avro was written by the JVM's Apache Avro 1.12 — so every parse here is
+a cross-implementation check of the pure-Python OCF reader — and whose
+recorded URIs are s3:// (adoption must rebase them onto the local dir),
+mirroring the reference's `register_table(table_location => 's3://...')`
+(iceberg_trino_sqldemo.sql:276-279).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from iceberg_trino_sql_demo_spark.sources import iceberg_compat as ic
+from iceberg_trino_sql_demo_spark.sources.avro_ocf import AvroError, read_ocf
+from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+    write_iceberg_fixture,
+)
+
+
+def _rows(n=100):
+    segs = ["AUTO", "BUILDING", "MACHINERY"]
+    return [
+        {"custkey": i, "name": f"cust#{i}", "mktsegment": segs[i % 3],
+         "acctbal": float(i) * 1.5}
+        for i in range(1, n + 1)
+    ]
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(spark, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("ice_genuine"))
+    out = write_iceberg_fixture(spark, loc, _rows(), delete_mod=7)
+    assert out["live_rows"] == 100 - len([i for i in range(1, 101) if i % 7 == 0])
+    return loc
+
+
+def test_detection_and_load(spark, fixture_dir):
+    assert ic.is_iceberg_location(fixture_dir)
+    info = ic.load_iceberg_table(fixture_dir)
+    assert len(info["data_files"]) == 2
+    assert len(info["position_deletes"]) == 2
+    assert [f.name for f in info["schema"]] == [
+        "custkey", "name", "mktsegment", "acctbal"]
+    # field ids become engine column ids
+    assert [f.id for f in info["schema"]] == [1, 2, 3, 4]
+    # bounds decoded from Iceberg single-value serialization
+    st = info["data_files"][0]["stats"]
+    assert st["1"]["min"] == 2 and st["1"]["max"] == 100  # even file
+    assert st["2"]["min"].startswith("cust#")
+    assert st["4"]["max"] == 150.0 and st["4"]["nulls"] == 0
+
+
+def test_adopt_values_and_deletes(spark, fixture_dir, tmp_path):
+    """Adopted table reads the Iceberg parquet in place, with position
+    deletes applied — custkey % 7 == 0 rows are gone."""
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "adopted"), fixture_dir)
+    got = {r.custkey: (r.name, r.mktsegment, r.acctbal)
+           for r in t.df().collect()}
+    want = {r["custkey"]: (r["name"], r["mktsegment"], r["acctbal"])
+            for r in _rows() if r["custkey"] % 7 != 0}
+    assert got == want
+    # data files referenced in place (no copy): paths live under the
+    # Iceberg table's own data dir
+    man = t._manifest(t._resolve())
+    assert all(f.path.startswith(os.path.abspath(fixture_dir))
+               for f in man.data_files)
+    assert t.meta.properties["adopted_iceberg_format_version"] == "2"
+
+
+def test_adopted_stats_prune_scans(spark, fixture_dir, tmp_path):
+    """Manifest bounds flow into engine stats pruning: a predicate
+    outside every file's [min,max] reads zero files."""
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "adopted2"), fixture_dir)
+    df = t.df(where="custkey > 1000")
+    assert df.count() == 0
+    assert len(df.inputFiles()) == 0, "stats pruning did not skip files"
+
+
+def test_register_table_routes_iceberg(spark, fixture_dir, tmp_path):
+    """Catalog.register_table detects genuine Iceberg metadata and adopts;
+    the SQL frontend's CALL system.register_table rides the same path."""
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE SCHEMA ext")
+    eng.sql("USE ext")
+    eng.sql(
+        "CALL system.register_table(schema_name => 'ext', table_name => "
+        f"'adopted', table_location => '{fixture_dir}')"
+    )
+    n = eng.sql("SELECT count(*) AS n FROM adopted").head().n
+    assert n == 86
+    # engine metadata landed in the warehouse, NOT inside the Iceberg dir
+    assert not os.path.exists(
+        os.path.join(fixture_dir, "metadata", "v1.metadata.json.tmp"))
+    loc = eng.catalog.data["tables"]["ext.adopted"]
+    assert os.path.abspath(loc) != os.path.abspath(fixture_dir)
+    # further DML commits ENGINE snapshots; the Iceberg metadata is
+    # untouched (read-only adoption)
+    before = sorted(os.listdir(os.path.join(fixture_dir, "metadata")))
+    eng.sql("DELETE FROM adopted WHERE custkey = 1")
+    assert eng.sql("SELECT count(*) AS n FROM adopted").head().n == 85
+    after = sorted(os.listdir(os.path.join(fixture_dir, "metadata")))
+    assert before == after
+
+
+def _clone_with_metadata_edit(src: str, dst: str, edit) -> str:
+    shutil.copytree(src, dst)
+    p = os.path.join(dst, "metadata", "v1.metadata.json")
+    with open(p) as fh:
+        doc = json.load(fh)
+    edit(doc)
+    with open(p, "w") as fh:
+        json.dump(doc, fh)
+    return dst
+
+
+def test_refuses_v3(spark, fixture_dir, tmp_path):
+    loc = _clone_with_metadata_edit(
+        fixture_dir, str(tmp_path / "v3"),
+        lambda d: d.__setitem__("format-version", 3))
+    with pytest.raises(ic.IcebergAdoptionError, match="format-version 3"):
+        ic.load_iceberg_table(loc)
+
+
+def test_refuses_equality_deletes(spark, fixture_dir, tmp_path):
+    """A manifest entry with content=2 (equality deletes) fails loudly."""
+    import re
+
+    loc = str(tmp_path / "eqdel")
+    shutil.copytree(fixture_dir, loc)
+    md = os.path.join(loc, "metadata")
+    # rewrite the DELETE manifest with content=2 via the same JVM writer
+    del_man = next(f for f in os.listdir(md) if f.startswith("manifest-deletes"))
+    meta, entries = read_ocf(os.path.join(md, del_man))
+    for e in entries:
+        e["data_file"]["content"] = 2
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import _AvroJvm, _u
+
+    av = _AvroJvm(spark)
+    schema = av.parse(meta["avro.schema"])
+    recs = []
+    for e in entries:
+        d = dict(e)
+        for k in ("snapshot_id", "sequence_number", "file_sequence_number"):
+            d[k] = _u("long", d[k]) if d[k] is not None else None
+        df = dict(d["data_file"])
+        for k in ("null_value_counts", "lower_bounds", "upper_bounds"):
+            df[k] = _u("array", df[k]) if df[k] is not None else None
+        d["data_file"] = df
+        recs.append(json.dumps(d))
+    out = os.path.join(md, del_man)
+    os.remove(out)
+    av.write_ocf(out, schema, recs,
+                 {k: v for k, v in meta.items() if not k.startswith("avro.")})
+    with pytest.raises(ic.IcebergAdoptionError, match="equality-delete"):
+        ic.load_iceberg_table(loc)
+
+
+def test_avro_reader_cross_impl_shapes(spark, tmp_path):
+    """The pure-Python OCF reader vs JVM-Avro-written data across the
+    encoding corners Iceberg exercises: negative/large zigzag longs,
+    unions, empty and multi-entry logical maps, deflate blocks."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import _AvroJvm
+
+    av = _AvroJvm(spark)
+    schema_doc = {
+        "type": "record", "name": "t", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": {"type": "array", "items": "int"}},
+            {"name": "d", "type": {"type": "map", "values": "double"}},
+            {"name": "e", "type": "boolean"},
+            {"name": "f", "type": "bytes"},
+        ]}
+    schema = av.parse(json.dumps(schema_doc))
+    rows = [
+        {"a": -1, "b": None, "c": [], "d": {}, "e": True,
+         "f": b"\x00\xff\x7f"},
+        {"a": 2**62, "b": {"string": "héllo"}, "c": [1, -2, 3],
+         "d": {"x": 1.5, "y": -0.25}, "e": False, "f": b""},
+    ]
+    enc = []
+    for r in rows:
+        r2 = dict(r)
+        r2["f"] = r["f"].decode("latin-1")
+        enc.append(json.dumps(r2))
+    p = str(tmp_path / "shapes.avro")
+    av.write_ocf(p, schema, enc, {"who": "jvm"}, deflate=True)
+    meta, got = read_ocf(p)
+    assert meta["avro.codec"] == "deflate" and meta["who"] == b"jvm"
+    assert got[0] == {"a": -1, "b": None, "c": [], "d": {}, "e": True,
+                      "f": b"\x00\xff\x7f"}
+    assert got[1]["a"] == 2**62 and got[1]["b"] == "héllo"
+    assert got[1]["c"] == [1, -2, 3]
+    assert got[1]["d"] == {"x": 1.5, "y": -0.25} and got[1]["f"] == b""
+
+
+def test_unknown_codec_refused(spark, tmp_path, fixture_dir):
+    """A codec needing an external lib fails loudly, not silently."""
+    md = os.path.join(fixture_dir, "metadata")
+    man = next(f for f in os.listdir(md) if f.startswith("manifest-data"))
+    raw = open(os.path.join(md, man), "rb").read()
+    # splice the codec metadata value: deflate -> snappy (same length
+    # trick unavailable — lengths differ — so rewrite the header map)
+    assert b"deflate" in raw
+    bad = raw.replace(b"\x0edeflate", b"\x0csnappy", 1)
+    p = str(tmp_path / "bad.avro")
+    open(p, "wb").write(bad)
+    with pytest.raises(AvroError, match="codec"):
+        read_ocf(p)
