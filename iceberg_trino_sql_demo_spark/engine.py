@@ -63,6 +63,57 @@ class Engine:
         self.session: dict[str, str] = {}
         self.prepared: dict[str, str] = {}
         self._view_n = 0
+        #: foreign catalog prefix -> JDBC source config (attach_jdbc_catalog)
+        self.jdbc_catalogs: dict[str, dict] = {}
+
+    # -- federation (reference :36-38, :291) ----------------------------
+    def attach_jdbc_catalog(
+        self,
+        catalog: str,
+        url: str,
+        driver: str | None = None,
+        table_map: dict[str, str] | None = None,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Back a foreign catalog prefix with a LIVE JDBC source.
+
+        The reference federates ``postgresql.demo.customer``,
+        ``oracle.demo.nation``, ``snowflake_parallel.demo.region``
+        (:36-38) and ``postgresql.demo.orders`` (:291) through Trino
+        connectors; after ``attach_jdbc_catalog('postgresql',
+        'jdbc:...')`` every ``FROM postgresql.demo.orders`` in a frontend
+        statement reads through Spark's native JDBC source instead of
+        the testdata stand-in views.  Spark's JDBCRelation pushes column
+        pruning and WHERE filters into the remote engine (visible as
+        ``PushedFilters``/``ReadSchema`` on the scan), so federation
+        joins ship predicates to the database, not rows to Spark.
+
+        ``table_map`` renames remote objects (e.g. ``{"demo.customer":
+        "customer"}`` when the fixture database flattens schemas).
+        Tests use the JVM-embedded Derby that ships with Spark —
+        single-JVM by design, fine under local[*]; a multi-executor
+        cluster needs a server-style URL (postgres/mysql), same code
+        path."""
+        self.jdbc_catalogs[catalog.lower()] = {
+            "url": url,
+            "driver": driver,
+            "table_map": dict(table_map or {}),
+            "options": dict(options or {}),
+        }
+
+    def _jdbc_df(self, catalog: str, rest: str) -> DataFrame:
+        cfg = self.jdbc_catalogs[catalog]
+        dbtable = cfg["table_map"].get(rest.lower(), rest)
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", cfg["url"])
+            .option("dbtable", dbtable)
+        )
+        if cfg["driver"]:
+            reader = reader.option("driver", cfg["driver"])
+        for k, v in cfg["options"].items():
+            reader = reader.option(k, v)
+        return reader.load()
 
     # ------------------------------------------------------------------
     def sql(self, statement: str) -> DataFrame | None:
@@ -118,6 +169,13 @@ class Engine:
         def sub_from(m: re.Match) -> str:
             kw, raw, kind, pin = m.group(1), m.group(2), m.group(3), m.group(4)
             name = _last(raw)
+            # attached JDBC catalogs win over the testdata stand-in views:
+            # `FROM postgresql.demo.orders` reads through Spark's JDBC
+            # source (filter/column pushdown into the remote engine)
+            parts = _strip(raw).split(".")
+            if len(parts) >= 2 and parts[0].lower() in self.jdbc_catalogs:
+                df = self._jdbc_df(parts[0].lower(), ".".join(parts[1:]))
+                return f"{kw} {self._tmp_view(df, name)}"
             # the WHERE governing THIS query block (VERDICT r4 #1: without
             # this, every Engine.sql SELECT listed the whole snapshot and
             # manifest/partition/bloom pruning never fired through the SQL

@@ -16,6 +16,8 @@ Scale notes (100 TB framing):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2623,4 +2625,70 @@ def trino_dialect_tier4(spark: SparkSession, sf_dir: str) -> DataFrame:
          GROUP BY 1
          ORDER BY 1
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 over a LIVE JDBC source — the flagship federation query (:286-295)
+# with `postgresql.demo.orders` backed by a real external database
+# (embedded Derby, the JDBC engine Spark ships) instead of the testdata
+# stand-in view.  Same result as federation_agg, so the same oracle; the
+# interop point is the JDBC read path itself: Spark's JDBCRelation, with
+# the dimension-side broadcast keeping the fact join shuffle-free.
+# ---------------------------------------------------------------------------
+
+#: one Derby database per sf_dir (immutable once published)
+_DERBY_CACHE: dict[str, str] = {}
+
+
+def _derby_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from iceberg_trino_sql_demo_spark.sources.jdbc_fed import (
+        DERBY_DRIVER, derby_from_sf_dir,
+    )
+
+    db_dir = _DERBY_CACHE.get(sf_dir)
+    if db_dir is None:
+        db_dir = os.path.join(
+            tempfile.mkdtemp(prefix="derby_fed_"), "db")
+        _DERBY_CACHE[sf_dir] = db_dir
+    url = derby_from_sf_dir(spark, db_dir, sf_dir, tables=("orders",))
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders")
+        .option("driver", DERBY_DRIVER)
+        .load()
+    )
+
+
+@register(
+    "federation_jdbc_agg",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE))
+               AS total_price
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON c.c_custkey = o.o_custkey
+     WHERE c.c_mktsegment = 'AUTOMOBILE'
+     GROUP BY n.n_name
+     ORDER BY total_price
+    """,
+    bench=False,  # scenario setup cost (one-time Derby publish) dominates
+    memo=False,
+)
+def federation_jdbc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "AUTOMOBILE")
+    n = _t(spark, sf_dir, "nation")
+    o = _derby_orders(spark, sf_dir)
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("nation")
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy("nation")
+        .agg(trino_round(decimal_sum(F.col("o_totalprice"), "x")).alias("total_price"))
+        .orderBy("total_price")
     )

@@ -1,0 +1,122 @@
+"""Live JDBC federation (Engine.attach_jdbc_catalog + sources/jdbc_fed).
+
+The reference's federation statements — the 3-source CTAS
+(iceberg_trino_sqldemo.sql:19-40) and the flagship aggregation over
+``postgresql.demo.orders`` (:286-295) — replayed against a REAL external
+database (embedded Derby, the JDBC engine bundled with Spark) instead of
+the testdata stand-in views, value-compared to the parquet path.
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iceberg_trino_sql_demo_spark.engine import Engine
+from iceberg_trino_sql_demo_spark.session import register_views, table_path
+from iceberg_trino_sql_demo_spark.sources.jdbc_fed import (
+    DERBY_DRIVER,
+    derby_from_sf_dir,
+)
+
+_CTAS = """CREATE OR REPLACE TABLE customer
+       WITH (
+         partitioning = ARRAY['mktsegment'],
+         format='parquet',
+         format_version = 3,
+         merge_mode = 'merge-on-read'
+       ) AS
+       SELECT
+           c.c_custkey AS custkey,
+           c.c_name AS name,
+           c.c_mktsegment AS mktsegment,
+           ROUND(c.c_acctbal) as account_balance,
+           n.n_name as nation
+       FROM
+           postgresql.demo.customer c
+           join oracle.demo.nation n on c.c_nationkey = n.n_nationkey
+           join snowflake_parallel.demo.region r on r.r_regionkey = n.n_regionkey
+       WHERE r.r_name = 'EUROPE'
+       LIMIT 500"""
+
+_FLAGSHIP = """SELECT
+                   c.nation as nation,
+                   round(sum(o.o_totalprice)) as total_price
+               FROM
+                   customer c
+                   join postgresql.demo.orders o on c.custkey = o.o_custkey
+               WHERE
+                   c.mktsegment='AUTOMOBILE'
+               GROUP BY c.nation
+               ORDER BY total_price"""
+
+
+@pytest.fixture(scope="module")
+def fed_eng(spark, tmp_path_factory, sf_dir):
+    """Engine whose foreign catalogs are LIVE Derby-backed JDBC sources;
+    the reference's demo.<table> names resolve through table_map."""
+    register_views(spark, sf_dir)
+    db_dir = os.path.join(str(tmp_path_factory.mktemp("derby")), "db")
+    url = derby_from_sf_dir(spark, db_dir, sf_dir)
+    eng = Engine(spark, str(tmp_path_factory.mktemp("wh_fed")))
+    for cat, tmap in (
+        ("postgresql", {"demo.customer": "customer", "demo.orders": "orders"}),
+        ("oracle", {"demo.nation": "nation"}),
+        ("snowflake_parallel", {"demo.region": "region"}),
+    ):
+        eng.attach_jdbc_catalog(cat, url, driver=DERBY_DRIVER, table_map=tmap)
+    eng.sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg "
+            "WITH (location = 's3://victorc-data/iceberg/')")
+    eng.sql("USE iceberg_glue.victorc_iceberg")
+    return eng
+
+
+def test_ctas_federates_through_jdbc(fed_eng, spark, sf_dir):
+    """The :19-40 CTAS value-matches the parquet path when its three
+    sources read through live JDBC."""
+    fed_eng.sql(_CTAS)
+    got = {
+        (r.custkey, r.name, r.mktsegment, r.account_balance, r.nation)
+        for r in fed_eng.sql("SELECT * FROM customer").collect()
+    }
+    want_df = spark.sql("""
+        SELECT c.c_custkey AS custkey, c.c_name AS name,
+               c.c_mktsegment AS mktsegment,
+               ROUND(c.c_acctbal) AS account_balance, n.n_name AS nation
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+         WHERE r.r_name = 'EUROPE'
+    """)
+    want = {tuple(r) for r in want_df.collect()}
+    # LIMIT 500 against a sub-500 EUROPE population makes the sets equal
+    assert len(want) <= 500 and got == want
+
+
+def test_flagship_agg_federates_and_pushes_down(fed_eng):
+    """The :286-295 flagship query joins a live-JDBC orders table; the
+    JDBC scan shows pushed filters/pruned columns, not select-star."""
+    agg = fed_eng.sql(_FLAGSHIP)
+    rows = agg.collect()
+    assert rows and rows[0].total_price <= rows[-1].total_price
+    # pushdown evidence on a predicated JDBC read through the frontend
+    probe = fed_eng.sql(
+        "SELECT o_orderkey FROM postgresql.demo.orders WHERE o_orderkey = 7")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan
+    assert "PushedFilters: [" in plan and "EqualTo(o_orderkey,7)" in plan, plan
+    assert "ReadSchema: struct<o_orderkey" in plan
+
+
+def test_jdbc_values_roundtrip(fed_eng, spark, sf_dir):
+    """Row-level value fidelity through Derby: orders via JDBC equals
+    orders via parquet (keys, doubles, dates)."""
+    jdbc = fed_eng.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate "
+        "FROM postgresql.demo.orders WHERE o_orderkey < 100")
+    pq = spark.read.parquet(table_path(sf_dir, "orders")).where(
+        "o_orderkey < 100").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    got = {tuple(r) for r in jdbc.collect()}
+    want = {tuple(r) for r in pq.collect()}
+    assert got == want and got
