@@ -201,8 +201,14 @@ class Engine:
                 _prunable_for(block_where, t, alias=alias, table_name=name)
                 if block_where else None
             )
+            # declared projection for the CURRENT-schema read only —
+            # pinned (time-travel / branch) reads may surface an older
+            # schema the current-schema extraction can't see
+            proj = (None if wants_hidden or pin is not None
+                    else _projected_for(s, t))
             if pin is None:
-                df = t.df(hidden=wants_hidden, prune_predicates=prune)
+                df = t.df(hidden=wants_hidden, prune_predicates=prune,
+                          columns=proj)
             elif kind and kind.upper() == "TIMESTAMP":
                 from datetime import datetime, timezone
 
@@ -1455,6 +1461,34 @@ def _trailing_alias(s: str, pos: int) -> str | None:
     if m and m.group(1).upper() not in _NOT_ALIAS:
         return m.group(1)
     return None
+
+
+def _projected_for(statement: str, t: Table) -> list[str] | None:
+    """Conservative column projection for ``t`` extracted from the whole
+    statement text — the SQL-frontend feeder of ``Table.df(columns=...)``
+    (VERDICT r9 #5: the segment-scan DataSource has no Catalyst pruning
+    hook, so a narrow frontend SELECT over a huge table otherwise decodes
+    every column).
+
+    Superset-safe by construction: every identifier token anywhere in the
+    statement that names one of ``t``'s current-schema columns is kept —
+    tokens belonging to other tables, aliases or strings can only WIDEN
+    the projection, never narrow it below what the query references.
+    Bails to None (no projection) when:
+
+    - any ``*`` appears outside an aggregate-style ``fn(*)`` call (a
+      ``SELECT *`` / ``t.*`` needs every column, and ``a * b``
+      arithmetic is indistinguishable cheaply), or
+    - the token set covers the whole schema (nothing to prune)."""
+    toks = set(re.findall(r"[A-Za-z_]\w*", statement))
+    names = [f.name for f in t.meta.schema.fields]
+    used = [n for n in names if n in toks]
+    if not used or len(used) == len(names):
+        return None
+    stars = re.sub(r"\w+\s*\(\s*\*\s*\)", "", statement)
+    if "*" in stars:
+        return None
+    return used
 
 
 def _prunable_for(

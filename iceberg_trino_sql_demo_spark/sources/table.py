@@ -32,7 +32,9 @@ Catalyst; this class only plans file sets and commits metadata.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import time
 import uuid
 from typing import Any, Iterable
@@ -259,6 +261,7 @@ class Table:
         where: str | None = None,
         as_of_ms: int | None = None,
         prune_predicates: list | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Read a snapshot (P1/P9/P10).  ``where`` (Spark SQL expression
         text) is applied as a filter AND used for engine-side manifest
@@ -270,12 +273,36 @@ class Table:
         guarantees an equivalent filter runs downstream.  This is how the
         SQL frontend hands a statement's WHERE to the manifest pruner while
         the statement's own WHERE still executes in Catalyst (pruning stays
-        correctness-neutral either way: conservative keep-on-unknown)."""
+        correctness-neutral either way: conservative keep-on-unknown).
+
+        ``columns`` declares the caller's projection.  The Python
+        DataSource API has no column-pruning hook, so the segment-scan
+        route would otherwise decode EVERY column for a narrow read (the
+        measured 4x narrow-scan gap vs the JVM reader, SCALING.md
+        "Reader throughput"); declared columns reach the Arrow reader and
+        the rest are never decoded.  The scan keeps ``columns`` plus any
+        identifier ``where`` mentions (a conservative superset — the
+        filter must evaluate), then projects down.  Catalyst routes get a
+        plain ``.select`` (the JVM parquet reader prunes natively)."""
         snap = self._resolve(ref, version, as_of_ms)
         manifest = self._manifest(snap)
         preds = parse_simple_predicates(where) if where else []
         if prune_predicates:
             preds = [*preds, *prune_predicates]
+        scan_cols: list[str] | None = None
+        if columns:
+            want = set(columns)
+            if where:
+                names = {f.name for f in self.meta.schema.fields}
+                want |= {w for w in re.findall(r"[A-Za-z_]\w*", where)
+                         if w in names}
+            scan_cols = [f.name for f in self.meta.schema.fields
+                         if f.name in want]
+            missing = want - set(scan_cols)
+            if missing:
+                raise ValueError(
+                    f"df(columns=...): {sorted(missing)} not in the "
+                    "current schema")
         out: DataFrame | None = None
         if preds:
             manifest = self.prune(manifest, preds)
@@ -283,14 +310,15 @@ class Table:
                 # LARGE survivor sets take the DataSource plan too: the
                 # survivor list rides ONE parquet side file instead of an
                 # O(survivors) Py4J path handoff + JVM listing
-                out = self._pruned_scan_df(manifest)
+                out = self._pruned_scan_df(manifest, scan_cols)
         elif isinstance(manifest, LazyManifest):
             if (
                 not hidden
                 and snap is not None
                 and manifest.counts()[0] >= _PYDS_SCAN_FILES
                 and self._pyds_bytes_ok(
-                    manifest.counts()[0], manifest.total_bytes()
+                    manifest.counts()[0], manifest.total_bytes(),
+                    scan_cols,
                 )
                 and self._segment_scan_safe(manifest)
             ):
@@ -299,7 +327,7 @@ class Table:
                 # O(files) Py4J path handoff, no JVM file listing (sizes
                 # come from the manifest).  Measured: ~245 s saved at 10^6
                 # files (SCALING.md "End-to-end read path").
-                out = self._segment_scan_df(snap, manifest)
+                out = self._segment_scan_df(snap, manifest, scan_cols)
             else:
                 # unpruned scan: lean materialization (no stats/partition
                 # json parsing — see manifest_store.scan_files) unless the
@@ -313,6 +341,8 @@ class Table:
             out = out.where(F.expr(where))
         if preds:
             out = self._stats_broadcast_hint(out, manifest, preds)
+        if columns:
+            out = out.select(*columns)
         return out
 
     def _segment_scan_safe(self, manifest) -> bool:
@@ -330,14 +360,24 @@ class Table:
             return False
         return self._pyds_schemas_safe()
 
-    def _pyds_bytes_ok(self, n_files: int, total_bytes: int | None) -> bool:
+    def _pyds_bytes_ok(self, n_files: int, total_bytes: int | None,
+                       scan_cols: list[str] | None = None) -> bool:
         """Bytes half of the route decision: take the DataSource plan only
         while the O(files) JVM launch cost it saves exceeds the Python
         reader's worst-case per-byte throughput penalty (both measured —
         see _PYDS_BYTE_PENALTY above).  Unknown bytes (segments predating
-        the bytes field) keep the count-only decision."""
+        the bytes field) keep the count-only decision.
+
+        A declared projection (``scan_cols``) scales the byte estimate by
+        the column fraction — the Arrow reader decodes only those columns
+        now, so a 2-of-16-column scan of a wide table pays ~1/8 of the
+        worst-case penalty and the route flips back to pyds exactly where
+        the narrow-read measurements say it should."""
         if total_bytes is None:
             return True
+        if scan_cols:
+            n_all = max(1, len(self.meta.schema.fields))
+            total_bytes = int(total_bytes * min(1.0, len(scan_cols) / n_all))
         return n_files * _JVM_PER_FILE_S > total_bytes * _PYDS_BYTE_PENALTY
 
     def _pyds_schemas_safe(self) -> bool:
@@ -361,7 +401,9 @@ class Table:
             return False
         return all(proj_spec(s, cur) is not None for s in self.meta.schemas)
 
-    def _pruned_scan_df(self, manifest: Manifest) -> DataFrame | None:
+    def _pruned_scan_df(self, manifest: Manifest,
+                        scan_cols: list[str] | None = None
+                        ) -> DataFrame | None:
         """DataSource plan for a PRUNED survivor set, or None when the
         JVM path is right (small set — its Py4J/listing cost is trivial
         and the JVM vectorized reader is the faster executor) or the
@@ -383,6 +425,7 @@ class Table:
         if not self._pyds_bytes_ok(
             len(manifest.data_files),
             sum(f.file_size_bytes for f in manifest.data_files),
+            scan_cols,
         ):
             return None
         if not self._segment_scan_safe(manifest):
@@ -417,19 +460,22 @@ class Table:
             tmp,
         )
         self.spark.dataSource.register(IceTableDataSource)  # idempotent
-        out = (
+        reader = (
             self.spark.read.format(FORMAT_NAME)
             .option("path", self.location)
             .option("plan", "segments")
             .option("paths_file", tmp)
             .option("emit_pos", "true" if emit_pos else "false")
-            .load()
         )
+        if scan_cols:
+            reader = reader.option("columns", json.dumps(scan_cols))
+        out = reader.load()
         if emit_pos:
             out = self._apply_pos_deletes(out, manifest)
         return out
 
-    def _segment_scan_df(self, snap: Snapshot, manifest) -> DataFrame:
+    def _segment_scan_df(self, snap: Snapshot, manifest,
+                         scan_cols: list[str] | None = None) -> DataFrame:
         from iceberg_trino_sql_demo_spark.sources.pyds import (
             FORMAT_NAME,
             IceTableDataSource,
@@ -437,14 +483,16 @@ class Table:
 
         emit_pos = bool(manifest.delete_files)
         self.spark.dataSource.register(IceTableDataSource)  # idempotent
-        out = (
+        reader = (
             self.spark.read.format(FORMAT_NAME)
             .option("path", self.location)
             .option("plan", "segments")
             .option("snapshot_id", snap.snapshot_id)
             .option("emit_pos", "true" if emit_pos else "false")
-            .load()
         )
+        if scan_cols:
+            reader = reader.option("columns", json.dumps(scan_cols))
+        out = reader.load()
         if emit_pos:
             out = self._apply_pos_deletes(out, manifest)
         return out

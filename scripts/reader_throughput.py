@@ -95,11 +95,14 @@ def time_route(t, route: str, shape: str) -> float:
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            df = t.df()
-            if shape == "narrow":
-                df.agg(F.sum("k")).collect()
+            if shape == "narrow_proj":
+                # declared projection (Table.df(columns=...)): the pyds
+                # Arrow reader decodes ONE column instead of all five
+                t.df(columns=["k"]).agg(F.sum("k")).collect()
+            elif shape == "narrow":
+                t.df().agg(F.sum("k")).collect()
             else:
-                df.agg(
+                t.df().agg(
                     F.count("*"), F.sum("k"), F.sum("v1"), F.sum("v2"),
                     F.max("tag"), F.max("comment"),
                 ).collect()
@@ -126,11 +129,15 @@ def write_md(rows: list[dict], nbytes: int) -> None:
         "aggregates.  *jvm* = `spark.read.parquet` (vectorized reader,",
         "column pruning, codegen); *pyds* = the manifest-segment Python",
         "DataSource (pyarrow read in Python workers, Arrow batches to the",
-        "JVM — no column pruning, so narrow queries pay for every byte).",
-        "*narrow* = SUM over one bigint; *wide* = aggregates over every",
-        "column.  These MB/s feed `table._PYDS_BYTE_PENALTY`: unpruned",
-        "scans route to the DataSource plan only while the O(files) JVM",
-        "launch cost exceeds the per-byte throughput penalty.",
+        "JVM).  *narrow* = SUM over one bigint with NO declared",
+        "projection (the pyds reader decodes every byte — the Python",
+        "DataSource API has no pruning hook); *narrow_proj* = the same",
+        "query through `Table.df(columns=['k'])`, the r10 declared",
+        "projection that reaches the Arrow reader; *wide* = aggregates",
+        "over every column.  These MB/s feed `table._PYDS_BYTE_PENALTY`",
+        "(kept calibrated to the WORST case, undeclared narrow) while",
+        "`_pyds_bytes_ok` scales the byte estimate by the declared column",
+        "fraction — so projected narrow scans route pyds again.",
         "",
         "| route | shape | wall (s) | MB/s |",
         "|---|---|---|---|",
@@ -161,7 +168,7 @@ def main() -> None:
         t, nbytes = build_table(spark, wh)
         rows = []
         for route in ("jvm", "pyds"):
-            for shape in ("narrow", "wide"):
+            for shape in ("narrow", "narrow_proj", "wide"):
                 w = time_route(t, route, shape)
                 rows.append(
                     {

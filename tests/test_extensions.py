@@ -1036,3 +1036,78 @@ def test_pin_touch_refreshes_lru_recency(spark, monkeypatch):
     assert "simhash" not in groups
     assert "hashed_sh" in groups
     ops.release_caches()
+
+
+def test_segment_scan_declared_column_projection(spark, monkeypatch):
+    """Table.df(columns=...) reaches the Arrow reader (VERDICT r9 #5):
+    the Python DataSource API has no column-pruning hook, so a declared
+    projection is the only way a narrow scan avoids decoding every
+    column.  The BatchScan itself must be narrow (not a Project above a
+    full-width scan), WHERE columns are scanned-but-dropped, evolution
+    defaults surface, MoR anti-joins still apply, and unknown columns
+    fail loudly."""
+    import tempfile
+
+    from iceberg_trino_sql_demo_spark.sources import table as tmod
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="wh_proj_"))
+    cat.create_schema("proj")
+    cat.use("proj")
+    src = spark.read.parquet(f"{SF}/orders.parquet")
+    t = cat.ctas("orders_proj", src)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    expect = sorted(
+        (r.o_orderkey, r.o_totalprice)
+        for r in t.df().select("o_orderkey", "o_totalprice").collect()
+    )
+    monkeypatch.setattr(tmod, "_PYDS_SCAN_FILES", 1)
+    narrow = t.df(columns=["o_orderkey", "o_totalprice"])
+    p = plan(narrow)
+    assert "BatchScan ice_table" in p
+    # the SCAN is narrow: no other column name appears anywhere in the
+    # executed plan (a Project above a full-width scan would show them)
+    assert "o_orderdate" not in p and "o_orderpriority" not in p
+    assert [f.name for f in narrow.schema.fields] == [
+        "o_orderkey", "o_totalprice"]
+    assert sorted(tuple(r) for r in narrow.collect()) == expect
+
+    # WHERE on a column OUTSIDE the projection: scanned for the filter,
+    # dropped from the output
+    lim = sorted(r[0] for r in expect)[len(expect) // 2]
+    filtered = t.df(columns=["o_totalprice"], where=f"o_orderkey <= {lim}")
+    assert [f.name for f in filtered.schema.fields] == ["o_totalprice"]
+    want_n = sum(1 for k, _ in expect if k <= lim)
+    assert filtered.count() == want_n
+
+    # evolution: a post-hoc column's default surfaces through the
+    # projected spec
+    t.add_column("o_note", "string", default="n/a")
+    noted = t.df(columns=["o_orderkey", "o_note"])
+    assert "BatchScan ice_table" in plan(noted)
+    assert noted.where("o_note = 'n/a'").count() == len(expect)
+
+    # MoR position deletes apply under a projection (emit_pos helper
+    # columns are independent of the declared column set)
+    t.delete("o_orderkey % 3 = 0")
+    mor = t.df(columns=["o_orderkey"])
+    assert "BatchScan ice_table" in plan(mor)
+    keys = [r.o_orderkey for r in mor.collect()]
+    assert keys and not any(k % 3 == 0 for k in keys)
+    assert len(keys) == sum(1 for k, _ in expect if k % 3 != 0)
+
+    # loud failure on unknown columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the"):
+        t.df(columns=["nope"])
+
+    # the route's byte gate scales with the column fraction: a narrow
+    # projection of a bytes-heavy table routes pyds where a full-width
+    # scan routes JVM
+    frac_ok = t._pyds_bytes_ok(1000, 10**9, ["o_orderkey"])
+    full_ok = t._pyds_bytes_ok(1000, 10**9, None)
+    assert frac_ok and not full_ok

@@ -736,3 +736,35 @@ def test_keyword_split_ignores_double_quoted_identifiers():
     assert s4[_top_keyword_index(s4, "WHERE"):] == "WHERE k = 3"
     assert _top_keyword_index('x = "AND,THEN"', "AND") == -1
     assert _split_top('a = "x,y", b = 2') == ['a = "x,y"', "b = 2"]
+
+
+def test_frontend_select_projects_segment_scan(spark, tmp_path, monkeypatch):
+    """A narrow frontend SELECT over a pyds-routed table plans a NARROW
+    BatchScan (VERDICT r9 #5): _projected_for's identifier extraction
+    reaches Table.df(columns=...), so unreferenced columns never cross
+    the Arrow boundary.  Star queries keep the full width."""
+    from iceberg_trino_sql_demo_spark.engine import Engine
+    from iceberg_trino_sql_demo_spark.sources import table as tmod
+
+    eng = Engine(spark, str(tmp_path / "wh_proj"))
+    eng.sql("CREATE SCHEMA p")
+    eng.sql("USE p")
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    eng.catalog.ctas("orders_p", src)
+
+    monkeypatch.setattr(tmod, "_PYDS_SCAN_FILES", 1)
+    q = eng.sql("SELECT o_orderkey, sum(o_totalprice) AS s FROM orders_p "
+                "WHERE o_custkey > 0 GROUP BY o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan ice_table" in plan
+    # scanned: the referenced trio; never decoded: the rest
+    assert "o_orderdate" not in plan and "o_orderpriority" not in plan
+    assert q.count() > 0
+    # count(*)-only still answers (fn(*) is not a star projection bail...
+    # it simply projects nothing and keeps full width conservatively)
+    n_all = eng.sql("SELECT count(*) AS n FROM orders_p").head().n
+    assert n_all == src.count()
+    # SELECT * keeps every column
+    star = eng.sql("SELECT * FROM orders_p")
+    assert [f.name for f in star.schema.fields] == [f.name for f in src.schema.fields]
+    assert star.count() == n_all
