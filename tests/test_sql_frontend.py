@@ -768,3 +768,52 @@ def test_frontend_select_projects_segment_scan(spark, tmp_path, monkeypatch):
     star = eng.sql("SELECT * FROM orders_p")
     assert [f.name for f in star.schema.fields] == [f.name for f in src.schema.fields]
     assert star.count() == n_all
+
+
+def test_analyze_stats_reorder_joins(spark, tmp_path):
+    """VERDICT r9 #6: ANALYZE row counts now drive the frontend's join
+    ORDER.  A 3-join chain written biggest-first is rebuilt smallest-
+    first once every table carries stats — and left exactly as written
+    when any table lacks them, when the chain has outer joins, or when
+    the reorder would dangle an ON reference.  Values are identical
+    either way (inner joins commute)."""
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_cbo"))
+    eng.sql("CREATE SCHEMA cbo")
+    eng.sql("USE cbo")
+    big = spark.range(1000).selectExpr("id AS k", "id % 10 AS grp")
+    mid = spark.range(100).selectExpr("id AS k", "id % 5 AS k2")
+    small = spark.range(10).selectExpr("id AS k2", "id * 100 AS bonus")
+    eng.catalog.ctas("big_t", big)
+    eng.catalog.ctas("mid_t", mid)
+    eng.catalog.ctas("small_t", small)
+
+    q = ("SELECT b.grp, count(b.k) AS n, sum(t.bonus) AS s "
+         "FROM big_t b join mid_t m on b.k = m.k "
+         "join small_t t on m.k2 = t.k2 "
+         "GROUP BY b.grp ORDER BY b.grp")
+
+    # without stats: untouched
+    assert eng._reorder_joins(q) == q
+    before = [tuple(r) for r in eng.sql(q).collect()]
+
+    for t in ("big_t", "mid_t", "small_t"):
+        eng.sql(f"ANALYZE {t}")
+    rewritten = eng._reorder_joins(q)
+    assert rewritten != q
+    order = [rewritten.index(t) for t in ("small_t", "mid_t", "big_t")]
+    assert order == sorted(order), rewritten
+    # every ON condition survives, attached where its aliases are in scope
+    assert "b.k = m.k" in rewritten and "m.k2 = t.k2" in rewritten
+    after = [tuple(r) for r in eng.sql(q).collect()]
+    assert after == before and len(after) == 10
+
+    # outer joins / subqueries / pins stay as written even with stats
+    lj = q.replace("join small_t", "left join small_t")
+    assert eng._reorder_joins(lj) == lj
+    sub = ("SELECT * FROM (SELECT k FROM big_t) b join mid_t m on b.k = m.k "
+           "join small_t t on m.k2 = t.k2")
+    assert eng._reorder_joins(sub) == sub
+    pin = q.replace("FROM big_t b", "FROM big_t FOR VERSION AS OF 1 b")
+    assert eng._reorder_joins(pin) == pin
