@@ -205,7 +205,15 @@ def _parse_bool(expr: str) -> list[Predicate]:
         if atom is not None:
             preds.append(atom)
             continue
-        if re.search(r"\bOR\b", part, re.IGNORECASE):
-            preds.extend(_parse_bool(part))  # nested (x OR y) conjunct
+        if part != expr and len(_split_top(part, "OR")) > 1:
+            # nested (x OR y) conjunct.  Both guards are load-bearing:
+            # `part != expr` guarantees the recursion shrinks (a single
+            # unsplittable conjunct equals the whole expr and would loop
+            # forever), and _split_top is QUOTE-AWARE where a bare
+            # `\bOR\b` search is not — an OR inside a string literal
+            # (`v = '... OR ...'`, found by the r10 PREPARE/EXECUTE
+            # fuzz) recursed on the identical string until the stack
+            # died.
+            preds.extend(_parse_bool(part))
         # unknown conjunct: fine — the other conjuncts still prune (AND).
     return preds

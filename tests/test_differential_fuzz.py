@@ -842,3 +842,149 @@ def test_merge_nested_condition_agreement(dml_env, data):
             by_k[sr["k"]] = {"k": sr["k"], "grp": sr["grp"],
                              "v": sr["v"], "s": sr["s"]}
     assert _slice_state(dml_env, base) == _as_set(list(by_k.values()))
+
+
+# ---------------------------------------------------------------------------
+# Branch-@ DML + PREPARE/EXECUTE surfaces (VERDICT r9 #7): the frontend's
+# regex dispatch must not be confused by literals SHAPED like its own
+# syntax — '@dev' inside a string must not retarget a branch, '--'/'/*'
+# inside a string must not start a comment, '?' inside a string must not
+# count as a parameter marker.
+# ---------------------------------------------------------------------------
+
+_TRICKY = [
+    "@dev", "x @ dev", "-- not a comment", "/* not open", "*/ not close",
+    "?", "a?b", "it''s", "AND 1=1", "' OR '1'='1", "VALUES", "WHERE",
+    "@ main", "?)--",
+]
+
+
+def _q(v: str) -> str:
+    """SQL string literal with doubled quotes."""
+    return "'" + v.replace("'", "''") + "'"
+
+
+@pytest.fixture(scope="module")
+def fuzz_eng(spark, tmp_path_factory):
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("wh_fuzz")))
+    eng.sql("CREATE SCHEMA fz")
+    eng.sql("USE fz")
+    return eng
+
+
+_BR_N = [0]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.sampled_from(_TRICKY), min_size=2, max_size=4,
+                  unique=True),
+    upd_idx=st.integers(min_value=0, max_value=3),
+    del_idx=st.integers(min_value=0, max_value=3),
+)
+def test_branch_dml_adversarial_literals(fuzz_eng, vals, upd_idx, del_idx):
+    """Random branch-@ DML whose literals are frontend-syntax-shaped:
+    main must stay bit-identical through every dev-branch mutation, and
+    the dev state must equal the plain-Python model of the same ops."""
+    eng = fuzz_eng
+    _BR_N[0] += 1
+    tname = f"bt_{_BR_N[0]}"
+    eng.sql(f"DROP TABLE IF EXISTS {tname}")
+    rows_sql = ", ".join(
+        f"({i}, {_q(v)})" for i, v in enumerate(vals))
+    eng.sql(f"CREATE OR REPLACE TABLE {tname} AS "
+            f"SELECT * FROM (VALUES {rows_sql}) AS t(k, v)")
+    eng.sql(f"CREATE BRANCH dev IN TABLE {tname}")
+    main_before = {(r.k, r.v) for r in
+                   eng.sql(f"SELECT * FROM {tname}").collect()}
+    assert main_before == set(enumerate(vals))
+
+    model = dict(enumerate(vals))
+    # INSERT a tricky row on dev only
+    ins_v = vals[0] + " extra"
+    eng.sql(f"INSERT INTO {tname} @dev (k, v) VALUES (100, {_q(ins_v)})")
+    model[100] = ins_v
+    # UPDATE on dev keyed by a tricky literal
+    upd_target = vals[upd_idx % len(vals)]
+    eng.sql(f"UPDATE {tname} @ dev SET v = {_q(upd_target + '!')} "
+            f"WHERE v = {_q(upd_target)}")
+    for k, v in list(model.items()):
+        if v == upd_target:
+            model[k] = upd_target + "!"
+    # DELETE on dev keyed by a tricky literal
+    del_target = vals[del_idx % len(vals)]
+    eng.sql(f"DELETE FROM {tname} @dev WHERE v = {_q(del_target)}")
+    model = {k: v for k, v in model.items() if v != del_target}
+
+    dev = {(r.k, r.v) for r in
+           eng.sql(f"SELECT * FROM {tname} FOR VERSION AS OF 'dev'").collect()}
+    assert dev == set(model.items())
+    main_after = {(r.k, r.v) for r in
+                  eng.sql(f"SELECT * FROM {tname}").collect()}
+    assert main_after == main_before, "branch DML leaked onto main"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    params=st.lists(
+        st.one_of(
+            st.integers(min_value=-5, max_value=9),
+            st.sampled_from(_TRICKY),
+        ),
+        min_size=1, max_size=3,
+    ),
+    decoy=st.sampled_from(_TRICKY),
+)
+def test_prepare_execute_equals_inline(fuzz_eng, params, decoy):
+    """EXECUTE ... USING must equal the same statement with literals
+    inlined, for parameters shaped like placeholders/comments/branch
+    targets — and a '?' inside the prepared text's own string literal is
+    content, not a parameter marker."""
+    eng = fuzz_eng
+    eng.sql("DROP TABLE IF EXISTS pe_t")
+    eng.sql("CREATE OR REPLACE TABLE pe_t AS SELECT * FROM (VALUES "
+            "(1, 'a'), (2, 'a?b'), (3, '@dev'), (4, 'it''s'), (5, '?')"
+            ") AS t(k, v)")
+    leaves, lits = [], []
+    for p in params:
+        if isinstance(p, int):
+            leaves.append("k > ?")
+            lits.append(str(p))
+        else:
+            leaves.append("v = ?")
+            lits.append(_q(p))
+    # the decoy '?' lives inside a literal in the PREPARED text itself
+    where = " OR ".join(f"({leaf})" for leaf in leaves)
+    stmt = (f"SELECT k, v FROM pe_t WHERE v <> {_q(decoy + '?')} "
+            f"AND ({where})")
+    # inline via the quote-aware substitution contract: replace
+    # placeholders left-to-right OUTSIDE string literals (an independent
+    # reimplementation, not a call into the engine's own helper)
+    out, in_str, it = [], False, iter(lits)
+    for c in stmt:
+        if in_str:
+            in_str = c != "'"
+        elif c == "'":
+            in_str = True
+        elif c == "?":
+            out.append(next(it))
+            continue
+        out.append(c)
+    inline = "".join(out)
+
+    eng.sql(f"PREPARE q_fuzz FROM {stmt}")
+    got = {tuple(r) for r in
+           eng.sql(f"EXECUTE q_fuzz USING {', '.join(lits)}").collect()}
+    want = {tuple(r) for r in eng.sql(inline).collect()}
+    assert got == want
+    eng.sql("DEALLOCATE PREPARE q_fuzz")

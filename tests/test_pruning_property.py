@@ -349,3 +349,25 @@ def test_transform_pruning_is_conservative(manifest, data):
     for f, rows in zip(files, rowsets):
         if any(_t_eval(where, r) for r in rows):
             assert f.path in kept, (spec_str, where, rows, preds)
+
+
+def test_or_inside_string_literal_terminates():
+    """Regression (found by the r10 PREPARE/EXECUTE fuzz): an OR inside a
+    string literal made _parse_bool recurse on the identical string until
+    RecursionError — `\\bOR\\b` search is not quote-aware.  Now the
+    nested-OR branch only recurses on a quote-aware top-level split, and
+    literal-embedded keywords parse conservatively (no predicates) or as
+    the atoms they are."""
+    from iceberg_trino_sql_demo_spark.plans.predicates import (
+        parse_simple_predicates,
+    )
+
+    # the falsifying shape: doubled quotes + OR inside the literal
+    preds = parse_simple_predicates("v <> '??' AND ((v = '''' OR ''1''=''1'))")
+    assert isinstance(preds, list)  # terminated; content conservative
+    # a literal that IS just an OR-bearing string parses as one atom
+    p = parse_simple_predicates("v = 'a OR b'")
+    assert len(p) == 1 and p[0].value == "a OR b"
+    # real nested OR still parses
+    p2 = parse_simple_predicates("k = 1 AND (v = 'x' OR v = 'y')")
+    assert len(p2) == 2
