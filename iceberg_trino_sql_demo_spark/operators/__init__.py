@@ -135,69 +135,19 @@ def register(
 #: after all modules load, in this order; everything else keeps its module
 #: registration order behind them.
 #:
-#: Composition (round 9; VERDICT r8 directive #3): strict
-#: LEAST-RECENTLY-SAMPLED order computed from the union of
-#: CORRECTNESS_r01-r08 — never-sampled queries first (``ice_deletion_vector``
-#: has no driver row in any round), then ascending by the last round each
-#: query had a driver row, registration order within a round bucket.  New
-#: r9 queries go at the very top so every addition lands in the sample
-#: window.  Queries below the ~50-query window were all driver-green in
-#: r4-r8 and are re-verified every round by the pytest oracle-parity sweep.
+#: Composition (round 10 rotation of the r9 LRS rebuild): new r10 queries
+#: at the very top so every addition lands in the sample window, then the
+#: r9 least-recently-sampled order with the 50 names the driver DID
+#: sample in round 9 (CORRECTNESS_r09.json) rotated to the back — strict
+#: least-recently-sampled discipline, VERDICT r9 directive #8.  Queries
+#: below the ~50-query window were all driver-green in earlier rounds and
+#: are re-verified every round by the pytest oracle-parity sweep.
 _DRIVER_PRIORITY: list[str] = [
-    # -- NEW in round 9: add fresh query names HERE (top of the window)
-    "events_user_triangles_capped",
-    "text_perplexity_unigram",
-    "dedup_cdc_chunks",
-    "dedup_cdc_scrub",
-    # -- NEVER driver-sampled (union r1-r8)
-    "ice_deletion_vector",
-    # -- last driver-sampled round r2
-    "set_ops_customers",
-    "orders_exists_late_lineitem",
-    "part_brand_max_price",
-    "pivot_segment_by_region",
-    "orderdate_range",
-    "customer_in_list",
-    "concat_datefmt",
-    "interval_cutoff",
-    "top_acctbal_desc",
-    # -- last driver-sampled round r3
-    "text_fingerprint",
-    "contamination_ngram",
-    "dedup_simhash",
-    "dedup_shingle_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_prefiltered",
-    "dedup_embedding_cosine",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "ann_topk_bruteforce",
-    "kmeans_iteration_stats",
-    "dedup_exact",
-    "dedup_cluster_components",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "customer_pipeline",
-    "federation_agg",
-    "pricing_summary",
-    "nation_volume",
-    "orders_cumulative_revenue",
-    "cube_returnflag_status",
-    "q3_unshipped_revenue",
-    "q10_returned_items",
-    "q18_large_volume_customer",
-    "q12_priority_shipping",
-    "q14_promo_revenue_share",
-    "q19_brand_discounts",
-    "ice_merge_branch",
-    "text_token_stats",
-    "text_quality",
-    "text_langid",
-    "text_token_bpe",
-    "vocab_top_terms",
-    "sample_hash_bucket",
-    "doc_pack_greedy",
+    # -- NEW in round 10: add fresh query names HERE (top of the window)
+    "ice_register_iceberg",
+    "federation_jdbc_agg",
+    # -- carried least-recently-sampled order (see r9 rebuild note above);
+    # -- every name below was NOT in the driver's r9 sample window
     "dedup_exact_normalized",
     "pii_scrub_stats",
     "source_mixture_sample",
@@ -210,7 +160,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_range_join_1h",
     "events_salted_skew_join",
     "events_stream_dedup_watermarked",
-    # -- last driver-sampled round r4
     "dedup_span_exact",
     "events_ohlc_hourly",
     "events_gap_fill_locf",
@@ -261,7 +210,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_anomaly_zscore",
     "ice_dynamic_overwrite",
     "ice_runtime_filter_join",
-    # -- last driver-sampled round r5
     "multimodal_audio_windows",
     "multimodal_payload_dedup",
     "multimodal_ahash_near_dup",
@@ -307,7 +255,6 @@ _DRIVER_PRIORITY: list[str] = [
     "events_stream_chained_agg",
     "events_stream_static_enrich",
     "events_stream_ndv_sketch",
-    # -- last driver-sampled round r8
     "dedup_edit_distance",
     "dedup_edit_distance_passjoin",
     "dedup_substring_windows",
@@ -358,6 +305,57 @@ _DRIVER_PRIORITY: list[str] = [
     "events_stream_dedup",
     "events_stream_interval_join",
     "rollup_order_priority",
+    # -- driver-sampled in ROUND 9 (most recently verified): back of the line
+    "events_user_triangles_capped",
+    "text_perplexity_unigram",
+    "dedup_cdc_chunks",
+    "dedup_cdc_scrub",
+    "ice_deletion_vector",
+    "set_ops_customers",
+    "orders_exists_late_lineitem",
+    "part_brand_max_price",
+    "pivot_segment_by_region",
+    "orderdate_range",
+    "customer_in_list",
+    "concat_datefmt",
+    "interval_cutoff",
+    "top_acctbal_desc",
+    "text_fingerprint",
+    "contamination_ngram",
+    "dedup_simhash",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_prefiltered",
+    "dedup_embedding_cosine",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "ann_topk_bruteforce",
+    "kmeans_iteration_stats",
+    "dedup_exact",
+    "dedup_cluster_components",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "customer_pipeline",
+    "federation_agg",
+    "pricing_summary",
+    "nation_volume",
+    "orders_cumulative_revenue",
+    "cube_returnflag_status",
+    "q3_unshipped_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "q12_priority_shipping",
+    "q14_promo_revenue_share",
+    "q19_brand_discounts",
+    "ice_merge_branch",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_token_bpe",
+    "vocab_top_terms",
+    "sample_hash_bucket",
+    "doc_pack_greedy",
 ]
 
 
