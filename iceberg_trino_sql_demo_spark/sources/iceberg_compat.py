@@ -392,6 +392,7 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str):
     t = Table(spark, engine_location)
     if not info["data_files"]:
         return t
+    _check_name_mapping(info)
 
     seq = t.meta.last_sequence_number + 1
     new_files = [
@@ -424,6 +425,64 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str):
     }
     t._commit_snapshot(manifest, "append", MAIN, summary)
     return t.refresh()
+
+
+#: adoption footer-check sample size: every file when the table is small,
+#: else a deterministic sample — the check guards against SYSTEMATIC
+#: name drift (a rename in the source's schema history), which any
+#: sampled file exhibits, not per-file corruption
+_NAME_CHECK_MAX_FILES = 256
+
+
+def _check_name_mapping(info: dict) -> None:
+    """Refuse adoption when data-file parquet columns don't surface the
+    current schema's NAMES.
+
+    Iceberg reads by FIELD ID, so a source table that renamed a column
+    leaves older files carrying the old name — correct for Iceberg,
+    silently all-NULL for this engine's name-based parquet reads.  Each
+    checked footer must (a) contain every current column name, and
+    (b) where it carries ``PARQUET:field_id`` metadata, agree with the
+    current id->name mapping.  Large tables check a deterministic sample
+    (rename drift is systematic — the whole pre-rename file population
+    exhibits it, so any sample catches it); the loud error names the
+    offending file and the standard remediation (rewrite files in the
+    source engine first)."""
+    import pyarrow.parquet as pq
+
+    fields = info["schema"]
+    want_names = {f.name for f in fields}
+    name_by_id = {f.id: f.name for f in fields}
+    files = info["data_files"]
+    if len(files) > _NAME_CHECK_MAX_FILES:
+        step = len(files) // _NAME_CHECK_MAX_FILES
+        files = files[::step][:_NAME_CHECK_MAX_FILES]
+    for d in files:
+        try:
+            arrow_schema = pq.ParquetFile(d["path"]).schema_arrow
+        except OSError:
+            continue  # unreadable footer: let the scan surface it
+        have = {n.split(".")[0] for n in arrow_schema.names}
+        missing = want_names - have
+        if missing:
+            raise IcebergAdoptionError(
+                f"adoption refused: {d['path']} lacks current-schema "
+                f"columns {sorted(missing)} — the source table likely "
+                "renamed columns (Iceberg reads by field id; this "
+                "engine's parquet reads are name-based).  Rewrite the "
+                "table's files in the source engine, then re-register.")
+        for af in arrow_schema:
+            fid = (af.metadata or {}).get(b"PARQUET:field_id")
+            if fid is None:
+                continue
+            expect = name_by_id.get(int(fid))
+            if expect is not None and expect != af.name:
+                raise IcebergAdoptionError(
+                    f"adoption refused: {d['path']} stores field id "
+                    f"{int(fid)} under column {af.name!r} but the "
+                    f"current schema names it {expect!r} — a rename in "
+                    "the source's history; rewrite files in the source "
+                    "engine, then re-register.")
 
 
 def _normalize_position_delete(spark, engine_location: str, d: dict,

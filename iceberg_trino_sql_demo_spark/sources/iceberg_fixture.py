@@ -45,7 +45,16 @@ def _kv_map_schema(name: str, kid: int, vid: int, vtype: str) -> dict:
                 {"name": "value", "type": vtype, "field-id": vid}]}}]
 
 
-_MANIFEST_ENTRY_SCHEMA = {
+def _manifest_entry_schema(partitioned: bool) -> dict:
+    """The v2 manifest_entry Avro schema; ``partitioned`` adds the
+    identity partition field ``par`` (field-id 1000) to the r102
+    partition record, matching the spec's per-spec struct."""
+    part_fields = (
+        [{"name": "mktsegment", "type": ["null", "string"],
+          "field-id": 1000}]
+        if partitioned else []
+    )
+    return {
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
         {"name": "snapshot_id", "type": ["null", "long"],
@@ -60,7 +69,8 @@ _MANIFEST_ENTRY_SCHEMA = {
                 {"name": "file_path", "type": "string", "field-id": 100},
                 {"name": "file_format", "type": "string", "field-id": 101},
                 {"name": "partition", "field-id": 102, "type": {
-                    "type": "record", "name": "r102", "fields": []}},
+                    "type": "record", "name": "r102",
+                    "fields": part_fields}},
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
@@ -171,7 +181,8 @@ def _int_map_json(pairs: list[tuple[int, object]]):
 
 
 def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
-                          delete_mod: int = 7) -> dict:
+                          delete_mod: int = 7,
+                          partitioned: bool = False) -> dict:
     """Write a genuine Iceberg v2 table under ``local_dir``.
 
     ``source_rows``: dicts with custkey/name/mktsegment/acctbal.  Rows
@@ -180,6 +191,14 @@ def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
     position-delete file — so the live content is relationally
     expressible as ``WHERE custkey % delete_mod <> 0`` (the DuckDB
     oracle's view of the same fixture).
+
+    ``partitioned=True`` declares an identity partition spec over
+    ``mktsegment``: data files are grouped per segment under
+    ``data/mktsegment=X/``, each manifest entry carries a non-empty
+    partition record, and the spec has a real identity transform — the
+    adoption path must read a PARTITIONED source correctly (it adopts
+    the files unpartitioned; partition pruning of the source's
+    transforms is deliberately lost, stats pruning is not).
 
     Returns {"location": local_dir, "recorded_location": s3 uri,
              "live_rows": n}.
@@ -191,20 +210,33 @@ def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
     os.makedirs(meta_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
 
-    groups = [
-        sorted((r for r in source_rows if r["custkey"] % 2 == 0),
-               key=lambda r: r["custkey"]),
-        sorted((r for r in source_rows if r["custkey"] % 2 == 1),
-               key=lambda r: r["custkey"]),
-    ]
+    if partitioned:
+        segs = sorted({r["mktsegment"] for r in source_rows})
+        groups = [
+            sorted((r for r in source_rows if r["mktsegment"] == sg),
+                   key=lambda r: r["custkey"])
+            for sg in segs
+        ]
+    else:
+        groups = [
+            sorted((r for r in source_rows if r["custkey"] % 2 == 0),
+                   key=lambda r: r["custkey"]),
+            sorted((r for r in source_rows if r["custkey"] % 2 == 1),
+                   key=lambda r: r["custkey"]),
+        ]
     groups = [g for g in groups if g]
-    entry_schema = av.parse(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    entry_schema = av.parse(json.dumps(_manifest_entry_schema(partitioned)))
 
     data_entries, delete_entries = [], []
     deleted = 0
     snapshot_id = 4242424242
     for i, rows in enumerate(groups):
-        fname = f"part-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        par = rows[0]["mktsegment"]
+        sub = f"mktsegment={par}/" if partitioned else ""
+        if partitioned:
+            os.makedirs(os.path.join(data_dir, f"mktsegment={par}"),
+                        exist_ok=True)
+        fname = f"{sub}part-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
         fpath = os.path.join(data_dir, fname)
         _write_data_file(fpath, rows)
         lo = [(fid, _bytes_json(enc(min(r[name] for r in rows))))
@@ -220,7 +252,8 @@ def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
                 "content": 0,
                 "file_path": f"{rec_loc}/data/{fname}",
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": ({"mktsegment": _u("string", par)}
+                              if partitioned else {}),
                 "record_count": len(rows),
                 "file_size_in_bytes": os.path.getsize(fpath),
                 "null_value_counts": _int_map_json(
@@ -258,7 +291,8 @@ def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
                     "content": 1,  # POSITION_DELETES
                     "file_path": f"{rec_loc}/data/{del_name}",
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": ({"mktsegment": _u("string", par)}
+                                  if partitioned else {}),
                     "record_count": len(dels),
                     "file_size_in_bytes": os.path.getsize(del_path),
                     "null_value_counts": None,
@@ -319,8 +353,13 @@ def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
         "current-schema-id": 0,
         "schemas": [json.loads(_schema_json())],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": ([{"name": "mktsegment", "transform": "identity",
+                         "source-id": 3, "field-id": 1000}]
+                       if partitioned else []),
+        }],
+        "last-partition-id": 1000 if partitioned else 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet",

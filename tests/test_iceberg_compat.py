@@ -214,3 +214,53 @@ def test_unknown_codec_refused(spark, tmp_path, fixture_dir):
     open(p, "wb").write(bad)
     with pytest.raises(AvroError, match="codec"):
         read_ocf(p)
+
+
+def test_adopt_partitioned_source(spark, tmp_path):
+    """A PARTITIONED genuine-Iceberg source (identity(mktsegment) spec,
+    non-empty partition records in every manifest entry, files under
+    data/mktsegment=X/) adopts correctly: values + deletes exact.  The
+    source's partition pruning is deliberately dropped (adopted entries
+    are unpartitioned) but manifest-bound stats pruning still works."""
+    loc = str(tmp_path / "ice_part")
+    out = write_iceberg_fixture(spark, loc, _rows(), delete_mod=7,
+                                partitioned=True)
+    info = ic.load_iceberg_table(loc)
+    assert len(info["data_files"]) == 3  # one per segment
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "adopted_p"), loc)
+    got = {r.custkey: (r.name, r.mktsegment, r.acctbal)
+           for r in t.df().collect()}
+    want = {r["custkey"]: (r["name"], r["mktsegment"], r["acctbal"])
+            for r in _rows() if r["custkey"] % 7 != 0}
+    assert got == want and len(got) == out["live_rows"]
+    # stats pruning on the string bounds: MACHINERY sorts last, so a
+    # predicate above it skips every file
+    assert len(t.df(where="mktsegment > 'ZZZ'").inputFiles()) == 0
+
+
+def test_adopt_refuses_renamed_columns(spark, fixture_dir, tmp_path):
+    """Iceberg reads by field id; this engine reads parquet by name — a
+    source that RENAMED a column leaves old files carrying the old name,
+    which would silently surface as all-NULL.  Adoption must refuse
+    loudly when a footer's field-id mapping disagrees with the current
+    schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "renamed")
+    shutil.copytree(fixture_dir, loc)
+    data_dir = os.path.join(loc, "data")
+    victim = next(os.path.join(data_dir, f) for f in os.listdir(data_dir)
+                  if f.startswith("part-"))
+    tbl = pq.read_table(victim)
+    # simulate a pre-rename file: column still named 'acctbal_old' with
+    # field-id 4 (the current schema calls id 4 'acctbal')
+    renamed = tbl.rename_columns(
+        ["custkey", "name", "mktsegment", "acctbal_old"])
+    schema = pa.schema([
+        f.with_metadata({b"PARQUET:field_id": str(i + 1).encode()})
+        for i, f in enumerate(renamed.schema)
+    ])
+    pq.write_table(renamed.cast(schema), victim)
+    with pytest.raises(ic.IcebergAdoptionError, match="rename"):
+        ic.adopt_iceberg_table(spark, str(tmp_path / "adopted_r"), loc)

@@ -120,3 +120,30 @@ def test_jdbc_values_roundtrip(fed_eng, spark, sf_dir):
     got = {tuple(r) for r in jdbc.collect()}
     want = {tuple(r) for r in pq.collect()}
     assert got == want and got
+
+
+def test_jdbc_partitioned_parallel_read(fed_eng, spark, sf_dir):
+    """At scale a JDBC read is a SINGLE task unless partitioned —
+    attach_jdbc_catalog's options pass-through must support Spark's
+    partitionColumn/numPartitions bounds so a big dimension load
+    parallelizes.  4-way partitioned read: plan shows numPartitions=4,
+    values identical to the unpartitioned read."""
+    cfg = fed_eng.jdbc_catalogs["postgresql"]
+    fed_eng.attach_jdbc_catalog(
+        "pg_par", cfg["url"], driver=cfg["driver"],
+        table_map={"demo.orders": "orders"},
+        options={
+            "partitionColumn": "o_orderkey",
+            "lowerBound": "1",
+            "upperBound": "60000",
+            "numPartitions": "4",
+        },
+    )
+    par = fed_eng.sql(
+        "SELECT o_orderkey, o_totalprice FROM pg_par.demo.orders")
+    plan = par._jdf.queryExecution().executedPlan().toString()
+    assert "numPartitions=4" in plan, plan
+    assert par.rdd.getNumPartitions() == 4
+    flat = fed_eng.sql(
+        "SELECT o_orderkey, o_totalprice FROM postgresql.demo.orders")
+    assert sorted(map(tuple, par.collect())) == sorted(map(tuple, flat.collect()))
