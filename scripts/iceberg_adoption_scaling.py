@@ -1,0 +1,182 @@
+"""Genuine-Iceberg adoption plane: metadata parse cost vs manifest size.
+
+Adoption (sources/iceberg_compat.py) is a ONE-TIME pure-Python pass over
+the source table's Avro manifests — the data plane is untouched — so the
+scale question is: how fast does the from-scratch OCF decoder +
+manifest->DataFile mapping chew through entries?  This harness writes
+synthetic v2 manifests of N entries with the JVM's Apache Avro (same
+writer as the test fixture: the decode measurement runs against the
+reference Java implementation's bytes, deflate-coded like real tables),
+then times ``load_iceberg_table`` end-to-end (read_ocf + bounds decode +
+stats mapping + path localization).
+
+Appends/refreshes the "Adoption plane" section of SCALING.md and prints
+one JSON line.  Run solo: python scripts/iceberg_adoption_scaling.py
+Env: SPARK_GRAFT_ADOPT_NS=10000,50000
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NS = [int(x) for x in os.environ.get(
+    "SPARK_GRAFT_ADOPT_NS", "10000,50000").split(",")]
+
+
+def build_fixture(spark, base: str, n_entries: int) -> str:
+    """A v2 table whose data manifest has ``n_entries`` entries (all
+    pointing at one real parquet so localization's exists() fast-path is
+    exercised per entry, as in a real adoption)."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        _AvroJvm, _MANIFEST_LIST_SCHEMA, _bytes_json, _int_map_json,
+        _manifest_entry_schema, _schema_json, _u, _write_data_file,
+    )
+
+    loc = os.path.join(base, f"tbl_{n_entries}")
+    meta_dir = os.path.join(loc, "metadata")
+    data_dir = os.path.join(loc, "data")
+    os.makedirs(meta_dir)
+    os.makedirs(data_dir)
+    rec_loc = "s3://bench-warehouse/demo/adopt_scale"
+    fname = "part-00000-shared.parquet"
+    _write_data_file(os.path.join(data_dir, fname), [
+        {"custkey": 1, "name": "x", "mktsegment": "AUTO", "acctbal": 1.0}])
+    av = _AvroJvm(spark)
+    entry_schema = av.parse(json.dumps(_manifest_entry_schema(False)))
+    snapshot_id = 777
+    entries = []
+    for i in range(n_entries):
+        lo = [(1, _bytes_json(struct.pack("<q", i)))]
+        hi = [(1, _bytes_json(struct.pack("<q", i + 10)))]
+        entries.append(json.dumps({
+            "status": 1,
+            "snapshot_id": _u("long", snapshot_id),
+            "sequence_number": _u("long", 1),
+            "file_sequence_number": _u("long", 1),
+            "data_file": {
+                "content": 0,
+                "file_path": f"{rec_loc}/data/{fname}",
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 100,
+                "file_size_in_bytes": 1 << 20,
+                "null_value_counts": _int_map_json([(1, 0)]),
+                "lower_bounds": _int_map_json(lo),
+                "upper_bounds": _int_map_json(hi),
+            }}))
+    man = f"manifest-data-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, man), entry_schema, entries,
+                 {"format-version": "2", "content": "data"}, deflate=True)
+    ml_schema = av.parse(json.dumps(_MANIFEST_LIST_SCHEMA))
+    ml = f"snap-{snapshot_id}-1-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, ml), ml_schema, [json.dumps({
+        "manifest_path": f"{rec_loc}/metadata/{man}",
+        "manifest_length": os.path.getsize(os.path.join(meta_dir, man)),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": 1, "min_sequence_number": 1,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": n_entries, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 100 * n_entries,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    })], {"format-version": "2"})
+    now = int(time.time() * 1000)
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump({
+            "format-version": 2, "table-uuid": str(uuid.uuid4()),
+            "location": rec_loc, "last-sequence-number": 1,
+            "last-updated-ms": now, "last-column-id": 4,
+            "current-schema-id": 0, "schemas": [json.loads(_schema_json())],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999, "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {}, "current-snapshot-id": snapshot_id,
+            "refs": {"main": {"snapshot-id": snapshot_id,
+                              "type": "branch"}},
+            "snapshots": [{"snapshot-id": snapshot_id,
+                           "sequence-number": 1, "timestamp-ms": now,
+                           "summary": {"operation": "append"},
+                           "manifest-list": f"{rec_loc}/metadata/{ml}",
+                           "schema-id": 0}],
+            "snapshot-log": [], "metadata-log": [],
+        }, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return loc
+
+
+SECTION = "## Adoption plane (genuine-Iceberg metadata parse)"
+
+
+def write_md(rows: list[dict]) -> None:
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.md")
+    lines = [
+        SECTION,
+        "",
+        "`scripts/iceberg_adoption_scaling.py` — `register_table` over a",
+        "real Iceberg v2 layout is a ONE-TIME pure-Python metadata pass",
+        "(the data plane is untouched), so its scale cost is the OCF",
+        "decode + manifest->DataFile mapping.  Synthetic deflate-coded v2",
+        "manifests written by the JVM's Apache Avro; wall time is",
+        "`load_iceberg_table` end-to-end (decode, bounds->stats,",
+        "per-entry path localization).  Throughput is flat in N, so a",
+        "10^6-file table adopts in ~O(minutes) once — and after adoption",
+        "the entries live in the engine's segment manifests, where",
+        "planning is the already-measured sub-second path.",
+        "",
+        "| manifest entries | wall (s) | entries/s |",
+        "|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['n']:,} | {r['wall_s']} | {r['per_s']:,} |")
+    lines.append("")
+    block = "\n".join(lines)
+    text = open(path).read() if os.path.exists(path) else "# SCALING\n\n"
+    if SECTION in text:
+        start = text.index(SECTION)
+        nxt = text.find("\n## ", start + len(SECTION))
+        end = nxt + 1 if nxt != -1 else len(text)
+        text = text[:start] + block + text[end:]
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    open(path, "w").write(text)
+
+
+def main() -> None:
+    from iceberg_trino_sql_demo_spark.session import get_spark
+    from iceberg_trino_sql_demo_spark.sources.iceberg_compat import (
+        load_iceberg_table,
+    )
+
+    spark = get_spark("adoption_scaling")
+    base = tempfile.mkdtemp(prefix="adopt_scale_")
+    rows = []
+    try:
+        for n in NS:
+            loc = build_fixture(spark, base, n)
+            t0 = time.perf_counter()
+            info = load_iceberg_table(loc)
+            wall = time.perf_counter() - t0
+            assert len(info["data_files"]) == n
+            rows.append({"n": n, "wall_s": round(wall, 2),
+                         "per_s": int(n / wall)})
+            print(f"  n={n}: {rows[-1]}", file=sys.stderr)
+        write_md(rows)
+        print(json.dumps({"rows": rows}))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
