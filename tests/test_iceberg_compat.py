@@ -264,3 +264,34 @@ def test_adopt_refuses_renamed_columns(spark, fixture_dir, tmp_path):
     pq.write_table(renamed.cast(schema), victim)
     with pytest.raises(ic.IcebergAdoptionError, match="rename"):
         ic.adopt_iceberg_table(spark, str(tmp_path / "adopted_r"), loc)
+
+
+def test_adopt_v1_format(spark, tmp_path):
+    """Format-version 1 layout (inline "schema", snapshot carries a
+    plain "manifests" list instead of a manifest-list file, data_file
+    entries without content/sequence fields) adopts too — the loader's
+    v1 branches, exercised end-to-end."""
+    loc = str(tmp_path / "ice_v1")
+    # no deletes: v1 has no delete files
+    write_iceberg_fixture(spark, loc, _rows(40), delete_mod=10**9)
+    md = os.path.join(loc, "metadata")
+    with open(os.path.join(md, "v1.metadata.json")) as fh:
+        doc = json.load(fh)
+    snap = doc["snapshots"][0]
+    ml_local = os.path.join(md, snap["manifest-list"].rsplit("/", 1)[1])
+    _, man_entries = read_ocf(ml_local)
+    snap["manifests"] = [m["manifest_path"] for m in man_entries]
+    del snap["manifest-list"]
+    doc["format-version"] = 1
+    doc["schema"] = doc.pop("schemas")[0]
+    del doc["current-schema-id"]
+    del doc["last-sequence-number"]
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(doc, fh)
+    assert ic.is_iceberg_location(loc)
+    info = ic.load_iceberg_table(loc)
+    assert len(info["data_files"]) == 2 and not info["position_deletes"]
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "adopted_v1"), loc)
+    got = {r.custkey for r in t.df().collect()}
+    assert got == {r["custkey"] for r in _rows(40)}
+    assert t.meta.properties["adopted_iceberg_format_version"] == "1"
