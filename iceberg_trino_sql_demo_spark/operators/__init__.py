@@ -146,6 +146,7 @@ _DRIVER_PRIORITY: list[str] = [
     # -- NEW in round 10: add fresh query names HERE (top of the window)
     "ice_register_iceberg",
     "federation_jdbc_agg",
+    "source_dsir_weights",
     # -- carried least-recently-sampled order (see r9 rebuild note above);
     # -- every name below was NOT in the driver's r9 sample window
     "dedup_exact_normalized",

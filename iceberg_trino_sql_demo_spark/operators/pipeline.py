@@ -1248,3 +1248,134 @@ def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("content_hash", F.col("doc_id").alias("keep_id"),
                 F.col("quality").alias("keep_quality"), "n_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", NeurIPS 2023 — public
+# method): score every document by the log-likelihood ratio of its
+# hashed-bigram features under a TARGET distribution (here: the corpus's
+# 'en' documents, standing in for a high-quality target domain) vs the
+# RAW distribution, then select the top-K.  The hashed feature space
+# (_DSIR_B buckets) makes both unigram models fixed-size regardless of
+# corpus size.
+#
+# 100 TB plan shape: bigrams are built row-locally (zip_with over the
+# token array — no window, no extra shuffle), both bucket-count models
+# are map-side-combinable keyed aggregates into _DSIR_B rows, the
+# log-ratio table broadcasts onto the bigram stream, and the per-doc
+# score is one more keyed aggregate.  The only non-linear step is the
+# final top-K rank, a single-partition window over PER-DOC rows — fine
+# here; at 1e9+ docs production selects by a score THRESHOLD (computed
+# once via approx quantiles) or a per-shard quota instead of a global
+# row_number.  Cross-engine determinism: the bucket hash is the
+# established md5-prefix bridge, and the summed log-ratio rounds to 6
+# decimals on both engines before ranking (same contract as
+# text_perplexity_unigram; ULP-order drift never reaches 1e-6 over
+# per-doc bigram counts).
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096
+_DSIR_TOP_K = 150
+
+
+@register(
+    "source_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(sp) AS t, generate_subscripts(sp, 1) AS pos
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS sp
+                FROM documents)
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(t || ' ' || lead(t, 1) OVER w), 1, 8)
+             )::BIGINT % {_DSIR_B} AS b
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    bg2 AS (SELECT doc_id, lang, b FROM bg WHERE b IS NOT NULL),
+    raw AS (SELECT b, count(*) AS cr FROM bg2 GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM bg2 WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM bg2) AS tr,
+                   (SELECT count(*) FROM bg2 WHERE lang = 'en') AS tt),
+    lr AS (
+      SELECT raw.b,
+             ln((coalesce(ct, 0) + 1.0) / (tt + {_DSIR_B}))
+               - ln((cr + 1.0) / (tr + {_DSIR_B})) AS logratio
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(sum(logratio), 6) AS dsir_logweight
+        FROM bg2 JOIN lr ON bg2.b = lr.b GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY dsir_logweight DESC,
+                                   doc_id ASC) AS rk
+        FROM scored
+    )
+    SELECT doc_id, n_bigrams, dsir_logweight,
+           CAST(rk <= {_DSIR_TOP_K} AS BIGINT) AS selected
+      FROM ranked
+    """,
+)
+def source_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.split("text", " ").alias("arr")
+    )
+    # row-local bigrams: zip the token array with itself shifted by one
+    # (zip_with pads the shorter side with null; concat of a null is
+    # null, filtered after the explode) — no window, no shuffle
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                "arr",
+                F.slice("arr", 2, F.greatest(F.size("arr") - 1, F.lit(1))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("g"),
+    ).where(F.col("g").isNotNull())
+    b = (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+         % _DSIR_B)
+    # the bigram stream feeds TWO passes (bucket model, then scoring);
+    # pin it so the corpus is read/split/hashed once per invocation
+    pins.open_group("dsir", spark)
+    bg2 = pins.pin("dsir", bg.select("doc_id", b.alias("b"),
+                                     (F.col("lang") == "en").alias("en")))
+    # ONE map-side-combinable aggregate builds BOTH unigram models
+    # (raw count + target count per bucket); the totals fold from the
+    # 4096-row model, not from another corpus pass
+    model = bg2.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("en").cast("long")).alias("ct"),
+    )
+    tot = model.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    lr = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("tt") + _DSIR_B))
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + _DSIR_B))
+            ).alias("logratio"),
+        )
+    )
+    scored = (
+        bg2.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("logratio"), 6).alias("dsir_logweight"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("dsir_logweight").desc(), F.col("doc_id"))
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "dsir_logweight",
+        (rk <= _DSIR_TOP_K).cast("long").alias("selected"),
+    )
