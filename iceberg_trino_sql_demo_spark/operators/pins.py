@@ -223,6 +223,11 @@ def enforce(spark, protect: str) -> None:
     for p, sz in zip(cands, sizes):
         if total <= budget:
             return
+        if sz == 0:
+            # unmaterialized pin or second claimant of a shared cached
+            # RDD: unpinning frees nothing — skip instead of burning a
+            # warm frame for zero reclaimed bytes (review r10)
+            continue
         _PINS.remove(p)
         _unpin(p)
         total -= sz

@@ -184,14 +184,18 @@ def _localize(uri: str, recorded_location: str, actual_location: str) -> str:
     if os.path.exists(p):
         return os.path.abspath(p)
     for rec in (recorded_location, _strip_file_scheme(recorded_location)):
-        if rec and uri.startswith(rec):
+        # prefix matches stop AT A PATH BOUNDARY: 's3://wh/tbl_old/...'
+        # must not rebase against recorded location 's3://wh/tbl' (a
+        # sibling table sharing the prefix — review r10)
+        if rec and uri.startswith(rec.rstrip("/") + "/"):
             cand = actual_location.rstrip("/") + uri[len(rec.rstrip("/")):]
             cand = _strip_file_scheme(cand)
             if os.path.exists(cand):
                 return os.path.abspath(cand)
-        if rec and p.startswith(_strip_file_scheme(rec)):
+        rec_p = _strip_file_scheme(rec) if rec else ""
+        if rec_p and p.startswith(rec_p.rstrip("/") + "/"):
             cand = (actual_location.rstrip("/")
-                    + p[len(_strip_file_scheme(rec).rstrip("/")):])
+                    + p[len(rec_p.rstrip("/")):])
             if os.path.exists(cand):
                 return os.path.abspath(cand)
     raise FileNotFoundError(
@@ -386,45 +390,60 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str):
         props["adopted_iceberg_snapshot"] = str(info["snapshot_id"])
     for k, v in (meta_doc.get("properties") or {}).items():
         props.setdefault(f"iceberg.{k}", str(v))
+    # every refusal path runs BEFORE the first engine write: a failed
+    # adoption must not leave metadata at engine_location, which would
+    # wedge re-registration behind the already-exists guard (review r10)
+    if info["data_files"]:
+        _check_name_mapping(info)
     meta = TableMetadata.new(engine_location, schema, spec, props)
     io = MetadataIO(engine_location)
     io.commit(meta, 0)
-    t = Table(spark, engine_location)
-    if not info["data_files"]:
-        return t
-    _check_name_mapping(info)
+    try:
+        t = Table(spark, engine_location)
+        if not info["data_files"]:
+            return t
 
-    seq = t.meta.last_sequence_number + 1
-    new_files = [
-        DataFile(
-            path=d["path"],
-            spec_id=1,
-            schema_id=1,
-            partition={},
-            record_count=d["record_count"],
-            file_size_bytes=d["file_size_in_bytes"],
-            stats=d["stats"],
-            first_row_id=-1,
-            sequence_number=seq,
-            file_modified_ms=now_ms(),
-        )
-        for d in info["data_files"]
-    ]
-    delete_files = [
-        _normalize_position_delete(spark, engine_location, d, seq,
-                                   info["metadata"].get("location", ""),
-                                   iceberg_location)
-        for d in info["position_deletes"]
-    ]
-    manifest = Manifest(new_files, [d for d in delete_files if d])
-    summary = {
-        "added-data-files": len(new_files),
-        "added-records": sum(f.record_count for f in new_files),
-        "adopted": "true",
-        "adopted-from": iceberg_location,
-    }
-    t._commit_snapshot(manifest, "append", MAIN, summary)
-    return t.refresh()
+        seq = t.meta.last_sequence_number + 1
+        new_files = [
+            DataFile(
+                path=d["path"],
+                spec_id=1,
+                schema_id=1,
+                partition={},
+                record_count=d["record_count"],
+                file_size_bytes=d["file_size_in_bytes"],
+                stats=d["stats"],
+                first_row_id=-1,
+                sequence_number=seq,
+                file_modified_ms=now_ms(),
+            )
+            for d in info["data_files"]
+        ]
+        delete_files = [
+            _normalize_position_delete(spark, engine_location, d, seq,
+                                       info["metadata"].get("location", ""),
+                                       iceberg_location)
+            for d in info["position_deletes"]
+        ]
+        manifest = Manifest(new_files, [d for d in delete_files if d])
+        summary = {
+            "added-data-files": len(new_files),
+            "added-records": sum(f.record_count for f in new_files),
+            "adopted": "true",
+            "adopted-from": iceberg_location,
+        }
+        t._commit_snapshot(manifest, "append", MAIN, summary)
+        return t.refresh()
+    except BaseException:
+        # a failure PAST the first engine write (e.g. a delete file whose
+        # localization dies) must not strand half a table at
+        # engine_location — the already-exists guard would wedge every
+        # re-registration (review r10).  Only engine-own artifacts are
+        # removed; the Iceberg table is untouched.
+        import shutil
+
+        shutil.rmtree(engine_location, ignore_errors=True)
+        raise
 
 
 #: adoption footer-check sample size: every file when the table is small,

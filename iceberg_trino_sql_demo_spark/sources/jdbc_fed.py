@@ -74,13 +74,9 @@ def derby_from_sf_dir(spark: SparkSession, db_dir: str, sf_dir: str,
     marker = os.path.join(db_dir, ".published")
     if os.path.exists(marker):
         return url
-    publish = {}
-    for t in tables:
-        df = spark.read.parquet(table_path(sf_dir, t))
-        # Derby has no native date32 issue, but normalize o_orderdate the
-        # way the reference CTAS does (:14 CAST ... AS DATE) so the JDBC
-        # table carries DATE, not parquet-physical int
-        publish[t] = df
+    publish = {
+        t: spark.read.parquet(table_path(sf_dir, t)) for t in tables
+    }
     publish_tables(spark, url, publish)
     with open(marker, "w") as fh:
         fh.write("ok")

@@ -293,9 +293,13 @@ class Table:
         if columns:
             want = set(columns)
             if where:
-                names = {f.name for f in self.meta.schema.fields}
-                want |= {w for w in re.findall(r"[A-Za-z_]\w*", where)
-                         if w in names}
+                # case-insensitive: Spark SQL resolves columns that way,
+                # so a WHERE naming a column in different case must still
+                # keep it in the scan (review r10)
+                toks = {w.lower()
+                        for w in re.findall(r"[A-Za-z_]\w*", where)}
+                want |= {f.name for f in self.meta.schema.fields
+                         if f.name.lower() in toks}
             scan_cols = [f.name for f in self.meta.schema.fields
                          if f.name in want]
             missing = want - set(scan_cols)

@@ -1111,3 +1111,27 @@ def test_segment_scan_declared_column_projection(spark, monkeypatch):
     frac_ok = t._pyds_bytes_ok(1000, 10**9, ["o_orderkey"])
     full_ok = t._pyds_bytes_ok(1000, 10**9, None)
     assert frac_ok and not full_ok
+
+
+def test_pin_enforce_skips_zero_sized_candidates(spark, monkeypatch):
+    """r10 review: evicting an unmaterialized pin (attributed size 0)
+    frees nothing — the eviction loop must skip it rather than burn a
+    warm frame for zero reclaimed bytes."""
+    from iceberg_trino_sql_demo_spark.operators import pins
+
+    pins.release_all()
+    a = spark.range(10).persist()
+    b = spark.range(20).persist()
+    b.count()
+    pins.adopt("ga", a)   # oldest, will attribute 0 (never materialized)
+    pins.adopt("gb", b)
+    monkeypatch.setattr(pins, "_budget_bytes", lambda spark: 1)
+    monkeypatch.setattr(
+        pins, "_evictable_sizes",
+        lambda spark, cands: [0 if p.group == "ga" else 10 for p in cands],
+    )
+    pins.enforce(spark, protect="probe")
+    groups = pins.pinned_groups()
+    assert "ga" in groups, "zero-sized pin must survive (freeing nothing)"
+    assert "gb" not in groups, "the pin actually holding bytes is evicted"
+    pins.release_all()

@@ -295,3 +295,46 @@ def test_adopt_v1_format(spark, tmp_path):
     got = {r.custkey for r in t.df().collect()}
     assert got == {r["custkey"] for r in _rows(40)}
     assert t.meta.properties["adopted_iceberg_format_version"] == "1"
+
+
+def test_failed_adoption_leaves_no_engine_dir(spark, fixture_dir, tmp_path):
+    """r10 review: a refused adoption must not strand engine metadata —
+    the already-exists guard would wedge every re-registration.  After a
+    rename refusal, the engine location holds nothing and a RETRY against
+    a good table succeeds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bad = str(tmp_path / "bad_src")
+    shutil.copytree(fixture_dir, bad)
+    data_dir = os.path.join(bad, "data")
+    victim = next(os.path.join(data_dir, f) for f in os.listdir(data_dir)
+                  if f.startswith("part-"))
+    tbl = pq.read_table(victim).rename_columns(
+        ["custkey", "name", "mktsegment", "acctbal_old"])
+    pq.write_table(tbl, victim)
+    eng_loc = str(tmp_path / "adopted_retry")
+    with pytest.raises(ic.IcebergAdoptionError):
+        ic.adopt_iceberg_table(spark, eng_loc, bad)
+    assert not os.path.exists(os.path.join(eng_loc, "metadata"))
+    # retry against the GOOD source at the same location now succeeds
+    t = ic.adopt_iceberg_table(spark, eng_loc, fixture_dir)
+    assert t.df().count() == 86
+
+
+def test_localize_respects_path_boundary(tmp_path):
+    """r10 review: 's3://wh/tbl_old/...' must not rebase against a
+    recorded location 's3://wh/tbl' — a sibling table sharing the string
+    prefix would silently resolve to the wrong local file."""
+    actual = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(actual + "_old", "data"))
+    os.makedirs(os.path.join(actual, "data"))
+    with open(os.path.join(actual + "_old", "data", "f.parquet"), "w") as fh:
+        fh.write("x")
+    with pytest.raises(FileNotFoundError):
+        ic._localize("s3://wh/tbl_old/data/f.parquet", "s3://wh/tbl", actual)
+    # the legitimate rebase still works
+    with open(os.path.join(actual, "data", "g.parquet"), "w") as fh:
+        fh.write("x")
+    got = ic._localize("s3://wh/tbl/data/g.parquet", "s3://wh/tbl", actual)
+    assert got == os.path.join(actual, "data", "g.parquet")

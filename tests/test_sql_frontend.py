@@ -817,3 +817,49 @@ def test_analyze_stats_reorder_joins(spark, tmp_path):
     assert eng._reorder_joins(sub) == sub
     pin = q.replace("FROM big_t b", "FROM big_t FOR VERSION AS OF 1 b")
     assert eng._reorder_joins(pin) == pin
+
+
+def test_r10_review_fix_regressions(spark, tmp_path):
+    """Pins for the r10 review findings on the frontend surfaces:
+    (1) a join chain whose ON condition carries an UNQUALIFIED column
+    stays in written order (reordering could emit it out of scope);
+    (2) projection extraction is case-insensitive (Spark SQL is);
+    (3) FOR VERSION AS OF on a JDBC catalog raises loudly instead of
+    silently returning current rows."""
+    from iceberg_trino_sql_demo_spark.engine import Engine
+    from iceberg_trino_sql_demo_spark.sources.jdbc_fed import (
+        DERBY_DRIVER, derby_from_sf_dir,
+    )
+
+    eng = Engine(spark, str(tmp_path / "wh_rev"))
+    eng.sql("CREATE SCHEMA rv")
+    eng.sql("USE rv")
+    for nm, n in (("big_r", 1000), ("mid_r", 100), ("small_r", 10)):
+        eng.catalog.ctas(nm, spark.range(n).selectExpr(
+            "id AS k", "id % 5 AS k2", "id * 2 AS v"))
+        eng.sql(f"ANALYZE {nm}")
+    # (1) unqualified 'k2' in the second ON: bail, keep written order
+    q = ("SELECT b.k FROM big_r b join mid_r m on b.k = m.k "
+         "join small_r t on t.k2 = k2")
+    assert eng._reorder_joins(q) == q
+    # fully-qualified chain still reorders smallest-first
+    q2 = ("SELECT b.k FROM big_r b join mid_r m on b.k = m.k "
+          "join small_r t on m.k2 = t.k2")
+    assert eng._reorder_joins(q2) != q2
+
+    # (2) mixed-case column references survive the declared projection
+    from iceberg_trino_sql_demo_spark.sources import table as tmod
+    import unittest.mock as mock
+
+    with mock.patch.object(tmod, "_PYDS_SCAN_FILES", 1):
+        rows = eng.sql("SELECT K, V FROM big_r WHERE k2 = 3").collect()
+    assert rows and all(r.V == r.K * 2 for r in rows)
+
+    # (3) time travel over JDBC is refused loudly
+    db = str(tmp_path / "derby" / "db")
+    url = derby_from_sf_dir(spark, db, "/root/testdata/sf0.001",
+                            tables=("nation",))
+    eng.attach_jdbc_catalog("postgresql", url, driver=DERBY_DRIVER,
+                            table_map={"demo.nation": "nation"})
+    with pytest.raises(ValueError, match="JDBC"):
+        eng.sql("SELECT * FROM postgresql.demo.nation FOR VERSION AS OF 3")
