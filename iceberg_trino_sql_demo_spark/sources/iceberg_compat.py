@@ -486,10 +486,14 @@ def _check_name_mapping(info: dict) -> None:
         if missing:
             raise IcebergAdoptionError(
                 f"adoption refused: {d['path']} lacks current-schema "
-                f"columns {sorted(missing)} — the source table likely "
-                "renamed columns (Iceberg reads by field id; this "
-                "engine's parquet reads are name-based).  Rewrite the "
-                "table's files in the source engine, then re-register.")
+                f"columns {sorted(missing)} — the source either RENAMED "
+                "columns (Iceberg reads by field id; this engine's "
+                "parquet reads are name-based, so old names would "
+                "silently surface all-NULL) or ADDED columns after these "
+                "files were written (null-fill is only guaranteed on the "
+                "engine's own evolution metadata, not adopted footers).  "
+                "Rewrite/compact the table's files in the source engine, "
+                "then re-register.")
         for af in arrow_schema:
             fid = (af.metadata or {}).get(b"PARQUET:field_id")
             if fid is None:
