@@ -19,8 +19,9 @@ Scope — read-only adoption, loud refusals beyond it:
 - position deletes are applied; **equality deletes are refused** (their
   column mapping is by source schema, a rewrite we don't attempt).
 - parquet data files only (ORC/Avro data refused).
-- the CURRENT snapshot is adopted; after adoption the table is a normal
-  engine table — further engine DML commits engine-own snapshots on top
+- the CURRENT snapshot is adopted by default (any listed snapshot via
+  ``snapshot_id`` — adoption-time time travel); after adoption the
+  table is a normal engine table — further engine DML commits engine-own snapshots on top
   and never touches the original Iceberg metadata.
 - Iceberg partition specs are adopted as UNPARTITIONED engine entries:
   partition pruning on the source's hidden transforms is lost, but
@@ -246,8 +247,11 @@ def _as_int_map(v: Any) -> dict[int, Any]:
 # Table loading
 # ---------------------------------------------------------------------------
 
-def load_iceberg_table(location: str) -> dict:
-    """Parse a genuine Iceberg table's CURRENT snapshot into plain data:
+def load_iceberg_table(location: str,
+                       snapshot_id: int | None = None) -> dict:
+    """Parse a genuine Iceberg table's CURRENT snapshot (or, with
+    ``snapshot_id``, any snapshot listed in the metadata — time-travel
+    adoption) into plain data:
 
     ``{"metadata": <metadata json>, "schema": [NestedField, ...],
        "data_files": [dict], "position_deletes": [dict],
@@ -288,13 +292,20 @@ def load_iceberg_table(location: str) -> dict:
     ddl_by_id = {f.id: f.type for f in fields}
     recorded_loc = meta.get("location", "")
 
-    snap_id = meta.get("current-snapshot-id")
+    snap_id = (snapshot_id if snapshot_id is not None
+               else meta.get("current-snapshot-id"))
     if snap_id in (None, -1):
         return {"metadata": meta, "schema": fields, "data_files": [],
                 "position_deletes": [], "snapshot_id": None}
-    snap = next(
-        s for s in meta.get("snapshots", [])
-        if s["snapshot-id"] == snap_id)
+    try:
+        snap = next(
+            s for s in meta.get("snapshots", [])
+            if s["snapshot-id"] == snap_id)
+    except StopIteration:
+        raise IcebergAdoptionError(
+            f"snapshot {snap_id} not found in {location!r} (known: "
+            f"{[s['snapshot-id'] for s in meta.get('snapshots', [])]})"
+        ) from None
 
     data_files: list[dict] = []
     pos_deletes: list[dict] = []
@@ -364,16 +375,19 @@ def load_iceberg_table(location: str) -> dict:
 # Adoption into the engine
 # ---------------------------------------------------------------------------
 
-def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str):
+def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
+                        snapshot_id: int | None = None):
     """Create an engine table at ``engine_location`` whose first snapshot
-    references the Iceberg table's CURRENT data files in place.
+    references the Iceberg table's CURRENT data files in place —
+    or, with ``snapshot_id``, a specific HISTORICAL snapshot (adoption-
+    time time travel over the source's own history).
 
     Returns the engine ``Table``.  Engine metadata lives in its own
     directory — never inside the Iceberg table's, whose
     ``metadata/v*.metadata.json`` names would collide with ours."""
     from iceberg_trino_sql_demo_spark.sources.table import Table
 
-    info = load_iceberg_table(iceberg_location)
+    info = load_iceberg_table(iceberg_location, snapshot_id)
     meta_doc = info["metadata"]
     fields = info["schema"]
     schema = TableSchema(schema_id=1, fields=tuple(fields))

@@ -338,3 +338,19 @@ def test_localize_respects_path_boundary(tmp_path):
         fh.write("x")
     got = ic._localize("s3://wh/tbl/data/g.parquet", "s3://wh/tbl", actual)
     assert got == os.path.join(actual, "data", "g.parquet")
+
+
+def test_adopt_at_snapshot_id(spark, fixture_dir, tmp_path):
+    """Adoption can pin any snapshot listed in the source metadata
+    (adoption-time time travel); an unknown id fails loudly with the
+    known ids in the message."""
+    with open(os.path.join(fixture_dir, "metadata", "v1.metadata.json")) as fh:
+        sid = json.load(fh)["current-snapshot-id"]
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "adopted_pin"),
+                               fixture_dir, snapshot_id=sid)
+    assert t.df().count() == 86
+    assert t.meta.properties["adopted_iceberg_snapshot"] == str(sid)
+    with pytest.raises(ic.IcebergAdoptionError, match="not found"):
+        ic.adopt_iceberg_table(spark, str(tmp_path / "adopted_nope"),
+                               fixture_dir, snapshot_id=123)
+    assert not os.path.exists(str(tmp_path / "adopted_nope"))
