@@ -216,6 +216,10 @@ def test_no_unintended_cartesian_or_bnlj_plans(spark):
         # the one-row (total tokens, vocab size) corpus-stats frame
         # broadcast onto the token stream — same scalar-attachment shape
         "text_perplexity_unigram",
+        # the one-row (tr, tt) bigram-totals frame broadcast onto the
+        # 4096-row bucket model — scalar attachment, same shape as
+        # perplexity (r10 DSIR operator)
+        "source_dsir_weights",
     }
 
     offenders = {}
