@@ -565,3 +565,81 @@ def _normalize_position_delete(spark, engine_location: str, d: dict,
         referenced_files=tuple(sorted({p[len("file:"):] for p in paths})),
         content="position",
     )
+
+
+def sync_adopted_table(spark, table) -> int | None:
+    """Incrementally mirror an adopted table's SOURCE: re-read the
+    foreign Iceberg metadata and, if its current snapshot moved past the
+    one recorded at adoption (``adopted_iceberg_snapshot``), commit the
+    new file state as one ``replace`` snapshot on the engine table.
+
+    Returns the newly-mirrored Iceberg snapshot id, or None when already
+    in sync.  The commit is a normal engine snapshot, so everything
+    downstream just works: ``table_changes`` between the pre- and
+    post-sync engine snapshots is the CDC of the foreign table's
+    evolution, time travel reaches the pre-sync state, and the CDC
+    stream source replays the synced rows.  Engine-side DML committed on
+    top of an adopted table is REFUSED as a sync precondition — a sync
+    replaces the full file state, so local edits would be silently
+    reverted; keep mirrors read-only or fork them (CTAS) first.
+
+    At scale this is the same O(manifest entries) pure-Python metadata
+    pass as adoption (SCALING.md "Adoption plane", ~20k entries/s), and
+    the data plane is untouched."""
+    from iceberg_trino_sql_demo_spark.sources.metadata import MAIN as _MAIN
+
+    props = table.meta.properties
+    src = props.get("adopted_from")
+    if not src:
+        raise IcebergAdoptionError(
+            "sync_adopted_table: table was not adopted from an Iceberg "
+            "location (no adopted_from property)")
+    info = load_iceberg_table(src)
+    cur = str(info["snapshot_id"])
+    if cur == props.get("adopted_iceberg_snapshot"):
+        return None
+    # precondition: no local engine DML since adoption/last sync — the
+    # adoption/sync snapshots are the only ones allowed on main
+    for s in table.meta.all_snapshots():
+        if "adopted" not in (s.summary or {}):
+            raise IcebergAdoptionError(
+                "sync_adopted_table: engine-side DML was committed on "
+                f"top of the adopted table (snapshot {s.snapshot_id}, "
+                f"operation {s.operation!r}) — a sync would revert it.  "
+                "Fork the mirror (CTAS) for local edits.")
+    if info["data_files"]:
+        _check_name_mapping(info)
+    seq = table.meta.last_sequence_number + 1
+    new_files = [
+        DataFile(
+            path=d["path"],
+            spec_id=table.meta.default_spec_id,
+            schema_id=table.meta.current_schema_id,
+            partition={},
+            record_count=d["record_count"],
+            file_size_bytes=d["file_size_in_bytes"],
+            stats=d["stats"],
+            first_row_id=-1,
+            sequence_number=seq,
+            file_modified_ms=now_ms(),
+        )
+        for d in info["data_files"]
+    ]
+    delete_files = [
+        _normalize_position_delete(spark, table.location, d, seq,
+                                   info["metadata"].get("location", ""),
+                                   src)
+        for d in info["position_deletes"]
+    ]
+    manifest = Manifest(new_files, [d for d in delete_files if d])
+    summary = {
+        "adopted": "true",
+        "adopted-from": src,
+        "synced-iceberg-snapshot": cur,
+        "added-data-files": len(new_files),
+    }
+    table._commit_snapshot(manifest, "replace", _MAIN, summary)
+    table.refresh()
+    table.meta.properties["adopted_iceberg_snapshot"] = cur
+    table._commit_metadata_only()
+    return info["snapshot_id"]

@@ -392,3 +392,105 @@ def _schema_json() -> str:
             {"id": fid, "name": name, "required": False, "type": t}
             for fid, name, t, _ in _FIELDS
         ]})
+
+
+def append_iceberg_snapshot(spark, local_dir: str,
+                            new_rows: list[dict]) -> int:
+    """Advance the genuine-Iceberg fixture by ONE append snapshot: a new
+    data file + data manifest, a new manifest list carrying the previous
+    snapshot's manifests PLUS the new one (v2 manifest lists are full
+    state), and a ``v<N+1>.metadata.json`` with both snapshots — the
+    source-table evolution an incremental sync
+    (``iceberg_compat.sync_adopted_table``) must pick up.  Returns the
+    new snapshot id."""
+    from iceberg_trino_sql_demo_spark.sources.avro_ocf import read_ocf
+
+    av = _AvroJvm(spark)
+    meta_dir = os.path.join(local_dir, "metadata")
+    data_dir = os.path.join(local_dir, "data")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    rec_loc = meta["location"]
+    prev = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = prev["snapshot-id"] + 1
+
+    rows = sorted(new_rows, key=lambda r: r["custkey"])
+    fname = f"part-a{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
+    fpath = os.path.join(data_dir, fname)
+    _write_data_file(fpath, rows)
+    entry_schema = av.parse(json.dumps(_manifest_entry_schema(False)))
+    lo = [(fid, _bytes_json(enc(min(r[name] for r in rows))))
+          for fid, name, _, enc in _FIELDS]
+    hi = [(fid, _bytes_json(enc(max(r[name] for r in rows))))
+          for fid, name, _, enc in _FIELDS]
+    entry = json.dumps({
+        "status": 1,
+        "snapshot_id": _u("long", snapshot_id),
+        "sequence_number": _u("long", seq),
+        "file_sequence_number": _u("long", seq),
+        "data_file": {
+            "content": 0,
+            "file_path": f"{rec_loc}/data/{fname}",
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(fpath),
+            "null_value_counts": _int_map_json(
+                [(fid, 0) for fid, *_ in _FIELDS]),
+            "lower_bounds": _int_map_json(lo),
+            "upper_bounds": _int_map_json(hi),
+        }})
+    man = f"manifest-data-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, man), entry_schema, [entry], {
+        "schema": _schema_json(), "partition-spec": "[]",
+        "partition-spec-id": "0", "format-version": "2",
+        "content": "data",
+    }, deflate=True)
+
+    # new manifest list = previous snapshot's manifests + the new one
+    # (manifest_file has no unions, so re-encoding read_ocf rows is
+    # plain json)
+    prev_ml = os.path.join(
+        meta_dir, prev["manifest-list"].rsplit("/", 1)[1])
+    _, prev_entries = read_ocf(prev_ml)
+    ml_schema = av.parse(json.dumps(_MANIFEST_LIST_SCHEMA))
+    ml_rows = [json.dumps(e) for e in prev_entries]
+    ml_rows.append(json.dumps({
+        "manifest_path": f"{rec_loc}/metadata/{man}",
+        "manifest_length": os.path.getsize(os.path.join(meta_dir, man)),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": len(rows),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }))
+    ml = f"snap-{snapshot_id}-1-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, ml), ml_schema, ml_rows,
+                 {"format-version": "2"})
+
+    now = int(time.time() * 1000)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now
+    meta["current-snapshot-id"] = snapshot_id
+    meta["refs"]["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["snapshots"].append({
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": prev["snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": now,
+        "summary": {"operation": "append"},
+        "manifest-list": f"{rec_loc}/metadata/{ml}",
+        "schema-id": 0,
+    })
+    meta["snapshot-log"].append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": now})
+    with open(os.path.join(meta_dir, f"v{v + 1}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(v + 1))
+    return snapshot_id

@@ -354,3 +354,46 @@ def test_adopt_at_snapshot_id(spark, fixture_dir, tmp_path):
         ic.adopt_iceberg_table(spark, str(tmp_path / "adopted_nope"),
                                fixture_dir, snapshot_id=123)
     assert not os.path.exists(str(tmp_path / "adopted_nope"))
+
+
+def test_sync_adopted_table_mirrors_source(spark, tmp_path):
+    """Incremental mirror of a foreign Iceberg table: adopt, advance the
+    SOURCE by one genuine append snapshot, sync — the new rows appear as
+    ONE engine replace snapshot, time travel reaches the pre-sync state,
+    table_changes yields the foreign evolution as CDC, and local engine
+    DML on the mirror makes the next sync refuse loudly."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        append_iceberg_snapshot,
+    )
+
+    loc = str(tmp_path / "ice_sync_src")
+    write_iceberg_fixture(spark, loc, _rows(50), delete_mod=7)
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "mirror"), loc)
+    n0 = t.df().count()
+    pre = t.meta.refs["main"]
+    assert ic.sync_adopted_table(spark, t) is None  # already in sync
+
+    new_sid = append_iceberg_snapshot(spark, loc, [
+        {"custkey": 1000 + i, "name": f"new#{i}", "mktsegment": "AUTO",
+         "acctbal": 9.5 + i} for i in range(5)
+    ])
+    got_sid = ic.sync_adopted_table(spark, t)
+    assert got_sid == new_sid
+    assert t.df().count() == n0 + 5
+    assert {r.custkey for r in t.df(where="custkey >= 1000").collect()} == {
+        1000, 1001, 1002, 1003, 1004}
+    # pre-sync state still reads exactly (time travel across the sync)
+    assert t.df(version=pre).count() == n0
+    # the sync IS CDC-able: the engine snapshot diff yields the inserts
+    ch = t.table_changes(pre, t.meta.refs["main"])
+    ins = {r.custkey for r in ch.where("_change_type = 'insert'").collect()}
+    assert {1000, 1001, 1002, 1003, 1004} <= ins
+    assert t.meta.properties["adopted_iceberg_snapshot"] == str(new_sid)
+
+    # local engine DML poisons the mirror: next sync refuses loudly
+    t.delete("custkey = 1000")
+    append_iceberg_snapshot(spark, loc, [
+        {"custkey": 2000, "name": "late", "mktsegment": "AUTO",
+         "acctbal": 1.0}])
+    with pytest.raises(ic.IcebergAdoptionError, match="Fork the mirror"):
+        ic.sync_adopted_table(spark, t)
