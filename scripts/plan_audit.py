@@ -312,6 +312,18 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "stats are a single keyed aggregate — no pair generation, no "
         "join, at any corpus size.",
     ),
+    "source_dsir_weights": (
+        ["HashAggregate", "BroadcastHashJoin", "Generate"],
+        ["CartesianProduct", "SortMergeJoin"],
+        8,
+        "DSIR importance resampling is linear end-to-end: bigrams are "
+        "built row-locally (zip_with, no window over tokens), ONE "
+        "map-side-combinable aggregate produces both unigram models, "
+        "the 4096-row log-ratio table broadcasts onto the bigram "
+        "stream (the BroadcastHashJoin), and the per-doc score is one "
+        "more keyed aggregate; the single BroadcastNestedLoopJoin is "
+        "the allowlisted one-row totals attachment.",
+    ),
     "text_inverted_index": (
         ["HashAggregate", "Generate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
