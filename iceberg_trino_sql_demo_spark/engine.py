@@ -146,6 +146,18 @@ class Engine:
     # -- cost-based join reorder (reference :46-49) ----------------------
     def _table_rows(self, name: str) -> int | None:
         """Persisted ANALYZE row count for an engine table, else None."""
+        parts = [p for p in name.split(".") if p]
+        if len(parts) > 1:
+            # A catalog-qualified foreign name (postgresql.demo.orders
+            # behind an attached JDBC catalog, or another schema's table)
+            # must NOT resolve through _last() to a same-named engine
+            # table — the reorder would then be driven by a different
+            # dataset's stats (ADVICE r10).  Trust the stats only when
+            # the written schema part IS the current engine schema.
+            if parts[0].lower() in self.jdbc_catalogs:
+                return None
+            if parts[-2].lower() != (self.catalog.current_schema or ""):
+                return None
         try:
             t = self.catalog.table(_last(name))
         except (KeyError, ValueError):
@@ -174,6 +186,15 @@ class Engine:
         if parsed is None:
             return s
         start, end, chain = parsed
+        if _projection_star(s[:start]):
+            # SELECT * / alias.* materializes columns in FROM-clause
+            # order, so reordering the tables silently changes the output
+            # column order (and which duplicate-named join key comes
+            # first) — a user-visible result-shape change Spark/Trino
+            # never make because they reorder at plan level under a fixed
+            # projection (ADVICE r10, high).  Explicit select lists pin
+            # the output shape, so only a bare star bails.
+            return s
         rows: list[int] = []
         for e in chain:
             rc = self._table_rows(e["name"])
@@ -218,9 +239,13 @@ class Engine:
                 return s  # disconnected (would need a cross join)
             e = chain[pick]
             ref = e["name"] + (f" {e['alias']}" if e["alias"] else "")
+            # each merged condition is parenthesized: a condition with a
+            # top-level OR (allowed by _COND_BARE_OK) concatenated bare
+            # would be re-scoped by AND/OR precedence when two pool
+            # conditions close on the same pick (ADVICE r10)
             parts.append(
                 "join " + ref + " on "
-                + " AND ".join(c for c, _ in pick_conds))
+                + " AND ".join(f"({c})" for c, _ in pick_conds))
             for pc in pick_conds:
                 pool.remove(pc)
             have.add(quals[pick])
@@ -482,10 +507,9 @@ class Engine:
         t0 = _time.perf_counter()
         n_rows = int(jqe.executedPlan().execute().count())
         elapsed_ms = int((_time.perf_counter() - t0) * 1000)
-        plan = jqe.executedPlan().toString()
-        cut = plan.find("== Initial Plan ==")
-        if cut != -1:
-            plan = plan[:cut]
+        from iceberg_trino_sql_demo_spark.plans import final_plan_section
+
+        plan = final_plan_section(jqe.executedPlan().toString())
         return self.spark.createDataFrame(
             [(plan, n_rows, elapsed_ms)],
             "plan string, n_rows bigint, elapsed_ms bigint",
@@ -1575,6 +1599,25 @@ _COND_BARE_OK = {
     "and", "or", "not", "is", "in", "null", "true", "false", "between",
     "like", "cast", "as", "on",
 }
+
+
+def _projection_star(head: str) -> bool:
+    """True when the text BEFORE the join chain (the SELECT list) carries
+    a bare projection star — ``SELECT *``, ``SELECT DISTINCT *``,
+    ``alias.*`` or ``, *`` — as opposed to ``count(*)`` (preceded by
+    ``(``) or arithmetic ``a * b`` (preceded by an operand).  Decided by
+    the last non-space character before each ``*``, with string literals
+    masked so a literal ``'*'`` never counts."""
+    flat = re.sub(r"'[^']*'", "''", head)
+    for m in re.finditer(r"\*", flat):
+        before = flat[:m.start()].rstrip()
+        if not before:
+            continue
+        if before.endswith((",", ".")):
+            return True
+        if re.search(r"\b(?:select|distinct)$", before, re.I):
+            return True
+    return False
 
 
 def _cond_fully_qualified(cond: str, quals: set[str]) -> bool:

@@ -1264,11 +1264,11 @@ def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token array — no window, no extra shuffle), both bucket-count models
 # are map-side-combinable keyed aggregates into _DSIR_B rows, the
 # log-ratio table broadcasts onto the bigram stream, and the per-doc
-# score is one more keyed aggregate.  The only non-linear step is the
-# final top-K rank, a single-partition window over PER-DOC rows — fine
-# here; at 1e9+ docs production selects by a score THRESHOLD (computed
-# once via approx quantiles) or a per-shard quota instead of a global
-# row_number.  Cross-engine determinism: the bucket hash is the
+# score is one more keyed aggregate.  The top-K selection is a
+# TakeOrderedAndProject (per-partition local top-K, only K rows
+# converge) whose K-th (weight, doc_id) tuple broadcasts back as a
+# row-local cutoff comparison — NO doc-grain row ever crosses a
+# SinglePartition exchange.  Cross-engine determinism: the bucket hash is the
 # established md5-prefix bridge, and the summed log-ratio rounds to 6
 # decimals on both engines before ranking (same contract as
 # text_perplexity_unigram; ULP-order drift never reaches 1e-6 over
@@ -1320,8 +1320,6 @@ _DSIR_TOP_K = 150
     """,
 )
 def source_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.split("text", " ").alias("arr")
     )
@@ -1372,10 +1370,34 @@ def source_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("logratio"), 6).alias("dsir_logweight"),
         )
     )
-    rk = F.row_number().over(
-        Window.orderBy(F.col("dsir_logweight").desc(), F.col("doc_id"))
+    # Top-K selection WITHOUT a global SinglePartition window (VERDICT
+    # r10 finding #1): orderBy().limit(K) compiles to
+    # TakeOrderedAndProject — each partition keeps its local top-K and
+    # only K rows ever converge — then the K-th (weight, doc_id) tuple
+    # (the LAST of the top-K in (weight DESC, doc_id ASC) order) is
+    # reduced to ONE row and broadcast back onto the scored stream.
+    # `selected` is then a row-local comparison against that cutoff:
+    # identical tie semantics to row_number() <= K because (weight,
+    # doc_id) is a total order (doc_id is unique).  When the corpus has
+    # fewer than K docs the cutoff IS the global minimum, so every row
+    # still selects.  No doc-grain row ever crosses a SinglePartition
+    # exchange.
+    scored = pins.pin("dsir", scored)
+    cut = (
+        scored.orderBy(F.col("dsir_logweight").desc(), F.col("doc_id"))
+        .limit(_DSIR_TOP_K)
+        .orderBy(F.col("dsir_logweight").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .select(
+            F.col("dsir_logweight").alias("cut_w"),
+            F.col("doc_id").alias("cut_id"),
+        )
     )
-    return scored.select(
+    sel = (F.col("dsir_logweight") > F.col("cut_w")) | (
+        (F.col("dsir_logweight") == F.col("cut_w"))
+        & (F.col("doc_id") <= F.col("cut_id"))
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
         "doc_id", "n_bigrams", "dsir_logweight",
-        (rk <= _DSIR_TOP_K).cast("long").alias("selected"),
+        sel.cast("long").alias("selected"),
     )

@@ -240,11 +240,17 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main") -> str:
                  for p in tbl.column("file_path").to_pylist()]
         out = os.path.join(
             data_dir, f"export-pos-del-{uuid.uuid4().hex[:8]}.parquet")
+        # the Iceberg spec REQUIRES position-delete rows sorted by
+        # (file_path, pos) — readers binary-search / merge-join on that
+        # order; the engine's internal delete files carry commit order
+        # (ADVICE r10).  NOTE: external-reader consumption (Trino /
+        # Spark-Iceberg / pyiceberg) is not exercised in CI — the sandbox
+        # has none of them; CI re-adopts through this repo's own reader.
+        rows = sorted(zip(paths,
+                          (int(x) for x in tbl.column("pos").to_pylist())))
         pq.write_table(pa.table({
-            "file_path": pa.array(paths, pa.string()),
-            "pos": pa.array(
-                [int(x) for x in tbl.column("pos").to_pylist()],
-                pa.int64()),
+            "file_path": pa.array([r[0] for r in rows], pa.string()),
+            "pos": pa.array([r[1] for r in rows], pa.int64()),
         }), out)
         n_del_rows += tbl.num_rows
         del_entries.append(json.dumps({

@@ -19,6 +19,7 @@ adds exchanges, noise does not remove them.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -220,7 +221,9 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
     "dedup_cross_source_matrix": (
         ["HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
-        10,
+        13,  # re-measured r11: the fixed section cut (nested cache
+        # markers no longer truncate the tree) exposes 3 more distinct
+        # exchanges that were always executing — plan unchanged
         "per-source shingle sets distinct on (source, ha, hb) with "
         "map-side partial, self-equi-join on the two long halves (pair "
         "fan-out per shingle bounded by the DF cap), and a two-string-key "
@@ -260,7 +263,7 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
     "events_user_triangles": (
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
-        9,
+        12,  # re-measured r11 under the fixed section cut — plan unchanged
         "degree-oriented wedge join: the node-cardinality degree vector "
         "broadcasts onto the edge list ONLY below the measured-size gate "
         "(_NODE_BROADCAST_BUDGET — above it the same query takes a "
@@ -272,7 +275,9 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
     "events_user_triangles_capped": (
         ["BroadcastHashJoin", "HashAggregate", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
-        10,
+        15,  # re-measured r11 under the fixed section cut — plan
+        # unchanged; 13 solo, 14 inside a shared pytest session (AQE
+        # reuses one exchange less there), pinned with headroom 1
         "the base wedge-join plan behind an executable hot-hour cap: a "
         "row_number window (partitioned by hour — bounded partitions by "
         "construction) keeps only the 6 lowest-md5-rank users per hour "
@@ -313,16 +318,24 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "join, at any corpus size.",
     ),
     "source_dsir_weights": (
-        ["HashAggregate", "BroadcastHashJoin", "Generate"],
-        ["CartesianProduct", "SortMergeJoin"],
+        ["HashAggregate", "BroadcastHashJoin", "Generate",
+         "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
         8,
         "DSIR importance resampling is linear end-to-end: bigrams are "
         "built row-locally (zip_with, no window over tokens), ONE "
         "map-side-combinable aggregate produces both unigram models, "
         "the 4096-row log-ratio table broadcasts onto the bigram "
         "stream (the BroadcastHashJoin), and the per-doc score is one "
-        "more keyed aggregate; the single BroadcastNestedLoopJoin is "
-        "the allowlisted one-row totals attachment.",
+        "more keyed aggregate; the top-K selection is a chained "
+        "TakeOrderedAndProject (per-partition local top-K, only K rows "
+        "converge) whose K-th tuple broadcasts back as a row-local "
+        "cutoff — the r10 global row_number Window (a SinglePartition "
+        "exchange over doc-grain rows) is gone and FORBIDDEN; the "
+        "BroadcastNestedLoopJoins are the allowlisted one-row totals "
+        "and cutoff attachments.  The one remaining SinglePartition "
+        "exchange folds the 4096-row bucket model to a single (tr, tt) "
+        "row — constant-size at any corpus scale.",
     ),
     "text_inverted_index": (
         ["HashAggregate", "Generate"],
@@ -365,14 +378,12 @@ def audit(spark, write_md: bool = False) -> dict[str, list[str]]:
         # and sf0.001 results are tiny.
         df.collect()
         qe = df._jdf.queryExecution()
-        plan = qe.executedPlan().toString()
-        # AdaptiveSparkPlanExec.toString prints BOTH the final and the
-        # initial plan — audit only the final section, else every reused
-        # exchange double-counts and a rewritten-away SortMergeJoin would
-        # still "appear" from the initial plan
-        cut = plan.find("== Initial Plan ==")
-        if cut != -1:
-            plan = plan[:cut]
+        # audit only the FINAL plan section (outer-marker cut: a cached
+        # InMemoryRelation nests its own marker pair — see
+        # plans.final_plan_section)
+        from iceberg_trino_sql_demo_spark.plans import final_plan_section
+
+        plan = final_plan_section(qe.executedPlan().toString())
         errs = []
         for s in need:
             if s not in plan:
@@ -380,7 +391,23 @@ def audit(spark, write_md: bool = False) -> dict[str, list[str]]:
         for s in forbid:
             if s in plan:
                 errs.append(f"forbidden plan feature present: {s}")
-        n_ex = plan.count("Exchange")
+        # count DISTINCT exchanges: a cached InMemoryRelation's build
+        # plan prints in full at EVERY scan site, so a raw substring
+        # count multiplies the cached subtree's exchanges by its fan-out;
+        # plan_ids identify the underlying physical nodes (same cache →
+        # same ids).  Unidentified Exchange lines (no plan_id printed)
+        # fall back to raw counting.
+        ex_ids = set()
+        n_anon = 0
+        for ln in plan.splitlines():
+            if "Exchange" not in ln:
+                continue
+            ids = re.findall(r"\[plan_id=(\d+)\]", ln)
+            if ids:
+                ex_ids.update(ids)
+            else:
+                n_anon += 1
+        n_ex = len(ex_ids) + n_anon
         if n_ex > max_ex:
             errs.append(f"{n_ex} Exchange nodes (ceiling {max_ex})")
         if errs:

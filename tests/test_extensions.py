@@ -237,6 +237,46 @@ def test_no_unintended_cartesian_or_bnlj_plans(spark):
     assert not offenders, offenders
 
 
+def test_no_global_window_over_unbounded_rows(spark):
+    """Registry-wide scale invariant (VERDICT r10 #1): a Window fed by an
+    ``Exchange SinglePartition`` funnels EVERY row of its input through
+    one task — fine over a constant-size frame (per-source quotas,
+    bucket-total prefixes), a straggler/OOM over doc-grain rows at 100 TB
+    (exactly how r10's `source_dsir_weights` top-K shipped).  Heuristic:
+    flag any query whose final plan contains BOTH a Window and a
+    SinglePartition exchange, and require each flagged name to carry a
+    written constant-size justification here.  Queries whose only
+    SinglePartition exchange is a one-row global aggregate have no Window
+    and pass; partitioned windows exchange by hash and pass."""
+    from iceberg_trino_sql_demo_spark import operators as ops
+
+    ops.load_all()
+    sf = "/root/testdata/sf0.001"
+    skip_prefixes = ("ice_", "events_stream", "events_stateful")
+    allow = {
+        # the OVER () windows run on the per-SOURCE counts frame — one
+        # row per source, constant at any corpus size; doc-grain rows
+        # only cross a partitionBy(source) hash window
+        "source_temperature_resample",
+        # the global prefix window runs on the <=64-row bucket-totals
+        # frame (see _pack_buckets); doc-grain rows use the per-bucket
+        # hash-partitioned window
+        "training_pack_sequences",
+    }
+    offenders = []
+    for name, fn in sorted(ops.QUERIES.items()):
+        if name.startswith(skip_prefixes) or name in allow:
+            continue
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "Exchange SinglePartition" in plan and "Window" in plan:
+            offenders.append(name)
+    assert not offenders, (
+        "Window + SinglePartition exchange in the same plan — if the "
+        f"window frame is NOT constant-size, this is a 100 TB scale "
+        f"bug: {offenders}"
+    )
+
+
 def test_documents_text_is_ascii(spark, sf_oracle_dir):
     """The multimodal oracles slice media payloads with character-based
     substr; that equals byte slicing only while documents.text is pure
@@ -634,9 +674,10 @@ def test_triangles_degree_broadcast_gate(spark, monkeypatch):
     from iceberg_trino_sql_demo_spark.operators import windows_ops as wo
 
     def final_plan(df):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        cut = plan.find("== Initial Plan ==")
-        return plan[:cut] if cut != -1 else plan
+        from iceberg_trino_sql_demo_spark.plans import final_plan_section
+
+        return final_plan_section(
+            df._jdf.queryExecution().executedPlan().toString())
 
     conf = spark.conf
     saved = {

@@ -456,6 +456,17 @@ def test_export_roundtrip(spark, tmp_path, sf_dir):
     assert ic.is_iceberg_location(dest)
     info = ic.load_iceberg_table(dest)
     assert info["position_deletes"], "the MoR delete must export"
+    # spec compliance (ADVICE r10): exported position-delete files must
+    # be sorted by (file_path, pos) — external readers merge-join on it
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    for pd_file in _glob.glob(f"{dest}/data/export-pos-del-*.parquet"):
+        ptbl = _pq.read_table(pd_file)
+        prows = list(zip(ptbl.column("file_path").to_pylist(),
+                         ptbl.column("pos").to_pylist()))
+        assert prows == sorted(prows), pd_file
     # bounds survived: some data file carries n_nationkey min/max
     assert any("1" in d["stats"] and d["stats"]["1"]["min"] is not None
                for d in info["data_files"])

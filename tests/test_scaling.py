@@ -424,10 +424,12 @@ def test_relational_family_scales_linearly(spark, scaled_rel):
         for d in (base, big):
             df = ops.QUERIES[name](spark, d)
             df.collect()  # finalize AQE
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            cut = plan.find("== Initial Plan ==")
-            if cut != -1:
-                plan = plan[:cut]
+            from iceberg_trino_sql_demo_spark.plans import (
+                final_plan_section,
+            )
+
+            plan = final_plan_section(
+                df._jdf.queryExecution().executedPlan().toString())
             assert "CartesianProduct" not in plan and \
                 "BroadcastNestedLoopJoin" not in plan, (name, d)
             plans.append(plan.count("Exchange"))

@@ -863,3 +863,65 @@ def test_r10_review_fix_regressions(spark, tmp_path):
                             table_map={"demo.nation": "nation"})
     with pytest.raises(ValueError, match="JDBC"):
         eng.sql("SELECT * FROM postgresql.demo.nation FOR VERSION AS OF 3")
+
+
+def test_r11_reorder_star_and_stats_guards(spark, tmp_path):
+    """Pins for the r11 advice findings on the stats-driven join reorder:
+    (1) a bare projection star (SELECT * / alias.*) bails the reorder —
+    star projections materialize columns in FROM-clause order, so a
+    table reorder would silently change the output column order;
+    count(*) and arithmetic '*' do NOT bail.  (2) merged ON conditions
+    are emitted parenthesized so a top-level OR keeps its scope.
+    (3) _table_rows refuses catalog-qualified foreign names instead of
+    resolving them to a same-named engine table's stats."""
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_r11"))
+    eng.sql("CREATE SCHEMA rx")
+    eng.sql("USE rx")
+    for nm, n in (("big_x", 1000), ("mid_x", 100), ("small_x", 10)):
+        eng.catalog.ctas(nm, spark.range(n).selectExpr(
+            "id AS k", "id % 5 AS k2", "id * 2 AS v"))
+        eng.sql(f"ANALYZE {nm}")
+
+    chain = ("FROM big_x b join mid_x m on b.k = m.k "
+             "join small_x t on m.k2 = t.k2")
+    # (1) star projections: written order preserved
+    for head in ("SELECT * ", "SELECT b.* ", "SELECT DISTINCT * ",
+                 "SELECT b.k, t.* "):
+        q = head + chain
+        assert eng._reorder_joins(q) == q, head
+        # and the result shape is the written-order shape
+        if head == "SELECT * ":
+            cols = [f.name for f in eng.sql(q).schema.fields]
+            assert cols[0] == "k" and len(cols) == 9
+    # aggregate star and arithmetic star still reorder
+    q_agg = "SELECT count(*) AS n " + chain
+    assert eng._reorder_joins(q_agg) != q_agg
+    q_arith = "SELECT b.k * 2 AS kk, t.v AS tv " + chain
+    assert eng._reorder_joins(q_arith) != q_arith
+    # a string literal containing '*' is not a projection star
+    q_lit = "SELECT concat(',*', t.v) AS s " + chain
+    assert eng._reorder_joins(q_lit) != q_lit
+
+    # (2) every emitted ON condition is parenthesized, so a top-level OR
+    # keeps its own scope even if two pool conditions merge on one join
+    q_or = ("SELECT b.k AS bk " + chain).replace(
+        "on m.k2 = t.k2", "on m.k2 = t.k2 OR m.k = t.k2")
+    rw = eng._reorder_joins(q_or)
+    assert rw != q_or
+    assert "(m.k2 = t.k2 OR m.k = t.k2)" in rw, rw
+    assert sorted(tuple(r) for r in eng.sql(q_or).collect()) == sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT b.id AS bk FROM range(1000) b "
+            "JOIN (SELECT id, id % 5 AS k2 FROM range(100)) m ON b.id = m.id "
+            "JOIN (SELECT id % 5 AS k2 FROM range(10)) t "
+            "ON m.k2 = t.k2 OR m.id = t.k2").collect())
+
+    # (3) catalog-qualified names never borrow engine-table stats
+    assert eng._table_rows("big_x") == 1000
+    assert eng._table_rows("rx.big_x") == 1000
+    assert eng._table_rows("otherschema.big_x") is None
+    eng.jdbc_catalogs["postgresql"] = {"url": "x", "driver": None,
+                                       "table_map": {}, "options": {}}
+    assert eng._table_rows("postgresql.rx.big_x") is None
