@@ -135,67 +135,16 @@ def register(
 #: after all modules load, in this order; everything else keeps its module
 #: registration order behind them.
 #:
-#: Composition (round 10 rotation of the r9 LRS rebuild): new r10 queries
-#: at the very top so every addition lands in the sample window, then the
-#: r9 least-recently-sampled order with the 50 names the driver DID
-#: sample in round 9 (CORRECTNESS_r09.json) rotated to the back — strict
-#: least-recently-sampled discipline, VERDICT r9 directive #8.  Queries
-#: below the ~50-query window were all driver-green in earlier rounds and
-#: are re-verified every round by the pytest oracle-parity sweep.
+#: Composition (round 11 full LRS rebuild, VERDICT r10 directive #4):
+#: new r11 queries first, then ALL 210 names ordered by the round each
+#: was last driver-sampled (from CORRECTNESS_r01..r10.json), oldest
+#: first — the r4 cohort (15) and r5 cohort (45) fill the ~50-query r11
+#: window, so after r11 no query's latest driver check predates r5.
+#: Queries below the window are re-verified every round by the pytest
+#: oracle-parity sweep.
 _DRIVER_PRIORITY: list[str] = [
-    # -- NEW in round 10: add fresh query names HERE (top of the window)
-    "ice_register_iceberg",
-    "federation_jdbc_agg",
-    "source_dsir_weights",
-    # -- carried least-recently-sampled order (see r9 rebuild note above);
-    # -- every name below was NOT in the driver's r9 sample window
-    "dedup_exact_normalized",
-    "pii_scrub_stats",
-    "source_mixture_sample",
-    "events_tumbling_hourly",
-    "events_sliding_1h_30m",
-    "events_sessionization",
-    "events_variant_extract",
-    "events_hypertable_rollup",
-    "events_asof_attribution",
-    "events_range_join_1h",
-    "events_salted_skew_join",
-    "events_stream_dedup_watermarked",
-    "dedup_span_exact",
-    "events_ohlc_hourly",
-    "events_gap_fill_locf",
-    "events_trailing_24h",
-    "basket_part_pairs",
-    "events_stream_ohlc",
-    "dedup_incremental_minhash",
-    "dedup_span_scrub",
-    "ann_topk_sq8",
-    "q11_important_share",
-    "events_hourly_distinct_users",
-    "ice_stream_to_incremental_mv",
-    "ice_merge_full_sync",
-    "orders_avg_basket_by_priority",
-    "q5_local_supplier_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "lineitem_measures_unpivot",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_sole_late_supplier",
-    "q22_idle_balance_customers",
-    "ann_knn_join",
-    "ann_knn_join_lsh",
-    "events_topk_users_per_window",
-    "grouping_sets_flag_status",
-    "lineitem_price_quantiles",
-    "lineitem_price_quantiles_approx",
-    "ice_zorder_optimize",
-    "ice_tags_pinned_read",
-    "ice_rename_column",
-    "ice_bloom_point_lookup",
-    "ice_mv_incremental",
+    # -- NEW in round 11: add fresh query names HERE (top of the window)
+    # -- last driver-sampled in round 4 (15 queries)
     "orders_ndv_profile",
     "dedup_keep_list",
     "dedup_embedding_prefiltered_multiprobe",
@@ -211,6 +160,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_anomaly_zscore",
     "ice_dynamic_overwrite",
     "ice_runtime_filter_join",
+    # -- last driver-sampled in round 5 (45 queries)
     "multimodal_audio_windows",
     "multimodal_payload_dedup",
     "multimodal_ahash_near_dup",
@@ -256,6 +206,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_stream_chained_agg",
     "events_stream_static_enrich",
     "events_stream_ndv_sketch",
+    # -- last driver-sampled in round 8 (50 queries)
     "dedup_edit_distance",
     "dedup_edit_distance_passjoin",
     "dedup_substring_windows",
@@ -306,7 +257,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_stream_dedup",
     "events_stream_interval_join",
     "rollup_order_priority",
-    # -- driver-sampled in ROUND 9 (most recently verified): back of the line
+    # -- last driver-sampled in round 9 (50 queries)
     "events_user_triangles_capped",
     "text_perplexity_unigram",
     "dedup_cdc_chunks",
@@ -357,6 +308,57 @@ _DRIVER_PRIORITY: list[str] = [
     "vocab_top_terms",
     "sample_hash_bucket",
     "doc_pack_greedy",
+    # -- last driver-sampled in round 10 (50 queries)
+    "ice_register_iceberg",
+    "federation_jdbc_agg",
+    "source_dsir_weights",
+    "dedup_exact_normalized",
+    "pii_scrub_stats",
+    "source_mixture_sample",
+    "events_tumbling_hourly",
+    "events_sliding_1h_30m",
+    "events_sessionization",
+    "events_variant_extract",
+    "events_hypertable_rollup",
+    "events_asof_attribution",
+    "events_range_join_1h",
+    "events_salted_skew_join",
+    "events_stream_dedup_watermarked",
+    "dedup_span_exact",
+    "events_ohlc_hourly",
+    "events_gap_fill_locf",
+    "events_trailing_24h",
+    "basket_part_pairs",
+    "events_stream_ohlc",
+    "dedup_incremental_minhash",
+    "dedup_span_scrub",
+    "ann_topk_sq8",
+    "q11_important_share",
+    "events_hourly_distinct_users",
+    "ice_stream_to_incremental_mv",
+    "ice_merge_full_sync",
+    "orders_avg_basket_by_priority",
+    "q5_local_supplier_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "lineitem_measures_unpivot",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_sole_late_supplier",
+    "q22_idle_balance_customers",
+    "ann_knn_join",
+    "ann_knn_join_lsh",
+    "events_topk_users_per_window",
+    "grouping_sets_flag_status",
+    "lineitem_price_quantiles",
+    "lineitem_price_quantiles_approx",
+    "ice_zorder_optimize",
+    "ice_tags_pinned_read",
+    "ice_rename_column",
+    "ice_bloom_point_lookup",
+    "ice_mv_incremental",
 ]
 
 

@@ -62,6 +62,32 @@ class Catalog:
         )
         return os.path.join(base, table.lower())
 
+    def drop_schema(self, name: str, if_exists: bool = False) -> None:
+        """Drop an EMPTY schema's registry entry; refuse a non-empty one.
+        Like Iceberg/Trino DROP SCHEMA (no CASCADE): tables, views and
+        MVs must be dropped first — refusing beats silently orphaning
+        their registry entries, and the table DATA is never touched
+        here (drop_table(purge=True) is the destructive path)."""
+        name = name.lower()
+        if name not in self.data["schemas"]:
+            if if_exists:
+                return
+            raise KeyError(f"schema {name} not found")
+        held = [
+            q for kind in ("tables", "views", "mviews")
+            for q in self.data[kind]
+            if q.split(".", 1)[0] == name
+        ]
+        if held:
+            raise ValueError(
+                f"schema {name} is not empty (holds {len(held)} object(s), "
+                f"e.g. {held[0]}); drop them first"
+            )
+        del self.data["schemas"][name]
+        if self.current_schema == name:
+            self.current_schema = None
+        self._save()
+
     def show_create_schema(self, name: str) -> str:
         s = self.data["schemas"][name]
         return f"CREATE SCHEMA {name}\nWITH (\n   location = '{s['location']}'\n)"

@@ -472,6 +472,38 @@ def test_range_search_gemm_branch_matches_literal_branch(spark, sf_dir, monkeypa
         assert abs(v - gemm[k]) <= 1e-6, (k, v, gemm[k])
 
 
+def test_range_search_probe_collect_is_bounded(spark, sf_dir, monkeypatch):
+    """VERDICT r10 #2: the probe-set collect must never scale with the
+    corpus.  (a) the collect is structurally bounded — a LIMIT cap+1 sits
+    between the filter and the driver, so even a huge corpus ships at
+    most cap+1 rows (collect-spy proves it); (b) past the cap the
+    operator refuses loudly instead of silently materializing a
+    corpus-sized probe set."""
+    try:  # the concrete class owns collect in pyspark 4's classic mode
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    from iceberg_trino_sql_demo_spark.operators import similarity as sim
+
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    sim.ann_range_search(spark, sf_dir)  # plan build triggers the collect
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert sizes and max(sizes) <= sim._RANGE_PROBE_CAP + 1, sizes
+
+    monkeypatch.setattr(sim, "_RANGE_PROBE_CAP", 1)
+    with pytest.raises(ValueError, match="probe set exceeds"):
+        sim.ann_range_search(spark, sf_dir)
+
+
 def test_batch5_ops_scale_shapes(spark, scaled):
     """Scale invariants for the batch-5 curation ops: the OOV audit is one
     row per document (exactly M-fold); the cross-source matrix is one row

@@ -32,6 +32,10 @@ def test_full_reference_script_replay(eng):
     # :1 session knob (accepted no-op)
     sql("SET SESSION skip_results_cache=true")
 
+    # :4 (the reference carries it commented; replayed uncommented) —
+    # IF EXISTS on a missing schema succeeds silently
+    sql("DROP SCHEMA IF EXISTS victorc_iceberg")
+
     # :6-9 schema DDL + USE
     sql("CREATE SCHEMA IF NOT EXISTS iceberg_glue.victorc_iceberg WITH (location = 's3://victorc-data/iceberg/')")
     assert "CREATE SCHEMA" in sql('SHOW CREATE SCHEMA "iceberg_glue"."victorc_iceberg"').head()[0]
@@ -863,6 +867,35 @@ def test_r10_review_fix_regressions(spark, tmp_path):
                             table_map={"demo.nation": "nation"})
     with pytest.raises(ValueError, match="JDBC"):
         eng.sql("SELECT * FROM postgresql.demo.nation FOR VERSION AS OF 3")
+
+
+def test_drop_schema_semantics(spark, tmp_path):
+    """DROP SCHEMA (r11, VERDICT r10 #5): empty schema drops its registry
+    entry; a non-empty schema refuses loudly (no CASCADE); IF EXISTS on a
+    missing name is silent while a bare DROP raises; recreating a dropped
+    schema does NOT resurrect old tables."""
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_ds"))
+    eng.sql("CREATE SCHEMA ds1")
+    eng.sql("USE ds1")
+    eng.catalog.ctas("t1", spark.range(3).selectExpr("id AS k"))
+    with pytest.raises(ValueError, match="not empty"):
+        eng.sql("DROP SCHEMA ds1")
+    eng.sql("DROP TABLE t1")
+    eng.sql("DROP SCHEMA ds1")
+    assert "ds1" not in eng.catalog.data["schemas"]
+    # current schema was ds1 -> cleared, so unqualified names now refuse
+    with pytest.raises(ValueError, match="no current schema"):
+        eng.catalog.table("t1")
+    eng.sql("DROP SCHEMA IF EXISTS ds1")  # silent
+    with pytest.raises(KeyError):
+        eng.sql("DROP SCHEMA ds1")
+    # recreate: a fresh schema with no inherited tables
+    eng.sql("CREATE SCHEMA ds1")
+    eng.sql("USE ds1")
+    with pytest.raises(KeyError):
+        eng.catalog.table("t1")
 
 
 def test_r11_reorder_star_and_stats_guards(spark, tmp_path):
