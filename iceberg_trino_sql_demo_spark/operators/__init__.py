@@ -144,6 +144,7 @@ def register(
 #: oracle-parity sweep.
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW in round 11: add fresh query names HERE (top of the window)
+    "ice_register_iceberg_v3",
     # -- last driver-sampled in round 4 (15 queries)
     "orders_ndv_profile",
     "dedup_keep_list",

@@ -1,4 +1,4 @@
-"""Read-adoption of GENUINE Apache Iceberg tables (spec v1/v2).
+"""Read-adoption of GENUINE Apache Iceberg tables (spec v1/v2/v3).
 
 The reference's ``CALL system.register_table(..., table_location =>
 's3://...')`` (iceberg_trino_sqldemo.sql:276-279) adopts a *foreign*
@@ -14,11 +14,19 @@ tiny rewrite, normalized to the engine's ``file:``-URI anti-join form).
 
 Scope — read-only adoption, loud refusals beyond it:
 
-- format-version 1 and 2 are adopted; **v3 is refused** (deletion
-  vectors in puffin files, row lineage — not decodable here).
+- format-version 1, 2 AND 3 are adopted (v3 since r11; the reference
+  table itself is ``format_version = 3``, iceberg_trino_sqldemo.sql:23).
+  v3 deletion vectors (puffin ``deletion-vector-v1`` blobs, decoded by
+  ``sources/puffin.py``) map onto the engine's OWN consolidated-DV
+  model (``DeleteFile(content='dv')`` pack + index); v3 row lineage
+  maps onto the engine's lineage counters (per-file ``first_row_id``
+  carried verbatim, table ``next-row-id`` seeding the engine counter);
+  v3 column ``initial-default``s are honored by grouping data files
+  into per-layout legacy schemas so pre-column files surface the
+  default through the engine's id-based projection.
 - position deletes are applied; **equality deletes are refused** (their
   column mapping is by source schema, a rewrite we don't attempt).
-- parquet data files only (ORC/Avro data refused).
+- parquet data files only (ORC/Avro data refused; puffin only as DVs).
 - the CURRENT snapshot is adopted by default (any listed snapshot via
   ``snapshot_id`` — adoption-time time travel); after adoption the
   table is a normal engine table — further engine DML commits engine-own snapshots on top
@@ -230,6 +238,20 @@ def decode_bound(raw: bytes | None, ddl: str) -> Any:
     return None
 
 
+def _default_value(field_doc: dict, key: str) -> Any:
+    """An Iceberg v3 column default (JSON single-value serialization).
+    Primitive defaults (numbers, strings, booleans — including the
+    string forms of date/timestamp values, which the engine's typed
+    ``F.lit(v).cast(...)`` fill parses) pass through; structured
+    defaults refuse loudly rather than surface wrong values."""
+    v = field_doc.get(key)
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    raise IcebergAdoptionError(
+        f"column {field_doc.get('name')!r} carries a non-primitive "
+        f"{key} ({type(v).__name__}) — not adoptable")
+
+
 def _as_int_map(v: Any) -> dict[int, Any]:
     """Iceberg int-keyed maps arrive either as avro maps (string keys) or
     as the spec's array-of-{key,value} encoding — normalize to {int: v}."""
@@ -267,11 +289,11 @@ def load_iceberg_table(location: str,
     with open(meta_path) as fh:
         meta = json.load(fh)
     fv = meta.get("format-version")
-    if fv not in (1, 2):
+    if fv not in (1, 2, 3):
         raise IcebergAdoptionError(
-            f"Iceberg format-version {fv} is not adoptable: only v1/v2 "
-            "read-only adoption is implemented (v3 adds deletion vectors "
-            "and row lineage this engine cannot decode from puffin files)")
+            f"Iceberg format-version {fv} is not adoptable: v1/v2/v3 "
+            "read-only adoption is implemented; later versions may add "
+            "encodings this reader cannot validate")
     # current schema: v2 schemas+current-schema-id, v1 inline "schema"
     if "schemas" in meta:
         sid = meta.get("current-schema-id", 0)
@@ -286,6 +308,11 @@ def load_iceberg_table(location: str,
             type=iceberg_type_to_ddl(f["type"]),
             nullable=not f.get("required", False),
             doc=f.get("doc"),
+            # v3 default values (JSON single-value serialization —
+            # primitives arrive as plain JSON scalars and cast cleanly
+            # through the engine's typed-literal default fill)
+            initial_default=_default_value(f, "initial-default"),
+            write_default=_default_value(f, "write-default"),
         )
         for f in schema_doc["fields"]
     ]
@@ -296,7 +323,9 @@ def load_iceberg_table(location: str,
                else meta.get("current-snapshot-id"))
     if snap_id in (None, -1):
         return {"metadata": meta, "schema": fields, "data_files": [],
-                "position_deletes": [], "snapshot_id": None}
+                "position_deletes": [], "deletion_vectors": [],
+                "next_row_id": int(meta.get("next-row-id") or 0),
+                "snapshot_id": None}
     try:
         snap = next(
             s for s in meta.get("snapshots", [])
@@ -309,6 +338,7 @@ def load_iceberg_table(location: str,
 
     data_files: list[dict] = []
     pos_deletes: list[dict] = []
+    deletion_vectors: list[dict] = []
 
     def _ingest_manifest(man_uri: str) -> None:
         man_local = _localize(man_uri, recorded_loc, location)
@@ -318,10 +348,32 @@ def load_iceberg_table(location: str,
                 continue
             df = e["data_file"]
             fmt = str(df.get("file_format", "")).upper()
+            content = df.get("content", 0)
+            if content == 1 and fmt == "PUFFIN":
+                # v3 deletion vector: one blob per referenced data file,
+                # addressed straight from the manifest (no footer parse
+                # needed on the hot path, per spec)
+                ref = df.get("referenced_data_file")
+                off = df.get("content_offset")
+                size = df.get("content_size_in_bytes")
+                if ref is None or off is None or size is None:
+                    raise IcebergAdoptionError(
+                        "puffin delete entry lacks referenced_data_file/"
+                        "content_offset/content_size_in_bytes — not a "
+                        "spec deletion vector")
+                deletion_vectors.append({
+                    "path": _localize(df["file_path"], recorded_loc,
+                                      location),
+                    "referenced_data_file": str(ref),
+                    "content_offset": int(off),
+                    "content_size_in_bytes": int(size),
+                    "record_count": int(df["record_count"]),
+                })
+                continue
             if fmt != "PARQUET":
                 raise IcebergAdoptionError(
-                    f"data file format {fmt!r} not adoptable (parquet only)")
-            content = df.get("content", 0)
+                    f"data file format {fmt!r} not adoptable (parquet "
+                    "only; puffin only as v3 deletion vectors)")
             local = _localize(df["file_path"], recorded_loc, location)
             if content == 0:
                 lower = _as_int_map(df.get("lower_bounds"))
@@ -335,11 +387,16 @@ def load_iceberg_table(location: str,
                     if mn is None and mx is None and nl is None:
                         continue
                     stats[str(fid)] = {"min": mn, "max": mx, "nulls": nl}
+                frid = df.get("first_row_id")
                 data_files.append({
                     "path": local,
                     "record_count": int(df["record_count"]),
                     "file_size_in_bytes": int(df["file_size_in_bytes"]),
                     "stats": stats,
+                    # v3 row lineage: carry the source's assigned range
+                    # verbatim; -1 = unassigned (the engine's commit
+                    # assigns a fresh range past next-row-id)
+                    "first_row_id": -1 if frid is None else int(frid),
                 })
             elif content == 1:
                 pos_deletes.append({
@@ -368,7 +425,10 @@ def load_iceberg_table(location: str,
             _ingest_manifest(man_uri)
 
     return {"metadata": meta, "schema": fields, "data_files": data_files,
-            "position_deletes": pos_deletes, "snapshot_id": snap_id}
+            "position_deletes": pos_deletes,
+            "deletion_vectors": deletion_vectors,
+            "next_row_id": int(meta.get("next-row-id") or 0),
+            "snapshot_id": snap_id}
 
 
 # ---------------------------------------------------------------------------
@@ -409,7 +469,15 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
     # wedge re-registration behind the already-exists guard (review r10)
     if info["data_files"]:
         _check_name_mapping(info)
+    # v3 initial-defaults: group files by physical layout so the engine's
+    # id-based projection fills defaults exactly where Iceberg would
+    extra_schemas, sid_by_path = _legacy_layout_schemas(
+        info, list(fields))
     meta = TableMetadata.new(engine_location, schema, spec, props)
+    meta.schemas.extend(extra_schemas)
+    # v3 row lineage: seed the engine's row-id counter past the source's,
+    # so engine-assigned ranges never collide with carried ones
+    meta.next_row_id = int(info.get("next_row_id") or 0)
     io = MetadataIO(engine_location)
     io.commit(meta, 0)
     try:
@@ -422,12 +490,12 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
             DataFile(
                 path=d["path"],
                 spec_id=1,
-                schema_id=1,
+                schema_id=sid_by_path.get(d["path"], 1),
                 partition={},
                 record_count=d["record_count"],
                 file_size_bytes=d["file_size_in_bytes"],
                 stats=d["stats"],
-                first_row_id=-1,
+                first_row_id=d.get("first_row_id", -1),
                 sequence_number=seq,
                 file_modified_ms=now_ms(),
             )
@@ -439,6 +507,9 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
                                        iceberg_location)
             for d in info["position_deletes"]
         ]
+        delete_files.append(_normalize_deletion_vectors(
+            engine_location, info.get("deletion_vectors", ()), seq,
+            info["metadata"].get("location", ""), iceberg_location))
         manifest = Manifest(new_files, [d for d in delete_files if d])
         summary = {
             "added-data-files": len(new_files),
@@ -484,7 +555,10 @@ def _check_name_mapping(info: dict) -> None:
     import pyarrow.parquet as pq
 
     fields = info["schema"]
-    want_names = {f.name for f in fields}
+    # a column carrying an initial-default is ALLOWED to be physically
+    # absent — the per-layout legacy schemas fill the default at read
+    # time (v3 adoption, r11); only default-less columns must exist
+    want_names = {f.name for f in fields if f.initial_default is None}
     name_by_id = {f.id: f.name for f in fields}
     files = info["data_files"]
     if len(files) > _NAME_CHECK_MAX_FILES:
@@ -520,6 +594,144 @@ def _check_name_mapping(info: dict) -> None:
                     f"current schema names it {expect!r} — a rename in "
                     "the source's history; rewrite files in the source "
                     "engine, then re-register.")
+
+
+def _legacy_layout_schemas(
+    info: dict, fields: list,
+) -> tuple[list[TableSchema], dict[str, int]]:
+    """Per-file schema groups for v3 ``initial-default`` columns.
+
+    Iceberg readers decide default-fill per FILE (a parquet lacking
+    field id X surfaces X's initial-default); the engine decides per
+    SCHEMA GROUP (``reader._group_projection`` fills defaults for
+    fields absent from the file group's schema).  Bridge: inspect each
+    data file's parquet footer, and group files missing some defaulted
+    column under a legacy ``TableSchema`` holding exactly the fields
+    they physically carry — the id-based projection then fills the
+    defaults for those groups only.  Returns (extra schemas,
+    path -> schema_id); files carrying the full current layout keep
+    schema_id 1.
+
+    Cost: one footer read per data file, ONLY for tables that carry
+    initial-defaults (footer reads are metadata-plane; the same plane
+    _check_name_mapping samples — exhaustive here because wrong
+    grouping would mis-fill values, not just degrade plans)."""
+    import pyarrow.parquet as pq
+
+    defaulted_ids = {f.id for f in fields if f.initial_default is not None}
+    if not defaulted_ids:
+        return [], {}
+    id_by_name = {f.name: f.id for f in fields}
+    layouts: dict[frozenset, int] = {}
+    extra: list[TableSchema] = []
+    by_path: dict[str, int] = {}
+    next_sid = 2
+    for d in info["data_files"]:
+        arrow_schema = pq.ParquetFile(d["path"]).schema_arrow
+        present: set[int] = set()
+        for af in arrow_schema:
+            fid = (af.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                present.add(int(fid))
+            elif af.name in id_by_name:
+                present.add(id_by_name[af.name])
+        if not (defaulted_ids - present):
+            continue  # full current layout -> current schema (id 1)
+        key = frozenset(f.id for f in fields if f.id in present)
+        sid = layouts.get(key)
+        if sid is None:
+            sid = next_sid
+            next_sid += 1
+            layouts[key] = sid
+            extra.append(TableSchema(
+                schema_id=sid,
+                fields=tuple(f for f in fields if f.id in key),
+            ))
+        by_path[d["path"]] = sid
+    return extra, by_path
+
+
+def _normalize_deletion_vectors(
+    engine_location: str, dvs: list[dict], seq: int,
+    recorded_loc: str, iceberg_location: str,
+) -> DeleteFile | None:
+    """Decode v3 puffin deletion vectors into ONE engine DV pack.
+
+    Each manifest DV entry addresses a ``deletion-vector-v1`` blob
+    (``sources/puffin.py`` validates magic + CRC and decodes the
+    portable roaring64 bitmap); the positions re-encode straight into
+    the engine's consolidated-DV form — per-file sorted uint64 LE
+    positions, zstd frames concatenated into a pack, plus the columnar
+    (file_path, offset, length, count) index the planner reads.  The
+    whole pass is O(live tombstones), metadata-plane sized, exactly
+    like the engine's own rewrite_position_deletes output — so the
+    read path (reader.read_position_deletes, dv branch) applies
+    adopted DVs with zero new machinery."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_trino_sql_demo_spark.sources.puffin import (
+        read_deletion_vector,
+    )
+
+    rows = []
+    total = 0
+    for d in dvs:
+        positions = read_deletion_vector(
+            d["path"], d["content_offset"], d["content_size_in_bytes"])
+        if not positions:
+            continue
+        if d["record_count"] != len(positions):
+            raise IcebergAdoptionError(
+                f"deletion vector for {d['referenced_data_file']} "
+                f"declares {d['record_count']} positions but decodes "
+                f"{len(positions)} — refusing a cardinality mismatch")
+        ref_local = _localize(d["referenced_data_file"], recorded_loc,
+                              iceberg_location)
+        import numpy as np
+
+        blob = pa.compress(
+            np.asarray(sorted(positions), dtype="<u8").tobytes(),
+            codec="zstd", asbytes=True)
+        rows.append(("file:" + ref_local, len(positions), blob))
+        total += len(positions)
+    if not rows:
+        return None
+    rows.sort(key=lambda r: r[0])
+    ddir = os.path.join(engine_location, "deletes")
+    os.makedirs(ddir, exist_ok=True)
+    stem = f"adopted-dv-{_uuid.uuid4().hex[:12]}"
+    pack_path = os.path.join(ddir, f"{stem}.bin")
+    index_path = os.path.join(ddir, f"{stem}-index.parquet")
+    offsets, lengths = [], []
+    off = 0
+    with open(pack_path, "wb") as fh:
+        for _, _, blob in rows:
+            fh.write(blob)
+            offsets.append(off)
+            lengths.append(len(blob))
+            off += len(blob)
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([r[0] for r in rows], pa.string()),
+            "offset": pa.array(offsets, pa.int64()),
+            "length": pa.array(lengths, pa.int64()),
+            "count": pa.array([r[1] for r in rows], pa.int64()),
+        }),
+        index_path,
+    )
+    return DeleteFile(
+        path=pack_path,
+        record_count=total,
+        file_size_bytes=os.path.getsize(pack_path),
+        sequence_number=seq,
+        referenced_files=tuple(sorted(
+            r[0][len("file:"):] for r in rows)),
+        content="dv",
+        index_path=index_path,
+    )
 
 
 def _normalize_position_delete(spark, engine_location: str, d: dict,
@@ -609,17 +821,40 @@ def sync_adopted_table(spark, table) -> int | None:
                 "Fork the mirror (CTAS) for local edits.")
     if info["data_files"]:
         _check_name_mapping(info)
+    # v3 sources: new files may predate a defaulted column — they must
+    # land in a layout schema the table already carries (adoption built
+    # them); an unseen layout refuses rather than mis-fills
+    extra_schemas, sid_by_path = _legacy_layout_schemas(
+        info, list(table.meta.schema.fields))
+    known = {
+        frozenset(f.id for f in s.fields): s.schema_id
+        for s in table.meta.schemas
+    }
+    for s in extra_schemas:
+        key = frozenset(f.id for f in s.fields)
+        if key not in known:
+            raise IcebergAdoptionError(
+                "sync_adopted_table: source files carry a physical "
+                f"column layout (field ids {sorted(key)}) the adopted "
+                "table has no schema for — re-adopt the table")
+    sid_by_path = {
+        p: known[frozenset(
+            f.id for s in extra_schemas if s.schema_id == sid
+            for f in s.fields)]
+        for p, sid in sid_by_path.items()
+    }
     seq = table.meta.last_sequence_number + 1
     new_files = [
         DataFile(
             path=d["path"],
             spec_id=table.meta.default_spec_id,
-            schema_id=table.meta.current_schema_id,
+            schema_id=sid_by_path.get(d["path"],
+                                      table.meta.current_schema_id),
             partition={},
             record_count=d["record_count"],
             file_size_bytes=d["file_size_in_bytes"],
             stats=d["stats"],
-            first_row_id=-1,
+            first_row_id=d.get("first_row_id", -1),
             sequence_number=seq,
             file_modified_ms=now_ms(),
         )
@@ -631,6 +866,9 @@ def sync_adopted_table(spark, table) -> int | None:
                                    src)
         for d in info["position_deletes"]
     ]
+    delete_files.append(_normalize_deletion_vectors(
+        table.location, info.get("deletion_vectors", ()), seq,
+        info["metadata"].get("location", ""), src))
     manifest = Manifest(new_files, [d for d in delete_files if d])
     summary = {
         "adopted": "true",

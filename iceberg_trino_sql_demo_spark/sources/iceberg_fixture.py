@@ -494,3 +494,296 @@ def append_iceberg_snapshot(spark, local_dir: str,
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(v + 1))
     return snapshot_id
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v3 fixture — deletion vectors (puffin), row lineage, defaults
+# ---------------------------------------------------------------------------
+
+_V3_DEFAULT_COL = (5, "tier", "string", "STANDARD")
+
+
+def _manifest_entry_schema_v3() -> dict:
+    """The v2 entry schema plus the v3 data_file fields: first_row_id
+    (row lineage, field-id 142) and the deletion-vector locator triple
+    referenced_data_file / content_offset / content_size_in_bytes
+    (field-ids 143-145)."""
+    base = _manifest_entry_schema(False)
+    df_fields = base["fields"][-1]["type"]["fields"]
+    df_fields.extend([
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None, "field-id": 142},
+        {"name": "referenced_data_file", "type": ["null", "string"],
+         "default": None, "field-id": 143},
+        {"name": "content_offset", "type": ["null", "long"],
+         "default": None, "field-id": 144},
+        {"name": "content_size_in_bytes", "type": ["null", "long"],
+         "default": None, "field-id": 145},
+    ])
+    return base
+
+
+def _jvm_roaring64_portable(spark, positions: list[int]) -> bytes:
+    """Serialize positions with the REFERENCE RoaringBitmap library
+    (bundled with Spark) in the 'portable' 64-bit format — the fixture's
+    bitmaps are reference-encoded so the pure-Python decoder
+    (sources/puffin.py) is verified against the real implementation,
+    never against a sibling Python encoder."""
+    jvm = spark.sparkContext._jvm
+    rm = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    for p in positions:
+        rm.addLong(int(p))
+    rm.runOptimize()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    dos = jvm.java.io.DataOutputStream(baos)
+    rm.serializePortable(dos)
+    dos.flush()
+    return bytes(baos.toByteArray())
+
+
+def _dv_blob(bitmap: bytes) -> bytes:
+    """deletion-vector-v1 blob: 4 B BE length of (magic+vector), magic
+    D1 D3 3D D3, the vector, 4 B BE CRC-32 of (magic+vector)."""
+    import zlib
+
+    body = b"\xd1\xd3\x3d\xd3" + bitmap
+    return (struct.pack(">I", len(body)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+
+def _write_puffin(spark, path: str, dvs: list[tuple[str, list[int]]],
+                  snapshot_id: int, seq: int) -> list[tuple[str, int, int, int]]:
+    """One Puffin file holding a deletion-vector-v1 blob per entry of
+    ``dvs`` [(referenced data file URI, positions)].  Returns
+    [(ref_uri, content_offset, content_size, cardinality)] for the
+    manifest, and writes a spec-correct footer (Magic | JSON payload |
+    payload size LE | 4 flag bytes | Magic)."""
+    out = bytearray(b"PFA1")
+    blobs_meta, locs = [], []
+    for ref_uri, positions in dvs:
+        blob = _dv_blob(_jvm_roaring64_portable(spark, positions))
+        blobs_meta.append({
+            "type": "deletion-vector-v1",
+            "fields": [],
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "offset": len(out),
+            "length": len(blob),
+            "properties": {
+                "referenced-data-file": ref_uri,
+                "cardinality": str(len(positions)),
+            },
+        })
+        locs.append((ref_uri, len(out), len(blob), len(positions)))
+        out += blob
+    payload = json.dumps({
+        "blobs": blobs_meta,
+        "properties": {"created-by": "iceberg-v3-fixture"},
+    }).encode("utf-8")
+    out += b"PFA1" + payload + struct.pack("<I", len(payload))
+    out += b"\x00\x00\x00\x00PFA1"
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return locs
+
+
+def _schema_json_v3() -> str:
+    fid, name, typ, default = _V3_DEFAULT_COL
+    fields = [
+        {"id": f, "name": n, "required": False, "type": t}
+        for f, n, t, _ in _FIELDS
+    ]
+    fields.append({"id": fid, "name": name, "required": False, "type": typ,
+                   "initial-default": default, "write-default": default})
+    return json.dumps({"type": "struct", "schema-id": 0, "fields": fields})
+
+
+def write_iceberg_v3_fixture(spark, local_dir: str,
+                             source_rows: list[dict],
+                             delete_mod: int = 7) -> dict:
+    """Write a genuine Iceberg **v3** table under ``local_dir``:
+
+    - deletes are **deletion vectors**: one Puffin file, one
+      ``deletion-vector-v1`` blob per data file, bitmaps serialized by
+      the JVM's reference RoaringBitmap in portable format, manifest
+      delete entries carrying ``referenced_data_file`` /
+      ``content_offset`` / ``content_size_in_bytes`` with
+      ``file_format = PUFFIN``;
+    - **row lineage**: explicit ``first_row_id`` per data file
+      (0, |file0|, ...), ``next-row-id`` in the table metadata and
+      ``first-row-id`` on the snapshot;
+    - a **defaulted column**: field 5 ``tier string`` carries
+      ``initial-default = 'STANDARD'`` and is NOT present in the
+      parquet files — adopted rows must surface the default.
+
+    Live content is ``WHERE custkey % delete_mod <> 0`` with
+    ``tier = 'STANDARD'`` everywhere (the DuckDB-oracle view).
+    """
+    av = _AvroJvm(spark)
+    rec_loc = "s3://demo-warehouse/demo/adopt_tbl_v3"
+    meta_dir = os.path.join(local_dir, "metadata")
+    data_dir = os.path.join(local_dir, "data")
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    groups = [
+        sorted((r for r in source_rows if r["custkey"] % 2 == 0),
+               key=lambda r: r["custkey"]),
+        sorted((r for r in source_rows if r["custkey"] % 2 == 1),
+               key=lambda r: r["custkey"]),
+    ]
+    groups = [g for g in groups if g]
+    entry_schema = av.parse(json.dumps(_manifest_entry_schema_v3()))
+    snapshot_id = 5353535353
+    seq = 1
+
+    data_entries = []
+    dv_specs: list[tuple[str, list[int]]] = []
+    first_row = 0
+    deleted = 0
+    for i, rows in enumerate(groups):
+        fname = f"part-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        fpath = os.path.join(data_dir, fname)
+        _write_data_file(fpath, rows)
+        lo = [(fid, _bytes_json(enc(min(r[name] for r in rows))))
+              for fid, name, _, enc in _FIELDS]
+        hi = [(fid, _bytes_json(enc(max(r[name] for r in rows))))
+              for fid, name, _, enc in _FIELDS]
+        data_entries.append(json.dumps({
+            "status": 1,
+            "snapshot_id": _u("long", snapshot_id),
+            "sequence_number": _u("long", seq),
+            "file_sequence_number": _u("long", seq),
+            "data_file": {
+                "content": 0,
+                "file_path": f"{rec_loc}/data/{fname}",
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(rows),
+                "file_size_in_bytes": os.path.getsize(fpath),
+                "null_value_counts": _int_map_json(
+                    [(fid, 0) for fid, *_ in _FIELDS]),
+                "lower_bounds": _int_map_json(lo),
+                "upper_bounds": _int_map_json(hi),
+                "first_row_id": _u("long", first_row),
+                "referenced_data_file": None,
+                "content_offset": None,
+                "content_size_in_bytes": None,
+            }}))
+        first_row += len(rows)
+        dels = [pos for pos, r in enumerate(rows)
+                if r["custkey"] % delete_mod == 0]
+        if dels:
+            dv_specs.append((f"{rec_loc}/data/{fname}", dels))
+            deleted += len(dels)
+
+    delete_entries = []
+    if dv_specs:
+        puf_name = f"deletes-{uuid.uuid4().hex[:8]}.puffin"
+        puf_path = os.path.join(data_dir, puf_name)
+        locs = _write_puffin(spark, puf_path, dv_specs, snapshot_id, seq)
+        puf_size = os.path.getsize(puf_path)
+        for ref_uri, off, size, card in locs:
+            delete_entries.append(json.dumps({
+                "status": 1,
+                "snapshot_id": _u("long", snapshot_id),
+                "sequence_number": _u("long", seq),
+                "file_sequence_number": _u("long", seq),
+                "data_file": {
+                    "content": 1,
+                    "file_path": f"{rec_loc}/data/{puf_name}",
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": card,
+                    "file_size_in_bytes": puf_size,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "first_row_id": None,
+                    "referenced_data_file": _u("string", ref_uri),
+                    "content_offset": _u("long", off),
+                    "content_size_in_bytes": _u("long", size),
+                }}))
+
+    man_meta = {
+        "schema": _schema_json_v3(),
+        "partition-spec": "[]",
+        "partition-spec-id": "0",
+        "format-version": "3",
+    }
+    data_man = f"manifest-data-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, data_man), entry_schema,
+                 data_entries, {**man_meta, "content": "data"},
+                 deflate=True)
+    manifests = [(data_man, 0, len(data_entries),
+                  sum(len(g) for g in groups))]
+    if delete_entries:
+        del_man = f"manifest-deletes-{uuid.uuid4().hex[:8]}.avro"
+        av.write_ocf(os.path.join(meta_dir, del_man), entry_schema,
+                     delete_entries, {**man_meta, "content": "deletes"})
+        manifests.append((del_man, 1, len(delete_entries), deleted))
+
+    ml_schema = av.parse(json.dumps(_MANIFEST_LIST_SCHEMA))
+    ml_entries = []
+    for fname, content, n_files, n_rows in manifests:
+        ml_entries.append(json.dumps({
+            "manifest_path": f"{rec_loc}/metadata/{fname}",
+            "manifest_length":
+                os.path.getsize(os.path.join(meta_dir, fname)),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": n_files,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }))
+    ml_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, ml_name), ml_schema, ml_entries,
+                 {"format-version": "3"})
+
+    now = int(time.time() * 1000)
+    total_rows = sum(len(g) for g in groups)
+    meta = {
+        "format-version": 3,
+        "table-uuid": str(uuid.uuid4()),
+        "location": rec_loc,
+        "last-sequence-number": seq,
+        "last-updated-ms": now,
+        "last-column-id": _V3_DEFAULT_COL[0],
+        "current-schema-id": 0,
+        "schemas": [json.loads(_schema_json_v3())],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "next-row-id": total_rows,
+        "current-snapshot-id": snapshot_id,
+        "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+        "snapshots": [{
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "first-row-id": 0,
+            "added-rows": total_rows,
+            "summary": {"operation": "append"},
+            "manifest-list": f"{rec_loc}/metadata/{ml_name}",
+            "schema-id": 0,
+        }],
+        "snapshot-log": [{"snapshot-id": snapshot_id, "timestamp-ms": now}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    live = total_rows - deleted
+    return {"location": local_dir, "recorded_location": rec_loc,
+            "live_rows": live, "deleted": deleted,
+            "next_row_id": total_rows}

@@ -120,12 +120,27 @@ def _clone_with_metadata_edit(src: str, dst: str, edit) -> str:
     return dst
 
 
-def test_refuses_v3(spark, fixture_dir, tmp_path):
+def test_refuses_v4(spark, fixture_dir, tmp_path):
+    """v1/v2/v3 adopt; a LATER format version still refuses loudly."""
     loc = _clone_with_metadata_edit(
-        fixture_dir, str(tmp_path / "v3"),
-        lambda d: d.__setitem__("format-version", 3))
-    with pytest.raises(ic.IcebergAdoptionError, match="format-version 3"):
+        fixture_dir, str(tmp_path / "v4"),
+        lambda d: d.__setitem__("format-version", 4))
+    with pytest.raises(ic.IcebergAdoptionError, match="format-version 4"):
         ic.load_iceberg_table(loc)
+
+
+def test_v2_upgraded_to_v3_adopts(spark, fixture_dir, tmp_path):
+    """A v2 table whose metadata was upgraded in place to format-version
+    3 (parquet position deletes still present — legal for upgraded
+    tables) adopts exactly like the v2 original (r11: the old loud
+    v3 refusal is gone)."""
+    loc = _clone_with_metadata_edit(
+        fixture_dir, str(tmp_path / "v3up"),
+        lambda d: d.__setitem__("format-version", 3))
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_v3up"), loc)
+    assert t.df().count() == 100 - len(
+        [i for i in range(1, 101) if i % 7 == 0])
+    assert t.meta.properties["adopted_iceberg_format_version"] == "3"
 
 
 def test_refuses_equality_deletes(spark, fixture_dir, tmp_path):
@@ -481,3 +496,157 @@ def test_export_roundtrip(spark, tmp_path, sf_dir):
     t2.add_column("payload", "variant", default=None)
     with pytest.raises(IcebergExportError, match="variant"):
         export_iceberg_metadata(t2, str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v3: deletion vectors (puffin), row lineage, column defaults
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def v3_fixture_dir(spark, tmp_path_factory):
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        write_iceberg_v3_fixture,
+    )
+
+    loc = str(tmp_path_factory.mktemp("ice_genuine_v3"))
+    out = write_iceberg_v3_fixture(spark, loc, _rows(), delete_mod=7)
+    assert out["live_rows"] == 100 - len(
+        [i for i in range(1, 101) if i % 7 == 0])
+    return loc
+
+
+def test_roaring64_decoder_vs_reference_encoder(spark):
+    """The pure-Python portable-roaring64 decoder must agree with the
+    REFERENCE Java RoaringBitmap encoder (bundled with Spark) across
+    every container kind: array, bitmap (cardinality > 4096), run
+    (runOptimize), multiple high-32 buckets — both optimized and not."""
+    import random
+
+    from iceberg_trino_sql_demo_spark.sources.puffin import (
+        read_portable_roaring64,
+    )
+
+    jvm = spark._jvm
+    rng = random.Random(7)
+
+    def reference_bytes(vals, optimize):
+        rm = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+        for v in vals:
+            rm.addLong(v)
+        if optimize:
+            rm.runOptimize()
+        baos = jvm.java.io.ByteArrayOutputStream()
+        dos = jvm.java.io.DataOutputStream(baos)
+        rm.serializePortable(dos)
+        dos.flush()
+        return bytes(baos.toByteArray())
+
+    cases = {
+        "array": [1, 5, 9, 100, 65535],
+        "buckets": [3, 2 ** 32 + 7, 2 ** 33 + 1, 2 ** 40 + 123456],
+        "bitmap": sorted(rng.sample(range(65536), 8000)),
+        "runs": list(range(1000, 3001)) + list(range(70000, 70100)),
+        "mixed": sorted(set(rng.sample(range(2 ** 20), 5000))
+                        | {2 ** 35 + i for i in range(300)}),
+    }
+    for name, vals in cases.items():
+        for opt in (False, True):
+            got = read_portable_roaring64(reference_bytes(vals, opt))
+            assert got == sorted(set(vals)), (name, opt)
+
+
+def test_v3_load_and_adopt(spark, v3_fixture_dir, tmp_path):
+    """Full v3 adoption: DVs decoded from puffin into the engine's
+    consolidated-DV entry, row lineage carried verbatim, the defaulted
+    column surfaced on every (pre-column) row."""
+    info = ic.load_iceberg_table(v3_fixture_dir)
+    assert len(info["deletion_vectors"]) == 2
+    assert not info["position_deletes"]
+    assert info["next_row_id"] == 100
+    assert sorted(f["first_row_id"] for f in info["data_files"]) == [0, 50]
+    # the defaulted column parsed with its default
+    tier = next(f for f in info["schema"] if f.name == "tier")
+    assert tier.initial_default == "STANDARD"
+
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_v3"),
+                               v3_fixture_dir)
+    # the adopted delete entry is the engine's own DV form
+    man = t._manifest(t._resolve())
+    assert [d.content for d in man.delete_files] == ["dv"]
+    assert man.delete_files[0].index_path
+    # values: deletes applied, default filled
+    rows = {r.custkey: r for r in t.df().collect()}
+    assert set(rows) == {i for i in range(1, 101) if i % 7 != 0}
+    assert {r.tier for r in rows.values()} == {"STANDARD"}
+    # row lineage: _row_id == file first_row_id + position; the fixture
+    # packs evens (positions by custkey rank) at first_row_id 0 and
+    # odds at 50
+    lin = {r.custkey: r._row_id
+           for r in t.df(hidden=True).select("custkey", "_row_id").collect()}
+    evens = sorted(i for i in range(1, 101) if i % 2 == 0)
+    odds = sorted(i for i in range(1, 101) if i % 2 == 1)
+    for ck, rid in lin.items():
+        want = (evens.index(ck) if ck % 2 == 0 else 50 + odds.index(ck))
+        assert rid == want, (ck, rid, want)
+    # engine row-id counter seeded past the source's assignments
+    assert t.meta.next_row_id >= 100
+    # metadata-plane bookkeeping survived
+    assert t.meta.properties["adopted_iceberg_format_version"] == "3"
+
+
+def test_v3_insert_after_adoption_extends_lineage(spark, v3_fixture_dir,
+                                                  tmp_path):
+    """Engine DML on top of an adopted v3 table assigns fresh row ids
+    PAST the source's next-row-id — carried and engine lineage ranges
+    never collide."""
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_v3b"),
+                               v3_fixture_dir)
+    t.insert([{"custkey": 9001, "name": "new", "mktsegment": "AUTO",
+               "acctbal": 1.0, "tier": "GOLD"}])
+    lin = {r.custkey: r._row_id
+           for r in t.df(hidden=True).select("custkey", "_row_id").collect()}
+    assert lin[9001] >= 100          # fresh range starts past source ids
+    assert len(set(lin.values())) == len(lin)  # all row ids distinct
+
+
+def test_v3_dv_corruption_refused(spark, v3_fixture_dir, tmp_path):
+    """A flipped byte inside the DV blob fails the CRC check loudly —
+    never a silently-wrong delete set."""
+    import glob
+
+    from iceberg_trino_sql_demo_spark.sources.puffin import PuffinError
+
+    loc = str(tmp_path / "v3corrupt")
+    shutil.copytree(v3_fixture_dir, loc)
+    [puf] = glob.glob(os.path.join(loc, "data", "*.puffin"))
+    with open(puf, "r+b") as fh:
+        fh.seek(20)  # inside the first blob's bitmap payload
+        b = fh.read(1)
+        fh.seek(20)
+        fh.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(PuffinError):
+        ic.adopt_iceberg_table(spark, str(tmp_path / "eng_corrupt"), loc)
+    # failed adoption leaves no engine dir (same guarantee as v2 path)
+    assert not os.path.exists(str(tmp_path / "eng_corrupt"))
+
+
+def test_v3_puffin_footer_parses(spark, v3_fixture_dir):
+    """The fixture's footer is spec-shaped and the reader's footer path
+    (inspection, not the manifest-addressed hot path) agrees with the
+    manifest locators."""
+    import glob
+
+    from iceberg_trino_sql_demo_spark.sources.puffin import (
+        read_puffin_footer,
+    )
+
+    [puf] = glob.glob(os.path.join(v3_fixture_dir, "data", "*.puffin"))
+    footer = read_puffin_footer(puf)
+    blobs = footer["blobs"]
+    assert [b["type"] for b in blobs] == ["deletion-vector-v1"] * 2
+    info = ic.load_iceberg_table(v3_fixture_dir)
+    locs = {(d["content_offset"], d["content_size_in_bytes"])
+            for d in info["deletion_vectors"]}
+    assert {(b["offset"], b["length"]) for b in blobs} == locs
+    assert all("referenced-data-file" in b["properties"] for b in blobs)
