@@ -1,0 +1,166 @@
+"""Federation-plane scaling: measured live-JDBC read/write throughput
+(VERDICT r10 #7).
+
+Publishes the sf0.1 orders table (~150k rows) into an embedded Derby
+database, then measures:
+
+- writeback throughput (Spark JDBC sink, the publish_to_jdbc path);
+- single-stream read (the default JDBCRelation: ONE connection, one
+  task — the shape that silently serializes a big dimension load);
+- partitioned parallel read (partitionColumn/numPartitions bounds —
+  N concurrent connections, N tasks);
+- filter pushdown: a predicated read's latency vs the full scan, plus
+  the scan plan's PushedFilters line as the pinned evidence that the
+  predicate executed in the DATABASE, not in Spark.
+
+Owns the "## Federation plane (live JDBC)" section of SCALING.md
+(scaling_bench.py preserves it as a foreign head).  Run solo — wall
+times on a contended box are noise.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SECTION_HEAD = "## Federation plane (live JDBC)"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.session import get_spark, table_path
+    from iceberg_trino_sql_demo_spark.sources.jdbc_fed import (
+        DERBY_DRIVER, derby_url, publish_tables,
+    )
+
+    spark = get_spark("jdbc_scaling")
+    orders = spark.read.parquet(table_path(SF_DIR, "orders"))
+    n_rows = orders.count()
+    db_dir = os.path.join(tempfile.mkdtemp(prefix="derby_scale_"), "db")
+    url = derby_url(db_dir)
+
+    t0 = time.perf_counter()
+    publish_tables(spark, url, {"orders": orders})
+    t_write = time.perf_counter() - t0
+
+    def reader(**opts):
+        r = (spark.read.format("jdbc")
+             .option("url", url)
+             .option("dbtable", "orders")
+             .option("driver", DERBY_DRIVER))
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    bounds = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).head()
+    lo, hi = int(bounds[0]), int(bounds[1])
+
+    def timed_count(df):
+        best = None
+        for _ in range(3):
+            t = time.perf_counter()
+            assert df.count() == n_rows
+            el = time.perf_counter() - t
+            best = el if best is None else min(best, el)
+        return best
+
+    t_single = timed_count(reader())
+    par_times = {}
+    for n in (4, 8):
+        par_times[n] = timed_count(reader(
+            partitionColumn="o_orderkey", lowerBound=lo, upperBound=hi,
+            numPartitions=n))
+
+    # pushdown: predicated point read vs the full single-stream scan
+    probe = reader().where(F.col("o_orderkey") == lo + 7).select("o_orderkey")
+    t = time.perf_counter()
+    probe.collect()
+    t_push = time.perf_counter() - t
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PushedFilters: \[[^\]]*\]", plan)
+    pushed = m.group(0) if m else "PushedFilters: (none!)"
+    assert "EqualTo(o_orderkey" in pushed, plan
+
+    result = {
+        "rows": n_rows,
+        "write_s": round(t_write, 2),
+        "write_rows_s": int(n_rows / t_write),
+        "read_single_s": round(t_single, 2),
+        "read_single_rows_s": int(n_rows / t_single),
+        "read_par": {
+            n: {"s": round(el, 2), "rows_s": int(n_rows / el),
+                "speedup": round(t_single / el, 2)}
+            for n, el in par_times.items()
+        },
+        "pushdown_point_read_s": round(t_push, 3),
+        "pushed_filters": pushed,
+    }
+    write_section(result)
+    spark.stop()
+    print(json.dumps({"metric": "jdbc_federation_plane", **result}))
+
+
+def write_section(r: dict) -> None:
+    lines = [
+        SECTION_HEAD,
+        "",
+        "Measured by `scripts/jdbc_scaling.py` (solo run; embedded Derby —",
+        "single-JVM, so parallel-read speedups are bounded by one disk and",
+        "one buffer pool; a server database gives independent backends).",
+        f"Dataset: sf0.1 orders, {r['rows']:,} rows.",
+        "",
+        "| path | time (s) | rows/s | vs single-stream |",
+        "|---|---|---|---|",
+        f"| JDBC writeback (publish_to_jdbc) | {r['write_s']} | "
+        f"{r['write_rows_s']:,} | — |",
+        f"| read, single stream (default JDBCRelation) | "
+        f"{r['read_single_s']} | {r['read_single_rows_s']:,} | 1.0x |",
+    ]
+    for n, d in sorted(r["read_par"].items()):
+        lines.append(
+            f"| read, {n}-way partitionColumn bounds | {d['s']} | "
+            f"{d['rows_s']:,} | {d['speedup']}x |")
+    lines += [
+        "",
+        f"Filter pushdown (pinned): a point read returns in "
+        f"{r['pushdown_point_read_s']} s against a "
+        f"{r['read_single_s']} s full scan because the predicate executes "
+        "in the DATABASE — the scan plan reads:",
+        "",
+        "```",
+        r["pushed_filters"],
+        "```",
+        "",
+        "At 100 TB the federation pattern stays dimension-sided (facts in",
+        "the lakehouse, dims behind JDBC): predicates ship to the database",
+        "and only filtered dimension rows travel; a big dimension load uses",
+        "the partitioned bounds so N executor connections stream in",
+        "parallel instead of one task pulling the whole table.",
+        "",
+    ]
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.md")
+    with open(path) as fh:
+        doc = fh.read()
+    block = "\n".join(lines)
+    if SECTION_HEAD in doc:
+        start = doc.index(SECTION_HEAD)
+        nxt = doc.find("\n## ", start + 1)
+        end = len(doc) if nxt == -1 else nxt + 1
+        doc = doc[:start] + block + doc[end:]
+    else:
+        doc = doc.rstrip() + "\n\n" + block
+    with open(path, "w") as fh:
+        fh.write(doc)
+
+
+if __name__ == "__main__":
+    main()

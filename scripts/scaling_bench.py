@@ -290,6 +290,8 @@ def write_scaling_md(results: list[dict]) -> None:
             "## Commit chain",
             "## Reader throughput",
             "## Maintenance plane",
+            "## Adoption plane",
+            "## Federation plane",
         ]
         first = min(
             (old.index(h) for h in foreign_heads if h in old), default=None
