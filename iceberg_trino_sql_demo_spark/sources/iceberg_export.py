@@ -127,14 +127,72 @@ def _file_uri(path: str) -> str:
     return f"file://{p}"
 
 
-def export_iceberg_metadata(table, dest: str, ref: str = "main") -> str:
-    """Write genuine Iceberg v2 metadata for ``table``'s current ``ref``
+def _live_tombstones(manifest) -> dict[str, set[int]]:
+    """Plain data-file path -> merged set of deleted positions, across
+    both engine tombstone forms (position-delete parquet and the
+    consolidated-DV pack+index).  O(live tombstones), metadata-plane."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for d in manifest.delete_files:
+        if d.content == "position":
+            tbl = pq.read_table(d.path, columns=["file_path", "pos"])
+            for p, pos in zip(tbl.column("file_path").to_pylist(),
+                              tbl.column("pos").to_pylist()):
+                out.setdefault(p.replace("file:", "", 1), set()).add(
+                    int(pos))
+        elif d.content == "dv":
+            idx = pq.read_table(
+                d.index_path,
+                columns=["file_path", "offset", "length", "count"])
+            with open(d.path, "rb") as fh:
+                for p, off, ln, cnt in zip(
+                        idx.column("file_path").to_pylist(),
+                        idx.column("offset").to_pylist(),
+                        idx.column("length").to_pylist(),
+                        idx.column("count").to_pylist()):
+                    fh.seek(int(off))
+                    raw = pa.decompress(
+                        fh.read(int(ln)), decompressed_size=int(cnt) * 8,
+                        codec="zstd", asbytes=True)
+                    import numpy as np
+
+                    pos = np.frombuffer(raw, dtype="<u8")
+                    out.setdefault(
+                        p.replace("file:", "", 1), set()).update(
+                        int(x) for x in pos)
+        else:  # pragma: no cover — guarded by the caller's scope check
+            raise IcebergExportError(
+                f"unexpected delete content {d.content!r}")
+    return out
+
+
+def export_iceberg_metadata(table, dest: str, ref: str = "main",
+                            format_version: int = 2) -> str:
+    """Write genuine Iceberg metadata for ``table``'s current ``ref``
     snapshot under ``dest`` (data files referenced in place).  Returns
-    the path of the written ``v1.metadata.json``."""
+    the path of the written ``v1.metadata.json``.
+
+    ``format_version=2`` (default) rewrites engine position deletes as
+    spec position-delete parquet; engine consolidated-DV entries refuse
+    (rewrite first, or export v3).  ``format_version=3`` exports EVERY
+    engine tombstone form as spec **deletion vectors**: live positions
+    group per data file, each file's bitmap is serialized by the JVM's
+    reference RoaringBitmap (portable format) and wrapped as a puffin
+    ``deletion-vector-v1`` blob with manifest locators — plus v3 row
+    lineage (per-file ``first_row_id``, table ``next-row-id``) and
+    column ``initial-default``s in the schema JSON."""
     from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
         _MANIFEST_LIST_SCHEMA, _bytes_json, _int_map_json,
-        _manifest_entry_schema, _u, _AvroJvm,
+        _manifest_entry_schema, _manifest_entry_schema_v3, _u, _AvroJvm,
+        _write_puffin,
     )
+
+    if format_version not in (2, 3):
+        raise IcebergExportError(
+            f"format_version {format_version} not exportable (2 or 3)")
+    v3 = format_version == 3
 
     meta = table.meta
     # -- loud scope checks --------------------------------------------
@@ -145,23 +203,41 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main") -> str:
             "has no field-id metadata, so external name-based readers "
             "would resolve the wrong column — rewrite data first "
             "(optimize) to materialize current names")
-    ice_fields = [
-        {"id": f.id, "name": f.name, "required": False,
-         "type": _ddl_to_iceberg(f.type)}
-        for f in meta.schema.fields
-    ]
+    ice_fields = []
+    for f in meta.schema.fields:
+        fd = {"id": f.id, "name": f.name, "required": False,
+              "type": _ddl_to_iceberg(f.type)}
+        for attr, key in (("initial_default", "initial-default"),
+                          ("write_default", "write-default")):
+            v = getattr(f, attr, None)
+            if v is None:
+                continue
+            if not v3:
+                raise IcebergExportError(
+                    f"column {f.name!r} carries a default — defaults "
+                    "are an Iceberg v3 feature; export with "
+                    "format_version=3")
+            if not isinstance(v, (int, float, str, bool)):
+                raise IcebergExportError(
+                    f"column {f.name!r} default of type "
+                    f"{type(v).__name__} has no JSON single-value form")
+            fd[key] = v
+        ice_fields.append(fd)
     _assign_nested_ids(ice_fields, meta.last_column_id)
     snap = table._resolve(ref)
     if snap is None:
         raise IcebergExportError(f"ref {ref!r} has no snapshot to export")
     manifest = table._manifest(snap)
+    ok_contents = ("position", "dv") if v3 else ("position",)
     bad = [d.content for d in manifest.delete_files
-           if d.content not in ("position",)]
+           if d.content not in ok_contents]
     if bad:
         raise IcebergExportError(
             f"delete files of content {sorted(set(bad))} are engine-side "
-            "forms; run rewrite_equality_deletes / rewrite the DV pack "
-            "into position deletes before exporting")
+            "forms; run rewrite_equality_deletes first"
+            + ("" if v3 else " (or export format_version=3, which "
+               "emits consolidated-DV entries as puffin deletion "
+               "vectors)"))
 
     av = _AvroJvm(table.spark)
     meta_dir = os.path.join(dest, "metadata")
@@ -170,7 +246,9 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main") -> str:
     ddl_by_id = {f.id: f.type for f in meta.schema.fields}
 
     # -- data manifest --------------------------------------------------
-    entry_schema = av.parse(json.dumps(_manifest_entry_schema(False)))
+    entry_schema = av.parse(json.dumps(
+        _manifest_entry_schema_v3() if v3
+        else _manifest_entry_schema(False)))
     snapshot_id = int(snap.snapshot_id)
     seq = max(1, int(snap.sequence_number))
     data_entries = []
@@ -192,29 +270,39 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main") -> str:
                 hi.append((fid, _bytes_json(b_hi)))
             if cs.get("nulls") is not None:
                 nulls.append((fid, int(cs["nulls"])))
+        data_file_doc = {
+            "content": 0,
+            "file_path": _file_uri(df.path),
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": int(df.record_count),
+            "file_size_in_bytes": int(df.file_size_bytes),
+            "null_value_counts":
+                _int_map_json(nulls) if nulls else None,
+            "lower_bounds": _int_map_json(lo) if lo else None,
+            "upper_bounds": _int_map_json(hi) if hi else None,
+        }
+        if v3:
+            data_file_doc.update({
+                # row lineage: engine-assigned ranges export verbatim
+                "first_row_id": (_u("long", int(df.first_row_id))
+                                 if df.first_row_id >= 0 else None),
+                "referenced_data_file": None,
+                "content_offset": None,
+                "content_size_in_bytes": None,
+            })
         data_entries.append(json.dumps({
             "status": 1,
             "snapshot_id": _u("long", snapshot_id),
             "sequence_number": _u("long", max(1, df.sequence_number)),
             "file_sequence_number": _u("long", max(1, df.sequence_number)),
-            "data_file": {
-                "content": 0,
-                "file_path": _file_uri(df.path),
-                "file_format": "PARQUET",
-                "partition": {},
-                "record_count": int(df.record_count),
-                "file_size_in_bytes": int(df.file_size_bytes),
-                "null_value_counts":
-                    _int_map_json(nulls) if nulls else None,
-                "lower_bounds": _int_map_json(lo) if lo else None,
-                "upper_bounds": _int_map_json(hi) if hi else None,
-            }}))
+            "data_file": data_file_doc}))
     man_meta = {
         "schema": json.dumps({"type": "struct", "schema-id": 0,
                               "fields": ice_fields}),
         "partition-spec": "[]",
         "partition-spec-id": "0",
-        "format-version": "2",
+        "format-version": str(format_version),
     }
     manifests = []
     if data_entries:
@@ -225,10 +313,50 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main") -> str:
         manifests.append((data_man, 0, len(data_entries),
                           sum(int(d.record_count) for d in data_files)))
 
-    # -- position deletes (rewritten to the exported URI form) ----------
+    # -- deletes ---------------------------------------------------------
     del_entries = []
     n_del_rows = 0
-    for d in manifest.delete_files:
+    if v3 and manifest.delete_files:
+        # v3: every engine tombstone form (position parquet AND the
+        # engine's consolidated-DV packs) exports as spec deletion
+        # vectors — live positions merged per data file, one puffin
+        # blob per file, bitmaps serialized by the JVM's reference
+        # RoaringBitmap (same genuineness rule as the Avro manifests)
+        tomb = _live_tombstones(manifest)
+        if tomb:
+            os.makedirs(data_dir, exist_ok=True)
+            dv_specs = [
+                (_file_uri(p), sorted(pos)) for p, pos in
+                sorted(tomb.items())
+            ]
+            puf_name = f"export-deletes-{uuid.uuid4().hex[:8]}.puffin"
+            puf_path = os.path.join(data_dir, puf_name)
+            locs = _write_puffin(table.spark, puf_path, dv_specs,
+                                 snapshot_id, seq)
+            puf_size = os.path.getsize(puf_path)
+            for ref_uri, off, size, card in locs:
+                n_del_rows += card
+                del_entries.append(json.dumps({
+                    "status": 1,
+                    "snapshot_id": _u("long", snapshot_id),
+                    "sequence_number": _u("long", seq),
+                    "file_sequence_number": _u("long", seq),
+                    "data_file": {
+                        "content": 1,
+                        "file_path": _file_uri(puf_path),
+                        "file_format": "PUFFIN",
+                        "partition": {},
+                        "record_count": card,
+                        "file_size_in_bytes": puf_size,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "first_row_id": None,
+                        "referenced_data_file": _u("string", ref_uri),
+                        "content_offset": _u("long", off),
+                        "content_size_in_bytes": _u("long", size),
+                    }}))
+    for d in ([] if v3 else manifest.delete_files):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -289,10 +417,10 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main") -> str:
     }) for fn, content, n_files, n_rows in manifests]
     ml = f"snap-{snapshot_id}-1-{uuid.uuid4().hex[:8]}.avro"
     av.write_ocf(os.path.join(meta_dir, ml), ml_schema, ml_rows,
-                 {"format-version": "2"})
+                 {"format-version": str(format_version)})
     now = int(time.time() * 1000)
     doc = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": meta.table_uuid,
         "location": _file_uri(dest),
         "last-sequence-number": seq,
@@ -309,12 +437,14 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main") -> str:
         "properties": {"write.format.default": "parquet",
                        "exported-by": "iceberg_trino_sql_demo_spark",
                        "exported-engine-snapshot": str(snapshot_id)},
+        **({"next-row-id": int(meta.next_row_id)} if v3 else {}),
         "current-snapshot-id": snapshot_id,
         "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
         "snapshots": [{
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
             "timestamp-ms": now,
+            **({"first-row-id": 0} if v3 else {}),
             "summary": {"operation": "append"},
             "manifest-list": _file_uri(os.path.join(meta_dir, ml)),
             "schema-id": 0,

@@ -650,3 +650,66 @@ def test_v3_puffin_footer_parses(spark, v3_fixture_dir):
             for d in info["deletion_vectors"]}
     assert {(b["offset"], b["length"]) for b in blobs} == locs
     assert all("referenced-data-file" in b["properties"] for b in blobs)
+
+def test_export_v3_roundtrip(spark, tmp_path, sf_dir):
+    """Reverse interop at v3: export an engine table whose tombstones
+    live in BOTH engine forms (raw MoR position deletes + a
+    consolidated DV pack) as genuine Iceberg v3 — deletes become puffin
+    deletion-vector-v1 blobs (reference-encoded bitmaps), row lineage
+    exports verbatim, a defaulted column lands in the schema JSON —
+    then RE-ADOPT through the independent v3 reader: values, lineage
+    and the default all survive."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        IcebergExportError, export_iceberg_metadata,
+    )
+    from iceberg_trino_sql_demo_spark.sources.puffin import (
+        read_puffin_footer,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh3"))
+    cat.create_schema("ex3")
+    cat.use("ex3")
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    t = cat.ctas("nation_v3", src,
+                 properties={"merge_mode": "merge-on-read"})
+    t.delete("n_nationkey % 5 = 2")
+    t.rewrite_position_deletes()        # -> consolidated DV pack
+    t = t.refresh()
+    t.delete("n_nationkey % 7 = 3")     # -> fresh raw position delete
+    t.add_column("tier", "string", default="STANDARD")
+    t = t.refresh()
+    expect = sorted(tuple(r) for r in t.df().collect())
+    lineage = sorted(
+        tuple(r) for r in
+        t.df(hidden=True).select("n_nationkey", "_row_id").collect())
+
+    # v2 export refuses the DV entry, pointing at v3
+    with pytest.raises(IcebergExportError, match="format_version=3"):
+        export_iceberg_metadata(t, str(tmp_path / "no2"))
+
+    dest = str(tmp_path / "exported3")
+    out = export_iceberg_metadata(t, dest, format_version=3)
+    assert out.endswith("v1.metadata.json")
+    info = ic.load_iceberg_table(dest)
+    assert info["metadata"]["format-version"] == 3
+    assert info["deletion_vectors"] and not info["position_deletes"]
+    assert info["next_row_id"] == t.meta.next_row_id
+    tier = next(f for f in info["schema"] if f.name == "tier")
+    assert tier.initial_default == "STANDARD"
+    # puffin footer is spec-shaped and agrees with the manifest locators
+    import glob
+
+    [puf] = glob.glob(os.path.join(dest, "data", "*.puffin"))
+    blobs = read_puffin_footer(puf)["blobs"]
+    assert {(b["offset"], b["length"]) for b in blobs} == {
+        (d["content_offset"], d["content_size_in_bytes"])
+        for d in info["deletion_vectors"]}
+
+    back = ic.adopt_iceberg_table(spark, str(tmp_path / "readopt3"), dest)
+    got = sorted(tuple(r) for r in back.df().collect())
+    assert got == expect
+    got_lin = sorted(
+        tuple(r) for r in
+        back.df(hidden=True).select("n_nationkey", "_row_id").collect())
+    assert got_lin == lineage
