@@ -137,8 +137,27 @@ def write_md(rows: list[dict]) -> None:
         "|---|---|---|",
     ]
     for r in rows:
+        if "dv_positions" in r:
+            continue
         lines.append(
             f"| {r['n']:,} | {r['wall_s']} | {r['per_s']:,} |")
+    dv_rows = [r for r in rows if "dv_positions" in r]
+    if dv_rows:
+        lines += [
+            "",
+            "v3 deletion-vector decode (r11): puffin deletion-vector-v1",
+            "blobs — bitmaps written by the JVM's reference RoaringBitmap,",
+            "decoded by the pure-Python portable-roaring64 reader",
+            "(`sources/puffin.py`, CRC-verified).  Decode is O(live",
+            "tombstones) driver-side at adoption time, once.",
+            "",
+            "| DV blobs | positions | wall (s) | positions/s |",
+            "|---|---|---|---|",
+        ]
+        for r in dv_rows:
+            lines.append(
+                f"| {r['n_blobs']} | {r['dv_positions']:,} | "
+                f"{r['wall_s']} | {r['per_s']:,} |")
     lines.append("")
     block = "\n".join(lines)
     text = open(path).read() if os.path.exists(path) else "# SCALING\n\n"
@@ -171,6 +190,33 @@ def main() -> None:
             rows.append({"n": n, "wall_s": round(wall, 2),
                          "per_s": int(n / wall)})
             print(f"  n={n}: {rows[-1]}", file=sys.stderr)
+        # v3 DV decode throughput: 10 blobs x 100k positions, mixed
+        # container shapes (dense runs + sparse tails)
+        from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+            _write_puffin,
+        )
+        from iceberg_trino_sql_demo_spark.sources.puffin import (
+            read_deletion_vector,
+        )
+
+        n_blobs, per_blob = 10, 100_000
+        dvs = []
+        for b in range(n_blobs):
+            dense = list(range(b * 1000, b * 1000 + per_blob - 1000))
+            sparse = [2 ** 33 + b * 10 + i * 7919 for i in range(1000)]
+            dvs.append((f"s3://bench/data/f{b}.parquet", dense + sparse))
+        puf = os.path.join(base, "bench.puffin")
+        locs = _write_puffin(spark, puf, dvs, 777, 1)
+        t0 = time.perf_counter()
+        total = 0
+        for _, off, size, card in locs:
+            got = read_deletion_vector(puf, off, size)
+            assert len(got) == card
+            total += card
+        wall = time.perf_counter() - t0
+        rows.append({"n_blobs": n_blobs, "dv_positions": total,
+                     "wall_s": round(wall, 2), "per_s": int(total / wall)})
+        print(f"  dv: {rows[-1]}", file=sys.stderr)
         write_md(rows)
         print(json.dumps({"rows": rows}))
     finally:

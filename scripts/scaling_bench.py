@@ -220,6 +220,15 @@ def write_scaling_md(results: list[dict]) -> None:
         "trade of assignment cost against verify cost;",
         "`tests/test_scaling.py` asserts the n*cent_mod ceiling.",
         "",
+        "`ann_range_search`'s driver footprint is BOUNDED, not",
+        "corpus-proportional (r11): the probe-set collect sits behind a",
+        "LIMIT 4097, so driver/broadcast bytes cap at 4096 probes x 64",
+        "dims x 8 B = 2 MiB at ANY corpus size, and a probe set past the",
+        "cap refuses loudly (a corpus-scaled probe set is an all-pairs",
+        "workload — that's dedup_embedding_prefiltered / ann_knn_join).",
+        "tests/test_scaling.py::test_range_search_probe_collect_is_bounded",
+        "collect-spies the bound.",
+        "",
         "## What this harness caught (fixed before these numbers)",
         "",
         "Running it the first time falsified three scale claims that had",
