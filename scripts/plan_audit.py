@@ -36,6 +36,18 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "the region predicate is pushed into its parquet scan, and the "
         "customer scan is the only data-sized input — no shuffle joins.",
     ),
+    "federation_jdbc_agg": (
+        ["JDBCRelation", "BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"],
+        4,  # dim-side agg exchange + partial/final pair + broadcast
+        "LIVE federation (r11 pin): the fact side is a real JDBCRelation "
+        "scan — Spark's JDBC source, which ships WHERE filters and "
+        "column pruning to the database (PushedFilters/ReadSchema on "
+        "the scan; SCALING.md 'Federation plane' pins the pushed-filter "
+        "line and measures single-stream vs partitioned reads) — while "
+        "the filtered customer x nation dim broadcasts onto it, so only "
+        "pre-aggregated groups ever shuffle.",
+    ),
     "federation_agg": (
         ["BroadcastHashJoin", "HashAggregate"],
         ["SortMergeJoin", "CartesianProduct"],
