@@ -988,3 +988,119 @@ def test_prepare_execute_equals_inline(fuzz_eng, params, decoy):
     want = {tuple(r) for r in eng.sql(inline).collect()}
     assert got == want
     eng.sql("DEALLOCATE PREPARE q_fuzz")
+
+
+# ---------------------------------------------------------------------------
+# r11: stats-driven join-reorder fuzz — the frontend rewrite must be
+# SEMANTICS-PRESERVING on arbitrary flat inner chains
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def reorder_eng(spark, tmp_path_factory):
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("wh_rfuzz")))
+    eng.sql("CREATE SCHEMA rf")
+    eng.sql("USE rf")
+    sizes = {"ta": 400, "tb": 60, "tc": 9, "td": 150}
+    for nm, n in sizes.items():
+        eng.catalog.ctas(nm, spark.range(n).selectExpr(
+            "id AS k", "id % 7 AS k2", "id % 3 AS k3", "id * 2 AS v"))
+        eng.sql(f"ANALYZE {nm}")
+    return eng
+
+
+_JOIN_COLS = ["k", "k2", "k3"]
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_reorder_joins_preserves_semantics(reorder_eng, data):
+    """Property: for random flat INNER chains over ANALYZEd tables —
+    random alias order, random equi/OR ON conditions, random explicit
+    select lists — the reordered statement returns exactly the written
+    statement's multiset.  Pins the whole r11 guard set (projection
+    pinning, parenthesized ON merge) against the greedy's whole input
+    space rather than the hand-picked cases."""
+    eng = reorder_eng
+    tables = data.draw(st.permutations(["ta", "tb", "tc", "td"]))
+    n_tables = data.draw(st.integers(min_value=3, max_value=4))
+    tables = tables[:n_tables]
+    aliases = [f"x{i}" for i in range(n_tables)]
+
+    def cond(i: int) -> str:
+        # join i connects alias i to a random EARLIER alias on random
+        # columns; sometimes with a top-level OR of two equalities
+        j = data.draw(st.integers(min_value=0, max_value=i - 1))
+        c1 = data.draw(st.sampled_from(_JOIN_COLS))
+        c2 = data.draw(st.sampled_from(_JOIN_COLS))
+        base = f"{aliases[j]}.{c1} = {aliases[i]}.{c2}"
+        if data.draw(st.booleans()):
+            c3 = data.draw(st.sampled_from(_JOIN_COLS))
+            return f"{base} OR {aliases[j]}.{c3} = {aliases[i]}.{c3}"
+        return base
+
+    frm = f"FROM {tables[0]} {aliases[0]} " + " ".join(
+        f"join {tables[i]} {aliases[i]} on {cond(i)}"
+        for i in range(1, n_tables))
+    sel = ", ".join(
+        f"{a}.{data.draw(st.sampled_from(_JOIN_COLS + ['v']))} AS c{i}"
+        for i, a in enumerate(aliases))
+    q = f"SELECT {sel} {frm}"
+    rewritten = eng._reorder_joins(q)
+    if rewritten != q:
+        # every merged ON condition must be parenthesized
+        import re as _re
+
+        for on_body in _re.findall(r"\bon\b(.*?)(?=\bjoin\b|$)",
+                                   rewritten[rewritten.index("FROM"):],
+                                   _re.I | _re.S):
+            for part in on_body.split(" AND "):
+                p = part.strip()
+                assert p.startswith("(") and p.endswith(")"), rewritten
+    got = sorted(tuple(r) for r in eng.sql(q).collect())
+    # the ground truth bypasses the engine frontend entirely
+    spark = eng.spark
+    for nm in set(tables):
+        eng.catalog.table(nm).df().createOrReplaceTempView(f"__rf_{nm}")
+    truth_q = q
+    for nm in set(tables):
+        truth_q = truth_q.replace(f" {nm} ", f" __rf_{nm} ")
+    want = sorted(tuple(r) for r in spark.sql(truth_q).collect())
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_roaring64_decoder_property(spark, data):
+    """Property: ANY u64 set round-trips reference-JVM-encode ->
+    pure-Python-decode (sources/puffin.py), optimized or not.  Values
+    drawn to hit array, run, bitmap and multi-bucket container shapes."""
+    from iceberg_trino_sql_demo_spark.sources.puffin import (
+        read_portable_roaring64,
+    )
+
+    base = data.draw(st.lists(
+        st.integers(min_value=0, max_value=2 ** 63 - 1),
+        min_size=0, max_size=300))
+    # optionally graft a dense run to force run/bitmap containers
+    if data.draw(st.booleans()):
+        start = data.draw(st.integers(min_value=0, max_value=2 ** 40))
+        base += list(range(start, start + data.draw(
+            st.integers(min_value=1, max_value=5000))))
+    optimize = data.draw(st.booleans())
+    jvm = spark._jvm
+    rm = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    for v in base:
+        rm.addLong(v)
+    if optimize:
+        rm.runOptimize()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    dos = jvm.java.io.DataOutputStream(baos)
+    rm.serializePortable(dos)
+    dos.flush()
+    got = read_portable_roaring64(bytes(baos.toByteArray()))
+    assert got == sorted(set(base))
