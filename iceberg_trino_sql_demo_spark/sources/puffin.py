@@ -162,21 +162,37 @@ def read_deletion_vector(path: str, offset: int, size: int) -> list[int]:
 # ---------------------------------------------------------------------------
 
 def read_puffin_footer(path: str) -> dict:
-    """Parse a Puffin file's footer JSON ({"blobs": [...], ...}).  Only
-    uncompressed footers are supported — lz4 footer compression refuses
-    loudly (no lz4-frame codec is guaranteed in this sandbox)."""
+    """Parse a Puffin file's footer JSON ({"blobs": [...], ...}).
+    Handles both uncompressed footers and the spec's lz4 footer
+    compression (flag bit 0 of byte 0: a single LZ4 FRAME, which
+    pyarrow's bundled lz4 codec decodes — the frame header carries the
+    decompressed size)."""
     with open(path, "rb") as fh:
         data = fh.read()
     if data[:4] != PUFFIN_MAGIC or data[-4:] != PUFFIN_MAGIC:
         raise PuffinError(f"{path} lacks Puffin magic at head/tail")
     flags = data[-8:-4]
     (payload_size,) = struct.unpack_from("<I", data, len(data) - 12)
-    if flags[0] & 1:
-        raise PuffinError(
-            "lz4-compressed Puffin footer not supported (decoder reads "
-            "uncompressed footers; DV blobs themselves are still "
-            "readable straight from manifest offsets)")
     start = len(data) - 12 - payload_size
     if data[start - 4:start] != PUFFIN_MAGIC:
         raise PuffinError("footer-start magic missing (corrupt footer)")
-    return json.loads(data[start:len(data) - 12].decode("utf-8"))
+    payload = data[start:len(data) - 12]
+    if flags[0] & 1:
+        import pyarrow as pa
+
+        codec = pa.Codec("lz4")
+        if len(payload) >= 15 and payload[4] & 0x08:
+            # frame header carries the content size: exact decompress
+            (size,) = struct.unpack_from("<Q", payload, 6)
+            payload = codec.decompress(payload, size, asbytes=True)
+            return json.loads(payload.decode("utf-8"))
+        # no content size in the frame: decompress into a generous
+        # bound (lz4's max ratio is 255x; footers are KB-scale) — the
+        # output is prefix-correct with zero padding, and raw_decode
+        # stops exactly at the end of the footer's single JSON object
+        bound = max(4096, len(payload) * 255)
+        out = codec.decompress(payload, bound, asbytes=True)
+        obj, _ = json.JSONDecoder().raw_decode(
+            out.decode("utf-8", errors="replace"))
+        return obj
+    return json.loads(payload.decode("utf-8"))

@@ -713,3 +713,31 @@ def test_export_v3_roundtrip(spark, tmp_path, sf_dir):
         tuple(r) for r in
         back.df(hidden=True).select("n_nationkey", "_row_id").collect())
     assert got_lin == lineage
+
+def test_puffin_lz4_footer(spark, v3_fixture_dir, tmp_path):
+    """The spec's optional lz4 footer compression (flag bit 0): rewrite
+    the fixture's footer as a single LZ4 frame and the reader must
+    parse it identically; DV blob reads via manifest locators are
+    unaffected either way."""
+    import glob
+    import struct as _struct
+
+    import pyarrow as pa
+
+    from iceberg_trino_sql_demo_spark.sources.puffin import (
+        PUFFIN_MAGIC, read_puffin_footer,
+    )
+
+    [puf] = glob.glob(os.path.join(v3_fixture_dir, "data", "*.puffin"))
+    want = read_puffin_footer(puf)
+    data = open(puf, "rb").read()
+    (psize,) = _struct.unpack_from("<I", data, len(data) - 12)
+    start = len(data) - 12 - psize
+    payload = data[start:len(data) - 12]
+    comp = pa.Codec("lz4").compress(payload, asbytes=True)
+    out = (data[:start - 4] + PUFFIN_MAGIC + comp
+           + _struct.pack("<I", len(comp)) + b"\x01\x00\x00\x00"
+           + PUFFIN_MAGIC)
+    p2 = str(tmp_path / "lz4footer.puffin")
+    open(p2, "wb").write(out)
+    assert read_puffin_footer(p2) == want
