@@ -741,3 +741,27 @@ def test_puffin_lz4_footer(spark, v3_fixture_dir, tmp_path):
     p2 = str(tmp_path / "lz4footer.puffin")
     open(p2, "wb").write(out)
     assert read_puffin_footer(p2) == want
+
+def test_foreign_timestamp_ns_invariant(spark, tmp_path):
+    """The engine's `timestamp_ns` = long-nanos convention rests on a
+    Spark reader fact: parquet TIMESTAMP(NANOS) columns (what a real v3
+    writer emits for timestamp_ns) surface as LongType nanos-since-epoch
+    — NOT a truncated TimestampType — so a foreign v3 ts_ns column
+    adopts value-exact with no cast.  Pin the fact and the type mapping;
+    if a Spark upgrade changes the surfacing, this fails before a silent
+    precision bug ships."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "ns.parquet")
+    ns = [1700000000_123456789, 1700000001_000000001]
+    pq.write_table(pa.table({"ts": pa.array(ns, pa.timestamp("ns"))}), p)
+    df = spark.read.parquet(p)
+    assert df.schema["ts"].dataType.simpleString() == "bigint"
+    assert [r.ts for r in df.orderBy("ts").collect()] == sorted(ns)
+    # and the Iceberg v3 schema types land on that convention
+    assert ic.iceberg_type_to_ddl("timestamp_ns") == "timestamp_ns"
+    assert ic.iceberg_type_to_ddl("timestamptz_ns") == "timestamp_ns"
+    from iceberg_trino_sql_demo_spark.sources.metadata import spark_type
+
+    assert spark_type("timestamp_ns").simpleString() == "bigint"
