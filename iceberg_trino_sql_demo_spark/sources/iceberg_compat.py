@@ -142,6 +142,12 @@ _PRIM = {
     # Iceberg v3 nanosecond timestamps map to the engine's long-nanos type
     "timestamp_ns": "timestamp_ns",
     "timestamptz_ns": "timestamp_ns",
+    # Iceberg v3 variant maps to Spark 4's VariantType (the engine's D10
+    # JSON-column type) — Spark's parquet variant encoding IS the
+    # parquet/Iceberg variant spec, so Spark-written v3 variant columns
+    # read value-exact; the reference's own v3 table carries one (its
+    # ADD COLUMN ... JSON, iceberg_trino_sqldemo.sql:175)
+    "variant": "variant",
 }
 
 
@@ -472,7 +478,7 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
     # v3 initial-defaults: group files by physical layout so the engine's
     # id-based projection fills defaults exactly where Iceberg would
     extra_schemas, sid_by_path = _legacy_layout_schemas(
-        info, list(fields))
+        info, list(fields), spark)
     meta = TableMetadata.new(engine_location, schema, spec, props)
     meta.schemas.extend(extra_schemas)
     # v3 row lineage: seed the engine's row-id counter past the source's,
@@ -597,7 +603,7 @@ def _check_name_mapping(info: dict) -> None:
 
 
 def _legacy_layout_schemas(
-    info: dict, fields: list,
+    info: dict, fields: list, spark=None,
 ) -> tuple[list[TableSchema], dict[str, int]]:
     """Per-file schema groups for v3 ``initial-default`` columns.
 
@@ -627,14 +633,25 @@ def _legacy_layout_schemas(
     by_path: dict[str, int] = {}
     next_sid = 2
     for d in info["data_files"]:
-        arrow_schema = pq.ParquetFile(d["path"]).schema_arrow
         present: set[int] = set()
-        for af in arrow_schema:
-            fid = (af.metadata or {}).get(b"PARQUET:field_id")
-            if fid is not None:
-                present.add(int(fid))
-            elif af.name in id_by_name:
-                present.add(id_by_name[af.name])
+        try:
+            arrow_schema = pq.ParquetFile(d["path"]).schema_arrow
+        except OSError:
+            # pyarrow's thrift parser can lag new logical types (e.g.
+            # VARIANT); Spark's own footer reader handles them — fall
+            # back to name-based presence through a zero-row read
+            if spark is None:
+                raise
+            for n in spark.read.parquet(d["path"]).schema.names:
+                if n in id_by_name:
+                    present.add(id_by_name[n])
+        else:
+            for af in arrow_schema:
+                fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    present.add(int(fid))
+                elif af.name in id_by_name:
+                    present.add(id_by_name[af.name])
         if not (defaulted_ids - present):
             continue  # full current layout -> current schema (id 1)
         key = frozenset(f.id for f in fields if f.id in present)
@@ -825,7 +842,7 @@ def sync_adopted_table(spark, table) -> int | None:
     # land in a layout schema the table already carries (adoption built
     # them); an unseen layout refuses rather than mis-fills
     extra_schemas, sid_by_path = _legacy_layout_schemas(
-        info, list(table.meta.schema.fields))
+        info, list(table.meta.schema.fields), spark)
     known = {
         frozenset(f.id for f in s.fields): s.schema_id
         for s in table.meta.schemas

@@ -587,7 +587,7 @@ def _write_puffin(spark, path: str, dvs: list[tuple[str, list[int]]],
     return locs
 
 
-def _schema_json_v3() -> str:
+def _schema_json_v3(variant_col: bool = False) -> str:
     fid, name, typ, default = _V3_DEFAULT_COL
     fields = [
         {"id": f, "name": n, "required": False, "type": t}
@@ -595,12 +595,46 @@ def _schema_json_v3() -> str:
     ]
     fields.append({"id": fid, "name": name, "required": False, "type": typ,
                    "initial-default": default, "write-default": default})
+    if variant_col:
+        fields.append({"id": 6, "name": "attrs", "required": False,
+                       "type": "variant"})
     return json.dumps({"type": "struct", "schema-id": 0, "fields": fields})
+
+
+def _write_data_file_variant(spark, path: str, rows: list[dict]) -> None:
+    """Data file carrying a real parquet VARIANT column, written by
+    Spark (Spark 4's variant encoding is the parquet/Iceberg variant
+    spec — the same bytes a Spark-Iceberg v3 writer produces).  The
+    variant payload is derived from the key ({"ck": custkey}) so tests
+    can assert values relationally.  Rows stay custkey-ordered (the
+    deletion vectors address positions by that order)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(r["custkey"], r["name"], r["mktsegment"], r["acctbal"])
+         for r in rows],
+        "custkey long, name string, mktsegment string, acctbal double",
+    ).withColumn(
+        "attrs",
+        F.parse_json(F.concat(F.lit('{"ck":'),
+                              F.col("custkey").cast("string"),
+                              F.lit("}"))),
+    ).coalesce(1).sortWithinPartitions("custkey")
+    tmp = tempfile.mkdtemp(prefix="v3var_stage_")
+    df.write.mode("overwrite").parquet(tmp)
+    [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    shutil.move(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_iceberg_v3_fixture(spark, local_dir: str,
                              source_rows: list[dict],
-                             delete_mod: int = 7) -> dict:
+                             delete_mod: int = 7,
+                             variant_col: bool = False) -> dict:
     """Write a genuine Iceberg **v3** table under ``local_dir``:
 
     - deletes are **deletion vectors**: one Puffin file, one
@@ -644,7 +678,10 @@ def write_iceberg_v3_fixture(spark, local_dir: str,
     for i, rows in enumerate(groups):
         fname = f"part-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
         fpath = os.path.join(data_dir, fname)
-        _write_data_file(fpath, rows)
+        if variant_col:
+            _write_data_file_variant(spark, fpath, rows)
+        else:
+            _write_data_file(fpath, rows)
         lo = [(fid, _bytes_json(enc(min(r[name] for r in rows))))
               for fid, name, _, enc in _FIELDS]
         hi = [(fid, _bytes_json(enc(max(r[name] for r in rows))))
@@ -706,7 +743,7 @@ def write_iceberg_v3_fixture(spark, local_dir: str,
                 }}))
 
     man_meta = {
-        "schema": _schema_json_v3(),
+        "schema": _schema_json_v3(variant_col),
         "partition-spec": "[]",
         "partition-spec-id": "0",
         "format-version": "3",
@@ -754,9 +791,9 @@ def write_iceberg_v3_fixture(spark, local_dir: str,
         "location": rec_loc,
         "last-sequence-number": seq,
         "last-updated-ms": now,
-        "last-column-id": _V3_DEFAULT_COL[0],
+        "last-column-id": 6 if variant_col else _V3_DEFAULT_COL[0],
         "current-schema-id": 0,
-        "schemas": [json.loads(_schema_json_v3())],
+        "schemas": [json.loads(_schema_json_v3(variant_col))],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "last-partition-id": 999,

@@ -765,3 +765,29 @@ def test_foreign_timestamp_ns_invariant(spark, tmp_path):
     from iceberg_trino_sql_demo_spark.sources.metadata import spark_type
 
     assert spark_type("timestamp_ns").simpleString() == "bigint"
+
+def test_v3_variant_column_adopts(spark, tmp_path):
+    """A foreign v3 table with a VARIANT column (the reference's own
+    posture: its v3 table gains a JSON column) adopts value-exact —
+    Spark-written parquet variant bytes read back as VariantType, the
+    DVs still apply, the defaulted tier column still fills, and variant
+    values survive to_json round-trips."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        write_iceberg_v3_fixture,
+    )
+
+    loc = str(tmp_path / "ice_v3_var")
+    out = write_iceberg_v3_fixture(spark, loc, _rows(60), delete_mod=7,
+                                   variant_col=True)
+    info = ic.load_iceberg_table(loc)
+    attrs = next(f for f in info["schema"] if f.name == "attrs")
+    assert attrs.type == "variant"
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_v3_var"), loc)
+    df = t.df()
+    assert df.schema["attrs"].dataType.simpleString() == "variant"
+    rows = {r.custkey: (r.tier, r.j) for r in df.selectExpr(
+        "custkey", "tier", "to_json(attrs) AS j").collect()}
+    assert set(rows) == {i for i in range(1, 61) if i % 7 != 0}
+    assert len(rows) == out["live_rows"]
+    for ck, (tier, j) in rows.items():
+        assert tier == "STANDARD" and j == '{"ck":%d}' % ck
