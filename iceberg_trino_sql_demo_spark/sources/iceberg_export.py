@@ -66,8 +66,16 @@ _DDL_TO_ICE = {
 }
 
 
-def _ddl_to_iceberg(ddl: str) -> Any:
+def _ddl_to_iceberg(ddl: str, v3: bool = False) -> Any:
     ddl = ddl.strip()
+    if v3 and ddl == "variant":
+        # v3 HAS variant, and engine variant columns are written by
+        # Spark's parquet writer with the real VARIANT logical type —
+        # external v3 readers consume them as-is.  (timestamp_ns stays
+        # refused even at v3: the engine stores plain int64 nanos with
+        # no TIMESTAMP(NANOS) annotation, which an external reader
+        # would misread.)
+        return "variant"
     if ddl in _DDL_TO_ICE:
         return _DDL_TO_ICE[ddl]
     if ddl.startswith("decimal("):
@@ -76,12 +84,13 @@ def _ddl_to_iceberg(ddl: str) -> Any:
         # element-id placeholder 0 is re-assigned to a table-unique id by
         # _assign_nested_ids before the schema is written
         return {"type": "list", "element-id": 0,
-                "element": _ddl_to_iceberg(ddl[len("array<"):-1]),
+                "element": _ddl_to_iceberg(ddl[len("array<"):-1], v3),
                 "element-required": False}
     raise IcebergExportError(
-        f"engine type {ddl!r} has no Iceberg v2 representation "
-        "(variant / timestamp_ns / nested struct+map are engine-side "
-        "types here) — drop or cast the column before exporting")
+        f"engine type {ddl!r} has no Iceberg v{3 if v3 else 2} "
+        "representation (timestamp_ns / nested struct+map are "
+        "engine-side types here; variant exports at v3 only) — drop or "
+        "cast the column before exporting")
 
 
 def _encode_bound(v: Any, ddl: str) -> bytes | None:
@@ -206,7 +215,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
     ice_fields = []
     for f in meta.schema.fields:
         fd = {"id": f.id, "name": f.name, "required": False,
-              "type": _ddl_to_iceberg(f.type)}
+              "type": _ddl_to_iceberg(f.type, v3)}
         for attr, key in (("initial_default", "initial-default"),
                           ("write_default", "write-default")):
             v = getattr(f, attr, None)

@@ -791,3 +791,29 @@ def test_v3_variant_column_adopts(spark, tmp_path):
     assert len(rows) == out["live_rows"]
     for ck, (tier, j) in rows.items():
         assert tier == "STANDARD" and j == '{"ck":%d}' % ck
+
+def test_export_v3_variant_roundtrip(spark, tmp_path):
+    """Engine variant columns export at v3 (they're written by Spark's
+    parquet writer with the real VARIANT logical type) and re-adopt
+    value-exact; the same table still refuses at v2."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        IcebergExportError, export_iceberg_metadata,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "whv"))
+    cat.create_schema("exv")
+    cat.use("exv")
+    src = spark.sql(
+        "SELECT id AS k, parse_json(concat('{\"n\":', id, '}')) AS attrs "
+        "FROM range(20)")
+    t = cat.ctas("var_t", src)
+    with pytest.raises(IcebergExportError, match="variant"):
+        export_iceberg_metadata(t, str(tmp_path / "no_v2"))
+    dest = str(tmp_path / "exported_var")
+    export_iceberg_metadata(t, dest, format_version=3)
+    back = ic.adopt_iceberg_table(spark, str(tmp_path / "readopt_var"),
+                                  dest)
+    got = sorted((r.k, r.j) for r in back.df().selectExpr(
+        "k", "to_json(attrs) AS j").collect())
+    assert got == [(i, '{"n":%d}' % i) for i in range(20)]
