@@ -31,11 +31,14 @@ Scope — read-only adoption, loud refusals beyond it:
   ``snapshot_id`` — adoption-time time travel); after adoption the
   table is a normal engine table — further engine DML commits engine-own snapshots on top
   and never touches the original Iceberg metadata.
-- Iceberg partition specs are adopted as UNPARTITIONED engine entries:
-  partition pruning on the source's hidden transforms is lost, but
-  per-file column bounds (decoded from the manifests' lower/upper
-  bounds, Iceberg single-value serialization, spec Appendix D) feed the
-  engine's stats pruning, so scans still skip files.
+- A single all-IDENTITY partition spec over string/int/long columns
+  carries through (r11): the engine spec gets real identity fields and
+  every file keeps its partition tuple, so partition pruning works on
+  the adopted table exactly as on engine-written ones.  Hidden
+  transforms / multi-spec evolution / date-identity adopt UNPARTITIONED
+  as before — per-file column bounds (Iceberg single-value
+  serialization, spec Appendix D) still feed the engine's stats
+  pruning, so scans skip files either way.
 
 Avro parsing is ``sources/avro_ocf.py`` (pure-Python, spec-driven).
 Nothing here reads a data file except the position-delete normalization
@@ -62,6 +65,7 @@ from iceberg_trino_sql_demo_spark.sources.metadata import (
     MetadataIO,
     NestedField,
     PartitionSpec,
+    SpecField,
     TableMetadata,
     TableSchema,
     now_ms,
@@ -244,6 +248,46 @@ def decode_bound(raw: bytes | None, ddl: str) -> Any:
     return None
 
 
+def _identity_spec(meta: dict, fields: list) -> list[dict] | None:
+    """Engine-adoptable partition spec, or None for the unpartitioned
+    fallback.  Carried through ONLY when the source has a single
+    all-IDENTITY spec over string/int/long columns — identity partition
+    values in the manifests are raw column values, so the engine's
+    pruning math applies verbatim (``_partition_ok``'s identity branch);
+    anything else (multiple specs from partition evolution, hidden
+    transforms, date/time identity values whose Avro representation is
+    days/micros) adopts unpartitioned as before — stats pruning still
+    skips files, and correctness never depends on pruning (r11)."""
+    if "partition-specs" in meta:
+        specs = meta["partition-specs"]
+        if len(specs) != 1:
+            return None
+        pf = specs[0].get("fields", [])
+    else:
+        pf = meta.get("partition-spec") or []
+        if isinstance(pf, str):
+            return None
+    if not pf:
+        return None
+    by_id = {f.id: f for f in fields}
+    out = []
+    for f in pf:
+        if f.get("transform") != "identity":
+            return None
+        src = by_id.get(f.get("source-id"))
+        if src is None or src.type not in ("string", "int", "bigint"):
+            return None
+        out.append({
+            "field_id": int(f.get("field-id", 1000)),
+            "source_id": src.id,
+            # engine identity transforms key partition dicts by the
+            # SOURCE column name (Transform.field_name)
+            "engine_key": src.name,
+            "foreign_key": f.get("name", src.name),
+        })
+    return out
+
+
 def _default_value(field_doc: dict, key: str) -> Any:
     """An Iceberg v3 column default (JSON single-value serialization).
     Primitive defaults (numbers, strings, booleans — including the
@@ -323,6 +367,7 @@ def load_iceberg_table(location: str,
         for f in schema_doc["fields"]
     ]
     ddl_by_id = {f.id: f.type for f in fields}
+    id_spec = _identity_spec(meta, fields)
     recorded_loc = meta.get("location", "")
 
     snap_id = (snapshot_id if snapshot_id is not None
@@ -394,11 +439,17 @@ def load_iceberg_table(location: str,
                         continue
                     stats[str(fid)] = {"min": mn, "max": mx, "nulls": nl}
                 frid = df.get("first_row_id")
+                part = {}
+                if id_spec:
+                    raw_part = df.get("partition") or {}
+                    part = {s["engine_key"]: raw_part.get(s["foreign_key"])
+                            for s in id_spec}
                 data_files.append({
                     "path": local,
                     "record_count": int(df["record_count"]),
                     "file_size_in_bytes": int(df["file_size_in_bytes"]),
                     "stats": stats,
+                    "partition": part,
                     # v3 row lineage: carry the source's assigned range
                     # verbatim; -1 = unassigned (the engine's commit
                     # assigns a fresh range past next-row-id)
@@ -433,6 +484,7 @@ def load_iceberg_table(location: str,
     return {"metadata": meta, "schema": fields, "data_files": data_files,
             "position_deletes": pos_deletes,
             "deletion_vectors": deletion_vectors,
+            "identity_spec": id_spec,
             "next_row_id": int(meta.get("next-row-id") or 0),
             "snapshot_id": snap_id}
 
@@ -457,7 +509,11 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
     meta_doc = info["metadata"]
     fields = info["schema"]
     schema = TableSchema(schema_id=1, fields=tuple(fields))
-    spec = PartitionSpec(spec_id=1, fields=())
+    id_spec = info.get("identity_spec")
+    spec = PartitionSpec(spec_id=1, fields=tuple(
+        SpecField(field_id=s["field_id"], source_id=s["source_id"],
+                  transform=s["engine_key"])
+        for s in (id_spec or ())))
     props = {
         "format": "parquet",
         "format_version": "3",
@@ -497,7 +553,7 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
                 path=d["path"],
                 spec_id=1,
                 schema_id=sid_by_path.get(d["path"], 1),
-                partition={},
+                partition=d.get("partition") or {},
                 record_count=d["record_count"],
                 file_size_bytes=d["file_size_in_bytes"],
                 stats=d["stats"],
@@ -867,7 +923,7 @@ def sync_adopted_table(spark, table) -> int | None:
             spec_id=table.meta.default_spec_id,
             schema_id=sid_by_path.get(d["path"],
                                       table.meta.current_schema_id),
-            partition={},
+            partition=d.get("partition") or {},
             record_count=d["record_count"],
             file_size_bytes=d["file_size_in_bytes"],
             stats=d["stats"],

@@ -234,23 +234,35 @@ def test_unknown_codec_refused(spark, tmp_path, fixture_dir):
 def test_adopt_partitioned_source(spark, tmp_path):
     """A PARTITIONED genuine-Iceberg source (identity(mktsegment) spec,
     non-empty partition records in every manifest entry, files under
-    data/mktsegment=X/) adopts correctly: values + deletes exact.  The
-    source's partition pruning is deliberately dropped (adopted entries
-    are unpartitioned) but manifest-bound stats pruning still works."""
+    data/mktsegment=X/) adopts correctly: values + deletes exact, AND
+    (r11) the identity spec carries through — the engine spec has a
+    real identity field, every file keeps its partition tuple, and a
+    partition-key predicate reads ONLY that segment's file."""
     loc = str(tmp_path / "ice_part")
     out = write_iceberg_fixture(spark, loc, _rows(), delete_mod=7,
                                 partitioned=True)
     info = ic.load_iceberg_table(loc)
     assert len(info["data_files"]) == 3  # one per segment
+    assert [s["engine_key"] for s in info["identity_spec"]] == [
+        "mktsegment"]
     t = ic.adopt_iceberg_table(spark, str(tmp_path / "adopted_p"), loc)
     got = {r.custkey: (r.name, r.mktsegment, r.acctbal)
            for r in t.df().collect()}
     want = {r["custkey"]: (r["name"], r["mktsegment"], r["acctbal"])
             for r in _rows() if r["custkey"] % 7 != 0}
     assert got == want and len(got) == out["live_rows"]
-    # stats pruning on the string bounds: MACHINERY sorts last, so a
-    # predicate above it skips every file
+    # identity partition pruning: one segment predicate -> one file read
+    man = t._manifest(t._resolve())
+    assert {f.partition.get("mktsegment") for f in man.data_files} == {
+        "AUTO", "BUILDING", "MACHINERY"}
+    auto = t.df(where="mktsegment = 'AUTO'")
+    data_reads = [p for p in auto.inputFiles() if "/deletes/" not in p]
+    assert len(data_reads) == 1 and "mktsegment=AUTO" in data_reads[0]
+    assert {r.mktsegment for r in auto.collect()} == {"AUTO"}
+    # stats pruning on the string bounds still composes
     assert len(t.df(where="mktsegment > 'ZZZ'").inputFiles()) == 0
+    # the unpartitioned fallback is untouched: the flat fixture adopts
+    # with an empty spec (covered by the other adoption tests)
 
 
 def test_adopt_refuses_renamed_columns(spark, fixture_dir, tmp_path):
