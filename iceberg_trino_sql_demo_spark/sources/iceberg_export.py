@@ -233,6 +233,41 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
             fd[key] = v
         ice_fields.append(fd)
     _assign_nested_ids(ice_fields, meta.last_column_id)
+    # identity partition export (r11, symmetric with the adoption side):
+    # a default spec whose fields are ALL identity over string/int/long
+    # exports as a real Iceberg spec with per-file partition tuples, so
+    # external readers partition-prune the exported table.  Non-identity
+    # engine transforms (year/month/bucket/truncate) use engine-side
+    # value encodings that differ from Iceberg's (calendar year vs
+    # years-since-1970, xxhash64 vs murmur3 buckets) and export
+    # unpartitioned — wrong pruning metadata would be a correctness bug
+    # for external readers, absent pruning is only a cost.
+    from iceberg_trino_sql_demo_spark.sources.transforms import (
+        parse_transform,
+    )
+
+    _AVRO_T = {"string": "string", "int": "int", "bigint": "long"}
+    ddl_by_id_spec = {f.id: f.type for f in meta.schema.fields}
+    name_by_id_spec = {f.id: f.name for f in meta.schema.fields}
+    exp_spec: list[dict] = []
+    for i, sf in enumerate(meta.spec.fields):
+        t = parse_transform(sf.transform)
+        ddl = ddl_by_id_spec.get(sf.source_id)
+        if t.name != "identity" or ddl not in _AVRO_T:
+            exp_spec = []
+            break
+        exp_spec.append({
+            "name": name_by_id_spec[sf.source_id],
+            "transform": "identity",
+            "source-id": sf.source_id,
+            "field-id": 1000 + i,
+            "_avro": _AVRO_T[ddl],
+        })
+    part_avro_fields = [
+        {"name": s["name"], "type": ["null", s["_avro"]],
+         "field-id": s["field-id"]}
+        for s in exp_spec
+    ]
     snap = table._resolve(ref)
     if snap is None:
         raise IcebergExportError(f"ref {ref!r} has no snapshot to export")
@@ -256,8 +291,8 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
 
     # -- data manifest --------------------------------------------------
     entry_schema = av.parse(json.dumps(
-        _manifest_entry_schema_v3() if v3
-        else _manifest_entry_schema(False)))
+        _manifest_entry_schema_v3(part_avro_fields) if v3
+        else _manifest_entry_schema(part_avro_fields)))
     snapshot_id = int(snap.snapshot_id)
     seq = max(1, int(snap.sequence_number))
     data_entries = []
@@ -283,7 +318,11 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
             "content": 0,
             "file_path": _file_uri(df.path),
             "file_format": "PARQUET",
-            "partition": {},
+            "partition": {
+                s["name"]: _u(s["_avro"],
+                              (df.partition or {}).get(s["name"]))
+                for s in exp_spec
+            },
             "record_count": int(df.record_count),
             "file_size_in_bytes": int(df.file_size_bytes),
             "null_value_counts":
@@ -309,7 +348,9 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
     man_meta = {
         "schema": json.dumps({"type": "struct", "schema-id": 0,
                               "fields": ice_fields}),
-        "partition-spec": "[]",
+        "partition-spec": json.dumps([
+            {k: v for k, v in s.items() if k != "_avro"}
+            for s in exp_spec]),
         "partition-spec-id": "0",
         "format-version": str(format_version),
     }
@@ -354,7 +395,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
                         "content": 1,
                         "file_path": _file_uri(puf_path),
                         "file_format": "PUFFIN",
-                        "partition": {},
+                        "partition": {s["name"]: None for s in exp_spec},
                         "record_count": card,
                         "file_size_in_bytes": puf_size,
                         "null_value_counts": None,
@@ -399,7 +440,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
                 "content": 1,
                 "file_path": _file_uri(out),
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": {s["name"]: None for s in exp_spec},
                 "record_count": int(tbl.num_rows),
                 "file_size_in_bytes": os.path.getsize(out),
                 "null_value_counts": None,
@@ -439,8 +480,10 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
         "schemas": [{"type": "struct", "schema-id": 0,
                      "fields": ice_fields}],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {k: v for k, v in s.items() if k != "_avro"}
+            for s in exp_spec]}],
+        "last-partition-id": (999 + len(exp_spec)) if exp_spec else 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet",

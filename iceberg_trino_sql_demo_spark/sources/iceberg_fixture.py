@@ -45,15 +45,19 @@ def _kv_map_schema(name: str, kid: int, vid: int, vtype: str) -> dict:
                 {"name": "value", "type": vtype, "field-id": vid}]}}]
 
 
-def _manifest_entry_schema(partitioned: bool) -> dict:
-    """The v2 manifest_entry Avro schema; ``partitioned`` adds the
-    identity partition field ``par`` (field-id 1000) to the r102
-    partition record, matching the spec's per-spec struct."""
-    part_fields = (
-        [{"name": "mktsegment", "type": ["null", "string"],
-          "field-id": 1000}]
-        if partitioned else []
-    )
+def _manifest_entry_schema(partitioned) -> dict:
+    """The v2 manifest_entry Avro schema.  ``partitioned`` is either the
+    fixture bool (adds the identity ``mktsegment`` field, id 1000) or an
+    explicit list of partition-record Avro fields (the export path's
+    per-spec struct)."""
+    if isinstance(partitioned, list):
+        part_fields = partitioned
+    else:
+        part_fields = (
+            [{"name": "mktsegment", "type": ["null", "string"],
+              "field-id": 1000}]
+            if partitioned else []
+        )
     return {
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
@@ -503,12 +507,12 @@ def append_iceberg_snapshot(spark, local_dir: str,
 _V3_DEFAULT_COL = (5, "tier", "string", "STANDARD")
 
 
-def _manifest_entry_schema_v3() -> dict:
+def _manifest_entry_schema_v3(partitioned=False) -> dict:
     """The v2 entry schema plus the v3 data_file fields: first_row_id
     (row lineage, field-id 142) and the deletion-vector locator triple
     referenced_data_file / content_offset / content_size_in_bytes
     (field-ids 143-145)."""
-    base = _manifest_entry_schema(False)
+    base = _manifest_entry_schema(partitioned)
     df_fields = base["fields"][-1]["type"]["fields"]
     df_fields.extend([
         {"name": "first_row_id", "type": ["null", "long"],

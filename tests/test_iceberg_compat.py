@@ -829,3 +829,58 @@ def test_export_v3_variant_roundtrip(spark, tmp_path):
     got = sorted((r.k, r.j) for r in back.df().selectExpr(
         "k", "to_json(attrs) AS j").collect())
     assert got == [(i, '{"n":%d}' % i) for i in range(20)]
+
+def test_export_partitioned_roundtrip(spark, tmp_path, sf_dir):
+    """Identity partition specs survive the FULL interop circle: a
+    mktsegment-partitioned engine table (with MoR deletes) exports with
+    a real Iceberg identity spec + per-file partition tuples, and the
+    RE-ADOPTED export partition-prunes — one segment predicate reads one
+    data file.  A non-identity (year-transform) spec exports
+    unpartitioned, values still exact."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "whp"))
+    cat.create_schema("exp")
+    cat.use("exp")
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS custkey", "c_name AS name",
+        "c_mktsegment AS mktsegment", "CAST(c_acctbal AS DOUBLE) AS bal")
+    t = cat.ctas("cust_p", src, partitioning=("mktsegment",),
+                 properties={"merge_mode": "merge-on-read"})
+    t.delete("custkey % 9 = 1")
+    t = t.refresh()
+    expect = sorted(tuple(r) for r in t.df().collect())
+    n_segments = src.select("mktsegment").distinct().count()
+
+    dest = str(tmp_path / "exported_part")
+    export_iceberg_metadata(t, dest)
+    info = ic.load_iceberg_table(dest)
+    assert [s["engine_key"] for s in info["identity_spec"]] == [
+        "mktsegment"]
+    assert all(d["partition"].get("mktsegment") for d in
+               info["data_files"])
+    back = ic.adopt_iceberg_table(spark, str(tmp_path / "readopt_p"),
+                                  dest)
+    assert sorted(tuple(r) for r in back.df().collect()) == expect
+    seg = back.df(where="mktsegment = 'AUTOMOBILE'")
+    data_reads = [p for p in seg.inputFiles() if "/deletes/" not in p]
+    assert len(data_reads) * n_segments <= len(info["data_files"])
+    assert {r.mktsegment for r in seg.collect()} == {"AUTOMOBILE"}
+
+    # non-identity transform: exports unpartitioned, values exact
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey AS k", "CAST(o_orderdate AS DATE) AS d",
+        "o_totalprice AS p").where("k < 500")
+    t2 = cat.ctas("ord_y", o, partitioning=("year(d)",))
+    dest2 = str(tmp_path / "exported_year")
+    export_iceberg_metadata(t2, dest2)
+    info2 = ic.load_iceberg_table(dest2)
+    assert info2["identity_spec"] is None
+    assert info2["metadata"]["partition-specs"] == [
+        {"spec-id": 0, "fields": []}]
+    back2 = ic.adopt_iceberg_table(spark, str(tmp_path / "readopt_y"),
+                                   dest2)
+    assert back2.df().count() == t2.df().count()
