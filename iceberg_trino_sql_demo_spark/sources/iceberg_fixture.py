@@ -423,10 +423,25 @@ def append_iceberg_snapshot(spark, local_dir: str,
     snapshot_id = prev["snapshot-id"] + 1
 
     rows = sorted(new_rows, key=lambda r: r["custkey"])
-    fname = f"part-a{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
+    # a PARTITIONED fixture (identity mktsegment spec) appends a
+    # per-segment file with a real partition record — the shape
+    # sync_adopted_table must carry through (r11); rows must then all
+    # share one segment
+    spec_fields = meta["partition-specs"][
+        meta.get("default-spec-id", 0)].get("fields", [])
+    partitioned = bool(spec_fields)
+    par = None
+    if partitioned:
+        segs = {r["mktsegment"] for r in rows}
+        assert len(segs) == 1, "partitioned append: one segment per call"
+        par = segs.pop()
+        os.makedirs(os.path.join(data_dir, f"mktsegment={par}"),
+                    exist_ok=True)
+    sub = f"mktsegment={par}/" if partitioned else ""
+    fname = f"{sub}part-a{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
     fpath = os.path.join(data_dir, fname)
     _write_data_file(fpath, rows)
-    entry_schema = av.parse(json.dumps(_manifest_entry_schema(False)))
+    entry_schema = av.parse(json.dumps(_manifest_entry_schema(partitioned)))
     lo = [(fid, _bytes_json(enc(min(r[name] for r in rows))))
           for fid, name, _, enc in _FIELDS]
     hi = [(fid, _bytes_json(enc(max(r[name] for r in rows))))
@@ -440,7 +455,8 @@ def append_iceberg_snapshot(spark, local_dir: str,
             "content": 0,
             "file_path": f"{rec_loc}/data/{fname}",
             "file_format": "PARQUET",
-            "partition": {},
+            "partition": ({"mktsegment": _u("string", par)}
+                          if partitioned else {}),
             "record_count": len(rows),
             "file_size_in_bytes": os.path.getsize(fpath),
             "null_value_counts": _int_map_json(

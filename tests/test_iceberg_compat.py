@@ -884,3 +884,31 @@ def test_export_partitioned_roundtrip(spark, tmp_path, sf_dir):
     back2 = ic.adopt_iceberg_table(spark, str(tmp_path / "readopt_y"),
                                    dest2)
     assert back2.df().count() == t2.df().count()
+
+def test_sync_partitioned_source_carries_tuples(spark, tmp_path):
+    """sync_adopted_table over a PARTITIONED source: the appended
+    file's identity partition tuple carries into the replace snapshot,
+    so pruning keeps working after a sync (r11 partition adoption,
+    sync side)."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        append_iceberg_snapshot,
+    )
+
+    loc = str(tmp_path / "ice_part_sync")
+    write_iceberg_fixture(spark, loc, _rows(30), delete_mod=7,
+                          partitioned=True)
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "adopt_ps"), loc)
+    n0 = t.df().count()
+    append_iceberg_snapshot(spark, loc, [
+        {"custkey": 500 + i, "name": f"new#{i}", "mktsegment": "AUTO",
+         "acctbal": 1.0} for i in range(4)])
+    assert ic.sync_adopted_table(spark, t) is not None
+    t = t.refresh()
+    assert t.df().count() == n0 + 4
+    man = t._manifest(t._resolve())
+    new_file = next(f for f in man.data_files if "part-a" in f.path)
+    assert new_file.partition == {"mktsegment": "AUTO"}
+    # pruning on the synced state: BUILDING predicate skips the new file
+    bld = t.df(where="mktsegment = 'BUILDING'")
+    data_reads = [p for p in bld.inputFiles() if "/deletes/" not in p]
+    assert len(data_reads) == 1 and "mktsegment=BUILDING" in data_reads[0]
