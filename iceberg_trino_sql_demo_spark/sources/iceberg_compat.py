@@ -24,8 +24,11 @@ Scope — read-only adoption, loud refusals beyond it:
   v3 column ``initial-default``s are honored by grouping data files
   into per-layout legacy schemas so pre-column files surface the
   default through the engine's id-based projection.
-- position deletes are applied; **equality deletes are refused** (their
-  column mapping is by source schema, a rewrite we don't attempt).
+- position deletes AND equality deletes are applied (r11: equality
+  deletes rewrite their key columns to the engine's id-stable ``k_<id>``
+  names, and the SOURCE's per-entry sequence numbers carry verbatim so
+  the strictly-below application rule is exact — the engine's native
+  streaming-upsert machinery does the rest).
 - parquet data files only (ORC/Avro data refused; puffin only as DVs).
 - the CURRENT snapshot is adopted by default (any listed snapshot via
   ``snapshot_id`` — adoption-time time travel); after adoption the
@@ -375,6 +378,7 @@ def load_iceberg_table(location: str,
     if snap_id in (None, -1):
         return {"metadata": meta, "schema": fields, "data_files": [],
                 "position_deletes": [], "deletion_vectors": [],
+                "equality_deletes": [],
                 "next_row_id": int(meta.get("next-row-id") or 0),
                 "snapshot_id": None}
     try:
@@ -390,13 +394,18 @@ def load_iceberg_table(location: str,
     data_files: list[dict] = []
     pos_deletes: list[dict] = []
     deletion_vectors: list[dict] = []
+    eq_deletes: list[dict] = []
 
-    def _ingest_manifest(man_uri: str) -> None:
+    def _ingest_manifest(man_uri: str, man_seq: int = 1) -> None:
         man_local = _localize(man_uri, recorded_loc, location)
         _, entries = read_ocf(man_local)
         for e in entries:
             if e.get("status") == 2:  # DELETED entry: not live
                 continue
+            # per-entry sequence number with spec inheritance: a null
+            # entry seq inherits the manifest's (written same-commit)
+            entry_seq = e.get("sequence_number")
+            entry_seq = man_seq if entry_seq is None else int(entry_seq)
             df = e["data_file"]
             fmt = str(df.get("file_format", "")).upper()
             content = df.get("content", 0)
@@ -426,6 +435,26 @@ def load_iceberg_table(location: str,
                     f"data file format {fmt!r} not adoptable (parquet "
                     "only; puffin only as v3 deletion vectors)")
             local = _localize(df["file_path"], recorded_loc, location)
+            if content == 2:
+                # equality delete: the engine natively models these
+                # (DeleteFile(content='equality'), strictly-below
+                # sequence semantics, null-safe keys) — adoption carries
+                # them with the SOURCE's per-entry sequence numbers and
+                # rewrites the key columns to the engine's k_<id> names
+                ids = [int(x) for x in (df.get("equality_ids") or [])]
+                if not ids:
+                    raise IcebergAdoptionError(
+                        f"equality-delete entry {df['file_path']!r} "
+                        "carries no equality_ids — corrupt or "
+                        "non-spec metadata, refusing")
+                eq_deletes.append({
+                    "path": local,
+                    "equality_ids": ids,
+                    "sequence_number": entry_seq,
+                    "record_count": int(df["record_count"]),
+                    "file_size_in_bytes": int(df["file_size_in_bytes"]),
+                })
+                continue
             if content == 0:
                 lower = _as_int_map(df.get("lower_bounds"))
                 upper = _as_int_map(df.get("upper_bounds"))
@@ -450,6 +479,10 @@ def load_iceberg_table(location: str,
                     "file_size_in_bytes": int(df["file_size_in_bytes"]),
                     "stats": stats,
                     "partition": part,
+                    # the SOURCE's data sequence number — equality
+                    # deletes apply strictly-below, so fidelity here is
+                    # what makes adopted equality semantics exact
+                    "sequence_number": entry_seq,
                     # v3 row lineage: carry the source's assigned range
                     # verbatim; -1 = unassigned (the engine's commit
                     # assigns a fresh range past next-row-id)
@@ -461,12 +494,6 @@ def load_iceberg_table(location: str,
                     "record_count": int(df["record_count"]),
                     "file_size_in_bytes": int(df["file_size_in_bytes"]),
                 })
-            elif content == 2:
-                raise IcebergAdoptionError(
-                    "equality-delete files present: equality deletes "
-                    "rewrite by source-schema column mapping and are not "
-                    "adoptable read-only — compact them in the source "
-                    "engine first (rewrite_position_delete_files)")
             else:
                 raise IcebergAdoptionError(
                     f"unknown data_file content id {content}")
@@ -476,7 +503,8 @@ def load_iceberg_table(location: str,
         ml_local = _localize(ml, recorded_loc, location)
         _, man_entries = read_ocf(ml_local)
         for m in man_entries:
-            _ingest_manifest(m["manifest_path"])
+            _ingest_manifest(m["manifest_path"],
+                             int(m.get("sequence_number") or 1))
     else:  # v1 inline "manifests" list
         for man_uri in snap.get("manifests", []):
             _ingest_manifest(man_uri)
@@ -484,6 +512,7 @@ def load_iceberg_table(location: str,
     return {"metadata": meta, "schema": fields, "data_files": data_files,
             "position_deletes": pos_deletes,
             "deletion_vectors": deletion_vectors,
+            "equality_deletes": eq_deletes,
             "identity_spec": id_spec,
             "next_row_id": int(meta.get("next-row-id") or 0),
             "snapshot_id": snap_id}
@@ -540,6 +569,15 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
     # v3 row lineage: seed the engine's row-id counter past the source's,
     # so engine-assigned ranges never collide with carried ones
     meta.next_row_id = int(info.get("next_row_id") or 0)
+    # SOURCE sequence numbers carry verbatim (equality deletes apply
+    # strictly-below, so fidelity here is semantics, not bookkeeping);
+    # the engine's own counter starts past the source's maximum so every
+    # later engine commit is strictly newer
+    src_max_seq = max(
+        [d.get("sequence_number", 1) for d in info["data_files"]]
+        + [d["sequence_number"] for d in info.get("equality_deletes", [])]
+        + [0])
+    meta.last_sequence_number = src_max_seq
     io = MetadataIO(engine_location)
     io.commit(meta, 0)
     try:
@@ -558,7 +596,7 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
                 file_size_bytes=d["file_size_in_bytes"],
                 stats=d["stats"],
                 first_row_id=d.get("first_row_id", -1),
-                sequence_number=seq,
+                sequence_number=d.get("sequence_number", 1),
                 file_modified_ms=now_ms(),
             )
             for d in info["data_files"]
@@ -572,6 +610,9 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
         delete_files.append(_normalize_deletion_vectors(
             engine_location, info.get("deletion_vectors", ()), seq,
             info["metadata"].get("location", ""), iceberg_location))
+        delete_files.extend(
+            _normalize_equality_delete(engine_location, d, list(fields))
+            for d in info.get("equality_deletes", ()))
         manifest = Manifest(new_files, [d for d in delete_files if d])
         summary = {
             "added-data-files": len(new_files),
@@ -807,6 +848,61 @@ def _normalize_deletion_vectors(
     )
 
 
+def _normalize_equality_delete(engine_location: str, d: dict,
+                               fields: list) -> DeleteFile:
+    """Rewrite one foreign equality-delete parquet into the engine's
+    form: columns named ``k_<field id>`` (id-stable across renames), one
+    per equality id, types per the current schema.  Column resolution in
+    the source file is by PARQUET:field_id when present, else by the
+    current schema name.  O(deleted keys) — metadata-plane sized.  The
+    SOURCE sequence number carries verbatim: the engine applies the
+    delete to data files STRICTLY below it, exactly Iceberg's rule."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    by_id = {f.id: f for f in fields}
+    tbl = pq.read_table(d["path"])
+    cols = []
+    for cid in d["equality_ids"]:
+        fld = by_id.get(cid)
+        if fld is None:
+            raise IcebergAdoptionError(
+                f"equality delete {d['path']!r} keys on field id {cid}, "
+                "which is not in the current schema — refusing (a "
+                "dropped key column makes the delete unapplyable)")
+        idx = None
+        for i, af in enumerate(tbl.schema):
+            fid = (af.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None and int(fid) == cid:
+                idx = i
+                break
+        if idx is None and fld.name in tbl.schema.names:
+            idx = tbl.schema.names.index(fld.name)
+        if idx is None:
+            raise IcebergAdoptionError(
+                f"equality delete {d['path']!r} lacks a column for "
+                f"field id {cid} ({fld.name!r}) — refusing")
+        cols.append(tbl.column(idx).combine_chunks())
+    out_dir = os.path.join(engine_location, "deletes")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(
+        out_dir, f"adopted-eq-del-{_uuid.uuid4().hex[:12]}.parquet")
+    pq.write_table(
+        pa.table(cols, names=[f"k_{cid}" for cid in d["equality_ids"]]),
+        out_path)
+    return DeleteFile(
+        path=out_path,
+        record_count=int(d["record_count"]),
+        file_size_bytes=os.path.getsize(out_path),
+        sequence_number=int(d["sequence_number"]),
+        referenced_files=(),
+        content="equality",
+        equality_ids=tuple(d["equality_ids"]),
+    )
+
+
 def _normalize_position_delete(spark, engine_location: str, d: dict,
                                seq: int, recorded_loc: str,
                                iceberg_location: str) -> DeleteFile | None:
@@ -928,7 +1024,7 @@ def sync_adopted_table(spark, table) -> int | None:
             file_size_bytes=d["file_size_in_bytes"],
             stats=d["stats"],
             first_row_id=d.get("first_row_id", -1),
-            sequence_number=seq,
+            sequence_number=d.get("sequence_number", 1),
             file_modified_ms=now_ms(),
         )
         for d in info["data_files"]
@@ -942,6 +1038,10 @@ def sync_adopted_table(spark, table) -> int | None:
     delete_files.append(_normalize_deletion_vectors(
         table.location, info.get("deletion_vectors", ()), seq,
         info["metadata"].get("location", ""), src))
+    delete_files.extend(
+        _normalize_equality_delete(table.location, d,
+                                   list(table.meta.schema.fields))
+        for d in info.get("equality_deletes", ()))
     manifest = Manifest(new_files, [d for d in delete_files if d])
     summary = {
         "adopted": "true",

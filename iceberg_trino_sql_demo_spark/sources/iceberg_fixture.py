@@ -844,3 +844,121 @@ def write_iceberg_v3_fixture(spark, local_dir: str,
     return {"location": local_dir, "recorded_location": rec_loc,
             "live_rows": live, "deleted": deleted,
             "next_row_id": total_rows}
+
+
+def add_equality_delete_snapshot(spark, local_dir: str,
+                                 keys: list[int],
+                                 field_id: int = 1,
+                                 col: str = "custkey") -> int:
+    """Advance the genuine-Iceberg fixture by ONE snapshot that commits
+    an EQUALITY delete (content=2) on ``col`` — the shape a Flink-CDC /
+    streaming-upsert writer produces.  The delete parquet carries the
+    source-schema column name with PARQUET:field_id metadata and the
+    manifest entry carries ``equality_ids`` (field-id 135) plus an
+    explicit sequence number, so adoption must (a) rewrite the column to
+    the engine's ``k_<id>`` form and (b) preserve the strictly-below
+    application rule.  Returns the new snapshot id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_trino_sql_demo_spark.sources.avro_ocf import read_ocf
+
+    av = _AvroJvm(spark)
+    meta_dir = os.path.join(local_dir, "metadata")
+    data_dir = os.path.join(local_dir, "data")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    rec_loc = meta["location"]
+    prev = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = prev["snapshot-id"] + 1
+
+    del_name = f"eq-delete-{seq:03d}-{uuid.uuid4().hex[:8]}.parquet"
+    del_path = os.path.join(data_dir, del_name)
+    pq.write_table(pa.table(
+        {col: pa.array(sorted(keys), pa.int64())},
+        schema=pa.schema([pa.field(
+            col, pa.int64(),
+            metadata={b"PARQUET:field_id": str(field_id).encode()})]),
+    ), del_path)
+
+    entry_schema_doc = _manifest_entry_schema(False)
+    entry_schema_doc["fields"][-1]["type"]["fields"].append(
+        {"name": "equality_ids", "default": None, "field-id": 135,
+         "type": ["null", {"type": "array", "items": "int"}]})
+    entry_schema = av.parse(json.dumps(entry_schema_doc))
+    entry = json.dumps({
+        "status": 1,
+        "snapshot_id": _u("long", snapshot_id),
+        "sequence_number": _u("long", seq),
+        "file_sequence_number": _u("long", seq),
+        "data_file": {
+            "content": 2,  # EQUALITY_DELETES
+            "file_path": f"{rec_loc}/data/{del_name}",
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(keys),
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": _u("array", [field_id]),
+        }})
+    man = f"manifest-eqdel-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, man), entry_schema, [entry], {
+        "schema": meta_schema_json(meta), "partition-spec": "[]",
+        "partition-spec-id": "0",
+        "format-version": str(meta["format-version"]),
+        "content": "deletes",
+    })
+
+    prev_ml = os.path.join(
+        meta_dir, prev["manifest-list"].rsplit("/", 1)[1])
+    _, prev_entries = read_ocf(prev_ml)
+    ml_schema = av.parse(json.dumps(_MANIFEST_LIST_SCHEMA))
+    ml_rows = [json.dumps(e) for e in prev_entries]
+    ml_rows.append(json.dumps({
+        "manifest_path": f"{rec_loc}/metadata/{man}",
+        "manifest_length": os.path.getsize(os.path.join(meta_dir, man)),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": len(keys),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }))
+    ml = f"snap-{snapshot_id}-1-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, ml), ml_schema, ml_rows,
+                 {"format-version": str(meta["format-version"])})
+
+    now = int(time.time() * 1000)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now
+    meta["current-snapshot-id"] = snapshot_id
+    meta["refs"]["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+    meta["snapshots"].append({
+        "snapshot-id": snapshot_id,
+        "parent-snapshot-id": prev["snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": now,
+        "summary": {"operation": "overwrite"},
+        "manifest-list": f"{rec_loc}/metadata/{ml}",
+        "schema-id": 0,
+    })
+    meta["snapshot-log"].append(
+        {"snapshot-id": snapshot_id, "timestamp-ms": now})
+    with open(os.path.join(meta_dir, f"v{v + 1}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(v + 1))
+    return snapshot_id
+
+
+def meta_schema_json(meta: dict) -> str:
+    """The fixture metadata's current schema as manifest-header JSON."""
+    sid = meta.get("current-schema-id", 0)
+    doc = next(s for s in meta["schemas"] if s.get("schema-id", 0) == sid)
+    return json.dumps(doc)

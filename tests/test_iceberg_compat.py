@@ -912,3 +912,53 @@ def test_sync_partitioned_source_carries_tuples(spark, tmp_path):
     bld = t.df(where="mktsegment = 'BUILDING'")
     data_reads = [p for p in bld.inputFiles() if "/deletes/" not in p]
     assert len(data_reads) == 1 and "mktsegment=BUILDING" in data_reads[0]
+
+def test_equality_deletes_adopt_with_sequence_semantics(spark, tmp_path):
+    """Equality-delete adoption (r11, closing the last adoption
+    refusal): a streaming-upsert-shaped source — data files at seq 1
+    (with position deletes), an equality delete on custkey at seq 2, a
+    REINSERTION of a deleted key at seq 3 — adopts onto the engine's
+    native equality machinery with exact strictly-below semantics: the
+    seq-3 reinsertion survives the seq-2 delete, the seq-1 originals
+    don't.  Source sequence numbers carry verbatim and engine DML after
+    adoption commits strictly above them."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        add_equality_delete_snapshot, append_iceberg_snapshot,
+    )
+
+    loc = str(tmp_path / "ice_eq")
+    write_iceberg_fixture(spark, loc, _rows(40), delete_mod=7)
+    add_equality_delete_snapshot(spark, loc, keys=[4, 8, 15])
+    append_iceberg_snapshot(spark, loc, [
+        {"custkey": 8, "name": "reborn", "mktsegment": "AUTO",
+         "acctbal": 99.0}])
+
+    info = ic.load_iceberg_table(loc)
+    assert [d["equality_ids"] for d in info["equality_deletes"]] == [[1]]
+    assert info["equality_deletes"][0]["sequence_number"] == 2
+    assert sorted({d["sequence_number"] for d in info["data_files"]}) == [
+        1, 3]
+
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_eq"), loc)
+    man = t._manifest(t._resolve())
+    eq = [d for d in man.delete_files if d.content == "equality"]
+    assert len(eq) == 1 and eq[0].equality_ids == (1,)
+    assert eq[0].sequence_number == 2
+    # engine k_<id> column form
+    import pyarrow.parquet as pq
+
+    ptbl = pq.read_table(eq[0].path)
+    assert ptbl.schema.names == ["k_1"]
+    assert ptbl.column("k_1").to_pylist() == [4, 8, 15]
+
+    rows = {r.custkey: r.name for r in t.df().collect()}
+    want = {i for i in range(1, 41) if i % 7 != 0} - {4, 8, 15}
+    assert set(rows) == want | {8}
+    assert rows[8] == "reborn"  # the seq-3 reinsertion, not the original
+
+    # engine DML after adoption: re-adding a deleted key sticks (its
+    # commit sequence is strictly above the adopted delete's)
+    t.insert([{"custkey": 4, "name": "back", "mktsegment": "AUTO",
+               "acctbal": 1.0}])
+    rows2 = {r.custkey: r.name for r in t.df().collect()}
+    assert rows2[4] == "back" and rows2[8] == "reborn"
