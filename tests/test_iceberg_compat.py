@@ -962,3 +962,25 @@ def test_equality_deletes_adopt_with_sequence_semantics(spark, tmp_path):
                "acctbal": 1.0}])
     rows2 = {r.custkey: r.name for r in t.df().collect()}
     assert rows2[4] == "back" and rows2[8] == "reborn"
+
+def test_sync_picks_up_equality_deletes(spark, tmp_path):
+    """A source that commits an equality delete AFTER adoption syncs
+    correctly: the mirror's replace snapshot carries the normalized
+    k_<id> delete with the source's sequence number and the keys
+    vanish."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        add_equality_delete_snapshot,
+    )
+
+    loc = str(tmp_path / "ice_eq_sync")
+    write_iceberg_fixture(spark, loc, _rows(30), delete_mod=31)  # no pos-dels
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_eq_sync"), loc)
+    assert t.df().count() == 30
+    add_equality_delete_snapshot(spark, loc, keys=[3, 9])
+    assert ic.sync_adopted_table(spark, t) is not None
+    t = t.refresh()
+    got = {r.custkey for r in t.df().collect()}
+    assert got == set(range(1, 31)) - {3, 9}
+    eq = [d for d in t._manifest(t._resolve()).delete_files
+          if d.content == "equality"]
+    assert len(eq) == 1 and eq[0].sequence_number == 2
