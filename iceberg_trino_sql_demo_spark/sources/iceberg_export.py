@@ -171,6 +171,8 @@ def _live_tombstones(manifest) -> dict[str, set[int]]:
                     out.setdefault(
                         p.replace("file:", "", 1), set()).update(
                         int(x) for x in pos)
+        elif d.content == "equality":
+            continue  # exported separately, as content=2 entries
         else:  # pragma: no cover — guarded by the caller's scope check
             raise IcebergExportError(
                 f"unexpected delete content {d.content!r}")
@@ -272,16 +274,19 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
     if snap is None:
         raise IcebergExportError(f"ref {ref!r} has no snapshot to export")
     manifest = table._manifest(snap)
-    ok_contents = ("position", "dv") if v3 else ("position",)
+    # equality deletes export at BOTH versions (Iceberg v2 defines them);
+    # consolidated-DV packs need v3 (they become puffin deletion vectors)
+    ok_contents = ("position", "dv", "equality") if v3 else (
+        "position", "equality")
     bad = [d.content for d in manifest.delete_files
            if d.content not in ok_contents]
     if bad:
         raise IcebergExportError(
             f"delete files of content {sorted(set(bad))} are engine-side "
-            "forms; run rewrite_equality_deletes first"
-            + ("" if v3 else " (or export format_version=3, which "
-               "emits consolidated-DV entries as puffin deletion "
-               "vectors)"))
+            "forms"
+            + ("" if v3 else "; export format_version=3, which emits "
+               "consolidated-DV entries as puffin deletion vectors"))
+    eq_dels = [d for d in manifest.delete_files if d.content == "equality"]
 
     av = _AvroJvm(table.spark)
     meta_dir = os.path.join(dest, "metadata")
@@ -290,9 +295,22 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
     ddl_by_id = {f.id: f.type for f in meta.schema.fields}
 
     # -- data manifest --------------------------------------------------
-    entry_schema = av.parse(json.dumps(
-        _manifest_entry_schema_v3(part_avro_fields) if v3
-        else _manifest_entry_schema(part_avro_fields)))
+    entry_doc = (_manifest_entry_schema_v3(part_avro_fields) if v3
+                 else _manifest_entry_schema(part_avro_fields))
+    if eq_dels:
+        # the Avro JSON route requires every record field present, so
+        # the equality_ids field is added only when an export carries
+        # equality deletes (all other entries then write it as null)
+        entry_doc["fields"][-1]["type"]["fields"].append(
+            {"name": "equality_ids", "default": None, "field-id": 135,
+             "type": ["null", {"type": "array", "items": "int"}]})
+    entry_schema = av.parse(json.dumps(entry_doc))
+
+    def _eq_key(doc: dict, ids=None) -> dict:
+        if eq_dels:
+            doc["equality_ids"] = (
+                None if ids is None else _u("array", list(ids)))
+        return doc
     snapshot_id = int(snap.snapshot_id)
     seq = max(1, int(snap.sequence_number))
     data_entries = []
@@ -344,7 +362,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
             "snapshot_id": _u("long", snapshot_id),
             "sequence_number": _u("long", max(1, df.sequence_number)),
             "file_sequence_number": _u("long", max(1, df.sequence_number)),
-            "data_file": data_file_doc}))
+            "data_file": _eq_key(data_file_doc)}))
     man_meta = {
         "schema": json.dumps({"type": "struct", "schema-id": 0,
                               "fields": ice_fields}),
@@ -391,7 +409,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
                     "snapshot_id": _u("long", snapshot_id),
                     "sequence_number": _u("long", seq),
                     "file_sequence_number": _u("long", seq),
-                    "data_file": {
+                    "data_file": _eq_key({
                         "content": 1,
                         "file_path": _file_uri(puf_path),
                         "file_format": "PUFFIN",
@@ -405,8 +423,10 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
                         "referenced_data_file": _u("string", ref_uri),
                         "content_offset": _u("long", off),
                         "content_size_in_bytes": _u("long", size),
-                    }}))
-    for d in ([] if v3 else manifest.delete_files):
+                    })}))
+    for d in ([] if v3 else
+              [d for d in manifest.delete_files
+               if d.content == "position"]):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -436,7 +456,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
             "snapshot_id": _u("long", snapshot_id),
             "sequence_number": _u("long", seq),
             "file_sequence_number": _u("long", seq),
-            "data_file": {
+            "data_file": _eq_key({
                 "content": 1,
                 "file_path": _file_uri(out),
                 "file_format": "PARQUET",
@@ -446,7 +466,51 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
                 "null_value_counts": None,
                 "lower_bounds": None,
                 "upper_bounds": None,
-            }}))
+            })}))
+    # -- equality deletes (both versions; reverse of the adoption path) --
+    for d in eq_dels:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ktbl = pq.read_table(d.path)
+        os.makedirs(data_dir, exist_ok=True)
+        arrays, pa_fields = [], []
+        for cid in d.equality_ids:
+            fld = next(f for f in meta.schema.fields if f.id == cid)
+            col = ktbl.column(f"k_{cid}").combine_chunks()
+            arrays.append(col)
+            pa_fields.append(pa.field(
+                fld.name, col.type,
+                metadata={b"PARQUET:field_id": str(cid).encode()}))
+        out = os.path.join(
+            data_dir, f"export-eq-del-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(pa.table(arrays, schema=pa.schema(pa_fields)), out)
+        n_del_rows += int(d.record_count)
+        eq_doc = {
+            "content": 2,
+            "file_path": _file_uri(out),
+            "file_format": "PARQUET",
+            "partition": {s["name"]: None for s in exp_spec},
+            "record_count": int(d.record_count),
+            "file_size_in_bytes": os.path.getsize(out),
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+        }
+        if v3:
+            eq_doc.update({
+                "first_row_id": None,
+                "referenced_data_file": None,
+                "content_offset": None,
+                "content_size_in_bytes": None,
+            })
+        del_entries.append(json.dumps({
+            "status": 1,
+            "snapshot_id": _u("long", snapshot_id),
+            # the delete's OWN sequence number (strictly-below rule)
+            "sequence_number": _u("long", max(1, d.sequence_number)),
+            "file_sequence_number": _u("long", max(1, d.sequence_number)),
+            "data_file": _eq_key(eq_doc, d.equality_ids)}))
     if del_entries:
         del_man = f"manifest-deletes-{uuid.uuid4().hex[:8]}.avro"
         av.write_ocf(os.path.join(meta_dir, del_man), entry_schema,

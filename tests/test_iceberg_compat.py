@@ -984,3 +984,44 @@ def test_sync_picks_up_equality_deletes(spark, tmp_path):
     eq = [d for d in t._manifest(t._resolve()).delete_files
           if d.content == "equality"]
     assert len(eq) == 1 and eq[0].sequence_number == 2
+
+def test_export_equality_deletes_roundtrip(spark, tmp_path, sf_dir):
+    """Equality-delete interop closes in BOTH directions: an engine
+    table whose tombstones came from the streaming-upsert machinery
+    (delete_by_key + upsert_by_key reinsertion) exports its equality
+    deletes as spec content=2 entries — key columns renamed back to
+    schema names with field ids, the delete's own sequence number on the
+    entry — at v2 AND v3, and the RE-ADOPTED export preserves the
+    strictly-below semantics exactly (the reinserted key survives)."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wheq"))
+    cat.create_schema("exq")
+    cat.use("exq")
+    t = cat.ctas("ups", spark.sql(
+        "SELECT id AS k, concat('v', id) AS val FROM range(20)"))
+    t.delete_by_key(
+        spark.createDataFrame([(3,), (7,), (11,)], "k long"), ["k"])
+    t = t.refresh()
+    t.upsert_by_key(
+        spark.createDataFrame([(7, "reborn")], "k long, val string"),
+        ["k"])
+    t = t.refresh()
+    expect = sorted(tuple(r) for r in t.df().collect())
+    assert (7, "reborn") in expect and (3, "v3") not in expect
+
+    for fv in (2, 3):
+        dest = str(tmp_path / f"exported_eq_v{fv}")
+        export_iceberg_metadata(t, dest, format_version=fv)
+        info = ic.load_iceberg_table(dest)
+        assert info["equality_deletes"], fv
+        seqs = sorted(d["sequence_number"]
+                      for d in info["equality_deletes"])
+        assert len(seqs) == 2 and seqs[0] < seqs[1], seqs
+        back = ic.adopt_iceberg_table(
+            spark, str(tmp_path / f"readopt_eq_v{fv}"), dest)
+        got = sorted(tuple(r) for r in back.df().collect())
+        assert got == expect, fv
