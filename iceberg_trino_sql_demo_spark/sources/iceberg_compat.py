@@ -251,27 +251,11 @@ def decode_bound(raw: bytes | None, ddl: str) -> Any:
     return None
 
 
-def _identity_spec(meta: dict, fields: list) -> list[dict] | None:
-    """Engine-adoptable partition spec, or None for the unpartitioned
-    fallback.  Carried through ONLY when the source has a single
-    all-IDENTITY spec over string/int/long columns — identity partition
-    values in the manifests are raw column values, so the engine's
-    pruning math applies verbatim (``_partition_ok``'s identity branch);
-    anything else (multiple specs from partition evolution, hidden
-    transforms, date/time identity values whose Avro representation is
-    days/micros) adopts unpartitioned as before — stats pruning still
-    skips files, and correctness never depends on pruning (r11)."""
-    if "partition-specs" in meta:
-        specs = meta["partition-specs"]
-        if len(specs) != 1:
-            return None
-        pf = specs[0].get("fields", [])
-    else:
-        pf = meta.get("partition-spec") or []
-        if isinstance(pf, str):
-            return None
-    if not pf:
-        return None
+def _one_identity_spec(pf: list, fields: list) -> list[dict] | None:
+    """One foreign spec's fields as engine-adoptable identity fields, or
+    None when the spec has hidden transforms / unsupported value types
+    (date/time identity values arrive as Avro days/micros, not the raw
+    values the engine's pruning compares)."""
     by_id = {f.id: f for f in fields}
     out = []
     for f in pf:
@@ -288,7 +272,39 @@ def _identity_spec(meta: dict, fields: list) -> list[dict] | None:
             "engine_key": src.name,
             "foreign_key": f.get("name", src.name),
         })
+    return out or None
+
+
+def _identity_specs(meta: dict, fields: list) -> dict[int, list[dict]]:
+    """foreign spec-id -> engine-adoptable identity fields, for EVERY
+    all-identity spec in the table's history (partition evolution, r11:
+    the engine models per-file spec ids natively, so each manifest's
+    files keep their own spec).  Specs with hidden transforms or
+    unsupported value types are simply absent — their files adopt
+    unpartitioned (stats pruning still applies; correctness never
+    depends on pruning)."""
+    out: dict[int, list[dict]] = {}
+    if "partition-specs" in meta:
+        for spec in meta["partition-specs"]:
+            pf = spec.get("fields", [])
+            one = _one_identity_spec(pf, fields) if pf else None
+            if one:
+                out[int(spec.get("spec-id", 0))] = one
+    else:
+        pf = meta.get("partition-spec") or []
+        if pf and not isinstance(pf, str):
+            one = _one_identity_spec(pf, fields)
+            if one:
+                out[0] = one
     return out
+
+
+def _identity_spec(meta: dict, fields: list) -> list[dict] | None:
+    """The DEFAULT spec's engine-adoptable fields (back-compat surface
+    used by callers/tests that reason about the current spec), or None
+    when the default spec is not carryable."""
+    return _identity_specs(meta, fields).get(
+        int(meta.get("default-spec-id", 0)))
 
 
 def _default_value(field_doc: dict, key: str) -> Any:
@@ -370,7 +386,8 @@ def load_iceberg_table(location: str,
         for f in schema_doc["fields"]
     ]
     ddl_by_id = {f.id: f.type for f in fields}
-    id_spec = _identity_spec(meta, fields)
+    id_specs = _identity_specs(meta, fields)
+    id_spec = id_specs.get(int(meta.get("default-spec-id", 0)))
     recorded_loc = meta.get("location", "")
 
     snap_id = (snapshot_id if snapshot_id is not None
@@ -396,7 +413,8 @@ def load_iceberg_table(location: str,
     deletion_vectors: list[dict] = []
     eq_deletes: list[dict] = []
 
-    def _ingest_manifest(man_uri: str, man_seq: int = 1) -> None:
+    def _ingest_manifest(man_uri: str, man_seq: int = 1,
+                         man_spec: int = 0) -> None:
         man_local = _localize(man_uri, recorded_loc, location)
         _, entries = read_ocf(man_local)
         for e in entries:
@@ -469,11 +487,15 @@ def load_iceberg_table(location: str,
                     stats[str(fid)] = {"min": mn, "max": mx, "nulls": nl}
                 frid = df.get("first_row_id")
                 part = {}
-                if id_spec:
+                file_spec = id_specs.get(man_spec)
+                if file_spec:
                     raw_part = df.get("partition") or {}
                     part = {s["engine_key"]: raw_part.get(s["foreign_key"])
-                            for s in id_spec}
+                            for s in file_spec}
                 data_files.append({
+                    # the foreign spec this file was written under; -1 =
+                    # not carryable (its files adopt unpartitioned)
+                    "foreign_spec_id": man_spec if file_spec else -1,
                     "path": local,
                     "record_count": int(df["record_count"]),
                     "file_size_in_bytes": int(df["file_size_in_bytes"]),
@@ -504,7 +526,8 @@ def load_iceberg_table(location: str,
         _, man_entries = read_ocf(ml_local)
         for m in man_entries:
             _ingest_manifest(m["manifest_path"],
-                             int(m.get("sequence_number") or 1))
+                             int(m.get("sequence_number") or 1),
+                             int(m.get("partition_spec_id") or 0))
     else:  # v1 inline "manifests" list
         for man_uri in snap.get("manifests", []):
             _ingest_manifest(man_uri)
@@ -514,6 +537,7 @@ def load_iceberg_table(location: str,
             "deletion_vectors": deletion_vectors,
             "equality_deletes": eq_deletes,
             "identity_spec": id_spec,
+            "identity_specs": id_specs,
             "next_row_id": int(meta.get("next-row-id") or 0),
             "snapshot_id": snap_id}
 
@@ -538,11 +562,23 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
     meta_doc = info["metadata"]
     fields = info["schema"]
     schema = TableSchema(schema_id=1, fields=tuple(fields))
-    id_spec = info.get("identity_spec")
-    spec = PartitionSpec(spec_id=1, fields=tuple(
-        SpecField(field_id=s["field_id"], source_id=s["source_id"],
-                  transform=s["engine_key"])
-        for s in (id_spec or ())))
+    # engine partition specs: empty spec is id 1 (files whose foreign
+    # spec is not carryable), foreign identity spec S maps to engine
+    # spec 2+S — the engine models per-file spec ids natively (its own
+    # D13 partition evolution), so an evolved source keeps per-manifest
+    # partitioning through adoption
+    id_specs = info.get("identity_specs") or {}
+
+    def _engine_spec(fid: int) -> PartitionSpec:
+        return PartitionSpec(spec_id=2 + fid, fields=tuple(
+            SpecField(field_id=s["field_id"], source_id=s["source_id"],
+                      transform=s["engine_key"])
+            for s in id_specs[fid]))
+
+    empty_spec = PartitionSpec(spec_id=1, fields=())
+    default_fid = int(meta_doc.get("default-spec-id", 0))
+    spec = (_engine_spec(default_fid) if default_fid in id_specs
+            else empty_spec)
     props = {
         "format": "parquet",
         "format_version": "3",
@@ -565,6 +601,11 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
     extra_schemas, sid_by_path = _legacy_layout_schemas(
         info, list(fields), spark)
     meta = TableMetadata.new(engine_location, schema, spec, props)
+    if spec.spec_id != 1:
+        meta.specs.append(empty_spec)
+    meta.specs.extend(
+        _engine_spec(fid) for fid in sorted(id_specs)
+        if 2 + fid != spec.spec_id)
     meta.schemas.extend(extra_schemas)
     # v3 row lineage: seed the engine's row-id counter past the source's,
     # so engine-assigned ranges never collide with carried ones
@@ -589,7 +630,8 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
         new_files = [
             DataFile(
                 path=d["path"],
-                spec_id=1,
+                spec_id=(2 + d["foreign_spec_id"]
+                         if d.get("foreign_spec_id", -1) >= 0 else 1),
                 schema_id=sid_by_path.get(d["path"], 1),
                 partition=d.get("partition") or {},
                 record_count=d["record_count"],
@@ -1012,11 +1054,25 @@ def sync_adopted_table(spark, table) -> int | None:
             for f in s.fields)]
         for p, sid in sid_by_path.items()
     }
+    known_spec_ids = {s.spec_id for s in table.meta.specs}
+
+    def _file_spec(d: dict) -> int:
+        fid = d.get("foreign_spec_id", -1)
+        if fid < 0:
+            return 1 if 1 in known_spec_ids else table.meta.default_spec_id
+        want = 2 + fid
+        if want not in known_spec_ids:
+            raise IcebergAdoptionError(
+                "sync_adopted_table: source files carry partition spec "
+                f"{fid} which the adopted table has no engine spec for "
+                "— re-adopt the table")
+        return want
+
     seq = table.meta.last_sequence_number + 1
     new_files = [
         DataFile(
             path=d["path"],
-            spec_id=table.meta.default_spec_id,
+            spec_id=_file_spec(d),
             schema_id=sid_by_path.get(d["path"],
                                       table.meta.current_schema_id),
             partition=d.get("partition") or {},

@@ -427,8 +427,10 @@ def append_iceberg_snapshot(spark, local_dir: str,
     # per-segment file with a real partition record — the shape
     # sync_adopted_table must carry through (r11); rows must then all
     # share one segment
-    spec_fields = meta["partition-specs"][
-        meta.get("default-spec-id", 0)].get("fields", [])
+    default_sid = meta.get("default-spec-id", 0)
+    spec_fields = next(
+        s for s in meta["partition-specs"]
+        if s.get("spec-id", 0) == default_sid).get("fields", [])
     partitioned = bool(spec_fields)
     par = None
     if partitioned:
@@ -482,7 +484,7 @@ def append_iceberg_snapshot(spark, local_dir: str,
     ml_rows.append(json.dumps({
         "manifest_path": f"{rec_loc}/metadata/{man}",
         "manifest_length": os.path.getsize(os.path.join(meta_dir, man)),
-        "partition_spec_id": 0, "content": 0,
+        "partition_spec_id": default_sid, "content": 0,
         "sequence_number": seq, "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,
         "added_files_count": 1, "existing_files_count": 0,

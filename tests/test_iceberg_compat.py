@@ -1025,3 +1025,53 @@ def test_export_equality_deletes_roundtrip(spark, tmp_path, sf_dir):
             spark, str(tmp_path / f"readopt_eq_v{fv}"), dest)
         got = sorted(tuple(r) for r in back.df().collect())
         assert got == expect, fv
+
+def test_adopt_partition_evolution(spark, tmp_path):
+    """Partition EVOLUTION adopts (r11): a source that started with an
+    identity(mktsegment) spec and later evolved to unpartitioned keeps
+    BOTH specs through adoption — the engine models per-file spec ids
+    natively, so spec-0 files keep their tuples (and partition-prune)
+    while the post-evolution file rides the empty spec.  Values exact
+    across the evolution boundary."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        append_iceberg_snapshot,
+    )
+
+    loc = str(tmp_path / "ice_evo")
+    write_iceberg_fixture(spark, loc, _rows(30), delete_mod=31,
+                          partitioned=True)
+    # evolve: add an empty spec and make it the default
+    meta_dir = os.path.join(loc, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    p = os.path.join(meta_dir, f"v{v}.metadata.json")
+    doc = json.load(open(p))
+    doc["partition-specs"].append({"spec-id": 1, "fields": []})
+    doc["default-spec-id"] = 1
+    json.dump(doc, open(p, "w"))
+    append_iceberg_snapshot(spark, loc, [
+        {"custkey": 900 + i, "name": f"evo#{i}", "mktsegment": "ZEBRA",
+         "acctbal": 2.0} for i in range(3)])
+
+    info = ic.load_iceberg_table(loc)
+    assert set(info["identity_specs"]) == {0}
+    by_spec = {}
+    for d in info["data_files"]:
+        by_spec.setdefault(d["foreign_spec_id"], []).append(d)
+    assert len(by_spec[0]) == 3 and len(by_spec[-1]) == 1
+
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_evo"), loc)
+    # both specs registered; per-file spec ids map foreign 0 -> engine 2
+    assert {s.spec_id: len(s.fields) for s in t.meta.specs} == {1: 0, 2: 1}
+    man = t._manifest(t._resolve())
+    assert sorted({f.spec_id for f in man.data_files}) == [1, 2]
+    got = {r.custkey for r in t.df().collect()}
+    assert got == set(range(1, 31)) | {900, 901, 902}
+    # spec-0 files still partition-prune; the ZEBRA file stats-prunes
+    # away from an AUTO predicate
+    auto = t.df(where="mktsegment = 'AUTO'")
+    data_reads = [q for q in auto.inputFiles() if "/deletes/" not in q]
+    assert len(data_reads) == 1 and "mktsegment=AUTO" in data_reads[0]
+    # the evolved segment reads its own file
+    z = t.df(where="mktsegment = 'ZEBRA'")
+    assert {r.custkey for r in z.collect()} == {900, 901, 902}
