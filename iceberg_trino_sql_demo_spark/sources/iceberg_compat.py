@@ -837,13 +837,16 @@ def _normalize_deletion_vectors(
     for d in dvs:
         positions = read_deletion_vector(
             d["path"], d["content_offset"], d["content_size_in_bytes"])
-        if not positions:
-            continue
+        # cardinality cross-check FIRST: a CRC-valid but empty bitmap
+        # under a positive declared record_count is corruption, and
+        # skipping it would silently resurrect those rows (ADVICE r11)
         if d["record_count"] != len(positions):
             raise IcebergAdoptionError(
                 f"deletion vector for {d['referenced_data_file']} "
                 f"declares {d['record_count']} positions but decodes "
                 f"{len(positions)} — refusing a cardinality mismatch")
+        if not positions:
+            continue
         ref_local = _localize(d["referenced_data_file"], recorded_loc,
                               iceberg_location)
         import numpy as np

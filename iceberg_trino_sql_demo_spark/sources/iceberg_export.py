@@ -26,10 +26,16 @@ Mechanics, all public spec:
 
 Scope — loud refusals beyond it:
 
-- equality deletes and deletion-vector packs must be compacted first
-  (``rewrite_equality_deletes`` / the position form of the DV);
-- engine-only column types (variant, timestamp_ns) don't exist in
-  Iceberg v2;
+- every engine tombstone form exports: position deletes at v2/v3,
+  equality deletes at v2/v3 (their own sequence numbers carry, so the
+  strictly-below rule is exact), consolidated-DV packs at v3 (puffin
+  deletion vectors).  Delete manifests are written under a dedicated
+  UNPARTITIONED spec (spec-id 1) when the data spec is partitioned —
+  per the Iceberg spec a partitioned delete file applies only to data
+  files with an EQUAL partition tuple, so all-null tuples under the
+  data spec would silently apply to nothing (ADVICE r11);
+- engine-only column types (timestamp_ns; variant below v3) don't
+  exist in Iceberg v2;
 - physically-renamed columns (``pname != name``) would break name-based
   external readers (engine parquet carries no field-id metadata);
 - the export is a SNAPSHOT, not a live mirror: it captures one engine
@@ -265,15 +271,28 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
             "field-id": 1000 + i,
             "_avro": _AVRO_T[ddl],
         })
+    snap = table._resolve(ref)
+    if snap is None:
+        raise IcebergExportError(f"ref {ref!r} has no snapshot to export")
+    manifest = table._manifest(snap)
+    # per-file spec fidelity (ADVICE r11): set_partitioning keeps
+    # existing files on their OLD spec-id, so an evolved table holds
+    # data files whose partition dict lacks the default spec's keys.
+    # Exporting those under spec-0 with null tuples would let external
+    # readers partition-prune them on any predicate over the partition
+    # column — silently missing rows.  Wrong pruning metadata is a
+    # correctness bug, absent pruning is only a cost: export
+    # unpartitioned unless EVERY live data file was written under the
+    # default spec.
+    if exp_spec and any(
+            int(df.spec_id) != int(meta.default_spec_id)
+            for df in manifest.data_files):
+        exp_spec = []
     part_avro_fields = [
         {"name": s["name"], "type": ["null", s["_avro"]],
          "field-id": s["field-id"]}
         for s in exp_spec
     ]
-    snap = table._resolve(ref)
-    if snap is None:
-        raise IcebergExportError(f"ref {ref!r} has no snapshot to export")
-    manifest = table._manifest(snap)
     # equality deletes export at BOTH versions (Iceberg v2 defines them);
     # consolidated-DV packs need v3 (they become puffin deletion vectors)
     ok_contents = ("position", "dv", "equality") if v3 else (
@@ -297,14 +316,28 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
     # -- data manifest --------------------------------------------------
     entry_doc = (_manifest_entry_schema_v3(part_avro_fields) if v3
                  else _manifest_entry_schema(part_avro_fields))
-    if eq_dels:
-        # the Avro JSON route requires every record field present, so
-        # the equality_ids field is added only when an export carries
-        # equality deletes (all other entries then write it as null)
-        entry_doc["fields"][-1]["type"]["fields"].append(
-            {"name": "equality_ids", "default": None, "field-id": 135,
-             "type": ["null", {"type": "array", "items": "int"}]})
+    # delete entries NEVER carry the data spec's partition tuple: per
+    # the Iceberg spec a partitioned delete file applies only to data
+    # files with an EQUAL partition tuple (only unpartitioned-spec
+    # deletes are global), so all-null tuples under a partitioned spec
+    # would apply to nothing and deleted rows would silently resurface
+    # in external readers (ADVICE r11).  Delete manifests therefore go
+    # under a dedicated UNPARTITIONED spec (spec-id 1) whenever the
+    # data spec is partitioned.
+    del_entry_doc = (_manifest_entry_schema_v3([]) if v3
+                     else _manifest_entry_schema([]))
+    del_spec_id = 1 if exp_spec else 0
+    for doc in (entry_doc, del_entry_doc):
+        if eq_dels:
+            # the Avro JSON route requires every record field present,
+            # so the equality_ids field is added only when an export
+            # carries equality deletes (all other entries then write it
+            # as null)
+            doc["fields"][-1]["type"]["fields"].append(
+                {"name": "equality_ids", "default": None, "field-id": 135,
+                 "type": ["null", {"type": "array", "items": "int"}]})
     entry_schema = av.parse(json.dumps(entry_doc))
+    del_entry_schema = av.parse(json.dumps(del_entry_doc))
 
     def _eq_key(doc: dict, ids=None) -> dict:
         if eq_dels:
@@ -413,7 +446,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
                         "content": 1,
                         "file_path": _file_uri(puf_path),
                         "file_format": "PUFFIN",
-                        "partition": {s["name"]: None for s in exp_spec},
+                        "partition": {},
                         "record_count": card,
                         "file_size_in_bytes": puf_size,
                         "null_value_counts": None,
@@ -460,7 +493,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
                 "content": 1,
                 "file_path": _file_uri(out),
                 "file_format": "PARQUET",
-                "partition": {s["name"]: None for s in exp_spec},
+                "partition": {},
                 "record_count": int(tbl.num_rows),
                 "file_size_in_bytes": os.path.getsize(out),
                 "null_value_counts": None,
@@ -490,7 +523,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
             "content": 2,
             "file_path": _file_uri(out),
             "file_format": "PARQUET",
-            "partition": {s["name"]: None for s in exp_spec},
+            "partition": {},
             "record_count": int(d.record_count),
             "file_size_in_bytes": os.path.getsize(out),
             "null_value_counts": None,
@@ -513,8 +546,11 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
             "data_file": _eq_key(eq_doc, d.equality_ids)}))
     if del_entries:
         del_man = f"manifest-deletes-{uuid.uuid4().hex[:8]}.avro"
-        av.write_ocf(os.path.join(meta_dir, del_man), entry_schema,
-                     del_entries, {**man_meta, "content": "deletes"})
+        av.write_ocf(os.path.join(meta_dir, del_man), del_entry_schema,
+                     del_entries,
+                     {**man_meta, "content": "deletes",
+                      "partition-spec": "[]",
+                      "partition-spec-id": str(del_spec_id)})
         manifests.append((del_man, 1, len(del_entries), n_del_rows))
 
     # -- manifest list + table metadata ---------------------------------
@@ -522,7 +558,8 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
     ml_rows = [json.dumps({
         "manifest_path": _file_uri(os.path.join(meta_dir, fn)),
         "manifest_length": os.path.getsize(os.path.join(meta_dir, fn)),
-        "partition_spec_id": 0, "content": content,
+        "partition_spec_id": del_spec_id if content == 1 else 0,
+        "content": content,
         "sequence_number": seq, "min_sequence_number": 1,
         "added_snapshot_id": snapshot_id,
         "added_files_count": n_files, "existing_files_count": 0,
@@ -546,7 +583,10 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": [
             {k: v for k, v in s.items() if k != "_avro"}
-            for s in exp_spec]}],
+            for s in exp_spec]}] + (
+            # the delete manifests' dedicated unpartitioned spec — every
+            # spec-id referenced from the manifest list must resolve
+            [{"spec-id": 1, "fields": []}] if exp_spec else []),
         "last-partition-id": (999 + len(exp_spec)) if exp_spec else 999,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],

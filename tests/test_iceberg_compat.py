@@ -1075,3 +1075,148 @@ def test_adopt_partition_evolution(spark, tmp_path):
     # the evolved segment reads its own file
     z = t.df(where="mktsegment = 'ZEBRA'")
     assert {r.custkey for r in z.collect()} == {900, 901, 902}
+
+
+def test_export_delete_manifest_unpartitioned_spec(spark, tmp_path, sf_dir):
+    """ADVICE r11 high: per the Iceberg spec, a PARTITIONED delete file
+    applies only to data files with an EQUAL partition tuple — only
+    unpartitioned-spec deletes are global.  A partitioned export must
+    therefore write its delete manifests under a dedicated
+    unpartitioned spec (spec-id 1), or external readers would apply the
+    all-null-tuple deletes to nothing and deleted rows would silently
+    resurface.  Checked at v2 (position parquet) and v3 (puffin DVs)
+    straight off the written Avro/JSON, then through the full
+    re-adoption circle."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "whds"))
+    cat.create_schema("exds")
+    cat.use("exds")
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey AS custkey", "c_name AS name",
+        "c_mktsegment AS mktsegment")
+    t = cat.ctas("cust_ds", src, partitioning=("mktsegment",),
+                 properties={"merge_mode": "merge-on-read"})
+    t.delete("custkey % 5 = 2")
+    t = t.refresh()
+    expect = sorted(tuple(r) for r in t.df().collect())
+
+    for fv in (2, 3):
+        dest = str(tmp_path / f"exported_ds_v{fv}")
+        export_iceberg_metadata(t, dest, format_version=fv)
+        meta = json.load(open(os.path.join(dest, "metadata",
+                                           "v1.metadata.json")))
+        specs = {s["spec-id"]: s["fields"] for s in
+                 meta["partition-specs"]}
+        assert specs[0] and specs[1] == [], fv
+        ml_local = meta["snapshots"][0]["manifest-list"].replace(
+            "file://", "")
+        _, man_rows = read_ocf(ml_local)
+        del_rows = [m for m in man_rows if m["content"] == 1]
+        data_rows = [m for m in man_rows if m["content"] == 0]
+        assert del_rows and data_rows, fv
+        assert all(m["partition_spec_id"] == 1 for m in del_rows), fv
+        assert all(m["partition_spec_id"] == 0 for m in data_rows), fv
+        for m in del_rows:
+            hdr, entries = read_ocf(m["manifest_path"].replace(
+                "file://", ""))
+            psid = hdr.get("partition-spec-id")
+            psid = psid.decode() if isinstance(psid, bytes) else psid
+            assert psid == "1", fv
+            ps = hdr.get("partition-spec") or b"[]"
+            ps = ps.decode() if isinstance(ps, bytes) else ps
+            assert json.loads(ps) == [], fv
+            assert entries
+            for e in entries:
+                assert not (e["data_file"].get("partition") or {}), fv
+        # data entries still carry REAL tuples under spec-0
+        for m in data_rows:
+            _, entries = read_ocf(m["manifest_path"].replace(
+                "file://", ""))
+            assert all(e["data_file"]["partition"].get("mktsegment")
+                       for e in entries), fv
+        back = ic.adopt_iceberg_table(
+            spark, str(tmp_path / f"readopt_ds_v{fv}"), dest)
+        assert sorted(tuple(r) for r in back.df().collect()) == expect, fv
+
+
+def test_export_evolved_spec_falls_back_unpartitioned(spark, tmp_path):
+    """ADVICE r11 high: set_partitioning keeps existing files on their
+    OLD spec-id, so their partition dicts lack the default spec's keys.
+    Exporting them under the default spec with null tuples would let an
+    external reader partition-prune them on any predicate over the
+    partition column — silently missing rows.  The export must detect
+    the mixed-spec state and fall back to an unpartitioned spec (absent
+    pruning is only a cost), values exact through re-adoption."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "whev"))
+    cat.create_schema("exev")
+    cat.use("exev")
+    t = cat.ctas("evo", spark.sql(
+        "SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'AUTO' ELSE 'RAIL' "
+        "END AS seg FROM range(40)"))
+    t.set_partitioning(["seg"])
+    t.insert([{"k": 900, "seg": "SHIP"}, {"k": 901, "seg": "AUTO"}])
+    t = t.refresh()
+    man = t._manifest(t._resolve())
+    assert len({f.spec_id for f in man.data_files}) > 1, \
+        "fixture must hold mixed-spec files"
+    expect = sorted(tuple(r) for r in t.df().collect())
+
+    dest = str(tmp_path / "exported_evo")
+    export_iceberg_metadata(t, dest)
+    meta = json.load(open(os.path.join(dest, "metadata",
+                                       "v1.metadata.json")))
+    assert meta["partition-specs"] == [{"spec-id": 0, "fields": []}]
+    info = ic.load_iceberg_table(dest)
+    assert all(not d["partition"] for d in info["data_files"])
+    back = ic.adopt_iceberg_table(spark, str(tmp_path / "readopt_evo"),
+                                  dest)
+    assert sorted(tuple(r) for r in back.df().collect()) == expect
+
+    # single-spec partitioned tables still export a real spec: the
+    # fallback triggers ONLY on mixed per-file spec ids
+    t2 = cat.ctas("evo_clean", spark.sql(
+        "SELECT id AS k, 'A' AS seg FROM range(5)"),
+        partitioning=("seg",))
+    dest2 = str(tmp_path / "exported_evo_clean")
+    export_iceberg_metadata(t2, dest2)
+    meta2 = json.load(open(os.path.join(dest2, "metadata",
+                                        "v1.metadata.json")))
+    assert meta2["partition-specs"][0]["fields"], \
+        "uniform-spec table must keep its exported spec"
+
+
+def test_adopt_refuses_empty_dv_with_declared_cardinality(spark,
+                                                          tmp_path):
+    """ADVICE r11: a CRC-valid but EMPTY deletion-vector bitmap under a
+    positive declared record_count is corruption — skipping it would
+    silently resurrect the declared tombstones.  The cardinality
+    cross-check must fire before the empty-skip."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_compat import (
+        IcebergAdoptionError, _normalize_deletion_vectors,
+    )
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        _write_puffin,
+    )
+
+    puf = str(tmp_path / "empty.puffin")
+    locs = _write_puffin(spark, puf, [("s3://x/data/f.parquet", [])],
+                         snapshot_id=1, seq=1)
+    (_, off, size, card) = locs[0]
+    assert card == 0
+    with pytest.raises(IcebergAdoptionError, match="cardinality"):
+        _normalize_deletion_vectors(
+            str(tmp_path / "eng_dv"),
+            [{"path": puf, "content_offset": off,
+              "content_size_in_bytes": size,
+              "record_count": 3,
+              "referenced_data_file": "s3://x/data/f.parquet"}],
+            seq=1, recorded_loc="", iceberg_location="")
