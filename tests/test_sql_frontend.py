@@ -958,3 +958,25 @@ def test_r11_reorder_star_and_stats_guards(spark, tmp_path):
     eng.jdbc_catalogs["postgresql"] = {"url": "x", "driver": None,
                                        "table_map": {}, "options": {}}
     assert eng._table_rows("postgresql.rx.big_x") is None
+
+
+def test_drop_schema_name_containing_if_and_qualified(spark, tmp_path):
+    """ADVICE r11: IF EXISTS must be its own capture group — substring
+    probing the whole match turned ``DROP SCHEMA shift`` (name contains
+    'IF') into a silent no-op on a MISSING schema; and a qualified
+    ``memory.sales`` must reduce through _last like every other schema
+    handler instead of never matching the registry."""
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_dsn"))
+    # name containing IF: a missing-schema bare drop must RAISE
+    with pytest.raises(KeyError):
+        eng.sql("DROP SCHEMA shift")
+    eng.sql("CREATE SCHEMA shift")
+    eng.sql("DROP SCHEMA shift")  # and an existing one drops
+    assert "shift" not in eng.catalog.data["schemas"]
+    # qualified name resolves to the schema registry entry
+    eng.sql("CREATE SCHEMA sales")
+    eng.sql("DROP SCHEMA memory.sales")
+    assert "sales" not in eng.catalog.data["schemas"]
+    eng.sql("DROP SCHEMA IF EXISTS memory.sales")  # silent
