@@ -31,7 +31,11 @@ from datetime import date, datetime
 from typing import Any, Iterable
 
 from iceberg_trino_sql_demo_spark.sources.metadata import DataFile, TableMetadata
-from iceberg_trino_sql_demo_spark.sources.transforms import Transform, parse_transform
+from iceberg_trino_sql_demo_spark.sources.transforms import (
+    Transform,
+    iceberg_bucket_value,
+    parse_transform,
+)
 
 Op = str  # '=' '<' '<=' '>' '>=' 'in' '!=' 'isnull' 'notnull' 'or'
 
@@ -140,6 +144,16 @@ def _partition_ok(
             vals = pred.value if pred.op == "in" else [pred.value]
             buckets = {bucket_of(spark, v, int(t.param), src.type) for v in vals}
             if pv not in buckets:
+                return False
+        elif t.name == "ibucket" and pred.op in ("=", "in"):
+            # adopted-foreign bucket spec: recompute the ICEBERG hash
+            # (murmur3, spec Appendix B encodings) driver-side — no JVM
+            # probe needed.  An unhashable literal type yields None ->
+            # keep the file (never prune on unknown).
+            vals = pred.value if pred.op == "in" else [pred.value]
+            buckets = {iceberg_bucket_value(v, int(t.param), src.type)
+                       for v in vals}
+            if None not in buckets and pv not in buckets:
                 return False
     return True
 

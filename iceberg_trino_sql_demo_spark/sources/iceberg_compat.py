@@ -34,12 +34,18 @@ Scope — read-only adoption, loud refusals beyond it:
   ``snapshot_id`` — adoption-time time travel); after adoption the
   table is a normal engine table — further engine DML commits engine-own snapshots on top
   and never touches the original Iceberg metadata.
-- A single all-IDENTITY partition spec over string/int/long columns
-  carries through (r11): the engine spec gets real identity fields and
-  every file keeps its partition tuple, so partition pruning works on
-  the adopted table exactly as on engine-written ones.  Hidden
-  transforms / multi-spec evolution / date-identity adopt UNPARTITIONED
-  as before — per-file column bounds (Iceberg single-value
+- Partition specs carry through, IDENTITY (string/int/long, r11) and
+  HIDDEN TRANSFORMS (r12): year/month/day/hour (value re-encoded from
+  Iceberg's epoch-relative counts onto the engine's transform
+  encodings), truncate[W] over strings (identical semantics), and
+  bucket[N] via the engine's ``ibucket`` transform — the Iceberg
+  murmur3 bucket reproduced on both write and pruning paths, verified
+  against the spec's published vectors and Spark's own JVM murmur3.
+  Partition EVOLUTION carries per-file spec ids (r11).  The reference's
+  own ``orders`` layout (``partitioning = ARRAY['year(orderdate)']``,
+  iceberg_trino_sqldemo.sql:13) therefore partition-prunes after
+  adoption.  Uncarryable specs (date-identity, numeric truncate)
+  adopt unpartitioned — per-file column bounds (Iceberg single-value
   serialization, spec Appendix D) still feed the engine's stats
   pruning, so scans skip files either way.
 
@@ -56,6 +62,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 from typing import Any
 
@@ -251,59 +258,134 @@ def decode_bound(raw: bytes | None, ddl: str) -> Any:
     return None
 
 
-def _one_identity_spec(pf: list, fields: list) -> list[dict] | None:
-    """One foreign spec's fields as engine-adoptable identity fields, or
-    None when the spec has hidden transforms / unsupported value types
-    (date/time identity values arrive as Avro days/micros, not the raw
-    values the engine's pruning compares)."""
+def _cv_int(v: Any) -> Any:
+    return int(v)
+
+
+def _cv_year(v: Any) -> Any:
+    # Iceberg years-since-1970 -> engine calendar year
+    return int(v) + 1970
+
+
+def _cv_month(v: Any) -> Any:
+    # Iceberg months-since-1970 -> engine year*12+month-1
+    return int(v) + 1970 * 12
+
+
+def _cv_day(v: Any) -> Any:
+    # both sides are days-since-epoch; Avro's date logical type may
+    # surface as a python date depending on the decoder
+    import datetime as _dt
+
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return int(v)
+
+
+def _one_carryable_spec(pf: list, fields: list) -> list[dict] | None:
+    """One foreign spec's fields as engine-adoptable spec fields —
+    identity AND hidden transforms (r12) — or None when any field is
+    not carryable (all-or-nothing: a partial spec would mislabel the
+    partition tuples).
+
+    Per-field output: ``transform`` (engine spec string for
+    ``SpecField``), ``engine_key`` (the engine partition-dict key,
+    ``Transform.field_name``), ``foreign_key`` (the foreign manifest's
+    partition field name), and ``convert`` (foreign Avro partition
+    value -> engine partition value).
+
+    Transform value mapping (all public spec):
+    - identity over string/int/long: verbatim (date/time identity
+      values arrive as Avro days/micros, not the raw values the
+      engine's pruning compares — still refused);
+    - year/month: Iceberg counts years/months since 1970, the engine
+      uses calendar year and year*12+month-1 — constant offsets;
+    - day/hour: both sides count days/hours since epoch — verbatim;
+    - truncate[W] over string: identical semantics (W-char prefix);
+      numeric truncate differs (engine truncates the decimal string,
+      Iceberg floors to a multiple of W) and is refused;
+    - bucket[N]: the bucket NUMBERS carry verbatim, but the hash is
+      Iceberg's murmur3, not the engine's xxhash64 — the field adopts
+      as the engine's ``ibucket`` transform, which reproduces the
+      Iceberg hash on both the write path and the pruning path
+      (sources/transforms.py, spec-vector + JVM verified).
+    """
     by_id = {f.id: f for f in fields}
     out = []
-    for f in pf:
-        if f.get("transform") != "identity":
-            return None
+    for i, f in enumerate(pf):
+        tr = str(f.get("transform") or "")
         src = by_id.get(f.get("source-id"))
-        if src is None or src.type not in ("string", "int", "bigint"):
+        if src is None:
             return None
-        out.append({
-            "field_id": int(f.get("field-id", 1000)),
+        m_b = re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
+        d = {
+            "field_id": int(f.get("field-id", 1000 + i)),
             "source_id": src.id,
-            # engine identity transforms key partition dicts by the
-            # SOURCE column name (Transform.field_name)
-            "engine_key": src.name,
             "foreign_key": f.get("name", src.name),
-        })
+        }
+        if tr == "identity" and src.type in ("string", "int", "bigint"):
+            d.update(transform=src.name, engine_key=src.name,
+                     convert=lambda v: v)
+        elif tr == "year" and src.type in ("date", "timestamp"):
+            d.update(transform=f"year({src.name})",
+                     engine_key=f"{src.name}_year", convert=_cv_year)
+        elif tr == "month" and src.type in ("date", "timestamp"):
+            d.update(transform=f"month({src.name})",
+                     engine_key=f"{src.name}_month", convert=_cv_month)
+        elif tr == "day" and src.type in ("date", "timestamp"):
+            d.update(transform=f"day({src.name})",
+                     engine_key=f"{src.name}_day", convert=_cv_day)
+        elif tr == "hour" and src.type == "timestamp":
+            d.update(transform=f"hour({src.name})",
+                     engine_key=f"{src.name}_hour", convert=_cv_int)
+        elif (m_b and m_b.group(1) == "truncate"
+                and src.type == "string"):
+            w = int(m_b.group(2))
+            d.update(transform=f"truncate({w}, {src.name})",
+                     engine_key=f"{src.name}_truncate_{w}",
+                     convert=str)
+        elif (m_b and m_b.group(1) == "bucket"
+                and src.type in ("string", "int", "bigint", "date",
+                                 "timestamp")):
+            n = int(m_b.group(2))
+            d.update(transform=f"ibucket({n}, {src.name})",
+                     engine_key=f"{src.name}_ibucket_{n}",
+                     convert=_cv_int)
+        else:
+            return None
+        out.append(d)
     return out or None
 
 
-def _identity_specs(meta: dict, fields: list) -> dict[int, list[dict]]:
-    """foreign spec-id -> engine-adoptable identity fields, for EVERY
-    all-identity spec in the table's history (partition evolution, r11:
+def _carryable_specs(meta: dict, fields: list) -> dict[int, list[dict]]:
+    """foreign spec-id -> engine-adoptable spec fields, for EVERY
+    carryable spec in the table's history (partition evolution, r11:
     the engine models per-file spec ids natively, so each manifest's
-    files keep their own spec).  Specs with hidden transforms or
-    unsupported value types are simply absent — their files adopt
+    files keep their own spec; hidden transforms carry since r12).
+    Specs with uncarryable fields are simply absent — their files adopt
     unpartitioned (stats pruning still applies; correctness never
     depends on pruning)."""
     out: dict[int, list[dict]] = {}
     if "partition-specs" in meta:
         for spec in meta["partition-specs"]:
             pf = spec.get("fields", [])
-            one = _one_identity_spec(pf, fields) if pf else None
+            one = _one_carryable_spec(pf, fields) if pf else None
             if one:
                 out[int(spec.get("spec-id", 0))] = one
     else:
         pf = meta.get("partition-spec") or []
         if pf and not isinstance(pf, str):
-            one = _one_identity_spec(pf, fields)
+            one = _one_carryable_spec(pf, fields)
             if one:
                 out[0] = one
     return out
 
 
-def _identity_spec(meta: dict, fields: list) -> list[dict] | None:
+def _carryable_spec(meta: dict, fields: list) -> list[dict] | None:
     """The DEFAULT spec's engine-adoptable fields (back-compat surface
     used by callers/tests that reason about the current spec), or None
     when the default spec is not carryable."""
-    return _identity_specs(meta, fields).get(
+    return _carryable_specs(meta, fields).get(
         int(meta.get("default-spec-id", 0)))
 
 
@@ -386,7 +468,7 @@ def load_iceberg_table(location: str,
         for f in schema_doc["fields"]
     ]
     ddl_by_id = {f.id: f.type for f in fields}
-    id_specs = _identity_specs(meta, fields)
+    id_specs = _carryable_specs(meta, fields)
     id_spec = id_specs.get(int(meta.get("default-spec-id", 0)))
     recorded_loc = meta.get("location", "")
 
@@ -490,8 +572,12 @@ def load_iceberg_table(location: str,
                 file_spec = id_specs.get(man_spec)
                 if file_spec:
                     raw_part = df.get("partition") or {}
-                    part = {s["engine_key"]: raw_part.get(s["foreign_key"])
-                            for s in file_spec}
+                    # foreign Avro partition value -> engine encoding
+                    # (year/month offsets, bucket numbers verbatim, ...)
+                    for sf_ in file_spec:
+                        rv = raw_part.get(sf_["foreign_key"])
+                        part[sf_["engine_key"]] = (
+                            None if rv is None else sf_["convert"](rv))
                 data_files.append({
                     # the foreign spec this file was written under; -1 =
                     # not carryable (its files adopt unpartitioned)
@@ -536,8 +622,8 @@ def load_iceberg_table(location: str,
             "position_deletes": pos_deletes,
             "deletion_vectors": deletion_vectors,
             "equality_deletes": eq_deletes,
-            "identity_spec": id_spec,
-            "identity_specs": id_specs,
+            "carryable_spec": id_spec,
+            "carryable_specs": id_specs,
             "next_row_id": int(meta.get("next-row-id") or 0),
             "snapshot_id": snap_id}
 
@@ -563,16 +649,16 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
     fields = info["schema"]
     schema = TableSchema(schema_id=1, fields=tuple(fields))
     # engine partition specs: empty spec is id 1 (files whose foreign
-    # spec is not carryable), foreign identity spec S maps to engine
+    # spec is not carryable), foreign carryable spec S maps to engine
     # spec 2+S — the engine models per-file spec ids natively (its own
     # D13 partition evolution), so an evolved source keeps per-manifest
     # partitioning through adoption
-    id_specs = info.get("identity_specs") or {}
+    id_specs = info.get("carryable_specs") or {}
 
     def _engine_spec(fid: int) -> PartitionSpec:
         return PartitionSpec(spec_id=2 + fid, fields=tuple(
             SpecField(field_id=s["field_id"], source_id=s["source_id"],
-                      transform=s["engine_key"])
+                      transform=s["transform"])
             for s in id_specs[fid]))
 
     empty_spec = PartitionSpec(spec_id=1, fields=())

@@ -964,3 +964,165 @@ def meta_schema_json(meta: dict) -> str:
     sid = meta.get("current-schema-id", 0)
     doc = next(s for s in meta["schemas"] if s.get("schema-id", 0) == sid)
     return json.dumps(doc)
+
+
+def write_iceberg_transform_fixture(spark, local_dir: str,
+                                    n_rows: int = 48) -> dict:
+    """A genuine Iceberg v2 table partitioned by HIDDEN transforms —
+    ``year(orderdate)`` (the reference's own orders layout,
+    iceberg_trino_sqldemo.sql:13) plus ``bucket[4](orderkey)`` — for the
+    r12 transform-adoption path.
+
+    Schema: orderkey long (id 1), orderdate date (id 2), total double
+    (id 3).  Rows land in one data file per live (year, bucket) pair;
+    partition tuples carry Iceberg's OWN encodings: years-since-1970
+    ints and murmur3 bucket numbers (computed by the spec-vector-
+    verified ``iceberg_bucket_value``).  Returns {"location",
+    "recorded_location", "rows": [(orderkey, iso_date, total)],
+    "n_files"}.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_trino_sql_demo_spark.sources.transforms import (
+        iceberg_bucket_value,
+    )
+
+    av = _AvroJvm(spark)
+    rec_loc = "s3://demo-warehouse/demo/adopt_transform_tbl"
+    meta_dir = os.path.join(local_dir, "metadata")
+    data_dir = os.path.join(local_dir, "data")
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    from datetime import date as _date
+
+    rows = []
+    for k in range(1, n_rows + 1):
+        d = _date(1994 + (k % 4), 1 + (k % 12), 1 + (k % 28))
+        rows.append((k, d, float(k) * 10.5))
+    groups: dict[tuple[int, int], list] = {}
+    for r in rows:
+        key = (r[1].year - 1970, iceberg_bucket_value(r[0], 4, "bigint"))
+        groups.setdefault(key, []).append(r)
+
+    part_avro = [
+        {"name": "orderdate_year", "type": ["null", "int"],
+         "field-id": 1000},
+        {"name": "orderkey_bucket", "type": ["null", "int"],
+         "field-id": 1001},
+    ]
+    entry_schema = av.parse(json.dumps(_manifest_entry_schema(part_avro)))
+    snapshot_id = 777000111
+    data_entries = []
+    for i, ((yy, bb), grp) in enumerate(sorted(groups.items())):
+        sub = f"orderdate_year={yy}/orderkey_bucket={bb}"
+        os.makedirs(os.path.join(data_dir, sub), exist_ok=True)
+        fname = f"{sub}/part-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        fpath = os.path.join(data_dir, fname)
+        pq.write_table(pa.table({
+            "orderkey": pa.array([g[0] for g in grp], pa.int64()),
+            "orderdate": pa.array([g[1] for g in grp], pa.date32()),
+            "total": pa.array([g[2] for g in grp], pa.float64()),
+        }), fpath)
+        keys = [g[0] for g in grp]
+        data_entries.append(json.dumps({
+            "status": 1,
+            "snapshot_id": _u("long", snapshot_id),
+            "sequence_number": _u("long", 1),
+            "file_sequence_number": _u("long", 1),
+            "data_file": {
+                "content": 0,
+                "file_path": f"{rec_loc}/data/{fname}",
+                "file_format": "PARQUET",
+                "partition": {"orderdate_year": _u("int", yy),
+                              "orderkey_bucket": _u("int", bb)},
+                "record_count": len(grp),
+                "file_size_in_bytes": os.path.getsize(fpath),
+                "null_value_counts": _int_map_json([(1, 0)]),
+                "lower_bounds": _int_map_json(
+                    [(1, _bytes_json(_bound_long(min(keys))))]),
+                "upper_bounds": _int_map_json(
+                    [(1, _bytes_json(_bound_long(max(keys))))]),
+            }}))
+
+    spec_fields = [
+        {"name": "orderdate_year", "transform": "year",
+         "source-id": 2, "field-id": 1000},
+        {"name": "orderkey_bucket", "transform": "bucket[4]",
+         "source-id": 1, "field-id": 1001},
+    ]
+    schema_doc = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "orderkey", "required": False, "type": "long"},
+        {"id": 2, "name": "orderdate", "required": False, "type": "date"},
+        {"id": 3, "name": "total", "required": False, "type": "double"},
+    ]}
+    man_meta = {
+        "schema": json.dumps(schema_doc),
+        "partition-spec": json.dumps(spec_fields),
+        "partition-spec-id": "0",
+        "format-version": "2",
+    }
+    data_man = f"manifest-data-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, data_man), entry_schema,
+                 data_entries, {**man_meta, "content": "data"},
+                 deflate=True)
+
+    ml_schema = av.parse(json.dumps(_MANIFEST_LIST_SCHEMA))
+    ml_entries = [json.dumps({
+        "manifest_path": f"{rec_loc}/metadata/{data_man}",
+        "manifest_length":
+            os.path.getsize(os.path.join(meta_dir, data_man)),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": 1,
+        "min_sequence_number": 1,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(data_entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    })]
+    ml_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex[:8]}.avro"
+    av.write_ocf(os.path.join(meta_dir, ml_name), ml_schema, ml_entries,
+                 {"format-version": "2"})
+
+    now = int(time.time() * 1000)
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": rec_loc,
+        "last-sequence-number": 1,
+        "last-updated-ms": now,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [schema_doc],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 1001,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+        "snapshots": [{
+            "snapshot-id": snapshot_id,
+            "sequence-number": 1,
+            "timestamp-ms": now,
+            "summary": {"operation": "append"},
+            "manifest-list": f"{rec_loc}/metadata/{ml_name}",
+            "schema-id": 0,
+        }],
+        "snapshot-log": [{"snapshot-id": snapshot_id,
+                          "timestamp-ms": now}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return {"location": local_dir, "recorded_location": rec_loc,
+            "rows": [(k, d.isoformat(), v) for k, d, v in rows],
+            "n_files": len(data_entries)}

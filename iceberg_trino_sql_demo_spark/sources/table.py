@@ -2691,7 +2691,9 @@ class Table:
         # the identical deterministic values for the dir split)
         pref: list[str] = []
         for pt_name, t in spec_transforms(self.meta.spec, self.meta.schema):
-            src = src.withColumn(pt_name, t.apply(F.col(t.source)))
+            src_ddl = next((c.type for c in self.meta.schema.fields
+                            if c.name == t.source), None)
+            src = src.withColumn(pt_name, t.apply(F.col(t.source), src_ddl))
             pref.append(pt_name)
         clustered = zorder_cluster(
             src, typed, int(n_files), prefix_cols=pref

@@ -51,7 +51,8 @@ def _parse_partition_value(raw: str, transform: Transform, source_type: str) -> 
     if raw == HIVE_NULL:
         return None
     v = unquote(raw)
-    if transform.name in ("year", "month", "day", "hour", "bucket"):
+    if transform.name in ("year", "month", "day", "hour", "bucket",
+                          "ibucket"):
         return int(v)
     if transform.name == "truncate":
         return v
@@ -117,7 +118,9 @@ def write_data_files(
     )
     by_name = {f.name: f for f in schema.fields}
     for pt_name, t in pts:
-        out = out.withColumn(pt_name, t.apply(F.col(by_name[t.source].pname)))
+        out = out.withColumn(
+            pt_name,
+            t.apply(F.col(by_name[t.source].pname), by_name[t.source].type))
 
     if pts and not preserve_order:
         # One shuffle keyed on the partition tuple: each output task then

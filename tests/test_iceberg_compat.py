@@ -243,7 +243,7 @@ def test_adopt_partitioned_source(spark, tmp_path):
                                 partitioned=True)
     info = ic.load_iceberg_table(loc)
     assert len(info["data_files"]) == 3  # one per segment
-    assert [s["engine_key"] for s in info["identity_spec"]] == [
+    assert [s["engine_key"] for s in info["carryable_spec"]] == [
         "mktsegment"]
     t = ic.adopt_iceberg_table(spark, str(tmp_path / "adopted_p"), loc)
     got = {r.custkey: (r.name, r.mktsegment, r.acctbal)
@@ -858,7 +858,7 @@ def test_export_partitioned_roundtrip(spark, tmp_path, sf_dir):
     dest = str(tmp_path / "exported_part")
     export_iceberg_metadata(t, dest)
     info = ic.load_iceberg_table(dest)
-    assert [s["engine_key"] for s in info["identity_spec"]] == [
+    assert [s["engine_key"] for s in info["carryable_spec"]] == [
         "mktsegment"]
     assert all(d["partition"].get("mktsegment") for d in
                info["data_files"])
@@ -878,7 +878,7 @@ def test_export_partitioned_roundtrip(spark, tmp_path, sf_dir):
     dest2 = str(tmp_path / "exported_year")
     export_iceberg_metadata(t2, dest2)
     info2 = ic.load_iceberg_table(dest2)
-    assert info2["identity_spec"] is None
+    assert info2["carryable_spec"] is None
     assert info2["metadata"]["partition-specs"] == [
         {"spec-id": 0, "fields": []}]
     back2 = ic.adopt_iceberg_table(spark, str(tmp_path / "readopt_y"),
@@ -1054,7 +1054,7 @@ def test_adopt_partition_evolution(spark, tmp_path):
          "acctbal": 2.0} for i in range(3)])
 
     info = ic.load_iceberg_table(loc)
-    assert set(info["identity_specs"]) == {0}
+    assert set(info["carryable_specs"]) == {0}
     by_spec = {}
     for d in info["data_files"]:
         by_spec.setdefault(d["foreign_spec_id"], []).append(d)
@@ -1220,3 +1220,133 @@ def test_adopt_refuses_empty_dv_with_declared_cardinality(spark,
               "record_count": 3,
               "referenced_data_file": "s3://x/data/f.parquet"}],
             seq=1, recorded_loc="", iceberg_location="")
+
+
+def test_adopt_hidden_transform_spec(spark, tmp_path):
+    """Hidden-transform partition specs carry through adoption (r12,
+    VERDICT r11 #1): a foreign table partitioned by ``year(orderdate)``
+    — the reference orders layout, iceberg_trino_sqldemo.sql:13 — plus
+    ``bucket[4](orderkey)`` adopts with a REAL engine spec: per-file
+    tuples re-encoded onto the engine's transform encodings
+    (years-since-1970 -> calendar year; murmur3 bucket numbers
+    verbatim, recomputable via ibucket), so both range pruning on the
+    date column and equality pruning on the bucketed key skip files
+    after adoption — and engine DML writes land in the SAME Iceberg
+    buckets."""
+    from iceberg_trino_sql_demo_spark.plans.predicates import (
+        parse_simple_predicates,
+    )
+    from iceberg_trino_sql_demo_spark.plans.pruning import prune_files
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        write_iceberg_transform_fixture,
+    )
+    from iceberg_trino_sql_demo_spark.sources.transforms import (
+        iceberg_bucket_value,
+    )
+
+    loc = str(tmp_path / "ice_tr")
+    out = write_iceberg_transform_fixture(spark, loc)
+    info = ic.load_iceberg_table(loc)
+    assert [s["transform"] for s in info["carryable_spec"]] == [
+        "year(orderdate)", "ibucket(4, orderkey)"]
+
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_tr"), loc)
+    got = sorted((r.orderkey, r.orderdate.isoformat(), r.total)
+                 for r in t.df().collect())
+    assert got == sorted(tuple(r) for r in out["rows"])
+
+    # tuples re-encoded: Iceberg years-since-1970 -> engine calendar year
+    man = t._manifest(t._resolve())
+    assert {f.partition["orderdate_year"] for f in man.data_files} == {
+        1994, 1995, 1996, 1997}
+
+    # year-transform range pruning on the SOURCE column
+    preds = parse_simple_predicates("orderdate >= DATE '1997-01-01'")
+    pruned = prune_files(man.data_files, t.meta, preds)
+    assert pruned and {f.partition["orderdate_year"]
+                       for f in pruned} == {1997}
+
+    # murmur3 bucket equality pruning, driver-side (no JVM probe)
+    b7 = iceberg_bucket_value(7, 4, "bigint")
+    pruned = prune_files(man.data_files, t.meta,
+                         parse_simple_predicates("orderkey = 7"))
+    assert pruned and {f.partition["orderkey_ibucket_4"]
+                       for f in pruned} == {b7}
+    n_b7 = len([f for f in man.data_files
+                if f.partition["orderkey_ibucket_4"] == b7])
+    # stats pruning (orderkey bounds) stacks ON TOP of bucket pruning
+    assert 1 <= len(pruned) <= n_b7 < len(man.data_files)
+
+    # pruned reads return exactly the right rows
+    assert {r.orderkey for r in t.df(where="orderkey = 7").collect()} \
+        == {7}
+    sub = t.df(where="orderdate >= DATE '1997-01-01'").collect()
+    assert sub and all(r.orderdate.year == 1997 for r in sub)
+    data_reads = [p for p in
+                  t.df(where="orderdate >= DATE '1997-01-01'")
+                  .inputFiles() if "/deletes/" not in p]
+    assert all("orderdate_year=27" in p for p in data_reads), data_reads
+
+    # engine DML after adoption: new files land in the SAME Iceberg
+    # buckets (ibucket write path = murmur3, not xxhash64)
+    import datetime as _dt
+
+    t.insert([{"orderkey": 500, "orderdate": _dt.date(1997, 6, 15),
+               "total": 1.0}])
+    t = t.refresh()
+    man2 = t._manifest(t._resolve())
+    new = [f for f in man2.data_files
+           if f.partition.get("orderdate_year") == 1997
+           and f.record_count == 1
+           and f.partition.get("orderkey_ibucket_4")
+           == iceberg_bucket_value(500, 4, "bigint")]
+    assert new, [f.partition for f in man2.data_files]
+    assert {r.orderkey for r in
+            t.df(where="orderkey = 500").collect()} == {500}
+
+
+def test_carryable_spec_field_mapping_units(spark):
+    """Per-transform mapping rules of _one_carryable_spec: month/day/
+    hour/truncate-string carry with the right engine spec strings and
+    value conversions; date-identity and numeric truncate refuse."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_compat import (
+        _one_carryable_spec,
+    )
+    from iceberg_trino_sql_demo_spark.sources.metadata import NestedField
+
+    fields = [
+        NestedField(id=1, name="k", type="bigint"),
+        NestedField(id=2, name="d", type="date"),
+        NestedField(id=3, name="ts", type="timestamp"),
+        NestedField(id=4, name="s", type="string"),
+    ]
+
+    def one(tr, sid):
+        return _one_carryable_spec(
+            [{"name": "p", "transform": tr, "source-id": sid,
+              "field-id": 1000}], fields)
+
+    m = one("month", 2)[0]
+    assert m["transform"] == "month(d)" and m["engine_key"] == "d_month"
+    # 2017-11 = Iceberg months-since-1970 574 -> engine 2017*12+10
+    assert m["convert"](574) == 2017 * 12 + 10
+    d = one("day", 2)[0]
+    assert d["transform"] == "day(d)" and d["convert"](17486) == 17486
+    import datetime as _dt
+
+    assert d["convert"](_dt.date(2017, 11, 16)) == 17486
+    h = one("hour", 3)[0]
+    assert h["transform"] == "hour(ts)" and h["convert"](5) == 5
+    tr = one("truncate[3]", 4)[0]
+    assert tr["transform"] == "truncate(3, s)"
+    assert tr["engine_key"] == "s_truncate_3" and tr["convert"]("ab") \
+        == "ab"
+    y = one("year", 3)[0]
+    assert y["transform"] == "year(ts)" and y["convert"](47) == 2017
+    b = one("bucket[16]", 4)[0]
+    assert b["transform"] == "ibucket(16, s)" and b["convert"](3) == 3
+    # refusals: date identity (Avro days-int vs engine ISO strings),
+    # numeric truncate (floor-to-multiple vs string prefix), hour(date)
+    assert one("identity", 2) is None
+    assert one("truncate[3]", 1) is None
+    assert one("hour", 2) is None
