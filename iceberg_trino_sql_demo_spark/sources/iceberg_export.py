@@ -121,6 +121,24 @@ def _encode_bound(v: Any, ddl: str) -> bytes | None:
     return None
 
 
+def _xcv_id(v: Any) -> Any:
+    return v
+
+
+def _xcv_int(v: Any) -> int:
+    return int(v)
+
+
+def _xcv_year(v: Any) -> int:
+    # engine calendar year -> Iceberg years-since-1970
+    return int(v) - 1970
+
+
+def _xcv_month(v: Any) -> int:
+    # engine year*12+month-1 -> Iceberg months-since-1970
+    return int(v) - 1970 * 12
+
+
 def _assign_nested_ids(fields: list[dict], last_id: int) -> None:
     """Give nested element ids (list element-id etc.) table-unique values
     past the top-level column ids, as the spec requires."""
@@ -241,16 +259,21 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
             fd[key] = v
         ice_fields.append(fd)
     _assign_nested_ids(ice_fields, meta.last_column_id)
-    # identity partition export (r11, symmetric with the adoption side):
-    # a default spec whose fields are ALL identity over string/int/long
-    # exports as a real Iceberg spec with per-file partition tuples, so
-    # external readers partition-prune the exported table.  Non-identity
-    # engine transforms (year/month/bucket/truncate) use engine-side
-    # value encodings that differ from Iceberg's (calendar year vs
-    # years-since-1970, xxhash64 vs murmur3 buckets) and export
-    # unpartitioned — wrong pruning metadata would be a correctness bug
-    # for external readers, absent pruning is only a cost.
+    # partition export (r11 identity, r12 hidden transforms — symmetric
+    # with the adoption side): a default spec whose fields are ALL
+    # expressible in Iceberg terms exports as a real Iceberg spec with
+    # per-file partition tuples, so external readers partition-prune
+    # the exported table.  Value encodings re-map per transform:
+    # calendar year -> years-since-1970 (constant offsets, month
+    # likewise), day/hour verbatim (both sides count from epoch),
+    # truncate-string verbatim (identical semantics), and ibucket —
+    # the engine's Iceberg-murmur3 bucket — verbatim bucket numbers
+    # under Iceberg's own ``bucket[N]``.  The engine's NATIVE bucket
+    # (xxhash64) and numeric truncate have no Iceberg equivalent and
+    # fall back to unpartitioned — wrong pruning metadata would be a
+    # correctness bug for external readers, absent pruning only a cost.
     from iceberg_trino_sql_demo_spark.sources.transforms import (
+        Transform,
         parse_transform,
     )
 
@@ -261,16 +284,46 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
     for i, sf in enumerate(meta.spec.fields):
         t = parse_transform(sf.transform)
         ddl = ddl_by_id_spec.get(sf.source_id)
-        if t.name != "identity" or ddl not in _AVRO_T:
+        src_name = name_by_id_spec.get(sf.source_id, t.source)
+        ent: dict = {"source-id": sf.source_id, "field-id": 1000 + i}
+        if t.name == "identity" and ddl in _AVRO_T:
+            ent.update({"name": src_name, "transform": "identity",
+                        "_avro": _AVRO_T[ddl], "_cv": _xcv_id})
+        elif t.name == "year" and ddl in ("date", "timestamp"):
+            ent.update({"name": f"{src_name}_year", "transform": "year",
+                        "_avro": "int", "_cv": _xcv_year})
+        elif t.name == "month" and ddl in ("date", "timestamp"):
+            ent.update({"name": f"{src_name}_month",
+                        "transform": "month", "_avro": "int",
+                        "_cv": _xcv_month})
+        elif t.name == "day" and ddl in ("date", "timestamp"):
+            # day's Iceberg result type is date: int days + logical
+            # annotation in the Avro partition record
+            ent.update({"name": f"{src_name}_day", "transform": "day",
+                        "_avro": {"type": "int", "logicalType": "date"},
+                        "_branch": "int", "_cv": _xcv_int})
+        elif t.name == "hour" and ddl == "timestamp":
+            ent.update({"name": f"{src_name}_hour", "transform": "hour",
+                        "_avro": "int", "_cv": _xcv_int})
+        elif t.name == "truncate" and ddl == "string":
+            ent.update({"name": f"{src_name}_trunc",
+                        "transform": f"truncate[{int(t.param or 1)}]",
+                        "_avro": "string", "_cv": str})
+        elif t.name == "ibucket" and ddl in ("string", "int", "bigint",
+                                             "date", "timestamp"):
+            ent.update({"name": f"{src_name}_bucket",
+                        "transform": f"bucket[{int(t.param or 1)}]",
+                        "_avro": "int", "_cv": _xcv_int})
+        else:
             exp_spec = []
             break
-        exp_spec.append({
-            "name": name_by_id_spec[sf.source_id],
-            "transform": "identity",
-            "source-id": sf.source_id,
-            "field-id": 1000 + i,
-            "_avro": _AVRO_T[ddl],
-        })
+        ent.setdefault("_branch",
+                       ent["_avro"] if isinstance(ent["_avro"], str)
+                       else "int")
+        # engine partition dicts key by the ID-resolved field name
+        # (renames never corrupt the mapping, same rule as the writer)
+        ent["_key"] = Transform(t.name, src_name, t.param).field_name
+        exp_spec.append(ent)
     snap = table._resolve(ref)
     if snap is None:
         raise IcebergExportError(f"ref {ref!r} has no snapshot to export")
@@ -370,8 +423,10 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
             "file_path": _file_uri(df.path),
             "file_format": "PARQUET",
             "partition": {
-                s["name"]: _u(s["_avro"],
-                              (df.partition or {}).get(s["name"]))
+                s["name"]: _u(s["_branch"], None
+                              if (df.partition or {}).get(s["_key"])
+                              is None
+                              else s["_cv"](df.partition[s["_key"]]))
                 for s in exp_spec
             },
             "record_count": int(df.record_count),
@@ -400,7 +455,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
         "schema": json.dumps({"type": "struct", "schema-id": 0,
                               "fields": ice_fields}),
         "partition-spec": json.dumps([
-            {k: v for k, v in s.items() if k != "_avro"}
+            {k: v for k, v in s.items() if not k.startswith("_")}
             for s in exp_spec]),
         "partition-spec-id": "0",
         "format-version": str(format_version),
@@ -582,7 +637,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
                      "fields": ice_fields}],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": [
-            {k: v for k, v in s.items() if k != "_avro"}
+            {k: v for k, v in s.items() if not k.startswith("_")}
             for s in exp_spec]}] + (
             # the delete manifests' dedicated unpartitioned spec — every
             # spec-id referenced from the manifest list must resolve

@@ -835,8 +835,9 @@ def test_export_partitioned_roundtrip(spark, tmp_path, sf_dir):
     mktsegment-partitioned engine table (with MoR deletes) exports with
     a real Iceberg identity spec + per-file partition tuples, and the
     RE-ADOPTED export partition-prunes — one segment predicate reads one
-    data file.  A non-identity (year-transform) spec exports
-    unpartitioned, values still exact."""
+    data file.  A year-transform spec exports as a REAL Iceberg year
+    spec (r12): values re-encoded to years-since-1970, pruning intact
+    through the full circle."""
     from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
     from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
         export_iceberg_metadata,
@@ -870,7 +871,9 @@ def test_export_partitioned_roundtrip(spark, tmp_path, sf_dir):
     assert len(data_reads) * n_segments <= len(info["data_files"])
     assert {r.mktsegment for r in seg.collect()} == {"AUTOMOBILE"}
 
-    # non-identity transform: exports unpartitioned, values exact
+    # hidden transform (r12): year spec exports as a REAL Iceberg year
+    # spec — values re-encoded to years-since-1970 — and the re-adopted
+    # export still partition-prunes on the source column
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
         "o_orderkey AS k", "CAST(o_orderdate AS DATE) AS d",
         "o_totalprice AS p").where("k < 500")
@@ -878,12 +881,28 @@ def test_export_partitioned_roundtrip(spark, tmp_path, sf_dir):
     dest2 = str(tmp_path / "exported_year")
     export_iceberg_metadata(t2, dest2)
     info2 = ic.load_iceberg_table(dest2)
-    assert info2["carryable_spec"] is None
-    assert info2["metadata"]["partition-specs"] == [
-        {"spec-id": 0, "fields": []}]
+    spec2 = info2["metadata"]["partition-specs"][0]["fields"]
+    assert [f["transform"] for f in spec2] == ["year"]
+    eng_years = {f.partition["d_year"] for f in
+                 t2._manifest(t2._resolve()).data_files}
+    # loader already re-encodes foreign tuples onto engine values:
+    # the circle must land exactly on the source table's calendar years
+    assert {d["partition"]["d_year"]
+            for d in info2["data_files"]} == eng_years
     back2 = ic.adopt_iceberg_table(spark, str(tmp_path / "readopt_y"),
                                    dest2)
     assert back2.df().count() == t2.df().count()
+    yr = max(eng_years)
+    from iceberg_trino_sql_demo_spark.plans.predicates import (
+        parse_simple_predicates,
+    )
+    from iceberg_trino_sql_demo_spark.plans.pruning import prune_files
+    man_y = back2._manifest(back2._resolve())
+    pruned = prune_files(man_y.data_files, back2.meta,
+                         parse_simple_predicates(f"d >= DATE '{yr}-01-01'"))
+    assert pruned and {f.partition["d_year"] for f in pruned} == {yr}
+    rows_pruned = back2.df(where=f"d >= DATE '{yr}-01-01'").count()
+    assert rows_pruned == t2.df(where=f"d >= DATE '{yr}-01-01'").count()
 
 def test_sync_partitioned_source_carries_tuples(spark, tmp_path):
     """sync_adopted_table over a PARTITIONED source: the appended
@@ -1350,3 +1369,121 @@ def test_carryable_spec_field_mapping_units(spark):
     assert one("identity", 2) is None
     assert one("truncate[3]", 1) is None
     assert one("hour", 2) is None
+
+
+def test_export_transform_circle_bucket_truncate(spark, tmp_path):
+    """The full interop circle for the remaining carryable transforms:
+    an engine table partitioned by ibucket (Iceberg murmur3) +
+    truncate-string exports as real Iceberg ``bucket[N]``/
+    ``truncate[W]`` spec fields with verbatim tuple values, and the
+    re-adopted export reconstructs the SAME engine transforms — bucket
+    pruning included.  The engine's NATIVE bucket (xxhash64) has no
+    Iceberg equivalent and still exports unpartitioned."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from iceberg_trino_sql_demo_spark.sources.transforms import (
+        iceberg_bucket_value,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "whbt"))
+    cat.create_schema("exbt")
+    cat.use("exbt")
+    src = spark.sql(
+        "SELECT id AS k, concat('seg', id % 5) AS s, CAST(id AS DOUBLE)"
+        " AS v FROM range(60)")
+    t = cat.ctas("bt", src,
+                 partitioning=("ibucket(8, k)", "truncate(2, s)"))
+    expect = sorted(tuple(r) for r in t.df().collect())
+
+    dest = str(tmp_path / "exported_bt")
+    export_iceberg_metadata(t, dest)
+    meta = json.load(open(os.path.join(dest, "metadata",
+                                       "v1.metadata.json")))
+    assert [f["transform"] for f in
+            meta["partition-specs"][0]["fields"]] == [
+        "bucket[8]", "truncate[2]"]
+    info = ic.load_iceberg_table(dest)
+    assert [s["transform"] for s in info["carryable_spec"]] == [
+        "ibucket(8, k)", "truncate(2, s)"]
+    back = ic.adopt_iceberg_table(spark, str(tmp_path / "readopt_bt"),
+                                  dest)
+    assert sorted(tuple(r) for r in back.df().collect()) == expect
+
+    # murmur3 bucket equality pruning survives the circle
+    from iceberg_trino_sql_demo_spark.plans.predicates import (
+        parse_simple_predicates,
+    )
+    from iceberg_trino_sql_demo_spark.plans.pruning import prune_files
+    man = back._manifest(back._resolve())
+    b9 = iceberg_bucket_value(9, 8, "bigint")
+    pruned = prune_files(man.data_files, back.meta,
+                         parse_simple_predicates("k = 9"))
+    assert pruned and all(
+        f.partition["k_ibucket_8"] == b9 for f in pruned)
+    assert len(pruned) < len(man.data_files)
+    # truncate-string pruning on the source column
+    pruned_s = prune_files(man.data_files, back.meta,
+                           parse_simple_predicates("s = 'seg3'"))
+    assert pruned_s and all(
+        f.partition["s_truncate_2"] == "se" for f in pruned_s)
+
+    # native xxhash64 bucket: no Iceberg equivalent -> unpartitioned
+    t2 = cat.ctas("native_b", src, partitioning=("bucket(4, k)",))
+    dest2 = str(tmp_path / "exported_native_b")
+    export_iceberg_metadata(t2, dest2)
+    meta2 = json.load(open(os.path.join(dest2, "metadata",
+                                        "v1.metadata.json")))
+    assert meta2["partition-specs"][0]["fields"] == []
+    back2 = ic.adopt_iceberg_table(
+        spark, str(tmp_path / "readopt_native_b"), dest2)
+    assert back2.df().count() == t2.df().count()
+
+
+def test_murmur3_spec_vectors(spark):
+    """The ibucket hash chain is pinned three ways: the Iceberg spec's
+    PUBLISHED test vectors (Appendix B) for the pure-Python reference,
+    numpy-kernel agreement with it, and Spark's own JVM murmur3 —
+    ``F.hash`` is the identical algorithm at seed 42 for longs — over a
+    random sample."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.sources.transforms import (
+        _mmh3_long_numpy, iceberg_bucket_value, murmur3_x86_32,
+    )
+
+    # spec Appendix B vectors
+    assert murmur3_x86_32(struct.pack("<q", 34)) == 2017239379
+    assert murmur3_x86_32(struct.pack("<q", 17486)) == -653330422
+    assert murmur3_x86_32(
+        struct.pack("<q", 1510871468000000)) == -2047944441
+    assert murmur3_x86_32(b"iceberg") == 1210000089
+    import datetime as _dt
+
+    assert iceberg_bucket_value(_dt.date(2017, 11, 16), 8, "date") == \
+        (-653330422 & 0x7FFFFFFF) % 8
+    assert iceberg_bucket_value("iceberg", 16, "string") == \
+        (1210000089 & 0x7FFFFFFF) % 16
+
+    import random
+
+    rnd = random.Random(1234)
+    vals = [0, 1, -1, 2**63 - 1, -2**63] + [
+        rnd.randint(-2**63, 2**63 - 1) for _ in range(200)]
+    # numpy kernel == python reference at both seeds
+    for seed in (0, 42):
+        hn = list(_mmh3_long_numpy(np.array(vals, dtype=np.int64), seed))
+        hp = [murmur3_x86_32(struct.pack("<q", v), seed) & 0xFFFFFFFF
+              for v in vals]
+        assert hn == hp, seed
+    # JVM cross-check at seed 42
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = df.select("v", F.hash("v").alias("h")).collect()
+    assert all(
+        (r.h & 0xFFFFFFFF) == (murmur3_x86_32(struct.pack("<q", r.v), 42)
+                               & 0xFFFFFFFF)
+        for r in rows)
