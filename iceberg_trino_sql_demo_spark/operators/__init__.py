@@ -135,231 +135,231 @@ def register(
 #: after all modules load, in this order; everything else keeps its module
 #: registration order behind them.
 #:
-#: Composition (round 11 full LRS rebuild, VERDICT r10 directive #4):
-#: new r11 queries first, then ALL 210 names ordered by the round each
-#: was last driver-sampled (from CORRECTNESS_r01..r10.json), oldest
-#: first — the r4 cohort (15) and r5 cohort (45) fill the ~50-query r11
-#: window, so after r11 no query's latest driver check predates r5.
-#: Queries below the window are re-verified every round by the pytest
-#: oracle-parity sweep.
+#: Composition (round 12 LRS rebuild, VERDICT r11 directive #3):
+#: new r12 queries first, then ALL 211 names ordered by the round each
+#: was last driver-sampled (from CORRECTNESS_r01..r11.json), oldest
+#: first — the 11-query r5 cohort (the events sketch/streaming tail)
+#: leads the r12 window, so after r12 no query's latest driver check
+#: predates r8.  Queries below the window are re-verified every round
+#: by the pytest oracle-parity sweep.
 _DRIVER_PRIORITY: list[str] = [
-    # -- NEW in round 11: add fresh query names HERE (top of the window)
-    "ice_register_iceberg_v3",
-    # -- last driver-sampled in round 4 (15 queries)
-    "orders_ndv_profile",
-    "dedup_keep_list",
-    "dedup_embedding_prefiltered_multiprobe",
-    "dedup_semantic_clusters",
-    "text_tfidf_top_terms",
-    "quality_filter_gopher",
-    "events_retention_cohorts",
-    "events_funnel_steps",
-    "text_repetition_ratio",
-    "training_corpus_select",
-    "left_join_shape",
-    "window_rank_per_nation",
-    "events_anomaly_zscore",
-    "ice_dynamic_overwrite",
-    "ice_runtime_filter_join",
-    # -- last driver-sampled in round 5 (45 queries)
-    "multimodal_audio_windows",
-    "multimodal_payload_dedup",
-    "multimodal_ahash_near_dup",
-    "trino_dialect_tier3",
-    "customer_balance_quartiles",
-    "trino_dialect_tier4",
-    "ice_add_files",
-    "ice_forget_user",
-    "ice_wap_publish",
-    "ice_python_datasource",
-    "ice_merge_multi_clause",
-    "ice_cherrypick",
-    "ice_branch_diff",
-    "ice_cdc_replica_apply",
-    "text_quality_classifier",
-    "ann_topk_pq",
-    "ann_filtered_topk",
-    "ann_range_search",
-    "embedding_outlier_filter",
-    "ann_topk_ivfpq",
-    "dedup_cross_source_matrix",
-    "dedup_minhash_calibration",
-    "dedup_ngram_containment",
-    "source_quality_profile",
-    "text_bpe_merge_candidates",
-    "text_oov_rate",
-    "text_inverted_index",
-    "split_leakage_safe",
-    "url_normalize_dedup",
-    "contamination_bloom_prefilter",
-    "source_temperature_resample",
-    "doc_chunk_overlap",
-    "pii_scrub_text",
-    "events_ema_per_user",
+    # -- NEW in round 12: add fresh query names HERE (top of the window)
+    # -- last driver-sampled in round 5 (11 queries)
     "events_heavy_hitters_cms",
-    "events_user_triangles",
-    "events_pattern_sequence",
-    "events_ndv_hll_sketch",
-    "events_rolling_ndv_sketch",
     "events_kmv_set_sketch",
-    "events_stream_left_join",
-    "events_stream_full_outer",
+    "events_ndv_hll_sketch",
+    "events_pattern_sequence",
+    "events_rolling_ndv_sketch",
     "events_stream_chained_agg",
-    "events_stream_static_enrich",
+    "events_stream_full_outer",
+    "events_stream_left_join",
     "events_stream_ndv_sketch",
+    "events_stream_static_enrich",
+    "events_user_triangles",
     # -- last driver-sampled in round 8 (50 queries)
     "dedup_edit_distance",
     "dedup_edit_distance_passjoin",
-    "dedup_substring_windows",
-    "events_stream_sessionization",
-    "ice_branch_retention",
-    "ice_sql_pruned_select",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q16_supplier_variety",
-    "q20_promotable_suppliers",
-    "text_bigram_familiarity",
-    "trino_dialect_select",
-    "ice_equality_delete",
-    "ice_stream_cdc_full",
-    "ice_equality_rewrite",
-    "training_pack_sequences",
     "dedup_quality_keeper",
-    "ice_ctas_roundtrip",
-    "ice_insert_values",
-    "ice_update_row",
-    "ice_mor_delete",
-    "ice_time_travel",
-    "ice_rollback",
-    "ice_branch_dml",
-    "ice_merge_upsert",
-    "ice_add_column_default",
-    "ice_partition_evolution",
-    "ice_table_changes",
-    "ice_optimize_roundtrip",
-    "ice_snapshot_operations",
-    "ice_show_stats_minmax",
-    "ice_properties_show_create",
-    "ice_branches_ff",
-    "ice_views_mv",
-    "ice_expire_orphans",
-    "ice_schema_types",
-    "ice_row_lineage",
-    "ice_meta_join",
-    "ice_sql_roundtrip",
-    "ice_optimize_where_mtime",
+    "dedup_substring_windows",
     "events_pagerank_iter",
-    "ice_rename_table",
-    "ice_zero_copy_clone",
-    "ice_stream_table_changes",
-    "ice_stream_cdc_to_replica",
-    "events_stream_tumbling",
     "events_stateful_user_totals",
     "events_stream_dedup",
     "events_stream_interval_join",
+    "events_stream_sessionization",
+    "events_stream_tumbling",
+    "ice_add_column_default",
+    "ice_branch_dml",
+    "ice_branch_retention",
+    "ice_branches_ff",
+    "ice_ctas_roundtrip",
+    "ice_equality_delete",
+    "ice_equality_rewrite",
+    "ice_expire_orphans",
+    "ice_insert_values",
+    "ice_merge_upsert",
+    "ice_meta_join",
+    "ice_mor_delete",
+    "ice_optimize_roundtrip",
+    "ice_optimize_where_mtime",
+    "ice_partition_evolution",
+    "ice_properties_show_create",
+    "ice_rename_table",
+    "ice_rollback",
+    "ice_row_lineage",
+    "ice_schema_types",
+    "ice_show_stats_minmax",
+    "ice_snapshot_operations",
+    "ice_sql_pruned_select",
+    "ice_sql_roundtrip",
+    "ice_stream_cdc_full",
+    "ice_stream_cdc_to_replica",
+    "ice_stream_table_changes",
+    "ice_table_changes",
+    "ice_time_travel",
+    "ice_update_row",
+    "ice_views_mv",
+    "ice_zero_copy_clone",
+    "q16_supplier_variety",
+    "q20_promotable_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
     "rollup_order_priority",
+    "text_bigram_familiarity",
+    "training_pack_sequences",
+    "trino_dialect_select",
     # -- last driver-sampled in round 9 (50 queries)
-    "events_user_triangles_capped",
-    "text_perplexity_unigram",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "concat_datefmt",
+    "contamination_ngram",
+    "cube_returnflag_status",
+    "customer_in_list",
+    "customer_pipeline",
     "dedup_cdc_chunks",
     "dedup_cdc_scrub",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
+    "dedup_embedding_prefiltered",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_shingle_jaccard",
+    "dedup_simhash",
+    "doc_pack_greedy",
+    "events_user_triangles_capped",
+    "federation_agg",
     "ice_deletion_vector",
-    "set_ops_customers",
+    "ice_merge_branch",
+    "interval_cutoff",
+    "kmeans_iteration_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "nation_volume",
+    "orderdate_range",
+    "orders_cumulative_revenue",
     "orders_exists_late_lineitem",
     "part_brand_max_price",
     "pivot_segment_by_region",
-    "orderdate_range",
-    "customer_in_list",
-    "concat_datefmt",
-    "interval_cutoff",
-    "top_acctbal_desc",
-    "text_fingerprint",
-    "contamination_ngram",
-    "dedup_simhash",
-    "dedup_shingle_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_prefiltered",
-    "dedup_embedding_cosine",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "ann_topk_bruteforce",
-    "kmeans_iteration_stats",
-    "dedup_exact",
-    "dedup_cluster_components",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "customer_pipeline",
-    "federation_agg",
     "pricing_summary",
-    "nation_volume",
-    "orders_cumulative_revenue",
-    "cube_returnflag_status",
-    "q3_unshipped_revenue",
     "q10_returned_items",
-    "q18_large_volume_customer",
     "q12_priority_shipping",
     "q14_promo_revenue_share",
+    "q18_large_volume_customer",
     "q19_brand_discounts",
-    "ice_merge_branch",
-    "text_token_stats",
-    "text_quality",
-    "text_langid",
-    "text_token_bpe",
-    "vocab_top_terms",
+    "q3_unshipped_revenue",
     "sample_hash_bucket",
-    "doc_pack_greedy",
+    "set_ops_customers",
+    "text_fingerprint",
+    "text_langid",
+    "text_perplexity_unigram",
+    "text_quality",
+    "text_token_bpe",
+    "text_token_stats",
+    "top_acctbal_desc",
+    "vocab_top_terms",
     # -- last driver-sampled in round 10 (50 queries)
-    "ice_register_iceberg",
-    "federation_jdbc_agg",
-    "source_dsir_weights",
+    "ann_knn_join",
+    "ann_knn_join_lsh",
+    "ann_topk_sq8",
+    "basket_part_pairs",
     "dedup_exact_normalized",
-    "pii_scrub_stats",
-    "source_mixture_sample",
-    "events_tumbling_hourly",
-    "events_sliding_1h_30m",
-    "events_sessionization",
-    "events_variant_extract",
-    "events_hypertable_rollup",
+    "dedup_incremental_minhash",
+    "dedup_span_exact",
+    "dedup_span_scrub",
     "events_asof_attribution",
+    "events_gap_fill_locf",
+    "events_hourly_distinct_users",
+    "events_hypertable_rollup",
+    "events_ohlc_hourly",
     "events_range_join_1h",
     "events_salted_skew_join",
+    "events_sessionization",
+    "events_sliding_1h_30m",
     "events_stream_dedup_watermarked",
-    "dedup_span_exact",
-    "events_ohlc_hourly",
-    "events_gap_fill_locf",
-    "events_trailing_24h",
-    "basket_part_pairs",
     "events_stream_ohlc",
-    "dedup_incremental_minhash",
-    "dedup_span_scrub",
-    "ann_topk_sq8",
-    "q11_important_share",
-    "events_hourly_distinct_users",
-    "ice_stream_to_incremental_mv",
+    "events_topk_users_per_window",
+    "events_trailing_24h",
+    "events_tumbling_hourly",
+    "events_variant_extract",
+    "federation_jdbc_agg",
+    "grouping_sets_flag_status",
+    "ice_bloom_point_lookup",
     "ice_merge_full_sync",
-    "orders_avg_basket_by_priority",
-    "q5_local_supplier_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
+    "ice_mv_incremental",
+    "ice_register_iceberg",
+    "ice_rename_column",
+    "ice_stream_to_incremental_mv",
+    "ice_tags_pinned_read",
+    "ice_zorder_optimize",
     "lineitem_measures_unpivot",
+    "lineitem_price_quantiles",
+    "lineitem_price_quantiles_approx",
+    "orders_avg_basket_by_priority",
+    "pii_scrub_stats",
+    "q11_important_share",
+    "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",
     "q22_idle_balance_customers",
-    "ann_knn_join",
-    "ann_knn_join_lsh",
-    "events_topk_users_per_window",
-    "grouping_sets_flag_status",
-    "lineitem_price_quantiles",
-    "lineitem_price_quantiles_approx",
-    "ice_zorder_optimize",
-    "ice_tags_pinned_read",
-    "ice_rename_column",
-    "ice_bloom_point_lookup",
-    "ice_mv_incremental",
+    "q5_local_supplier_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "source_dsir_weights",
+    "source_mixture_sample",
+    # -- last driver-sampled in round 11 (50 queries)
+    "ann_filtered_topk",
+    "ann_range_search",
+    "ann_topk_ivfpq",
+    "ann_topk_pq",
+    "contamination_bloom_prefilter",
+    "customer_balance_quartiles",
+    "dedup_cross_source_matrix",
+    "dedup_embedding_prefiltered_multiprobe",
+    "dedup_keep_list",
+    "dedup_minhash_calibration",
+    "dedup_ngram_containment",
+    "dedup_semantic_clusters",
+    "doc_chunk_overlap",
+    "embedding_outlier_filter",
+    "events_anomaly_zscore",
+    "events_ema_per_user",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "ice_add_files",
+    "ice_branch_diff",
+    "ice_cdc_replica_apply",
+    "ice_cherrypick",
+    "ice_dynamic_overwrite",
+    "ice_forget_user",
+    "ice_merge_multi_clause",
+    "ice_python_datasource",
+    "ice_register_iceberg_v3",
+    "ice_runtime_filter_join",
+    "ice_wap_publish",
+    "left_join_shape",
+    "multimodal_ahash_near_dup",
+    "multimodal_audio_windows",
+    "multimodal_payload_dedup",
+    "orders_ndv_profile",
+    "pii_scrub_text",
+    "quality_filter_gopher",
+    "source_quality_profile",
+    "source_temperature_resample",
+    "split_leakage_safe",
+    "text_bpe_merge_candidates",
+    "text_inverted_index",
+    "text_oov_rate",
+    "text_quality_classifier",
+    "text_repetition_ratio",
+    "text_tfidf_top_terms",
+    "training_corpus_select",
+    "trino_dialect_tier3",
+    "trino_dialect_tier4",
+    "url_normalize_dedup",
+    "window_rank_per_nation",
 ]
 
 
