@@ -737,7 +737,8 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
         ]
         delete_files.append(_normalize_deletion_vectors(
             engine_location, info.get("deletion_vectors", ()), seq,
-            info["metadata"].get("location", ""), iceberg_location))
+            info["metadata"].get("location", ""), iceberg_location,
+            spark=spark))
         delete_files.extend(
             _normalize_equality_delete(engine_location, d, list(fields))
             for d in info.get("equality_deletes", ()))
@@ -893,9 +894,59 @@ def _legacy_layout_schemas(
     return extra, by_path
 
 
+#: above this many DECLARED tombstones the per-blob decode fans out as a
+#: Spark job instead of a driver loop (VERDICT r11 #5).  Measured
+#: (SCALING.md, adoption plane): the r12 vectorized decoder moves
+#: ~28M positions/s on one driver core, so 100M tombstones normalize in
+#: ~3.5 s driver-side and the Spark fan-out only amortizes its job
+#: overhead in the billions — the default crossover reflects that; the
+#: blobs are independent, decode+sort+zstd run where the cores are, and
+#: only compressed frames come back (env-overridable so tests exercise
+#: both paths)
+_DV_DISTRIBUTE_MIN = int(os.environ.get(
+    "SPARK_GRAFT_DV_DISTRIBUTE_MIN", 500_000_000))
+
+
+def _decode_one_dv(path: str, offset: int, size: int) -> tuple[int, bytes]:
+    """One blob -> (decoded cardinality, zstd frame of sorted uint64 LE
+    positions) via the vectorized decoder; the format guarantees
+    ascending output (cross-verified against the reference decoder),
+    with an O(n) monotonic check and sort fallback for safety."""
+    import numpy as np
+    import pyarrow as pa
+
+    from iceberg_trino_sql_demo_spark.sources.puffin import (
+        read_deletion_vector_np,
+    )
+
+    arr = read_deletion_vector_np(path, offset, size)
+    if arr.size and not bool(np.all(arr[1:] > arr[:-1])):
+        arr = np.unique(arr)
+    blob = pa.compress(arr.astype("<u8").tobytes(), codec="zstd",
+                       asbytes=True)
+    return int(arr.size), bytes(blob)
+
+
+def _decode_dv_batches(it):
+    """mapInPandas kernel: one row per DV blob in, (path, declared,
+    decoded, blob) out.  Decode + sort + zstd-compress run executor-side;
+    the declared-vs-decoded validation stays on the driver so a
+    cardinality mismatch raises IcebergAdoptionError, not a Spark job
+    failure (CRC/magic violations still fail loudly in the task)."""
+    import pandas as pd
+
+    for pdf in it:
+        out = []
+        for r in pdf.itertuples(index=False):
+            n, blob = _decode_one_dv(r.path, int(r.offset), int(r.size))
+            out.append((r.ref, int(r.declared), n, blob))
+        yield pd.DataFrame(
+            out, columns=["ref", "declared", "decoded", "blob"])
+
+
 def _normalize_deletion_vectors(
     engine_location: str, dvs: list[dict], seq: int,
-    recorded_loc: str, iceberg_location: str,
+    recorded_loc: str, iceberg_location: str, spark=None,
 ) -> DeleteFile | None:
     """Decode v3 puffin deletion vectors into ONE engine DV pack.
 
@@ -908,40 +959,71 @@ def _normalize_deletion_vectors(
     whole pass is O(live tombstones), metadata-plane sized, exactly
     like the engine's own rewrite_position_deletes output — so the
     read path (reader.read_position_deletes, dv branch) applies
-    adopted DVs with zero new machinery."""
+    adopted DVs with zero new machinery.
+
+    Per-blob decode runs DRIVER-side below ``_DV_DISTRIBUTE_MIN``
+    declared tombstones and fans out as an Arrow-batched Spark job
+    above it (VERDICT r11 #5) — blobs are independent, the pack concat
+    is the only sequential step, and only compressed frames travel."""
     import uuid as _uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from iceberg_trino_sql_demo_spark.sources.puffin import (
-        read_deletion_vector,
-    )
-
+    declared_total = sum(int(d["record_count"]) for d in dvs)
     rows = []
     total = 0
-    for d in dvs:
-        positions = read_deletion_vector(
-            d["path"], d["content_offset"], d["content_size_in_bytes"])
-        # cardinality cross-check FIRST: a CRC-valid but empty bitmap
-        # under a positive declared record_count is corruption, and
-        # skipping it would silently resurrect those rows (ADVICE r11)
-        if d["record_count"] != len(positions):
-            raise IcebergAdoptionError(
-                f"deletion vector for {d['referenced_data_file']} "
-                f"declares {d['record_count']} positions but decodes "
-                f"{len(positions)} — refusing a cardinality mismatch")
-        if not positions:
-            continue
-        ref_local = _localize(d["referenced_data_file"], recorded_loc,
-                              iceberg_location)
-        import numpy as np
-
-        blob = pa.compress(
-            np.asarray(sorted(positions), dtype="<u8").tobytes(),
-            codec="zstd", asbytes=True)
-        rows.append(("file:" + ref_local, len(positions), blob))
-        total += len(positions)
+    if (spark is not None and dvs
+            and declared_total >= _DV_DISTRIBUTE_MIN):
+        # workers see the RAW referenced_data_file URI; localization (a
+        # driver-side path resolution) happens only AFTER the decoded
+        # cardinality validates, so a corrupt blob refuses before any
+        # path lookup — same order as the driver path
+        src = spark.createDataFrame(
+            [(d["referenced_data_file"], d["path"],
+              int(d["content_offset"]),
+              int(d["content_size_in_bytes"]),
+              int(d["record_count"])) for d in dvs],
+            "ref string, path string, offset long, size long, "
+            "declared long").repartition(
+            min(len(dvs), int(spark.sparkContext.defaultParallelism)))
+        got = src.mapInPandas(
+            _decode_dv_batches,
+            "ref string, declared long, decoded long, blob binary",
+        ).collect()
+        for r in got:
+            if r.declared != r.decoded:
+                raise IcebergAdoptionError(
+                    f"deletion vector for {r.ref} "
+                    f"declares {r.declared} positions but decodes "
+                    f"{r.decoded} — refusing a cardinality mismatch")
+        for r in got:
+            if not r.decoded:
+                continue
+            ref_local = _localize(r.ref, recorded_loc, iceberg_location)
+            rows.append(("file:" + ref_local, int(r.decoded),
+                         bytes(r.blob)))
+            total += int(r.decoded)
+    else:
+        for d in dvs:
+            n, blob = _decode_one_dv(
+                d["path"], int(d["content_offset"]),
+                int(d["content_size_in_bytes"]))
+            # cardinality cross-check FIRST: a CRC-valid but empty
+            # bitmap under a positive declared record_count is
+            # corruption, and skipping it would silently resurrect
+            # those rows (ADVICE r11)
+            if d["record_count"] != n:
+                raise IcebergAdoptionError(
+                    f"deletion vector for {d['referenced_data_file']} "
+                    f"declares {d['record_count']} positions but decodes "
+                    f"{n} — refusing a cardinality mismatch")
+            if not n:
+                continue
+            ref_local = _localize(d["referenced_data_file"], recorded_loc,
+                                  iceberg_location)
+            rows.append(("file:" + ref_local, n, blob))
+            total += n
     if not rows:
         return None
     rows.sort(key=lambda r: r[0])
@@ -1182,7 +1264,7 @@ def sync_adopted_table(spark, table) -> int | None:
     ]
     delete_files.append(_normalize_deletion_vectors(
         table.location, info.get("deletion_vectors", ()), seq,
-        info["metadata"].get("location", ""), src))
+        info["metadata"].get("location", ""), src, spark=spark))
     delete_files.extend(
         _normalize_equality_delete(table.location, d,
                                    list(table.meta.schema.fields))

@@ -545,14 +545,19 @@ def _manifest_entry_schema_v3(partitioned=False) -> dict:
     return base
 
 
-def _jvm_roaring64_portable(spark, positions: list[int]) -> bytes:
+def _jvm_roaring64_portable(spark, positions: list[int],
+                            ranges: list[tuple[int, int]] = ()) -> bytes:
     """Serialize positions with the REFERENCE RoaringBitmap library
     (bundled with Spark) in the 'portable' 64-bit format — the fixture's
     bitmaps are reference-encoded so the pure-Python decoder
     (sources/puffin.py) is verified against the real implementation,
-    never against a sibling Python encoder."""
+    never against a sibling Python encoder.  ``ranges`` are [start, end)
+    JVM-side bulk adds — the only way to build multi-million-position
+    fixtures (py4j per-call addLong would take hours at that size)."""
     jvm = spark.sparkContext._jvm
     rm = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    for s_, e_ in ranges:
+        rm.addRange(int(s_), int(e_))
     for p in positions:
         rm.addLong(int(p))
     rm.runOptimize()
@@ -583,7 +588,16 @@ def _write_puffin(spark, path: str, dvs: list[tuple[str, list[int]]],
     out = bytearray(b"PFA1")
     blobs_meta, locs = [], []
     for ref_uri, positions in dvs:
-        blob = _dv_blob(_jvm_roaring64_portable(spark, positions))
+        if isinstance(positions, dict):
+            # bulk spec for scale fixtures: {"ranges": [(s,e)), ...],
+            # "points": [...], "cardinality": n}
+            blob = _dv_blob(_jvm_roaring64_portable(
+                spark, positions.get("points", ()),
+                positions.get("ranges", ())))
+            card = int(positions["cardinality"])
+        else:
+            blob = _dv_blob(_jvm_roaring64_portable(spark, positions))
+            card = len(positions)
         blobs_meta.append({
             "type": "deletion-vector-v1",
             "fields": [],
@@ -593,10 +607,10 @@ def _write_puffin(spark, path: str, dvs: list[tuple[str, list[int]]],
             "length": len(blob),
             "properties": {
                 "referenced-data-file": ref_uri,
-                "cardinality": str(len(positions)),
+                "cardinality": str(card),
             },
         })
-        locs.append((ref_uri, len(out), len(blob), len(positions)))
+        locs.append((ref_uri, len(out), len(blob), card))
         out += blob
     payload = json.dumps({
         "blobs": blobs_meta,

@@ -1080,7 +1080,7 @@ def test_roaring64_decoder_property(spark, data):
     pure-Python-decode (sources/puffin.py), optimized or not.  Values
     drawn to hit array, run, bitmap and multi-bucket container shapes."""
     from iceberg_trino_sql_demo_spark.sources.puffin import (
-        read_portable_roaring64,
+        read_portable_roaring64, read_portable_roaring64_np,
     )
 
     base = data.draw(st.lists(
@@ -1102,5 +1102,10 @@ def test_roaring64_decoder_property(spark, data):
     dos = jvm.java.io.DataOutputStream(baos)
     rm.serializePortable(dos)
     dos.flush()
-    got = read_portable_roaring64(bytes(baos.toByteArray()))
+    raw = bytes(baos.toByteArray())
+    got = read_portable_roaring64(raw)
     assert got == sorted(set(base))
+    # the numpy fast path (r12, the adoption hot path) decodes the
+    # SAME reference-encoded bytes to the same ascending values
+    got_np = read_portable_roaring64_np(raw)
+    assert [int(x) for x in got_np] == got

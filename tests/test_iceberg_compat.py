@@ -1487,3 +1487,40 @@ def test_murmur3_spec_vectors(spark):
         (r.h & 0xFFFFFFFF) == (murmur3_x86_32(struct.pack("<q", r.v), 42)
                                & 0xFFFFFFFF)
         for r in rows)
+
+
+def test_adopt_dv_distributed_decode(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #5: above _DV_DISTRIBUTE_MIN declared tombstones the
+    puffin blob decode fans out as an Arrow-batched Spark job instead
+    of pinning the driver.  Forced on here (threshold 1): the adopted
+    values must be identical to the driver-path decode, and the
+    declared-vs-decoded cardinality refusal must still raise
+    IcebergAdoptionError through the distributed path."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_fixture import (
+        _write_puffin, write_iceberg_v3_fixture,
+    )
+
+    monkeypatch.setattr(ic, "_DV_DISTRIBUTE_MIN", 1)
+    loc = str(tmp_path / "ice_v3_dist")
+    out = write_iceberg_v3_fixture(spark, loc, _rows(80), delete_mod=7)
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_v3_dist"), loc)
+    got = {r.custkey for r in t.df().collect()}
+    assert got == {i for i in range(1, 81) if i % 7 != 0}
+    assert out["live_rows"] == len(got)
+
+    # the distributed path preserves the corruption refusal
+    puf = str(tmp_path / "empty_dist.puffin")
+    locs = _write_puffin(spark, puf, [("s3://x/data/g.parquet", [])],
+                         snapshot_id=1, seq=1)
+    (_, off, size, _) = locs[0]
+    from iceberg_trino_sql_demo_spark.sources.iceberg_compat import (
+        IcebergAdoptionError, _normalize_deletion_vectors,
+    )
+
+    with pytest.raises(IcebergAdoptionError, match="cardinality"):
+        _normalize_deletion_vectors(
+            str(tmp_path / "eng_dv2"),
+            [{"path": puf, "content_offset": off,
+              "content_size_in_bytes": size, "record_count": 9,
+              "referenced_data_file": "s3://x/data/g.parquet"}],
+            seq=1, recorded_loc="", iceberg_location="", spark=spark)
