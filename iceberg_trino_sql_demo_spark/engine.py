@@ -116,7 +116,9 @@ class Engine:
         return reader.load()
 
     def publish_to_jdbc(self, catalog: str, name: str, df: DataFrame,
-                        mode: str = "overwrite") -> None:
+                        mode: str = "overwrite",
+                        num_partitions: int | None = None,
+                        batchsize: int | None = None) -> None:
         """WRITEBACK into an attached JDBC catalog: publish ``df`` as
         foreign table ``name`` (resolved through the catalog's
         table_map, like reads) via Spark's JDBC sink — the reverse of
@@ -128,17 +130,28 @@ class Engine:
         comparisons, which would reject every pushed-down string
         predicate on the re-federated read (the jdbc_fed publish rule).
         The write ships rows through the executors' JDBC connections —
-        partition-parallel like any Spark JDBC sink."""
+        partition-parallel like any Spark JDBC sink.
+
+        ``num_partitions`` repartitions the publish into that many
+        concurrent executor connections; ``batchsize`` sets the JDBC
+        executeBatch size per round trip (Spark default 1000).  Against
+        a server database both scale the publish; against embedded
+        Derby the single JVM bounds connection parallelism
+        (SCALING.md Federation plane measures exactly that)."""
         cfg = self.jdbc_catalogs[catalog.lower()]
         dbtable = cfg["table_map"].get(name.lower(), name)
         str_cols = [f.name for f in df.schema.fields
                     if f.dataType.simpleString() == "string"]
+        if num_partitions:
+            df = df.repartition(int(num_partitions))
         w = (df.write.format("jdbc")
              .option("url", cfg["url"])
              .option("dbtable", dbtable)
              .mode(mode))
         if cfg["driver"]:
             w = w.option("driver", cfg["driver"])
+        if batchsize:
+            w = w.option("batchsize", int(batchsize))
         if str_cols and mode == "overwrite":
             w = w.option(
                 "createTableColumnTypes",

@@ -51,6 +51,38 @@ def main() -> None:
     publish_tables(spark, url, {"orders": orders})
     t_write = time.perf_counter() - t0
 
+    # writeback grid (VERDICT r11 #6): batchsize x partition-parallel
+    # connections, via the engine's publish_to_jdbc options.  Embedded
+    # Derby is one JVM — one lock manager, one buffer pool — so
+    # connection parallelism is expected to be bounded; the grid
+    # measures (rather than assumes) where that bound bites.
+    from iceberg_trino_sql_demo_spark.engine import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="jdbc_wh_"))
+    eng.attach_jdbc_catalog("pub", url, driver=DERBY_DRIVER,
+                            table_map={})
+    write_grid = {}
+    for label, kw in (
+            ("batch=1000 (default), 1 conn", {}),
+            ("batch=10000, 1 conn", {"batchsize": 10_000}),
+            ("batch=10000, 4 conn", {"batchsize": 10_000,
+                                     "num_partitions": 4}),
+            ("batch=10000, 8 conn", {"batchsize": 10_000,
+                                     "num_partitions": 8}),
+    ):
+        t0 = time.perf_counter()
+        eng.publish_to_jdbc("pub", "orders_wb", orders, **kw)
+        el = time.perf_counter() - t0
+        write_grid[label] = {"s": round(el, 2),
+                             "rows_s": int(n_rows / el)}
+        print(f"  writeback {label}: {write_grid[label]}",
+              file=sys.stderr)
+    # round-trip: the re-federated writeback table is value-complete
+    n_back = (spark.read.format("jdbc").option("url", url)
+              .option("dbtable", "orders_wb")
+              .option("driver", DERBY_DRIVER).load().count())
+    assert n_back == n_rows, (n_back, n_rows)
+
     def reader(**opts):
         r = (spark.read.format("jdbc")
              .option("url", url)
@@ -93,6 +125,7 @@ def main() -> None:
         "rows": n_rows,
         "write_s": round(t_write, 2),
         "write_rows_s": int(n_rows / t_write),
+        "write_grid": write_grid,
         "read_single_s": round(t_single, 2),
         "read_single_rows_s": int(n_rows / t_single),
         "read_par": {
@@ -124,6 +157,13 @@ def write_section(r: dict) -> None:
         f"| read, single stream (default JDBCRelation) | "
         f"{r['read_single_s']} | {r['read_single_rows_s']:,} | 1.0x |",
     ]
+    base_wb = None
+    for label, d in r.get("write_grid", {}).items():
+        if base_wb is None:
+            base_wb = d["s"]
+        lines.append(
+            f"| writeback, {label} | {d['s']} | {d['rows_s']:,} | "
+            f"{round(base_wb / d['s'], 2)}x |")
     for n, d in sorted(r["read_par"].items()):
         lines.append(
             f"| read, {n}-way partitionColumn bounds | {d['s']} | "

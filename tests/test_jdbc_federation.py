@@ -182,3 +182,29 @@ def test_jdbc_writeback_roundtrip(fed_eng, spark, sf_dir):
         mode="append")
     assert fed_eng.sql(
         "SELECT count(*) AS n FROM postgresql.demo.wb_copy").head().n == n_src + 1
+
+
+def test_publish_partitioned_batched_roundtrip(spark, fed_eng):
+    """VERDICT r11 #6: publish_to_jdbc's partitioned/batched options —
+    num_partitions executor connections + JDBC batchsize — produce a
+    value-identical foreign table through a full re-federation read,
+    with pushdown intact.  (Embedded Derby bounds the SPEEDUP, not the
+    semantics; SCALING.md's Federation plane records the measured
+    grid.)"""
+    fed_eng.sql(
+        "CREATE OR REPLACE TABLE wbp_src AS "
+        "SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS seg "
+        "FROM postgresql.demo.customer")
+    src = fed_eng.sql("SELECT k, nm, seg FROM wbp_src")
+    fed_eng.jdbc_catalogs["postgresql"]["table_map"][
+        "demo.wbp_copy"] = "wbp_copy"
+    fed_eng.publish_to_jdbc("postgresql", "demo.wbp_copy", src,
+                            num_partitions=4, batchsize=5000)
+    back = fed_eng.sql("SELECT k, nm, seg FROM postgresql.demo.wbp_copy")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect()))
+    probe = fed_eng.sql(
+        "SELECT k FROM postgresql.demo.wbp_copy WHERE seg = 'MACHINERY'")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(seg,MACHINERY)" in plan, plan
+    assert probe.count() == src.where("seg = 'MACHINERY'").count()
