@@ -144,6 +144,7 @@ def register(
 #: by the pytest oracle-parity sweep.
 _DRIVER_PRIORITY: list[str] = [
     # -- NEW in round 12: add fresh query names HERE (top of the window)
+    "ice_register_iceberg_orc",
     # -- last driver-sampled in round 5 (11 queries)
     "events_heavy_hitters_cms",
     "events_kmv_set_sketch",

@@ -29,7 +29,14 @@ Scope — read-only adoption, loud refusals beyond it:
   names, and the SOURCE's per-entry sequence numbers carry verbatim so
   the strictly-below application rule is exact — the engine's native
   streaming-upsert machinery does the rest).
-- parquet data files only (ORC/Avro data refused; puffin only as DVs).
+- parquet AND ORC data files (r12; Avro data refused, puffin only as
+  DVs).  Spark's ORC source exposes no ``_metadata.row_index``, so
+  position-addressed reads over ORC (MoR position deletes/DVs, row
+  lineage, CDC) route through an Arrow-batched per-file pyarrow.orc
+  stripe scan (``reader._orc_scan_with_positions`` — ORC position IS
+  file order, the ordinal the spec addresses); plain reads stay on
+  Spark's native ORC scan.  Engine compaction (optimize) rewrites ORC
+  to parquet, returning files to the all-native path.
 - the CURRENT snapshot is adopted by default (any listed snapshot via
   ``snapshot_id`` — adoption-time time travel); after adoption the
   table is a normal engine table — further engine DML commits engine-own snapshots on top
@@ -530,10 +537,11 @@ def load_iceberg_table(location: str,
                     "record_count": int(df["record_count"]),
                 })
                 continue
-            if fmt != "PARQUET":
+            if fmt not in ("PARQUET", "ORC"):
                 raise IcebergAdoptionError(
                     f"data file format {fmt!r} not adoptable (parquet "
-                    "only; puffin only as v3 deletion vectors)")
+                    "and ORC data files; puffin only as v3 deletion "
+                    "vectors)")
             local = _localize(df["file_path"], recorded_loc, location)
             if content == 2:
                 # equality delete: the engine natively models these
@@ -582,6 +590,7 @@ def load_iceberg_table(location: str,
                     # the foreign spec this file was written under; -1 =
                     # not carryable (its files adopt unpartitioned)
                     "foreign_spec_id": man_spec if file_spec else -1,
+                    "file_format": fmt.lower(),
                     "path": local,
                     "record_count": int(df["record_count"]),
                     "file_size_in_bytes": int(df["file_size_in_bytes"]),
@@ -719,6 +728,7 @@ def adopt_iceberg_table(spark, engine_location: str, iceberg_location: str,
                 spec_id=(2 + d["foreign_spec_id"]
                          if d.get("foreign_spec_id", -1) >= 0 else 1),
                 schema_id=sid_by_path.get(d["path"], 1),
+                file_format=d.get("file_format", "parquet"),
                 partition=d.get("partition") or {},
                 record_count=d["record_count"],
                 file_size_bytes=d["file_size_in_bytes"],
@@ -798,7 +808,12 @@ def _check_name_mapping(info: dict) -> None:
         files = files[::step][:_NAME_CHECK_MAX_FILES]
     for d in files:
         try:
-            arrow_schema = pq.ParquetFile(d["path"]).schema_arrow
+            if d.get("file_format") == "orc":
+                import pyarrow.orc as _po
+
+                arrow_schema = _po.ORCFile(d["path"]).schema
+            else:
+                arrow_schema = pq.ParquetFile(d["path"]).schema_arrow
         except OSError:
             continue  # unreadable footer: let the scan surface it
         have = {n.split(".")[0] for n in arrow_schema.names}
@@ -1246,6 +1261,7 @@ def sync_adopted_table(spark, table) -> int | None:
             spec_id=_file_spec(d),
             schema_id=sid_by_path.get(d["path"],
                                       table.meta.current_schema_id),
+            file_format=d.get("file_format", "parquet"),
             partition=d.get("partition") or {},
             record_count=d["record_count"],
             file_size_bytes=d["file_size_in_bytes"],

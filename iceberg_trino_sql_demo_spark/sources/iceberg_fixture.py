@@ -164,8 +164,10 @@ _FIELDS = [
 ]
 
 
-def _write_data_file(path: str, rows: list[dict]) -> None:
-    """Parquet data file with Iceberg PARQUET:field_id column metadata."""
+def _write_data_file(path: str, rows: list[dict],
+                     file_format: str = "parquet") -> None:
+    """Data file with Iceberg PARQUET:field_id column metadata (parquet)
+    or a plain ORC layout (the r12 ORC-adoption fixture)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -177,7 +179,13 @@ def _write_data_file(path: str, rows: list[dict]) -> None:
         for fid, name, t, _ in _FIELDS
     ]
     cols = {name: [r[name] for r in rows] for _, name, _, _ in _FIELDS}
-    pq.write_table(pa.table(cols, schema=pa.schema(fields)), path)
+    tbl = pa.table(cols, schema=pa.schema(fields))
+    if file_format == "orc":
+        import pyarrow.orc as po
+
+        po.write_table(tbl, path)
+    else:
+        pq.write_table(tbl, path)
 
 
 def _int_map_json(pairs: list[tuple[int, object]]):
@@ -186,7 +194,8 @@ def _int_map_json(pairs: list[tuple[int, object]]):
 
 def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
                           delete_mod: int = 7,
-                          partitioned: bool = False) -> dict:
+                          partitioned: bool = False,
+                          file_format: str = "parquet") -> dict:
     """Write a genuine Iceberg v2 table under ``local_dir``.
 
     ``source_rows``: dicts with custkey/name/mktsegment/acctbal.  Rows
@@ -240,9 +249,10 @@ def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
         if partitioned:
             os.makedirs(os.path.join(data_dir, f"mktsegment={par}"),
                         exist_ok=True)
-        fname = f"{sub}part-{i:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        ext = "orc" if file_format == "orc" else "parquet"
+        fname = f"{sub}part-{i:05d}-{uuid.uuid4().hex[:8]}.{ext}"
         fpath = os.path.join(data_dir, fname)
-        _write_data_file(fpath, rows)
+        _write_data_file(fpath, rows, file_format)
         lo = [(fid, _bytes_json(enc(min(r[name] for r in rows))))
               for fid, name, _, enc in _FIELDS]
         hi = [(fid, _bytes_json(enc(max(r[name] for r in rows))))
@@ -255,7 +265,7 @@ def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
             "data_file": {
                 "content": 0,
                 "file_path": f"{rec_loc}/data/{fname}",
-                "file_format": "PARQUET",
+                "file_format": file_format.upper(),
                 "partition": ({"mktsegment": _u("string", par)}
                               if partitioned else {}),
                 "record_count": len(rows),
@@ -271,7 +281,7 @@ def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
         # is just the enumerate index)
         dels = [(f"{rec_loc}/data/{fname}", pos)
                 for pos, r in enumerate(rows)
-                if r["custkey"] % delete_mod == 0]
+                if delete_mod and r["custkey"] % delete_mod == 0]
         if dels:
             import pyarrow as pa
             import pyarrow.parquet as pq

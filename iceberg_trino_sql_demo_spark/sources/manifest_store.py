@@ -77,6 +77,9 @@ _FIXED_COLS = [
     ("sequence_number", pa.int64()),
     ("file_modified_ms", pa.int64()),
     ("has_lineage", pa.bool_()),
+    # r12: per-file physical format (adopted foreign ORC entries);
+    # segments written before the column existed read back as parquet
+    ("file_format", pa.string()),
 ]
 
 
@@ -170,6 +173,7 @@ def write_segment(location: str, entries: list[DataFile]) -> SegmentRef:
         cols["sequence_number"].append(e.sequence_number)
         cols["file_modified_ms"].append(e.file_modified_ms)
         cols["has_lineage"].append(bool(e.has_lineage))
+        cols["file_format"].append(e.file_format or "parquet")
     arrays = {
         name: pa.array(cols[name], type=typ) for name, typ in _FIXED_COLS
     }
@@ -234,8 +238,10 @@ def entries_from_arrow(tbl: pa.Table, lean: bool = False) -> list[DataFile]:
     # of arrow — to_pylist of 10^6 multi-hundred-byte strings costs more
     # than every other column combined
     skip = {"partition", "stats"} if lean else set()
+    have = set(tbl.column_names)
     fixed = {
-        name: (None if name in skip else tbl.column(name).to_pylist())
+        name: (None if name in skip or name not in have
+               else tbl.column(name).to_pylist())
         for name, _ in _FIXED_COLS
     }
     n = tbl.num_rows
@@ -254,6 +260,9 @@ def entries_from_arrow(tbl: pa.Table, lean: bool = False) -> list[DataFile]:
                 sequence_number=fixed["sequence_number"][i],
                 file_modified_ms=fixed["file_modified_ms"][i],
                 has_lineage=fixed["has_lineage"][i],
+                file_format=(fixed["file_format"][i]
+                             if fixed["file_format"] is not None
+                             else "parquet"),
             )
         )
     return out

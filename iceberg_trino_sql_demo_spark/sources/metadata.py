@@ -214,6 +214,11 @@ class DataFile:
     sequence_number: int
     file_modified_ms: int
     has_lineage: bool = False  # file physically stores _row_id/_last_updated_seq
+    #: physical format of the data file — engine writes are always
+    #: parquet; adopted foreign Iceberg entries may be ORC (r12, scan
+    #: routed per-group; ORC files cannot be referenced by position
+    #: deletes/DVs or carry row lineage — no _metadata.row_index)
+    file_format: str = "parquet"
 
     def to_dict(self) -> dict:
         return self.__dict__.copy()

@@ -159,14 +159,16 @@ def snapshot_df(
     max_eq_seq = max((d.sequence_number for d in eq_dels), default=None)
 
     need_lineage = hidden
-    groups: dict[tuple[int, bool, bool, bool], list[DataFile]] = {}
+    groups: dict[tuple[int, bool, bool, bool, str], list[DataFile]] = {}
     for f in data_files:
         is_eq = max_eq_seq is not None and f.sequence_number < max_eq_seq
-        key = (f.schema_id, bool(f.has_lineage), f.path in deleted_refs, is_eq)
+        key = (f.schema_id, bool(f.has_lineage), f.path in deleted_refs,
+               is_eq, f.file_format or "parquet")
         groups.setdefault(key, []).append(f)
 
     parts: list[DataFrame] = []
-    for (schema_id, has_lineage, is_deleted, is_eq), files in sorted(groups.items()):
+    for (schema_id, has_lineage, is_deleted, is_eq,
+         fmt), files in sorted(groups.items()):
         fschema = meta.schema_by_id(schema_id)
         struct = fschema.to_struct(physical=True)
         if has_lineage:
@@ -174,16 +176,29 @@ def snapshot_df(
                 list(struct.fields)
                 + [T.StructField(ROW_ID, T.LongType()), T.StructField(LAST_SEQ, T.LongType())]
             )
-        df = spark.read.schema(struct).parquet(*[f.path for f in files])
         proj = _group_projection(fschema, current, has_lineage)
-        if need_lineage or is_deleted or is_eq:
+        needs_meta = need_lineage or is_deleted or is_eq
+        if fmt == "orc" and needs_meta:
+            # positional ORC scan (no _metadata.row_index in Spark's ORC
+            # source): pyarrow stripe-order read supplies exact file
+            # positions for the MoR anti-join / row-id synthesis
+            df = _orc_scan_with_positions(spark, files, struct)
+            df = df.select(*proj, F.col(_FILE), F.col(_POS),
+                           F.col(FILE_MTIME))
+        else:
+            rd = spark.read.schema(struct)
+            paths_ = [f.path for f in files]
+            # NB: DataFrameReader.orc takes ONE path-or-list (its second
+            # positional is mergeSchema), unlike .parquet(*paths)
+            df = rd.orc(paths_) if fmt == "orc" else rd.parquet(*paths_)
+        if needs_meta and fmt == "parquet":
             df = df.select(
                 *proj,
                 F.col("_metadata.file_path").alias(_FILE),
                 F.col("_metadata.row_index").alias(_POS),
                 F.col("_metadata.file_modification_time").alias(FILE_MTIME),
             )
-        else:
+        elif not needs_meta:
             df = df.select(*proj)
             df = df.withColumn(_FILE, F.lit(None).cast("string")) \
                    .withColumn(_POS, F.lit(None).cast("long")) \
@@ -225,6 +240,56 @@ def snapshot_df(
     )
 
 
+def _orc_scan_with_positions(
+    spark: SparkSession, files: list[DataFile], struct: T.StructType
+) -> DataFrame:
+    """Positional scan of ORC data files: Spark's ORC reader exposes no
+    ``_metadata.row_index``, so positions come from an Arrow-batched
+    ``mapInPandas`` over per-file pyarrow.orc stripe reads — ORC row
+    position IS file order (stripes in order, rows in stripe order),
+    exactly the ordinal Iceberg position deletes and row-lineage
+    synthesis address.  One task per file; each stripe converts as one
+    Arrow batch, so memory is stripe-bounded.  Returns the group's
+    physical columns plus (__mor_file, __mor_pos, _file_modified_time) —
+    the same shape the parquet ``_metadata`` branch produces."""
+    out = T.StructType(
+        list(struct.fields)
+        + [T.StructField(_FILE, T.StringType()),
+           T.StructField(_POS, T.LongType()),
+           T.StructField(FILE_MTIME, T.TimestampType())]
+    )
+    phys = [f.name for f in struct.fields]
+    src = spark.createDataFrame(
+        [(f.path,) for f in files], "path string"
+    ).repartition(max(1, len(files)))
+
+    def gen(it):
+        import datetime as _dt
+        import os as _os
+
+        import pandas as _pd
+        import pyarrow.orc as _po
+
+        for pdf in it:
+            for p in pdf["path"]:
+                mtime = _dt.datetime.fromtimestamp(
+                    _os.path.getmtime(p))
+                of = _po.ORCFile(p)
+                pos = 0
+                for si in range(of.nstripes):
+                    b = of.read_stripe(si).to_pandas()
+                    d = _pd.DataFrame(
+                        {c: (b[c] if c in b.columns else None)
+                         for c in phys})
+                    d[_FILE] = _to_uri(p)
+                    d[_POS] = range(pos, pos + len(d))
+                    d[FILE_MTIME] = mtime
+                    pos += len(d)
+                    yield d
+
+    return src.mapInPandas(gen, out)
+
+
 def rows_at_positions(
     spark: SparkSession,
     meta: TableMetadata,
@@ -236,11 +301,13 @@ def rows_at_positions(
     (__del_file, __del_pos) — used by CDC to materialize deleted rows.
     ``n_delete_rows`` (manifest record counts) gates the broadcast hint."""
     current = meta.schema
-    groups: dict[tuple[int, bool], list[DataFile]] = {}
+    groups: dict[tuple[int, bool, str], list[DataFile]] = {}
     for f in files:
-        groups.setdefault((f.schema_id, bool(f.has_lineage)), []).append(f)
+        groups.setdefault(
+            (f.schema_id, bool(f.has_lineage),
+             f.file_format or "parquet"), []).append(f)
     parts = []
-    for (schema_id, has_lineage), fs in sorted(groups.items()):
+    for (schema_id, has_lineage, fmt), fs in sorted(groups.items()):
         fschema = meta.schema_by_id(schema_id)
         struct = fschema.to_struct(physical=True)
         if has_lineage:
@@ -248,13 +315,17 @@ def rows_at_positions(
                 list(struct.fields)
                 + [T.StructField(ROW_ID, T.LongType()), T.StructField(LAST_SEQ, T.LongType())]
             )
-        df = spark.read.schema(struct).parquet(*[f.path for f in fs])
         proj = _group_projection(fschema, current, has_lineage)
-        df = df.select(
-            *proj,
-            F.col("_metadata.file_path").alias(_FILE),
-            F.col("_metadata.row_index").alias(_POS),
-        )
+        if fmt == "orc":
+            df = _orc_scan_with_positions(spark, fs, struct)
+            df = df.select(*proj, F.col(_FILE), F.col(_POS))
+        else:
+            df = spark.read.schema(struct).parquet(*[f.path for f in fs])
+            df = df.select(
+                *proj,
+                F.col("_metadata.file_path").alias(_FILE),
+                F.col("_metadata.row_index").alias(_POS),
+            )
         hinted = (
             delete_df
             if n_delete_rows is not None and n_delete_rows > _DELETE_BROADCAST_ROWS
@@ -417,11 +488,13 @@ def equality_positions(
     from functools import reduce
 
     current = meta.schema
-    groups: dict[tuple[int, bool], list] = {}
+    groups: dict[tuple[int, bool, str], list] = {}
     for f in files:
-        groups.setdefault((f.schema_id, bool(f.has_lineage)), []).append(f)
+        groups.setdefault(
+            (f.schema_id, bool(f.has_lineage),
+             f.file_format or "parquet"), []).append(f)
     base: DataFrame | None = None
-    for (schema_id, has_lineage), fs in sorted(groups.items()):
+    for (schema_id, has_lineage, fmt), fs in sorted(groups.items()):
         fschema = meta.schema_by_id(schema_id)
         struct = fschema.to_struct(physical=True)
         if has_lineage:
@@ -429,13 +502,17 @@ def equality_positions(
                 list(struct.fields)
                 + [T.StructField(ROW_ID, T.LongType()), T.StructField(LAST_SEQ, T.LongType())]
             )
-        df = spark.read.schema(struct).parquet(*[f.path for f in fs])
         proj = _group_projection(fschema, current, has_lineage)
-        df = df.select(
-            *proj,
-            F.col("_metadata.file_path").alias(_FILE),
-            F.col("_metadata.row_index").alias(_POS),
-        )
+        if fmt == "orc":
+            df = _orc_scan_with_positions(spark, fs, struct)
+            df = df.select(*proj, F.col(_FILE), F.col(_POS))
+        else:
+            df = spark.read.schema(struct).parquet(*[f.path for f in fs])
+            df = df.select(
+                *proj,
+                F.col("_metadata.file_path").alias(_FILE),
+                F.col("_metadata.row_index").alias(_POS),
+            )
         base = df if base is None else base.unionByName(df)
     assert base is not None
     pos = read_position_deletes(spark, manifest, only_for=[f.path for f in files])

@@ -1524,3 +1524,56 @@ def test_adopt_dv_distributed_decode(spark, tmp_path, monkeypatch):
               "content_size_in_bytes": size, "record_count": 9,
               "referenced_data_file": "s3://x/data/g.parquet"}],
             seq=1, recorded_loc="", iceberg_location="", spark=spark)
+
+
+def test_adopt_orc_data_files(spark, tmp_path):
+    """ORC adoption (r12, VERDICT r11 #7): a genuine Iceberg table whose
+    data files are ORC adopts end-to-end — values exact, stats pruning
+    intact — while the position-tombstone scope refuses loudly (Spark's
+    ORC reader has no _metadata.row_index).  Engine optimize rewrites
+    ORC to parquet, unlocking positional features."""
+    loc = str(tmp_path / "ice_orc")
+    out = write_iceberg_fixture(spark, loc, _rows(40), delete_mod=0,
+                                file_format="orc")
+    assert out["live_rows"] == 40
+    info = ic.load_iceberg_table(loc)
+    assert {d["file_format"] for d in info["data_files"]} == {"orc"}
+
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_orc"), loc)
+    got = sorted((r.custkey, r.name, r.mktsegment, r.acctbal)
+                 for r in t.df().collect())
+    assert [g[0] for g in got] == list(range(1, 41))
+    # predicate reads work (stats pruning path over ORC entries)
+    assert {r.custkey for r in t.df(where="custkey = 7").collect()} \
+        == {7}
+    assert t.df(where="mktsegment = 'AUTO'").count() == len(
+        [i for i in range(1, 41) if i % 3 == 0])
+
+    # engine compaction rewrites ORC -> parquet; values unchanged
+    t.optimize(file_size_threshold=1 << 30)
+    t = t.refresh()
+    man = t._manifest(t._resolve())
+    assert {f.file_format for f in man.data_files} == {"parquet"}
+    got2 = sorted((r.custkey, r.name, r.mktsegment, r.acctbal)
+                  for r in t.df().collect())
+    assert got2 == got
+
+
+def test_adopt_orc_position_deletes(spark, tmp_path):
+    """POSITION deletes over ORC data files apply exactly: Iceberg
+    positions address the row's ordinal in the file, which the pyarrow
+    stripe scan reproduces — the MoR anti-join runs on those exact
+    (file, pos) pairs.  Row lineage over ORC rides the same positional
+    scan (hidden read returns distinct per-row ids)."""
+    loc = str(tmp_path / "ice_orc_del")
+    out = write_iceberg_fixture(spark, loc, _rows(30), delete_mod=7,
+                                file_format="orc")
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_orc_del"), loc)
+    got = {r.custkey for r in t.df().collect()}
+    assert got == {i for i in range(1, 31) if i % 7 != 0}
+    assert len(got) == out["live_rows"]
+    # hidden read synthesizes row ids positionally through the ORC scan
+    h = t.df(hidden=True).select("custkey", "_row_id").collect()
+    ids = [r._row_id for r in h]
+    assert len(ids) == len(set(ids)) and all(
+        i is not None and i >= 0 for i in ids)
