@@ -399,23 +399,16 @@ def _audit_one(spark, ops, name: str, need, forbid, max_ex):
     for s in forbid:
         if s in plan:
             errs.append(f"forbidden plan feature present: {s}")
-    # count DISTINCT exchanges: a cached InMemoryRelation's build
-    # plan prints in full at EVERY scan site, so a raw substring
-    # count multiplies the cached subtree's exchanges by its fan-out;
-    # plan_ids identify the underlying physical nodes (same cache →
-    # same ids).  Unidentified Exchange lines (no plan_id printed)
-    # fall back to raw counting.
-    ex_ids = set()
-    n_anon = 0
-    for ln in plan.splitlines():
-        if "Exchange" not in ln:
-            continue
-        ids = re.findall(r"\[plan_id=(\d+)\]", ln)
-        if ids:
-            ex_ids.update(ids)
-        else:
-            n_anon += 1
-    n_ex = len(ex_ids) + n_anon
+    # EXECUTED exchanges only: distinct plan_ids, with cached
+    # InMemoryRelation build subtrees excluded — counting the pin
+    # build's exchanges made the ceiling depend on which earlier query
+    # built the pin (the r11 load flake; see
+    # plans.count_executed_exchanges)
+    from iceberg_trino_sql_demo_spark.plans import (
+        count_executed_exchanges,
+    )
+
+    n_ex = count_executed_exchanges(plan)
     if n_ex > max_ex:
         errs.append(f"{n_ex} Exchange nodes (ceiling {max_ex})")
     return errs, plan, n_ex
