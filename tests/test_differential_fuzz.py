@@ -1109,3 +1109,66 @@ def test_roaring64_decoder_property(spark, data):
     # SAME reference-encoded bytes to the same ascending values
     got_np = read_portable_roaring64_np(raw)
     assert [int(x) for x in got_np] == got
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_transform_interop_circle_property(spark, tmp_path_factory, data):
+    """Property (r12): an engine table under ANY carryable partition
+    transform survives the full interop circle — export as genuine
+    Iceberg (transform + re-encoded tuple values) -> re-adoption — with
+    exact values, and a random source-column predicate reads the same
+    rows through the re-adopted table's pruned scan as through a plain
+    Spark evaluation of the same data.  Catches value re-encoding
+    drift (year/month offsets, bucket hashes, truncate widths) in
+    either direction."""
+    import tempfile as _tf
+
+    from iceberg_trino_sql_demo_spark.sources import iceberg_compat as ic
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    transform = data.draw(st.sampled_from([
+        "year(d)", "month(d)", "day(d)", "hour(ts)",
+        "ibucket(8, k)", "ibucket(4, s)", "truncate(2, s)", "k", "s",
+    ]))
+    n = data.draw(st.integers(min_value=20, max_value=60))
+    base = _tf.mkdtemp(prefix="circle_fuzz_")
+    df = spark.sql(
+        f"SELECT id AS k, concat('w', id % 7) AS s, "
+        "date_add(DATE'1994-03-01', CAST((id % 900) * 3 AS INT)) AS d, "
+        "timestamp_seconds(800000000 + id * 97731) AS ts, "
+        f"CAST(id AS DOUBLE) AS v FROM range({n})")
+    cat = Catalog(spark, base + "/wh")
+    cat.create_schema("fz")
+    cat.use("fz")
+    t = cat.ctas("t_circle", df, partitioning=(transform,))
+    export_iceberg_metadata(t, base + "/exp")
+    back = ic.adopt_iceberg_table(spark, base + "/eng", base + "/exp")
+
+    cols = ("k", "s", "d", "ts", "v")
+    want_all = sorted(tuple(r) for r in df.select(*cols).collect())
+    got_all = sorted(tuple(r) for r in back.df().select(*cols).collect())
+    assert got_all == want_all, transform
+
+    kind = data.draw(st.sampled_from(["k_eq", "k_ge", "s_eq", "d_ge"]))
+    if kind == "k_eq":
+        val = data.draw(st.integers(min_value=0, max_value=n - 1))
+        pred, cond = f"k = {val}", f"k = {val}"
+    elif kind == "k_ge":
+        val = data.draw(st.integers(min_value=0, max_value=n - 1))
+        pred, cond = f"k >= {val}", f"k >= {val}"
+    elif kind == "s_eq":
+        val = data.draw(st.integers(min_value=0, max_value=6))
+        pred = cond = f"s = 'w{val}'"
+    else:
+        y = data.draw(st.integers(min_value=1994, max_value=1999))
+        pred = cond = f"d >= DATE '{y}-06-01'"
+    want = sorted(tuple(r)
+                  for r in df.where(cond).select(*cols).collect())
+    got = sorted(tuple(r)
+                 for r in back.df(where=pred).select(*cols).collect())
+    assert got == want, (transform, pred)
