@@ -245,7 +245,8 @@ def _localize(uri: str, recorded_location: str, actual_location: str) -> str:
 
 def decode_bound(raw: bytes | None, ddl: str) -> Any:
     """Iceberg lower/upper bound bytes -> Python value, JSON-native types
-    only (int/long/float/double/string) — anything else returns None
+    only (int/long/float/double/string, plus date re-encoded to the
+    engine's ISO-string stat convention) — anything else returns None
     ("unknown"), which the stats-pruning layer treats conservatively."""
     if raw is None:
         return None
@@ -260,7 +261,17 @@ def decode_bound(raw: bytes | None, ddl: str) -> Any:
             return struct.unpack("<d", raw)[0]
         if ddl == "string":
             return raw.decode("utf-8")
-    except (struct.error, UnicodeDecodeError):
+        if ddl == "date":
+            # Appendix D: 4-byte LE days from epoch.  The engine's stat
+            # convention for date columns is the ISO string (pruning
+            # compares ISO order, writer._stat_value) — re-encode so
+            # adopted tables stats-prune on date predicates (r12).
+            import datetime as _dt
+
+            days = struct.unpack("<i", raw)[0]
+            return (_dt.date(1970, 1, 1)
+                    + _dt.timedelta(days=days)).isoformat()
+    except (struct.error, UnicodeDecodeError, OverflowError):
         return None
     return None
 

@@ -16,8 +16,9 @@ Mechanics, all public spec:
   reference Java implementation does all Avro type resolution).
 - Column bounds are re-encoded from the engine's manifest stats into
   Iceberg single-value serialization (spec Appendix D) for
-  int/long/float/double/string, so the export carries file-skipping
-  stats, not just file lists.
+  int/long/float/double/string/date (dates: engine ISO-string stats ->
+  4-byte LE days), so the export carries file-skipping stats, not just
+  file lists.
 - Engine position-delete files are re-written (deletes are
   O(deleted rows), metadata-plane sized) because the engine stores
   ``file:<abs>`` URIs while the export records ``file://<abs>`` data
@@ -116,6 +117,14 @@ def _encode_bound(v: Any, ddl: str) -> bytes | None:
             return struct.pack("<d", float(v))
         if ddl == "string" and isinstance(v, str):
             return v.encode("utf-8")
+        if ddl == "date":
+            # engine date stats are ISO strings (writer._stat_value);
+            # Iceberg single-value form is 4-byte LE days from epoch
+            import datetime as _dt
+
+            d = (v if isinstance(v, _dt.date)
+                 else _dt.date.fromisoformat(str(v)[:10]))
+            return struct.pack("<i", (d - _dt.date(1970, 1, 1)).days)
     except (ValueError, TypeError, struct.error):
         return None
     return None
