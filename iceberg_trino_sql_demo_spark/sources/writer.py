@@ -214,7 +214,15 @@ def harvest_files(
                 rg = md.row_group(rg_i)
                 for c_i in range(rg.num_columns):
                     col = rg.column(c_i)
-                    name = col.path_in_schema.split(".")[0]
+                    if "." in col.path_in_schema:
+                        # nested leaf (struct member / map key-value /
+                        # list element): heterogeneous leaf types would
+                        # poison the parent's single min/max accumulator
+                        # (a struct<int,string> crashed the harvest),
+                        # and predicates only target top-level columns —
+                        # nested fields simply carry no stats entry
+                        continue
+                    name = col.path_in_schema
                     fld = by_pname.get(name)
                     if fld is None:
                         continue

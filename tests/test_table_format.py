@@ -389,3 +389,35 @@ def test_analyze_stats_drive_broadcast_flip(spark, tmp_path, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_struct_map_columns_roundtrip(spark, cat):
+    """Nested-typed columns (struct/map/array) CTAS, read back
+    value-exact, and survive DML — their leaves carry NO per-file stats
+    entry (heterogeneous struct leaves previously poisoned the parent's
+    min/max accumulator and crashed the harvest, r12), while sibling
+    top-level primitives keep full stats/pruning."""
+    df = spark.sql(
+        "SELECT id AS k, "
+        "named_struct('a', id * 2, 'b', concat('s', id)) AS st, "
+        "map('m', id) AS mp, array(id, id + 1) AS ar FROM range(20)")
+    cat.ctas("nested_t", df)
+    t = cat.table("nested_t")
+    assert [f.type for f in t.meta.schema.fields] == [
+        "bigint", "struct<a:bigint,b:string>", "map<string,bigint>",
+        "array<bigint>"]
+    got = sorted((r.k, r.st.a, r.st.b, dict(r.mp), list(r.ar))
+                 for r in t.df().collect())
+    assert got == [(i, i * 2, f"s{i}", {"m": i}, [i, i + 1])
+                   for i in range(20)]
+    # top-level primitive k keeps stats; nested fields carry none
+    man = t.io.read_manifest(t._resolve())
+    for f in man.data_files:
+        assert f.stats.get("1", {}).get("min") is not None
+        assert "2" not in f.stats and "3" not in f.stats
+    # DML over nested columns
+    t.delete("k % 5 = 0")
+    t = t.refresh()
+    assert {r.k for r in t.df().collect()} == {
+        i for i in range(20) if i % 5}
+    assert {r.st.b for r in t.df(where="k = 7").collect()} == {"s7"}
