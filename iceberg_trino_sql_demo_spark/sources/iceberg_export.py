@@ -73,6 +73,24 @@ _DDL_TO_ICE = {
 }
 
 
+def _split_top(inner: str) -> list[str]:
+    """Split a DDL type list on TOP-LEVEL commas (nesting via <>)."""
+    parts, depth, cur = [], 0, []
+    for ch in inner:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def _ddl_to_iceberg(ddl: str, v3: bool = False) -> Any:
     ddl = ddl.strip()
     if v3 and ddl == "variant":
@@ -88,16 +106,31 @@ def _ddl_to_iceberg(ddl: str, v3: bool = False) -> Any:
     if ddl.startswith("decimal("):
         return ddl
     if ddl.startswith("array<") and ddl.endswith(">"):
-        # element-id placeholder 0 is re-assigned to a table-unique id by
+        # nested-id placeholder 0 is re-assigned to a table-unique id by
         # _assign_nested_ids before the schema is written
         return {"type": "list", "element-id": 0,
                 "element": _ddl_to_iceberg(ddl[len("array<"):-1], v3),
                 "element-required": False}
+    if ddl.startswith("struct<") and ddl.endswith(">"):
+        fields = []
+        for part in _split_top(ddl[len("struct<"):-1]):
+            nm, ft = part.split(":", 1)
+            fields.append({"id": 0, "name": nm.strip(),
+                           "required": False,
+                           "type": _ddl_to_iceberg(ft.strip(), v3)})
+        return {"type": "struct", "fields": fields}
+    if ddl.startswith("map<") and ddl.endswith(">"):
+        kv = _split_top(ddl[len("map<"):-1])
+        if len(kv) == 2:
+            return {"type": "map", "key-id": 0, "value-id": 0,
+                    "key": _ddl_to_iceberg(kv[0].strip(), v3),
+                    "value": _ddl_to_iceberg(kv[1].strip(), v3),
+                    "value-required": False}
     raise IcebergExportError(
         f"engine type {ddl!r} has no Iceberg v{3 if v3 else 2} "
-        "representation (timestamp_ns / nested struct+map are "
-        "engine-side types here; variant exports at v3 only) — drop or "
-        "cast the column before exporting")
+        "representation (timestamp_ns is an engine-side type here; "
+        "variant exports at v3 only) — drop or cast the column before "
+        "exporting")
 
 
 def _encode_bound(v: Any, ddl: str) -> bytes | None:
@@ -148,20 +181,39 @@ def _xcv_month(v: Any) -> int:
     return int(v) - 1970 * 12
 
 
-def _assign_nested_ids(fields: list[dict], last_id: int) -> None:
-    """Give nested element ids (list element-id etc.) table-unique values
-    past the top-level column ids, as the spec requires."""
+def _assign_nested_ids(fields: list[dict], last_id: int) -> int:
+    """Give nested field ids (struct member ids, map key/value ids, list
+    element ids) table-unique values past the top-level column ids, as
+    the spec requires; returns the HIGHEST id assigned so the written
+    ``last-column-id`` covers them (spec: it bounds every field id)."""
     nxt = last_id
 
     def walk(t):
         nonlocal nxt
-        if isinstance(t, dict) and t.get("type") == "list":
+        if not isinstance(t, dict):
+            return
+        k = t.get("type")
+        if k == "list":
             nxt += 1
             t["element-id"] = nxt
             walk(t["element"])
+        elif k == "struct":
+            for f in t["fields"]:
+                nxt += 1
+                f["id"] = nxt
+            for f in t["fields"]:
+                walk(f["type"])
+        elif k == "map":
+            nxt += 1
+            t["key-id"] = nxt
+            nxt += 1
+            t["value-id"] = nxt
+            walk(t["key"])
+            walk(t["value"])
 
     for f in fields:
         walk(f["type"])
+    return nxt
 
 
 def _file_uri(path: str) -> str:
@@ -267,7 +319,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
                     f"{type(v).__name__} has no JSON single-value form")
             fd[key] = v
         ice_fields.append(fd)
-    _assign_nested_ids(ice_fields, meta.last_column_id)
+    last_field_id = _assign_nested_ids(ice_fields, meta.last_column_id)
     # partition export (r11 identity, r12 hidden transforms — symmetric
     # with the adoption side): a default spec whose fields are ALL
     # expressible in Iceberg terms exports as a real Iceberg spec with
@@ -640,7 +692,7 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
         "location": _file_uri(dest),
         "last-sequence-number": seq,
         "last-updated-ms": now,
-        "last-column-id": meta.last_column_id,
+        "last-column-id": last_field_id,
         "current-schema-id": 0,
         "schemas": [{"type": "struct", "schema-id": 0,
                      "fields": ice_fields}],

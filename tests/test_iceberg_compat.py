@@ -1622,3 +1622,45 @@ def test_date_bounds_roundtrip_and_prune(spark, tmp_path):
            .collect()}
     want = {r.k for r in src.where("d >= DATE '1995-04-01'").collect()}
     assert got == want
+
+
+def test_export_nested_types_roundtrip(spark, tmp_path):
+    """struct/map/array columns cross the interop circle (r12): export
+    emits real Iceberg nested types with table-unique nested field ids
+    (struct member ids, map key/value ids, list element ids), and the
+    re-adopted export reads value-exact."""
+    from iceberg_trino_sql_demo_spark.sources.catalog import Catalog
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "whnt"))
+    cat.create_schema("exnt")
+    cat.use("exnt")
+    df = spark.sql(
+        "SELECT id AS k, "
+        "named_struct('a', id * 2, 'b', concat('s', id)) AS st, "
+        "map('m', id) AS mp, array(id, id + 1) AS ar FROM range(15)")
+    t = cat.ctas("nested_x", df)
+    dest = str(tmp_path / "exported_nested")
+    export_iceberg_metadata(t, dest)
+    meta = json.load(open(os.path.join(dest, "metadata",
+                                       "v1.metadata.json")))
+    types = {f["name"]: f["type"] for f in meta["schemas"][0]["fields"]}
+    assert types["st"]["type"] == "struct"
+    assert types["mp"]["type"] == "map"
+    assert types["ar"]["type"] == "list"
+    ids = [m["id"] for m in types["st"]["fields"]] + [
+        types["mp"]["key-id"], types["mp"]["value-id"],
+        types["ar"]["element-id"]]
+    assert len(ids) == len(set(ids)), ids
+    assert all(i > 4 for i in ids), ids  # past the 4 top-level columns
+    # spec: last-column-id bounds EVERY field id, nested included
+    assert meta["last-column-id"] >= max(ids)
+
+    back = ic.adopt_iceberg_table(spark, str(tmp_path / "readopt_nt"),
+                                  dest)
+    got = sorted((r.k, r.st.a, r.st.b, dict(r.mp), list(r.ar))
+                 for r in back.df().collect())
+    assert got == [(i, i * 2, f"s{i}", {"m": i}, [i, i + 1])
+                   for i in range(15)]
