@@ -215,9 +215,12 @@ class DataFile:
     file_modified_ms: int
     has_lineage: bool = False  # file physically stores _row_id/_last_updated_seq
     #: physical format of the data file — engine writes are always
-    #: parquet; adopted foreign Iceberg entries may be ORC (r12, scan
-    #: routed per-group; ORC files cannot be referenced by position
-    #: deletes/DVs or carry row lineage — no _metadata.row_index)
+    #: parquet; adopted foreign Iceberg entries may be ORC (r12).  Scans
+    #: route per-group: plain ORC scans use Spark's native reader, while
+    #: position-addressed ORC reads (position deletes/DVs, row lineage,
+    #: CDC) go through the pyarrow positional stripe scan
+    #: (reader._orc_scan_with_positions) because Spark's ORC source has
+    #: no _metadata.row_index.
     file_format: str = "parquet"
 
     def to_dict(self) -> dict:

@@ -272,8 +272,11 @@ def _orc_scan_with_positions(
 
         for pdf in it:
             for p in pdf["path"]:
+                # tz-aware so Arrow carries the true instant regardless of
+                # the executor OS timezone (the parquet branch's
+                # _metadata.file_modification_time is likewise an instant).
                 mtime = _dt.datetime.fromtimestamp(
-                    _os.path.getmtime(p))
+                    _os.path.getmtime(p), tz=_dt.timezone.utc)
                 of = _po.ORCFile(p)
                 pos = 0
                 for si in range(of.nstripes):

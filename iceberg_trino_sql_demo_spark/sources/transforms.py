@@ -100,7 +100,15 @@ def iceberg_bucket_value(v: Any, n: int, src_type: str) -> int | None:
         else:
             dt = datetime.fromisoformat(str(v))
         dt = dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
-        micros = (int(dt.timestamp()) * 1_000_000) + dt.microsecond
+        # Floor division, NOT int(dt.timestamp())*1e6 + microsecond: the
+        # latter truncates toward zero, so a pre-epoch fractional second
+        # (1969-12-31T23:59:59.5Z) would encode +500000 instead of -500000
+        # and the prune-path bucket would disagree with the write path's
+        # unix_micros bucket (silently pruning the matching file).
+        from datetime import timedelta as _td
+
+        micros = (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) // _td(
+            microseconds=1)
         raw = _struct.pack("<q", micros)
     elif t == "string":
         raw = str(v).encode("utf-8")
@@ -212,16 +220,28 @@ class Transform:
         from pyspark.sql.functions import pandas_udf
 
         if fixed:
+            # Nulls are coalesced away SPARK-SIDE below (and restored with
+            # F.when) so the Arrow batch is never nullable: a nullable int64
+            # batch crosses Arrow->pandas as float64, and float64 cannot
+            # represent longs beyond 2^53 (timestamp unix_micros ~1.7e18) —
+            # the precision loss would hash into the wrong bucket before the
+            # UDF could do anything about it.
             def _b(s):
                 import numpy as np
 
-                mask = s.isna()
-                h = _mmh3_long_numpy(s.fillna(0).to_numpy(np.int64))
-                out = pd.Series(
+                if not pd.api.types.is_integer_dtype(s.dtype):
+                    # Defensive: should be unreachable (input is coalesced
+                    # non-null long).  Exact per-value path — never round
+                    # through float.
+                    return s.map(
+                        lambda x: None if pd.isna(x) else
+                        (murmur3_x86_32(
+                            int(x).to_bytes(8, "little", signed=True))
+                         & 0x7FFFFFFF) % n)
+                h = _mmh3_long_numpy(s.to_numpy(np.int64))
+                return pd.Series(
                     ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n))
-                    .astype("int32"), index=s.index, dtype="Int32")
-                out[mask] = None
-                return out
+                    .astype("int32"), index=s.index)
         else:
             def _b(s):
                 return s.map(
@@ -232,6 +252,11 @@ class Transform:
         # real class objects (module-level `from __future__ import
         # annotations` would stringify inline hints)
         _b.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        if fixed:
+            hashed = pandas_udf(_b, "int")(
+                F.coalesce(pre, F.lit(0).cast("long")))
+            return F.when(pre.isNull(),
+                          F.lit(None).cast("int")).otherwise(hashed)
         return pandas_udf(_b, "int")(pre)
 
     # -- python-side evaluation (manifest bookkeeping / pruning) ----------

@@ -1489,6 +1489,59 @@ def test_murmur3_spec_vectors(spark):
         for r in rows)
 
 
+def test_ibucket_nullable_large_longs(spark):
+    """ADVICE r13 HIGH (transforms.py ibucket write path): a nullable
+    int64 Arrow batch crosses to pandas as float64, and float64 cannot
+    hold longs beyond 2^53 — 1700000000123456789 used to round-trip as
+    ...768 and hash into the WRONG bucket (rows then silently pruned,
+    because the prune path recomputes the exact bucket).  The fix
+    coalesces nulls Spark-side so the batch is never nullable; this
+    pins exact bucket values for >2^53 longs mixed with nulls, for
+    both the bigint and timestamp encodings."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from iceberg_trino_sql_demo_spark.sources.transforms import (
+        Transform, iceberg_bucket_value,
+    )
+
+    big = [1700000000123456789, -1700000000123456789, 2**63 - 1,
+           -2**63, 2**53 + 1, 34, None]
+    df = spark.createDataFrame([(v,) for v in big], "v long")
+    t = Transform("ibucket", "v", 8)
+    rows = df.select("v", t.apply(F.col("v"), "bigint").alias("b")).collect()
+    for r in rows:
+        assert r.b == iceberg_bucket_value(r.v, 8, "bigint"), r.v
+
+    # timestamp encoding: unix_micros of a 2023-era instant is ~1.7e18,
+    # exactly the magnitude float64 corrupts; include a null in the batch
+    ts = [_dt.datetime(2023, 11, 14, 22, 13, 20, 123456), None,
+          _dt.datetime(1969, 12, 31, 23, 59, 59, 500000)]
+    dft = spark.createDataFrame([(v,) for v in ts], "v timestamp")
+    tt = Transform("ibucket", "v", 8)
+    got = dft.select(
+        "v", tt.apply(F.col("v"), "timestamp").alias("b"),
+        F.unix_micros("v").alias("us")).collect()
+    import struct as _struct
+
+    from iceberg_trino_sql_demo_spark.sources.transforms import (
+        murmur3_x86_32,
+    )
+
+    for r in got:
+        if r.v is None:
+            assert r.b is None
+            continue
+        want = (murmur3_x86_32(_struct.pack("<q", r.us)) & 0x7FFFFFFF) % 8
+        assert r.b == want, r.v
+        # ADVICE r13 MEDIUM: the prune path (iceberg_bucket_value) must
+        # agree with the write path for PRE-EPOCH fractional seconds —
+        # int(dt.timestamp())*1e6+microsecond truncated toward zero and
+        # encoded +500000 instead of -500000 for 1969-12-31T23:59:59.5.
+        assert iceberg_bucket_value(r.v, 8, "timestamp") == want, r.v
+
+
 def test_adopt_dv_distributed_decode(spark, tmp_path, monkeypatch):
     """VERDICT r11 #5: above _DV_DISTRIBUTE_MIN declared tombstones the
     puffin blob decode fans out as an Arrow-batched Spark job instead
