@@ -271,6 +271,17 @@ def decode_bound(raw: bytes | None, ddl: str) -> Any:
             days = struct.unpack("<i", raw)[0]
             return (_dt.date(1970, 1, 1)
                     + _dt.timedelta(days=days)).isoformat()
+        if ddl == "timestamp":
+            # Appendix D: 8-byte LE micros from epoch.  Engine stat
+            # convention for timestamps is the ISO string (order is
+            # preserved lexicographically for the fixed 'T' format).
+            import datetime as _dt
+
+            us = struct.unpack("<q", raw)[0]
+            return (_dt.datetime(1970, 1, 1)
+                    + _dt.timedelta(microseconds=us)).isoformat()
+        if ddl == "boolean" and len(raw) == 1:
+            return raw != b"\x00"
     except (struct.error, UnicodeDecodeError, OverflowError):
         return None
     return None

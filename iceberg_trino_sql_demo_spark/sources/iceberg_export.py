@@ -158,6 +158,28 @@ def _encode_bound(v: Any, ddl: str) -> bytes | None:
             d = (v if isinstance(v, _dt.date)
                  else _dt.date.fromisoformat(str(v)[:10]))
             return struct.pack("<i", (d - _dt.date(1970, 1, 1)).days)
+        if ddl == "timestamp":
+            # engine timestamp stats are ISO strings; Appendix D form is
+            # 8-byte LE microseconds from epoch.  Floor division (not
+            # int(ts)*1e6+micros) so pre-epoch fractional seconds round
+            # DOWN — a truncated-toward-zero lower bound would exceed the
+            # true minimum and let external readers prune a matching file.
+            import datetime as _dt
+
+            dt = (v if isinstance(v, _dt.datetime)
+                  else _dt.datetime.fromisoformat(str(v)))
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            micros = (dt - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+                microseconds=1)
+            return struct.pack("<q", micros)
+        if ddl == "boolean" and isinstance(v, bool):
+            return b"\x01" if v else b"\x00"
+        # NOTE decimal bounds are deliberately NOT exported: the engine
+        # stores decimal stats as float approximations (writer), and an
+        # approximate bound re-encoded as an exact Appendix-D unscaled
+        # decimal could be tighter than the true min/max — wrong pruning
+        # metadata for external readers.  Absent bounds are only a cost.
     except (ValueError, TypeError, struct.error):
         return None
     return None
