@@ -806,17 +806,27 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three corners), top-20 — the clustering signal community-detection
 # pipelines start from.  All-integer; the same SQL runs as the oracle.
 #
-# Scale note (VERDICT r7): the co-occurrence EDGE BUILD (a.h == b.h self
-# join) is quadratic in users-per-hour — identical to the oracle's plan
-# and fine at this corpus's per-hour cardinality, but a skewed hot hour
-# at production scale needs a frequency prefilter (drop hours above a
-# per-block user cap, or sample within them) BEFORE the self-join; that
-# changes the query's semantics (edges from capped hours vanish), so it
-# belongs to the caller's corpus contract, not silently inside this
-# operator.  Everything downstream of e0 carries the O(m^1.5)
+# Scale note (VERDICT r7, made executable r13): the co-occurrence EDGE
+# BUILD (a.h == b.h self join) is quadratic in users-per-hour.  The
+# DEFAULT operator now carries an ADAPTIVE hot-hour degree bound
+# (_TRI_ADAPTIVE_MAX): one cheap aggregate measures the worst hour's
+# distinct-user count, and only when it exceeds the bound does a
+# deterministic md5-rank cap engage — below the bound the plan is the
+# byte-identical uncapped pipeline (result-invariant; no oracle-checked
+# corpus comes near the bound).  Above it, the worst hour contributes at
+# most C(bound, 2) edges instead of a quadratic blow-up, and the SAME
+# rule is encoded in the oracle SQL (scalar-subquery CASE), so the bite
+# branch is value-checked too — the same measured-crossover pattern as
+# the GEMM branches.  Everything downstream of e0 carries the O(m^1.5)
 # orientation bound and the gated broadcast.
 # ---------------------------------------------------------------------------
 _TRI_TOPK = 20
+#: adaptive hot-hour degree bound for the DEFAULT triangles query.  No
+#: oracle-checked corpus reaches it (purchase users/hour peak at 3 for
+#: sf0.001, 9 for sf0.01, 43 for sf0.1), so at every checked scale the
+#: operator runs the exact uncapped plan; beyond it the md5-rank cap
+#: bounds the worst hour to C(256,2) = 32,640 candidate edges.
+_TRI_ADAPTIVE_MAX = 256
 # shared broadcast budget for node-cardinality side tables (degree /
 # contribution vectors): ~16 B/row of packed longs vs Spark's default
 # autoBroadcastJoinThreshold scale.  Module-level so tests can force the
@@ -824,12 +834,29 @@ _TRI_TOPK = 20
 _NODE_BROADCAST_BUDGET = 64 * 1024 * 1024
 
 
-@register(
-    "events_user_triangles",
-    oracle=f"""
-    WITH p AS (
+def _tri_adaptive_oracle(amax: int) -> str:
+    """Oracle for the adaptive default: rn <= min(worst-hour count,
+    amax), so it is EXACTLY the uncapped pipeline whenever no hour
+    exceeds ``amax`` users and the md5-rank cap otherwise — the same
+    rule the Spark side applies."""
+    return f"""
+    WITH p0 AS (
       SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
         FROM events WHERE event_type = 'purchase'
+    ),
+    mx AS (
+      SELECT max(cnt) AS m FROM (
+        SELECT h, count(*) AS cnt FROM p0 GROUP BY h)
+    ),
+    p AS (
+      SELECT h, user_id FROM (
+        SELECT h, user_id,
+               row_number() OVER (
+                 PARTITION BY h
+                 ORDER BY md5(CAST(user_id AS VARCHAR)), user_id) AS rn
+          FROM p0)
+       WHERE rn <= (SELECT CASE WHEN m > {amax} THEN {amax} ELSE m END
+                      FROM mx)
     ),
     e0 AS (
       SELECT DISTINCT least(a.user_id, b.user_id) AS x,
@@ -867,16 +894,55 @@ _NODE_BROADCAST_BUDGET = 64 * 1024 * 1024
      GROUP BY user_id
      ORDER BY n_triangles DESC, user_id
      LIMIT {_TRI_TOPK}
-    """,
+    """
+
+
+def _tri_participants(p0: DataFrame) -> DataFrame:
+    """The adaptive hot-hour degree bound (VERDICT r12 #3): measure the
+    worst hour's distinct-user count with one map-side-combinable
+    aggregate; at or below _TRI_ADAPTIVE_MAX return ``p0`` UNCHANGED
+    (byte-identical plan to the historical uncapped operator), above it
+    keep only the _TRI_ADAPTIVE_MAX lowest-md5-rank users per hour so
+    the worst hour's edge build is bounded by C(bound, 2).  The md5
+    rank is engine-identical on Spark and DuckDB, and the oracle SQL
+    (_tri_adaptive_oracle) encodes the SAME rule, so the bite branch is
+    value-checked, not just asserted."""
+    hot_row = (
+        p0.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()
+    )
+    hot = hot_row["m"] if hot_row is not None else None
+    if hot is None or hot <= _TRI_ADAPTIVE_MAX:
+        return p0
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("h").orderBy(
+        F.md5(F.col("user_id").cast("string")), F.col("user_id")
+    )
+    return (
+        p0.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TRI_ADAPTIVE_MAX)
+        .select("h", "user_id")
+    )
+
+
+@register(
+    "events_user_triangles",
+    oracle=_tri_adaptive_oracle(_TRI_ADAPTIVE_MAX),
 )
 def events_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    p = (
+    p0 = (
         ev.where(F.col("event_type") == "purchase")
         .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
         .distinct()
     )
-    return _triangles_topk(p, group="tri")
+    pins.open_group("tri", spark)
+    p0 = pins.pin("tri", p0)
+    return _triangles_topk(_tri_participants(p0), group="tri",
+                           open=False)
 
 
 #: opt-in hot-hour cap for the capped variant: per hour, only the
@@ -971,15 +1037,19 @@ def events_user_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _triangles_topk(p, group="tri_capped")
 
 
-def _triangles_topk(p: DataFrame, group: str) -> DataFrame:
+def _triangles_topk(p: DataFrame, group: str,
+                    open: bool = True) -> DataFrame:
     """Shared triangle pipeline over a (h, user_id) co-occurrence frame:
     edge build -> degree-oriented wedge join -> per-corner top-k.  Each
     variant pins its intermediates under its own group so benching one
-    never drains the frames the other's memoized plan references."""
+    never drains the frames the other's memoized plan references.
+    ``open=False`` when the caller already opened the group (the
+    adaptive default pins its participant frame there first)."""
     spark = p.sparkSession
     a = p.alias("a")
     b = p.alias("b")
-    pins.open_group(group, spark)
+    if open:
+        pins.open_group(group, spark)
     e0 = pins.pin(group, (
         a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.user_id") < F.col("b.user_id")))
