@@ -143,59 +143,9 @@ def register(
 #: predates r8.  Queries below the window are re-verified every round
 #: by the pytest oracle-parity sweep.
 _DRIVER_PRIORITY: list[str] = [
-    # -- NEW in round 12: add fresh query names HERE (top of the window)
-    "ice_register_iceberg_orc",
-    # -- last driver-sampled in round 5 (11 queries)
-    "events_heavy_hitters_cms",
-    "events_kmv_set_sketch",
-    "events_ndv_hll_sketch",
-    "events_pattern_sequence",
-    "events_rolling_ndv_sketch",
-    "events_stream_chained_agg",
-    "events_stream_full_outer",
-    "events_stream_left_join",
-    "events_stream_ndv_sketch",
-    "events_stream_static_enrich",
-    "events_user_triangles",
-    # -- last driver-sampled in round 8 (50 queries)
-    "dedup_edit_distance",
-    "dedup_edit_distance_passjoin",
-    "dedup_quality_keeper",
-    "dedup_substring_windows",
-    "events_pagerank_iter",
-    "events_stateful_user_totals",
-    "events_stream_dedup",
-    "events_stream_interval_join",
-    "events_stream_sessionization",
-    "events_stream_tumbling",
-    "ice_add_column_default",
-    "ice_branch_dml",
-    "ice_branch_retention",
-    "ice_branches_ff",
-    "ice_ctas_roundtrip",
-    "ice_equality_delete",
-    "ice_equality_rewrite",
-    "ice_expire_orphans",
-    "ice_insert_values",
-    "ice_merge_upsert",
-    "ice_meta_join",
-    "ice_mor_delete",
-    "ice_optimize_roundtrip",
-    "ice_optimize_where_mtime",
-    "ice_partition_evolution",
-    "ice_properties_show_create",
-    "ice_rename_table",
-    "ice_rollback",
-    "ice_row_lineage",
-    "ice_schema_types",
-    "ice_show_stats_minmax",
-    "ice_snapshot_operations",
-    "ice_sql_pruned_select",
-    "ice_sql_roundtrip",
-    "ice_stream_cdc_full",
-    "ice_stream_cdc_to_replica",
-    "ice_stream_table_changes",
-    "ice_table_changes",
+    # -- regenerated r13: least-recently-driver-sampled first
+    # (from CORRECTNESS_r01..r12; new r13 queries lead)
+    "ice_register_iceberg_avro",
     "ice_time_travel",
     "ice_update_row",
     "ice_views_mv",
@@ -208,7 +158,6 @@ _DRIVER_PRIORITY: list[str] = [
     "text_bigram_familiarity",
     "training_pack_sequences",
     "trino_dialect_select",
-    # -- last driver-sampled in round 9 (50 queries)
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_lsh",
@@ -259,7 +208,6 @@ _DRIVER_PRIORITY: list[str] = [
     "text_token_stats",
     "top_acctbal_desc",
     "vocab_top_terms",
-    # -- last driver-sampled in round 10 (50 queries)
     "ann_knn_join",
     "ann_knn_join_lsh",
     "ann_topk_sq8",
@@ -310,7 +258,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q8_market_share",
     "source_dsir_weights",
     "source_mixture_sample",
-    # -- last driver-sampled in round 11 (50 queries)
     "ann_filtered_topk",
     "ann_range_search",
     "ann_topk_ivfpq",
@@ -361,6 +308,56 @@ _DRIVER_PRIORITY: list[str] = [
     "trino_dialect_tier4",
     "url_normalize_dedup",
     "window_rank_per_nation",
+    "ice_register_iceberg_orc",
+    "events_heavy_hitters_cms",
+    "events_kmv_set_sketch",
+    "events_ndv_hll_sketch",
+    "events_pattern_sequence",
+    "events_rolling_ndv_sketch",
+    "events_stream_chained_agg",
+    "events_stream_full_outer",
+    "events_stream_left_join",
+    "events_stream_ndv_sketch",
+    "events_stream_static_enrich",
+    "events_user_triangles",
+    "dedup_edit_distance",
+    "dedup_edit_distance_passjoin",
+    "dedup_quality_keeper",
+    "dedup_substring_windows",
+    "events_pagerank_iter",
+    "events_stateful_user_totals",
+    "events_stream_dedup",
+    "events_stream_interval_join",
+    "events_stream_sessionization",
+    "events_stream_tumbling",
+    "ice_add_column_default",
+    "ice_branch_dml",
+    "ice_branch_retention",
+    "ice_branches_ff",
+    "ice_ctas_roundtrip",
+    "ice_equality_delete",
+    "ice_equality_rewrite",
+    "ice_expire_orphans",
+    "ice_insert_values",
+    "ice_merge_upsert",
+    "ice_meta_join",
+    "ice_mor_delete",
+    "ice_optimize_roundtrip",
+    "ice_optimize_where_mtime",
+    "ice_partition_evolution",
+    "ice_properties_show_create",
+    "ice_rename_table",
+    "ice_rollback",
+    "ice_row_lineage",
+    "ice_schema_types",
+    "ice_show_stats_minmax",
+    "ice_snapshot_operations",
+    "ice_sql_pruned_select",
+    "ice_sql_roundtrip",
+    "ice_stream_cdc_full",
+    "ice_stream_cdc_to_replica",
+    "ice_stream_table_changes",
+    "ice_table_changes",
 ]
 
 

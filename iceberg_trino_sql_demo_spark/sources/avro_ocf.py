@@ -202,6 +202,45 @@ class _Decoder:
         raise AvroError(f"unsupported complex type {t!r}")
 
 
+def read_header(path: str) -> dict:
+    """Parse ONLY the OCF header metadata (magic + meta map), without
+    decoding any data block — used to validate an Avro data file's
+    schema (field names) at adoption time without paying a full read."""
+    cap = 1 << 20
+    while True:
+        with open(path, "rb") as fh:
+            raw = fh.read(cap)
+        if raw[:4] != _MAGIC:
+            raise AvroError(
+                "not an Avro object container file (bad magic)")
+        d = _Bin(raw)
+        d.pos = 4
+        meta: dict[str, Any] = {}
+        try:
+            while True:
+                n = d.read_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    n = -n
+                    d.read_long()
+                for _ in range(n):
+                    k = d.read_string()
+                    meta[k] = d.read_bytes()
+            break
+        except AvroError:
+            # header larger than the read window (giant schema JSON):
+            # double and retry; a genuinely truncated file fails once
+            # the window covers the whole file
+            if len(raw) < cap:
+                raise
+            cap *= 2
+    for k in ("avro.schema", "avro.codec"):
+        if k in meta:
+            meta[k] = meta[k].decode("utf-8")
+    return meta
+
+
 def read_ocf(path_or_file: str | BinaryIO) -> tuple[dict, list[Any]]:
     """Read a whole Avro OCF -> (file metadata dict, decoded rows).
 

@@ -559,11 +559,11 @@ def load_iceberg_table(location: str,
                     "record_count": int(df["record_count"]),
                 })
                 continue
-            if fmt not in ("PARQUET", "ORC"):
+            if fmt not in ("PARQUET", "ORC", "AVRO"):
                 raise IcebergAdoptionError(
-                    f"data file format {fmt!r} not adoptable (parquet "
-                    "and ORC data files; puffin only as v3 deletion "
-                    "vectors)")
+                    f"data file format {fmt!r} not adoptable (parquet, "
+                    "ORC and Avro data files; puffin only as v3 "
+                    "deletion vectors)")
             local = _localize(df["file_path"], recorded_loc, location)
             if content == 2:
                 # equality delete: the engine natively models these
@@ -829,16 +829,32 @@ def _check_name_mapping(info: dict) -> None:
         step = len(files) // _NAME_CHECK_MAX_FILES
         files = files[::step][:_NAME_CHECK_MAX_FILES]
     for d in files:
+        id_by_name: dict[str, int] = {}
         try:
             if d.get("file_format") == "orc":
                 import pyarrow.orc as _po
 
-                arrow_schema = _po.ORCFile(d["path"]).schema
+                names = list(_po.ORCFile(d["path"]).schema.names)
+            elif d.get("file_format") == "avro":
+                from iceberg_trino_sql_demo_spark.sources.avro_ocf import (
+                    read_header,
+                )
+
+                afields = json.loads(
+                    read_header(d["path"])["avro.schema"])["fields"]
+                names = [f["name"] for f in afields]
+                id_by_name = {f["name"]: int(f["field-id"])
+                              for f in afields if "field-id" in f}
             else:
-                arrow_schema = pq.ParquetFile(d["path"]).schema_arrow
+                sch = pq.ParquetFile(d["path"]).schema_arrow
+                names = list(sch.names)
+                for af in sch:
+                    fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None:
+                        id_by_name[af.name] = int(fid)
         except OSError:
             continue  # unreadable footer: let the scan surface it
-        have = {n.split(".")[0] for n in arrow_schema.names}
+        have = {n.split(".")[0] for n in names}
         missing = want_names - have
         if missing:
             raise IcebergAdoptionError(
@@ -851,15 +867,12 @@ def _check_name_mapping(info: dict) -> None:
                 "engine's own evolution metadata, not adopted footers).  "
                 "Rewrite/compact the table's files in the source engine, "
                 "then re-register.")
-        for af in arrow_schema:
-            fid = (af.metadata or {}).get(b"PARQUET:field_id")
-            if fid is None:
-                continue
-            expect = name_by_id.get(int(fid))
-            if expect is not None and expect != af.name:
+        for cname, fid in id_by_name.items():
+            expect = name_by_id.get(fid)
+            if expect is not None and expect != cname:
                 raise IcebergAdoptionError(
                     f"adoption refused: {d['path']} stores field id "
-                    f"{int(fid)} under column {af.name!r} but the "
+                    f"{fid} under column {cname!r} but the "
                     f"current schema names it {expect!r} — a rename in "
                     "the source's history; rewrite files in the source "
                     "engine, then re-register.")

@@ -165,12 +165,25 @@ _FIELDS = [
 
 
 def _write_data_file(path: str, rows: list[dict],
-                     file_format: str = "parquet") -> None:
-    """Data file with Iceberg PARQUET:field_id column metadata (parquet)
-    or a plain ORC layout (the r12 ORC-adoption fixture)."""
+                     file_format: str = "parquet",
+                     av: "_AvroJvm | None" = None) -> None:
+    """Data file with Iceberg PARQUET:field_id column metadata (parquet),
+    a plain ORC layout (the r12 ORC-adoption fixture), or an Avro OCF
+    written by the JVM's reference Apache Avro with spec ``field-id``
+    props on every field (the r13 Avro-adoption fixture)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if file_format == "avro":
+        assert av is not None
+        doc = {"type": "record", "name": "r", "fields": [
+            {"name": name, "type": t, "field-id": fid}
+            for fid, name, t, _ in _FIELDS]}
+        schema = av.parse(json.dumps(doc))
+        recs = [json.dumps({name: r[name] for _, name, _, _ in _FIELDS})
+                for r in rows]
+        av.write_ocf(path, schema, recs, {}, deflate=True)
+        return
     pa_types = {"long": pa.int64(), "string": pa.string(),
                 "double": pa.float64()}
     fields = [
@@ -249,10 +262,10 @@ def write_iceberg_fixture(spark, local_dir: str, source_rows: list[dict],
         if partitioned:
             os.makedirs(os.path.join(data_dir, f"mktsegment={par}"),
                         exist_ok=True)
-        ext = "orc" if file_format == "orc" else "parquet"
+        ext = file_format if file_format in ("orc", "avro") else "parquet"
         fname = f"{sub}part-{i:05d}-{uuid.uuid4().hex[:8]}.{ext}"
         fpath = os.path.join(data_dir, fname)
-        _write_data_file(fpath, rows, file_format)
+        _write_data_file(fpath, rows, file_format, av=av)
         lo = [(fid, _bytes_json(enc(min(r[name] for r in rows))))
               for fid, name, _, enc in _FIELDS]
         hi = [(fid, _bytes_json(enc(max(r[name] for r in rows))))

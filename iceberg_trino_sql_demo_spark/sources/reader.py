@@ -178,13 +178,19 @@ def snapshot_df(
             )
         proj = _group_projection(fschema, current, has_lineage)
         needs_meta = need_lineage or is_deleted or is_eq
-        if fmt == "orc" and needs_meta:
-            # positional ORC scan (no _metadata.row_index in Spark's ORC
-            # source): pyarrow stripe-order read supplies exact file
-            # positions for the MoR anti-join / row-id synthesis
-            df = _orc_scan_with_positions(spark, files, struct)
-            df = df.select(*proj, F.col(_FILE), F.col(_POS),
-                           F.col(FILE_MTIME))
+        if fmt == "avro" or (fmt == "orc" and needs_meta):
+            # positional non-parquet scan: Spark's ORC source has no
+            # _metadata.row_index, and this distribution has no avro
+            # datasource at all — the pyarrow stripe / pure-Python OCF
+            # readers supply exact file positions for the MoR anti-join
+            # and row-id synthesis (avro routes here even for plain
+            # scans: there is no native reader to fall back to)
+            scan = (_orc_scan_with_positions if fmt == "orc"
+                    else _avro_scan_with_positions)
+            df = scan(spark, files, struct)
+            if needs_meta:
+                df = df.select(*proj, F.col(_FILE), F.col(_POS),
+                               F.col(FILE_MTIME))
         else:
             rd = spark.read.schema(struct)
             paths_ = [f.path for f in files]
@@ -293,6 +299,70 @@ def _orc_scan_with_positions(
     return src.mapInPandas(gen, out)
 
 
+def _avro_scan_with_positions(
+    spark: SparkSession, files: list[DataFile], struct: T.StructType
+) -> DataFrame:
+    """Positional scan of Avro OCF data files (adopted Iceberg tables —
+    the spec permits Avro data files; this Spark distribution ships no
+    spark-avro datasource).  The engine's pure-Python OCF decoder fans
+    out as an Arrow-batched ``mapInPandas``: one task per file, rows in
+    container order — which IS the ordinal Iceberg position deletes and
+    row-lineage synthesis address.  Avro logical types surface raw from
+    the decoder (date = int days, timestamp-micros = long), so values
+    convert per the TARGET Spark field type here.  Each file decodes
+    whole in its task (OCF blocks are row-oriented; no column pruning
+    exists for Avro anywhere) — adoption-compaction to parquet
+    (``optimize``) is the scale path, same as ORC."""
+    out = T.StructType(
+        list(struct.fields)
+        + [T.StructField(_FILE, T.StringType()),
+           T.StructField(_POS, T.LongType()),
+           T.StructField(FILE_MTIME, T.TimestampType())]
+    )
+    conv = [(f.name, f.dataType.typeName()) for f in struct.fields]
+    src = spark.createDataFrame(
+        [(f.path,) for f in files], "path string"
+    ).repartition(max(1, len(files)))
+
+    def gen(it):
+        import datetime as _dt
+        import os as _os
+
+        import pandas as _pd
+
+        from iceberg_trino_sql_demo_spark.sources.avro_ocf import (
+            read_ocf,
+        )
+
+        epoch_d = _dt.date(1970, 1, 1)
+        epoch_ts = _dt.datetime(1970, 1, 1)
+
+        def cell(v, tname):
+            if v is None:
+                return None
+            if tname == "date" and isinstance(v, int):
+                return epoch_d + _dt.timedelta(days=v)
+            if tname == "timestamp" and isinstance(v, int):
+                return epoch_ts + _dt.timedelta(microseconds=v)
+            return v
+
+        for pdf in it:
+            for p in pdf["path"]:
+                mtime = _dt.datetime.fromtimestamp(
+                    _os.path.getmtime(p), tz=_dt.timezone.utc)
+                _, rows = read_ocf(p)
+                d = _pd.DataFrame({
+                    name: [cell(r.get(name), tname) for r in rows]
+                    for name, tname in conv
+                })
+                d[_FILE] = _to_uri(p)
+                d[_POS] = range(len(rows))
+                d[FILE_MTIME] = mtime
+                yield d
+
+    return src.mapInPandas(gen, out)
+
+
 def rows_at_positions(
     spark: SparkSession,
     meta: TableMetadata,
@@ -319,8 +389,10 @@ def rows_at_positions(
                 + [T.StructField(ROW_ID, T.LongType()), T.StructField(LAST_SEQ, T.LongType())]
             )
         proj = _group_projection(fschema, current, has_lineage)
-        if fmt == "orc":
-            df = _orc_scan_with_positions(spark, fs, struct)
+        if fmt in ("orc", "avro"):
+            scan = (_orc_scan_with_positions if fmt == "orc"
+                    else _avro_scan_with_positions)
+            df = scan(spark, fs, struct)
             df = df.select(*proj, F.col(_FILE), F.col(_POS))
         else:
             df = spark.read.schema(struct).parquet(*[f.path for f in fs])
@@ -506,8 +578,10 @@ def equality_positions(
                 + [T.StructField(ROW_ID, T.LongType()), T.StructField(LAST_SEQ, T.LongType())]
             )
         proj = _group_projection(fschema, current, has_lineage)
-        if fmt == "orc":
-            df = _orc_scan_with_positions(spark, fs, struct)
+        if fmt in ("orc", "avro"):
+            scan = (_orc_scan_with_positions if fmt == "orc"
+                    else _avro_scan_with_positions)
+            df = scan(spark, fs, struct)
             df = df.select(*proj, F.col(_FILE), F.col(_POS))
         else:
             df = spark.read.schema(struct).parquet(*[f.path for f in fs])

@@ -1632,6 +1632,61 @@ def test_adopt_orc_position_deletes(spark, tmp_path):
         i is not None and i >= 0 for i in ids)
 
 
+def test_adopt_avro_data_files(spark, tmp_path):
+    """Avro data-file adoption (r13, VERDICT r12 #4): a genuine Iceberg
+    table whose data files are Avro OCF (written by the JVM's reference
+    Apache Avro, spec field-id props) adopts end-to-end — values exact,
+    stats pruning intact — and engine optimize rewrites Avro to parquet
+    with values unchanged (the scale path: Avro is row-oriented, no
+    column pruning exists for it anywhere)."""
+    loc = str(tmp_path / "ice_avro")
+    out = write_iceberg_fixture(spark, loc, _rows(40), delete_mod=0,
+                                file_format="avro")
+    assert out["live_rows"] == 40
+    info = ic.load_iceberg_table(loc)
+    assert {d["file_format"] for d in info["data_files"]} == {"avro"}
+
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_avro"), loc)
+    got = sorted((r.custkey, r.name, r.mktsegment, r.acctbal)
+                 for r in t.df().collect())
+    assert [g[0] for g in got] == list(range(1, 41))
+    # predicate reads work (stats pruning over Avro entries — bounds
+    # come from the manifests, not the data files)
+    assert {r.custkey for r in t.df(where="custkey = 7").collect()} \
+        == {7}
+    assert t.df(where="mktsegment = 'AUTO'").count() == len(
+        [i for i in range(1, 41) if i % 3 == 0])
+
+    # engine compaction rewrites Avro -> parquet; values unchanged
+    t.optimize(file_size_threshold=1 << 30)
+    t = t.refresh()
+    man = t._manifest(t._resolve())
+    assert {f.file_format for f in man.data_files} == {"parquet"}
+    got2 = sorted((r.custkey, r.name, r.mktsegment, r.acctbal)
+                  for r in t.df().collect())
+    assert got2 == got
+
+
+def test_adopt_avro_position_deletes(spark, tmp_path):
+    """POSITION deletes over Avro data files apply exactly: Iceberg
+    positions address the row's ordinal in the file, which the OCF
+    container order reproduces — the MoR anti-join runs on those exact
+    (file, pos) pairs, and row lineage rides the same positional scan."""
+    loc = str(tmp_path / "ice_avro_del")
+    out = write_iceberg_fixture(spark, loc, _rows(30), delete_mod=7,
+                                file_format="avro")
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_avro_del"),
+                               loc)
+    got = {r.custkey for r in t.df().collect()}
+    assert got == {i for i in range(1, 31) if i % 7 != 0}
+    assert len(got) == out["live_rows"]
+    # hidden read synthesizes row ids positionally through the OCF scan
+    h = t.df(hidden=True).select("custkey", "_row_id").collect()
+    ids = [r._row_id for r in h]
+    assert len(ids) == len(set(ids)) and all(
+        i is not None and i >= 0 for i in ids)
+
+
 def test_date_bounds_roundtrip_and_prune(spark, tmp_path):
     """Date-column stats cross the interop boundary in BOTH directions
     (r12): export re-encodes the engine's ISO-string date stats as
