@@ -180,6 +180,22 @@ def iceberg_type_to_ddl(t: Any) -> str:
             return t
         if t.startswith("fixed["):
             return "binary"
+        if t == "unknown" or t.startswith("unknown"):
+            # Iceberg v3 `unknown`: a column whose values are always
+            # null and which is never written to data files (spec
+            # "Primitive Types": readers must return null for it).
+            # Adopted as an engine string column; the name check
+            # exempts it from physical presence and the explicit-schema
+            # scan null-fills the absent column.
+            return "string"
+        if t.startswith(("geometry", "geography")):
+            raise IcebergAdoptionError(
+                f"Iceberg v3 {t!r} columns are not adoptable: the spec "
+                "defines them as WKB-encoded spatial values with "
+                "CRS/edge-interpolation semantics (spec 'Primitive "
+                "Types': geometry(C), geography(C, A)) that this engine "
+                "has no type for — drop or cast the column in the "
+                "source, then re-register")
         raise IcebergAdoptionError(f"unsupported Iceberg type {t!r}")
     if isinstance(t, dict):
         k = t.get("type")
@@ -496,6 +512,9 @@ def load_iceberg_table(location: str,
         )
         for f in schema_doc["fields"]
     ]
+    unknown_cols = [f["name"] for f in schema_doc["fields"]
+                    if isinstance(f["type"], str)
+                    and f["type"].startswith("unknown")]
     ddl_by_id = {f.id: f.type for f in fields}
     id_specs = _carryable_specs(meta, fields)
     id_spec = id_specs.get(int(meta.get("default-spec-id", 0)))
@@ -507,6 +526,7 @@ def load_iceberg_table(location: str,
         return {"metadata": meta, "schema": fields, "data_files": [],
                 "position_deletes": [], "deletion_vectors": [],
                 "equality_deletes": [],
+                "unknown_columns": unknown_cols,
                 "next_row_id": int(meta.get("next-row-id") or 0),
                 "snapshot_id": None}
     try:
@@ -655,6 +675,7 @@ def load_iceberg_table(location: str,
             "equality_deletes": eq_deletes,
             "carryable_spec": id_spec,
             "carryable_specs": id_specs,
+            "unknown_columns": unknown_cols,
             "next_row_id": int(meta.get("next-row-id") or 0),
             "snapshot_id": snap_id}
 
@@ -822,7 +843,10 @@ def _check_name_mapping(info: dict) -> None:
     # a column carrying an initial-default is ALLOWED to be physically
     # absent — the per-layout legacy schemas fill the default at read
     # time (v3 adoption, r11); only default-less columns must exist
+    # v3 `unknown` columns are never written to data files (spec) —
+    # they too are exempt from physical presence and read as all-null
     want_names = {f.name for f in fields if f.initial_default is None}
+    want_names -= set(info.get("unknown_columns") or ())
     name_by_id = {f.id: f.name for f in fields}
     files = info["data_files"]
     if len(files) > _NAME_CHECK_MAX_FILES:

@@ -1687,6 +1687,61 @@ def test_adopt_avro_position_deletes(spark, tmp_path):
         i is not None and i >= 0 for i in ids)
 
 
+def _mutate_schema(loc: str, extra_field: dict) -> None:
+    """Append a column to a fixture's current Iceberg schema JSON."""
+    mp = ic.find_metadata_file(loc)
+    with open(mp) as fh:
+        doc = json.load(fh)
+    if "schemas" in doc:
+        sid = doc.get("current-schema-id", 0)
+        sch = next(s for s in doc["schemas"]
+                   if s.get("schema-id", 0) == sid)
+    else:
+        sch = doc["schema"]
+    sch["fields"].append(extra_field)
+    doc["last-column-id"] = max(
+        doc.get("last-column-id", 0), extra_field["id"])
+    with open(mp, "w") as fh:
+        json.dump(doc, fh)
+
+
+def test_adopt_geo_types_refuse_with_spec_citation(spark, tmp_path):
+    """VERDICT r12 #6: spec-legal v3 metadata carrying geometry or
+    geography columns must refuse with a typed, spec-citing
+    IcebergAdoptionError — not a KeyError."""
+    for i, gtype in enumerate(
+            ["geometry(srid:3857)", "geography(srid:4326, spherical)",
+             "geometry", "geography"]):
+        loc = str(tmp_path / f"ice_geo_{i}")
+        write_iceberg_fixture(spark, loc, _rows(10), delete_mod=0)
+        _mutate_schema(loc, {"id": 90 + i, "name": f"shape{i}",
+                             "required": False, "type": gtype})
+        with pytest.raises(ic.IcebergAdoptionError,
+                           match="geometry|geography"):
+            ic.load_iceberg_table(loc)
+        with pytest.raises(ic.IcebergAdoptionError, match="spec"):
+            ic.adopt_iceberg_table(
+                spark, str(tmp_path / f"eng_geo_{i}"), loc)
+
+
+def test_adopt_unknown_type_reads_all_null(spark, tmp_path):
+    """Iceberg v3 `unknown` columns adopt per spec: values are always
+    null and the column is never present in data files — the name check
+    exempts it and the scan null-fills, while every other column reads
+    exactly."""
+    loc = str(tmp_path / "ice_unknown")
+    write_iceberg_fixture(spark, loc, _rows(12), delete_mod=0)
+    _mutate_schema(loc, {"id": 97, "name": "mystery", "required": False,
+                         "type": "unknown"})
+    info = ic.load_iceberg_table(loc)
+    assert info["unknown_columns"] == ["mystery"]
+    t = ic.adopt_iceberg_table(spark, str(tmp_path / "eng_unknown"), loc)
+    rows = t.df().select("custkey", "mystery").collect()
+    assert len(rows) == 12
+    assert all(r.mystery is None for r in rows)
+    assert sorted(r.custkey for r in rows) == list(range(1, 13))
+
+
 def test_date_bounds_roundtrip_and_prune(spark, tmp_path):
     """Date-column stats cross the interop boundary in BOTH directions
     (r12): export re-encodes the engine's ISO-string date stats as
