@@ -1384,11 +1384,13 @@ class Table:
 
         sub = Manifest(files, manifest.delete_files)
         current = self.meta.schema
-        groups: dict[tuple[int, bool], list[DataFile]] = {}
+        groups: dict[tuple[int, bool, str], list[DataFile]] = {}
         for f in files:
-            groups.setdefault((f.schema_id, bool(f.has_lineage)), []).append(f)
+            groups.setdefault(
+                (f.schema_id, bool(f.has_lineage),
+                 f.file_format or "parquet"), []).append(f)
         parts = []
-        for (schema_id, has_lineage), fs in sorted(groups.items()):
+        for (schema_id, has_lineage, fmt), fs in sorted(groups.items()):
             fschema = self.meta.schema_by_id(schema_id)
             struct = fschema.to_struct(physical=True)
             if has_lineage:
@@ -1396,15 +1398,33 @@ class Table:
                     list(struct.fields)
                     + [T.StructField(ROW_ID, T.LongType()), T.StructField(LAST_SEQ, T.LongType())]
                 )
-            raw = self.spark.read.schema(struct).parquet(*[f.path for f in fs])
-            from iceberg_trino_sql_demo_spark.sources.reader import _group_projection
+            from iceberg_trino_sql_demo_spark.sources.reader import (
+                _avro_scan_with_positions,
+                _group_projection,
+                _orc_scan_with_positions,
+            )
 
             proj = _group_projection(fschema, current, has_lineage)
-            raw = raw.select(
-                *proj,
-                F.col("_metadata.file_path").alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
-            )
+            if fmt in ("orc", "avro"):
+                # engine MoR DML over a freshly-adopted ORC/Avro table
+                # (before compaction returns it to parquet): positions
+                # come from the same per-file positional scans the read
+                # path uses (r13 — previously this read .parquet
+                # unconditionally and DML failed loudly pre-optimize)
+                scan = (_orc_scan_with_positions if fmt == "orc"
+                        else _avro_scan_with_positions)
+                raw = scan(self.spark, fs, struct).select(
+                    *proj,
+                    F.col(_FILE).alias("file_path"),
+                    F.col(_POS).alias("pos"),
+                )
+            else:
+                raw = self.spark.read.schema(struct).parquet(
+                    *[f.path for f in fs]).select(
+                    *proj,
+                    F.col("_metadata.file_path").alias("file_path"),
+                    F.col("_metadata.row_index").alias("pos"),
+                )
             parts.append(raw)
         df = parts[0]
         for p in parts[1:]:

@@ -1687,6 +1687,34 @@ def test_adopt_avro_position_deletes(spark, tmp_path):
         i is not None and i >= 0 for i in ids)
 
 
+def test_mor_dml_on_adopted_nonparquet_before_compaction(spark, tmp_path):
+    """Engine MoR DML over a FRESHLY adopted ORC/Avro table, before any
+    compaction returns it to parquet (r13): _positions_for now routes
+    position discovery through the same per-format positional scans the
+    read path uses, so DELETE and UPDATE write correct engine
+    tombstones over the foreign files."""
+    from pyspark.sql import functions as F
+
+    for fmt in ("orc", "avro"):
+        loc = str(tmp_path / f"ice_dml_{fmt}")
+        write_iceberg_fixture(spark, loc, _rows(30), delete_mod=0,
+                              file_format=fmt)
+        t = ic.adopt_iceberg_table(
+            spark, str(tmp_path / f"eng_dml_{fmt}"), loc)
+        assert t.merge_mode == "merge-on-read"  # adoption default
+        t.delete("custkey % 5 = 0")
+        t = t.refresh()
+        got = {r.custkey for r in t.df().collect()}
+        assert got == {i for i in range(1, 31) if i % 5 != 0}, fmt
+        # the data files are still the foreign format (MoR, no rewrite)
+        man = t._manifest(t._resolve())
+        assert {f.file_format for f in man.data_files} == {fmt}
+        t.update({"acctbal": F.lit(777.0)}, "custkey = 7")
+        t = t.refresh()
+        rows = {r.custkey: r.acctbal for r in t.df().collect()}
+        assert rows[7] == 777.0 and rows[8] != 777.0, fmt
+
+
 def _mutate_schema(loc: str, extra_field: dict) -> None:
     """Append a column to a fixture's current Iceberg schema JSON."""
     mp = ic.find_metadata_file(loc)
