@@ -272,6 +272,17 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "sorts, and hot-node skew is absorbed by map-side partial sums, "
         "not a join fan-out.",
     ),
+    "dedup_embedding_cosine": (
+        ["Generate", "FlatMapGroupsInPandas"],
+        ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"],
+        3,
+        "blocked all-pairs GEMM (r13 shape): block-pair fan-out is ONE "
+        "codegen'd explode per row (Generate) feeding the grouped Arrow "
+        "kernel — no join operator anywhere, one scan of the corpus, "
+        "and the only exchanges are the group-by-pair shuffle plus the "
+        "distinct's partial/final pair.  Sizing comes from the parquet "
+        "footer, not a count() job.",
+    ),
     "events_user_triangles": (
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
