@@ -612,9 +612,12 @@ def export_iceberg_metadata(table, dest: str, ref: str = "main",
         # the Iceberg spec REQUIRES position-delete rows sorted by
         # (file_path, pos) — readers binary-search / merge-join on that
         # order; the engine's internal delete files carry commit order
-        # (ADVICE r10).  NOTE: external-reader consumption (Trino /
-        # Spark-Iceberg / pyiceberg) is not exercised in CI — the sandbox
-        # has none of them; CI re-adopts through this repo's own reader.
+        # (ADVICE r10).  NOTE: no external Iceberg READER exists in this
+        # sandbox (no Trino / Spark-Iceberg / pyiceberg); since r13 the
+        # export is byte-level spec-conformance-tested instead
+        # (tests/test_iceberg_spec_conformance.py — independent in-test
+        # decoders + a JVM Apache-Avro cross-read), on top of the
+        # re-adoption round trip.
         rows = sorted(zip(paths,
                           (int(x) for x in tbl.column("pos").to_pylist())))
         pq.write_table(pa.table({

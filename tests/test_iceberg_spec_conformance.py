@@ -768,6 +768,71 @@ def test_bounds_appendix_d_all_types(spark, tmp_path):
     assert min(lows) == dt.datetime(1969, 12, 31, 23, 59, 59, 500000)
 
 
+def test_nested_types_export_conformance(spark, tmp_path):
+    """struct/map/array columns export with spec-legal nested field ids
+    (unique, bounded by last-column-id — checked by the metadata
+    walker) and all physical/manifest-list invariants hold; nested
+    columns carry no bounds (the engine's stats harvest skips nested
+    leaves by design)."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    cat = _catalog(spark, tmp_path)
+    df = spark.sql("""
+        SELECT id AS k,
+               named_struct('a', id + 1, 'b', concat('x', id)) AS st,
+               map(concat('m', id % 3), CAST(id AS DOUBLE)) AS mp,
+               array(id, id * 2) AS arr
+          FROM range(40)
+    """)
+    t = cat.ctas("nested", df)
+    dest = str(tmp_path / "exp_nested")
+    export_iceberg_metadata(t, dest)
+    doc, mans, n_parts, n_bounds = run_all_checks(spark, dest)
+    sch = current_schema(doc)
+    types = {f["name"]: f["type"] for f in sch["fields"]}
+    assert types["st"]["type"] == "struct"
+    assert types["mp"]["type"] == "map"
+    assert types["arr"]["type"] == "list"
+    # the scalar column still carries decodable bounds
+    assert n_bounds > 0
+
+
+def test_v3_mixed_equality_and_dv_manifests(spark, tmp_path):
+    """A v3 export whose source holds BOTH tombstone forms (equality
+    deletes from delete_by_key, position deletes consolidated to DVs)
+    carries both in the delete manifest — content=2 entries with
+    equality_ids and content=1 PUFFIN DV entries — and every byte-level
+    invariant holds across them."""
+    from iceberg_trino_sql_demo_spark.sources.iceberg_export import (
+        export_iceberg_metadata,
+    )
+
+    cat = _catalog(spark, tmp_path)
+    t = cat.ctas("both", spark.sql(
+        "SELECT id AS k, concat('v', id) AS val FROM range(40)"),
+        properties={"merge_mode": "merge-on-read"})
+    t.delete_by_key(
+        spark.createDataFrame([(3,), (11,)], "k long"), ["k"])
+    t = t.refresh()
+    t.delete("k % 9 = 1")  # MoR position delete
+    t = t.refresh()
+    dest = str(tmp_path / "exp_both")
+    export_iceberg_metadata(t, dest, format_version=3)
+    doc, mans, n_parts, n_bounds = run_all_checks(spark, dest)
+    del_entries = [e for row, m, es, mp in mans if row["content"] == 1
+                   for e in es]
+    kinds = {(e["data_file"]["content"], e["data_file"]["file_format"])
+             for e in del_entries}
+    assert (2, "PARQUET") in kinds, "equality deletes must export"
+    assert (1, "PUFFIN") in kinds, "position deletes must export as DVs"
+    # equality entries carry their OWN sequence numbers (strictly-below)
+    eq_seqs = {e["sequence_number"] for e in del_entries
+               if e["data_file"]["content"] == 2}
+    assert eq_seqs and all(s >= 1 for s in eq_seqs)
+
+
 def test_equality_deletes_export_field_ids(spark, tmp_path, sf_dir):
     """Equality-delete entries: content=2, equality_ids carries the
     key's field ids, and the rewritten delete parquet embeds matching
