@@ -135,13 +135,12 @@ def register(
 #: after all modules load, in this order; everything else keeps its module
 #: registration order behind them.
 #:
-#: Composition (round 12 LRS rebuild, VERDICT r11 directive #3):
-#: new r12 queries first, then ALL 211 names ordered by the round each
-#: was last driver-sampled (from CORRECTNESS_r01..r11.json), oldest
-#: first — the 11-query r5 cohort (the events sketch/streaming tail)
-#: leads the r12 window, so after r12 no query's latest driver check
-#: predates r8.  Queries below the window are re-verified every round
-#: by the pytest oracle-parity sweep.
+#: Composition (regenerated each round from the CORRECTNESS history —
+#: round-13 rebuild): new-this-round queries first, then ALL names
+#: ordered by the round each was last driver-sampled, oldest first, so
+#: the driver's fixed-size window always re-checks the stalest
+#: coverage.  Queries below the window are re-verified every round by
+#: the pytest oracle-parity sweep.
 _DRIVER_PRIORITY: list[str] = [
     # -- regenerated r13: least-recently-driver-sampled first
     # (from CORRECTNESS_r01..r12; new r13 queries lead)
