@@ -1172,3 +1172,12 @@ def test_transform_interop_circle_property(spark, tmp_path_factory, data):
     got = sorted(tuple(r)
                  for r in back.df(where=pred).select(*cols).collect())
     assert got == want, (transform, pred)
+
+    # every fuzzed export must ALSO satisfy the byte-level spec
+    # conformance invariants (r13) — metadata walker, Appendix-C Avro
+    # field ids, manifest-list count recomputation, partition tuples
+    # re-derived from each file's raw rows under spec transform
+    # semantics, Appendix-D bound decode, JVM Avro cross-read
+    from tests.test_iceberg_spec_conformance import run_all_checks
+
+    run_all_checks(spark, base + "/exp")

@@ -422,7 +422,11 @@ def check_partition_tuples_against_data(doc, mans):
                              for f in declared]) if declared else None
             for f in declared:
                 src = by_id[f["source-id"]]
-                vals = tbl.column(src["name"]).to_pylist()
+                # _norm: parquet timestamps surface tz-aware (adjusted
+                # to UTC); the spec transforms are defined on the naive
+                # micros-from-epoch reading
+                vals = [_norm(v)
+                        for v in tbl.column(src["name"]).to_pylist()]
                 got = {derive_partition_value(f["transform"], v,
                                               src["type"])
                        for v in vals}
