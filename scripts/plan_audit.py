@@ -286,14 +286,17 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
     "events_user_triangles": (
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
-        12,  # re-measured r11 under the fixed section cut — plan unchanged
+        12,  # ceiling unchanged; r13 plan uses fewer (single corner pass)
         "degree-oriented wedge join: the node-cardinality degree vector "
-        "broadcasts onto the edge list ONLY below the measured-size gate "
-        "(_NODE_BROADCAST_BUDGET — above it the same query takes a "
-        "co-partitioned shuffle join, pinned by "
-        "test_triangles_degree_broadcast_gate); wedge closure is a pure "
-        "equi-join on (src, dst) with the rank filter inside, so the "
-        "candidate volume keeps the O(m^1.5) orientation bound.",
+        "AND the edge-cardinality oriented-edge list broadcast ONLY below "
+        "the measured-size gate (_NODE_BROADCAST_BUDGET — above it the "
+        "same query takes a co-partitioned shuffle join, pinned by "
+        "test_triangles_degree_broadcast_gate); wedge closure is a "
+        "LEFT SEMI equi-join on (src, dst) (edges are distinct, so semi "
+        "is multiplicity-identical to inner), and all three corners are "
+        "credited in ONE pass over the triangle stream (explode) — the "
+        "r12 three-branch union re-evaluated the wedge join per corner "
+        "(13.1 -> 2.1 s warm at sf0.1).",
     ),
     "events_user_triangles_capped": (
         ["BroadcastHashJoin", "HashAggregate", "Window"],
