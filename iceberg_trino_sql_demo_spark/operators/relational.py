@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from iceberg_trino_sql_demo_spark.operators import pins, register
 from iceberg_trino_sql_demo_spark.functions.trino import (
     decimal_sum,
+    iround_long,
     scaled_long_sum,
     trino_date_format,
     trino_round,
@@ -1180,9 +1181,9 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.to_date("l_shipdate") < F.lit("1996-10-01").cast("date"))
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    scaled = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000), 0
-    ).cast("long")
+    scaled = iround_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000)
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
@@ -1381,7 +1382,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        F.sum(F.round(revenue * 10000, 0).cast("long")).alias("rev_scaled")
+        F.sum(iround_long(revenue * 10000)).alias("rev_scaled")
     )
     top = rev.agg(F.max("rev_scaled").alias("max_rev"))
     s = _t(spark, sf_dir, "supplier")
@@ -1441,7 +1442,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return small.agg(
         (
-            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            F.sum(iround_long(F.col("l_extendedprice") * 100))
             .cast("double")
             / 100.0
             / 7.0
@@ -1578,7 +1579,7 @@ def q22_idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal"),
+        iround_long(F.col("c_acctbal") * 100).alias("bal"),
     )
     avg_pos = cents.where(F.col("bal") > 0).agg(
         F.sum("bal").alias("s"), F.count(F.lit(1)).alias("n")
@@ -1723,7 +1724,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _events(spark, sf_dir).select(
         "event_id",
         "user_id",
-        F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+        iround_long(F.col("value") * 100).alias("x"),
     )
     stats = cents.groupBy("user_id").agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
@@ -1785,7 +1786,7 @@ def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_type").alias("type"))
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                iround_long(F.col("l_extendedprice") * 100)
             ).alias("rev_c")
         )
     )
@@ -1833,7 +1834,7 @@ def orders_avg_basket_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_order = l.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
-        F.sum(F.round(revenue * 10000, 0).cast("long")).alias("rev_sc")
+        F.sum(iround_long(revenue * 10000)).alias("rev_sc")
     )
     return (
         per_order.join(o, per_order.orderkey == o.o_orderkey)
@@ -1935,9 +1936,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * F.col("l_discount") * 10000, 0
-                    ).cast("long")
+                    iround_long(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000
+                    )
                 ).cast("double")
                 / 10000.0
             ).alias("revenue"),
@@ -2043,9 +2044,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    scaled = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
-    ).cast("long")
+    scaled = iround_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -2229,7 +2230,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = l.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(F.min(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cost_c"))
+    ).agg(F.min(iround_long(F.col("l_extendedprice") * 100)).alias("cost_c"))
     mn = ps.groupBy("partkey").agg(F.min("cost_c").alias("min_c"))
     return (
         ps.join(mn.withColumnRenamed("partkey", "mn_partkey"),
@@ -2289,10 +2290,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     l = _t(spark, sf_dir, "lineitem")
-    rev_c = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
-    cost_c = F.round(F.col("p_retailprice") * 50, 0).cast("long") * F.col(
+    rev_c = iround_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    )
+    cost_c = iround_long(F.col("p_retailprice") * 50) * F.col(
         "l_quantity"
     ).cast("long")
     return (

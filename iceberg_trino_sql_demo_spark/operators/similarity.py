@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_trino_sql_demo_spark.functions.trino import iround_long
 from iceberg_trino_sql_demo_spark.operators import pins, register
 from iceberg_trino_sql_demo_spark.session import parquet_row_count, table_path
 
@@ -539,7 +540,7 @@ def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _assign(e, cent, n_rows=n_rows)
     norm = F.sqrt(_dot("embedding", "embedding"))
     return (
-        assigned.select("cluster", F.round(norm * 1e6).cast("long").alias("nm"))
+        assigned.select("cluster", iround_long(norm * 1e6).alias("nm"))
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -1407,7 +1408,7 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         # DuckDB generate_subscripts is 1-based; align
         (F.col("pos0") + 1).alias("pos"),
-        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+        iround_long(F.col("x").cast("double") * 1000000).alias("xq"),
     )
     sums = comp.groupBy("label", "pos").agg(
         F.sum("xq").alias("s"),

@@ -19,6 +19,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from iceberg_trino_sql_demo_spark.functions.trino import iround_long
 from iceberg_trino_sql_demo_spark.operators import register as _register
 
 import functools
@@ -1275,7 +1276,7 @@ def ice_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("custkey")
         .agg(
             (
-                F.sum(F.round(F.col("totalprice") * 100, 0).cast("long"))
+                F.sum(iround_long(F.col("totalprice") * 100))
                 .cast("double") / 100.0
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
