@@ -381,10 +381,15 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 1)
     )
+    # synth and decode compose as generator stages inside ONE mapInPandas:
+    # the WAV containers are produced and parsed in the same Python
+    # worker, so the payload bytes never cross the JVM<->Python boundary
+    # at all (two chained mapInPandas cost four Arrow crossings and
+    # shipped every container twice — measured 0.69 s warm vs ~0.54 s
+    # fused at sf0.1; the Python kernel itself is ~0.2 s single-threaded)
     return (
-        audio.mapInPandas(synth_batches, "doc_id long, media binary")
-        .mapInPandas(
-            frame_batches,
+        audio.mapInPandas(
+            lambda it: frame_batches(synth_batches(it)),
             "doc_id long, frame_idx long, n_frame_samples long, "
             "amp_abs_sum long, amp_max long, first_sample long",
         )

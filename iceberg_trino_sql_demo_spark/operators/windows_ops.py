@@ -1558,7 +1558,11 @@ def events_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_rolling_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     hh = (F.unix_micros(F.col("ts")) / F.lit(3600000000)).cast("long")
-    d = ev.select(hh.alias("hh"), "user_id").distinct()
+    # the deduped (hour, user) frame feeds THREE branches (hour list,
+    # register build, exact side) — pin it so each reads the cache
+    # instead of re-scanning + re-deduplicating the event stream
+    pins.open_group("rolling_ndv", spark)
+    d = pins.pin("rolling_ndv", ev.select(hh.alias("hh"), "user_id").distinct())
     hours = d.select("hh").distinct()
     h = d.select(
         "hh", F.md5(F.col("user_id").cast("string")).alias("hx")
@@ -1680,9 +1684,14 @@ def events_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def keys(cond) -> DataFrame:
         return ev.where(cond).select(h52).distinct()
 
-    ua = keys(F.col("event_type") == "purchase")
-    ub = keys(F.col("event_type") == "click")
-    uu = ua.unionAll(ub).distinct()
+    # each key set feeds several aggregate branches below (sketch stats,
+    # exact NDV, the intersection join, the union) — pin all three so
+    # the seven small crossJoined aggregates read caches instead of
+    # re-running scan+md5+distinct per branch
+    pins.open_group("kmv", spark)
+    ua = pins.pin("kmv", keys(F.col("event_type") == "purchase"))
+    ub = pins.pin("kmv", keys(F.col("event_type") == "click"))
+    uu = pins.pin("kmv", ua.unionAll(ub).distinct())
 
     def sketch_stats(df: DataFrame, tag: str) -> DataFrame:
         sk = df.orderBy("h").limit(_KMV_K)  # TakeOrdered: mergeable top-K
