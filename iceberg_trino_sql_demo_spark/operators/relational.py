@@ -1493,7 +1493,6 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    from pyspark.sql.window import Window
 
     lat = (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -1508,25 +1507,26 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # collapse to the (order, supplier) grain FIRST — after this the
     # existential counts are plain count/count_if over already-distinct
-    # rows, computed by one window over orderkey: no countDistinct
-    # Expand (which doubles the fact) and no join back to `lat`.
-    # One explicit repartition on orderkey serves BOTH downstream ops:
-    # HashPartitioning(orderkey) satisfies the (orderkey, suppkey)
-    # grouping's clustering requirement AND the window's partitionBy,
-    # so the whole post-join pipeline runs on a single exchange.
+    # rows: no countDistinct Expand (which doubles the fact) and no join
+    # back to `lat`.  One explicit repartition on orderkey serves BOTH
+    # downstream aggregates: HashPartitioning(orderkey) satisfies the
+    # (orderkey, suppkey) grouping's clustering requirement AND the
+    # per-order rollup, so the whole post-join pipeline runs on a single
+    # exchange.  The per-order rollup is a HASH aggregate, not a window:
+    # when exactly one supplier is late, max(when(late, suppkey)) IS
+    # that supplier, so the sole-late row never needs a per-partition
+    # sort (the window form paid one; measured 0.74 -> ~0.5 s at sf0.1).
     per = lat.repartition("orderkey").groupBy("orderkey", "suppkey").agg(
         F.max("is_late").alias("late")
     )
-    w = Window.partitionBy("orderkey")
     sole = (
-        per.select(
-            "orderkey",
-            "suppkey",
-            "late",
-            F.count(F.lit(1)).over(w).alias("n_supp"),
-            F.sum(F.col("late").cast("int")).over(w).alias("n_late"),
+        per.groupBy("orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.col("late").cast("int")).alias("n_late"),
+            F.max(F.when(F.col("late"), F.col("suppkey"))).alias("suppkey"),
         )
-        .where(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .select("orderkey", "suppkey")
     )
     s = _t(spark, sf_dir, "supplier")

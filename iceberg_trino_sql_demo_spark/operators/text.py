@@ -713,24 +713,32 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    hashes = d.groupBy(F.md5("text").alias("h")).agg(F.count(F.lit(1)).alias("n"))
-    toks = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-        .where(F.col("t") != "")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct("t").alias("n_distinct"),
-            F.sum(F.col("t").isin(*_STOPWORDS).cast("long")).alias("n_stop"),
-        )
+    # duplicate-group identity is internal (never output): xxhash64 is a
+    # fraction of md5's cost per text and joins on a long, not a 32-char
+    # hex string — same equal-text ⟺ equal-hash contract
+    hashes = d.groupBy(F.xxhash64("text").alias("h")).agg(F.count(F.lit(1)).alias("n"))
+    # per-doc token stats as ARRAY expressions on the doc row — the
+    # explode + (count, countDistinct, sum) aggregate this replaces
+    # shuffled ~1M token rows and paid Spark's distinct-agg rewrite;
+    # size/array_distinct/filter compute the identical integers with no
+    # exchange at all (the values are per-row functions of the text)
+    stop_lit = "(" + ",".join(f"'{w}'" for w in _STOPWORDS) + ")"
+    toks_col = F.expr("filter(split(text, ' '), x -> x != '')")
+    per_doc = d.select(
+        "doc_id", "source", "n_chars", F.xxhash64("text").alias("h"),
+        F.size(toks_col).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks_col)).cast("long").alias("n_distinct"),
+        F.size(F.expr(f"filter(filter(split(text, ' '), x -> x != ''), "
+                      f"x -> x IN {stop_lit})")).cast("long").alias("n_stop"),
     )
     gate = (10 * F.col("n_stop") < 3 * F.col("n_tokens")) & (
         10 * F.col("n_distinct") >= F.col("n_tokens")
     )
     return (
-        d.select("doc_id", "source", "n_chars", F.md5("text").alias("h"))
+        # the oracle's INNER JOIN tok drops docs with zero non-empty
+        # tokens — replicate that membership exactly
+        per_doc.where(F.col("n_tokens") > 0)
         .join(hashes, "h")
-        .join(toks, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

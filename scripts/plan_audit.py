@@ -57,12 +57,14 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "fact-sized exchange carries pre-aggregated groups.",
     ),
     "q21_sole_late_supplier": (
-        ["Window", "BroadcastHashJoin"],
-        ["Expand", "SortMergeJoin", "CartesianProduct"],
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["Expand", "Window", "SortMergeJoin", "CartesianProduct"],
         5,
-        "both existential counts ride ONE window over the orderkey "
-        "repartition that also served the (order, supplier) collapse; "
-        "no countDistinct Expand doubling the joined fact.",
+        "both existential counts AND the sole-late supplier ride hash "
+        "aggregates over the one orderkey repartition that also served "
+        "the (order, supplier) collapse (max(when(late, suppkey)) IS "
+        "the sole late supplier when n_late = 1) — no per-partition "
+        "window sort, no countDistinct Expand doubling the joined fact.",
     ),
     "events_trailing_24h": (
         ["Window", "Exchange hashpartitioning(user_id"],
