@@ -414,7 +414,10 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         words[r["w"]] = r["bits"]
     bloom = spark.createDataFrame([(words,)], "bits array<long>")
 
-    train = shingle_hash_pairs(docs.where(~is_eval))
+    # the train shingle set feeds TWO branches (per-doc sizes and the
+    # bloom-filtered candidate scan) — pin it so the second branch reads
+    # the cache instead of re-exploding + re-hashing the corpus
+    train = pins.pin("bloom", shingle_hash_pairs(docs.where(~is_eval)))
     # n_shingles counts the UNfiltered per-doc shingle set (the bloom only
     # prunes the overlap-join side)
     sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
