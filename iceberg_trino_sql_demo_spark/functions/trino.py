@@ -128,6 +128,13 @@ def iround_long(scaled: Column) -> Column:
     Domain: finite input (monetary scaling) — NaN maps to 0 like the
     cast it replaces; ±Inf is outside the contract (it would also fail
     the DuckDB oracle's BIGINT cast).
+
+    Cost caveat: ``scaled`` is referenced five times in the expression
+    tree and codegen CSE does not fully collapse the repeats — use this
+    for CHEAP inputs (column * constant); for expensive inputs (a dot
+    product, a sqrt) plain F.round evaluates the input once and its
+    BigDecimal cost is amortized over far fewer effective operations
+    (measured on kmeans_iteration_stats: 0.58 s iround vs 0.49 s round).
     """
     fl = F.floor(scaled)
     pos = fl + F.when(scaled - fl.cast("double") >= 0.5, F.lit(1)).otherwise(F.lit(0))
