@@ -93,6 +93,23 @@ def _calibration(spark) -> dict:
     }
 
 
+def _operator_state_dirty() -> bool:
+    """True when a previous invocation left operator-held DATA alive —
+    persisted pins, the dedup memo caches, star-contraction checkpoints.
+    Such state is a materialized intermediate keyed on the testdata; letting
+    it survive into the next timed run would measure cache reads instead of
+    compute (VERDICT r13 "What's wrong" #1 — the r12/r13 warm numbers for
+    ~10 dedup queries did exactly that)."""
+    from iceberg_trino_sql_demo_spark.operators import dedup, pins
+
+    return bool(
+        pins.pinned_groups()
+        or dedup._HASHED_SH_CACHE
+        or dedup._PREF_CACHE
+        or dedup._STAR_CHECKPOINT_RDDS
+    )
+
+
 def main() -> None:
     spark = get_spark("bench")
     names = sorted(n for n in _ops.QUERIES if n not in _ops.NO_BENCH)
@@ -104,6 +121,21 @@ def main() -> None:
         fn = _ops.QUERIES[name]
         runs = []
         while True:
+            # MEASUREMENT FIX (r14, VERDICT r13 next-round #1): no operator
+            # intermediate may survive across timed runs.  When the previous
+            # run (of this query or an earlier one) left persisted frames or
+            # memoized pipelines behind, release EVERYTHING — pins, dedup
+            # memo caches, prepared plans (a cached plan would skip the
+            # operator body and re-execute against nothing, silently
+            # recomputing shared frames per consumer branch instead of
+            # rebuilding + re-pinning them once) — so this run derives every
+            # intermediate from the parquet inputs inside the timed region.
+            # Queries that hold no such state keep prepared-plan reuse only:
+            # a plan is not data, and the warm in-process DuckDB baseline
+            # re-plans per execution too.  The drain itself runs OUTSIDE the
+            # timed region (it is cleanup of the previous run).
+            if _operator_state_dirty():
+                _ops.release_caches()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -141,38 +173,47 @@ def main() -> None:
     # min-of-RUNS warm (like-for-like vs the warm in-process DuckDB
     # baseline), `queries_cold`/`cold_total` are each query's FIRST run
     # including one-time plan analysis + codegen compile
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "bench_set_hash": set_hash,
-                "core_total": round(sum(core.values()), 4),
-                "core_n": len(core),
-                "core_set_hash": core_hash,
-                "queries": timings,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 4),
-                # numeric again (ADVICE r5: consumers expect an int); the
-                # plateau extension is described by max_runs_per_query
-                "runs_per_query": max(1, RUNS),
-                "max_runs_per_query": max(1, MAX_RUNS),
-                "plateau_adaptive": True,
-                # the AQE setting this run actually used (ADVICE r5:
-                # bench profile defaults AQE off — see comment at top —
-                # while the engine default is on; record it so numbers
-                # are comparable across configs)
-                "adaptive": os.environ.get("SPARK_GRAFT_ADAPTIVE", "true").lower()
-                != "false",
-                "shuffle_partitions": int(
-                    os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
-                ),
-                "calibration": _calibration(spark),
-                "sf": _sf_label(SF_DIR),
+    payload = json.dumps(
+        {
+            "metric": "total_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "bench_set_hash": set_hash,
+            "core_total": round(sum(core.values()), 4),
+            "core_n": len(core),
+            "core_set_hash": core_hash,
+            "queries": timings,
+            "queries_cold": cold,
+            "cold_total": round(sum(cold.values()), 4),
+            # numeric again (ADVICE r5: consumers expect an int); the
+            # plateau extension is described by max_runs_per_query
+            "runs_per_query": max(1, RUNS),
+            "max_runs_per_query": max(1, MAX_RUNS),
+            "plateau_adaptive": True,
+            # the AQE setting this run actually used (ADVICE r5:
+            # bench profile defaults AQE off — see comment at top —
+            # while the engine default is on; record it so numbers
+            # are comparable across configs)
+            "adaptive": os.environ.get("SPARK_GRAFT_ADAPTIVE", "true").lower()
+            != "false",
+            "shuffle_partitions": int(
+                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+            ),
+            "calibration": _calibration(spark),
+            "sf": _sf_label(SF_DIR),
             }
-        )
     )
+    print(payload)
+    # Tail-truncation hardening (VERDICT r13 next-round #6): the one-line
+    # JSON grows with the registry and has outrun a log-tail capture once
+    # (r12's per-query map was lost to it).  Persist the identical line
+    # next to bench.py so round-over-round comparisons never depend on how
+    # much stdout a harness keeps.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+        "w",
+    ) as fh:
+        fh.write(payload + "\n")
     spark.stop()
 
 
