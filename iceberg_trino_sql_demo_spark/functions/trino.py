@@ -125,9 +125,15 @@ def iround_long(scaled: Column) -> Column:
     Verified empirically over every lineitem-derived scaled expression
     at sf0.001/0.01/0.1 (0 mismatches) and on adversarial boundary
     doubles (0.49999999999999994, half-integers, 2^52 neighbours).
-    Domain: finite input (monetary scaling) — NaN maps to 0 like the
-    cast it replaces; ±Inf is outside the contract (it would also fail
-    the DuckDB oracle's BIGINT cast).
+    Domain: finite input (monetary scaling) only.  NaN yields 1, NOT the
+    0 that ``round(NaN).cast("long")`` produced: Spark's binary
+    comparisons order NaN above every value (nanSafeCompareDoubles), so
+    ``NaN - floor(NaN)·1.0 >= 0.5`` and ``NaN >= 0`` are both TRUE and
+    the positive branch returns ``floor(NaN)::long + 1 = 1`` (ADVICE
+    r13).  No registered consumer feeds NaN (monetary columns are finite
+    by generation and the DuckDB oracle's BIGINT cast would reject it),
+    so the mismatch is documented rather than paid for with a per-row
+    ``isnan`` guard; ±Inf is likewise outside the contract.
 
     Cost caveat: ``scaled`` is referenced five times in the expression
     tree and codegen CSE does not fully collapse the repeats — use this

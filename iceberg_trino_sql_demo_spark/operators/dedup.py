@@ -2016,8 +2016,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 5-segments-per-doc index side is doc-cardinality; below the
     # budget it broadcasts (footer row count, no count() job) so the
     # 45-windows-per-doc probe side streams straight out of its scan
-    # with no exchange at all — above it, the plain shuffle equi-join
-    n_docs = parquet_row_count(table_path(sf_dir, "documents"))
+    # with no exchange at all — above it, the plain shuffle equi-join.
+    # The corpus is documents PLUS the injected every-10th duplicate
+    # (~1.1x the footer count — ADVICE r13: the plain footer count
+    # undercounted the broadcast estimate by that factor)
+    n_docs = parquet_row_count(table_path(sf_dir, "documents")) * 11 // 10
     if n_docs * 5 * 48 <= 64 * 1024 * 1024:
         a = F.broadcast(a)
     cand = (
@@ -2031,9 +2034,15 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = c.select(F.col("doc_id").alias("id_a"), F.col("pfx").alias("pa"))
     pb = c.select(F.col("doc_id").alias("id_b"), F.col("pfx").alias("pb"))
+    # the prefix re-attachments are doc-cardinality frames of ~80 B/row —
+    # gate their broadcast on the same measured budget as the index side
+    # (ADVICE r13: they were unconditional); above it the joins fall back
+    # to shuffles of (key, prefix) rows, never the candidate payload
+    if n_docs * 80 <= 64 * 1024 * 1024:
+        pa, pb = F.broadcast(pa), F.broadcast(pb)
     return (
-        cand.join(F.broadcast(pa), "id_a")
-        .join(F.broadcast(pb), "id_b")
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
         .select(
             "id_a", "id_b",
             F.levenshtein("pa", "pb").cast("long").alias("distance"),

@@ -624,7 +624,13 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigrams ride as xxhash64(tok_i, tok_i+1) LONGS, not concatenated
     # strings (equal bigrams ⟺ equal hash modulo xxhash64 collisions —
-    # the same stand-in contract the window/shingle family uses), and
+    # the same stand-in contract the window/shingle family uses).
+    # COLLISION CONTRACT (ADVICE r13): the DuckDB oracle groups the RAW
+    # bigram strings, so a 64-bit collision would silently merge two
+    # distinct bigrams' counts and fail the oracle hash-compare — the
+    # operator is a probabilistic stand-in with collision probability
+    # ~n²/2^65 ≈ 1e-8 at this corpus, accepted exactly as
+    # dedup_substring_windows documents for its window hashes.  And
     # the instance stream collapses to (hash, doc) grain with a map-side
     # combinable count BEFORE anything crosses the wire: the corpus
     # count c and every per-doc statistic are exact functions of that
@@ -715,7 +721,12 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # duplicate-group identity is internal (never output): xxhash64 is a
     # fraction of md5's cost per text and joins on a long, not a 32-char
-    # hex string — same equal-text ⟺ equal-hash contract
+    # hex string — same equal-text ⟺ equal-hash contract.  COLLISION
+    # CONTRACT (ADVICE r13): the oracle's group identity is md5(text)
+    # (128-bit), so a 64-bit xxhash64 collision between two distinct
+    # texts would merge their dup groups and fail the oracle compare —
+    # probability ~n²/2^65 ≈ 1e-11 at this corpus, the accepted
+    # probabilistic stand-in the shingle family documents
     hashes = d.groupBy(F.xxhash64("text").alias("h")).agg(F.count(F.lit(1)).alias("n"))
     # per-doc token stats as ARRAY expressions on the doc row — the
     # explode + (count, countDistinct, sum) aggregate this replaces
