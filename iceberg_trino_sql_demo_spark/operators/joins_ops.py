@@ -241,9 +241,9 @@ def events_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment bigint, segment_name string",
     ).hint("shuffle_hash")
     joined = salted_join(ev, dim, on="segment")
-    from iceberg_trino_sql_demo_spark.functions.trino import decimal_sum
+    from iceberg_trino_sql_demo_spark.functions.trino import scaled_long_sum
 
     return joined.groupBy("segment_name").agg(
         F.count(F.lit(1)).alias("n_events"),
-        decimal_sum(F.col("value"), "total_value"),
+        scaled_long_sum(F.col("value"), "total_value"),
     )

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from iceberg_trino_sql_demo_spark.operators import pins, register
 from iceberg_trino_sql_demo_spark.functions.trino import (
-    decimal_sum,
     iround_long,
     scaled_long_sum,
     trino_date_format,
@@ -134,7 +133,7 @@ def federation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
         .groupBy("nation")
-        .agg(trino_round(decimal_sum(F.col("o_totalprice"), "x")).alias("total_price"))
+        .agg(trino_round(scaled_long_sum(F.col("o_totalprice"), "x")).alias("total_price"))
         .orderBy("total_price")
     )
 
@@ -987,29 +986,36 @@ def pivot_segment_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 shape: segment-filtered customers (broadcast) x date-filtered
-    orders x lineitem, revenue per order, top-10.  Both date predicates
-    push to the parquet scans; the order-grain aggregate happens on the
-    join's natural key so no extra shuffle beyond the join's."""
+    orders x lineitem, revenue per order, top-10.  The per-order revenue
+    rollup now runs BEFORE the orders join (guide §2.3 aggregate before
+    the wire): the order-grain group keys (orderdate, orderpriority) are
+    functionally dependent on orderkey, so summing the shipdate-filtered
+    fact per orderkey first is value-identical, and what crosses the
+    orders join is one narrow (orderkey, revenue) row per order instead
+    of every lineitem — at 10x data the fact join had flipped to a
+    SortMergeJoin of raw lineitem rows (SF1_PAIR_r13 plan drift); now
+    the aggregate's own exchange IS the fact's only shuffle and the join
+    reuses its partitioning."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(
         F.to_date("o_orderdate") < F.lit("1996-03-15").cast("date")
-    )
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     l = _t(spark, sf_dir, "lineitem").where(
         F.to_date("l_shipdate") > F.lit("1996-03-15").cast("date")
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    lagg = l.groupBy("l_orderkey").agg(scaled_long_sum(revenue, "revenue", scale=4))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        lagg.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
+        .select(
             F.col("l_orderkey").alias("orderkey"),
+            "revenue",
             F.to_date("o_orderdate").alias("orderdate"),
             F.col("o_orderpriority").alias("orderpriority"),
         )
-        .agg(scaled_long_sum(revenue, "revenue", scale=4))
         .orderBy(F.desc("revenue"), "orderdate", "orderkey")
         .limit(10)
-        .select("orderkey", "revenue", "orderdate", "orderpriority")
     )
 
 
@@ -1085,34 +1091,47 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18 shape: orders whose total quantity exceeds a threshold, with
-    their customers.  The HAVING aggregate runs once on the fact and comes
-    back as a SEMI join (broadcast — its cardinality is tiny by
-    construction), so the fact is scanned twice but shuffled once."""
-    l = _t(spark, sf_dir, "lineitem")
-    big = (
+    their customers.  ONE per-order aggregate over a single lineitem scan
+    computes BOTH the HAVING filter (sum l_quantity > 150) and the output
+    sum (scaled-integer cents) — the previous form scanned the fact twice
+    (once for the HAVING set, once re-joined for the output sum) and its
+    second fact join flipped to a SortMergeJoin at 10x data because the
+    planner could not see that the semi-filtered orders side was tiny
+    (SF1_PAIR_r13 plan drift).  The group keys beyond orderkey are
+    functionally dependent on it (one order -> one customer), so grouping
+    by orderkey alone is value-identical; the filtered per-order frame is
+    tiny BY CONSTRUCTION (same contract as the broadcast the HAVING set
+    already rode), so it broadcasts into the orders dim join and the fact
+    is never shuffled at all — one exchange (the partial-aggregated
+    per-order rollup) end to end (guide §2.3 aggregate before the wire,
+    §3.1 deliberate broadcast)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    per_order = (
         l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
+        .agg(
+            F.sum("l_quantity").alias("sq"),
+            F.sum(iround_long(F.col("l_quantity") * 100)).alias("sum_qty_c"),
+        )
         .where(F.col("sq") > 150)
-        .select("l_orderkey")
+        .select("l_orderkey", "sum_qty_c")
     )
-    o = _t(spark, sf_dir, "orders").join(
-        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "semi"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    c = _t(spark, sf_dir, "customer")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        o.join(F.broadcast(per_order), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
+        .select(
             F.col("c_name").alias("name"),
             F.col("c_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.to_date("o_orderdate").alias("orderdate"),
             F.col("o_totalprice").cast("double").alias("totalprice"),
+            (F.col("sum_qty_c").cast("double") / F.lit(100.0)).alias("sum_qty"),
         )
-        .agg(scaled_long_sum(F.col("l_quantity"), "sum_qty"))
         .orderBy(F.desc("totalprice"), "orderkey")
         .limit(100)
-        .select("name", "custkey", "orderkey", "orderdate", "totalprice", "sum_qty")
     )
 
 
@@ -1140,18 +1159,23 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; both counts ride the same partial+final hash aggregate.
     Reference surface: joins + GROUP BY aggregation
     (iceberg_trino_sqldemo.sql:286-295) with Trino CASE semantics."""
-    o = _t(spark, sf_dir, "orders")
+    # classify each ORDER once before the fact join instead of evaluating
+    # the priority IN-list per joined lineitem, and carry one boolean
+    # across the join instead of the priority string (guide §2.3)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
+    )
     l = _t(spark, sf_dir, "lineitem").where(
         (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
     )
-    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(F.col("l_linestatus").alias("linestatus"))
         .agg(
-            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias("low_line_count"),
         )
     )
 
@@ -1492,17 +1516,22 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # the lateness cutoff (orderdate + 60d) is a function of the ORDER:
+    # computing it before the fact join parses the date string once per
+    # order instead of once per joined lineitem, and ships a 4-byte date
+    # instead of the string across the join (guide §2.3; at 10x data the
+    # orders build side is 1.5M rows)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_add(F.to_date("o_orderdate"), 60).alias("late_cutoff"),
+    )
 
     lat = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(
             F.col("l_orderkey").alias("orderkey"),
             F.col("l_suppkey").alias("suppkey"),
-            (
-                F.to_date("l_shipdate")
-                > F.date_add(F.to_date("o_orderdate"), 60)
-            ).alias("is_late"),
+            (F.to_date("l_shipdate") > F.col("late_cutoff")).alias("is_late"),
         )
     )
     # collapse to the (order, supplier) grain FIRST — after this the
@@ -1780,7 +1809,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
+    # only (key, type) of the part dim participate — project before the
+    # broadcast so the build side carries 2 of 9 columns (guide §2.3)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     per_type = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy(F.col("p_type").alias("type"))
@@ -1976,6 +2007,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Push the selective nation pair INTO the dimension sides before any
+    # fact join (guide §2.3/§3.1): only ~2/25 of customers and suppliers
+    # belong to the two nations, so restricting customer (and through it
+    # orders) and supplier FIRST shrinks the orders build side ~12x and
+    # drops ~92% of lineitem probe output at the first join, instead of
+    # joining the full fact pipeline and filtering the pair at the end.
+    # Join order and inner-join/filter commutativity make this
+    # value-identical to the oracle's WHERE-at-the-end form.
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1989,13 +2028,21 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = pair.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    # pair-nation suppliers / customers, then pair-nation orders — all dim
+    # side work, each a broadcast join over a dim
+    s2 = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    o2 = o.join(F.broadcast(c2), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        l.join(F.broadcast(s2), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o2, l.l_orderkey == F.col("o_orderkey"))
         .where(
             (
                 (F.col("supp_nation") == "NATION_9")
@@ -2042,7 +2089,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # project orders down to (key, year) BEFORE the fact join (guide §2.3
+    # narrower types, §3.1): the year is computed once per ORDER instead of
+    # once per joined LINEITEM, and the join's build side carries a 4-byte
+    # int instead of a date string — at 10x data that build side is 1.5M
+    # rows, so its width and per-row expression work are the join's cost
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.to_date("o_orderdate")).alias("o_year")
+    )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     scaled = iround_long(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
@@ -2050,7 +2104,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .groupBy("o_year")
         .agg(
             (
                 F.sum(
@@ -2088,18 +2142,27 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate-before-join (guide §2.3/§3, VERDICT r13 next-round #2): the
+    # direct form joined the WHOLE orders fact to customer before counting,
+    # so the fact crossed a join (and at 10x data a 1.5M-row broadcast
+    # build) just to be counted.  Counting per custkey FIRST reduces orders
+    # map-side (partial count) to at most |customer| narrow rows; the LEFT
+    # join then attaches counts to the customer dim with COALESCE(0) for
+    # customers whose qualifying-order count is zero — exactly the rows the
+    # LEFT-join-with-condition form kept at c_count = 0.  count(o_orderkey)
+    # == count(*) per group because o_orderkey is never null.  The counts
+    # side is bounded by the customer dim, the same contract as the
+    # F.broadcast(c) the sibling queries already rely on.
     c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
-    per_cust = (
-        c.join(
-            o,
-            (F.col("o_custkey") == F.col("c_custkey"))
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    counts = (
+        o.where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    per_cust = c.join(
+        F.broadcast(counts), F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
@@ -2288,7 +2351,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # year per ORDER before the fact join, not per joined lineitem, and a
+    # long instead of a date string across the join (guide §2.3 — same
+    # rationale as q8: the orders side is 1.5M rows at 10x data)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
     l = _t(spark, sf_dir, "lineitem")
     rev_c = iround_long(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
@@ -2303,7 +2371,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.col("o_year"),
         )
         .agg((F.sum(rev_c - cost_c).cast("double") / 100.0).alias("profit"))
     )
@@ -2690,6 +2758,6 @@ def federation_jdbc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
         .groupBy("nation")
-        .agg(trino_round(decimal_sum(F.col("o_totalprice"), "x")).alias("total_price"))
+        .agg(trino_round(scaled_long_sum(F.col("o_totalprice"), "x")).alias("total_price"))
         .orderBy("total_price")
     )

@@ -7,8 +7,12 @@ compatible: the same expressions run under readStream unchanged).  Oracles
 re-derive the window arithmetic relationally in DuckDB (epoch bucketing for
 tumbling/sliding, gaps-and-islands for sessions).
 
-Value sums go through DECIMAL accumulation (exact, order-free) — see
-functions.trino.decimal_sum.
+Value sums accumulate as exact scaled 64-bit integers (order-free, one
+final division) — functions.trino.scaled_long_sum; the oracles' DECIMAL
+cast-sum computes the identical value because the corpus values are exact
+cents (verified by the r14 three-SF mismatch sweep).  The streaming
+replays in streaming/ingest.py keep decimal accumulation: their state
+schema is checkpointed and not worth churning for ~0.1 s (r13 decision).
 """
 
 from __future__ import annotations
@@ -16,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_trino_sql_demo_spark.functions.trino import decimal_sum
+from iceberg_trino_sql_demo_spark.functions.trino import scaled_long_sum
 from iceberg_trino_sql_demo_spark.operators import pins, register
 from iceberg_trino_sql_demo_spark.session import table_path
 
@@ -84,7 +88,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            decimal_sum(F.col("value"), "total_value"),
+            scaled_long_sum(F.col("value"), "total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
@@ -121,7 +125,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            decimal_sum(F.col("value"), "total_value"),
+            scaled_long_sum(F.col("value"), "total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
@@ -412,7 +416,7 @@ def events_topk_users_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (
         _events(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
-        .agg(decimal_sum(F.col("value"), "total_value"))
+        .agg(scaled_long_sum(F.col("value"), "total_value"))
         .select(F.col("w.start").alias("window_start"), "user_id", "total_value")
     )
     w = Window.partitionBy("window_start").orderBy(
@@ -526,7 +530,7 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         _events(spark, sf_dir)
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
-        .agg(decimal_sum(F.col("value"), "total_value"))
+        .agg(scaled_long_sum(F.col("value"), "total_value"))
     )
     grid = (
         hourly.groupBy("event_type")
