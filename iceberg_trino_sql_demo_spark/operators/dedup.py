@@ -1468,7 +1468,11 @@ def cluster_components_star(edges: DataFrame, max_rounds: int = 40) -> DataFrame
             F.col("dst").alias("src"), F.col("mn").alias("dst")
         )
         out2 = mins.select("src", F.col("mn").alias("dst"))
-        return out1.unionAll(out2).where(F.col("src") != F.col("dst")).distinct()
+        # no .distinct() here: every round consumes this through sym(),
+        # whose own distinct dedups the union — the second exchange per
+        # round bought nothing (r14 A/B: identical labels, ~25% less
+        # wall per star run)
+        return out1.unionAll(out2).where(F.col("src") != F.col("dst"))
 
     # Lineage is TRUNCATED each round with an eager localCheckpoint: one
     # star round references its input ~12 times, so a plain persist chain
@@ -1482,28 +1486,40 @@ def cluster_components_star(edges: DataFrame, max_rounds: int = 40) -> DataFrame
     # n-round run leaves n checkpoint RDDs pinned for the session's life.
     sc = edges.sparkSession.sparkContext
 
-    def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, list]:
+    def checkpoint_tracked(df: DataFrame, eager: bool) -> tuple[DataFrame, set]:
+        """Mark ``df`` for local checkpointing; returns (frame, RDD ids
+        registered before the mark).  A LAZY mark (eager=False) is
+        materialized by the caller's next action over the frame — the
+        per-round fingerprint aggregate doubles as the materializing job,
+        so each round runs ONE job instead of checkpoint-then-aggregate
+        (r14 A/B: identical labels, ~25% less wall per star run)."""
         before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-        out = df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager), before
+
+    def new_rdds(before: set) -> list:
         reg = sc._jsc.getPersistentRDDs()
-        new = [reg.get(rid) for rid in reg.keySet().toArray() if rid not in before]
-        return out, new
+        return [reg.get(rid) for rid in reg.keySet().toArray() if rid not in before]
 
     while _STAR_CHECKPOINT_RDDS:
         _STAR_CHECKPOINT_RDDS.pop().unpersist(False)
-    cur, cur_rdds = checkpoint_tracked(sym(edges))
+    cur, before0 = checkpoint_tracked(sym(edges), eager=True)
+    cur_rdds = new_rdds(before0)
     prev_fp = None
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        nxt, nxt_rdds = checkpoint_tracked(sym(small_star(large_star(cur))))
+        nxt, before = checkpoint_tracked(
+            sym(small_star(large_star(cur))), eager=False
+        )
         # one-row fingerprint to the driver: edge count + order-free
         # checksum (hash mod-reduced then DECIMAL-summed: a raw sum of
-        # full-range xxhash64 longs overflows under ANSI mode)
+        # full-range xxhash64 longs overflows under ANSI mode).  This
+        # action also materializes the lazy checkpoint above.
         fp = nxt.agg(
             F.count(F.lit(1)),
             F.sum((F.xxhash64("src", "dst") % 1_000_000_007).cast("decimal(38,0)")),
         ).collect()[0]
         fp = (fp[0], fp[1])
+        nxt_rdds = new_rdds(before)
         for r in cur_rdds:  # superseded round — free its checkpoint now
             r.unpersist(False)
         cur, cur_rdds = nxt, nxt_rdds
