@@ -28,7 +28,7 @@ from iceberg_trino_sql_demo_spark.functions.trino import (
     trino_date_format,
     trino_round,
 )
-from iceberg_trino_sql_demo_spark.session import table_path
+from iceberg_trino_sql_demo_spark.session import parquet_row_count, table_path
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1525,7 +1525,21 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.date_add(F.to_date("o_orderdate"), 60).alias("late_cutoff"),
     )
-
+    # Join strategy by measured size gate (guide §3.1; footer row count,
+    # no count job).  SMALL orders: implicit broadcast join, then one
+    # explicit orderkey repartition feeds both aggregates (measured
+    # fastest at sf0.1 — 0.78 vs 1.04 s for the forced shuffle).  LARGE
+    # orders (build side beyond Spark's broadcast budget — 10x data and
+    # up): a SHUFFLED HASH join on orderkey, whose output partitioning
+    # the (orderkey, suppkey) and (orderkey) aggregates both reuse — the
+    # full join output is never re-exchanged AND the single-threaded
+    # 1.5M-row broadcast build disappears (measured at 10x: 2.39 ->
+    # 1.72 s; the per-partition build side is |orders|/partitions rows,
+    # which is what a cluster sizes its partitions for).
+    n_orders = parquet_row_count(table_path(sf_dir, "orders"))
+    big_orders = n_orders * 12 > 10 * 1024 * 1024
+    if big_orders:
+        o = o.hint("shuffle_hash")
     lat = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(
@@ -1534,18 +1548,19 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.to_date("l_shipdate") > F.col("late_cutoff")).alias("is_late"),
         )
     )
+    if not big_orders:
+        lat = lat.repartition("orderkey")
     # collapse to the (order, supplier) grain FIRST — after this the
     # existential counts are plain count/count_if over already-distinct
     # rows: no countDistinct Expand (which doubles the fact) and no join
-    # back to `lat`.  One explicit repartition on orderkey serves BOTH
-    # downstream aggregates: HashPartitioning(orderkey) satisfies the
-    # (orderkey, suppkey) grouping's clustering requirement AND the
-    # per-order rollup, so the whole post-join pipeline runs on a single
-    # exchange.  The per-order rollup is a HASH aggregate, not a window:
+    # back to `lat`.  Either branch clusters the pipeline by orderkey
+    # exactly once: HashPartitioning(orderkey) satisfies the (orderkey,
+    # suppkey) grouping's clustering requirement AND the per-order
+    # rollup.  The per-order rollup is a HASH aggregate, not a window:
     # when exactly one supplier is late, max(when(late, suppkey)) IS
     # that supplier, so the sole-late row never needs a per-partition
     # sort (the window form paid one; measured 0.74 -> ~0.5 s at sf0.1).
-    per = lat.repartition("orderkey").groupBy("orderkey", "suppkey").agg(
+    per = lat.groupBy("orderkey", "suppkey").agg(
         F.max("is_late").alias("late")
     )
     sole = (

@@ -286,32 +286,28 @@ EXPECT: dict[str, tuple[list[str], list[str], int, str]] = {
         "footer, not a count() job.",
     ),
     "events_user_triangles": (
-        ["BroadcastHashJoin", "HashAggregate"],
+        ["BroadcastHashJoin", "HashAggregate", "MapInPandas"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
-        12,  # ceiling unchanged; r13 plan uses fewer (single corner pass)
-        "degree-oriented wedge join: the node-cardinality degree vector "
-        "AND the edge-cardinality oriented-edge list broadcast ONLY below "
-        "the measured-size gate (_NODE_BROADCAST_BUDGET — above it the "
-        "same query takes a co-partitioned shuffle join, pinned by "
-        "test_triangles_degree_broadcast_gate); wedge closure is a "
-        "LEFT SEMI equi-join on (src, dst) (edges are distinct, so semi "
-        "is multiplicity-identical to inner), and all three corners are "
-        "credited in ONE pass over the triangle stream (explode) — the "
-        "r12 three-branch union re-evaluated the wedge join per corner "
-        "(13.1 -> 2.1 s warm at sf0.1).",
+        12,  # ceiling unchanged; r14 plan uses fewer (GEMM path)
+        "r14 dense-GEMM tier: below the n^2-sized _TRI_GEMM_BUDGET the "
+        "per-node counts are diag(A^3)/2 in ONE numpy task (MapInPandas "
+        "over the coalesced pinned edge list — measured 3.5 -> 1.2 s "
+        "drained at sf0.1, exact integer counts); the edge build itself "
+        "is still the broadcast co-occurrence join + hashed distinct.  "
+        "Above the budget the r13 degree-oriented wedge enumeration "
+        "with its gated broadcasts remains the scale path (pinned by "
+        "test_triangles_degree_broadcast_gate; the GEMM/enumeration "
+        "crossover by test_triangles_gemm_gate).",
     ),
     "events_user_triangles_capped": (
-        ["BroadcastHashJoin", "HashAggregate", "Window"],
+        ["BroadcastHashJoin", "HashAggregate", "Window", "MapInPandas"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
-        15,  # re-measured r11 under the fixed section cut — plan
-        # unchanged; 13 solo, 14 inside a shared pytest session (AQE
-        # reuses one exchange less there), pinned with headroom 1
-        "the base wedge-join plan behind an executable hot-hour cap: a "
-        "row_number window (partitioned by hour — bounded partitions by "
-        "construction) keeps only the 6 lowest-md5-rank users per hour "
-        "BEFORE the co-occurrence self-join, so a skewed hour contributes "
-        "at most C(6,2) edges; everything downstream is the same pinned "
-        "O(m^1.5) orientation-bounded closure.",
+        15,  # headroom kept from the r11 re-measure; GEMM path uses fewer
+        "the capped co-occurrence frame (row_number window keeps the 6 "
+        "lowest-md5-rank users per hour, so a skewed hour contributes at "
+        "most C(6,2) edges) feeding the same gated triangle backend — "
+        "at the audit scale the graph is far below _TRI_GEMM_BUDGET, so "
+        "the count runs as the single-task diag(A^3)/2 kernel.",
     ),
     "text_perplexity_unigram": (
         ["BroadcastHashJoin", "HashAggregate", "Generate"],

@@ -1,0 +1,181 @@
+"""Core-scaling measurement at the 10x relational corpus (VERDICT r13
+next-round #3).
+
+The driver's own c8-vs-c32 block at sf0.1 carries no parallelism signal:
+the bench profile pins 8 shuffle partitions at both core counts and the
+base testdata parquet files are single row groups, so 8 and 32 cores
+execute nearly the same physical work.  This harness measures the same
+question where it CAN have an answer: the TPC-H core at 10x data
+(multi-row-group files from scripts/scale_corpus.py, so the map side
+splits) with shuffle partitions scaled to the core count, AQE on — the
+production profile.  Each core count runs in its OWN subprocess because
+``local[N]`` is fixed at session construction.
+
+Run SOLO.  Rewrites the marked core-scaling section of SCALING.md and
+prints one JSON line.
+
+Usage::
+
+    python scripts/scale_cores_10x.py                # full run (build + both)
+    SPARK_GRAFT_SCALE10_DIR=... python scripts/scale_cores_10x.py --worker 8
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULT = int(os.environ.get("SPARK_GRAFT_SF1_MULT", "10"))
+CPUS_MAIN = int(os.environ.get("SPARK_GRAFT_SCALE10_CPUS", "32"))
+CPUS_LOW = int(os.environ.get("SPARK_GRAFT_SCALE10_CPUS_LOW", "8"))
+
+SECTION_BEGIN = "<!-- core-scaling-10x:begin -->"
+SECTION_END = "<!-- core-scaling-10x:end -->"
+
+
+def family(ops) -> list[str]:
+    return sorted(
+        n for n in ops.QUERIES if (n.startswith("q") and n[1].isdigit())
+    ) + ["pricing_summary", "federation_agg", "nation_volume"]
+
+
+def worker(cpus: int) -> None:
+    """Time the family at ``cpus`` cores; prints one JSON line."""
+    from iceberg_trino_sql_demo_spark import operators as ops
+    from iceberg_trino_sql_demo_spark.session import get_spark
+
+    ops.load_all()
+    sf_dir = os.environ["SPARK_GRAFT_SCALE10_DIR"]
+    spark = get_spark(f"scale10_c{cpus}")
+    names = family(ops)
+    # warmup (JVM classload/JIT)
+    ops.QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    out = {}
+    for name in names:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ops.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 3)
+        print(f"# c{cpus} {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+def run_worker(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SHUFFLE_PARTITIONS=str(cpus),
+        SPARK_GRAFT_ADAPTIVE="true",
+        SPARK_GRAFT_SCALE10_DIR=sf_dir,
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def render_section(res32: dict, res8: dict, mult: int) -> str:
+    lines = [
+        SECTION_BEGIN,
+        "",
+        f"## Core scaling at {mult}x data — c{CPUS_LOW} vs c{CPUS_MAIN} (measured)",
+        "",
+        f"Corpus: `{BASE}` scaled {mult}x by `scripts/scale_corpus."
+        "build_scaled_relational` (200k-row parquet row groups, so the map"
+        " side actually splits).  Each core count is a fresh process:"
+        f" `local[N]`, shuffle partitions = N, AQE on (the production"
+        " profile).  Warm = min of 3 noop-sink runs."
+        "  Harness: `scripts/scale_cores_10x.py`, run solo.",
+        "",
+        f"| query | c{CPUS_LOW} s | c{CPUS_MAIN} s | ratio c{CPUS_LOW}/c{CPUS_MAIN} |",
+        "|---|---|---|---|",
+    ]
+    ratios = []
+    for name in sorted(res32):
+        r8v, r32v = res8[name], res32[name]
+        ratio = round(r8v / r32v, 2) if r32v else None
+        ratios.append((ratio, name))
+        lines.append(f"| {name} | {r8v} | {r32v} | {ratio} |")
+    t8 = round(sum(res8.values()), 2)
+    t32 = round(sum(res32.values()), 2)
+    lines += [
+        "",
+        f"**Totals: c{CPUS_LOW} {t8} s / c{CPUS_MAIN} {t32} s ="
+        f" {round(t8 / t32, 2)}x.**  Reading the ratios: a ratio near 4x"
+        " would be perfect 4x-core scaling; at ~200 MB of input most of"
+        " these queries are bounded by per-stage fixed costs (scheduler,"
+        " broadcast builds, final single-partition aggregates) well before"
+        " they are core-bound, so the informative signal is that the"
+        " HEAVIEST queries separate from 1.0 while the sub-second tail"
+        " does not — the single-row-group sf0.1 measurement could not show"
+        " even that (every ratio ~1.0, VERDICT r13 'What's wrong' #3).",
+        "",
+        SECTION_END,
+    ]
+    return "\n".join(lines)
+
+
+def write_section(section: str) -> None:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(path) as fh:
+        doc = fh.read()
+    if SECTION_BEGIN in doc:
+        pre = doc[: doc.index(SECTION_BEGIN)]
+        post = doc[doc.index(SECTION_END) + len(SECTION_END):]
+        doc = pre + section + post
+    else:
+        doc = doc.rstrip() + "\n\n" + section + "\n"
+    with open(path, "w") as fh:
+        fh.write(doc)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return
+    from scripts.scale_corpus import build_scaled_relational
+
+    work = tempfile.mkdtemp(prefix="scale10_")
+    try:
+        sf_dir = os.path.join(work, f"x{MULT}")
+        build_scaled_relational(BASE, sf_dir, MULT)
+        res32 = run_worker(CPUS_MAIN, sf_dir)
+        res8 = run_worker(CPUS_LOW, sf_dir)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    section = render_section(res32, res8, MULT)
+    write_section(section)
+    print(
+        json.dumps(
+            {
+                "multiplier": MULT,
+                "cpus_main": CPUS_MAIN,
+                "cpus_low": CPUS_LOW,
+                f"c{CPUS_MAIN}": res32,
+                f"c{CPUS_LOW}": res8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -688,6 +688,11 @@ def test_triangles_degree_broadcast_gate(spark, monkeypatch):
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # force the enumeration tiers: the r14 dense-GEMM gate would
+        # otherwise take the whole query down the single-task numpy path
+        # (covered by test_triangles_gemm_gate below) and leave no join
+        # for this test to inspect
+        monkeypatch.setattr(wo, "_TRI_GEMM_BUDGET", 0)
         # the prepared-plan memo would hand back the DataFrame built under
         # the previous budget/conf — clear it so each run re-plans
         ops._PLAN_CACHE.clear()
@@ -709,6 +714,36 @@ def test_triangles_degree_broadcast_gate(spark, monkeypatch):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_triangles_gemm_gate(spark, monkeypatch):
+    """Below the dense-adjacency budget the triangle query runs the
+    single-task diag(A^3)/2 numpy kernel; above it the degree-oriented
+    enumeration.  Both paths must return the identical top-k (exact
+    integer counts either way), and the gate must actually switch the
+    physical plan (MapInPandas present below, absent above)."""
+    from iceberg_trino_sql_demo_spark.operators import windows_ops as wo
+
+    def final_plan(df):
+        from iceberg_trino_sql_demo_spark.plans import final_plan_section
+
+        return final_plan_section(
+            df._jdf.queryExecution().executedPlan().toString())
+
+    try:
+        ops._PLAN_CACHE.clear()
+        gemm = ops.QUERIES["events_user_triangles"](spark, SF)
+        gemm_rows = [tuple(r) for r in gemm.collect()]
+        assert "MapInPandas" in final_plan(gemm)
+
+        monkeypatch.setattr(wo, "_TRI_GEMM_BUDGET", 0)
+        ops._PLAN_CACHE.clear()
+        enum = ops.QUERIES["events_user_triangles"](spark, SF)
+        enum_rows = [tuple(r) for r in enum.collect()]
+        assert "MapInPandas" not in final_plan(enum)
+        assert gemm_rows == enum_rows
+    finally:
+        ops._PLAN_CACHE.clear()
 
 
 def test_incremental_minhash_consistency(spark):
