@@ -99,6 +99,39 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     return vec
 
 
+def _probe_ids(cent_rows: list, qv: list, n_probe: int) -> list[int]:
+    """Top-``n_probe`` centroid ids by cosine to the query, computed on the
+    driver from the ALREADY-collected centroid rows (r14, guide §1.2: the
+    IVF operators collected the centroids for the assignment kernel AND
+    ran a second scan + TakeOrdered job just to rank the same ~C rows
+    against the query — one whole Spark job per invocation for work on
+    manifest-cardinality data the driver is already holding).
+
+    Every IEEE operation replicates the retired JVM expression form
+    bit-for-bit so the probe set cannot drift from the oracle on
+    near-ties: the dot and norm accumulate as a dimension-sequential
+    LEFT FOLD in float64 (``acc = acc + c[d] * q[d]`` — the same
+    association order as the unrolled ``_dot``/``_dot_lit`` columns),
+    then ``1 - dot / (sqrt(norm) * qnorm)`` with the identical operation
+    order, then a lexicographic (distance, cent_id) sort."""
+    import numpy as np
+
+    ids = [int(r.cent_id) for r in cent_rows]
+    if not ids:
+        return []
+    C = np.stack([np.asarray(r.cent, dtype=np.float64) for r in cent_rows])
+    q = [float(x) for x in qv]
+    qn = _norm_lit(qv)
+    dotq = C[:, 0] * q[0]
+    nrm = C[:, 0] * C[:, 0]
+    for d in range(1, C.shape[1]):
+        dotq = dotq + C[:, d] * q[d]
+        nrm = nrm + C[:, d] * C[:, d]
+    key = 1.0 - dotq / (np.sqrt(nrm) * qn)
+    order = sorted(range(len(ids)), key=lambda i: (key[i], ids[i]))
+    return [ids[i] for i in order[:n_probe]]
+
+
 @register(
     "ann_topk_bruteforce",
     oracle=f"""
@@ -308,7 +341,10 @@ def _adaptive_cent_mod(n_vecs: int) -> int:
 
 
 def _assign(
-    e_df: DataFrame, cent: DataFrame, n_rows: int | None = None
+    e_df: DataFrame,
+    cent: DataFrame,
+    n_rows: int | None = None,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, cluster): nearest centroid by cosine distance.
 
@@ -343,7 +379,10 @@ def _assign(
     SQL-expression branch stays byte-identical to the DuckDB oracle
     where the oracle is evaluated."""
     spark = e_df.sparkSession
-    cent_rows = cent.collect()  # C rows (driver-side, manifest-cardinality)
+    if cent_rows is None:
+        cent_rows = cent.collect()  # C rows (driver-side, manifest-cardinality)
+    else:
+        cent_rows = list(cent_rows)
     if len(cent_rows) <= _ASSIGN_SQL_MAX_CENTROIDS:
         # expansion parallelism scales with the corpus when the caller
         # knows its size (parquet footer count): a 2k-vector corpus at 32
@@ -460,18 +499,14 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
-    assigned = _assign(e, cent, n_rows=n_rows)
+    # ONE collect serves both the assignment kernel and the probe
+    # ranking (bit-identical driver-side fold — see _probe_ids); the
+    # separate probe scan + TakeOrdered job is gone
+    cent_rows = cent.collect()
+    assigned = _assign(e, cent, n_rows=n_rows, cent_rows=cent_rows)
 
     qv = _query_vector(spark, sf_dir)
-    qcos = _dot_lit("cent", qv) / (
-        F.sqrt(_dot("cent", "cent")) * F.lit(_norm_lit(qv))
-    )
-    probes = [
-        r.cent_id
-        for r in cent.orderBy(F.asc(1 - qcos), F.asc("cent_id"))
-        .limit(N_PROBE)
-        .collect()
-    ]
+    probes = _probe_ids(cent_rows, qv, N_PROBE)
 
     cosine = _dot_lit("embedding", qv) / (
         F.sqrt(_dot("embedding", "embedding")) * F.lit(_norm_lit(qv))
@@ -1597,16 +1632,10 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.where(F.col("vec_id") % cent_mod == _CENT_RESIDUE).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
     )
-    assigned = _assign(e, cent, n_rows=n_rows)
-    qcos = _dot_lit("cent", qv) / (
-        F.sqrt(_dot("cent", "cent")) * F.lit(_norm_lit(qv))
-    )
-    probes = [
-        r.cent_id
-        for r in cent.orderBy(F.asc(1 - qcos), F.asc("cent_id"))
-        .limit(N_PROBE)
-        .collect()
-    ]
+    # one collect serves assignment + probe ranking (see ann_topk_ivf)
+    cent_rows = cent.collect()
+    assigned = _assign(e, cent, n_rows=n_rows, cent_rows=cent_rows)
+    probes = _probe_ids(cent_rows, qv, N_PROBE)
     cand = assigned.where(F.col("cluster").isin(probes)).select(
         "vec_id", "embedding"
     )
