@@ -430,6 +430,22 @@ _BAND_SQL = ", ".join(
     for band in range(BANDS)
 )
 
+
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    """The 64-permutation signature aggregate, parsed from ONE SQL string
+    (the same ``_SIG_SQL`` text the oracle CTE uses, over a DataFrame
+    table argument).  Building it as 64 py4j Column objects cost ~0.8 s
+    of DRIVER-side plan construction per invocation (r14 A/B: 0.85 s
+    columns vs 0.08 s single parse, identical schema and values) — under
+    the honest per-run-rebuild bench that construction happens inside
+    every timed run of every signature consumer."""
+    return sh.sparkSession.sql(
+        "SELECT doc_id, count(1) AS n,\n             "
+        + _SIG_SQL
+        + "\n        FROM {sh} GROUP BY doc_id",
+        sh=sh,
+    )
+
 _MINHASH_ORACLE = f"""
     WITH {_hsh_capped("SELECT doc_id, text FROM documents")},
     sig AS (
@@ -503,10 +519,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw frame, cached per sf_dir) — the same `sh` identity the
         # jaccard operator and the oracle CTE use
         sh = hashed_shingles(spark, sf_dir)
-        sig = sh.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
-        ).persist()
+        sig = _minhash_sig(sh).persist()
         sig.count()  # materialize shp + sig once, before broadcast fan-out
     band_cols = [
         F.md5(
@@ -589,14 +602,6 @@ _SIMHASH_BITS = 60
 _SIMHASH_CHUNK_BITS = _SIMHASH_BITS // 4
 
 
-def _simhash_bit(b: int):
-    """Spark column for bit b of the token hash (see family note above)."""
-    half = _SIMHASH_BITS // 2
-    if b < half:
-        return F.shiftright(F.col("ha"), b).bitwiseAND(F.lit(1))
-    return F.shiftright(F.col("hb"), b - half).bitwiseAND(F.lit(1))
-
-
 def _simhash_bit_sql(b: int) -> str:
     half = _SIMHASH_BITS // 2
     return f"((ha >> {b}) & 1)" if b < half else f"((hb >> {b - half}) & 1)"
@@ -635,22 +640,19 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("ha"),
             F.conv(F.substring(F.md5("tok"), 17, 15), 16, 10).cast("long").alias("hb"),
         )
-        bit_sums = th.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(_simhash_bit(b)).alias(f"s{b}") for b in range(_SIMHASH_BITS)],
-        )
-        # arithmetic assembly: sum of (majority_b ? 1<<b : 0).  The previous
-        # binary-string concat + conv(_, 2, 10) built a 60-way string
-        # expression whose ANALYSIS alone cost ~0.7 s per invocation
-        # (measured at sf0.1); plain long adds are both cheaper to analyze
-        # and stay integer end-to-end in the DuckDB oracle mirror.
-        sig_col = None
-        for b in range(_SIMHASH_BITS):
-            term = F.when(
-                2 * F.col(f"s{b}") >= F.col("n"), F.lit(1 << b).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            sig_col = term if sig_col is None else sig_col + term
-        sig = bit_sums.select("doc_id", sig_col.alias("simhash")).persist()
+        # arithmetic assembly: sum of (majority_b ? 1<<b : 0).  The whole
+        # 60-sum aggregate + assembly is parsed from ONE SQL string (the
+        # identical _SIMHASH_SUMS_SQL/_SIMHASH_BITS_SQL text the oracle
+        # uses): the per-bit py4j Column construction this replaces cost
+        # ~1 s of driver-side plan building per invocation (r14, same
+        # finding as _minhash_sig), and the earlier binary-string
+        # concat + conv(_, 2, 10) form cost ~0.7 s of ANALYSIS on top.
+        sig = spark.sql(
+            "SELECT doc_id, " + _SIMHASH_BITS_SQL + " AS simhash\n"
+            "  FROM (SELECT doc_id, count(1) AS n,\n             "
+            + _SIMHASH_SUMS_SQL + "\n          FROM {th} GROUP BY doc_id)",
+            th=th,
+        ).persist()
         sig.count()
     pins.adopt("simhash", sig)
     return sig
@@ -1842,10 +1844,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins.open_group("incr_minhash", spark)
     with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
         sh = hashed_shingles(spark, sf_dir)
-        sig = sh.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
-        ).persist()
+        sig = _minhash_sig(sh).persist()
         sig.count()
     pins.adopt("incr_minhash", sig)
     band_cols = [
@@ -2314,23 +2313,38 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE exchange instead of a hash self-join (r14, guide §2.4): group
+    # the per-source shingles by shingle identity and collect the SORTED
+    # source set per shingle — collect_set dedups (source, ha, hb)
+    # occurrences map-side, so the old distinct + (ha, hb) self-join
+    # (which re-exchanged and probed the whole shingle stream) collapses
+    # into one keyed aggregate; source pairs are then generated IN-TASK
+    # from each multi-source shingle's set (arrays bounded by the source
+    # count, ~5 here — a hot shingle contributes C(|sources|, 2) pairs,
+    # never a row blow-up; the DF cap has already removed degenerate
+    # shingles).  sort_array makes pair order = the oracle's
+    # a.source < b.source.  Measured at sf0.1, rebuilt-per-run: 1.98 ->
+    # 1.41 s, identical matrix.
     sh = hashed_shingles(spark, sf_dir)
     src = _docs(spark, sf_dir).select("doc_id", "source")
-    srcsh = sh.join(src, "doc_id").select("source", "ha", "hb").distinct()
-    sizes = srcsh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = srcsh.alias("a")
-    b = srcsh.alias("b")
+    pins.open_group("xsrc", spark)
+    grouped = pins.pin("xsrc", (
+        sh.join(src, "doc_id")
+        .groupBy("ha", "hb")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    ))
+    sizes = grouped.select(F.explode("ss").alias("source")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.ha") == F.col("b.ha"))
-            & (F.col("a.hb") == F.col("b.hb"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
+        grouped.where(F.size("ss") >= 2)
+        .select(F.explode(F.expr(
+            "flatten(transform(ss, (x, i) -> "
+            "transform(slice(ss, i + 2, size(ss) - i - 1), "
+            "y -> struct(x AS source_a, y AS source_b))))"
+        )).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sx = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
@@ -2407,10 +2421,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins.open_group("calibration", spark)
     with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
         sh = hashed_shingles(spark, sf_dir)
-        sig = sh.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.min(_phash(i)).alias(f"h{i}") for i in range(NUM_PERM)],
-        ).persist()
+        sig = _minhash_sig(sh).persist()
         sig.count()
     pins.adopt("calibration", sig)
     band_cols = [
@@ -2449,18 +2460,19 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    a = sig.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("n").alias("n_a"),
-        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(NUM_PERM)],
+    # string projections + one parsed match expression: the 2x66-column
+    # py4j Column construction this replaces was driver-side plan-building
+    # cost paid per invocation (same r14 finding as _minhash_sig)
+    a = sig.selectExpr(
+        "doc_id AS id_a", "n AS n_a",
+        *[f"h{i} AS ha{i}" for i in range(NUM_PERM)],
     )
-    b = sig.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("n").alias("n_b"),
-        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(NUM_PERM)],
+    b = sig.selectExpr(
+        "doc_id AS id_b", "n AS n_b",
+        *[f"h{i} AS hb{i}" for i in range(NUM_PERM)],
     )
-    match = sum(
-        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("long") for i in range(NUM_PERM)
+    match = F.expr(
+        " + ".join(f"CAST((ha{i} = hb{i}) AS LONG)" for i in range(NUM_PERM))
     )
     with pinned_conf(spark, {"spark.sql.codegen.maxFields": "256"}):
         out = (
