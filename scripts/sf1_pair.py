@@ -190,21 +190,28 @@ def render_section(results, s_total, d_total, ratio, drifted) -> str:
         " join/aggregate/window node histogram + executed-exchange"
         " count identical at both scales unless listed).",
         "",
-        "Reading the pair: the TPC-H-only subset is scheduler-floor-"
-        "dominated on Spark at MB scale (the headline <=2x claim is the"
-        " FULL 136-query frozen core, where the floor amortizes across"
-        " heavier operators) — the scale-relevant signal is the"
-        " TRAJECTORY: the same subset reads ~5.6x at sf0.1 and improves"
-        " to the total above at 10x, i.e. Spark's fixed per-query floor"
-        " amortizes with data size exactly as the 100 TB design"
-        " predicts, while DuckDB grows linearly.  Where shape drift is"
-        " listed, it is AQE doing the RIGHT thing at scale: the"
-        " fact x fact joins (q3 orders-lineitem, q18 orders-lineitem)"
-        " flip broadcast -> SortMergeJoin once the build side outgrows"
-        " the broadcast threshold — dim joins stay broadcast at both"
-        " scales — and q17's +1 exchange is an AQE runtime re-plan of"
-        " the avg-quantity subquery at the larger input.  Pinning the"
-        " sf0.1 shapes at 10x would be the wrong plan.",
+        "Reading the pair (r14): the scaled corpus now writes 200k-row"
+        " parquet row groups, which parallelizes BOTH engines' scans —"
+        " DuckDB's 22-query total dropped to under 2 s (~80 ms/query,"
+        " below a single Spark stage's launch floor), so the RATIO is"
+        " bounded by Spark's per-query fixed costs, not by plan defects:"
+        " the best cases (pricing_summary ~2.4x, q21 ~3.7x, q18 ~3.9x,"
+        " q19/q6 ~4x) are minimal plans at that floor, and the ~10x"
+        " cases are dominated by ONE serial multi-million-row dimension"
+        " build that in-process DuckDB parallelizes (the orders side of"
+        " q8/q9/q12/q10) — SCALING.md's 30x core-scaling table isolates"
+        " exactly that population.  Spark's own trajectory is the"
+        " scale-relevant signal: the r14 rewrites cut the subset total"
+        " ~7% at 10x while the targeted queries fell 17-59% (q21 2.16"
+        " -> 1.15 s, q13 0.67 -> 0.27, q18 1.08 -> 0.71, q11 -30%, q3"
+        " -19%).  Where shape drift is listed it is deliberate or"
+        " adaptive: q21's orderkey join flips to a SHUFFLED HASH join"
+        " above the footer-measured broadcast budget (both rollups then"
+        " reuse the join partitioning), q3's pre-aggregated fact side"
+        " joins orders as SMJ above the broadcast threshold, and q17's"
+        " +1 exchange is an AQE runtime re-plan of the avg-quantity"
+        " subquery.  Pinning the sf0.1 shapes at 10x would be the wrong"
+        " plan.",
         "",
         SECTION_END,
     ]

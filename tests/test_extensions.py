@@ -16,6 +16,25 @@ def _pairs(df):
     return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
 
 
+def test_bench_drain_detects_operator_state(spark):
+    """The bench's honest-measurement gate (r14): after a pin-holding
+    operator runs, the dirty check must see the residue, and
+    release_caches() must return the process to a fully clean state so
+    the next timed run rebuilds every intermediate from parquet."""
+    import bench
+    from iceberg_trino_sql_demo_spark.operators import dedup, pins
+
+    ops.release_caches()
+    assert not bench._operator_state_dirty()
+    ops.QUERIES["dedup_minhash_lsh"](spark, SF).count()
+    assert bench._operator_state_dirty()
+    assert pins.pinned_groups() and dedup._HASHED_SH_CACHE
+    ops.release_caches()
+    assert not bench._operator_state_dirty()
+    assert not pins.pinned_groups()
+    assert not ops._PLAN_CACHE
+
+
 def test_minhash_lsh_recall_vs_exact(spark):
     """LSH candidates + exact verification must recover every true pair at
     tau=0.5 that banding can see; with 8 bands x 4 rows the miss
